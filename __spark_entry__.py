@@ -1,38 +1,54 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship query at sf0.001; `queries()` exposes one
+callable per implemented operator (SURVEY.md §2); `oracle_sql()` gives the
+DuckDB-equivalent SQL for every SQL-expressible query. All three delegate
+to the engine's central registry
+(minio_iceberg_polaris_lakehouse_spark/registry.py).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from minio_iceberg_polaris_lakehouse_spark.registry import all_queries  # noqa: E402
+from minio_iceberg_polaris_lakehouse_spark.session import ship_package  # noqa: E402
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _configure(spark: SparkSession) -> SparkSession:
+    """Session confs the engine depends on (safe to set at runtime on a
+    session the driver built itself)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    ship_package(spark)
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (revenue by nation) on /root/testdata/sf0.001."""
+    q = all_queries()["flagship_revenue_by_nation"]
+    return q.spark(_configure(spark), SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        return lambda spark, sf_dir: fn(_configure(spark), sf_dir)
+
+    return {name: wrap(q.spark) for name, q in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; omitted entries (hash-family or
+    Python-kernel operators) get the driver's rows-only check."""
+    return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}

@@ -1,0 +1,190 @@
+"""Text-analysis operators over the `documents` table (EXT scope,
+SURVEY.md §2.14 X5): language profiling, quality scoring, token counting,
+document fingerprinting, and a stopword-profile language-ID heuristic.
+
+Everything here is built from JVM-side string/array built-ins (split,
+regexp_replace, higher-order array functions) — no Python in the hot path,
+so a 100 TB documents table runs these inside whole-stage codegen with a
+single scan and one small aggregation shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minio_iceberg_polaris_lakehouse_spark.registry import register
+from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
+
+# Tiny English stopword profile used by quality scoring + lang-ID heuristic.
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization of trimmed text (BPE-ish regex split)."""
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+@register(
+    "text_lang_profile",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(n_chars AS DECIMAL(26,8))) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile by language: doc counts and length stats."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            (F.sum(F.col("n_chars").cast("decimal(26,8)")).cast("double") / F.count("n_chars")).alias(
+                "avg_chars"
+            ),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+           CAST(LENGTH(text) AS INT) AS n_chars_measured,
+           CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS INT) AS n_unique_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts: total, chars, unique tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens()).cast("int").alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars_measured"),
+        F.size(F.array_distinct(tokens())).cast("int").alias("n_unique_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           n_tokens,
+           ROUND(stop_hits * 1.0 / n_tokens, 6) AS stopword_ratio,
+           ROUND(punct_chars * 1.0 / LENGTH(text), 6) AS punct_ratio,
+           ROUND(unique_tokens * 1.0 / n_tokens, 6) AS lexical_diversity,
+           (n_tokens >= 20 AND unique_tokens * 1.0 / n_tokens > 0.3) AS passes_quality
+    FROM (
+        SELECT doc_id, text,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+               CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS INT) AS unique_tokens,
+               CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                        w -> list_contains({STOPWORDS!r}, w))) AS INT) AS stop_hits,
+               CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS punct_chars
+        FROM documents) t
+    ORDER BY doc_id
+    """.replace("'the'", "'the'"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality scoring: stopword ratio, punctuation
+    density, lexical diversity, and a pass/fail flag — the standard cheap
+    filters of an LLM-pretraining data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    lower_toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    stop_hits = F.size(
+        F.filter(lower_toks, lambda w: F.array_contains(F.lit(STOPWORDS), w))
+    ).cast("int")
+    punct_chars = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+    ).cast("int")
+    n_tokens = F.size(toks).cast("int")
+    uniq = F.size(F.array_distinct(toks)).cast("int")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_hits * 1.0 / n_tokens, 6).alias("stopword_ratio"),
+        F.round(punct_chars * 1.0 / F.length("text"), 6).alias("punct_ratio"),
+        F.round(uniq * 1.0 / n_tokens, 6).alias("lexical_diversity"),
+        ((n_tokens >= 20) & (uniq * 1.0 / n_tokens > 0.3)).alias("passes_quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT sha256(array_to_string(
+               list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))), ' '))) AS BIGINT)
+               AS n_distinct_fingerprints
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint: sha256 over the sorted distinct
+    token set (order/duplication-invariant) — detects near-dups that differ
+    only by word order or repetition; counted per source."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.sha2(
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+")))
+        ),
+        256,
+    )
+    return (
+        d.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("fp").alias("n_distinct_fingerprints"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_langid_heuristic",
+    oracle=f"""
+    SELECT lang AS labeled_lang, predicted_en, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT lang,
+               (len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                    w -> list_contains({STOPWORDS!r}, w)))
+                * 1.0 / len(regexp_split_to_array(trim(text), '\\s+'))) >= 0.05 AS predicted_en
+        FROM documents) t
+    GROUP BY lang, predicted_en
+    ORDER BY labeled_lang, predicted_en
+    """,
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic: classify a doc as English when
+    ≥5% of its tokens are English stopwords; confusion counts against the
+    labeled `lang` column."""
+    d = load_table(spark, sf_dir, "documents")
+    lower_toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    stop_ratio = F.size(
+        F.filter(lower_toks, lambda w: F.array_contains(F.lit(STOPWORDS), w))
+    ) * 1.0 / F.size(tokens())
+    return (
+        d.select(F.col("lang").alias("labeled_lang"), (stop_ratio >= 0.05).alias("predicted_en"))
+        .groupBy("labeled_lang", "predicted_en")
+        .agg(F.count("*").alias("n"))
+        .orderBy("labeled_lang", "predicted_en")
+    )

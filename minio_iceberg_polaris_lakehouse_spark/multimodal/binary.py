@@ -1,0 +1,138 @@
+"""Multimodal column support (EXT scope, SURVEY.md §2.14 X4): image/audio/
+video payloads as opaque BINARY columns with typed metadata, processed by
+Arrow-batched pandas iterators (`mapInPandas`).
+
+The container ships no image/audio codecs, so the decode kernel is a
+clearly-marked deterministic stub (`fake_decode_image`); everything the
+engine is responsible for — schema, binary column plumbing, batch shape,
+partitioning — is real and tested. Swapping the stub for PIL/ffmpeg is a
+one-function change that does not alter the plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from minio_iceberg_polaris_lakehouse_spark.registry import register
+from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
+
+# Typed metadata schema for a multimodal asset column.
+ASSET_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("blob", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_luma", IntegerType()),
+    ]
+)
+
+
+def fake_decode_image(blob: bytes) -> tuple[int, int, int]:
+    """STUB decode: a real implementation would be
+    ``PIL.Image.open(io.BytesIO(blob))``; this container has no codecs, so
+    we derive deterministic (width, height, mean_luma) pseudo-properties
+    from the blob's sha256 — keeps every downstream assertion exact."""
+    h = hashlib.sha256(blob).digest()
+    return (64 + h[0] % 192, 64 + h[1] % 192, h[2])
+
+
+def assets_from_documents(df: DataFrame) -> DataFrame:
+    """Model the documents table as a multimodal asset table: the text
+    payload becomes an opaque BINARY blob (exactly how image bytes would
+    arrive from an object store)."""
+    blob = F.encode(F.col("text"), "utf-8")
+    return df.select(
+        "doc_id",
+        F.lit("image/fake").alias("media_type"),
+        blob.alias("blob"),
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_assets(assets: DataFrame) -> DataFrame:
+    """Arrow-batched decode over partitions: `mapInPandas` streams record
+    batches through Python once, yielding typed metadata — the pattern for
+    any per-blob kernel (resize, frame-sample, feature-extract). Scale: the
+    only Python touchpoint, O(bytes) per partition, no shuffle."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [fake_decode_image(b) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "mean_luma": [d[2] for d in decoded],
+                }
+            )
+
+    return assets.mapInPandas(decode, DECODED_SCHEMA)
+
+
+@register(
+    "mm_blob_stats",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def mm_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column statistics per source: documents modeled as opaque
+    blobs (utf-8 payload standing in for image bytes)."""
+    d = load_table(spark, sf_dir, "documents")
+    assets = assets_from_documents(d).join(d.select("doc_id", "source"), "doc_id")
+    return (
+        assets.groupBy("source")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.max("n_bytes").cast("long").alias("max_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
+@register("mm_decode_features", oracle=None)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode pipeline end-to-end: blob → mapInPandas decode stub → typed
+    features → aggregate. Rows-only check (the decode kernel is a Python
+    stub, not SQL-expressible); tests assert determinism and schema."""
+    d = load_table(spark, sf_dir, "documents")
+    decoded = decode_assets(assets_from_documents(d))
+    return (
+        decoded.groupBy((F.col("mean_luma") / 32).cast("int").alias("luma_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.avg(F.col("width").cast("double")).alias("avg_width"),
+            F.avg(F.col("height").cast("double")).alias("avg_height"),
+        )
+        .orderBy("luma_bucket")
+    )

@@ -1,0 +1,288 @@
+"""Deduplication operators over the `documents` table (EXT scope,
+SURVEY.md §2.14 X1/X2): exact hash dedup, n-gram Jaccard near-dup,
+MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+Scale design (100 TB): every operator is blocked — no unbounded O(n²)
+self-join ever executes. Exact dedup shuffles once on a 256-bit content
+hash; Jaccard verification only runs on candidate pairs produced by an
+equality join (blocking key or LSH band bucket), so the quadratic term is
+bounded per bucket. Hash families are Spark's JVM-side xxhash64/murmur3 —
+no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from minio_iceberg_polaris_lakehouse_spark.registry import register
+from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
+
+# MinHash configuration: 16 hash "permutations", banded 4×4 for LSH.
+MINHASH_K = 16
+LSH_BANDS = 4
+ROWS_PER_BAND = MINHASH_K // LSH_BANDS
+
+
+def content_hash(col: str = "text") -> Column:
+    """256-bit content hash of normalized text (exact-dedup key)."""
+    return F.sha2(F.trim(F.lower(F.col(col))), 256)
+
+
+def word_shingles(col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document."""
+    toks = F.split(F.trim(F.lower(F.col(col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])  # noqa: E731
+    return F.array_distinct(F.transform(idx, lambda i: gram(i)))
+
+
+@register(
+    "dedup_exact_keep_first",
+    oracle="""
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY sha256(trim(lower(text))) ORDER BY doc_id) AS rn
+        FROM documents) t
+    WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, keep-first policy: one shuffle on the content hash, a
+    deterministic ROW_NUMBER keeps the lowest doc_id per hash (unlike
+    dropDuplicates, which keeps an arbitrary row)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(content_hash()).orderBy("doc_id")
+    return (
+        d.select("doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_exact_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT sha256(trim(lower(text)))) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT sha256(trim(lower(text)))) AS BIGINT) AS n_exact_dups
+    FROM documents
+    """,
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact-duplication rate."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(content_hash()).alias("n_unique"),
+        (F.count("*") - F.count_distinct(content_hash())).cast("long").alias("n_exact_dups"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, lang, CAST(FLOOR(n_chars / 50) AS BIGINT) AS len_bucket,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 1)),
+                   i -> concat_ws(' ',
+                        regexp_split_to_array(trim(lower(text)), '\\s+')[i],
+                        regexp_split_to_array(trim(lower(text)), '\\s+')[i+1],
+                        regexp_split_to_array(trim(lower(text)), '\\s+')[i+2]))) AS shingles
+        FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) * 1.0
+                     / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, jaccard
+    FROM pairs
+    WHERE jaccard >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection by word-3-gram Jaccard ≥ 0.5 over blocked
+    candidate pairs (same lang + 50-char length bucket). Blocking keeps the
+    pair space linear-ish; at 100 TB the blocking key would be an LSH band
+    (see dedup_minhash_lsh) — the verify stage is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 50).cast("long").alias("len_bucket"),
+        word_shingles().alias("shingles"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    jac = inter * 1.0 / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_signature(df: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """doc_id → k-wide MinHash signature over word-3-gram shingles.
+
+    One explode + one grouped aggregation (k MIN aggregates in a single
+    pass); hash family is xxhash64 salted by the permutation index — pure
+    JVM, shuffles only (doc_id → shingle) pairs."""
+    exploded = df.select("doc_id", F.explode(word_shingles()).alias("shingle"))
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}") for i in range(k)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+@register("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates, verified with exact Jaccard.
+
+    Pipeline: shingle → 16-permutation MinHash signature → 4 bands of 4 →
+    equality self-join on (band_id, band_hash) → exact Jaccard ≥ 0.5 verify.
+    No oracle: the xxhash64 family is Spark-specific (rows-only check);
+    tests/test_dedup.py asserts the LSH candidates reproduce the brute-force
+    Jaccard pairs. Scale: the only quadratic step is within an LSH bucket,
+    and bucket sizes are bounded by collision probability, not corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(d)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(*[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]).alias(
+                    "band_hash"
+                ),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_hash"
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_id", "band_hash"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = d.select("doc_id", word_shingles().alias("shingles"))
+    jac = F.size(F.array_intersect("sa", "sb")) * 1.0 / F.size(F.array_union("sa", "sb"))
+    return (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")), "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SIMHASH_BITS = 32
+
+
+@register("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprinting: 32-bit signature from token-hash bit votes,
+    computed in one pass with higher-order array functions (no explode, no
+    shuffle beyond the final cluster count). Rows-only check (hash family is
+    engine-specific); tests assert exact duplicates collide.
+
+    Returns fingerprint clusters with >1 member (near-dup groups at
+    Hamming distance 0)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+    def vote(i: int):
+        # per-bit vote: +1 when bit i of the token hash is set, else -1,
+        # summed over the token array in one JVM-side fold (the merge lambda
+        # must stay 2-arg — PySpark derives lambda variables from arity)
+        def merge(acc, t):
+            return acc + F.when(
+                F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return F.aggregate(toks, F.lit(0).cast("long"), merge)
+
+    fingerprint = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        fingerprint = fingerprint + F.when(
+            vote(i) > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return (
+        d.select("doc_id", fingerprint.alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count("*").alias("cluster_size"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .filter(F.col("cluster_size") > 1)
+        .orderBy("simhash")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+                 / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                    * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, ROUND(cos, 6) AS cosine
+    FROM pairs
+    WHERE ROUND(cos, 6) >= 0.9
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.9 within a `label` block
+    (the blocking key stands in for an IVF/LSH partition at scale — the
+    quadratic search never crosses blocks)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{side}.e"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / (norm("a") * norm("b"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.9)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,197 @@
+"""Similarity search over the `embeddings` table (EXT scope, SURVEY.md
+§2.14 X3): brute-force cosine top-k as the correctness baseline, a
+random-hyperplane LSH bucketed variant as the 100 TB scale path, and a
+per-label centroid aggregation.
+
+Scale design: brute-force is a broadcast of the (small) query set against a
+partitioned scan of the corpus — linear, no shuffle of the corpus itself;
+top-k folds into a per-partition heap via window-rank. The LSH variant
+replaces the full scan with an equality join on signature buckets, turning
+the search into O(candidates). Vector math is JVM-side higher-order
+functions (zip_with/aggregate) — no Python, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from minio_iceberg_polaris_lakehouse_spark.registry import register
+from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
+
+N_QUERIES = 8  # vec_id < 8 are the demo query vectors
+TOP_K = 10
+
+
+def as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    """Sequential-fold dot product (deterministic order: array order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+    q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.q_id, v.vec_id AS neighbor_id,
+               ROUND(list_sum(list_transform(list_zip(q.qe, v.e), p -> p[1] * p[2]))
+                     / (sqrt(list_sum(list_transform(q.qe, x -> x * x)))
+                        * sqrt(list_sum(list_transform(v.e, x -> x * x)))), 6) AS cosine
+        FROM q CROSS JOIN v
+        WHERE v.vec_id <> q.q_id),
+    ranked AS (
+        SELECT q_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored)
+    SELECT q_id, neighbor_id, cosine, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= {TOP_K}
+    ORDER BY q_id, rn
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query vectors against the corpus
+    scan, rank per query. Ranking uses the 6-dp-rounded cosine with
+    neighbor_id tiebreak so the ordering is engine-independent."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w).cast("int").alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .orderBy("q_id", "rn")
+    )
+
+
+EMB_DIM = 64  # embedding width in the test corpus (FIXTURES.md)
+
+# Per-dimension decimal-exact means, squared and added left-to-right —
+# the same fold order as the Spark side, so the doubles match bitwise.
+_CENTROID_SQ_TERMS = " + ".join(
+    f"(CAST(SUM(CAST(embedding[{d}] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*))"
+    f" * (CAST(SUM(CAST(embedding[{d}] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*))"
+    for d in range(1, EMB_DIM + 1)
+)
+
+
+@register(
+    "sim_label_centroids",
+    oracle=f"""
+    SELECT CAST(label AS INT) AS label,
+           ROUND(sqrt({_CENTROID_SQ_TERMS}), 6) AS centroid_norm,
+           CAST(MAX(len(embedding)) AS INT) AS dim
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, reported as the centroid
+    L2 norm. Implemented the scale-friendly way: posexplode → per-(label,
+    position) decimal-exact mean → re-assemble the vector — one narrow
+    shuffle keyed by (label, pos), never a collect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select("label", F.posexplode("embedding").alias("pos", "val")).select(
+        "label", "pos", F.col("val").cast("double").alias("val")
+    )
+    cent = flat.groupBy("label", "pos").agg(
+        (F.sum(F.col("val").cast("decimal(28,12)")).cast("double") / F.count("*")).alias("c")
+    )
+    assembled = (
+        cent.groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pairs"),
+            (F.max("pos") + 1).cast("int").alias("dim"),
+        )
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.round(norm(F.transform("pairs", lambda p: p.getField("c"))), 6).alias("centroid_norm"),
+            "dim",
+        )
+    )
+    return assembled.orderBy("label")
+
+
+N_PLANES = 12
+
+
+def lsh_signature(vec_col) -> Column:
+    """Random-hyperplane signature: bit i = sign(v · h_i) where hyperplane
+    h_i's components are pseudo-random ±1 derived from xxhash64(dim, plane)
+    — deterministic, no stored model, identical on every executor."""
+    def bit(i: int) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.sequence(F.lit(0), F.size(vec_col) - 1),
+                lambda x, d: x
+                * F.when(F.xxhash64(d, F.lit(i)).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj > 0, F.shiftleft(F.lit(1), i)).otherwise(0)
+
+    sig = bit(0)
+    for i in range(1, N_PLANES):
+        sig = sig + bit(i)
+    return sig
+
+
+@register("sim_ann_lsh", oracle=None)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-hyperplane LSH: corpus and
+    queries hash to signature buckets; search only touches same-bucket
+    candidates, then exact-rescores. Rows-only check (bucketing is
+    hash-family-specific); tests/test_similarity.py measures recall vs the
+    brute-force baseline. At 100 TB the bucket join replaces the full-corpus
+    scan per query — the classic ANN trade."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    sigs = v.select("vec_id", "e", lsh_signature(F.col("e")).alias("bucket"))
+    q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), "bucket"
+    )
+    cand = (
+        sigs.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cand.select("*", F.row_number().over(w).cast("int").alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .orderBy("q_id", "rn")
+    )

@@ -1,0 +1,55 @@
+"""Table sources for the engine's test corpus (TPC-H-ish star schema +
+events stream table + LLM-pipeline tables).
+
+Reference parity: the reference reads tables via ``spark.sql("SELECT * FROM
+catalog.ns.t")`` / ``spark.table(...)`` (reference:
+workspace/notebooks/getting_started.ipynb:102, iceberg_queries.ipynb:233);
+here the equivalent source is a parquet scan with schema from the footer —
+no inference pass, no driver-side materialization, so the same loader works
+whether the path holds 6 MB or 100 TB.
+
+The ``events`` table stores TIMESTAMP(NANOS); with
+``spark.sql.legacy.parquet.nanosAsLong`` the scan yields int64 nanoseconds
+and we convert to ``timestamp_ntz`` in a projection (stays inside
+whole-stage codegen; truncation to microseconds matches what SQL engines,
+incl. the DuckDB oracle, do with nanosecond parquet).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table as a DataFrame."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view (names match the DuckDB
+    oracle's pre-registered views)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,37 @@
+"""Every registered query with an oracle must match DuckDB exactly at the
+smoke scale factor — the same comparison the driver runs at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from minio_iceberg_polaris_lakehouse_spark.registry import all_queries
+
+from tests.oracle_harness import compare, duck_connection
+
+QUERIES = all_queries()
+ORACLE_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle is None)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, duck, sf_dir, name):
+    q = QUERIES[name]
+    problems = compare(spark, duck, q.spark, q.oracle, sf_dir)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(spark, sf_dir, name):
+    q = QUERIES[name]
+    df = q.spark(spark, sf_dir)
+    rows = df.collect()
+    assert df.columns  # stable schema
+    assert rows is not None
