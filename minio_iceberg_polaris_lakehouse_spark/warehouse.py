@@ -1,0 +1,521 @@
+"""Lakehouse warehouse: namespaces, tables, snapshots, time travel,
+schema evolution, DML, maintenance — the reference's catalog/table surface
+(SURVEY.md §2.9-2.11) reproduced Spark-first.
+
+The reference delegates all of this to Apache Iceberg via a Polaris REST
+catalog (reference: workspace/notebooks/warehouse_helpers.py — 20 helpers
+wrapping spark.sql; getting_started.ipynb:81-169). This container has no
+Iceberg runtime JARs, so the engine implements the same **table-format
+semantics** natively on parquet + an atomic snapshot log:
+
+- a table directory holds immutable per-commit data directories plus a
+  `_meta.json` (schema, partition transform, properties) and a
+  `_snapshots.json` log; every commit writes data first, then swaps the
+  log via os.replace — the same atomic-pointer-commit contract Iceberg
+  documents ("If a write fails, nothing changes", reference README.md:124).
+- readers resolve a snapshot (current / VERSION AS OF / TIMESTAMP AS OF)
+  to its manifest of data directories and hand exactly those paths to
+  `spark.read.parquet` — snapshot isolation for free, identical to Iceberg
+  reads planning from a manifest list (reference README.md:169-178).
+- `history()` / `snapshots()` expose the reference's metadata tables
+  (getting_started.ipynb:144-169) with the same column names.
+- schema evolution is metadata-only with NULL backfill on read
+  (reference README.md:132-133; ADD COLUMN success criterion
+  SETUP_GUIDE_WIN.md:464).
+- `compact()` implements what the reference's helper *meant*: its
+  `ALTER TABLE t COMPACT` (warehouse_helpers.py:145) is not valid
+  Spark/Iceberg SQL — the idiomatic operation is
+  `CALL system.rewrite_data_files`, i.e. rewrite small files into
+  target-sized ones under a new snapshot, which is what this does.
+- INSERT stays append-only — re-running an insert duplicates rows by
+  design (reference SETUP_GUIDE_WIN.md:362-371).
+
+Scale notes: all data movement is executor-side (`df.write.parquet`);
+the driver only writes the few-KB JSON log. Manifests list directories,
+not files, so the log stays O(commits). Partitioned tables write
+hive-style directories from the declared transform (`days(ts_col)` →
+hidden partitioning: queries filter the source column and Spark prunes
+via the derived partition directory after `attach_partition_filter`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+META_FILE = "_meta.json"
+SNAP_FILE = "_snapshots.json"
+
+
+class WarehouseError(RuntimeError):
+    pass
+
+
+@dataclass
+class PartitionSpec:
+    """Hidden-partitioning transform, Iceberg-style: the table partitions
+    by a *derived* value of a source column; queries keep filtering the
+    source column (reference: PARTITIONED BY (CAST(created_at AS DATE)),
+    warehouse_helpers.py:48)."""
+
+    source: str | None = None
+    transform: str = "identity"  # identity | day | month | year | bucket16
+
+    def column(self) -> str | None:
+        return None if self.source is None else f"_p_{self.transform}_{self.source}"
+
+    def expr(self):
+        if self.source is None:
+            return None
+        src = F.col(self.source)
+        if self.transform == "identity":
+            return src
+        if self.transform == "day":
+            return F.to_date(src)
+        if self.transform == "month":
+            return F.date_format(src, "yyyy-MM")
+        if self.transform == "year":
+            return F.year(src)
+        if self.transform == "bucket16":
+            return F.pmod(F.hash(src), F.lit(16))
+        raise WarehouseError(f"unknown partition transform {self.transform}")
+
+
+class Warehouse:
+    """Catalog root: <warehouse_dir>/<namespace>/<table>/..."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.root = os.path.abspath(warehouse_dir)
+        os.makedirs(self.root, exist_ok=True)
+
+    # -- namespaces (reference D2/D5/D6: warehouse_helpers.py:20-34) -------
+    def create_namespace(self, ns: str) -> None:
+        os.makedirs(os.path.join(self.root, ns), exist_ok=True)
+
+    def drop_namespace(self, ns: str, cascade: bool = False) -> None:
+        path = os.path.join(self.root, ns)
+        if not os.path.isdir(path):
+            return
+        if os.listdir(path) and not cascade:
+            raise WarehouseError(f"namespace {ns} not empty (use cascade=True)")
+        shutil.rmtree(path)
+
+    def list_namespaces(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root) if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def list_tables(self, ns: str) -> list[str]:
+        path = os.path.join(self.root, ns)
+        if not os.path.isdir(path):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(path)
+            if os.path.isfile(os.path.join(path, d, META_FILE))
+        )
+
+    def table(self, ns: str, name: str) -> "Table":
+        return Table(self, ns, name)
+
+    # -- table lifecycle (reference D7/D8: warehouse_helpers.py:40-49,101) -
+    def create_table(
+        self,
+        ns: str,
+        name: str,
+        schema: T.StructType | str,
+        partition_by: str | None = None,
+        transform: str = "identity",
+        properties: dict[str, str] | None = None,
+        if_not_exists: bool = False,
+    ) -> "Table":
+        self.create_namespace(ns)
+        t = Table(self, ns, name)
+        if t.exists():
+            if if_not_exists:
+                return t
+            raise WarehouseError(f"table {ns}.{name} exists")
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        os.makedirs(t.path, exist_ok=True)
+        meta = {
+            "schema": schema.json(),
+            "partition": {"source": partition_by, "transform": transform},
+            "properties": {
+                "format": "parquet",
+                "write.parquet.compression-codec": "zstd",
+                "format-version": "2",
+                **(properties or {}),
+            },
+            "created_at_ms": int(time.time() * 1000),
+        }
+        _atomic_write_json(os.path.join(t.path, META_FILE), meta)
+        _atomic_write_json(os.path.join(t.path, SNAP_FILE), {"snapshots": []})
+        return t
+
+    def drop_table(self, ns: str, name: str, if_exists: bool = True) -> None:
+        t = Table(self, ns, name)
+        if not t.exists():
+            if if_exists:
+                return
+            raise WarehouseError(f"table {ns}.{name} does not exist")
+        shutil.rmtree(t.path)
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    """Commit = write-temp + rename: the atomic metadata-pointer swap the
+    table format's ACID guarantee rests on (reference README.md:124)."""
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+class Table:
+    def __init__(self, wh: Warehouse, ns: str, name: str):
+        self.wh = wh
+        self.spark = wh.spark
+        self.ns = ns
+        self.name = name
+        self.path = os.path.join(wh.root, ns, name)
+
+    # ---------------- metadata ----------------
+    def exists(self) -> bool:
+        return os.path.isfile(os.path.join(self.path, META_FILE))
+
+    def _meta(self) -> dict:
+        with open(os.path.join(self.path, META_FILE)) as f:
+            return json.load(f)
+
+    def _write_meta(self, meta: dict) -> None:
+        _atomic_write_json(os.path.join(self.path, META_FILE), meta)
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self._meta()["schema"]))
+
+    def partition_spec(self) -> PartitionSpec:
+        p = self._meta()["partition"]
+        return PartitionSpec(p.get("source"), p.get("transform", "identity"))
+
+    def properties(self) -> dict[str, str]:
+        props = dict(self._meta()["properties"])
+        snaps = self._snaps()
+        if snaps:
+            props["current-snapshot-id"] = str(snaps[-1]["snapshot_id"])
+        return props
+
+    def _snaps(self) -> list[dict]:
+        with open(os.path.join(self.path, SNAP_FILE)) as f:
+            return json.load(f)["snapshots"]
+
+    def _commit(self, operation: str, dirs: list[str], summary: dict[str, Any]) -> int:
+        snaps = self._snaps()
+        sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
+        snaps.append(
+            {
+                "snapshot_id": sid,
+                "parent_id": snaps[-1]["snapshot_id"] if snaps else None,
+                "committed_at_ms": int(time.time() * 1000),
+                "operation": operation,
+                "manifest": dirs,
+                "summary": summary,
+            }
+        )
+        _atomic_write_json(os.path.join(self.path, SNAP_FILE), {"snapshots": snaps})
+        return sid
+
+    def _resolve(self, version: int | None = None, as_of_ms: int | None = None) -> dict:
+        snaps = self._snaps()
+        if not snaps:
+            return {"manifest": [], "snapshot_id": None}
+        if version is not None:
+            for s in snaps:
+                if s["snapshot_id"] == version:
+                    return s
+            raise WarehouseError(f"snapshot {version} not found for {self.ns}.{self.name}")
+        if as_of_ms is not None:
+            eligible = [s for s in snaps if s["committed_at_ms"] <= as_of_ms]
+            if not eligible:
+                raise WarehouseError(f"no snapshot at or before {as_of_ms}")
+            return eligible[-1]
+        return snaps[-1]
+
+    # ---------------- read path (S1/S5/S6) ----------------
+    def _physical_schema(self) -> T.StructType:
+        """Logical schema + the derived partition column. Reads always pass
+        an explicit schema: no inference pass over footers, NULL backfill
+        for files written before an ADD COLUMN, and empty commit
+        directories (e.g. a DELETE that removed every row) stay readable."""
+        schema = self.schema()
+        spec = self.partition_spec()
+        if spec.column() is not None:
+            dt = {
+                "identity": schema[spec.source].dataType,
+                "day": T.DateType(),
+                "month": T.StringType(),
+                "year": T.IntegerType(),
+                "bucket16": T.IntegerType(),
+            }[spec.transform]
+            schema = schema.add(spec.column(), dt)
+        return schema
+
+    def _read_dirs(self, dirs: list[str]) -> DataFrame:
+        """One scan per commit directory, unioned — commit dirs are each
+        internally consistent hive layouts but differ across schema
+        evolution / partition boundaries, so they cannot share one
+        inference pass. Filters push through the union into every scan."""
+        phys = self._physical_schema()
+        if not dirs:
+            return self.spark.createDataFrame([], phys)
+        dfs = [
+            self.spark.read.schema(phys).parquet(os.path.join(self.path, d)) for d in dirs
+        ]
+        df = dfs[0]
+        for other in dfs[1:]:
+            df = df.unionByName(other)
+        return df
+
+    def read(self, version: int | None = None, as_of_ms: int | None = None) -> DataFrame:
+        """Snapshot-isolated scan; `version`/`as_of_ms` give the reference's
+        VERSION AS OF / TIMESTAMP AS OF (warehouse_helpers.py:134-136)."""
+        snap = self._resolve(version, as_of_ms)
+        cols = [f.name for f in self.schema().fields]
+        return self._read_dirs(snap["manifest"]).select(*cols)
+
+    def scan(self, eq: dict[str, Any] | None = None, between: dict[str, tuple] | None = None) -> DataFrame:
+        """Partition-pruned scan: filters on the *source* column get the
+        derived partition-directory predicate attached automatically — the
+        engine-side half of Iceberg's hidden partitioning ("queries filter
+        the raw column and partitions prune", reference README.md:126-127).
+
+        eq={"created_at": "2024-11-25"} / between={"ts": (lo, hi)}."""
+        spec = self.partition_spec()
+        cols = [f.name for f in self.schema().fields]
+        df = self._read_dirs(self._resolve()["manifest"])
+
+        def derived(lit_val):
+            e = {
+                "identity": lambda v: F.lit(v),
+                "day": lambda v: F.to_date(F.lit(v)),
+                "month": lambda v: F.date_format(F.lit(v), "yyyy-MM"),
+                "year": lambda v: F.year(F.lit(v)),
+            }.get(spec.transform)
+            return None if e is None else e(lit_val)
+
+        for col, v in (eq or {}).items():
+            df = df.filter(F.col(col) == v)
+            if spec.source == col and spec.column() in df.columns:
+                dv = derived(v)
+                if dv is not None:
+                    df = df.filter(F.col(spec.column()) == dv)
+        for col, (lo, hi) in (between or {}).items():
+            df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+            if spec.source == col and spec.column() in df.columns and spec.transform in (
+                "identity",
+                "day",
+                "month",
+                "year",
+            ):
+                df = df.filter(
+                    (F.col(spec.column()) >= derived(lo)) & (F.col(spec.column()) <= derived(hi))
+                )
+        return df.select(*cols)
+
+    def to_pandas(self, **kw):
+        """Arrow-backed pandas export (reference S9: warehouse_helpers.py:117)."""
+        return self.read(**kw).toPandas()
+
+    # ---------------- write path (S7/S8/M2) ----------------
+    def _write_data(self, df: DataFrame) -> str:
+        """Write one immutable data directory for this commit (executors do
+        all IO; zstd parquet as in the reference table properties)."""
+        dirname = f"data-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.path, dirname)
+        spec = self.partition_spec()
+        cols = [f.name for f in self.schema().fields]
+        missing = [c for c in cols if c not in df.columns]
+        for c in missing:
+            df = df.withColumn(c, F.lit(None).cast(self.schema()[c].dataType))
+        aligned = df.select(
+            *[F.col(c).cast(self.schema()[c].dataType).alias(c) for c in cols]
+        )
+        writer = aligned
+        if spec.column() is not None:
+            writer = aligned.withColumn(spec.column(), spec.expr())
+            writer.write.option("compression", "zstd").partitionBy(spec.column()).parquet(out)
+        else:
+            writer.write.option("compression", "zstd").parquet(out)
+        return dirname
+
+    def append(self, df: DataFrame) -> int:
+        """Append-only INSERT: duplicates by design (§2.11)."""
+        d = self._write_data(df)
+        n = df.count()
+        live = self._resolve()["manifest"] + [d]
+        return self._commit("append", live, {"added-records": n})
+
+    def insert_values(self, rows: list[tuple]) -> int:
+        """INSERT INTO t VALUES ... (reference S7: getting_started.ipynb:96)."""
+        return self.append(self.spark.createDataFrame(rows, self.schema()))
+
+    def overwrite(self, df: DataFrame) -> int:
+        """CTAS/overwrite (reference S8: warehouse_helpers.py:107-111)."""
+        d = self._write_data(df)
+        return self._commit("overwrite", [d], {"replaced": True, "added-records": df.count()})
+
+    # ---------------- DML beyond append (M1) ----------------
+    def delete_where(self, condition: str) -> int:
+        """DELETE FROM t WHERE ... — copy-on-write of the surviving rows
+        into a new snapshot (Iceberg MERGE/DELETE per SETUP_GUIDE_WIN.md:368)."""
+        cur = self.read()
+        remaining = cur.filter(f"NOT ({condition})")
+        d = self._write_data(remaining)
+        return self._commit("delete", [d], {"predicate": condition})
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: str,
+        update_cols: list[str] | None = None,
+        insert_missing: bool = True,
+    ) -> int:
+        """MERGE INTO target USING source ON target.<on> = source.<on>
+        WHEN MATCHED THEN UPDATE SET <update_cols> (or all non-key columns)
+        WHEN NOT MATCHED THEN INSERT * — expressed as a join + union, the
+        exact relational algebra Iceberg's copy-on-write MERGE plans."""
+        cols = [f.name for f in self.schema().fields]
+        update_cols = update_cols or [c for c in cols if c != on]
+        tgt, src = self.read().alias("t"), source.alias("s")
+        matched = tgt.join(src, F.col(f"t.{on}") == F.col(f"s.{on}"), "inner").select(
+            *[
+                (F.col(f"s.{c}") if c in update_cols else F.col(f"t.{c}")).alias(c)
+                for c in cols
+            ]
+        )
+        unmatched_tgt = tgt.join(src, F.col(f"t.{on}") == F.col(f"s.{on}"), "left_anti").select(
+            *[F.col(c) for c in cols]
+        )
+        merged = unmatched_tgt.unionByName(matched)
+        if insert_missing:
+            new_rows = src.join(tgt, F.col(f"s.{on}") == F.col(f"t.{on}"), "left_anti").select(
+                *[F.col(c) for c in cols]
+            )
+            merged = merged.unionByName(new_rows)
+        d = self._write_data(merged)
+        return self._commit("merge", [d], {"on": on})
+
+    # ---------------- schema evolution (D10) ----------------
+    def add_column(self, name: str, dtype: str) -> None:
+        """Metadata-only ADD COLUMN with NULL backfill on read
+        (reference README.md:132-133) — no data files rewritten."""
+        meta = self._meta()
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        if name in [f.name for f in schema.fields]:
+            raise WarehouseError(f"column {name} exists")
+        schema = schema.add(name, dtype)
+        meta["schema"] = schema.json()
+        self._write_meta(meta)
+
+    def rename_column(self, old: str, new: str) -> None:
+        meta = self._meta()
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        fields = [
+            T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+        meta["schema"] = T.StructType(fields).json()
+        meta.setdefault("renames", []).append({"from": old, "to": new})
+        self._write_meta(meta)
+
+    # ---------------- metadata tables (S3/S4) ----------------
+    def history(self) -> DataFrame:
+        """<table>.history (reference getting_started.ipynb:166): columns
+        made_current_at, snapshot_id, parent_id, is_current_ancestor."""
+        snaps = self._snaps()
+        rows = [
+            Row(
+                made_current_at=_ms_to_ts(s["committed_at_ms"]),
+                snapshot_id=s["snapshot_id"],
+                parent_id=s["parent_id"],
+                is_current_ancestor=True,
+            )
+            for s in snaps
+        ]
+        schema = "made_current_at timestamp, snapshot_id bigint, parent_id bigint, is_current_ancestor boolean"
+        return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)
+
+    def snapshots(self) -> DataFrame:
+        """<table>.snapshots (reference getting_started.ipynb:144-152,169):
+        committed_at, snapshot_id, parent_id, operation, manifest_list, summary."""
+        snaps = self._snaps()
+        rows = [
+            Row(
+                committed_at=_ms_to_ts(s["committed_at_ms"]),
+                snapshot_id=s["snapshot_id"],
+                parent_id=s["parent_id"],
+                operation=s["operation"],
+                manifest_list=os.path.join(self.path, SNAP_FILE),
+                summary={k: str(v) for k, v in s["summary"].items()},
+            )
+            for s in snaps
+        ]
+        schema = (
+            "committed_at timestamp, snapshot_id bigint, parent_id bigint, "
+            "operation string, manifest_list string, summary map<string,string>"
+        )
+        return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)
+
+    def describe(self) -> list[tuple[str, str]]:
+        """DESCRIBE TABLE (reference D9)."""
+        return [(f.name, f.dataType.simpleString()) for f in self.schema().fields]
+
+    # ---------------- maintenance (D11) ----------------
+    def data_file_count(self, version: int | None = None) -> int:
+        snap = self._resolve(version)
+        n = 0
+        for d in snap["manifest"]:
+            for root, _dirs, files in os.walk(os.path.join(self.path, d)):
+                n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    def compact(self, target_partitions: int = 1) -> int:
+        """rewrite_data_files: coalesce the live data into target-sized
+        files under a new 'replace' snapshot. This is the valid form of the
+        reference's intended small-file compaction (its `ALTER TABLE t
+        COMPACT`, warehouse_helpers.py:142-146, is not executable SQL)."""
+        cur = self.read().coalesce(target_partitions)
+        d = self._write_data(cur)
+        return self._commit("replace", [d], {"compacted-to": target_partitions})
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Iceberg expire_snapshots: drop history older than the last N
+        snapshots and garbage-collect unreferenced data directories."""
+        snaps = self._snaps()
+        keep = snaps[-keep_last:]
+        live_dirs = {d for s in keep for d in s["manifest"]}
+        removed = 0
+        for s in snaps[:-keep_last]:
+            for d in s["manifest"]:
+                if d not in live_dirs:
+                    p = os.path.join(self.path, d)
+                    if os.path.isdir(p):
+                        shutil.rmtree(p)
+                        removed += 1
+        _atomic_write_json(os.path.join(self.path, SNAP_FILE), {"snapshots": keep})
+        return removed
+
+
+def _ms_to_ts(ms: int):
+    import datetime
+
+    return datetime.datetime.fromtimestamp(ms / 1000, tz=datetime.timezone.utc).replace(tzinfo=None)
