@@ -1,0 +1,113 @@
+"""UDF surface (SURVEY.md §2.13 — absent in the reference, EXT scope):
+Arrow-batched scalar pandas UDFs, grouped applyInPandas, and a
+row-at-a-time Python UDF kept deliberately trivial (the slow path exists
+for API completeness; every hot-path kernel in this engine is either a
+JVM built-in or a vectorized pandas UDF — SNIPPETS.md patterns are the
+public idiom this follows).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from minio_iceberg_polaris_lakehouse_spark.registry import register
+from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
+
+
+def make_vector_norm():
+    """Arrow-vectorized L2 norm of an array<float> column: each batch
+    arrives as a pandas Series of numpy arrays; math in float64. Built
+    lazily — pandas_udf needs an active session to parse the return type."""
+
+    @pandas_udf("double")
+    def vector_norm(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return emb.map(lambda v: float(np.sqrt(np.sum(np.asarray(v, dtype="float64") ** 2))))
+
+    return vector_norm
+
+
+@register(
+    "udf_vector_norm",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+               AS norm
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def udf_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (Arrow batches) computing embedding norms —
+    oracle-checked against the equivalent SQL expression."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vector_norm = make_vector_norm()
+    return e.select("vec_id", F.round(vector_norm("embedding"), 6).alias("norm")).orderBy(
+        "vec_id"
+    )
+
+
+@register(
+    "udf_grouped_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) - MIN(n_chars) AS BIGINT) AS char_range
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def udf_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map UDF: per-language stats computed in pandas
+    (integer arithmetic → exact parity with the SQL oracle). The group key
+    is the shuffle key; each group materializes as one pandas frame, so at
+    scale the key must be bounded-cardinality-per-group — `lang` is."""
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "total_chars": [int(pdf["n_chars"].sum())],
+                "char_range": [int(pdf["n_chars"].max() - pdf["n_chars"].min())],
+            }
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    out = d.groupBy("lang").applyInPandas(
+        stats, "lang string, n_docs bigint, total_chars bigint, char_range bigint"
+    )
+    return out.orderBy("lang")
+
+
+@register(
+    "udf_row_python",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'expedite'
+                ELSE 'standard' END AS handling
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 200
+    """,
+)
+def udf_row_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the slow path — ~10-100× behind pandas
+    UDFs; capped with LIMIT and never used in hot paths)."""
+
+    @F.udf("string")
+    def handling(priority: str) -> str:
+        return "expedite" if priority in ("1-URGENT", "2-HIGH") else "standard"
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", handling("o_orderpriority").alias("handling"))
+        .orderBy("o_orderkey")
+        .limit(200)
+    )

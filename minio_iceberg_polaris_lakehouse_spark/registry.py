@@ -56,6 +56,7 @@ def all_queries() -> dict[str, Query]:
     """Import every operator module (side effect: registration) and return
     the full registry."""
     import minio_iceberg_polaris_lakehouse_spark.operators.relational  # noqa: F401
+    import minio_iceberg_polaris_lakehouse_spark.operators.relational2  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.reference_golden  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.windows  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.setops  # noqa: F401
@@ -63,6 +64,7 @@ def all_queries() -> dict[str, Query]:
     import minio_iceberg_polaris_lakehouse_spark.operators.similarity  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.functions.text  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.functions.scalars  # noqa: F401
+    import minio_iceberg_polaris_lakehouse_spark.functions.udfs  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.streaming.windows  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.multimodal.binary  # noqa: F401
 

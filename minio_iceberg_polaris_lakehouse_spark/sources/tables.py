@@ -42,8 +42,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table as a DataFrame."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integral `div`, not `/`: ns-since-epoch (~1.7e18) exceeds double's
+        # 53-bit mantissa, so float division drifts by ±1µs per row
         df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp_ntz")
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
         )
     return df
 

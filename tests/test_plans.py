@@ -1,0 +1,78 @@
+"""Scale-property regression tests: assert the physical plans have the
+shape the 100 TB design depends on (pushdown, pruning, broadcast joins,
+top-k without global sort, no cartesian products)."""
+
+from __future__ import annotations
+
+import pytest
+
+from minio_iceberg_polaris_lakehouse_spark.plans.inspect import (
+    assert_no_cartesian,
+    codegen_stage_count,
+    count_nodes,
+    plan_string,
+    pushed_filters,
+    read_schemas,
+)
+from minio_iceberg_polaris_lakehouse_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def q(name, spark, sf_dir):
+    return QUERIES[name].spark(spark, sf_dir)
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir):
+    df = q("rel_filter_projection", spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "c_mktsegment" in pf and "c_acctbal" in pf, pf
+    rs = read_schemas(df)[0]
+    # only the 3 referenced columns are read, not all 5
+    assert "c_name" in rs and "c_acctbal" in rs and "c_custkey" in rs
+    assert "c_address" not in rs and "c_comment" not in rs
+
+
+def test_flagship_broadcasts_dimension(spark, sf_dir):
+    df = q("flagship_revenue_by_nation", spark, sf_dir)
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+    # orderdate filter pushed into the orders scan
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+    assert_no_cartesian(df)
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    df = q("rel_topk_orders", spark, sf_dir)
+    assert count_nodes(df, "TakeOrderedAndProject") == 1
+
+
+def test_grouped_topk_uses_window_group_limit(spark, sf_dir):
+    df = q("win_top3_per_segment", spark, sf_dir)
+    assert count_nodes(df, "WindowGroupLimit") >= 1, plan_string(df)
+
+
+def test_no_cartesian_in_blocked_operators(spark, sf_dir):
+    for name in ["dedup_ngram_jaccard", "dedup_embedding_cosine", "rel_range_join", "dedup_minhash_lsh"]:
+        assert_no_cartesian(q(name, spark, sf_dir))
+
+
+def test_similarity_broadcast_not_shuffle(spark, sf_dir):
+    df = q("sim_topk_bruteforce", spark, sf_dir)
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_whole_stage_codegen_present(spark, sf_dir):
+    df = q("rel_pricing_summary", spark, sf_dir)
+    assert codegen_stage_count(df) >= 1
+
+
+def test_pricing_summary_single_scan_partial_agg(spark, sf_dir):
+    from minio_iceberg_polaris_lakehouse_spark.plans.inspect import scan_count
+
+    df = q("rel_pricing_summary", spark, sf_dir)
+    plan = plan_string(df)
+    # one scan; partial + final HashAggregate pair around a single exchange
+    assert scan_count(df) == 1, plan
+    assert count_nodes(df, "HashAggregate") >= 2
+    assert "partial_sum" in plan  # map-side combine confirmed
