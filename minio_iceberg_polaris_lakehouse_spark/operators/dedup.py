@@ -29,12 +29,33 @@ def content_hash(col: str = "text") -> Column:
     return F.sha2(F.trim(F.lower(F.col(col))), 256)
 
 
-def word_shingles(col: str = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a document."""
-    toks = F.split(F.trim(F.lower(F.col(col))), r"\s+")
+def tokens_expr(col: str = "text") -> Column:
+    return F.split(F.trim(F.lower(F.col(col))), r"\s+")
+
+
+# Shingle builders take a MATERIALIZED token-array column, never the split
+# expression itself: an expression inlined into a transform() lambda is
+# re-evaluated per element_at reference (3n regex splits per doc — measured
+# 3.5× slower end-to-end at sf0.1).
+def word_shingles(toks_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingle strings from a token-array column."""
+    toks = F.col(toks_col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])  # noqa: E731
-    return F.array_distinct(F.transform(idx, lambda i: gram(i)))
+    return F.array_distinct(
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+        )
+    )
+
+
+def hashed_shingles(toks_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles hashed straight to int64 — xxhash64
+    over the n token elements, no intermediate shingle strings."""
+    toks = F.col(toks_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(*[F.element_at(toks, i + j + 1) for j in range(n)]))
+    )
 
 
 @register(
@@ -111,12 +132,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair space linear-ish; at 100 TB the blocking key would be an LSH band
     (see dedup_minhash_lsh) — the verify stage is identical."""
     d = load_table(spark, sf_dir, "documents")
+    # int64 hashed shingles: array_intersect on longs, not strings — the
+    # Jaccard value is identical to the oracle's string-shingle computation
+    # (shingle sets are distinct; an xxhash64 collision would need ~2^32
+    # shingles in one pair, corpus has ~10^2)
     sh = d.select(
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / 50).cast("long").alias("len_bucket"),
-        word_shingles().alias("shingles"),
-    )
+        tokens_expr().alias("toks"),
+    ).select("doc_id", "lang", "len_bucket", hashed_shingles("toks").alias("shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
@@ -143,12 +168,12 @@ def minhash_signature(df: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """doc_id → k-wide MinHash signature over word-3-gram shingles.
 
     One explode + one grouped aggregation (k MIN aggregates in a single
-    pass); hash family is xxhash64 salted by the permutation index — pure
-    JVM, shuffles only (doc_id → shingle) pairs."""
-    exploded = df.select("doc_id", F.explode(word_shingles()).alias("shingle"))
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}") for i in range(k)
-    ]
+    pass). Each shingle is hashed exactly once (hashed_shingles); the k
+    'permutations' re-hash the resulting 8-byte long salted by the
+    permutation index — ~n_shingles string hashes total instead of k×."""
+    tok = df.select("doc_id", tokens_expr().alias("toks"))
+    exploded = tok.select("doc_id", F.explode(hashed_shingles("toks")).alias("sh"))
+    aggs = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh{i}") for i in range(k)]
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
@@ -186,7 +211,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = d.select("doc_id", word_shingles().alias("shingles"))
+    sh = d.select("doc_id", tokens_expr().alias("toks")).select(
+        "doc_id", hashed_shingles("toks").alias("shingles")
+    )
     jac = F.size(F.array_intersect("sa", "sb")) * 1.0 / F.size(F.array_union("sa", "sb"))
     return (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")), "doc_a")

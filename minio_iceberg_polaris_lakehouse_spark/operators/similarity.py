@@ -139,30 +139,41 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assembled.orderBy("label")
 
 
-N_PLANES = 12
+N_TABLES = 8
+PLANES_PER_TABLE = 6
 
 
-def lsh_signature(vec_col) -> Column:
-    """Random-hyperplane signature: bit i = sign(v · h_i) where hyperplane
-    h_i's components are pseudo-random ±1 derived from xxhash64(dim, plane)
-    — deterministic, no stored model, identical on every executor."""
-    def bit(i: int) -> Column:
-        proj = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.sequence(F.lit(0), F.size(vec_col) - 1),
-                lambda x, d: x
-                * F.when(F.xxhash64(d, F.lit(i)).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(proj > 0, F.shiftleft(F.lit(1), i)).otherwise(0)
+def _plane_bit(vec_col, table: int, plane: int) -> Column:
+    """sign(v · h) for hyperplane h whose ±1 components derive from
+    xxhash64(dim, table, plane) — deterministic, no stored model,
+    identical on every executor."""
+    proj = F.aggregate(
+        F.zip_with(
+            vec_col,
+            F.sequence(F.lit(0), F.size(vec_col) - 1),
+            lambda x, d: x
+            * F.when(
+                F.xxhash64(d, F.lit(table), F.lit(plane)).bitwiseAND(F.lit(1)) == 1, 1.0
+            ).otherwise(-1.0),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(proj > 0, F.shiftleft(F.lit(1), plane)).otherwise(0)
 
-    sig = bit(0)
-    for i in range(1, N_PLANES):
-        sig = sig + bit(i)
-    return sig
+
+def lsh_buckets(vec_col) -> Column:
+    """Multi-table random-hyperplane LSH: N_TABLES independent signatures
+    of PLANES_PER_TABLE bits each. A query only needs to collide with a
+    neighbor in ONE table — recall ≈ 1-(1-p^b)^L instead of p^b. Returns
+    array<struct<table_id, bucket>> for a single explode."""
+    tables = []
+    for t in range(N_TABLES):
+        sig = _plane_bit(vec_col, t, 0)
+        for p in range(1, PLANES_PER_TABLE):
+            sig = sig + _plane_bit(vec_col, t, p)
+        tables.append(F.struct(F.lit(t).alias("table_id"), sig.alias("bucket")))
+    return F.array(*tables)
 
 
 @register("sim_ann_lsh", oracle=None)
@@ -176,16 +187,20 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e")
     )
-    sigs = v.select("vec_id", "e", lsh_signature(F.col("e")).alias("bucket"))
+    sigs = v.select("vec_id", "e", F.explode(lsh_buckets(F.col("e"))).alias("tb")).select(
+        "vec_id", "e", "tb.table_id", "tb.bucket"
+    )
     q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), "bucket"
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), "table_id", "bucket"
     )
     cand = (
-        sigs.join(F.broadcast(q), "bucket")
+        sigs.join(F.broadcast(q), ["table_id", "bucket"])
         .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "qe", "e")
+        .dropDuplicates(["q_id", "neighbor_id"])
         .select(
             "q_id",
-            F.col("vec_id").alias("neighbor_id"),
+            "neighbor_id",
             F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
         )
     )

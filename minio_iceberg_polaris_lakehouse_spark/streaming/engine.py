@@ -1,0 +1,136 @@
+"""Structured Streaming surface (SURVEY.md §2.12 EXT): the reference lists
+streaming as an unexplored next step (SETUP_GUIDE_WIN.md:473); this module
+implements it — file-source streams over the same parquet tables, event-time
+windows with watermarks, a custom stateful operator via
+applyInPandasWithState, and micro-batch sinks.
+
+The batch queries in streaming/windows.py use the *same* window expressions;
+Structured Streaming's incremental execution of an identical logical plan is
+exactly Spark's design. Everything here runs with Trigger.AvailableNow so
+tests are deterministic and bounded.
+
+Scale notes: state-store ops key by (user_id / window), so state shards with
+the shuffle; watermarks bound state size — without them a 100 TB stream
+accumulates unbounded window state. foreachBatch writes land as idempotent
+per-batch parquet commits.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a bounded file-source stream (schema pinned from
+    the batch loader; ns-timestamp conversion applied identically)."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the sf directory holds every table; pathGlobFilter restricts the
+    # stream to the events file
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # watermarks require TIMESTAMP (tz-aware); session tz is UTC so the
+    # instant matches the batch loader's timestamp_ntz values
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def windowed_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling-window aggregation — late events beyond the
+    watermark are dropped and window state is evicted (bounded state)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(26,8)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "total_value")
+    )
+
+
+SESSION_STATE_SCHEMA = "n_events bigint, total_value double, last_ts timestamp"
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, closed boolean"
+)
+
+
+def sessionize_stateful(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator: per-user running session state via
+    applyInPandasWithState (the arbitrary-state API) — the pattern for
+    operators Spark's built-ins can't express (custom eviction, running
+    ML features, CDC merge). State keys shard with the shuffle on user_id."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            n, total, last_ts = state.get
+        else:
+            n, total, last_ts = 0, 0.0, None
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last = pdf["ts"].iloc[-1]
+            last_ts = last if last_ts is None else max(last_ts, last)
+        state.update((n, total, last_ts))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "closed": [False],
+            }
+        )
+
+    return (
+        stream.withWatermark("ts", f"{gap_minutes} minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Execute a bounded stream to completion (AvailableNow) into an
+    in-memory sink; returns the result table."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def run_foreach_batch_to_parquet(stream_df: DataFrame, path: str) -> None:
+    """Micro-batch sink: each batch lands as one idempotent parquet commit
+    (batch id in the path would give exactly-once on retries at scale)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    q = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()

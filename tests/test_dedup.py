@@ -1,0 +1,94 @@
+"""Property tests for the hash-family dedup operators (the ones the DuckDB
+oracle can't replicate): MinHash+LSH candidates must reproduce brute-force
+Jaccard pairs; SimHash must collide exact duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from minio_iceberg_polaris_lakehouse_spark.operators import dedup as D
+from minio_iceberg_polaris_lakehouse_spark.registry import all_queries
+from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
+
+QUERIES = all_queries()
+
+
+def brute_force_jaccard_pairs(spark, sf_dir, threshold=0.5):
+    """All-pairs exact Jaccard (no blocking) — test-only ground truth."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", D.tokens_expr().alias("toks")).select(
+        "doc_id", D.hashed_shingles("toks").alias("shingles")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect("a.shingles", "b.shingles")) * 1.0 / F.size(
+        F.array_union("a.shingles", "b.shingles")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), jac.alias("j"))
+        .filter(F.col("j") >= threshold)
+        .collect()
+    )
+
+
+def test_minhash_lsh_finds_brute_force_pairs(spark, sf_dir):
+    truth = {(r.doc_a, r.doc_b) for r in brute_force_jaccard_pairs(spark, sf_dir)}
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_lsh"].spark(spark, sf_dir).collect()
+    }
+    # LSH verify-filters to the same threshold, so lsh ⊆ truth always;
+    # recall must be high (16 perms, 4 bands → ~0.99+ at j≥0.5)
+    assert lsh.issubset(truth)
+    if truth:
+        recall = len(lsh & truth) / len(truth)
+        assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(truth)} true pairs"
+
+
+def test_minhash_signature_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words appear in this text here")],
+        "doc_id long, text string",
+    )
+    sig = D.minhash_signature(df).collect()
+    rows = {r.doc_id: tuple(r)[1:] for r in sig}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_simhash_exact_dups_collide_and_cluster(spark):
+    df = spark.createDataFrame(
+        [(1, "spark sql window join hash"), (2, "spark sql window join hash"),
+         (3, "spark sql window join hash"), (4, "totally unrelated content entirely elsewhere")],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("_simhash_probe")
+    # reuse the operator's fingerprint via a tiny warehouse-free call:
+    from minio_iceberg_polaris_lakehouse_spark.operators.dedup import dedup_simhash  # noqa
+
+    # run on a fake sf_dir by monkeypatching load_table is heavier than
+    # just recomputing: group the probe docs by the registered query's
+    # logic using the documents schema
+    import minio_iceberg_polaris_lakehouse_spark.operators.dedup as dd
+
+    orig = dd.load_table
+    try:
+        dd.load_table = lambda spark_, sf_dir_, name_: df
+        out = dedup_simhash(spark, "ignored").collect()
+    finally:
+        dd.load_table = orig
+    clusters = {tuple(r.doc_ids) for r in out}
+    assert (1, 2, 3) in clusters
+    assert all(4 not in c for c in clusters)
+
+
+def test_exact_dedup_drops_only_duplicates(spark, sf_dir):
+    kept = QUERIES["dedup_exact_keep_first"].spark(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    n_unique = d.select(D.content_hash().alias("h")).distinct().count()
+    assert kept.count() == n_unique <= n_docs
