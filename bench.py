@@ -30,6 +30,10 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "text_quality_score",
     "text_fingerprint",
+    "rel_asof_join",
+    "rel_range_join",
+    "rel_q9_profit_by_nation_year",
+    "text_bpe_tokens",
 ]
 
 

@@ -57,6 +57,7 @@ def all_queries() -> dict[str, Query]:
     the full registry."""
     import minio_iceberg_polaris_lakehouse_spark.operators.relational  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.relational2  # noqa: F401
+    import minio_iceberg_polaris_lakehouse_spark.operators.relational3  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.reference_golden  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.windows  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.setops  # noqa: F401

@@ -1,0 +1,51 @@
+"""Multimodal plumbing: binary columns through Arrow-batched kernels —
+determinism, schema, fan-out shape."""
+
+from __future__ import annotations
+
+from minio_iceberg_polaris_lakehouse_spark.multimodal import frames as FR
+from minio_iceberg_polaris_lakehouse_spark.multimodal.binary import (
+    assets_from_documents,
+    decode_assets,
+    fake_decode_image,
+)
+from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
+
+
+def test_decode_deterministic_and_schema(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    decoded = decode_assets(assets_from_documents(d))
+    assert decoded.columns == ["doc_id", "width", "height", "mean_luma"]
+    a = sorted(map(tuple, decoded.collect()))
+    b = sorted(map(tuple, decode_assets(assets_from_documents(d)).collect()))
+    assert a == b  # stub is deterministic across runs/partitionings
+    # matches a driver-side call of the same kernel
+    row = d.select("doc_id", "text").collect()[0]
+    w, h, luma = fake_decode_image(row.text.encode())
+    got = {r.doc_id: (r.width, r.height, r.mean_luma) for r in decoded.collect()}
+    assert got[row.doc_id] == (w, h, luma)
+
+
+def test_frame_sampling_fanout(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(40)
+    assets = assets_from_documents(d)
+    frames = FR.sample_frames(assets)
+    rows = frames.collect()
+    assert frames.columns == ["doc_id", "frame_idx", "frame_ts_ms", "feature", "frame_bytes"]
+    assert len(rows) >= 40  # ≥1 frame per asset
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, fr in by_doc.items():
+        idxs = sorted(f.frame_idx for f in fr)
+        assert idxs == list(range(len(fr)))  # dense frame indices
+        assert all(len(f.feature) == FR.FEATURE_DIM for f in fr)
+        assert all(f.frame_ts_ms == f.frame_idx * 1000 for f in fr)
+
+
+def test_frame_norms_aggregate(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(40)
+    out = FR.frame_feature_norms(FR.sample_frames(assets_from_documents(d)))
+    rows = out.collect()
+    assert len(rows) == 40
+    assert all(0 < r.mean_feature_norm < FR.FEATURE_DIM for r in rows)
