@@ -102,14 +102,12 @@ def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sec").alias("b_sec"),
         F.floor(F.col("sec") / 60).alias("bucket"),
     )
-    pairs = (
-        left.join(right, ["user_id", "bucket"])
-        .filter(
-            (F.col("a_id") < F.col("b_id"))
-            & (F.abs(F.col("b_sec") - F.col("a_sec")) <= 60.0)
-        )
-        .select("user_id", "a_id", "b_id")
-        .distinct()
+    # each unordered pair matches exactly once: the right side carries a
+    # single bucket, the left's 3 candidate buckets hit it at most once,
+    # and a_id < b_id picks one orientation — no dedup pass needed
+    pairs = left.join(right, ["user_id", "bucket"]).filter(
+        (F.col("a_id") < F.col("b_id"))
+        & (F.abs(F.col("b_sec") - F.col("a_sec")) <= 60.0)
     )
     return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs")).orderBy("user_id")
 

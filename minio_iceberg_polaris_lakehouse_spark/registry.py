@@ -58,9 +58,11 @@ def all_queries() -> dict[str, Query]:
     import minio_iceberg_polaris_lakehouse_spark.operators.relational  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.relational2  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.relational3  # noqa: F401
+    import minio_iceberg_polaris_lakehouse_spark.operators.tpch_extra  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.reference_golden  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.windows  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.setops  # noqa: F401
+    import minio_iceberg_polaris_lakehouse_spark.operators.skew  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.dedup  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.similarity  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.functions.text  # noqa: F401
