@@ -210,3 +210,63 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .orderBy("q_id", "rn")
     )
+
+
+K_COARSE = 16  # IVF coarse-quantizer cells
+NPROBE = 4  # cells probed per query
+
+
+@register("sim_ann_ivf", oracle=None)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via IVF (inverted-file index): a
+    deterministic sample of K_COARSE corpus vectors acts as the coarse
+    quantizer; every corpus vector is assigned to its most-similar
+    centroid (its "cell"), and a query searches only the NPROBE cells
+    whose centroids are closest to it, then exact-rescores. Rows-only
+    check (cell layout is quantizer-specific); tests/test_similarity.py
+    measures recall vs the brute-force baseline.
+
+    Scale design: the K_COARSE centroids are a broadcast (bytes), the
+    cell assignment is one narrow map over the corpus scan, and the probe
+    join is an equi-join on cell id — at 100 TB the corpus would be
+    written partitioned by cell so a query reads NPROBE/K_COARSE of the
+    data. Seed choice is xxhash64-ranked sampling (deterministic, no
+    stored model, no driver-side fit)."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    seeds = (
+        v.filter(F.col("vec_id") >= N_QUERIES)
+        .withColumn("h", F.xxhash64("vec_id", F.lit(7)))
+        .orderBy("h")
+        .limit(K_COARSE)
+    )
+    cells = seeds.select(
+        F.row_number().over(Window.orderBy("h")).cast("int").alias("cell"),
+        F.col("e").alias("ce"),
+    )
+    scored = v.crossJoin(F.broadcast(cells)).select(
+        "vec_id", "e", "cell", cosine(F.col("e"), F.col("ce")).alias("csim")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "cell")
+    ranked = scored.select("*", F.row_number().over(w_assign).alias("r"))
+    assign = ranked.filter(F.col("r") == 1).select("vec_id", "e", "cell")
+    probes = (
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("r") <= NPROBE))
+        .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), "cell")
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cand.select("*", F.row_number().over(w).cast("int").alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .orderBy("q_id", "rn")
+    )

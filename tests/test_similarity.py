@@ -49,3 +49,28 @@ def test_label_centroid_norm_matches_numpy(spark, sf_dir):
     for label, vecs in by_label.items():
         want = float(np.linalg.norm(np.mean(np.stack(vecs), axis=0)))
         assert abs(got[label] - want) < 1e-5, label
+
+
+def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
+    brute = QUERIES["sim_topk_bruteforce"].spark(spark, sf_dir).collect()
+    ann = QUERIES["sim_ann_ivf"].spark(spark, sf_dir).collect()
+    truth, got = {}, {}
+    for r in brute:
+        truth.setdefault(r.q_id, set()).add(r.neighbor_id)
+    for r in ann:
+        got.setdefault(r.q_id, set()).add(r.neighbor_id)
+    # probing 4 of 16 sampled-centroid cells reads ~25% of the corpus;
+    # ≥0.25 mean top-10 recall is the sanity floor (measured ~0.41 at
+    # sf0.01; more probes / Lloyd-refined centroids are the knobs)
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    assert sum(recalls) / len(recalls) >= 0.25, recalls
+
+
+def test_ann_ivf_hits_carry_exact_cosine(spark, sf_dir):
+    ann = QUERIES["sim_ann_ivf"].spark(spark, sf_dir).collect()
+    emb = {r.vec_id: np.asarray(r.embedding, dtype="float64")
+           for r in load_table(spark, sf_dir, "embeddings").collect()}
+    for r in ann[:50]:
+        a, b = emb[r.q_id], emb[r.neighbor_id]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(cos - r.cosine) < 1e-5
