@@ -34,6 +34,9 @@ HEADLINE = [
     "rel_range_join",
     "rel_q9_profit_by_nation_year",
     "text_bpe_tokens",
+    "rel_q5_local_supplier_volume",
+    "rel_q21_waiting_supplier",
+    "sim_ann_ivf",
 ]
 
 

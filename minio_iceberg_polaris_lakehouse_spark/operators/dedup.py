@@ -61,23 +61,24 @@ def hashed_shingles(toks_col: str, n: int = 3) -> Column:
 @register(
     "dedup_exact_keep_first",
     oracle="""
-    SELECT doc_id FROM (
-        SELECT doc_id,
-               ROW_NUMBER() OVER (PARTITION BY sha256(trim(lower(text))) ORDER BY doc_id) AS rn
-        FROM documents) t
-    WHERE rn = 1
+    SELECT MIN(doc_id) AS doc_id
+    FROM documents
+    GROUP BY sha256(trim(lower(text)))
     ORDER BY doc_id
     """,
 )
 def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup, keep-first policy: one shuffle on the content hash, a
-    deterministic ROW_NUMBER keeps the lowest doc_id per hash (unlike
-    dropDuplicates, which keeps an arbitrary row)."""
+    """Exact dedup, keep-first policy: keep the lowest doc_id per content
+    hash (unlike dropDuplicates, which keeps an arbitrary row). Expressed
+    as groupBy+MIN rather than a ROW_NUMBER window: the aggregate gets a
+    map-side partial (each task pre-reduces its hashes before the
+    exchange), so at 100 TB the shuffle carries ~one row per distinct
+    hash instead of every (hash, doc_id) pair feeding a full sort."""
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy(content_hash()).orderBy("doc_id")
     return (
-        d.select("doc_id", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
+        d.select(content_hash().alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
         .orderBy("doc_id")
     )

@@ -134,3 +134,44 @@ def run_foreach_batch_to_parquet(stream_df: DataFrame, path: str) -> None:
 
     q = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination()
+
+
+def dedup_stream(stream: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour") -> DataFrame:
+    """Streaming deduplication: keep the first event per key, with state
+    expiry bounded by the watermark (dropDuplicatesWithinWatermark — the
+    state store only holds keys newer than watermark, so a 100 TB/day
+    stream doesn't accumulate an unbounded key set the way plain
+    dropDuplicates on a stream would)."""
+    keys = keys or ["user_id", "event_type"]
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_stream_join(
+    clicks: DataFrame, purchases: DataFrame, horizon_minutes: int = 60
+) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a same-user click
+    within a time horizon. Both sides are watermarked and the join
+    condition carries the time bound — that pair is what lets Spark evict
+    buffered rows instead of holding both streams forever (state is
+    bounded by watermark + horizon)."""
+    c = clicks.withWatermark("ts", "30 minutes").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", "30 minutes").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        ),
+        "inner",
+    )

@@ -85,3 +85,63 @@ def test_late_data_dropped_by_watermark(spark, sf_dir):
     stream = engine.events_stream(spark, sf_dir)
     wm = engine.windowed_counts(stream, watermark="10 minutes")
     assert "EventTimeWatermark" in wm._jdf.queryExecution().logical().toString()
+
+
+def test_stream_dedup_bounded_state(spark, sf_dir):
+    """Streaming keep-first dedup yields one row per key (single bounded
+    micro-batch: every duplicate is within the watermark)."""
+    from minio_iceberg_polaris_lakehouse_spark.streaming.engine import (
+        dedup_stream,
+        events_stream,
+        run_to_memory,
+    )
+
+    stream = dedup_stream(events_stream(spark, sf_dir), ["user_id", "event_type"])
+    out = run_to_memory(stream, "dedup_stream_t")
+    n_keys = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert out.count() == n_keys
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """The watermarked stream-stream join produces exactly the rows the
+    identical batch join produces on the same bounded data."""
+    from minio_iceberg_polaris_lakehouse_spark.streaming.engine import (
+        events_stream,
+        run_to_memory,
+        stream_stream_join,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    joined = stream_stream_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    got = run_to_memory(joined, "ss_join_t")
+
+    batch = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    bc = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    bp = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = bc.join(
+        bp,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 60 MINUTES")),
+    )
+    got_keys = sorted((r.click_id, r.purchase_id) for r in got.collect())
+    want_keys = sorted((r.click_id, r.purchase_id) for r in want.collect())
+    assert got_keys == want_keys and len(got_keys) > 0
