@@ -136,3 +136,73 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("luma_bucket")
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("blob", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def fake_resize(blob: bytes, w: int, h: int) -> bytes:
+    """STUB resize: a real kernel would be PIL ``Image.resize((w, h))``;
+    here the output blob is a deterministic digest-prefixed slice sized
+    proportionally to w*h, so byte-length assertions stay exact."""
+    h_ = hashlib.sha256(blob + f"{w}x{h}".encode()).digest()
+    return h_ + blob[: max(0, (w * h) // 64 - len(h_))]
+
+
+def resize_assets(assets: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Batch resize over partitions — same mapInPandas shape as decode;
+    output keeps the BINARY column so stages chain (decode → resize →
+    feature-extract) without leaving Arrow."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [fake_resize(b, width, height) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return assets.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+@register("mm_frame_sample", oracle=None)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline end-to-end: blob → per-frame fan-out with
+    feature vectors (multimodal/frames.py) → JVM-side per-document norm
+    aggregation. Rows-only check (stubbed codec); tests assert the fan-out
+    arithmetic against the stub."""
+    from minio_iceberg_polaris_lakehouse_spark.multimodal.frames import (
+        frame_feature_norms,
+        sample_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(assets_from_documents(d))
+    return frame_feature_norms(frames).orderBy("doc_id")
+
+
+@register("mm_resize_stats", oracle=None)
+def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline: blob → resize kernel → byte accounting. Rows-only
+    check (stubbed codec); tests assert chaining + determinism."""
+    d = load_table(spark, sf_dir, "documents")
+    resized = resize_assets(assets_from_documents(d), 224, 224)
+    return (
+        resized.groupBy("width", "height")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.octet_length("blob")).cast("long").alias("total_bytes"),
+        )
+        .orderBy("width")
+    )

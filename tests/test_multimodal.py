@@ -49,3 +49,33 @@ def test_frame_norms_aggregate(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == 40
     assert all(0 < r.mean_feature_norm < FR.FEATURE_DIM for r in rows)
+
+
+def test_resize_then_decode_chains_in_arrow(spark, sf_dir):
+    """decode(resize(assets)) — kernels chain through the BINARY column;
+    output dims are the requested ones and blobs are deterministic."""
+    from minio_iceberg_polaris_lakehouse_spark.multimodal.binary import (
+        assets_from_documents,
+        resize_assets,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(20)
+    resized = resize_assets(assets_from_documents(d), 128, 96)
+    rows = {r.doc_id: r for r in resized.collect()}
+    again = {r.doc_id: r for r in resize_assets(assets_from_documents(d), 128, 96).collect()}
+    assert all(r.width == 128 and r.height == 96 for r in rows.values())
+    assert all(bytes(rows[k].blob) == bytes(again[k].blob) for k in rows)
+
+
+def test_frame_sample_query_matches_stub_arithmetic(spark, sf_dir):
+    """The registered mm_frame_sample query yields exactly the stub's
+    per-document frame count (n = 1 + sha256(blob)[0] % 4)."""
+    import hashlib
+
+    from minio_iceberg_polaris_lakehouse_spark.registry import all_queries
+
+    got = {r.doc_id: r for r in all_queries()["mm_frame_sample"].spark(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    for r in docs:
+        want = 1 + hashlib.sha256(r.text.encode()).digest()[0] % 4
+        assert got[r.doc_id].n_frames == want, r.doc_id
