@@ -76,3 +76,44 @@ def test_pricing_summary_single_scan_partial_agg(spark, sf_dir):
     assert scan_count(df) == 1, plan
     assert count_nodes(df, "HashAggregate") >= 2
     assert "partial_sum" in plan  # map-side combine confirmed
+
+
+def test_q6_full_predicate_pushdown(spark, sf_dir):
+    """Q6 is scan-dominated: every conjunct must reach the parquet scan
+    and only the 4 referenced columns may be read."""
+    df = q("rel_q6_forecast_revenue", spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf, pf
+    rs = read_schemas(df)[0]
+    assert "l_extendedprice" in rs and "l_orderkey" not in rs and "l_partkey" not in rs
+
+
+def test_q19_common_conjunct_extraction(spark, sf_dir):
+    """The OR-of-ANDs must not force a fileless scan: the per-side
+    disjunction (brand/size on part) is pushable as an OR filter."""
+    df = q("rel_q19_disjunctive_predicates", spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "p_brand" in pf or "p_size" in pf, pf
+    assert_no_cartesian(df)
+
+
+def test_q21_semi_anti_self_joins(spark, sf_dir):
+    """EXISTS/NOT EXISTS compile to semi/anti joins with the non-equi
+    suppkey condition as residual — never to a cartesian."""
+    ps = plan_string(q("rel_q21_waiting_supplier", spark, sf_dir))
+    assert "LeftSemi" in ps and "LeftAnti" in ps
+    assert_no_cartesian(q("rel_q21_waiting_supplier", spark, sf_dir))
+
+
+def test_q5_broadcasts_dims_no_cartesian(spark, sf_dir):
+    df = q("rel_q5_local_supplier_volume", spark, sf_dir)
+    assert count_nodes(df, "BroadcastHashJoin") >= 3
+    assert_no_cartesian(df)
+
+
+def test_exact_dedup_has_partial_aggregate(spark, sf_dir):
+    """keep-first dedup must pre-reduce map-side (two HashAggregate
+    levels around the exchange), not sort the full corpus."""
+    ps = plan_string(q("dedup_exact_keep_first", spark, sf_dir))
+    assert ps.count("HashAggregate") >= 2, ps
+    assert "Window" not in ps
