@@ -248,11 +248,20 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = v.crossJoin(F.broadcast(cells)).select(
         "vec_id", "e", "cell", cosine(F.col("e"), F.col("ce")).alias("csim")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "cell")
-    ranked = scored.select("*", F.row_number().over(w_assign).alias("r"))
-    assign = ranked.filter(F.col("r") == 1).select("vec_id", "e", "cell")
+    # cell assignment as an aggregate argmax (MAX over (csim, cell) structs,
+    # lexicographic → deterministic), NOT a row_number window: the aggregate
+    # pre-reduces 16 candidate rows to 1 map-side before the exchange, so at
+    # 100 TB the shuffle carries one row per vector instead of K_COARSE.
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("csim"), F.col("cell"))).alias("b"),
+        F.first("e").alias("e"),  # constant per vec_id
+    )
+    assign = best.select("vec_id", "e", F.col("b.cell").alias("cell"))
+    w_probe = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "cell")
     probes = (
-        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("r") <= NPROBE))
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .select("*", F.row_number().over(w_probe).alias("r"))
+        .filter(F.col("r") <= NPROBE)
         .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), "cell")
     )
     cand = (
