@@ -251,14 +251,24 @@ class Table:
         return snaps[-1]
 
     # ---------------- read path (S1/S5/S6) ----------------
-    def _physical_schema(self) -> T.StructType:
-        """Logical schema + the derived partition column. Reads always pass
-        an explicit schema: no inference pass over footers, NULL backfill
-        for files written before an ADD COLUMN, and empty commit
-        directories (e.g. a DELETE that removed every row) stay readable."""
+    def _dir_spec(self, dirname: str) -> PartitionSpec:
+        """The partition spec a data directory was WRITTEN under. Specs can
+        evolve without rewrites (reference README.md:129-130), so each dir
+        remembers its own; pre-evolution tables fall back to the current."""
+        rec = self._meta().get("dir_specs", {}).get(dirname)
+        if rec is None:
+            return self.partition_spec()
+        return PartitionSpec(rec.get("source"), rec.get("transform", "identity"))
+
+    def _physical_schema(self, spec: PartitionSpec | None = None) -> T.StructType:
+        """Logical schema + the derived partition column of ``spec``. Reads
+        always pass an explicit schema: no inference pass over footers,
+        NULL backfill for files written before an ADD COLUMN, dropped
+        columns simply absent, and empty commit directories (e.g. a DELETE
+        that removed every row) stay readable."""
         schema = self.schema()
-        spec = self.partition_spec()
-        if spec.column() is not None:
+        spec = spec if spec is not None else self.partition_spec()
+        if spec.column() is not None and spec.source in schema.fieldNames():
             dt = {
                 "identity": schema[spec.source].dataType,
                 "day": T.DateType(),
@@ -269,20 +279,26 @@ class Table:
             schema = schema.add(spec.column(), dt)
         return schema
 
+    def _dir_frames(self, dirs: list[str]) -> list[tuple[PartitionSpec, DataFrame]]:
+        """One scan per commit directory — commit dirs are each internally
+        consistent hive layouts but differ across schema-evolution /
+        partition-spec boundaries, so they cannot share one inference pass
+        (or, post-evolution, one partition column)."""
+        out = []
+        for d in dirs:
+            spec = self._dir_spec(d)
+            phys = self._physical_schema(spec)
+            out.append((spec, self.spark.read.schema(phys).parquet(os.path.join(self.path, d))))
+        return out
+
     def _read_dirs(self, dirs: list[str]) -> DataFrame:
-        """One scan per commit directory, unioned — commit dirs are each
-        internally consistent hive layouts but differ across schema
-        evolution / partition boundaries, so they cannot share one
-        inference pass. Filters push through the union into every scan."""
-        phys = self._physical_schema()
         if not dirs:
-            return self.spark.createDataFrame([], phys)
-        dfs = [
-            self.spark.read.schema(phys).parquet(os.path.join(self.path, d)) for d in dirs
-        ]
-        df = dfs[0]
-        for other in dfs[1:]:
-            df = df.unionByName(other)
+            return self.spark.createDataFrame([], self._physical_schema())
+        frames = self._dir_frames(dirs)
+        cols = [f.name for f in self.schema().fields]
+        df = frames[0][1].select(*cols)
+        for _spec, other in frames[1:]:
+            df = df.unionByName(other.select(*cols))
         return df
 
     def read(self, version: int | None = None, as_of_ms: int | None = None) -> DataFrame:
@@ -298,38 +314,51 @@ class Table:
         engine-side half of Iceberg's hidden partitioning ("queries filter
         the raw column and partitions prune", reference README.md:126-127).
 
-        eq={"created_at": "2024-11-25"} / between={"ts": (lo, hi)}."""
-        spec = self.partition_spec()
-        cols = [f.name for f in self.schema().fields]
-        df = self._read_dirs(self._resolve()["manifest"])
+        eq={"created_at": "2024-11-25"} / between={"ts": (lo, hi)}.
 
-        def derived(lit_val):
+        Pruning is applied PER DIRECTORY under the spec each dir was
+        written with, so it stays correct across a partition-spec
+        evolution (old dirs prune by the old transform, new dirs by the
+        new one — files written before the evolution are simply not
+        prunable by the new column, exactly Iceberg's semantics)."""
+        cols = [f.name for f in self.schema().fields]
+        dirs = self._resolve()["manifest"]
+        if not dirs:
+            return self.spark.createDataFrame([], self.schema()).select(*cols)
+
+        def derived(lit_val, transform):
             e = {
                 "identity": lambda v: F.lit(v),
                 "day": lambda v: F.to_date(F.lit(v)),
                 "month": lambda v: F.date_format(F.lit(v), "yyyy-MM"),
                 "year": lambda v: F.year(F.lit(v)),
-            }.get(spec.transform)
+            }.get(transform)
             return None if e is None else e(lit_val)
 
-        for col, v in (eq or {}).items():
-            df = df.filter(F.col(col) == v)
-            if spec.source == col and spec.column() in df.columns:
-                dv = derived(v)
-                if dv is not None:
-                    df = df.filter(F.col(spec.column()) == dv)
-        for col, (lo, hi) in (between or {}).items():
-            df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
-            if spec.source == col and spec.column() in df.columns and spec.transform in (
-                "identity",
-                "day",
-                "month",
-                "year",
-            ):
-                df = df.filter(
-                    (F.col(spec.column()) >= derived(lo)) & (F.col(spec.column()) <= derived(hi))
-                )
-        return df.select(*cols)
+        parts = []
+        for spec, df in self._dir_frames(dirs):
+            for col, v in (eq or {}).items():
+                df = df.filter(F.col(col) == v)
+                if spec.source == col and spec.column() in df.columns:
+                    dv = derived(v, spec.transform)
+                    if dv is not None:
+                        df = df.filter(F.col(spec.column()) == dv)
+            for col, (lo, hi) in (between or {}).items():
+                df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+                if (
+                    spec.source == col
+                    and spec.column() in df.columns
+                    and spec.transform in ("identity", "day", "month", "year")
+                ):
+                    df = df.filter(
+                        (F.col(spec.column()) >= derived(lo, spec.transform))
+                        & (F.col(spec.column()) <= derived(hi, spec.transform))
+                    )
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def to_pandas(self, **kw):
         """Arrow-backed pandas export (reference S9: warehouse_helpers.py:117)."""
@@ -355,6 +384,13 @@ class Table:
             writer.write.option("compression", "zstd").partitionBy(spec.column()).parquet(out)
         else:
             writer.write.option("compression", "zstd").parquet(out)
+        # remember which spec wrote this dir (spec evolution, scan pruning)
+        meta = self._meta()
+        meta.setdefault("dir_specs", {})[dirname] = {
+            "source": spec.source,
+            "transform": spec.transform,
+        }
+        self._write_meta(meta)
         return dirname
 
     def append(self, df: DataFrame) -> int:
@@ -424,6 +460,32 @@ class Table:
             raise WarehouseError(f"column {name} exists")
         schema = schema.add(name, dtype)
         meta["schema"] = schema.json()
+        self._write_meta(meta)
+
+    def drop_column(self, name: str) -> None:
+        """Metadata-only DROP COLUMN — data files are untouched; reads
+        simply stop projecting the column (reference README.md:132-133:
+        add/drop/rename without rewriting files)."""
+        meta = self._meta()
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        if name not in schema.fieldNames():
+            raise WarehouseError(f"column {name} does not exist")
+        if meta["partition"].get("source") == name:
+            raise WarehouseError(f"column {name} is the partition source")
+        meta["schema"] = T.StructType([f for f in schema.fields if f.name != name]).json()
+        self._write_meta(meta)
+
+    def evolve_partition_spec(self, partition_by: str | None, transform: str = "identity") -> None:
+        """Partition-spec evolution without rewrites (reference
+        README.md:129-130): future writes lay data out under the new
+        transform; existing dirs keep their recorded spec and continue to
+        prune by it. Metadata-only."""
+        if partition_by is not None:
+            if partition_by not in self.schema().fieldNames():
+                raise WarehouseError(f"unknown partition source {partition_by}")
+            PartitionSpec(partition_by, transform).expr()  # validates transform
+        meta = self._meta()
+        meta["partition"] = {"source": partition_by, "transform": transform}
         self._write_meta(meta)
 
     def rename_column(self, old: str, new: str) -> None:

@@ -184,3 +184,48 @@ def test_users_orders_fixture_join(wh, spark):
     )
     assert [r.name for r in joined] == ["Alice", "Bob", "Alice", "Charlie"]
     assert joined[0].amount == 150.50
+
+
+def test_drop_column_metadata_only(wh, spark):
+    t = wh.create_table("db", "dropc", "id int, name string, extra string")
+    t.insert_values([(1, "a", "x"), (2, "b", "y")])
+    files_before = t.data_file_count()
+    t.drop_column("extra")
+    assert t.describe() == [("id", "int"), ("name", "string")]
+    assert t.data_file_count() == files_before  # nothing rewritten
+    rows = sorted(tuple(r) for r in t.read().collect())
+    assert rows == [(1, "a"), (2, "b")]
+    # new writes don't need the dropped column
+    t.insert_values([(3, "c")])
+    assert t.read().count() == 3
+    with pytest.raises(WarehouseError):
+        t.drop_column("nope")
+
+
+def test_partition_spec_evolution_without_rewrite(wh, spark):
+    # unpartitioned history, then evolve to day(ts): old dirs stay put,
+    # new writes are laid out by day, scans stay correct across both
+    t = wh.create_table("db", "evo", "id int, ts timestamp")
+    old = spark.createDataFrame(
+        [(1, "2024-11-25 10:00:00"), (2, "2024-11-26 11:00:00")], "id int, ts string"
+    ).select("id", F.col("ts").cast("timestamp"))
+    t.append(old)
+    files_before = t.data_file_count()
+    t.evolve_partition_spec("ts", "day")
+    assert t.data_file_count() == files_before  # metadata-only
+    new = spark.createDataFrame(
+        [(3, "2024-11-25 12:00:00"), (4, "2024-11-27 09:00:00")], "id int, ts string"
+    ).select("id", F.col("ts").cast("timestamp"))
+    t.append(new)
+    # rows from BOTH eras must survive a pruned scan on the raw column
+    got = sorted(
+        r.id for r in t.scan(between={"ts": ("2024-11-25 00:00:00", "2024-11-25 23:59:59")}).collect()
+    )
+    assert got == [1, 3]
+    assert t.read().count() == 4
+    # evolving to an unknown column or transform is rejected
+    with pytest.raises(WarehouseError):
+        t.evolve_partition_spec("missing", "day")
+    # partition source cannot be dropped
+    with pytest.raises(WarehouseError):
+        t.drop_column("ts")
