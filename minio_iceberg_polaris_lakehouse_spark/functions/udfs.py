@@ -111,3 +111,52 @@ def udf_row_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(200)
     )
+
+
+def make_median_agg():
+    """Grouped-aggregate pandas UDFs: the whole group's column arrives as
+    one Series, returns one scalar. Built lazily (needs a session). Spark
+    cannot mix grouped-agg pandas UDFs with JVM aggregates in one agg()
+    (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a pandas agg too."""
+
+    @pandas_udf("double")
+    def median_price(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.median(v.to_numpy(dtype="float64")))
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    return median_price, n_rows
+
+
+@register(
+    "udf_grouped_agg_median",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(median(o_totalprice), 6) AS median_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def udf_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-AGG pandas UDF (the third pandas-UDF flavor, next to scalar
+    and grouped-map): per-status median order price. numpy's interpolated
+    median matches SQL median() on doubles. Scale note: a grouped-agg UDF
+    buffers one group per call — the group key must keep groups
+    memory-sized (3 statuses × ~rows/3 here; at 100 TB you'd pre-aggregate
+    or use approx_percentile instead)."""
+    median_price, n_rows = make_median_agg()
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            n_rows("o_totalprice").alias("n_orders"),
+            F.round(median_price("o_totalprice"), 6).alias("median_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
