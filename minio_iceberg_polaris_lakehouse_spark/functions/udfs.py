@@ -133,6 +133,37 @@ def make_median_agg():
 
 
 @register(
+    "agg_median_approx",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           quantile_disc(o_totalprice, 0.5) AS median_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RECOMMENDED scale path for grouped medians: JVM-side
+    `percentile_approx` — a mergeable Greenwald-Khanna sketch with map-side
+    partial aggregation, so no group is ever buffered whole (unlike the
+    grouped-agg pandas UDF twin `udf_grouped_agg_median`, which is the API
+    demo). With accuracy >= group size the sketch degenerates to exact and
+    returns the lower-middle element — precisely DuckDB's
+    `quantile_disc(x, 0.5)`, making this oracle-exact at test SFs while at
+    100 TB the same plan keeps the sketch bounded at ~1e6 entries/group."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.percentile_approx("o_totalprice", 0.5, 1000000).alias("median_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "udf_grouped_agg_median",
     oracle="""
     SELECT o_orderstatus,
@@ -144,12 +175,13 @@ def make_median_agg():
     """,
 )
 def udf_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-AGG pandas UDF (the third pandas-UDF flavor, next to scalar
-    and grouped-map): per-status median order price. numpy's interpolated
-    median matches SQL median() on doubles. Scale note: a grouped-agg UDF
-    buffers one group per call — the group key must keep groups
-    memory-sized (3 statuses × ~rows/3 here; at 100 TB you'd pre-aggregate
-    or use approx_percentile instead)."""
+    """Grouped-AGG pandas UDF — the API DEMO of the third pandas-UDF flavor
+    (next to scalar and grouped-map), NOT the recommended path: a
+    grouped-agg UDF buffers one whole group per call, which is a
+    scale-killer for large groups. The production twin is
+    `agg_median_approx` (JVM percentile_approx sketch, map-side partials,
+    bounded memory) — use that at 100 TB. numpy's interpolated median
+    matches SQL median() on doubles."""
     median_price, n_rows = make_median_agg()
     o = load_table(spark, sf_dir, "orders")
     return (

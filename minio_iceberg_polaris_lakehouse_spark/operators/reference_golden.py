@@ -116,6 +116,59 @@ def ref_join_users_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DECIMAL(10,2) end-to-end — the reference's actual orders schema
+# (`amount DECIMAL(10,2)`, iceberg_queries.ipynb:257). Unlike
+# ref_join_users_orders (double for historical reasons), this variant keeps
+# DecimalType(10,2) through the join and an exact decimal SUM, pinned to the
+# same widths on both engines.
+_ORDERS_DEC_SPARK = """
+    VALUES (101, 1, CAST(150.50 AS DECIMAL(10,2)), DATE '2025-01-10'),
+           (102, 2, CAST(200.00 AS DECIMAL(10,2)), DATE '2025-01-11'),
+           (103, 1, CAST(75.25 AS DECIMAL(10,2)), DATE '2025-01-12'),
+           (104, 3, CAST(300.00 AS DECIMAL(10,2)), DATE '2025-01-13')
+        AS o(order_id, user_id, amount, order_date)
+"""
+_ORDERS_DEC_DUCK = """
+    (VALUES (101, 1, CAST(150.50 AS DECIMAL(10,2)), DATE '2025-01-10'),
+            (102, 2, CAST(200.00 AS DECIMAL(10,2)), DATE '2025-01-11'),
+            (103, 1, CAST(75.25 AS DECIMAL(10,2)), DATE '2025-01-12'),
+            (104, 3, CAST(300.00 AS DECIMAL(10,2)), DATE '2025-01-13'))
+        AS o(order_id, user_id, amount, order_date)
+"""
+
+
+@register(
+    "ref_join_users_orders_decimal",
+    oracle=f"""
+    SELECT u.name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o.amount) AS DECIMAL(10,2)) AS min_amount,
+           CAST(SUM(o.amount) AS DECIMAL(12,2)) AS total_spent
+    FROM {_USERS_DUCK.replace("AS users(", "AS u(")}
+    JOIN {_ORDERS_DEC_DUCK} ON u.id = o.user_id
+    GROUP BY u.name
+    ORDER BY u.name
+    """,
+)
+def ref_join_users_orders_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL(10,2) flowing through join + aggregate end-to-end
+    (reference iceberg_queries.ipynb:257 `amount DECIMAL(10,2)`): decimal
+    min and sum with result widths pinned to DECIMAL(10,2)/DECIMAL(12,2) on
+    both engines so the value hash compares equal-scale decimals."""
+    u = _USERS_SPARK.replace("AS users(", "AS u(")
+    return spark.sql(
+        f"""
+        SELECT u.name,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MIN(o.amount) AS DECIMAL(10,2)) AS min_amount,
+               CAST(SUM(o.amount) AS DECIMAL(12,2)) AS total_spent
+        FROM {u} JOIN {_ORDERS_DEC_SPARK} ON u.id = o.user_id
+        GROUP BY u.name
+        ORDER BY u.name
+        """
+    )
+
+
 @register(
     "ref_duplicate_append",
     oracle=f"""

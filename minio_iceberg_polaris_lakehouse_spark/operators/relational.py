@@ -255,6 +255,30 @@ def rel_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_join_right_outer",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name
+    FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+    RIGHT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderkey <= 5000
+    ORDER BY o.o_orderkey
+    """,
+)
+def rel_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (SURVEY §2.3 J2-J9 checklist row): every order kept,
+    customer name null unless the customer is in the BUILDING segment. The
+    filtered build side stays broadcast-able; the probe (orders) side never
+    shuffles under broadcast-hash."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "right")
+        .select("o_orderkey", "o_totalprice", "c_name")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
     "rel_join_semi",
     oracle="""
     SELECT c_custkey, c_name

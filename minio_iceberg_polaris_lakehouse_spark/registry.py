@@ -39,6 +39,80 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
+# The driver's CORRECTNESS gate records at most ~50 queries in registration
+# order, so the first 50 names must cover EVERY operator family of
+# SURVEY.md §2 and §2.14 (round-1 verdict: dedup/similarity/streaming/UDF/
+# multimodal had zero driver entries because TPC-H variants filled the cap).
+# This list is the curated coverage set — one or more representatives per
+# family, preferring queries the driver has not yet verified; everything
+# not listed follows in registration order (and still runs in the local
+# oracle-parity suite, which has no cap).
+_PRIORITY: list[str] = [
+    # flagship + reference goldens (scan, filter, J1, A1, sort, decimal)
+    "flagship_revenue_by_nation",
+    "ref_count_star",
+    "ref_join_users_orders",
+    "ref_join_users_orders_decimal",
+    "ref_duplicate_append",
+    "rel_filter_projection",
+    # join family (J2-J9 + range + as-of)
+    "rel_join_left_outer",
+    "rel_join_right_outer",
+    "rel_join_full_outer",
+    "rel_join_semi",
+    "rel_join_anti",
+    "rel_join_cross",
+    "rel_range_join",
+    "rel_asof_join",
+    # subqueries (correlated/scalar variants follow in registration order)
+    "rel_in_subquery",
+    # aggregation family (A2-A12)
+    "rel_pricing_summary",
+    "rel_groupby_having",
+    "rel_count_distinct",
+    "rel_rollup",
+    "rel_grouping_sets",
+    "rel_approx_sketches",
+    "rel_percentiles",
+    "rel_string_agg",
+    "agg_median_approx",
+    # window functions (§2.5)
+    "win_range_frame",
+    "win_top3_per_segment",
+    "win_lag_lead",
+    # sort / top-k (O1-O3)
+    "rel_topk_orders",
+    # set operations (§2.7)
+    "set_union_all_counts",
+    "set_union_distinct",
+    "set_except_all",
+    # scalar-function suites (F5)
+    "fn_string_suite",
+    "fn_date_suite",
+    "fn_math_suite",
+    "fn_json_extract",
+    "fn_map_suite",
+    # streaming windows + event analytics (§2.12)
+    "stream_tumbling_window",
+    "stream_session_window",
+    "evt_sessionization",
+    # UDF surface (§2.13)
+    "udf_vector_norm",
+    "udf_grouped_stats",
+    "udf_grouped_agg_median",
+    # X1/X2 dedup
+    "dedup_exact_keep_first",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    # X3 similarity
+    "sim_topk_bruteforce",
+    "sim_ann_ivf",
+    # X5 text analysis + X4 multimodal
+    "text_lang_profile",
+    "mm_blob_stats",
+]
+
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
     """Decorator: register a Spark query builder under ``name``."""
@@ -54,7 +128,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 def all_queries() -> dict[str, Query]:
     """Import every operator module (side effect: registration) and return
-    the full registry."""
+    the full registry, priority coverage set first (see _PRIORITY)."""
     import minio_iceberg_polaris_lakehouse_spark.operators.relational  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.relational2  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.relational3  # noqa: F401
@@ -74,4 +148,9 @@ def all_queries() -> dict[str, Query]:
     import minio_iceberg_polaris_lakehouse_spark.streaming.windows  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.multimodal.binary  # noqa: F401
 
-    return dict(_REGISTRY)
+    missing = [n for n in _PRIORITY if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(f"_PRIORITY names not registered: {missing}")
+    ordered = {n: _REGISTRY[n] for n in _PRIORITY}
+    ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
+    return ordered
