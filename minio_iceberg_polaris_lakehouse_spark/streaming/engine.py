@@ -137,7 +137,10 @@ def run_foreach_batch_to_parquet(stream_df: DataFrame, path: str) -> None:
 
 
 def dedup_stream(stream: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour") -> DataFrame:
-    """Streaming deduplication: keep the first event per key, with state
+    """Streaming deduplication: keep the first-SEEN event per key (arrival
+    order — dropDuplicatesWithinWatermark retains whichever row arrives
+    first, not the minimum-event-time row; an event-time keep-first policy
+    would need a stateful min-ts operator), with state
     expiry bounded by the watermark (dropDuplicatesWithinWatermark — the
     state store only holds keys newer than watermark, so a 100 TB/day
     stream doesn't accumulate an unbounded key set the way plain

@@ -60,6 +60,14 @@ class WarehouseError(RuntimeError):
     pass
 
 
+class CommitConflictError(WarehouseError):
+    """Optimistic-concurrency conflict: the table's current snapshot moved
+    past the one this operation read from (another writer committed first).
+    Retryable — re-read the table and re-apply the operation (the same
+    contract Iceberg documents for concurrent writers, reference
+    README.md:124: "multiple writers ... optimistic concurrency")."""
+
+
 @dataclass
 class PartitionSpec:
     """Hidden-partitioning transform, Iceberg-style: the table partitions
@@ -151,6 +159,7 @@ class Warehouse:
         meta = {
             "schema": schema.json(),
             "partition": {"source": partition_by, "transform": transform},
+            "spec_history": [{"source": partition_by, "transform": transform}],
             "properties": {
                 "format": "parquet",
                 "write.parquet.compression-codec": "zstd",
@@ -170,6 +179,32 @@ class Warehouse:
                 return
             raise WarehouseError(f"table {ns}.{name} does not exist")
         shutil.rmtree(t.path)
+
+
+def _parquet_footer_rows(out_dir: str) -> int:
+    """Row count from parquet footers — metadata-only, no Spark job, no
+    re-execution of the plan that produced the files (same stats an Iceberg
+    commit reads when building its manifest entries)."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for root, _dirs, files in os.walk(out_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return n
+
+
+def _with_null_metadata_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Metadata-column shape for an empty (zero-snapshot) table."""
+    return df.select(
+        *cols,
+        F.lit(None).cast("string").alias("_file"),
+        F.lit(None).cast("long").alias("_pos"),
+        F.lit(None).cast("int").alias("_spec_id"),
+        F.lit(None).cast(T.StructType()).alias("_partition"),
+        F.lit(None).cast("boolean").alias("_deleted"),
+    )
 
 
 def _atomic_write_json(path: str, obj: dict) -> None:
@@ -218,8 +253,40 @@ class Table:
         with open(os.path.join(self.path, SNAP_FILE)) as f:
             return json.load(f)["snapshots"]
 
-    def _commit(self, operation: str, dirs: list[str], summary: dict[str, Any]) -> int:
-        snaps = self._snaps()
+    # -- commit protocol (§2.11): atomic pointer swap + optimistic locking --
+    _LOCK_TIMEOUT_S = 20.0
+    _LOCK_STALE_S = 60.0
+
+    def _acquire_commit_lock(self) -> str:
+        """Mutual exclusion for the read-check-swap of the snapshot log:
+        O_CREAT|O_EXCL file creation is atomic on a local/POSIX filesystem
+        (on an object store this maps to a conditional PUT / CAS on the
+        metadata pointer, which is exactly what Polaris does for Iceberg).
+        Stale locks (crashed writer) are broken after _LOCK_STALE_S."""
+        lock = os.path.join(self.path, "_commit.lock")
+        deadline = time.monotonic() + self._LOCK_TIMEOUT_S
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > self._LOCK_STALE_S:
+                        os.unlink(lock)  # break stale lock; loop retries
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.monotonic() > deadline:
+                    raise WarehouseError(
+                        f"commit lock timeout on {self.ns}.{self.name}"
+                    ) from None
+                time.sleep(0.01)
+
+    def _append_snapshot(
+        self, snaps: list[dict], operation: str, dirs: list[str], summary: dict[str, Any]
+    ) -> int:
         sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
         snaps.append(
             {
@@ -229,10 +296,56 @@ class Table:
                 "operation": operation,
                 "manifest": dirs,
                 "summary": summary,
+                # schema as of this commit — time travel projects THIS, not
+                # the table's current schema (Iceberg resolves time-travel
+                # reads with the snapshot's schema)
+                "schema": self._meta()["schema"],
             }
         )
         _atomic_write_json(os.path.join(self.path, SNAP_FILE), {"snapshots": snaps})
         return sid
+
+    def _commit_add(self, operation: str, new_dirs: list[str], summary: dict[str, Any]) -> int:
+        """Commit that ADDS data dirs to whatever the current snapshot is.
+        Appends are commutative, so under the lock they always succeed —
+        two concurrent appenders both land, neither lost (Iceberg gives
+        appends the same fast-path retry)."""
+        lock = self._acquire_commit_lock()
+        try:
+            snaps = self._snaps()
+            live = (snaps[-1]["manifest"] if snaps else []) + new_dirs
+            return self._append_snapshot(snaps, operation, live, summary)
+        finally:
+            os.unlink(lock)
+
+    def _commit_replace(
+        self,
+        operation: str,
+        dirs: list[str],
+        summary: dict[str, Any],
+        expected_parent: int | None,
+    ) -> int:
+        """Commit that REPLACES the manifest based on state read at
+        ``expected_parent``. If another writer committed since, the result
+        would silently drop their rows — so it conflicts instead of
+        committing (optimistic concurrency; raise, caller re-reads and
+        retries)."""
+        lock = self._acquire_commit_lock()
+        try:
+            snaps = self._snaps()
+            current = snaps[-1]["snapshot_id"] if snaps else None
+            if current != expected_parent:
+                raise CommitConflictError(
+                    f"{self.ns}.{self.name}: snapshot moved {expected_parent} -> "
+                    f"{current} during {operation}; re-read and retry"
+                )
+            return self._append_snapshot(snaps, operation, dirs, summary)
+        finally:
+            os.unlink(lock)
+
+    def current_snapshot_id(self) -> int | None:
+        snaps = self._snaps()
+        return snaps[-1]["snapshot_id"] if snaps else None
 
     def _resolve(self, version: int | None = None, as_of_ms: int | None = None) -> dict:
         snaps = self._snaps()
@@ -251,62 +364,156 @@ class Table:
         return snaps[-1]
 
     # ---------------- read path (S1/S5/S6) ----------------
-    def _dir_spec(self, dirname: str) -> PartitionSpec:
-        """The partition spec a data directory was WRITTEN under. Specs can
-        evolve without rewrites (reference README.md:129-130), so each dir
-        remembers its own; pre-evolution tables fall back to the current."""
-        rec = self._meta().get("dir_specs", {}).get(dirname)
-        if rec is None:
-            return self.partition_spec()
-        return PartitionSpec(rec.get("source"), rec.get("transform", "identity"))
+    _TRANSFORM_TYPES = {
+        "day": T.DateType(),
+        "month": T.StringType(),
+        "year": T.IntegerType(),
+        "bucket16": T.IntegerType(),
+    }
 
-    def _physical_schema(self, spec: PartitionSpec | None = None) -> T.StructType:
+    def _dir_spec(self, dirname: str, meta: dict | None = None) -> tuple[PartitionSpec, int]:
+        """(spec, spec_id) a data directory was WRITTEN under. Specs can
+        evolve without rewrites (reference README.md:129-130), so each dir
+        remembers its own; pre-evolution tables fall back to the current.
+        Pass ``meta`` when calling per-directory — avoids O(commit-dirs)
+        re-reads of _meta.json per scan."""
+        meta = self._meta() if meta is None else meta
+        rec = meta.get("dir_specs", {}).get(dirname)
+        if rec is None:
+            p = meta["partition"]
+            return PartitionSpec(p.get("source"), p.get("transform", "identity")), 0
+        return (
+            PartitionSpec(rec.get("source"), rec.get("transform", "identity")),
+            int(rec.get("spec_id", 0)),
+        )
+
+    def _physical_schema(
+        self, spec: PartitionSpec | None = None, schema: T.StructType | None = None
+    ) -> T.StructType:
         """Logical schema + the derived partition column of ``spec``. Reads
         always pass an explicit schema: no inference pass over footers,
         NULL backfill for files written before an ADD COLUMN, dropped
         columns simply absent, and empty commit directories (e.g. a DELETE
         that removed every row) stay readable."""
-        schema = self.schema()
+        schema = self.schema() if schema is None else schema
         spec = spec if spec is not None else self.partition_spec()
         if spec.column() is not None and spec.source in schema.fieldNames():
-            dt = {
-                "identity": schema[spec.source].dataType,
-                "day": T.DateType(),
-                "month": T.StringType(),
-                "year": T.IntegerType(),
-                "bucket16": T.IntegerType(),
-            }[spec.transform]
-            schema = schema.add(spec.column(), dt)
+            dt = (
+                schema[spec.source].dataType
+                if spec.transform == "identity"
+                else self._TRANSFORM_TYPES[spec.transform]
+            )
+            # COPY before add(): StructType.add mutates in place and the
+            # caller's schema object is shared across directories
+            schema = T.StructType(list(schema.fields)).add(spec.column(), dt)
         return schema
 
-    def _dir_frames(self, dirs: list[str]) -> list[tuple[PartitionSpec, DataFrame]]:
+    def _dir_frames(
+        self, dirs: list[str], schema: T.StructType | None = None
+    ) -> list[tuple[PartitionSpec, int, DataFrame]]:
         """One scan per commit directory — commit dirs are each internally
         consistent hive layouts but differ across schema-evolution /
         partition-spec boundaries, so they cannot share one inference pass
-        (or, post-evolution, one partition column)."""
+        (or, post-evolution, one partition column). _meta.json is read ONCE
+        here and threaded through (not once per directory)."""
+        meta = self._meta()
+        if schema is None:
+            schema = T.StructType.fromJson(json.loads(meta["schema"]))
         out = []
         for d in dirs:
-            spec = self._dir_spec(d)
-            phys = self._physical_schema(spec)
-            out.append((spec, self.spark.read.schema(phys).parquet(os.path.join(self.path, d))))
+            spec, spec_id = self._dir_spec(d, meta)
+            phys = self._physical_schema(spec, schema)
+            out.append(
+                (spec, spec_id, self.spark.read.schema(phys).parquet(os.path.join(self.path, d)))
+            )
         return out
 
-    def _read_dirs(self, dirs: list[str]) -> DataFrame:
+    def _snapshot_schema(self, snap: dict) -> T.StructType:
+        """The schema recorded AT the snapshot's commit — time travel
+        projects this, not the current schema (so a column dropped later
+        still shows in VERSION AS OF reads of older snapshots). Snapshots
+        from before schema tracking fall back to the current schema."""
+        if snap.get("schema"):
+            return T.StructType.fromJson(json.loads(snap["schema"]))
+        return self.schema()
+
+    def _read_dirs(self, dirs: list[str], schema: T.StructType | None = None) -> DataFrame:
+        schema = self.schema() if schema is None else schema
         if not dirs:
-            return self.spark.createDataFrame([], self._physical_schema())
-        frames = self._dir_frames(dirs)
-        cols = [f.name for f in self.schema().fields]
-        df = frames[0][1].select(*cols)
-        for _spec, other in frames[1:]:
+            return self.spark.createDataFrame([], schema)
+        frames = self._dir_frames(dirs, schema)
+        cols = schema.fieldNames()
+        df = frames[0][2].select(*cols)
+        for _spec, _sid, other in frames[1:]:
             df = df.unionByName(other.select(*cols))
         return df
 
-    def read(self, version: int | None = None, as_of_ms: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        as_of_ms: int | None = None,
+        metadata_columns: bool = False,
+    ) -> DataFrame:
         """Snapshot-isolated scan; `version`/`as_of_ms` give the reference's
-        VERSION AS OF / TIMESTAMP AS OF (warehouse_helpers.py:134-136)."""
+        VERSION AS OF / TIMESTAMP AS OF (warehouse_helpers.py:134-136),
+        projected with the SNAPSHOT's schema. ``metadata_columns=True``
+        adds Iceberg's metadata columns `_spec_id, _partition, _file,
+        _pos, _deleted` (reference getting_started.ipynb:128-132): _file/
+        _pos come from Spark's native `_metadata` hidden column (JVM-side,
+        no extra scan), _partition is the unified partition struct across
+        the specs in play, and _deleted is always false — this engine is
+        copy-on-write, deleted rows leave the manifest instead of being
+        tombstoned (documented divergence from merge-on-read Iceberg)."""
+        time_travel = version is not None or as_of_ms is not None
         snap = self._resolve(version, as_of_ms)
-        cols = [f.name for f in self.schema().fields]
-        return self._read_dirs(snap["manifest"]).select(*cols)
+        schema = self._snapshot_schema(snap) if time_travel else self.schema()
+        cols = schema.fieldNames()
+        if not metadata_columns:
+            return self._read_dirs(snap["manifest"], schema).select(*cols)
+
+        frames = self._dir_frames(snap["manifest"], schema)
+        if not frames:
+            out = self.spark.createDataFrame([], schema)
+            return _with_null_metadata_columns(out, cols)
+
+        # unified partition struct type: one field per distinct spec column
+        part_fields: list[tuple[str, T.DataType]] = []
+        seen = set()
+        for spec, _sid, _df in frames:
+            if spec.column() is not None and spec.column() not in seen:
+                seen.add(spec.column())
+                dt = (
+                    self.schema()[spec.source].dataType
+                    if spec.transform == "identity"
+                    else self._TRANSFORM_TYPES[spec.transform]
+                )
+                part_fields.append((spec.column(), dt))
+
+        parts = []
+        for spec, spec_id, df in frames:
+            struct_cols = [
+                (F.col(name) if spec.column() == name else F.lit(None).cast(dt)).alias(name)
+                for name, dt in part_fields
+            ]
+            partition_col = (
+                F.struct(*struct_cols)
+                if struct_cols
+                else F.lit(None).cast(T.StructType())
+            )
+            parts.append(
+                df.select(
+                    *cols,
+                    F.col("_metadata.file_path").alias("_file"),
+                    F.col("_metadata.row_index").alias("_pos"),
+                    F.lit(spec_id).alias("_spec_id"),
+                    partition_col.alias("_partition"),
+                    F.lit(False).alias("_deleted"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def scan(self, eq: dict[str, Any] | None = None, between: dict[str, tuple] | None = None) -> DataFrame:
         """Partition-pruned scan: filters on the *source* column get the
@@ -336,7 +543,7 @@ class Table:
             return None if e is None else e(lit_val)
 
         parts = []
-        for spec, df in self._dir_frames(dirs):
+        for spec, _sid, df in self._dir_frames(dirs):
             for col, v in (eq or {}).items():
                 df = df.filter(F.col(col) == v)
                 if spec.source == col and spec.column() in df.columns:
@@ -365,19 +572,24 @@ class Table:
         return self.read(**kw).toPandas()
 
     # ---------------- write path (S7/S8/M2) ----------------
-    def _write_data(self, df: DataFrame) -> str:
+    def _write_data(self, df: DataFrame) -> tuple[str, int]:
         """Write one immutable data directory for this commit (executors do
-        all IO; zstd parquet as in the reference table properties)."""
+        all IO; zstd parquet as in the reference table properties). Returns
+        (dirname, row_count) — the count comes from the written files'
+        parquet FOOTERS, not a second execution of the input plan: the
+        upstream lineage may be arbitrarily expensive and must run exactly
+        once (footer reads are O(files) metadata-only, the same stats an
+        Iceberg commit records in its manifest)."""
         dirname = f"data-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, dirname)
+        meta = self._meta()
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
         spec = self.partition_spec()
-        cols = [f.name for f in self.schema().fields]
+        cols = schema.fieldNames()
         missing = [c for c in cols if c not in df.columns]
         for c in missing:
-            df = df.withColumn(c, F.lit(None).cast(self.schema()[c].dataType))
-        aligned = df.select(
-            *[F.col(c).cast(self.schema()[c].dataType).alias(c) for c in cols]
-        )
+            df = df.withColumn(c, F.lit(None).cast(schema[c].dataType))
+        aligned = df.select(*[F.col(c).cast(schema[c].dataType).alias(c) for c in cols])
         writer = aligned
         if spec.column() is not None:
             writer = aligned.withColumn(spec.column(), spec.expr())
@@ -389,34 +601,60 @@ class Table:
         meta.setdefault("dir_specs", {})[dirname] = {
             "source": spec.source,
             "transform": spec.transform,
+            "spec_id": self._current_spec_id(meta),
         }
         self._write_meta(meta)
-        return dirname
+        return dirname, _parquet_footer_rows(out)
+
+    def _current_spec_id(self, meta: dict) -> int:
+        """Iceberg-style spec id: position of the current partition spec in
+        the table's spec history (0 for never-evolved tables)."""
+        cur = {
+            "source": meta["partition"].get("source"),
+            "transform": meta["partition"].get("transform", "identity"),
+        }
+        history = meta.get("spec_history", [cur])
+        try:
+            return history.index(cur)
+        except ValueError:
+            return len(history)
 
     def append(self, df: DataFrame) -> int:
-        """Append-only INSERT: duplicates by design (§2.11)."""
-        d = self._write_data(df)
-        n = df.count()
-        live = self._resolve()["manifest"] + [d]
-        return self._commit("append", live, {"added-records": n})
+        """Append-only INSERT: duplicates by design (§2.11). Appends are
+        commutative — two concurrent appenders both survive (see
+        _commit_add)."""
+        d, n = self._write_data(df)
+        return self._commit_add("append", [d], {"added-records": n})
 
     def insert_values(self, rows: list[tuple]) -> int:
         """INSERT INTO t VALUES ... (reference S7: getting_started.ipynb:96)."""
         return self.append(self.spark.createDataFrame(rows, self.schema()))
 
     def overwrite(self, df: DataFrame) -> int:
-        """CTAS/overwrite (reference S8: warehouse_helpers.py:107-111)."""
-        d = self._write_data(df)
-        return self._commit("overwrite", [d], {"replaced": True, "added-records": df.count()})
+        """CTAS/overwrite (reference S8: warehouse_helpers.py:107-111).
+        Replaces the whole table regardless of prior state — no read
+        dependency, so it commits unconditionally (last overwrite wins,
+        matching Iceberg's createOrReplace)."""
+        d, n = self._write_data(df)
+        lock = self._acquire_commit_lock()
+        try:
+            return self._append_snapshot(
+                self._snaps(), "overwrite", [d], {"replaced": True, "added-records": n}
+            )
+        finally:
+            os.unlink(lock)
 
     # ---------------- DML beyond append (M1) ----------------
     def delete_where(self, condition: str) -> int:
         """DELETE FROM t WHERE ... — copy-on-write of the surviving rows
-        into a new snapshot (Iceberg MERGE/DELETE per SETUP_GUIDE_WIN.md:368)."""
+        into a new snapshot. Read-modify-write: conflicts (another writer
+        committing between our read and our commit) raise
+        CommitConflictError instead of silently dropping their rows."""
+        parent = self.current_snapshot_id()
         cur = self.read()
         remaining = cur.filter(f"NOT ({condition})")
-        d = self._write_data(remaining)
-        return self._commit("delete", [d], {"predicate": condition})
+        d, _n = self._write_data(remaining)
+        return self._commit_replace("delete", [d], {"predicate": condition}, parent)
 
     def merge_into(
         self,
@@ -428,7 +666,10 @@ class Table:
         """MERGE INTO target USING source ON target.<on> = source.<on>
         WHEN MATCHED THEN UPDATE SET <update_cols> (or all non-key columns)
         WHEN NOT MATCHED THEN INSERT * — expressed as a join + union, the
-        exact relational algebra Iceberg's copy-on-write MERGE plans."""
+        exact relational algebra Iceberg's copy-on-write MERGE plans.
+        Read-modify-write: raises CommitConflictError if another writer
+        commits between our snapshot read and the pointer swap."""
+        parent = self.current_snapshot_id()
         cols = [f.name for f in self.schema().fields]
         update_cols = update_cols or [c for c in cols if c != on]
         tgt, src = self.read().alias("t"), source.alias("s")
@@ -447,8 +688,8 @@ class Table:
                 *[F.col(c) for c in cols]
             )
             merged = merged.unionByName(new_rows)
-        d = self._write_data(merged)
-        return self._commit("merge", [d], {"on": on})
+        d, _n = self._write_data(merged)
+        return self._commit_replace("merge", [d], {"on": on}, parent)
 
     # ---------------- schema evolution (D10) ----------------
     def add_column(self, name: str, dtype: str) -> None:
@@ -485,7 +726,13 @@ class Table:
                 raise WarehouseError(f"unknown partition source {partition_by}")
             PartitionSpec(partition_by, transform).expr()  # validates transform
         meta = self._meta()
-        meta["partition"] = {"source": partition_by, "transform": transform}
+        new_spec = {"source": partition_by, "transform": transform}
+        meta["partition"] = dict(new_spec)
+        history = meta.setdefault(
+            "spec_history", [{"source": None, "transform": "identity"}]
+        )
+        if new_spec not in history:
+            history.append(new_spec)
         self._write_meta(meta)
 
     def rename_column(self, old: str, new: str) -> None:
@@ -555,26 +802,31 @@ class Table:
         files under a new 'replace' snapshot. This is the valid form of the
         reference's intended small-file compaction (its `ALTER TABLE t
         COMPACT`, warehouse_helpers.py:142-146, is not executable SQL)."""
+        parent = self.current_snapshot_id()
         cur = self.read().coalesce(target_partitions)
-        d = self._write_data(cur)
-        return self._commit("replace", [d], {"compacted-to": target_partitions})
+        d, _n = self._write_data(cur)
+        return self._commit_replace("replace", [d], {"compacted-to": target_partitions}, parent)
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Iceberg expire_snapshots: drop history older than the last N
         snapshots and garbage-collect unreferenced data directories."""
-        snaps = self._snaps()
-        keep = snaps[-keep_last:]
-        live_dirs = {d for s in keep for d in s["manifest"]}
-        removed = 0
-        for s in snaps[:-keep_last]:
-            for d in s["manifest"]:
-                if d not in live_dirs:
-                    p = os.path.join(self.path, d)
-                    if os.path.isdir(p):
-                        shutil.rmtree(p)
-                        removed += 1
-        _atomic_write_json(os.path.join(self.path, SNAP_FILE), {"snapshots": keep})
-        return removed
+        lock = self._acquire_commit_lock()
+        try:
+            snaps = self._snaps()
+            keep = snaps[-keep_last:]
+            live_dirs = {d for s in keep for d in s["manifest"]}
+            removed = 0
+            for s in snaps[:-keep_last]:
+                for d in s["manifest"]:
+                    if d not in live_dirs:
+                        p = os.path.join(self.path, d)
+                        if os.path.isdir(p):
+                            shutil.rmtree(p)
+                            removed += 1
+            _atomic_write_json(os.path.join(self.path, SNAP_FILE), {"snapshots": keep})
+            return removed
+        finally:
+            os.unlink(lock)
 
 
 def _ms_to_ts(ms: int):

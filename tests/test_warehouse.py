@@ -85,10 +85,25 @@ def test_schema_evolution_null_backfill(wh):
     t.insert_values([(2, "y", "y@example.com")])
     rows = {r.id: r.email for r in t.read().collect()}
     assert rows == {1: None, 2: "y@example.com"}
-    # old snapshot still readable with backfilled schema
-    assert t.read(version=1).columns == ["id", "name", "email"]
+    # time travel projects the SNAPSHOT's schema (Iceberg semantics):
+    # snapshot 1 predates the ADD COLUMN, so no email column there
+    assert t.read(version=1).columns == ["id", "name"]
+    assert t.read(version=2).columns == ["id", "name", "email"]
     t.rename_column("email", "contact")
     assert [c for c, _ in t.describe()] == ["id", "name", "contact"]
+
+
+def test_time_travel_schema_after_drop_column(wh):
+    # ADVICE r1: after drop_column, time travel to a pre-drop snapshot must
+    # still show the dropped column (snapshot schema, not current schema)
+    t = wh.create_table("db", "evodrop", "id int, name string, extra string")
+    t.insert_values([(1, "x", "keepme")])
+    t.drop_column("extra")
+    t.insert_values([(2, "y")])
+    assert t.read().columns == ["id", "name"]
+    old = t.read(version=1)
+    assert old.columns == ["id", "name", "extra"]
+    assert old.collect()[0].extra == "keepme"
 
 
 def test_overwrite_delete_merge(wh, spark):
@@ -229,3 +244,112 @@ def test_partition_spec_evolution_without_rewrite(wh, spark):
     # partition source cannot be dropped
     with pytest.raises(WarehouseError):
         t.drop_column("ts")
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: optimistic concurrency, single-execution writes,
+# Iceberg metadata columns.
+# ---------------------------------------------------------------------------
+def test_concurrent_appends_both_survive(wh, spark):
+    """Two writers appending concurrently: appends are commutative, so BOTH
+    must land (no lost update) — the round-1 lost-update bug made the
+    second writer silently discard the first's snapshot."""
+    import threading
+
+    t = wh.create_table("db", "race", "id int, v string")
+    t.insert_values([(0, "base")])
+    errs: list[Exception] = []
+
+    def writer(n):
+        try:
+            # fresh Table handle per thread: separate metadata reads, same files
+            wh.table("db", "race").append(
+                spark.createDataFrame([(n, f"w{n}")], "id int, v string")
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(1, 5)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 4]
+    # every append got its own snapshot, parents chain linearly
+    snaps = t.snapshots().orderBy("snapshot_id").collect()
+    assert [s.snapshot_id for s in snaps] == [1, 2, 3, 4, 5]
+    assert [s.parent_id for s in snaps] == [None, 1, 2, 3, 4]
+
+
+def test_read_modify_write_conflict_detected(wh, spark):
+    """delete/merge read a snapshot and replace the manifest; if another
+    writer commits in between, committing would drop their rows — the
+    engine must raise a retryable CommitConflictError instead."""
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import CommitConflictError
+
+    t = wh.create_table("db", "conflict", "id int, v string")
+    t.insert_values([(1, "a"), (2, "b")])
+
+    parent = t.current_snapshot_id()
+    remaining = t.read().filter("id != 2")
+    d, _ = t._write_data(remaining)
+    # another writer lands before our commit
+    t.insert_values([(3, "c")])
+    with pytest.raises(CommitConflictError):
+        t._commit_replace("delete", [d], {"predicate": "id = 2"}, parent)
+    # the concurrent writer's row is intact; retrying the delete succeeds
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+    t.delete_where("id = 2")
+    assert sorted(r.id for r in t.read().collect()) == [1, 3]
+
+
+def test_append_executes_input_plan_once(wh, spark):
+    """The commit summary's added-records must come from written-file
+    footers, not a second df.count() execution of the (possibly expensive)
+    input lineage."""
+    calls = spark.sparkContext.accumulator(0)
+
+    @F.udf("int")
+    def tracked(x):
+        calls.add(1)
+        return x
+
+    t = wh.create_table("db", "once", "id int")
+    src = spark.range(10).select(tracked(F.col("id").cast("int")).alias("id"))
+    t.append(src)
+    assert calls.value == 10  # exactly one pass over 10 rows
+    snaps = t.snapshots().collect()
+    assert snaps[-1].summary["added-records"] == "10"
+
+
+def test_metadata_columns(wh, spark):
+    """Iceberg metadata columns on scans (reference
+    getting_started.ipynb:128-132): _spec_id, _partition, _file, _pos,
+    _deleted."""
+    t = wh.create_table(
+        "db", "metacols", "id int, ts timestamp", partition_by="ts", transform="day"
+    )
+    df = spark.createDataFrame(
+        [(1, "2024-11-25 10:00:00"), (2, "2024-11-26 11:00:00")], "id int, ts string"
+    ).select("id", F.to_timestamp("ts").alias("ts"))
+    t.append(df)
+    got = t.read(metadata_columns=True)
+    assert got.columns == ["id", "ts", "_file", "_pos", "_spec_id", "_partition", "_deleted"]
+    rows = {r.id: r for r in got.collect()}
+    assert rows[1]._file.endswith(".parquet") and rows[1]._file != rows[2]._file
+    assert rows[1]._pos == 0 and rows[2]._pos == 0  # first row of each file
+    assert rows[1]._spec_id == 0 and not rows[1]._deleted
+    assert str(rows[1]._partition["_p_day_ts"]) == "2024-11-25"
+
+    # across a copy-on-write delete: survivors rewritten, _deleted stays false
+    t.delete_where("id = 1")
+    after = t.read(metadata_columns=True).collect()
+    assert [r.id for r in after] == [2]
+    assert after[0]._deleted is False
+
+    # spec evolution bumps _spec_id for new writes
+    t.evolve_partition_spec("ts", "month")
+    t.append(df.filter("id = 1"))
+    by_id = {r.id: r._spec_id for r in t.read(metadata_columns=True).collect()}
+    assert by_id[1] == 1 and by_id[2] == 0
