@@ -1,132 +1,37 @@
-"""Golden regression cases reproduced from the reference's own notebooks.
+"""Golden regression cases reproduced from the reference's own notebooks —
+routed through the engine's SQL FRONT-END, exactly the way the reference
+runs them (spark.sql DDL + INSERT + SELECT against catalog tables), so the
+driver's oracle gate verifies the whole SQL path end-to-end.
 
 These encode the exact fixtures + expected results the reference treats as
 its de-facto regression suite (SURVEY.md §5): the Hello/World roundtrip,
 COUNT(*)=2, the `WHERE id > 2` filter, `filter(id>1).select(name,email)`,
-the users⋈orders join ordered by order_id, and duplicate-append semantics.
-Fixture rows come from:
+the users⋈orders join ordered by order_id, duplicate-append semantics, and
+a DECIMAL(10,2) aggregate. Fixture rows come from:
 - test_table (1,'Hello'),(2,'World') — reference:
   workspace/notebooks/getting_started.ipynb:87-96
 - users Alice/Bob/Charlie/Diana — reference:
   workspace/notebooks/iceberg_queries.ipynb:125-129
-- orders 101..104 — reference: workspace/notebooks/iceberg_queries.ipynb:266-270
+- orders 101..104 with amount DECIMAL(10,2) — reference:
+  workspace/notebooks/iceberg_queries.ipynb:254-270
 - duplicate INSERT duplicates rows by design — reference:
   SETUP_GUIDE_WIN.md:362-371
 """
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 
 from minio_iceberg_polaris_lakehouse_spark.registry import register
 
-_USERS_SPARK = """
-    VALUES (1, 'Alice', 'alice@example.com', DATE '2025-01-01'),
-           (2, 'Bob', 'bob@example.com', DATE '2025-01-02'),
-           (3, 'Charlie', 'charlie@example.com', DATE '2025-01-03'),
-           (4, 'Diana', 'diana@example.com', DATE '2025-01-04')
-        AS users(id, name, email, created_date)
-"""
 _USERS_DUCK = """
     (VALUES (1, 'Alice', 'alice@example.com', DATE '2025-01-01'),
             (2, 'Bob', 'bob@example.com', DATE '2025-01-02'),
             (3, 'Charlie', 'charlie@example.com', DATE '2025-01-03'),
             (4, 'Diana', 'diana@example.com', DATE '2025-01-04'))
         AS users(id, name, email, created_date)
-"""
-# amount is DOUBLE here (the reference uses DECIMAL(10,2); double keeps the
-# cross-engine comparison free of decimal-width differences, values equal).
-_ORDERS_SPARK = """
-    VALUES (101, 1, CAST(150.50 AS DOUBLE), DATE '2025-01-10'),
-           (102, 2, CAST(200.00 AS DOUBLE), DATE '2025-01-11'),
-           (103, 1, CAST(75.25 AS DOUBLE), DATE '2025-01-12'),
-           (104, 3, CAST(300.00 AS DOUBLE), DATE '2025-01-13')
-        AS orders(order_id, user_id, amount, order_date)
-"""
-_ORDERS_DUCK = """
-    (VALUES (101, 1, CAST(150.50 AS DOUBLE), DATE '2025-01-10'),
-            (102, 2, CAST(200.00 AS DOUBLE), DATE '2025-01-11'),
-            (103, 1, CAST(75.25 AS DOUBLE), DATE '2025-01-12'),
-            (104, 3, CAST(300.00 AS DOUBLE), DATE '2025-01-13'))
-        AS orders(order_id, user_id, amount, order_date)
-"""
-_TEST_TABLE_SPARK = "VALUES (1, 'Hello'), (2, 'World') AS test_table(id, name)"
-_TEST_TABLE_DUCK = "(VALUES (1, 'Hello'), (2, 'World')) AS test_table(id, name)"
-
-
-@register(
-    "ref_select_star",
-    oracle=f"SELECT id, name FROM {_TEST_TABLE_DUCK} ORDER BY id",
-)
-def ref_select_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """getting_started.ipynb:102 `SELECT * FROM test_table` → Hello/World."""
-    return spark.sql(f"SELECT id, name FROM {_TEST_TABLE_SPARK} ORDER BY id")
-
-
-@register(
-    "ref_count_star",
-    oracle=f"SELECT CAST(COUNT(*) AS BIGINT) AS total FROM {_TEST_TABLE_DUCK}",
-)
-def ref_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """getting_started.ipynb:160 `SELECT COUNT(*) as total` → 2."""
-    return spark.sql(f"SELECT CAST(COUNT(*) AS BIGINT) AS total FROM {_TEST_TABLE_SPARK}")
-
-
-@register(
-    "ref_filter_gt",
-    oracle=f"SELECT id, name, email, created_date FROM {_USERS_DUCK} WHERE id > 2 ORDER BY id",
-)
-def ref_filter_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """iceberg_queries.ipynb:171 `SELECT * FROM users WHERE id > 2`."""
-    return spark.sql(
-        f"SELECT id, name, email, created_date FROM {_USERS_SPARK} WHERE id > 2 ORDER BY id"
-    )
-
-
-@register(
-    "ref_filter_select",
-    oracle=f"SELECT name, email FROM {_USERS_DUCK} WHERE id > 1 ORDER BY name",
-)
-def ref_filter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """iceberg_queries.ipynb:233-234 `df.filter(df.id > 1).select("name","email")`
-    — built via the DataFrame API to keep the reference's entry point."""
-    users = spark.sql(f"SELECT * FROM {_USERS_SPARK}")
-    return users.filter(users.id > 1).select("name", "email").orderBy("name")
-
-
-@register(
-    "ref_join_users_orders",
-    oracle=f"""
-    SELECT u.name, u.email, o.order_id, o.amount
-    FROM {_USERS_DUCK}
-    JOIN {_ORDERS_DUCK} ON u.id = o.user_id
-    ORDER BY o.order_id
-    """.replace("AS users(", "AS u(").replace("AS orders(", "AS o("),
-)
-def ref_join_users_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """iceberg_queries.ipynb:291-299: users⋈orders ORDER BY order_id."""
-    u = _USERS_SPARK.replace("AS users(", "AS u(")
-    o = _ORDERS_SPARK.replace("AS orders(", "AS o(")
-    return spark.sql(
-        f"""
-        SELECT u.name, u.email, o.order_id, o.amount
-        FROM {u} JOIN {o} ON u.id = o.user_id
-        ORDER BY o.order_id
-        """
-    )
-
-
-# DECIMAL(10,2) end-to-end — the reference's actual orders schema
-# (`amount DECIMAL(10,2)`, iceberg_queries.ipynb:257). Unlike
-# ref_join_users_orders (double for historical reasons), this variant keeps
-# DecimalType(10,2) through the join and an exact decimal SUM, pinned to the
-# same widths on both engines.
-_ORDERS_DEC_SPARK = """
-    VALUES (101, 1, CAST(150.50 AS DECIMAL(10,2)), DATE '2025-01-10'),
-           (102, 2, CAST(200.00 AS DECIMAL(10,2)), DATE '2025-01-11'),
-           (103, 1, CAST(75.25 AS DECIMAL(10,2)), DATE '2025-01-12'),
-           (104, 3, CAST(300.00 AS DECIMAL(10,2)), DATE '2025-01-13')
-        AS o(order_id, user_id, amount, order_date)
 """
 _ORDERS_DEC_DUCK = """
     (VALUES (101, 1, CAST(150.50 AS DECIMAL(10,2)), DATE '2025-01-10'),
@@ -135,6 +40,136 @@ _ORDERS_DEC_DUCK = """
             (104, 3, CAST(300.00 AS DECIMAL(10,2)), DATE '2025-01-13'))
         AS o(order_id, user_id, amount, order_date)
 """
+_TEST_TABLE_DUCK = "(VALUES (1, 'Hello'), (2, 'World')) AS test_table(id, name)"
+
+# One fixture warehouse per Spark application, built by replaying the
+# reference notebooks' DDL/INSERT transcript through the SQL front-end.
+_LAKES: dict[str, object] = {}
+
+
+def _lake(spark: SparkSession):
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    key = spark.sparkContext.applicationId
+    if key in _LAKES:
+        return _LAKES[key]
+    lake = LakehouseSQL(spark, tempfile.mkdtemp(prefix="lh_golden_"))
+    # getting_started.ipynb:87-96
+    lake.sql(
+        "CREATE TABLE IF NOT EXISTS polaris.test_db.test_table (id INT, name STRING) USING ICEBERG"
+    )
+    lake.sql("INSERT INTO polaris.test_db.test_table VALUES (1, 'Hello'), (2, 'World')")
+    # duplicate-append table: the same INSERT run twice (SETUP_GUIDE_WIN.md:362-371)
+    lake.sql(
+        "CREATE TABLE IF NOT EXISTS polaris.test_db.test_table_dup (id INT, name STRING) USING ICEBERG"
+    )
+    lake.sql("INSERT INTO polaris.test_db.test_table_dup VALUES (1, 'Hello'), (2, 'World')")
+    lake.sql("INSERT INTO polaris.test_db.test_table_dup VALUES (1, 'Hello'), (2, 'World')")
+    # iceberg_queries.ipynb:93-129
+    lake.sql(
+        """
+        CREATE TABLE IF NOT EXISTS polaris.my_warehouse.users (
+            id INT, name STRING, email STRING, created_date DATE
+        ) USING ICEBERG PARTITIONED BY (created_date)
+        """
+    )
+    lake.sql(
+        """
+        INSERT INTO polaris.my_warehouse.users VALUES
+        (1, 'Alice', 'alice@example.com', '2025-01-01'),
+        (2, 'Bob', 'bob@example.com', '2025-01-02'),
+        (3, 'Charlie', 'charlie@example.com', '2025-01-03'),
+        (4, 'Diana', 'diana@example.com', '2025-01-04')
+        """
+    )
+    # iceberg_queries.ipynb:254-270 (amount DECIMAL(10,2), :257)
+    lake.sql(
+        """
+        CREATE TABLE IF NOT EXISTS polaris.my_warehouse.orders (
+            order_id INT, user_id INT, amount DECIMAL(10,2), order_date DATE
+        ) USING ICEBERG PARTITIONED BY (order_date)
+        """
+    )
+    lake.sql(
+        """
+        INSERT INTO polaris.my_warehouse.orders VALUES
+        (101, 1, 150.50, '2025-01-10'),
+        (102, 2, 200.00, '2025-01-11'),
+        (103, 1, 75.25, '2025-01-12'),
+        (104, 3, 300.00, '2025-01-13')
+        """
+    )
+    _LAKES[key] = lake
+    return lake
+
+
+@register(
+    "ref_select_star",
+    oracle=f"SELECT id, name FROM {_TEST_TABLE_DUCK} ORDER BY id",
+)
+def ref_select_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getting_started.ipynb:102 `SELECT * FROM test_table` → Hello/World,
+    via the SQL front-end against the warehouse table."""
+    return _lake(spark).sql("SELECT id, name FROM polaris.test_db.test_table ORDER BY id")
+
+
+@register(
+    "ref_count_star",
+    oracle=f"SELECT CAST(COUNT(*) AS BIGINT) AS total FROM {_TEST_TABLE_DUCK}",
+)
+def ref_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getting_started.ipynb:160 `SELECT COUNT(*) as total` → 2."""
+    return _lake(spark).sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS total FROM polaris.test_db.test_table"
+    )
+
+
+@register(
+    "ref_filter_gt",
+    oracle=f"SELECT id, name, email, created_date FROM {_USERS_DUCK} WHERE id > 2 ORDER BY id",
+)
+def ref_filter_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iceberg_queries.ipynb:171 `SELECT * FROM polaris.my_warehouse.users
+    WHERE id > 2` (3-part name through the front-end)."""
+    return _lake(spark).sql(
+        "SELECT id, name, email, created_date FROM polaris.my_warehouse.users "
+        "WHERE id > 2 ORDER BY id"
+    )
+
+
+@register(
+    "ref_filter_select",
+    oracle=f"SELECT name, email FROM {_USERS_DUCK} WHERE id > 1 ORDER BY name",
+)
+def ref_filter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iceberg_queries.ipynb:233-234 `spark.table("my_warehouse.users")
+    .filter(df.id > 1).select("name","email")` — the DataFrame entry point
+    of the front-end."""
+    users = _lake(spark).table("my_warehouse.users")
+    return users.filter(users.id > 1).select("name", "email").orderBy("name")
+
+
+@register(
+    "ref_join_users_orders",
+    oracle=f"""
+    SELECT u.name, u.email, o.order_id, CAST(o.amount AS DOUBLE) AS amount
+    FROM {_USERS_DUCK.replace("AS users(", "AS u(")}
+    JOIN {_ORDERS_DEC_DUCK} ON u.id = o.user_id
+    ORDER BY o.order_id
+    """,
+)
+def ref_join_users_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iceberg_queries.ipynb:291-299: users⋈orders ORDER BY order_id, with
+    2-part default-catalog names exactly as the notebook writes them
+    (amount cast to DOUBLE on both sides for a width-free hash compare)."""
+    return _lake(spark).sql(
+        """
+        SELECT u.name, u.email, o.order_id, CAST(o.amount AS DOUBLE) AS amount
+        FROM my_warehouse.users u
+        JOIN my_warehouse.orders o ON u.id = o.user_id
+        ORDER BY o.order_id
+        """
+    )
 
 
 @register(
@@ -151,18 +186,18 @@ _ORDERS_DEC_DUCK = """
     """,
 )
 def ref_join_users_orders_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DECIMAL(10,2) flowing through join + aggregate end-to-end
-    (reference iceberg_queries.ipynb:257 `amount DECIMAL(10,2)`): decimal
-    min and sum with result widths pinned to DECIMAL(10,2)/DECIMAL(12,2) on
-    both engines so the value hash compares equal-scale decimals."""
-    u = _USERS_SPARK.replace("AS users(", "AS u(")
-    return spark.sql(
-        f"""
+    """DECIMAL(10,2) end-to-end (reference iceberg_queries.ipynb:257
+    `amount DECIMAL(10,2)`): the warehouse column IS DecimalType(10,2) —
+    created by the SQL front-end — and decimal min/sum flow through the
+    join with result widths pinned on both engines."""
+    return _lake(spark).sql(
+        """
         SELECT u.name,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
                CAST(MIN(o.amount) AS DECIMAL(10,2)) AS min_amount,
                CAST(SUM(o.amount) AS DECIMAL(12,2)) AS total_spent
-        FROM {u} JOIN {_ORDERS_DEC_SPARK} ON u.id = o.user_id
+        FROM my_warehouse.users u
+        JOIN my_warehouse.orders o ON u.id = o.user_id
         GROUP BY u.name
         ORDER BY u.name
         """
@@ -179,13 +214,11 @@ def ref_join_users_orders_decimal(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def ref_duplicate_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INSERT is append-only — re-running it duplicates rows by design
-    (SETUP_GUIDE_WIN.md:362-371). Modeled as UNION ALL of the same insert
-    batch: 4 rows, 2 distinct ids. The engine must NOT dedup on append."""
-    t = spark.sql(f"SELECT id, name FROM {_TEST_TABLE_SPARK}")
-    appended = t.unionAll(t)
-    from pyspark.sql import functions as F
-
-    return appended.agg(
-        F.count("*").alias("total"), F.count_distinct("id").alias("distinct_ids")
+    """INSERT is append-only — the fixture ran the same INSERT INTO twice
+    (SETUP_GUIDE_WIN.md:362-371): 4 rows, 2 distinct ids. The engine must
+    NOT dedup on append."""
+    return _lake(spark).sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS total, "
+        "CAST(COUNT(DISTINCT id) AS BIGINT) AS distinct_ids "
+        "FROM polaris.test_db.test_table_dup"
     )

@@ -1,0 +1,440 @@
+"""SQL-string front-end for the warehouse — the way the reference is
+actually operated.
+
+The reference drives everything through ``spark.sql`` strings against an
+Iceberg catalog: DDL (CREATE NAMESPACE/TABLE, getting_started.ipynb:87-92,
+iceberg_queries.ipynb:93-100), DML (INSERT INTO ... VALUES,
+getting_started.ipynb:96), metadata statements (SHOW NAMESPACES / TABLES /
+TBLPROPERTIES, DESCRIBE [EXTENDED]), metadata tables (t.history,
+t.snapshots, getting_started.ipynb:166-169), and time travel
+(VERSION AS OF / TIMESTAMP AS OF, warehouse_helpers.py:134-136). This
+module lets those exact statements run against the engine:
+
+- **Catalog statements** are parsed here (a deliberately small, regex-based
+  statement grammar — the reference surface, not a full SQL dialect) and
+  executed against :class:`Warehouse`, returning DataFrames shaped like
+  Spark's own (SHOW TABLES → namespace/tableName/isTemporary, ...).
+- **Queries** (SELECT/WITH) are NOT parsed here: warehouse table
+  references are rewritten to registered temp views and the statement is
+  handed to ``spark.sql`` — Catalyst does all analysis/optimization, so
+  the full Spark SQL SELECT dialect works, with snapshot isolation per
+  statement (each view pins the manifest resolved at rewrite time).
+- **VALUES literals** in INSERT are parsed by Spark itself (the statement
+  is rewritten to ``SELECT * FROM (VALUES ...)``), then store-assigned to
+  the table schema — so CAST literals, string→DATE coercion
+  (iceberg_queries.ipynb:125-129) and DECIMAL(10,2) literals behave like
+  Spark ANSI INSERT.
+
+Scale note: this layer only manipulates STRINGS and few-KB metadata; every
+data-moving operation is the same executor-side DataFrame plan the Python
+API produces. Time travel / metadata views resolve manifests driver-side
+in O(commits), as Iceberg does.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import types as T
+
+from minio_iceberg_polaris_lakehouse_spark.warehouse import Table, Warehouse, WarehouseError
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def _fullmatch(pattern: str, s: str) -> re.Match | None:
+    return re.fullmatch(pattern, s, re.IGNORECASE | re.DOTALL)
+
+
+def _split_top_level(text: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren depth 0 (DECIMAL(10,2) stays intact)."""
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _balanced_paren_group(text: str) -> tuple[str, str]:
+    """(inside-of-first-balanced-group, remainder-after-it)."""
+    start = text.index("(")
+    depth = 0
+    for i in range(start, len(text)):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return text[start + 1 : i], text[i + 1 :]
+    raise WarehouseError(f"unbalanced parentheses in: {text[:80]}")
+
+
+class LakehouseSQL:
+    """SQL entry point bound to one warehouse directory, mirroring the
+    reference's ``spark.sql`` usage with catalog ``polaris`` and 2-part
+    default-catalog names (iceberg_queries.ipynb:151, `SELECT * FROM
+    my_warehouse.users`)."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str, catalog: str = "polaris"):
+        self.spark = spark
+        self.wh = Warehouse(spark, warehouse_dir)
+        self.catalog = catalog
+
+    # ------------------------------------------------------------------ API
+    def sql(self, statement: str) -> DataFrame:
+        s = statement.strip().rstrip(";").strip()
+        head = s.split(None, 1)[0].upper() if s else ""
+        if head in ("SELECT", "WITH", "VALUES", "TABLE"):
+            return self.spark.sql(self._rewrite_query(s))
+        for matcher, handler in self._STATEMENTS:
+            m = _fullmatch(matcher, s)
+            if m:
+                return handler(self, m)
+        raise WarehouseError(f"unsupported SQL statement: {s[:120]}")
+
+    def table(self, name: str) -> DataFrame:
+        """``spark.table("my_warehouse.users")`` equivalent
+        (iceberg_queries.ipynb:233)."""
+        ns, t = self._resolve_table_name(name)
+        return self.wh.table(ns, t).read()
+
+    # ------------------------------------------------------- name handling
+    def _resolve_table_name(self, name: str) -> tuple[str, str]:
+        parts = [p.strip() for p in name.split(".")]
+        if len(parts) == 3:
+            if parts[0].lower() != self.catalog.lower():
+                raise WarehouseError(f"unknown catalog {parts[0]} (expected {self.catalog})")
+            return parts[1], parts[2]
+        if len(parts) == 2:
+            return parts[0], parts[1]
+        raise WarehouseError(f"table name must be [catalog.]namespace.table: {name}")
+
+    def _resolve_ns_name(self, name: str) -> str:
+        parts = [p.strip() for p in name.split(".")]
+        if len(parts) == 2:
+            if parts[0].lower() != self.catalog.lower():
+                raise WarehouseError(f"unknown catalog {parts[0]} (expected {self.catalog})")
+            return parts[1]
+        if len(parts) == 1:
+            return parts[0]
+        raise WarehouseError(f"namespace must be [catalog.]namespace: {name}")
+
+    def _existing_table(self, name: str) -> Table:
+        ns, t = self._resolve_table_name(name)
+        tab = self.wh.table(ns, t)
+        if not tab.exists():
+            raise WarehouseError(f"table {ns}.{t} does not exist")
+        return tab
+
+    # ------------------------------------------------------- SELECT rewrite
+    def _rewrite_query(self, s: str) -> str:
+        """Replace warehouse table references (2/3-part names, optional
+        .history/.snapshots metadata suffix, optional VERSION AS OF /
+        TIMESTAMP AS OF) with temp views over the resolved snapshot, then
+        let Catalyst handle the rest of the statement untouched. Unknown
+        qualified names (column refs like ``u.name``) are left alone —
+        only names that resolve to existing warehouse tables rewrite."""
+        cat = re.escape(self.catalog)
+        pattern = re.compile(
+            rf"(?<![A-Za-z0-9_.'])"
+            rf"(?:(?P<cat>{cat})\.)?(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+            rf"(?P<meta>\.(?:history|snapshots))?"
+            rf"(?P<tt>\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+            rf"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')?"
+            rf"(?![A-Za-z0-9_.])",
+            re.IGNORECASE,
+        )
+
+        def repl(m: re.Match) -> str:
+            ns, tbl = m.group("ns"), m.group("tbl")
+            tab = self.wh.table(ns, tbl)
+            if not tab.exists():
+                return m.group(0)  # not a warehouse table (e.g. alias.column)
+            meta = (m.group("meta") or "").lstrip(".").lower()
+            view = f"_lh_{ns}__{tbl}"
+            if meta:
+                df = tab.history() if meta == "history" else tab.snapshots()
+                view += f"__{meta}"
+            elif m.group("ver") is not None:
+                version = int(m.group("ver"))
+                df = tab.read(version=version)
+                view += f"__v{version}"
+            elif m.group("ts") is not None:
+                ts = datetime.datetime.fromisoformat(m.group("ts"))
+                ms = int(ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+                df = tab.read(as_of_ms=ms)
+                view += f"__ts{ms}"
+            else:
+                df = tab.read()
+            df.createOrReplaceTempView(view)
+            return view
+
+        return pattern.sub(repl, s)
+
+    # --------------------------------------------------------- DDL handlers
+    def _show_catalogs(self, m: re.Match) -> DataFrame:
+        return self.spark.createDataFrame([Row(catalog=self.catalog)], "catalog string")
+
+    def _show_namespaces(self, m: re.Match) -> DataFrame:
+        if m.group(1) and m.group(1).lower() != self.catalog.lower():
+            raise WarehouseError(f"unknown catalog {m.group(1)}")
+        rows = [Row(namespace=ns) for ns in self.wh.list_namespaces()]
+        return self.spark.createDataFrame(rows, "namespace string")
+
+    def _show_tables(self, m: re.Match) -> DataFrame:
+        ns = self._resolve_ns_name(m.group(1))
+        rows = [
+            Row(namespace=ns, tableName=t, isTemporary=False) for t in self.wh.list_tables(ns)
+        ]
+        schema = "namespace string, tableName string, isTemporary boolean"
+        return self.spark.createDataFrame(rows, schema)
+
+    def _show_tblproperties(self, m: re.Match) -> DataFrame:
+        tab = self._existing_table(m.group(1))
+        rows = [Row(key=k, value=v) for k, v in sorted(tab.properties().items())]
+        return self.spark.createDataFrame(rows, "key string, value string")
+
+    def _create_namespace(self, m: re.Match) -> DataFrame:
+        self.wh.create_namespace(self._resolve_ns_name(m.group(1)))
+        return self._empty()
+
+    def _drop_namespace(self, m: re.Match) -> DataFrame:
+        if_exists, name, cascade = m.group(1), m.group(2), m.group(3)
+        ns = self._resolve_ns_name(name)
+        if ns not in self.wh.list_namespaces() and if_exists:
+            return self._empty()
+        self.wh.drop_namespace(ns, cascade=bool(cascade))
+        return self._empty()
+
+    def _create_table(self, m: re.Match) -> DataFrame:
+        if_not_exists, rest = bool(m.group(1)), m.group(2)
+        name_m = re.match(rf"\s*((?:{_IDENT}\.)*{_IDENT})\s*\(", rest)
+        if not name_m:
+            raise WarehouseError(f"cannot parse CREATE TABLE: {rest[:80]}")
+        ns, t = self._resolve_table_name(name_m.group(1))
+        cols_text, tail = _balanced_paren_group(rest)
+        schema_ddl = ", ".join(_split_top_level(cols_text))
+
+        partition_by, transform = None, "identity"
+        props: dict[str, str] = {}
+        tail = tail.strip()
+        using_m = re.match(r"USING\s+(\w+)\s*", tail, re.IGNORECASE)
+        if using_m:  # USING ICEBERG — the engine's native format IS the
+            tail = tail[using_m.end() :].strip()  # snapshot/parquet format
+        part_m = re.match(r"PARTITIONED\s+BY\s*\(", tail, re.IGNORECASE)
+        if part_m:
+            part_text, tail = _balanced_paren_group(tail)
+            partition_by, transform = self._parse_partition_expr(part_text.strip())
+            tail = tail.strip()
+        props_m = re.match(r"TBLPROPERTIES\s*\(", tail, re.IGNORECASE)
+        if props_m:
+            props_text, tail = _balanced_paren_group(tail)
+            for kv in _split_top_level(props_text):
+                k, v = kv.split("=", 1)
+                props[k.strip().strip("'\"")] = v.strip().strip("'\"")
+        if tail.strip():
+            raise WarehouseError(f"unparsed CREATE TABLE clause: {tail[:80]}")
+        self.wh.create_table(
+            ns,
+            t,
+            schema_ddl,
+            partition_by=partition_by,
+            transform=transform,
+            properties=props or None,
+            if_not_exists=if_not_exists,
+        )
+        return self._empty()
+
+    @staticmethod
+    def _parse_partition_expr(expr: str) -> tuple[str, str]:
+        """The reference's partition transforms: a bare column (identity,
+        iceberg_queries.ipynb:100), CAST(col AS DATE) — the day transform
+        (warehouse_helpers.py:48) — and Iceberg's named transforms."""
+        m = _fullmatch(rf"CAST\s*\(\s*({_IDENT})\s+AS\s+DATE\s*\)", expr)
+        if m:
+            return m.group(1), "day"
+        m = _fullmatch(rf"(days?|months?|years?)\s*\(\s*({_IDENT})\s*\)", expr)
+        if m:
+            return m.group(2), {"day": "day", "month": "month", "year": "year"}[
+                m.group(1).lower().rstrip("s")
+            ]
+        m = _fullmatch(rf"bucket\s*\(\s*16\s*,\s*({_IDENT})\s*\)", expr)
+        if m:
+            return m.group(1), "bucket16"
+        m = _fullmatch(_IDENT, expr)
+        if m:
+            return expr, "identity"
+        raise WarehouseError(f"unsupported partition transform: {expr}")
+
+    def _drop_table(self, m: re.Match) -> DataFrame:
+        ns, t = self._resolve_table_name(m.group(2))
+        self.wh.drop_table(ns, t, if_exists=bool(m.group(1)))
+        return self._empty()
+
+    def _describe(self, m: re.Match) -> DataFrame:
+        extended = bool(m.group(1)) and m.group(1).strip().upper() == "EXTENDED"
+        tab = self._existing_table(m.group(2))
+        rows = [Row(col_name=c, data_type=d, comment=None) for c, d in tab.describe()]
+        spec = tab.partition_spec()
+        if spec.source is not None:
+            rows += [
+                Row(col_name="", data_type="", comment=None),
+                Row(col_name="# Partitioning", data_type="", comment=None),
+                Row(
+                    col_name="Part 0",
+                    data_type=(
+                        spec.source
+                        if spec.transform == "identity"
+                        else f"{spec.transform}({spec.source})"
+                    ),
+                    comment=None,
+                ),
+            ]
+        if extended:
+            rows += [
+                Row(col_name="", data_type="", comment=None),
+                Row(col_name="# Metadata Columns", data_type="", comment=None),
+                Row(col_name="_spec_id", data_type="int", comment=None),
+                Row(col_name="_partition", data_type="struct<>", comment=None),
+                Row(col_name="_file", data_type="string", comment=None),
+                Row(col_name="_pos", data_type="bigint", comment=None),
+                Row(col_name="_deleted", data_type="boolean", comment=None),
+                Row(col_name="", data_type="", comment=None),
+                Row(col_name="# Detailed Table Information", data_type="", comment=None),
+                Row(col_name="Name", data_type=f"{self.catalog}.{tab.ns}.{tab.name}", comment=None),
+                Row(col_name="Location", data_type=tab.path, comment=None),
+                Row(col_name="Provider", data_type="iceberg", comment=None),
+                Row(
+                    col_name="Table Properties",
+                    data_type="["
+                    + ",".join(f"{k}={v}" for k, v in sorted(tab.properties().items()))
+                    + "]",
+                    comment=None,
+                ),
+            ]
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string"
+        )
+
+    # --------------------------------------------------------- DML handlers
+    def _insert_values(self, m: re.Match) -> DataFrame:
+        tab = self._existing_table(m.group(1))
+        values_sql = m.group(2)
+        # Spark's own parser handles the literal rows (CAST literals,
+        # string→DATE coercion, decimals) — we never tokenize values.
+        src = self.spark.sql(f"SELECT * FROM (VALUES {values_sql})")
+        self._append_positional(tab, src)
+        return self._empty()
+
+    def _insert_select(self, m: re.Match) -> DataFrame:
+        tab = self._existing_table(m.group(1))
+        src = self.spark.sql(self._rewrite_query(m.group(2)))
+        self._append_positional(tab, src)
+        return self._empty()
+
+    @staticmethod
+    def _append_positional(tab: Table, src: DataFrame) -> None:
+        schema = tab.schema()
+        if len(src.columns) != len(schema.fields):
+            raise WarehouseError(
+                f"INSERT column count {len(src.columns)} != table arity {len(schema.fields)}"
+            )
+        from pyspark.sql import functions as F
+
+        aligned = src.select(
+            *[
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(src.columns, schema.fields)
+            ]
+        )
+        tab.append(aligned)
+
+    def _delete_from(self, m: re.Match) -> DataFrame:
+        tab = self._existing_table(m.group(1))
+        tab.delete_where(m.group(2))
+        return self._empty()
+
+    # ------------------------------------------------------- ALTER handlers
+    def _alter_add_column(self, m: re.Match) -> DataFrame:
+        tab = self._existing_table(m.group(1))
+        cols_text = m.group(2).strip()
+        if cols_text.startswith("("):
+            cols_text = _balanced_paren_group(cols_text)[0]
+        for col_def in _split_top_level(cols_text):
+            name, dtype = col_def.split(None, 1)
+            tab.add_column(name, dtype)
+        return self._empty()
+
+    def _alter_drop_column(self, m: re.Match) -> DataFrame:
+        self._existing_table(m.group(1)).drop_column(m.group(2))
+        return self._empty()
+
+    def _alter_rename_column(self, m: re.Match) -> DataFrame:
+        self._existing_table(m.group(1)).rename_column(m.group(2), m.group(3))
+        return self._empty()
+
+    def _alter_compact(self, m: re.Match) -> DataFrame:
+        """The reference helper issues `ALTER TABLE t COMPACT`
+        (warehouse_helpers.py:145) — not valid Spark/Iceberg SQL, but the
+        intent (small-file compaction, README.md:141-142) is clear; we
+        accept it and run the valid rewrite_data_files operation."""
+        self._existing_table(m.group(1)).compact()
+        return self._empty()
+
+    def _call_rewrite_data_files(self, m: re.Match) -> DataFrame:
+        tab = self._existing_table(m.group(1).strip("'\""))
+        before = tab.data_file_count()
+        tab.compact()
+        after = tab.data_file_count()
+        return self.spark.createDataFrame(
+            [Row(rewritten_data_files_count=before, added_data_files_count=after)],
+            "rewritten_data_files_count int, added_data_files_count int",
+        )
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], T.StructType([]))
+
+    # statement table: (fullmatch regex, handler) — first match wins
+    _STATEMENTS = [
+        (r"SHOW\s+CATALOGS", _show_catalogs),
+        (rf"SHOW\s+NAMESPACES(?:\s+IN\s+({_IDENT}))?", _show_namespaces),
+        (rf"SHOW\s+TABLES\s+IN\s+((?:{_IDENT}\.)?{_IDENT})", _show_tables),
+        (rf"SHOW\s+TBLPROPERTIES\s+((?:{_IDENT}\.)*{_IDENT})", _show_tblproperties),
+        (rf"CREATE\s+NAMESPACE\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:{_IDENT}\.)?{_IDENT})", _create_namespace),
+        (rf"DROP\s+NAMESPACE\s+(IF\s+EXISTS\s+)?((?:{_IDENT}\.)?{_IDENT})(\s+CASCADE)?", _drop_namespace),
+        (r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(.*)", _create_table),
+        (rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?((?:{_IDENT}\.)*{_IDENT})", _drop_table),
+        (rf"DESCRIBE\s+(TABLE\s+|EXTENDED\s+)?((?:{_IDENT}\.)*{_IDENT})", _describe),
+        (rf"INSERT\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})\s+VALUES\s+(.*)", _insert_values),
+        (rf"INSERT\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})\s+(SELECT\s+.*|WITH\s+.*)", _insert_select),
+        (rf"DELETE\s+FROM\s+((?:{_IDENT}\.)*{_IDENT})\s+WHERE\s+(.*)", _delete_from),
+        (
+            rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+ADD\s+COLUMNS?\s+(.*)",
+            _alter_add_column,
+        ),
+        (
+            rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+DROP\s+COLUMN\s+({_IDENT})",
+            _alter_drop_column,
+        ),
+        (
+            rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})",
+            _alter_rename_column,
+        ),
+        (rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+COMPACT", _alter_compact),
+        (
+            rf"CALL\s+{_IDENT}\.system\.rewrite_data_files\s*\(\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*\)",
+            _call_rewrite_data_files,
+        ),
+    ]

@@ -350,6 +350,8 @@ class Table:
     def _resolve(self, version: int | None = None, as_of_ms: int | None = None) -> dict:
         snaps = self._snaps()
         if not snaps:
+            if version is not None:
+                raise WarehouseError(f"snapshot {version} not found for {self.ns}.{self.name}")
             return {"manifest": [], "snapshot_id": None}
         if version is not None:
             for s in snaps:
@@ -699,7 +701,8 @@ class Table:
         schema = T.StructType.fromJson(json.loads(meta["schema"]))
         if name in [f.name for f in schema.fields]:
             raise WarehouseError(f"column {name} exists")
-        schema = schema.add(name, dtype)
+        # fromDDL accepts any case and parameterized types (DECIMAL(10,2))
+        schema = schema.add(T.StructType.fromDDL(f"{name} {dtype}").fields[0])
         meta["schema"] = schema.json()
         self._write_meta(meta)
 

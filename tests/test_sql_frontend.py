@@ -1,0 +1,266 @@
+"""Replay of the reference notebooks' SQL transcripts against the engine's
+SQL front-end — statement for statement, asserting the committed golden
+outputs (getting_started.ipynb:87-169; iceberg_queries.ipynb:53-341;
+warehouse_helpers.py usage surface)."""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+
+import pytest
+
+from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+from minio_iceberg_polaris_lakehouse_spark.warehouse import WarehouseError
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return LakehouseSQL(spark, str(tmp_path / "warehouse"))
+
+
+def test_getting_started_transcript(lake):
+    # getting_started.ipynb:87-96 — DDL + INSERT
+    lake.sql(
+        """
+        CREATE TABLE IF NOT EXISTS polaris.test_db.test_table (
+            id INT,
+            name STRING
+        )
+        USING ICEBERG
+        """
+    )
+    lake.sql("INSERT INTO polaris.test_db.test_table VALUES (1, 'Hello'), (2, 'World')")
+
+    # :102 SELECT * → Hello/World golden
+    rows = sorted(tuple(r) for r in lake.sql("SELECT * FROM polaris.test_db.test_table").collect())
+    assert rows == [(1, "Hello"), (2, "World")]
+
+    # :160 COUNT(*) as total → 2
+    total = lake.sql("SELECT COUNT(*) as total FROM polaris.test_db.test_table").collect()
+    assert total[0].total == 2
+
+    # :163 DESCRIBE EXTENDED — schema + metadata columns + detailed info
+    desc = lake.sql("DESCRIBE EXTENDED polaris.test_db.test_table").collect()
+    names = [r.col_name for r in desc]
+    assert names[:2] == ["id", "name"]
+    assert "# Metadata Columns" in names and "_deleted" in names
+    assert "# Detailed Table Information" in names
+
+    # :166-169 history + snapshots metadata tables
+    hist = lake.sql("SELECT * FROM polaris.test_db.test_table.history").collect()
+    assert [r.snapshot_id for r in hist] == [1]
+    snaps = lake.sql("SELECT * FROM polaris.test_db.test_table.snapshots").collect()
+    assert snaps[0].operation == "append"
+    assert snaps[0].summary["added-records"] == "2"
+
+    # duplicate INSERT duplicates rows by design (SETUP_GUIDE_WIN.md:362-371)
+    lake.sql("INSERT INTO polaris.test_db.test_table VALUES (1, 'Hello'), (2, 'World')")
+    assert lake.sql("SELECT COUNT(*) AS n FROM polaris.test_db.test_table").collect()[0].n == 4
+
+
+def test_iceberg_queries_transcript(lake):
+    # iceberg_queries.ipynb:53 SHOW CATALOGS
+    assert [r.catalog for r in lake.sql("SHOW CATALOGS").collect()] == ["polaris"]
+
+    # :72-78 namespace
+    lake.sql("CREATE NAMESPACE IF NOT EXISTS polaris.my_warehouse")
+    assert "my_warehouse" in [r.namespace for r in lake.sql("SHOW NAMESPACES IN polaris").collect()]
+
+    # :93-100 users table, hidden-partitioned by created_date
+    lake.sql(
+        """
+        CREATE TABLE IF NOT EXISTS polaris.my_warehouse.users (
+            id INT,
+            name STRING,
+            email STRING,
+            created_date DATE
+        )
+        USING ICEBERG
+        PARTITIONED BY (created_date)
+        """
+    )
+
+    # :125-129 INSERT with implicit string→DATE coercion
+    lake.sql(
+        """
+        INSERT INTO polaris.my_warehouse.users VALUES
+        (1, 'Alice', 'alice@example.com', '2025-01-01'),
+        (2, 'Bob', 'bob@example.com', '2025-01-02'),
+        (3, 'Charlie', 'charlie@example.com', '2025-01-03'),
+        (4, 'Diana', 'diana@example.com', '2025-01-04')
+        """
+    )
+
+    # :151 two-part name under the default catalog
+    res = lake.sql("SELECT * FROM my_warehouse.users")
+    assert res.count() == 4
+    assert dict(res.dtypes)["created_date"] == "date"
+
+    # :171 three-part name + filter
+    res = lake.sql("SELECT * FROM polaris.my_warehouse.users WHERE id > 2")
+    assert sorted(r.name for r in res.collect()) == ["Charlie", "Diana"]
+
+    # :191 SHOW TABLES
+    tbls = lake.sql("SHOW TABLES IN polaris.my_warehouse").collect()
+    assert [(r.namespace, r.tableName, r.isTemporary) for r in tbls] == [
+        ("my_warehouse", "users", False)
+    ]
+
+    # :210-214 DESCRIBE + TBLPROPERTIES
+    desc = lake.sql("DESCRIBE TABLE polaris.my_warehouse.users").collect()
+    assert [(r.col_name, r.data_type) for r in desc[:4]] == [
+        ("id", "int"),
+        ("name", "string"),
+        ("email", "string"),
+        ("created_date", "date"),
+    ]
+    props = {r.key: r.value for r in lake.sql("SHOW TBLPROPERTIES polaris.my_warehouse.users").collect()}
+    assert props["format-version"] == "2"
+    assert props["write.parquet.compression-codec"] == "zstd"
+
+    # :233-234 DataFrame API entry point
+    df = lake.table("my_warehouse.users")
+    got = sorted(tuple(r) for r in df.filter(df.id > 1).select("name", "email").collect())
+    assert got[0] == ("Bob", "bob@example.com")
+
+    # :254-270 orders with DECIMAL(10,2)
+    lake.sql(
+        """
+        CREATE TABLE IF NOT EXISTS polaris.my_warehouse.orders (
+            order_id INT,
+            user_id INT,
+            amount DECIMAL(10,2),
+            order_date DATE
+        )
+        USING ICEBERG
+        PARTITIONED BY (order_date)
+        """
+    )
+    lake.sql(
+        """
+        INSERT INTO polaris.my_warehouse.orders VALUES
+        (101, 1, 150.50, '2025-01-10'),
+        (102, 2, 200.00, '2025-01-11'),
+        (103, 1, 75.25, '2025-01-12'),
+        (104, 3, 300.00, '2025-01-13')
+        """
+    )
+    assert dict(lake.table("my_warehouse.orders").dtypes)["amount"] == "decimal(10,2)"
+
+    # :291-299 the join golden, ordered by order_id
+    joined = lake.sql(
+        """
+        SELECT u.name, u.email, o.order_id, o.amount
+        FROM my_warehouse.users u
+        JOIN my_warehouse.orders o ON u.id = o.user_id
+        ORDER BY o.order_id
+        """
+    ).collect()
+    assert [r.order_id for r in joined] == [101, 102, 103, 104]
+    assert joined[0].name == "Alice" and joined[0].amount == decimal.Decimal("150.50")
+
+    # :318-321 history + VERSION AS OF
+    hist = lake.sql("SELECT * FROM polaris.my_warehouse.users.history").collect()
+    assert len(hist) == 1
+    v1 = lake.sql("SELECT * FROM polaris.my_warehouse.users VERSION AS OF 1")
+    assert v1.count() == 4
+
+
+def test_helpers_surface(lake, spark):
+    # warehouse_helpers.py:40-49 — day transform via CAST(ts AS DATE)
+    lake.sql(
+        """
+        CREATE TABLE IF NOT EXISTS polaris.demo.users (
+            id INT, name STRING, email STRING, created_at TIMESTAMP
+        ) USING ICEBERG
+        PARTITIONED BY (CAST(created_at AS DATE))
+        """
+    )
+    # :55-61 INSERT with CAST literals
+    lake.sql(
+        """
+        INSERT INTO polaris.demo.users VALUES
+        (1, 'Alice', 'alice@example.com', CAST('2025-01-01 10:00:00' AS TIMESTAMP)),
+        (2, 'Bob', 'bob@example.com', CAST('2025-01-02 11:00:00' AS TIMESTAMP)),
+        (3, 'Charlie', 'charlie@example.com', CAST('2025-01-03 12:00:00' AS TIMESTAMP)),
+        (4, 'Diana', 'diana@example.com', CAST('2025-01-04 13:00:00' AS TIMESTAMP))
+        """
+    )
+    # :85 row count
+    n = lake.sql("SELECT COUNT(*) as row_count FROM polaris.demo.users").collect()[0].row_count
+    assert n == 4
+
+    # :201 filter example
+    assert lake.sql("SELECT * FROM demo.users WHERE id > 2").count() == 2
+
+    # second snapshot for time travel
+    lake.sql(
+        "INSERT INTO polaris.demo.users VALUES "
+        "(5, 'Eve', 'eve@example.com', CAST('2025-01-05 14:00:00' AS TIMESTAMP))"
+    )
+    # :134 VERSION AS OF
+    assert lake.sql("SELECT * FROM polaris.demo.users VERSION AS OF 1").count() == 4
+    assert lake.sql("SELECT * FROM polaris.demo.users VERSION AS OF 2").count() == 5
+    # :136 TIMESTAMP AS OF (far future = current state)
+    future = (
+        datetime.datetime.now(datetime.timezone.utc) + datetime.timedelta(days=1)
+    ).strftime("%Y-%m-%d %H:%M:%S")
+    assert lake.sql(f"SELECT * FROM polaris.demo.users TIMESTAMP AS OF '{future}'").count() == 5
+
+    # :145 ALTER TABLE COMPACT (reference's invalid-SQL intent → rewrite_data_files)
+    lake.sql("ALTER TABLE polaris.demo.users COMPACT")
+    snaps = lake.sql("SELECT * FROM polaris.demo.users.snapshots").collect()
+    assert snaps[-1].operation == "replace"
+    assert lake.sql("SELECT * FROM demo.users").count() == 5
+
+    # valid compaction form too
+    out = lake.sql("CALL polaris.system.rewrite_data_files(table => 'demo.users')").collect()
+    assert out[0].added_data_files_count >= 1
+
+    # schema evolution success criterion (SETUP_GUIDE_WIN.md:464)
+    lake.sql("ALTER TABLE polaris.demo.users ADD COLUMN status STRING")
+    assert lake.sql("SELECT * FROM demo.users").columns[-1] == "status"
+    lake.sql(
+        "INSERT INTO polaris.demo.users VALUES "
+        "(6, 'Frank', 'frank@example.com', CAST('2025-01-06 09:00:00' AS TIMESTAMP), 'active')"
+    )
+    by_id = {r.id: r.status for r in lake.sql("SELECT id, status FROM demo.users").collect()}
+    assert by_id[1] is None and by_id[6] == "active"
+
+    # DELETE (M1, SETUP_GUIDE_WIN.md:368)
+    lake.sql("DELETE FROM polaris.demo.users WHERE id = 2")
+    assert lake.sql("SELECT COUNT(*) AS n FROM demo.users").collect()[0].n == 5
+
+    # INSERT INTO ... SELECT round-trips through the rewriter
+    lake.sql(
+        """
+        CREATE TABLE polaris.demo.vips (id INT, name STRING, email STRING, created_at TIMESTAMP, status STRING)
+        USING ICEBERG
+        """
+    )
+    lake.sql("INSERT INTO polaris.demo.vips SELECT * FROM demo.users WHERE id > 4")
+    assert lake.sql("SELECT COUNT(*) AS n FROM demo.vips").collect()[0].n == 2
+
+    # :101 DROP TABLE IF EXISTS + DROP NAMESPACE CASCADE (helpers :34)
+    lake.sql("DROP TABLE IF EXISTS polaris.demo.vips")
+    assert [r.tableName for r in lake.sql("SHOW TABLES IN polaris.demo").collect()] == ["users"]
+    lake.sql("DROP NAMESPACE IF EXISTS polaris.demo CASCADE")
+    assert "demo" not in [r.namespace for r in lake.sql("SHOW NAMESPACES").collect()]
+
+
+def test_rename_and_errors(lake):
+    lake.sql("CREATE TABLE polaris.db.t (id INT, email STRING) USING ICEBERG")
+    lake.sql("ALTER TABLE polaris.db.t RENAME COLUMN email TO contact")
+    assert lake.sql("SELECT * FROM db.t").columns == ["id", "contact"]
+    lake.sql("ALTER TABLE polaris.db.t DROP COLUMN contact")
+    assert lake.sql("SELECT * FROM db.t").columns == ["id"]
+
+    # unknown names are left for Spark to reject (they are not warehouse tables)
+    with pytest.raises(Exception):
+        lake.sql("SELECT * FROM wrong_catalog.db.t VERSION AS OF 99").collect()
+    # time travel to a missing snapshot is a warehouse error at rewrite time
+    with pytest.raises(WarehouseError):
+        lake.sql("SELECT * FROM polaris.db.t VERSION AS OF 99")
+    with pytest.raises(WarehouseError):
+        lake.sql("FROBNICATE ALL THE THINGS")
