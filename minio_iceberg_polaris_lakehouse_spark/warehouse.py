@@ -158,6 +158,11 @@ class Warehouse:
         os.makedirs(t.path, exist_ok=True)
         meta = {
             "schema": schema.json(),
+            "table_uuid": str(uuid.uuid4()),
+            # Iceberg-style stable field ids: assigned once, survive
+            # renames, never reused after drops (iceberg_export.py)
+            "column_ids": {f.name: i + 1 for i, f in enumerate(schema.fields)},
+            "last_column_id": len(schema.fields),
             "partition": {"source": partition_by, "transform": transform},
             "spec_history": [{"source": partition_by, "transform": transform}],
             "properties": {
@@ -181,18 +186,25 @@ class Warehouse:
         shutil.rmtree(t.path)
 
 
-def _parquet_footer_rows(out_dir: str) -> int:
-    """Row count from parquet footers — metadata-only, no Spark job, no
-    re-execution of the plan that produced the files (same stats an Iceberg
-    commit reads when building its manifest entries)."""
+def _parquet_footer_stats(out_dir: str) -> list[dict]:
+    """Per-file (path, rows, bytes) from parquet footers — metadata-only,
+    no Spark job, no re-execution of the plan that produced the files
+    (the same stats an Iceberg commit records in its manifest entries)."""
     import pyarrow.parquet as pq
 
-    n = 0
+    stats = []
     for root, _dirs, files in os.walk(out_dir):
-        for f in files:
+        for f in sorted(files):
             if f.endswith(".parquet"):
-                n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-    return n
+                p = os.path.join(root, f)
+                stats.append(
+                    {
+                        "path": os.path.relpath(p, out_dir),
+                        "rows": pq.ParquetFile(p).metadata.num_rows,
+                        "bytes": os.path.getsize(p),
+                    }
+                )
+    return stats
 
 
 def _with_null_metadata_columns(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -303,6 +315,11 @@ class Table:
             }
         )
         _atomic_write_json(os.path.join(self.path, SNAP_FILE), {"snapshots": snaps})
+        # mirror the commit as Iceberg-v2-shaped open metadata so readers
+        # other than this engine can resolve schema + data files
+        from minio_iceberg_polaris_lakehouse_spark.iceberg_export import write_iceberg_metadata
+
+        write_iceberg_metadata(self)
         return sid
 
     def _commit_add(self, operation: str, new_dirs: list[str], summary: dict[str, Any]) -> int:
@@ -599,14 +616,17 @@ class Table:
         else:
             writer.write.option("compression", "zstd").parquet(out)
         # remember which spec wrote this dir (spec evolution, scan pruning)
+        # and its per-file footer stats (commit summaries + Iceberg export)
+        stats = _parquet_footer_stats(out)
         meta = self._meta()
         meta.setdefault("dir_specs", {})[dirname] = {
             "source": spec.source,
             "transform": spec.transform,
             "spec_id": self._current_spec_id(meta),
         }
+        meta.setdefault("dir_stats", {})[dirname] = stats
         self._write_meta(meta)
-        return dirname, _parquet_footer_rows(out)
+        return dirname, sum(s["rows"] for s in stats)
 
     def _current_spec_id(self, meta: dict) -> int:
         """Iceberg-style spec id: position of the current partition spec in
@@ -704,6 +724,8 @@ class Table:
         # fromDDL accepts any case and parameterized types (DECIMAL(10,2))
         schema = schema.add(T.StructType.fromDDL(f"{name} {dtype}").fields[0])
         meta["schema"] = schema.json()
+        meta["last_column_id"] = int(meta.get("last_column_id", len(schema.fields) - 1)) + 1
+        meta.setdefault("column_ids", {})[name] = meta["last_column_id"]
         self._write_meta(meta)
 
     def drop_column(self, name: str) -> None:
@@ -747,6 +769,9 @@ class Table:
         ]
         meta["schema"] = T.StructType(fields).json()
         meta.setdefault("renames", []).append({"from": old, "to": new})
+        ids = meta.setdefault("column_ids", {})
+        if old in ids:
+            ids[new] = ids.pop(old)  # rename keeps the field id (Iceberg)
         self._write_meta(meta)
 
     # ---------------- metadata tables (S3/S4) ----------------

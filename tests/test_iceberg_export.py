@@ -1,0 +1,152 @@
+"""Reader-independence test for the Iceberg-v2 metadata export: an
+'independent reader' (plain json + pyarrow — none of the engine's read
+path) resolves schema and data files from the exported metadata tree and
+reconstructs the table contents."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from minio_iceberg_polaris_lakehouse_spark.warehouse import Warehouse
+
+REQUIRED_KEYS = {
+    "format-version",
+    "table-uuid",
+    "location",
+    "last-sequence-number",
+    "last-updated-ms",
+    "last-column-id",
+    "schemas",
+    "current-schema-id",
+    "partition-specs",
+    "default-spec-id",
+    "last-partition-id",
+    "properties",
+    "current-snapshot-id",
+    "snapshots",
+    "snapshot-log",
+    "sort-orders",
+    "default-sort-order-id",
+    "refs",
+}
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "warehouse"))
+
+
+def _load_current_metadata(table_path: str) -> dict:
+    mdir = os.path.join(table_path, "metadata")
+    with open(os.path.join(mdir, "version-hint.text")) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(mdir, f"v{version}.metadata.json")) as f:
+        return json.load(f)
+
+
+def test_independent_reader_resolves_schema_and_files(wh, spark):
+    t = wh.create_table(
+        "db", "open_fmt", "id int, name string, amount decimal(10,2), created_at timestamp",
+        partition_by="created_at", transform="day",
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", "10.50", "2024-11-25 10:00:00"), (2, "b", "20.00", "2024-11-26 11:00:00")],
+        "id int, name string, amount string, created_at string",
+    ).select(
+        "id", "name",
+        F.col("amount").cast("decimal(10,2)").alias("amount"),
+        F.to_timestamp("created_at").alias("created_at"),
+    )
+    t.append(df)
+    t.append(df)
+
+    md = _load_current_metadata(t.path)
+    assert REQUIRED_KEYS.issubset(md.keys())
+    assert md["format-version"] == 2
+    assert md["current-snapshot-id"] == 2
+    assert md["refs"]["main"]["snapshot-id"] == 2
+
+    # schema: stable unique field ids, spec type names
+    schema = md["schemas"][md["current-schema-id"]]
+    by_name = {f["name"]: f for f in schema["fields"]}
+    assert by_name["id"]["type"] == "int"
+    assert by_name["amount"]["type"] == "decimal(10, 2)"
+    assert by_name["created_at"]["type"] == "timestamptz"
+    ids = [f["id"] for f in schema["fields"]]
+    assert len(ids) == len(set(ids))
+
+    # partition spec carries the day transform on created_at's field id
+    spec = md["partition-specs"][md["default-spec-id"]]
+    assert spec["fields"][0]["transform"] == "day"
+    assert spec["fields"][0]["source-id"] == by_name["created_at"]["id"]
+
+    # snapshots chain with parents and per-commit summaries
+    snaps = md["snapshots"]
+    assert [s["snapshot-id"] for s in snaps] == [1, 2]
+    assert snaps[1]["parent-snapshot-id"] == 1
+    assert snaps[0]["summary"]["operation"] == "append"
+
+    # independent read: manifest list -> data files -> pyarrow
+    with open(snaps[-1]["manifest-list"]) as f:
+        manifests = json.load(f)["manifests"]
+    files = [df_ for m in manifests for df_ in m["data_files"]]
+    assert files and all(fe["file_format"] == "PARQUET" for fe in files)
+    total = 0
+    for fe in files:
+        assert os.path.isfile(fe["file_path"])
+        n = pq.ParquetFile(fe["file_path"]).metadata.num_rows
+        assert n == fe["record_count"]
+        total += n
+    assert total == 4  # two appends x two rows
+    # byte sizes in the manifest match the filesystem
+    assert all(os.path.getsize(fe["file_path"]) == fe["file_size_in_bytes"] for fe in files)
+
+    # reconstructed values equal the engine's own read
+    tables = [pq.read_table(fe["file_path"], columns=["id", "name"]) for fe in files]
+    got = sorted((r["id"], r["name"]) for tb in tables for r in tb.to_pylist())
+    assert got == [(1, "a"), (1, "a"), (2, "b"), (2, "b")]
+
+
+def test_schema_evolution_tracked_in_export(wh, spark):
+    t = wh.create_table("db", "evo_exp", "id int, name string")
+    t.insert_values([(1, "x")])
+    t.add_column("email", "string")
+    t.rename_column("email", "contact")
+    t.insert_values([(2, "y", "y@e.com")])
+
+    md = _load_current_metadata(t.path)
+    # two schema versions recorded; current one has the renamed column
+    assert len(md["schemas"]) == 2
+    cur = md["schemas"][md["current-schema-id"]]
+    names = [f["name"] for f in cur["fields"]]
+    assert names == ["id", "name", "contact"]
+    # the renamed column kept the id assigned at ADD COLUMN time (3)
+    assert {f["name"]: f["id"] for f in cur["fields"]}["contact"] == 3
+    assert md["last-column-id"] == 3
+    # snapshot 1 points at the pre-evolution schema
+    assert md["snapshots"][0]["schema-id"] != md["snapshots"][1]["schema-id"]
+
+
+def test_duckdb_iceberg_reader_if_available(wh, spark):
+    """If the DuckDB iceberg extension can load (it usually cannot,
+    offline), point it at the exported metadata; otherwise skip — the
+    JSON-manifest divergence is documented in iceberg_export.py."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute("LOAD iceberg")
+    except duckdb.Error:
+        pytest.skip("duckdb iceberg extension not available offline")
+    t = wh.create_table("db", "duck_read", "id int, name string")
+    t.insert_values([(1, "x")])
+    out = con.execute(
+        f"SELECT count(*) FROM iceberg_scan('{t.path}')"
+    ).fetchone()
+    assert out[0] == 1
