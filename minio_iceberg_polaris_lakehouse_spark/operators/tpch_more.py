@@ -47,7 +47,7 @@ from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
     FROM part p
     JOIN cost c ON p.p_partkey = c.l_partkey
     JOIN supplier s ON c.l_suppkey = s.s_suppkey
-    WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+    WHERE p.p_size = 1 AND p.p_type = 'ECONOMY'
       AND c.min_price = (SELECT MIN(c2.min_price) FROM cost c2
                          WHERE c2.l_partkey = p.p_partkey)
     ORDER BY p.p_partkey, s.s_suppkey
@@ -59,7 +59,7 @@ def rel_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(part,supplier) MIN(l_extendedprice) — MIN is arithmetic-free so
     double equality is exact)."""
     p = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+        (F.col("p_size") == 1) & (F.col("p_type") == "ECONOMY")
     )
     s = load_table(spark, sf_dir, "supplier")
     l = load_table(spark, sf_dir, "lineitem")
@@ -162,8 +162,8 @@ def rel_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation sn ON s.s_nationkey = sn.n_nationkey
     JOIN nation cn ON c.c_nationkey = cn.n_nationkey
-    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    WHERE ((sn.n_name = 'NATION_13' AND cn.n_name = 'NATION_19')
+        OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_13'))
       AND l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
     GROUP BY sn.n_name, cn.n_name, YEAR(l.l_shipdate)
     ORDER BY supp_nation, cust_nation, l_year
@@ -185,9 +185,9 @@ def rel_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = n.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
-    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
-        F.col("supp_nation") == "NATION_2"
-    ) & (F.col("cust_nation") == "NATION_1")
+    pair = (F.col("supp_nation") == "NATION_13") & (F.col("cust_nation") == "NATION_19") | (
+        F.col("supp_nation") == "NATION_19"
+    ) & (F.col("cust_nation") == "NATION_13")
     return (
         l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
@@ -387,9 +387,9 @@ def rel_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE p.p_brand <> 'Brand#45'
+    WHERE p.p_brand <> 'Brand#25'
       AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
-      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
     GROUP BY p.p_brand, p.p_type, p.p_size
     ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
     """,
@@ -400,12 +400,12 @@ def rel_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     complaints filter; lineitem stands in for partsupp)."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#45")
+        (F.col("p_brand") != "Brand#25")
         & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
     )
     bad = (
         load_table(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") < 0)
+        .filter(F.col("s_acctbal") < 1000)
         .select(F.col("s_suppkey").alias("l_suppkey"))
     )
     return (
@@ -462,12 +462,12 @@ def rel_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFram
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
-           AND l.l_quantity BETWEEN 1 AND 11)
-       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
-           AND l.l_quantity BETWEEN 10 AND 20)
-       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
-           AND l.l_quantity BETWEEN 20 AND 30)
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 25)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity BETWEEN 5 AND 35)
+       OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 15 AND 45)
     """,
 )
 def rel_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,14 +478,14 @@ def rel_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFram
     p = load_table(spark, sf_dir, "part")
     cond = (
         (F.col("p_brand") == "Brand#12")
-        & F.col("p_size").between(1, 5)
-        & F.col("l_quantity").between(1, 11)
-        | (F.col("p_brand") == "Brand#23")
-        & F.col("p_size").between(1, 10)
-        & F.col("l_quantity").between(10, 20)
-        | (F.col("p_brand") == "Brand#34")
         & F.col("p_size").between(1, 15)
-        & F.col("l_quantity").between(20, 30)
+        & F.col("l_quantity").between(1, 25)
+        | (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 20)
+        & F.col("l_quantity").between(5, 35)
+        | (F.col("p_brand") == "Brand#25")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(15, 45)
     )
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
@@ -567,18 +567,25 @@ def rel_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(c.c_acctbal AS DECIMAL(26,8))) AS DOUBLE) AS totacctbal
     FROM customer c, thresh t
     WHERE CAST(c.c_acctbal AS DECIMAL(26,8)) * t.cbal > t.sbal
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY c.c_nationkey
     ORDER BY c.c_nationkey
     """,
 )
 def rel_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: rich customers who never ordered, by nation
-    (scalar AVG threshold restated as exact ``bal*cnt > sum``
-    cross-multiplication; NOT EXISTS anti-join on orders; nationkey
-    stands in for the absent phone country code)."""
+    """TPC-H Q22 shape: rich customers gone idle (no order since
+    2000-01-01 — this corpus gives every customer historical orders, so
+    "never ordered" would be vacuous), by nation. Scalar AVG threshold
+    restated as exact ``bal*cnt > sum`` cross-multiplication; NOT EXISTS
+    anti-join on the recent-orders subset; nationkey stands in for the
+    absent phone country code."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     thresh = c.filter(F.col("c_acctbal") > 0).agg(
         F.sum(F.col("c_acctbal").cast("decimal(26,8)")).alias("sbal"),
         F.count("*").alias("cbal"),

@@ -42,12 +42,23 @@ def normalize_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
-def compare(spark, con, spark_fn, oracle: str, sf_dir: str) -> list[str]:
-    """Return a list of mismatch descriptions (empty = pass)."""
+def compare(spark, con, spark_fn, oracle: str, sf_dir: str, require_rows: bool = False) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass).
+    ``require_rows`` guards against vacuous empty-vs-empty passes: queries
+    whose literals must select real corpus rows fail if they return none."""
     problems: list[str] = []
     sdf = spark_fn(spark, sf_dir)
     s_cols = list(sdf.columns)
     s_rows = [tuple(r) for r in sdf.collect()]
+    if require_rows:
+        empty = not s_rows or (
+            # single-row aggregates report emptiness as n_lines = 0
+            len(s_rows) == 1
+            and "n_lines" in s_cols
+            and s_rows[0][s_cols.index("n_lines")] == 0
+        )
+        if empty:
+            problems.append("vacuously empty result (literals select nothing from the corpus)")
 
     res = con.execute(oracle)
     d_cols = [d[0] for d in res.description]

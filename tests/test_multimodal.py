@@ -79,3 +79,45 @@ def test_frame_sample_query_matches_stub_arithmetic(spark, sf_dir):
     for r in docs:
         want = 1 + hashlib.sha256(r.text.encode()).digest()[0] % 4
         assert got[r.doc_id].n_frames == want, r.doc_id
+
+
+def test_golden_bytes_fixture(spark):
+    """Golden-bytes regression pin: FIXED blobs with COMMITTED expected
+    outputs (precomputed constants, not recomputed from the stub at test
+    time) — if the decode/resize plumbing or the stub kernel changes
+    shape or values, this fails loudly instead of drifting silently.
+    When a real codec (PIL/ffmpeg) replaces the stub, regenerate these
+    constants from real decodes of committed image bytes."""
+    import hashlib
+
+    from minio_iceberg_polaris_lakehouse_spark.multimodal.binary import (
+        DECODED_SCHEMA,
+        decode_assets,
+        resize_assets,
+    )
+
+    blobs = [
+        (0, b"golden-asset-0"),
+        (1, b"golden-asset-1"),
+        (2, b"\x00\x01\x02PNG-ish\xff"),
+    ]
+    assets = spark.createDataFrame(
+        [(i, "image/fake", b, len(b)) for i, b in blobs],
+        "doc_id long, media_type string, blob binary, n_bytes long",
+    )
+
+    decoded = {r.doc_id: (r.width, r.height, r.mean_luma) for r in decode_assets(assets).collect()}
+    assert decoded == {
+        0: (253, 64, 105),
+        1: (109, 67, 150),
+        2: (144, 146, 107),
+    }
+    assert [f.name for f in DECODED_SCHEMA.fields] == ["doc_id", "width", "height", "mean_luma"]
+
+    resized = {r.doc_id: r for r in resize_assets(assets, 224, 224).collect()}
+    got = {i: (len(r.blob), hashlib.sha256(bytes(r.blob)).hexdigest()[:16]) for i, r in resized.items()}
+    assert got == {
+        0: (46, "a0468156c7aa0965"),
+        1: (46, "e830f324b3b532d4"),
+        2: (43, "d948f602bcf7de57"),
+    }

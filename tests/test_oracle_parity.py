@@ -13,6 +13,24 @@ QUERIES = all_queries()
 ORACLE_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle is None)
 
+# Queries whose literals were tuned to the corpus value domains: an empty
+# result means the tuning regressed and the oracle hash would pass
+# vacuously (empty == empty), so emptiness itself is a failure here.
+NON_EMPTY = {
+    "flagship_revenue_by_nation",
+    "rel_q2_min_cost_supplier",
+    "rel_q5_local_supplier_volume",
+    "rel_q6_forecast_revenue",
+    "rel_q7_volume_shipping",
+    "rel_q8_market_share",
+    "rel_q9_profit_by_nation_year",
+    "rel_q16_supplier_part_counts",
+    "rel_q17_small_quantity_revenue",
+    "rel_q19_disjunctive_predicates",
+    "rel_q21_waiting_supplier",
+    "rel_q22_idle_customers",
+}
+
 
 @pytest.fixture(scope="module")
 def duck(sf_dir):
@@ -24,7 +42,7 @@ def duck(sf_dir):
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(spark, duck, sf_dir, name):
     q = QUERIES[name]
-    problems = compare(spark, duck, q.spark, q.oracle, sf_dir)
+    problems = compare(spark, duck, q.spark, q.oracle, sf_dir, require_rows=name in NON_EMPTY)
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
