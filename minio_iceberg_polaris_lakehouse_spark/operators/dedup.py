@@ -171,7 +171,13 @@ def minhash_signature(df: DataFrame, k: int = MINHASH_K) -> DataFrame:
     One explode + one grouped aggregation (k MIN aggregates in a single
     pass). Each shingle is hashed exactly once (hashed_shingles); the k
     'permutations' re-hash the resulting 8-byte long salted by the
-    permutation index — ~n_shingles string hashes total instead of k×."""
+    permutation index — ~n_shingles string hashes total instead of k×.
+    (A zero-shuffle `array_min(transform(...))` variant was measured 9×
+    SLOWER end-to-end: CollapseProject inlines the shingle-array
+    construction into every one of the k lambda references, re-evaluating
+    it k times per document — the explode+groupBy shape materializes
+    shingles once and the MIN aggregates get map-side partials, so the
+    exchange still carries only one k-wide row per document.)"""
     tok = df.select("doc_id", tokens_expr().alias("toks"))
     exploded = tok.select("doc_id", F.explode(hashed_shingles("toks")).alias("sh"))
     aggs = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh{i}") for i in range(k)]
@@ -273,26 +279,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings),
     pairs AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
                list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
                  / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
                     * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos
-        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
-    SELECT vec_a, vec_b, ROUND(cos, 6) AS cosine
-    FROM pairs
-    WHERE ROUND(cos, 6) >= 0.9
-    ORDER BY vec_a, vec_b
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id),
+    ranked AS (
+        SELECT label, vec_a, vec_b, ROUND(cos, 6) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY ROUND(cos, 6) DESC, vec_a, vec_b) AS rn
+        FROM pairs)
+    SELECT label, vec_a, vec_b, cosine, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY label, rn
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ 0.9 within a `label` block
-    (the blocking key stands in for an IVF/LSH partition at scale — the
-    quadratic search never crosses blocks)."""
+    """Embedding near-dup CANDIDATES: the 3 closest cosine pairs within
+    each `label` block (the blocking key stands in for an IVF/LSH
+    partition at scale — the quadratic search never crosses blocks). The
+    corpus's random embeddings top out near cosine 0.47, so a fixed 0.9
+    near-dup threshold would select nothing at any SF and the oracle
+    would pass vacuously on empty-vs-empty (the round-1 advisor's
+    concern); top-k-per-block keeps the result non-empty and
+    value-verified while exercising the exact production shape — in a
+    real pipeline the rank filter becomes `cosine >= threshold`. Norms
+    are computed once per VECTOR below the pair join, not once per PAIR —
+    inside a block of m vectors that's m folds instead of m² — with the
+    ``dot/(na*nb)`` operand order preserved so values stay bit-identical
+    to the oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    v = v.select(
+        "vec_id",
+        "label",
+        "e",
+        F.sqrt(F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x * x)).alias("n"),
     )
     a, b = v.alias("a"), v.alias("b")
     dot = F.aggregate(
@@ -300,17 +326,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(f"{side}.e"), F.lit(0.0), lambda acc, x: acc + x * x)
+    cos = dot / (F.col("a.n") * F.col("b.n"))
+    pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(
+        F.col("a.label").alias("label"),
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(cos, 6).alias("cosine"),
     )
-    cos = dot / (norm("a") * norm("b"))
+    w = Window.partitionBy("label").orderBy(F.desc("cosine"), "vec_a", "vec_b")
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.9)
-        .orderBy("vec_a", "vec_b")
+        pairs.select("*", F.row_number().over(w).cast("int").alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("label", "rn")
     )

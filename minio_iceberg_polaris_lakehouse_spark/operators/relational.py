@@ -304,14 +304,19 @@ def rel_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
     ORDER BY c_custkey
     """,
 )
 def rel_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left anti join (NOT EXISTS): customers who never ordered."""
+    """Left anti join (NOT EXISTS): customers with no order since
+    2000-01-01. (Every customer in this corpus has SOME order, so the
+    plain never-ordered form returns zero rows at every SF and its oracle
+    check passes vacuously — the date-bounded form keeps a real
+    anti-join result set.)"""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")

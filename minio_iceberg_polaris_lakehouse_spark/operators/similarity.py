@@ -66,20 +66,29 @@ def cosine(a, b) -> Column:
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast the query vectors against the corpus
     scan, rank per query. Ranking uses the 6-dp-rounded cosine with
-    neighbor_id tiebreak so the ordering is engine-independent."""
+    neighbor_id tiebreak so the ordering is engine-independent.
+
+    Norms are hoisted BELOW the cross join (one 64-element fold per
+    corpus vector) instead of inside the per-(query, vector) cosine —
+    which would refold the same norm N_QUERIES times per vector. The
+    division keeps the exact ``dot/(norm_q*norm_v)`` operand order, so
+    results stay bit-identical to the naive form and the oracle."""
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e")
     )
-    q = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    vn = v.select("vec_id", "e", norm(F.col("e")).alias("ne"))
+    q = vn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("ne").alias("nq")
     )
     scored = (
-        v.crossJoin(F.broadcast(q))
+        vn.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+            F.round(dot(F.col("qe"), F.col("e")) / (F.col("nq") * F.col("ne")), 6).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -235,8 +244,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e")
     )
+    vn = v.select("vec_id", "e", norm(F.col("e")).alias("ne"))
     seeds = (
-        v.filter(F.col("vec_id") >= N_QUERIES)
+        vn.filter(F.col("vec_id") >= N_QUERIES)
         .withColumn("h", F.xxhash64("vec_id", F.lit(7)))
         .orderBy("h")
         .limit(K_COARSE)
@@ -244,9 +254,16 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = seeds.select(
         F.row_number().over(Window.orderBy("h")).cast("int").alias("cell"),
         F.col("e").alias("ce"),
+        F.col("ne").alias("nce"),
     )
-    scored = v.crossJoin(F.broadcast(cells)).select(
-        "vec_id", "e", "cell", cosine(F.col("e"), F.col("ce")).alias("csim")
+    # norms hoisted out of the K_COARSE-way cross product (one fold per
+    # vector, not per (vector, cell)); operand order dot/(ne*nce) matches
+    # cosine() exactly, so assignments are bit-identical
+    scored = vn.crossJoin(F.broadcast(cells)).select(
+        "vec_id",
+        "e",
+        "cell",
+        (dot(F.col("e"), F.col("ce")) / (F.col("ne") * F.col("nce"))).alias("csim"),
     )
     # cell assignment as an aggregate argmax (MAX over (csim, cell) structs,
     # lexicographic → deterministic), NOT a row_number window: the aggregate

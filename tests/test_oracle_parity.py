@@ -18,6 +18,8 @@ ROWS_ONLY_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle is None)
 # vacuously (empty == empty), so emptiness itself is a failure here.
 NON_EMPTY = {
     "flagship_revenue_by_nation",
+    "rel_join_anti",
+    "dedup_embedding_cosine",
     "rel_q2_min_cost_supplier",
     "rel_q5_local_supplier_volume",
     "rel_q6_forecast_revenue",
