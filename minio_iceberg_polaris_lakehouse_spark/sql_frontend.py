@@ -366,6 +366,27 @@ class LakehouseSQL:
         tab.delete_where(m.group(2))
         return self._empty()
 
+    def _merge_into(self, m: re.Match) -> DataFrame:
+        """MERGE INTO t [t_alias] USING src [s_alias] ON a.k = b.k
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * —
+        the upsert form the reference points at for dedup remediation
+        (SETUP_GUIDE_WIN.md:368 'Use MERGE or DELETE + INSERT'). ``src``
+        is a warehouse table name or a parenthesized SELECT; execution is
+        the warehouse's copy-on-write merge (join + union plan)."""
+        target, src_text, on_l, on_r = m.group(1), m.group(2).strip(), m.group(3), m.group(4)
+        tab = self._existing_table(target)
+        if src_text.startswith("("):
+            inner, _rest = _balanced_paren_group(src_text)
+            src = self.spark.sql(self._rewrite_query(inner.strip()))
+        else:
+            name = src_text.split()[0]
+            src = self.table(name)
+        kl, kr = on_l.split(".")[-1], on_r.split(".")[-1]
+        if kl != kr:
+            raise WarehouseError(f"MERGE ON must equate the same column name: {on_l} = {on_r}")
+        tab.merge_into(src, on=kl)
+        return self._empty()
+
     # ------------------------------------------------------- ALTER handlers
     def _alter_add_column(self, m: re.Match) -> DataFrame:
         tab = self._existing_table(m.group(1))
@@ -420,6 +441,14 @@ class LakehouseSQL:
         (rf"INSERT\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})\s+VALUES\s+(.*)", _insert_values),
         (rf"INSERT\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})\s+(SELECT\s+.*|WITH\s+.*)", _insert_select),
         (rf"DELETE\s+FROM\s+((?:{_IDENT}\.)*{_IDENT})\s+WHERE\s+(.*)", _delete_from),
+        (
+            rf"MERGE\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})(?:\s+(?:AS\s+)?{_IDENT})?"
+            rf"\s+USING\s+(\(.*\)|(?:{_IDENT}\.)*{_IDENT})(?:\s+(?:AS\s+)?{_IDENT})?"
+            rf"\s+ON\s+({_IDENT}\.{_IDENT})\s*=\s*({_IDENT}\.{_IDENT})"
+            rf"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
+            rf"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*",
+            _merge_into,
+        ),
         (
             rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+ADD\s+COLUMNS?\s+(.*)",
             _alter_add_column,

@@ -264,3 +264,34 @@ def test_rename_and_errors(lake):
         lake.sql("SELECT * FROM polaris.db.t VERSION AS OF 99")
     with pytest.raises(WarehouseError):
         lake.sql("FROBNICATE ALL THE THINGS")
+
+
+def test_merge_into_sql(lake, spark):
+    """MERGE INTO ... WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *
+    (SETUP_GUIDE_WIN.md:368) — both source forms: inline SELECT and a
+    warehouse table."""
+    lake.sql("CREATE TABLE polaris.m.t (id INT, v STRING) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.m.t VALUES (1, 'a'), (2, 'b')")
+
+    lake.sql(
+        """
+        MERGE INTO polaris.m.t t
+        USING (SELECT * FROM (VALUES (2, 'B'), (3, 'c')) AS s(id, v)) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    got = {r.id: r.v for r in lake.sql("SELECT * FROM m.t").collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+    lake.sql("CREATE TABLE polaris.m.src (id INT, v STRING) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.m.src VALUES (3, 'C'), (4, 'd')")
+    lake.sql(
+        "MERGE INTO polaris.m.t t USING m.src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.id: r.v for r in lake.sql("SELECT * FROM m.t").collect()}
+    assert got == {1: "a", 2: "B", 3: "C", 4: "d"}
+    ops = [r.operation for r in lake.sql("SELECT * FROM m.t.snapshots").collect()]
+    assert ops == ["append", "merge", "merge"]
