@@ -117,3 +117,29 @@ def test_exact_dedup_has_partial_aggregate(spark, sf_dir):
     ps = plan_string(q("dedup_exact_keep_first", spark, sf_dir))
     assert ps.count("HashAggregate") >= 2, ps
     assert "Window" not in ps
+
+
+def test_right_outer_broadcasts_filtered_side(spark, sf_dir):
+    """The filtered BUILDING-segment customer side stays broadcast-able;
+    the orders probe side never shuffles under broadcast-hash."""
+    df = q("rel_join_right_outer", spark, sf_dir)
+    assert count_nodes(df, "BroadcastHashJoin") >= 1, plan_string(df)
+    assert_no_cartesian(df)
+
+
+def test_median_approx_has_partial_aggregate(spark, sf_dir):
+    """percentile_approx must plan as a two-level aggregate (map-side
+    partial sketches merged after a one-row-per-group exchange) — the
+    reason it is the recommended path over the grouped-agg pandas UDF."""
+    df = q("agg_median_approx", spark, sf_dir)
+    assert count_nodes(df, "HashAggregate") + count_nodes(df, "ObjectHashAggregate") >= 2, (
+        plan_string(df)
+    )
+
+
+def test_embedding_topk_uses_window_group_limit(spark, sf_dir):
+    """The reworked top-3-per-label embedding near-dup must keep the
+    rank-pruning optimization (WindowGroupLimit) so only ~3 rows per
+    label survive to the final sort."""
+    df = q("dedup_embedding_cosine", spark, sf_dir)
+    assert count_nodes(df, "WindowGroupLimit") >= 1, plan_string(df)
