@@ -145,14 +145,24 @@ class LakehouseSQL:
         TIMESTAMP AS OF) with temp views over the resolved snapshot, then
         let Catalyst handle the rest of the statement untouched. Unknown
         qualified names (column refs like ``u.name``) are left alone —
-        only names that resolve to existing warehouse tables rewrite."""
+        only names that resolve to existing warehouse tables rewrite.
+        String literals are masked first so a table-like name INSIDE a
+        literal (`WHERE note = 'see my_warehouse.users'`) never
+        rewrites."""
+        literals: list[str] = []
+
+        def mask(m: re.Match) -> str:
+            literals.append(m.group(0))
+            return f"\x00L{len(literals) - 1}\x00"
+
+        s = re.sub(r"'(?:[^']|'')*'", mask, s)
         cat = re.escape(self.catalog)
         pattern = re.compile(
             rf"(?<![A-Za-z0-9_.'])"
             rf"(?:(?P<cat>{cat})\.)?(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
             rf"(?P<meta>\.(?:history|snapshots))?"
             rf"(?P<tt>\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
-            rf"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')?"
+            rf"|\s+TIMESTAMP\s+AS\s+OF\s+\x00L(?P<ts>\d+)\x00)?"
             rf"(?![A-Za-z0-9_.])",
             re.IGNORECASE,
         )
@@ -172,7 +182,8 @@ class LakehouseSQL:
                 df = tab.read(version=version)
                 view += f"__v{version}"
             elif m.group("ts") is not None:
-                ts = datetime.datetime.fromisoformat(m.group("ts"))
+                lit = literals[int(m.group("ts"))].strip("'")
+                ts = datetime.datetime.fromisoformat(lit)
                 ms = int(ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
                 df = tab.read(as_of_ms=ms)
                 view += f"__ts{ms}"
@@ -181,7 +192,8 @@ class LakehouseSQL:
             df.createOrReplaceTempView(view)
             return view
 
-        return pattern.sub(repl, s)
+        out = pattern.sub(repl, s)
+        return re.sub(r"\x00L(\d+)\x00", lambda m: literals[int(m.group(1))], out)
 
     # --------------------------------------------------------- DDL handlers
     def _show_catalogs(self, m: re.Match) -> DataFrame:

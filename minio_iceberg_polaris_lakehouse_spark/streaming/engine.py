@@ -111,6 +111,58 @@ def sessionize_stateful(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+KEEPFIRST_STATE_SCHEMA = "best_ts timestamp, best_event_id bigint, best_value double"
+KEEPFIRST_OUT_SCHEMA = "user_id bigint, event_type string, event_id bigint, ts timestamp, value double"
+
+
+def dedup_stream_keep_first_event_time(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """EVENT-TIME keep-first dedup: per (user_id, event_type), emit the
+    row with the MINIMUM event time — not the first-ARRIVING row that
+    `dropDuplicatesWithinWatermark` keeps (see `dedup_stream`; the round-1
+    advisor flagged the difference). Arrival order and event order differ
+    whenever data is late or replayed, so this is the policy a training
+    pipeline usually actually wants.
+
+    Implemented with applyInPandasWithState: state holds only the current
+    minimum-ts candidate per key (three scalars — bounded regardless of
+    stream length), each update emits the current winner (update mode:
+    downstream sinks upsert by key). State shards with the shuffle on the
+    group key."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        best_ts, best_id, best_val = state.get if state.exists else (None, None, None)
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(["ts", "event_id"]).head(1).iterrows():
+                if best_ts is None or (row["ts"], row["event_id"]) < (best_ts, best_id):
+                    best_ts, best_id, best_val = row["ts"], int(row["event_id"]), float(row["value"])
+        state.update((best_ts, best_id, best_val))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "event_id": [best_id],
+                "ts": [best_ts],
+                "value": [best_val],
+            }
+        )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=KEEPFIRST_OUT_SCHEMA,
+            stateStructType=KEEPFIRST_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Execute a bounded stream to completion (AvailableNow) into an
     in-memory sink; returns the result table."""
@@ -139,8 +191,8 @@ def run_foreach_batch_to_parquet(stream_df: DataFrame, path: str) -> None:
 def dedup_stream(stream: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour") -> DataFrame:
     """Streaming deduplication: keep the first-SEEN event per key (arrival
     order — dropDuplicatesWithinWatermark retains whichever row arrives
-    first, not the minimum-event-time row; an event-time keep-first policy
-    would need a stateful min-ts operator), with state
+    first, not the minimum-event-time row; for the event-time policy use
+    `dedup_stream_keep_first_event_time`), with state
     expiry bounded by the watermark (dropDuplicatesWithinWatermark — the
     state store only holds keys newer than watermark, so a 100 TB/day
     stream doesn't accumulate an unbounded key set the way plain

@@ -295,3 +295,10 @@ def test_merge_into_sql(lake, spark):
     assert got == {1: "a", 2: "B", 3: "C", 4: "d"}
     ops = [r.operation for r in lake.sql("SELECT * FROM m.t.snapshots").collect()]
     assert ops == ["append", "merge", "merge"]
+
+
+def test_table_name_inside_string_literal_not_rewritten(lake):
+    lake.sql("CREATE TABLE polaris.lit.t (id INT, note STRING) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.lit.t VALUES (1, 'see lit.t for details'), (2, 'plain')")
+    rows = lake.sql("SELECT id FROM lit.t WHERE note = 'see lit.t for details'").collect()
+    assert [r.id for r in rows] == [1]

@@ -145,3 +145,50 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     got_keys = sorted((r.click_id, r.purchase_id) for r in got.collect())
     want_keys = sorted((r.click_id, r.purchase_id) for r in want.collect())
     assert got_keys == want_keys and len(got_keys) > 0
+
+
+def test_event_time_keep_first_beats_arrival_order(spark, tmp_path):
+    """A later-ARRIVING row with an EARLIER event time must win under the
+    event-time keep-first policy (dropDuplicatesWithinWatermark would keep
+    the first-arriving row instead — the distinction the round-1 advisor
+    flagged on dedup_stream's docstring)."""
+    import pandas as pd
+
+    import glob as globmod
+    import shutil
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    schema = "event_id long, ts string, user_id long, event_type string, value double"
+
+    def land(name, rows):
+        """Write one flat parquet FILE into the stream dir (file-source
+        streams do not recurse into nested write directories)."""
+        d = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(rows, schema).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type", "value"
+        ).coalesce(1).write.parquet(str(d))
+        part = globmod.glob(str(d / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / name))
+
+    # batch 0 arrives first, but holds the LATER event time for key (7, click)
+    land("b0.parquet", [(100, "2024-01-01 10:30:00", 7, "click", 1.0)])
+    # batch 1 arrives second with the EARLIER event time
+    land("b1.parquet", [(50, "2024-01-01 10:00:00", 7, "click", 2.0)])
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = engine.run_to_memory(
+        engine.dedup_stream_keep_first_event_time(stream),
+        f"kf_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+    # last update-mode emission per key is the winner: min event time
+    rows = out.collect()
+    final = rows[-1]
+    assert final.event_id == 50 and str(final.ts) == "2024-01-01 10:00:00"
