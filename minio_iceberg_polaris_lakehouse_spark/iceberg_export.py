@@ -239,7 +239,12 @@ def write_iceberg_metadata(table: Table) -> str:
             else {}
         ),
     }
-    version = len(snaps)
+    # monotonic metadata version persisted in table meta — snapshot
+    # expiry shrinks the snapshot list, so len(snaps) would regress and
+    # overwrite historical vN files
+    version = int(meta.get("metadata_version", 0)) + 1
+    meta["metadata_version"] = version
+    table._write_meta(meta)
     path = os.path.join(mdir, f"v{version}.metadata.json")
     _atomic_write_json(path, doc)
     with open(os.path.join(mdir, "version-hint.text.tmp"), "w") as f:

@@ -852,6 +852,12 @@ class Table:
                             shutil.rmtree(p)
                             removed += 1
             _atomic_write_json(os.path.join(self.path, SNAP_FILE), {"snapshots": keep})
+            # re-export open metadata so vN+1 reflects the pruned history
+            from minio_iceberg_polaris_lakehouse_spark.iceberg_export import (
+                write_iceberg_metadata,
+            )
+
+            write_iceberg_metadata(self)
             return removed
         finally:
             os.unlink(lock)

@@ -150,3 +150,27 @@ def test_duckdb_iceberg_reader_if_available(wh, spark):
         f"SELECT count(*) FROM iceberg_scan('{t.path}')"
     ).fetchone()
     assert out[0] == 1
+
+
+def test_metadata_version_monotonic_across_expiry(wh, spark):
+    """Snapshot expiry must not regress the metadata version counter
+    (vN files are immutable history; a len(snapshots)-derived version
+    would overwrite them after expire)."""
+    t = wh.create_table("db", "expire_exp", "id int")
+    for i in range(3):
+        t.insert_values([(i,)])
+    assert _load_current_metadata(t.path)["current-snapshot-id"] == 3
+    t.expire_snapshots(keep_last=1)
+    md = _load_current_metadata(t.path)
+    assert [s["snapshot-id"] for s in md["snapshots"]] == [3]
+    t.insert_values([(99,)])
+    md2 = _load_current_metadata(t.path)
+    # counter kept rising: 3 commits + expire + 1 commit = v5
+    mdir = os.path.join(t.path, "metadata")
+    with open(os.path.join(mdir, "version-hint.text")) as f:
+        assert int(f.read()) == 5
+    assert md2["current-snapshot-id"] == 4
+    # every referenced data file still exists
+    with open(md2["snapshots"][-1]["manifest-list"]) as f:
+        files = [d for m in json.load(f)["manifests"] for d in m["data_files"]]
+    assert files and all(os.path.isfile(fe["file_path"]) for fe in files)
