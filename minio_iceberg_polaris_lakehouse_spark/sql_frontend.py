@@ -378,6 +378,27 @@ class LakehouseSQL:
         tab.delete_where(m.group(2))
         return self._empty()
 
+    def _update(self, m: re.Match) -> DataFrame:
+        """UPDATE t SET col = expr [, ...] WHERE cond — copy-on-write
+        rewrite of matching rows (Iceberg row-level UPDATE semantics)."""
+        tab = self._existing_table(m.group(1))
+        assignments: dict[str, str] = {}
+        for part in _split_top_level(m.group(2)):
+            col, expr = part.split("=", 1)
+            assignments[col.strip()] = expr.strip()
+        tab.update_where(assignments, m.group(3))
+        return self._empty()
+
+    def _create_table_as_select(self, m: re.Match) -> DataFrame:
+        """CREATE TABLE t AS SELECT ... (CTAS): schema inferred from the
+        query result, data landed as the first snapshot."""
+        if_not_exists, name, query = bool(m.group(1)), m.group(2), m.group(3)
+        ns, t = self._resolve_table_name(name)
+        src = self.spark.sql(self._rewrite_query(query))
+        tab = self.wh.create_table(ns, t, src.schema, if_not_exists=if_not_exists)
+        tab.append(src)
+        return self._empty()
+
     def _merge_into(self, m: re.Match) -> DataFrame:
         """MERGE INTO t [t_alias] USING src [s_alias] ON a.k = b.k
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * —
@@ -447,7 +468,15 @@ class LakehouseSQL:
         (rf"SHOW\s+TBLPROPERTIES\s+((?:{_IDENT}\.)*{_IDENT})", _show_tblproperties),
         (rf"CREATE\s+NAMESPACE\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:{_IDENT}\.)?{_IDENT})", _create_namespace),
         (rf"DROP\s+NAMESPACE\s+(IF\s+EXISTS\s+)?((?:{_IDENT}\.)?{_IDENT})(\s+CASCADE)?", _drop_namespace),
+        (
+            rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?((?:{_IDENT}\.)*{_IDENT})\s+AS\s+(SELECT\s+.*|WITH\s+.*)",
+            _create_table_as_select,
+        ),
         (r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(.*)", _create_table),
+        (
+            rf"UPDATE\s+((?:{_IDENT}\.)*{_IDENT})\s+SET\s+(.*?)\s+WHERE\s+(.*)",
+            _update,
+        ),
         (rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?((?:{_IDENT}\.)*{_IDENT})", _drop_table),
         (rf"DESCRIBE\s+(TABLE\s+|EXTENDED\s+)?((?:{_IDENT}\.)*{_IDENT})", _describe),
         (rf"INSERT\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})\s+VALUES\s+(.*)", _insert_values),

@@ -462,9 +462,31 @@ class Table:
             return self.spark.createDataFrame([], schema)
         frames = self._dir_frames(dirs, schema)
         cols = schema.fieldNames()
-        df = frames[0][2].select(*cols)
-        for _spec, _sid, other in frames[1:]:
-            df = df.unionByName(other.select(*cols))
+
+        def project(spec: PartitionSpec, df: DataFrame) -> DataFrame:
+            # identity transform: the hive partition column holds the
+            # source value EXACTLY, so project it in the source's place —
+            # a filter on the source column then becomes a Catalyst
+            # PartitionFilter and prunes whole directories (this is what
+            # makes `WHERE created_date = ...` prune through the SQL
+            # front-end's views, not just through Table.scan())
+            if (
+                spec.transform == "identity"
+                and spec.column() is not None
+                and spec.column() in df.columns
+                and spec.source in cols
+            ):
+                return df.select(
+                    *[
+                        F.col(spec.column()).alias(c) if c == spec.source else F.col(c)
+                        for c in cols
+                    ]
+                )
+            return df.select(*cols)
+
+        df = project(frames[0][0], frames[0][2])
+        for spec, _sid, other in frames[1:]:
+            df = df.unionByName(project(spec, other))
         return df
 
     def read(
@@ -677,6 +699,31 @@ class Table:
         remaining = cur.filter(f"NOT ({condition})")
         d, _n = self._write_data(remaining)
         return self._commit_replace("delete", [d], {"predicate": condition}, parent)
+
+    def update_where(self, assignments: dict[str, str], condition: str) -> int:
+        """UPDATE t SET col = expr, ... WHERE condition — copy-on-write:
+        matching rows are rewritten with the assignment expressions,
+        non-matching rows pass through unchanged, one new snapshot.
+        Read-modify-write, so it conflicts (CommitConflictError) rather
+        than losing a concurrent writer's commit."""
+        cols = self.schema().fieldNames()
+        unknown = [c for c in assignments if c not in cols]
+        if unknown:
+            raise WarehouseError(f"UPDATE of unknown column(s): {unknown}")
+        parent = self.current_snapshot_id()
+        cur = self.read()
+        updated = cur.select(
+            *[
+                (
+                    F.when(F.expr(condition), F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                )
+                for c in cols
+            ]
+        )
+        d, _n = self._write_data(updated)
+        return self._commit_replace("update", [d], {"predicate": condition}, parent)
 
     def merge_into(
         self,

@@ -302,3 +302,42 @@ def test_table_name_inside_string_literal_not_rewritten(lake):
     lake.sql("INSERT INTO polaris.lit.t VALUES (1, 'see lit.t for details'), (2, 'plain')")
     rows = lake.sql("SELECT id FROM lit.t WHERE note = 'see lit.t for details'").collect()
     assert [r.id for r in rows] == [1]
+
+
+def test_identity_partition_prunes_through_sql_path(lake):
+    """Hidden partitioning through the SQL front-end: a filter on the
+    source column of an identity-partitioned table must become a Catalyst
+    PartitionFilter (directory pruning), because reads project the hive
+    partition column in the source column's place."""
+    lake.sql(
+        "CREATE TABLE polaris.prune.t (id INT, created_date DATE) "
+        "USING ICEBERG PARTITIONED BY (created_date)"
+    )
+    lake.sql(
+        "INSERT INTO polaris.prune.t VALUES (1, '2025-01-01'), (2, '2025-01-02'), (3, '2025-01-03')"
+    )
+    df = lake.sql("SELECT * FROM prune.t WHERE created_date = DATE '2025-01-02'")
+    assert [r.id for r in df.collect()] == [2]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(_p_identity_created_date" in plan, plan
+
+
+def test_update_and_ctas_sql(lake):
+    lake.sql("CREATE TABLE polaris.u.t (id INT, status STRING, amount DECIMAL(10,2)) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.u.t VALUES (1, 'new', 10.00), (2, 'new', 20.00), (3, 'old', 30.00)")
+
+    # row-level UPDATE: copy-on-write, snapshot recorded
+    lake.sql("UPDATE polaris.u.t SET status = 'archived', amount = amount * 2 WHERE id <= 2")
+    got = {r.id: (r.status, str(r.amount)) for r in lake.sql("SELECT * FROM u.t").collect()}
+    assert got == {1: ("archived", "20.00"), 2: ("archived", "40.00"), 3: ("old", "30.00")}
+    snaps = lake.sql("SELECT * FROM u.t.snapshots").collect()
+    assert snaps[-1].operation == "update"
+    # time travel still sees the pre-UPDATE rows
+    assert {r.status for r in lake.sql("SELECT * FROM u.t VERSION AS OF 1").collect()} == {"new", "old"}
+
+    # CTAS infers schema (incl. decimal) and lands the data
+    lake.sql("CREATE TABLE polaris.u.archived AS SELECT id, amount FROM u.t WHERE status = 'archived'")
+    rows = lake.sql("SELECT * FROM u.archived ORDER BY id").collect()
+    assert [(r.id, str(r.amount)) for r in rows] == [(1, "20.00"), (2, "40.00")]
+    # UPDATE writes cast back to the declared column type, so CTAS inherits it
+    assert dict(lake.table("u.archived").dtypes)["amount"] == "decimal(10,2)"
