@@ -211,11 +211,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sig.select("doc_id", F.explode(bands).alias("band")).select(
         "doc_id", "band.band_id", "band.band_hash"
     )
+    # candidate pairs via ONE groupBy on the bucket key + in-bucket pair
+    # expansion — not a self-join of `banded` with itself, which would
+    # execute the whole signature pipeline (scan+tokenize+explode+16-MIN
+    # groupBy) once per join side (verified in the physical plan). Bucket
+    # membership lists are bounded by LSH collision probability, so the
+    # collect_list state and the quadratic expansion stay per-bucket-sized
+    # (the same boundedness the join relied on); sort_array makes the
+    # a<b pair orientation deterministic.
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band_id", "band_hash"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     sh = d.select("doc_id", tokens_expr().alias("toks")).select(
