@@ -188,3 +188,77 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("labeled_lang", "predicted_en")
     )
+
+
+@register(
+    "text_curation_pipeline",
+    oracle="""
+    WITH keep AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents
+        GROUP BY sha256(trim(lower(text)))),
+    survivors AS (
+        SELECT d.doc_id, d.source,
+               CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS INT) AS n_tokens,
+               CAST(len(list_distinct(regexp_split_to_array(trim(d.text), '\\s+'))) AS INT) AS uniq
+        FROM documents d
+        WHERE d.doc_id IN (SELECT doc_id FROM keep)),
+    quality AS (
+        SELECT * FROM survivors
+        WHERE n_tokens >= 20 AND uniq * 1.0 / n_tokens > 0.3)
+    SELECT t.source,
+           CAST(t.n_total AS BIGINT) AS n_total,
+           CAST(COALESCE(s.n_dedup, 0) AS BIGINT) AS n_after_dedup,
+           CAST(COALESCE(q.n_quality, 0) AS BIGINT) AS n_after_quality,
+           ROUND(COALESCE(q.n_quality, 0) * 1.0 / t.n_total, 6) AS retention
+    FROM (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source) t
+    LEFT JOIN (SELECT source, COUNT(*) AS n_dedup FROM survivors GROUP BY source) s
+      ON t.source = s.source
+    LEFT JOIN (SELECT source, COUNT(*) AS n_quality FROM quality GROUP BY source) q
+      ON t.source = q.source
+    ORDER BY t.source
+    """,
+)
+def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation funnel a pretraining pipeline runs, as one
+    declarative plan: exact dedup (keep lowest doc_id per content hash) →
+    quality gate (length + lexical diversity) → per-source retention
+    report. Composition of X1 + X5 operators; every stage is a built-in
+    (sha2 groupBy with map-side partial, semi join on the keep-set,
+    conditional aggregation) — at 100 TB the keep-set semi join shuffles
+    one row per DISTINCT hash, and the three per-source counts are
+    broadcast-joined aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    keep = (
+        d.select(F.sha2(F.trim(F.lower(F.col("text"))), 256).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    toks = tokens()
+    survivors = d.join(keep, "doc_id", "left_semi").select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("uniq"),
+    )
+    quality = survivors.filter(
+        (F.col("n_tokens") >= 20) & (F.col("uniq") * 1.0 / F.col("n_tokens") > 0.3)
+    )
+    totals = d.groupBy("source").agg(F.count("*").alias("n_total"))
+    n_dedup = survivors.groupBy("source").agg(F.count("*").alias("n_dedup"))
+    n_quality = quality.groupBy("source").agg(F.count("*").alias("n_quality"))
+    return (
+        totals.join(n_dedup, "source", "left")
+        .join(n_quality, "source", "left")
+        .select(
+            "source",
+            F.col("n_total").cast("long").alias("n_total"),
+            F.coalesce("n_dedup", F.lit(0)).cast("long").alias("n_after_dedup"),
+            F.coalesce("n_quality", F.lit(0)).cast("long").alias("n_after_quality"),
+            F.round(
+                F.coalesce("n_quality", F.lit(0)) * 1.0 / F.col("n_total"), 6
+            ).alias("retention"),
+        )
+        .orderBy("source")
+    )

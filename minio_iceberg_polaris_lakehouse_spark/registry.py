@@ -108,8 +108,8 @@ _PRIORITY: list[str] = [
     # X3 similarity
     "sim_topk_bruteforce",
     "sim_ann_ivf",
-    # X5 text analysis + X4 multimodal
-    "text_lang_profile",
+    # X5 text analysis (the end-to-end curation funnel: X1+X5) + X4 multimodal
+    "text_curation_pipeline",
     "mm_blob_stats",
 ]
 
