@@ -414,20 +414,21 @@ def rel_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(26,8))) AS DOUBLE) / COUNT(*) * 2 FROM orders)
+    WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(26,8))) AS DOUBLE) / COUNT(*) * 1.8 FROM orders)
     ORDER BY o_orderkey
     """,
 )
 def rel_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery: orders above 2× the mean price (mean computed with
-    the deterministic decimal-sum idiom)."""
+    """Scalar subquery: orders above 1.8× the mean price (mean computed
+    with the deterministic decimal-sum idiom; 2× selected nothing at
+    sf0.01, making the oracle check vacuous)."""
     o = _t(spark, sf_dir, "orders")
     o.createOrReplaceTempView("_rel_orders_sq")
     return spark.sql(
         """
         SELECT o_orderkey, o_totalprice
         FROM _rel_orders_sq
-        WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(26,8))) AS DOUBLE) / COUNT(*) * 2 FROM _rel_orders_sq)
+        WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(26,8))) AS DOUBLE) / COUNT(*) * 1.8 FROM _rel_orders_sq)
         ORDER BY o_orderkey
         """
     )

@@ -19,6 +19,7 @@ ROWS_ONLY_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle is None)
 NON_EMPTY = {
     "flagship_revenue_by_nation",
     "rel_join_anti",
+    "rel_scalar_subquery",
     "dedup_embedding_cosine",
     "rel_q2_min_cost_supplier",
     "rel_q5_local_supplier_volume",
