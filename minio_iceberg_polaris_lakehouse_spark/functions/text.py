@@ -10,7 +10,7 @@ single scan and one small aggregation shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from minio_iceberg_polaris_lakehouse_spark.registry import register
@@ -261,4 +261,93 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "text_stratified_sample",
+    oracle="""
+    WITH sampled AS (
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE doc_id % 10 < 2)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM sampled
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC sampling for training-data subsets: keep 20% of
+    documents by a pure function of the stable key (doc_id % 10 < 2 —
+    in production xxhash64(doc_id) for uniformity; the modulus keeps the
+    oracle engine-portable), reported per language stratum. Unlike
+    df.sample(), re-running selects the SAME rows on any cluster size —
+    reproducible dataset cuts are a hard requirement for training-data
+    lineage. No shuffle before the final per-stratum aggregate; the
+    predicate pushes to the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") % 10 < 2)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_top_bigrams",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents),
+    bigrams AS (
+        SELECT lang,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM toks
+        WHERE len(t) >= 2),
+    counted AS (
+        SELECT lang, bigram, COUNT(*) AS n
+        FROM bigrams GROUP BY lang, bigram),
+    ranked AS (
+        SELECT lang, bigram, CAST(n AS BIGINT) AS n,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rn
+        FROM counted)
+    SELECT lang, bigram, n, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 5
+    ORDER BY lang, rn
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics: top-5 word bigrams per language —
+    the language-model-ish frequency profile used for corpus QA and
+    contamination spot-checks. One explode + one partial-aggregated
+    count; WindowGroupLimit prunes to 5 rows per language before the
+    final sort, so the shuffle after counting carries one row per
+    distinct (lang, bigram) and the rank stage is top-k, not full-sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    t = d.select("lang", toks.alias("t")).filter(F.size("t") >= 2)
+    # guard: Spark's sequence(1, 0) DESCENDS instead of returning empty,
+    # so single-token docs are filtered out before index generation
+    idx = F.sequence(F.lit(1), F.size("t") - 1)
+    bigram_arr = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)),
+    )
+    bigrams = t.select("lang", F.explode(bigram_arr).alias("bigram"))
+    counted = bigrams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "bigram")
+    return (
+        counted.select("lang", "bigram", "n", F.row_number().over(w).cast("int").alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .orderBy("lang", "rn")
     )
