@@ -71,13 +71,32 @@ def sessionize_stateful(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Custom stateful operator: per-user running session state via
     applyInPandasWithState (the arbitrary-state API) — the pattern for
     operators Spark's built-ins can't express (custom eviction, running
-    ML features, CDC merge). State keys shard with the shuffle on user_id."""
+    ML features, CDC merge). State keys shard with the shuffle on user_id.
+
+    Sessions CLOSE by event-time timeout: after each batch the state arms
+    a timeout at last_event + gap; when the watermark passes it, the
+    group is invoked with hasTimedOut, emits its final row with
+    closed=True, and the state is REMOVED — bounded state through
+    eviction, not just bounded ingestion (the part NoTimeout demos leave
+    out)."""
 
     def update(
         key: tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, total, _last_ts = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "closed": [True],
+                }
+            )
+            return
         if state.exists:
             n, total, last_ts = state.get
         else:
@@ -89,6 +108,10 @@ def sessionize_stateful(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
             last = pdf["ts"].iloc[-1]
             last_ts = last if last_ts is None else max(last_ts, last)
         state.update((n, total, last_ts))
+        # arm the session-close timer: fires when watermark > last + gap
+        state.setTimeoutTimestamp(
+            int(pd.Timestamp(last_ts).value // 1_000_000) + gap_minutes * 60_000
+        )
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -106,7 +129,7 @@ def sessionize_stateful(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
             outputStructType=SESSION_OUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

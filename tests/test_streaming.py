@@ -192,3 +192,49 @@ def test_event_time_keep_first_beats_arrival_order(spark, tmp_path):
     rows = out.collect()
     final = rows[-1]
     assert final.event_id == 50 and str(final.ts) == "2024-01-01 10:00:00"
+
+
+def test_stateful_session_closes_on_event_time_timeout(spark, tmp_path):
+    """Session state must EVICT: when the watermark passes last_event+gap,
+    the group times out, emits closed=True, and its state is removed.
+    User 1 only appears in batch 0; batch 1's later events push the
+    watermark past user 1's gap."""
+    import glob as globmod
+    import shutil
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    schema = "event_id long, ts string, user_id long, event_type string, value double"
+
+    def land(name, rows):
+        d = tmp_path / f"_sess_stage_{name}"
+        spark.createDataFrame(rows, schema).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type", "value"
+        ).coalesce(1).write.parquet(str(d))
+        part = globmod.glob(str(d / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / name))
+
+    land("b0.parquet", [(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+                        (2, "2024-01-01 10:05:00", 1, "click", 2.0)])
+    # 3 hours later; 30-min gap → user 1's session must close in batch 1
+    land("b1.parquet", [(3, "2024-01-01 13:00:00", 2, "click", 5.0)])
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = engine.run_to_memory(
+        engine.sessionize_stateful(stream, gap_minutes=30),
+        f"sessto_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+    rows = out.collect()
+    closed = [r for r in rows if r.closed]
+    assert len(closed) == 1 and closed[0].user_id == 1
+    assert closed[0].n_events == 2 and closed[0].total_value == 3.0
+    # user 2's session is still open at stream end
+    open_u2 = [r for r in rows if r.user_id == 2]
+    assert open_u2 and not any(r.closed for r in open_u2)
