@@ -353,3 +353,45 @@ def test_metadata_columns(wh, spark):
     t.append(df.filter("id = 1"))
     by_id = {r.id: r._spec_id for r in t.read(metadata_columns=True).collect()}
     assert by_id[1] == 1 and by_id[2] == 0
+
+
+def _process_appender(root, ns, name, writer_id, n_commits):
+    """Runs in a separate PROCESS: drive the raw commit protocol (no Spark
+    needed — _commit_add is pure file IO) against the shared table dir."""
+    from types import SimpleNamespace
+
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import Table
+
+    wh = SimpleNamespace(spark=None, root=root)
+    t = Table(wh, ns, name)
+    for i in range(n_commits):
+        t._commit_add("append", [f"dir-w{writer_id}-{i}"], {"writer": writer_id, "i": i})
+
+
+def test_cross_process_commit_protocol_no_lost_updates(wh):
+    """The commit lock is an O_CREAT|O_EXCL FILE, so its guarantees must
+    hold across PROCESSES, not just threads: N processes x M commits each
+    must yield exactly N*M snapshots in one linear parent chain with every
+    data dir present exactly once."""
+    import multiprocessing as mp
+
+    t = wh.create_table("db", "procrace", "id int")
+    ctx = mp.get_context("spawn")
+    procs = [
+        ctx.Process(target=_process_appender, args=(wh.root, "db", "procrace", w, 5))
+        for w in range(4)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    snaps = t._snaps()
+    assert len(snaps) == 20
+    assert [s["snapshot_id"] for s in snaps] == list(range(1, 21))
+    assert [s["parent_id"] for s in snaps] == [None] + list(range(1, 20))
+    # the latest manifest accumulated every appended dir exactly once
+    manifest = snaps[-1]["manifest"]
+    assert sorted(manifest) == sorted(
+        f"dir-w{w}-{i}" for w in range(4) for i in range(5)
+    )
