@@ -222,3 +222,67 @@ def ref_duplicate_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(COUNT(DISTINCT id) AS BIGINT) AS distinct_ids "
         "FROM polaris.test_db.test_table_dup"
     )
+
+
+# ---------------------------------------------------------------------------
+# Metadata-table + time-travel goldens: the fixture transcript is fully
+# deterministic (snapshot ids, parents, operations, row counts), so these
+# warehouse features get literal-VALUES oracles — making S3/S4/S5 of
+# SURVEY §2.1 driver-verified rather than pytest-only.
+# ---------------------------------------------------------------------------
+@register(
+    "ref_table_history",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS snapshot_id,
+           CAST(NULL AS BIGINT) AS parent_id,
+           true AS is_current_ancestor
+    """,
+)
+def ref_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<table>.history metadata table (reference getting_started.ipynb:166)
+    through the SQL front-end: users got exactly one INSERT, so its history
+    is one root snapshot."""
+    return _lake(spark).sql(
+        "SELECT snapshot_id, parent_id, is_current_ancestor "
+        "FROM polaris.my_warehouse.users.history"
+    )
+
+
+@register(
+    "ref_table_snapshots",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(NULL AS BIGINT), 'append', '2'),
+        (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'append', '2'))
+        AS s(snapshot_id, parent_id, operation, added_records)
+    ORDER BY snapshot_id
+    """,
+)
+def ref_table_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<table>.snapshots metadata table (reference
+    getting_started.ipynb:144-152): the duplicate-append table committed
+    the same 2-row INSERT twice → two append snapshots chained by
+    parent_id, each summarizing added-records=2."""
+    return _lake(spark).sql(
+        "SELECT snapshot_id, parent_id, operation, summary['added-records'] AS added_records "
+        "FROM polaris.test_db.test_table_dup.snapshots ORDER BY snapshot_id"
+    )
+
+
+@register(
+    "ref_time_travel_counts",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS v1_rows, CAST(4 AS BIGINT) AS v2_rows
+    """,
+)
+def ref_time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSION AS OF time travel (reference warehouse_helpers.py:134,
+    iceberg_queries.ipynb:321) through the SQL front-end: the
+    duplicate-append table had 2 rows at snapshot 1 and 4 at snapshot 2;
+    both reads stay snapshot-isolated in one statement."""
+    return _lake(spark).sql(
+        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) "
+        "        FROM polaris.test_db.test_table_dup VERSION AS OF 1) AS v1_rows, "
+        "       (SELECT CAST(COUNT(*) AS BIGINT) "
+        "        FROM polaris.test_db.test_table_dup VERSION AS OF 2) AS v2_rows"
+    )

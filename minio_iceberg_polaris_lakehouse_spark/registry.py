@@ -54,6 +54,11 @@ _PRIORITY: list[str] = [
     "ref_join_users_orders",
     "ref_join_users_orders_decimal",
     "ref_duplicate_append",
+    # warehouse metadata tables + time travel through the SQL front-end
+    # (S3/S4/S5) — deterministic fixture, literal-VALUES oracles
+    "ref_table_history",
+    "ref_table_snapshots",
+    "ref_time_travel_counts",
     "rel_filter_projection",
     # join family (J2-J9 + range + as-of)
     "rel_join_left_outer",
@@ -74,12 +79,10 @@ _PRIORITY: list[str] = [
     "rel_grouping_sets",
     "rel_approx_sketches",
     "rel_percentiles",
-    "rel_string_agg",
     "agg_median_approx",
     # window functions (§2.5)
     "win_range_frame",
     "win_top3_per_segment",
-    "win_lag_lead",
     # sort / top-k (O1-O3)
     "rel_topk_orders",
     # set operations (§2.7)
@@ -91,7 +94,6 @@ _PRIORITY: list[str] = [
     "fn_date_suite",
     "fn_math_suite",
     "fn_json_extract",
-    "fn_map_suite",
     # streaming windows + event analytics (§2.12)
     "stream_tumbling_window",
     "stream_session_window",
