@@ -201,11 +201,14 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") 
 
 
 def run_foreach_batch_to_parquet(stream_df: DataFrame, path: str) -> None:
-    """Micro-batch sink: each batch lands as one idempotent parquet commit
-    (batch id in the path would give exactly-once on retries at scale)."""
+    """Micro-batch sink with EXACTLY-ONCE semantics on retries: each batch
+    overwrites its own `batch_id=N` partition directory, so a batch that
+    is retried after a partial failure replaces its previous partial
+    output instead of appending duplicates (the checkpointed batch id is
+    Structured Streaming's idempotence token; the sink must key on it)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(path)
+        batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
     q = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination()

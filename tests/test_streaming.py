@@ -76,6 +76,12 @@ def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
     engine.run_foreach_batch_to_parquet(stream.select("event_id", "user_id"), out)
     back = spark.read.parquet(out)
     assert back.count() == load_table(spark, sf_dir, "events").count()
+    # exactly-once on replay: re-running the same bounded stream replays
+    # the same batch ids, which OVERWRITE their own partitions — the count
+    # must not double (an append sink would duplicate every row here)
+    stream2 = engine.events_stream(spark, sf_dir)
+    engine.run_foreach_batch_to_parquet(stream2.select("event_id", "user_id"), out)
+    assert spark.read.parquet(out).count() == load_table(spark, sf_dir, "events").count()
 
 
 def test_late_data_dropped_by_watermark(spark, sf_dir):
