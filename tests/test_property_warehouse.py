@@ -71,3 +71,42 @@ def test_random_program_matches_model(spark, prop_wh, program):
     # snapshot chain is linear and complete
     snaps = t.snapshots().orderBy("snapshot_id").collect()
     assert [s.snapshot_id for s in snaps] == list(range(1, len(history) + 1))
+
+
+# SQL front-end roundtrip: random typed rows INSERTed as SQL literals must
+# come back exactly through SELECT (literal parsing is delegated to Spark's
+# own VALUES parser — this pins that delegation end-to-end).
+_sql_row = st.tuples(
+    st.integers(-(2**31), 2**31 - 1),
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters=" .,-"),
+        min_size=0,
+        max_size=20,
+    ),
+    st.decimals(min_value=-99999, max_value=99999, places=2),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=st.lists(_sql_row, min_size=1, max_size=5))
+def test_sql_insert_select_roundtrip(spark, tmp_path_factory, rows):
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    _counter[0] += 1
+    lake = LakehouseSQL(spark, str(tmp_path_factory.mktemp("sqlprop")))
+    lake.sql(
+        "CREATE TABLE polaris.p.t (id INT, name STRING, amount DECIMAL(10,2)) USING ICEBERG"
+    )
+    values = ", ".join(
+        f"({i}, '{s.replace(chr(39), chr(39) * 2)}', {a})" for i, s, a in rows
+    )
+    lake.sql(f"INSERT INTO polaris.p.t VALUES {values}")
+    got = sorted(
+        (r.id, r.name, r.amount) for r in lake.sql("SELECT * FROM p.t").collect()
+    )
+    want = sorted((i, s, a) for i, s, a in rows)
+    assert got == want
