@@ -439,6 +439,23 @@ class LakehouseSQL:
         self._existing_table(m.group(1)).rename_column(m.group(2), m.group(3))
         return self._empty()
 
+    def _alter_add_partition_field(self, m: re.Match) -> DataFrame:
+        """ALTER TABLE t ADD PARTITION FIELD <transform> — Iceberg's
+        partition-spec evolution DDL (reference README.md:129-130: specs
+        evolve without rewrites; old data keeps pruning under its own
+        spec)."""
+        tab = self._existing_table(m.group(1))
+        source, transform = self._parse_partition_expr(m.group(2).strip())
+        tab.evolve_partition_spec(source, transform)
+        return self._empty()
+
+    def _alter_drop_partition_field(self, m: re.Match) -> DataFrame:
+        """ALTER TABLE t DROP PARTITION FIELD <transform> — future writes
+        land unpartitioned; existing directories keep their spec."""
+        tab = self._existing_table(m.group(1))
+        tab.evolve_partition_spec(None)
+        return self._empty()
+
     def _alter_compact(self, m: re.Match) -> DataFrame:
         """The reference helper issues `ALTER TABLE t COMPACT`
         (warehouse_helpers.py:145) — not valid Spark/Iceberg SQL, but the
@@ -501,6 +518,14 @@ class LakehouseSQL:
         (
             rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})",
             _alter_rename_column,
+        ),
+        (
+            rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+ADD\s+PARTITION\s+FIELD\s+(.*)",
+            _alter_add_partition_field,
+        ),
+        (
+            rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+DROP\s+PARTITION\s+FIELD\s+(.*)",
+            _alter_drop_partition_field,
         ),
         (rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+COMPACT", _alter_compact),
         (

@@ -341,3 +341,26 @@ def test_update_and_ctas_sql(lake):
     assert [(r.id, str(r.amount)) for r in rows] == [(1, "20.00"), (2, "40.00")]
     # UPDATE writes cast back to the declared column type, so CTAS inherits it
     assert dict(lake.table("u.archived").dtypes)["amount"] == "decimal(10,2)"
+
+
+def test_partition_spec_evolution_sql(lake, spark):
+    """ALTER TABLE ... ADD/DROP PARTITION FIELD — spec evolution through
+    the SQL front-end, metadata-only, old data still readable and pruned
+    under its original spec."""
+    lake.sql("CREATE TABLE polaris.evo.t (id INT, ts TIMESTAMP) USING ICEBERG")
+    lake.sql(
+        "INSERT INTO polaris.evo.t VALUES (1, CAST('2024-11-25 10:00:00' AS TIMESTAMP))"
+    )
+    lake.sql("ALTER TABLE polaris.evo.t ADD PARTITION FIELD days(ts)")
+    lake.sql(
+        "INSERT INTO polaris.evo.t VALUES (2, CAST('2024-11-26 11:00:00' AS TIMESTAMP))"
+    )
+    assert lake.sql("SELECT COUNT(*) AS n FROM evo.t").collect()[0].n == 2
+    t = lake.wh.table("evo", "t")
+    assert t.partition_spec().transform == "day"
+    # spec id advanced for the new write only
+    by_id = {r.id: r._spec_id for r in t.read(metadata_columns=True).collect()}
+    assert by_id[1] == 0 and by_id[2] == 1
+    lake.sql("ALTER TABLE polaris.evo.t DROP PARTITION FIELD days(ts)")
+    assert t.partition_spec().source is None
+    assert lake.sql("SELECT COUNT(*) AS n FROM evo.t").collect()[0].n == 2
