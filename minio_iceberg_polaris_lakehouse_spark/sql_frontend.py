@@ -148,7 +148,16 @@ class LakehouseSQL:
         only names that resolve to existing warehouse tables rewrite.
         String literals are masked first so a table-like name INSIDE a
         literal (`WHERE note = 'see my_warehouse.users'`) never
-        rewrites."""
+        rewrites.
+
+        Iceberg metadata columns: when the statement references any of
+        `_spec_id/_partition/_file/_pos/_deleted`, table views are
+        registered WITH metadata columns so `SELECT _file, COUNT(*) ...
+        GROUP BY _file` works (the per-file debugging workflow behind the
+        reference's DESCRIBE EXTENDED listing,
+        getting_started.ipynb:128-132). Divergence from Iceberg proper:
+        in such a statement `SELECT *` also surfaces the metadata columns
+        (views cannot hide individual columns)."""
         literals: list[str] = []
 
         def mask(m: re.Match) -> str:
@@ -156,6 +165,9 @@ class LakehouseSQL:
             return f"\x00L{len(literals) - 1}\x00"
 
         s = re.sub(r"'(?:[^']|'')*'", mask, s)
+        wants_metadata_cols = bool(
+            re.search(r"(?<!\w)_(?:spec_id|partition|file|pos|deleted)(?!\w)", s)
+        )
         cat = re.escape(self.catalog)
         pattern = re.compile(
             rf"(?<![A-Za-z0-9_.'])"
@@ -188,7 +200,9 @@ class LakehouseSQL:
                 df = tab.read(as_of_ms=ms)
                 view += f"__ts{ms}"
             else:
-                df = tab.read()
+                df = tab.read(metadata_columns=wants_metadata_cols)
+                if wants_metadata_cols:
+                    view += "__meta"
             df.createOrReplaceTempView(view)
             return view
 

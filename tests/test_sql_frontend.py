@@ -364,3 +364,22 @@ def test_partition_spec_evolution_sql(lake, spark):
     lake.sql("ALTER TABLE polaris.evo.t DROP PARTITION FIELD days(ts)")
     assert t.partition_spec().source is None
     assert lake.sql("SELECT COUNT(*) AS n FROM evo.t").collect()[0].n == 2
+
+
+def test_metadata_columns_selectable_in_sql(lake):
+    """Iceberg metadata columns usable in SQL queries: per-file row counts
+    via GROUP BY _file (reference getting_started.ipynb:128-132 lists the
+    columns; real Iceberg exposes them to SELECT)."""
+    lake.sql("CREATE TABLE polaris.mc.t (id INT) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.mc.t VALUES (1), (2)")
+    lake.sql("INSERT INTO polaris.mc.t VALUES (3)")
+    per_file = lake.sql(
+        "SELECT _file, COUNT(*) AS n FROM mc.t GROUP BY _file ORDER BY n"
+    ).collect()
+    assert len(per_file) >= 2  # two commits → at least two files
+    assert sum(r.n for r in per_file) == 3
+    assert all(r._file.endswith(".parquet") for r in per_file)
+    live = lake.sql("SELECT id FROM mc.t WHERE _deleted = false ORDER BY id").collect()
+    assert [r.id for r in live] == [1, 2, 3]
+    # plain statements stay metadata-free
+    assert lake.sql("SELECT * FROM mc.t").columns == ["id"]
