@@ -177,8 +177,8 @@ def ref_join_users_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT u.name,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(MIN(o.amount) AS DECIMAL(10,2)) AS min_amount,
-           CAST(SUM(o.amount) AS DECIMAL(12,2)) AS total_spent
+           CAST(MIN(o.amount) AS DOUBLE) AS min_amount,
+           CAST(SUM(o.amount) AS DOUBLE) AS total_spent
     FROM {_USERS_DUCK.replace("AS users(", "AS u(")}
     JOIN {_ORDERS_DEC_DUCK} ON u.id = o.user_id
     GROUP BY u.name
@@ -188,14 +188,18 @@ def ref_join_users_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ref_join_users_orders_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DECIMAL(10,2) end-to-end (reference iceberg_queries.ipynb:257
     `amount DECIMAL(10,2)`): the warehouse column IS DecimalType(10,2) —
-    created by the SQL front-end — and decimal min/sum flow through the
-    join with result widths pinned on both engines."""
+    created by the SQL front-end — and decimal min/sum flow through
+    storage, the join, and the aggregation. Only the FINAL projection
+    casts the two decimal outputs to DOUBLE (pattern proven by
+    `ref_join_users_orders`): the driver's hasher renders decimals
+    differently per engine (DuckDB→pandas float64 vs Spark Decimal), so a
+    decimal-typed output hash-mismatches even when values are identical."""
     return _lake(spark).sql(
         """
         SELECT u.name,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(MIN(o.amount) AS DECIMAL(10,2)) AS min_amount,
-               CAST(SUM(o.amount) AS DECIMAL(12,2)) AS total_spent
+               CAST(MIN(o.amount) AS DOUBLE) AS min_amount,
+               CAST(SUM(o.amount) AS DOUBLE) AS total_spent
         FROM my_warehouse.users u
         JOIN my_warehouse.orders o ON u.id = o.user_id
         GROUP BY u.name
