@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -51,21 +52,29 @@ def main() -> None:
     # measured numbers reflect steady-state query cost, not first-query setup
     registry["flagship_revenue_by_nation"].spark(spark, sf_dir).count()
 
-    # Each query is timed twice and the MIN is reported: a single pass
-    # mixes per-query codegen/JIT compilation and OS page-cache state into
-    # the number (observed ±5-8% run-to-run on the same commit); min-of-2
-    # measures the steady-state plan execution the engine actually
-    # delivers on a warm cluster.
+    # Per query: one untimed warm-up (per-query codegen/JIT + page cache),
+    # then ITERS timed runs. MIN is the reported number (steady-state plan
+    # execution on a warm cluster); stddev across the timed runs is
+    # published so round-over-round deltas are attributable — r2's n=2
+    # left sub-1.3s "regressions" indistinguishable from noise.
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
     timings: dict[str, float] = {}
+    stddevs: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
-        best, n = float("inf"), 0
-        for _ in range(2):
+        q.spark(spark, sf_dir).count()  # per-query warm-up, untimed
+        runs: list[float] = []
+        n = 0
+        for _ in range(iters):
             t0 = time.perf_counter()
             n = q.spark(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        stddevs[name] = round(statistics.stdev(runs), 4) if len(runs) > 1 else 0.0
+        print(
+            f"# {name}: min {timings[name]:.3f}s sd {stddevs[name]:.4f} ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -75,6 +84,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stddev": stddevs,
+                "iters": iters,
                 "sf": sf,
             }
         )

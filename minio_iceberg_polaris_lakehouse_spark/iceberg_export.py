@@ -221,7 +221,11 @@ def write_iceberg_metadata(table: Table) -> str:
         "schemas": schemas,
         "current-schema-id": current_schema_id,
         "partition-specs": _partition_specs(meta, ids),
-        "default-spec-id": len(meta.get("spec_history", [0])) - 1,
+        # position of the CURRENT spec in history, not the last index:
+        # evolving back to a previously used spec (A->B->A) dedups history,
+        # so current may sit at an earlier position — must agree with the
+        # spec_id new data files are stamped with (Table._current_spec_id)
+        "default-spec-id": table._current_spec_id(meta),
         "last-partition-id": 1000 + len(meta.get("spec_history", [0])) - 1,
         "properties": meta.get("properties", {}),
         "current-snapshot-id": snaps[-1]["snapshot_id"] if snaps else -1,

@@ -405,9 +405,13 @@ class LakehouseSQL:
 
     def _create_table_as_select(self, m: re.Match) -> DataFrame:
         """CREATE TABLE t AS SELECT ... (CTAS): schema inferred from the
-        query result, data landed as the first snapshot."""
+        query result, data landed as the first snapshot. CTAS IF NOT
+        EXISTS on an EXISTING table is a no-op (Spark/Iceberg semantics) —
+        appending the query result on re-run would duplicate rows."""
         if_not_exists, name, query = bool(m.group(1)), m.group(2), m.group(3)
         ns, t = self._resolve_table_name(name)
+        if if_not_exists and self.wh.table(ns, t).exists():
+            return self._empty()
         src = self.spark.sql(self._rewrite_query(query))
         tab = self.wh.create_table(ns, t, src.schema, if_not_exists=if_not_exists)
         tab.append(src)

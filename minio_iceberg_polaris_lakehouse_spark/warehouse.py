@@ -228,6 +228,21 @@ def _atomic_write_json(path: str, obj: dict) -> None:
     os.replace(tmp, path)
 
 
+@dataclass
+class PendingData:
+    """A data directory written for a not-yet-committed snapshot. Carries
+    the spec it was written under and its parquet-footer stats so the
+    commit can merge them into _meta.json ATOMICALLY with the snapshot
+    append (inside the commit lock) — an unlocked read-modify-write of
+    _meta.json here would let two concurrent appenders lose each other's
+    dir_specs/dir_stats entries."""
+
+    dirname: str
+    rows: int
+    spec_rec: dict[str, Any]
+    stats: list[dict]
+
+
 class Table:
     def __init__(self, wh: Warehouse, ns: str, name: str):
         self.wh = wh
@@ -269,32 +284,65 @@ class Table:
     _LOCK_TIMEOUT_S = 20.0
     _LOCK_STALE_S = 60.0
 
-    def _acquire_commit_lock(self) -> str:
+    def _acquire_commit_lock(self) -> tuple[str, str]:
         """Mutual exclusion for the read-check-swap of the snapshot log:
         O_CREAT|O_EXCL file creation is atomic on a local/POSIX filesystem
         (on an object store this maps to a conditional PUT / CAS on the
         metadata pointer, which is exactly what Polaris does for Iceberg).
-        Stale locks (crashed writer) are broken after _LOCK_STALE_S."""
+        Returns (lock_path, token); release verifies the token so a lock
+        broken and re-acquired by someone else is never unlinked by the
+        original holder. Stale locks (crashed writer) are broken after
+        _LOCK_STALE_S by RENAME-then-verify, not unlink: renaming the lock
+        aside is atomic, and re-checking the renamed file's mtime closes
+        the check-then-unlink race where the holder releases and a fresh
+        writer re-acquires between our getmtime and our delete."""
         lock = os.path.join(self.path, "_commit.lock")
+        token = f"{os.getpid()}:{uuid.uuid4().hex}"
         deadline = time.monotonic() + self._LOCK_TIMEOUT_S
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, token.encode())
                 os.close(fd)
-                return lock
+                return lock, token
             except FileExistsError:
                 try:
-                    if time.time() - os.path.getmtime(lock) > self._LOCK_STALE_S:
-                        os.unlink(lock)  # break stale lock; loop retries
-                        continue
+                    stale = time.time() - os.path.getmtime(lock) > self._LOCK_STALE_S
                 except FileNotFoundError:
+                    continue
+                if stale:
+                    broken = f"{lock}.broken.{uuid.uuid4().hex}"
+                    try:
+                        os.rename(lock, broken)
+                    except FileNotFoundError:
+                        continue  # holder released meanwhile; retry acquire
+                    if time.time() - os.path.getmtime(broken) > self._LOCK_STALE_S:
+                        os.unlink(broken)  # verified stale; retry acquire
+                    else:
+                        # raced: we renamed a FRESH lock aside — restore it
+                        # unless an even newer lock already took the name
+                        try:
+                            os.link(broken, lock)
+                        except FileExistsError:
+                            pass
+                        os.unlink(broken)
                     continue
                 if time.monotonic() > deadline:
                     raise WarehouseError(
                         f"commit lock timeout on {self.ns}.{self.name}"
                     ) from None
                 time.sleep(0.01)
+
+    def _release_commit_lock(self, lock: str, token: str) -> None:
+        """Unlink only if the lock still carries OUR token — if it was
+        broken as stale and re-acquired, deleting it would free someone
+        else's critical section."""
+        try:
+            with open(lock) as f:
+                if f.read() == token:
+                    os.unlink(lock)
+        except FileNotFoundError:
+            pass
 
     def _append_snapshot(
         self, snaps: list[dict], operation: str, dirs: list[str], summary: dict[str, Any]
@@ -322,23 +370,49 @@ class Table:
         write_iceberg_metadata(self)
         return sid
 
-    def _commit_add(self, operation: str, new_dirs: list[str], summary: dict[str, Any]) -> int:
+    def _record_pending(self, pending: list["PendingData"]) -> None:
+        """Merge freshly written dirs' spec + footer stats into _meta.json.
+        MUST run inside the commit lock: commits also rewrite _meta.json
+        (write_iceberg_metadata bumps metadata_version), so an unlocked
+        read-modify-write here can lose a concurrent appender's
+        dir_specs/dir_stats entry — the Iceberg export would then list
+        that directory with no data files and independent readers would
+        silently miss rows."""
+        if not pending:
+            return
+        meta = self._meta()
+        for p in pending:
+            meta.setdefault("dir_specs", {})[p.dirname] = p.spec_rec
+            meta.setdefault("dir_stats", {})[p.dirname] = p.stats
+        self._write_meta(meta)
+
+    @staticmethod
+    def _split_adds(adds: list) -> tuple[list[str], list["PendingData"]]:
+        """Commit inputs may be PendingData (normal write path) or raw dir
+        names (protocol-level tests / external tooling); raw names carry no
+        meta to record."""
+        dirs = [a.dirname if isinstance(a, PendingData) else a for a in adds]
+        return dirs, [a for a in adds if isinstance(a, PendingData)]
+
+    def _commit_add(self, operation: str, adds: list, summary: dict[str, Any]) -> int:
         """Commit that ADDS data dirs to whatever the current snapshot is.
         Appends are commutative, so under the lock they always succeed —
         two concurrent appenders both land, neither lost (Iceberg gives
         appends the same fast-path retry)."""
-        lock = self._acquire_commit_lock()
+        new_dirs, pending = self._split_adds(adds)
+        lock, token = self._acquire_commit_lock()
         try:
+            self._record_pending(pending)
             snaps = self._snaps()
             live = (snaps[-1]["manifest"] if snaps else []) + new_dirs
             return self._append_snapshot(snaps, operation, live, summary)
         finally:
-            os.unlink(lock)
+            self._release_commit_lock(lock, token)
 
     def _commit_replace(
         self,
         operation: str,
-        dirs: list[str],
+        adds: list,
         summary: dict[str, Any],
         expected_parent: int | None,
     ) -> int:
@@ -347,7 +421,8 @@ class Table:
         would silently drop their rows — so it conflicts instead of
         committing (optimistic concurrency; raise, caller re-reads and
         retries)."""
-        lock = self._acquire_commit_lock()
+        dirs, pending = self._split_adds(adds)
+        lock, token = self._acquire_commit_lock()
         try:
             snaps = self._snaps()
             current = snaps[-1]["snapshot_id"] if snaps else None
@@ -356,9 +431,10 @@ class Table:
                     f"{self.ns}.{self.name}: snapshot moved {expected_parent} -> "
                     f"{current} during {operation}; re-read and retry"
                 )
+            self._record_pending(pending)
             return self._append_snapshot(snaps, operation, dirs, summary)
         finally:
-            os.unlink(lock)
+            self._release_commit_lock(lock, token)
 
     def current_snapshot_id(self) -> int | None:
         snaps = self._snaps()
@@ -518,22 +594,34 @@ class Table:
             return _with_null_metadata_columns(out, cols)
 
         # unified partition struct type: one field per distinct spec column
+        cur_schema = self.schema()
         part_fields: list[tuple[str, T.DataType]] = []
         seen = set()
         for spec, _sid, _df in frames:
             if spec.column() is not None and spec.column() not in seen:
                 seen.add(spec.column())
-                dt = (
-                    self.schema()[spec.source].dataType
-                    if spec.transform == "identity"
-                    else self._TRANSFORM_TYPES[spec.transform]
-                )
+                if spec.transform == "identity":
+                    # an old dir's identity spec may reference a column
+                    # dropped since (drop_column only protects the CURRENT
+                    # spec's source) — surface the field as a null string
+                    # instead of raising on the schema lookup
+                    dt = (
+                        cur_schema[spec.source].dataType
+                        if spec.source in cur_schema.fieldNames()
+                        else T.StringType()
+                    )
+                else:
+                    dt = self._TRANSFORM_TYPES[spec.transform]
                 part_fields.append((spec.column(), dt))
 
         parts = []
         for spec, spec_id, df in frames:
             struct_cols = [
-                (F.col(name) if spec.column() == name else F.lit(None).cast(dt)).alias(name)
+                (
+                    F.col(name)
+                    if spec.column() == name and name in df.columns
+                    else F.lit(None).cast(dt)
+                ).alias(name)
                 for name, dt in part_fields
             ]
             partition_col = (
@@ -613,14 +701,16 @@ class Table:
         return self.read(**kw).toPandas()
 
     # ---------------- write path (S7/S8/M2) ----------------
-    def _write_data(self, df: DataFrame) -> tuple[str, int]:
+    def _write_data(self, df: DataFrame) -> PendingData:
         """Write one immutable data directory for this commit (executors do
-        all IO; zstd parquet as in the reference table properties). Returns
-        (dirname, row_count) — the count comes from the written files'
-        parquet FOOTERS, not a second execution of the input plan: the
-        upstream lineage may be arbitrarily expensive and must run exactly
-        once (footer reads are O(files) metadata-only, the same stats an
-        Iceberg commit records in its manifest)."""
+        all IO; zstd parquet as in the reference table properties). The row
+        count comes from the written files' parquet FOOTERS, not a second
+        execution of the input plan: the upstream lineage may be
+        arbitrarily expensive and must run exactly once (footer reads are
+        O(files) metadata-only, the same stats an Iceberg commit records
+        in its manifest). Does NOT touch _meta.json — the dir's spec and
+        stats ride in the returned PendingData and are merged into meta by
+        the commit, inside the commit lock (see _record_pending)."""
         dirname = f"data-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, dirname)
         meta = self._meta()
@@ -637,18 +727,13 @@ class Table:
             writer.write.option("compression", "zstd").partitionBy(spec.column()).parquet(out)
         else:
             writer.write.option("compression", "zstd").parquet(out)
-        # remember which spec wrote this dir (spec evolution, scan pruning)
-        # and its per-file footer stats (commit summaries + Iceberg export)
         stats = _parquet_footer_stats(out)
-        meta = self._meta()
-        meta.setdefault("dir_specs", {})[dirname] = {
+        spec_rec = {
             "source": spec.source,
             "transform": spec.transform,
             "spec_id": self._current_spec_id(meta),
         }
-        meta.setdefault("dir_stats", {})[dirname] = stats
-        self._write_meta(meta)
-        return dirname, sum(s["rows"] for s in stats)
+        return PendingData(dirname, sum(s["rows"] for s in stats), spec_rec, stats)
 
     def _current_spec_id(self, meta: dict) -> int:
         """Iceberg-style spec id: position of the current partition spec in
@@ -667,8 +752,8 @@ class Table:
         """Append-only INSERT: duplicates by design (§2.11). Appends are
         commutative — two concurrent appenders both survive (see
         _commit_add)."""
-        d, n = self._write_data(df)
-        return self._commit_add("append", [d], {"added-records": n})
+        p = self._write_data(df)
+        return self._commit_add("append", [p], {"added-records": p.rows})
 
     def insert_values(self, rows: list[tuple]) -> int:
         """INSERT INTO t VALUES ... (reference S7: getting_started.ipynb:96)."""
@@ -679,14 +764,15 @@ class Table:
         Replaces the whole table regardless of prior state — no read
         dependency, so it commits unconditionally (last overwrite wins,
         matching Iceberg's createOrReplace)."""
-        d, n = self._write_data(df)
-        lock = self._acquire_commit_lock()
+        p = self._write_data(df)
+        lock, token = self._acquire_commit_lock()
         try:
+            self._record_pending([p])
             return self._append_snapshot(
-                self._snaps(), "overwrite", [d], {"replaced": True, "added-records": n}
+                self._snaps(), "overwrite", [p.dirname], {"replaced": True, "added-records": p.rows}
             )
         finally:
-            os.unlink(lock)
+            self._release_commit_lock(lock, token)
 
     # ---------------- DML beyond append (M1) ----------------
     def delete_where(self, condition: str) -> int:
@@ -697,8 +783,8 @@ class Table:
         parent = self.current_snapshot_id()
         cur = self.read()
         remaining = cur.filter(f"NOT ({condition})")
-        d, _n = self._write_data(remaining)
-        return self._commit_replace("delete", [d], {"predicate": condition}, parent)
+        p = self._write_data(remaining)
+        return self._commit_replace("delete", [p], {"predicate": condition}, parent)
 
     def update_where(self, assignments: dict[str, str], condition: str) -> int:
         """UPDATE t SET col = expr, ... WHERE condition — copy-on-write:
@@ -722,8 +808,8 @@ class Table:
                 for c in cols
             ]
         )
-        d, _n = self._write_data(updated)
-        return self._commit_replace("update", [d], {"predicate": condition}, parent)
+        p = self._write_data(updated)
+        return self._commit_replace("update", [p], {"predicate": condition}, parent)
 
     def merge_into(
         self,
@@ -757,8 +843,8 @@ class Table:
                 *[F.col(c) for c in cols]
             )
             merged = merged.unionByName(new_rows)
-        d, _n = self._write_data(merged)
-        return self._commit_replace("merge", [d], {"on": on}, parent)
+        p = self._write_data(merged)
+        return self._commit_replace("merge", [p], {"on": on}, parent)
 
     # ---------------- schema evolution (D10) ----------------
     def add_column(self, name: str, dtype: str) -> None:
@@ -879,13 +965,13 @@ class Table:
         COMPACT`, warehouse_helpers.py:142-146, is not executable SQL)."""
         parent = self.current_snapshot_id()
         cur = self.read().coalesce(target_partitions)
-        d, _n = self._write_data(cur)
-        return self._commit_replace("replace", [d], {"compacted-to": target_partitions}, parent)
+        p = self._write_data(cur)
+        return self._commit_replace("replace", [p], {"compacted-to": target_partitions}, parent)
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Iceberg expire_snapshots: drop history older than the last N
         snapshots and garbage-collect unreferenced data directories."""
-        lock = self._acquire_commit_lock()
+        lock, token = self._acquire_commit_lock()
         try:
             snaps = self._snaps()
             keep = snaps[-keep_last:]
@@ -907,7 +993,7 @@ class Table:
             write_iceberg_metadata(self)
             return removed
         finally:
-            os.unlink(lock)
+            self._release_commit_lock(lock, token)
 
 
 def _ms_to_ts(ms: int):

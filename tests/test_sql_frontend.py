@@ -383,3 +383,21 @@ def test_metadata_columns_selectable_in_sql(lake):
     assert [r.id for r in live] == [1, 2, 3]
     # plain statements stay metadata-free
     assert lake.sql("SELECT * FROM mc.t").columns == ["id"]
+
+
+def test_ctas_if_not_exists_is_noop_on_existing_table(lake):
+    """ADVICE r2: re-running CREATE TABLE IF NOT EXISTS ... AS SELECT on an
+    existing table must be a no-op (Spark/Iceberg CTAS semantics), not an
+    append that duplicates rows."""
+    lake.sql("CREATE TABLE polaris.db.src (id INT, v STRING) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.db.src VALUES (1, 'a'), (2, 'b')")
+    lake.sql("CREATE TABLE IF NOT EXISTS polaris.db.ctas AS SELECT * FROM polaris.db.src")
+    assert lake.sql("SELECT COUNT(*) AS n FROM polaris.db.ctas").collect()[0].n == 2
+    # re-run: table exists -> no-op, still 2 rows and still 1 snapshot
+    lake.sql("CREATE TABLE IF NOT EXISTS polaris.db.ctas AS SELECT * FROM polaris.db.src")
+    assert lake.sql("SELECT COUNT(*) AS n FROM polaris.db.ctas").collect()[0].n == 2
+    snaps = lake.sql("SELECT snapshot_id FROM polaris.db.ctas.snapshots").collect()
+    assert len(snaps) == 1
+    # plain CTAS without IF NOT EXISTS still errors on an existing table
+    with pytest.raises(WarehouseError):
+        lake.sql("CREATE TABLE polaris.db.ctas AS SELECT * FROM polaris.db.src")

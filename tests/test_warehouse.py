@@ -280,6 +280,27 @@ def test_concurrent_appends_both_survive(wh, spark):
     snaps = t.snapshots().orderBy("snapshot_id").collect()
     assert [s.snapshot_id for s in snaps] == [1, 2, 3, 4, 5]
     assert [s.parent_id for s in snaps] == [None, 1, 2, 3, 4]
+    # meta's per-dir records survived the race too: the dir_specs/dir_stats
+    # merge happens under the commit lock, so no writer's entry is lost —
+    # every live data dir has footer stats and the Iceberg export lists
+    # every dir with a non-empty data_files list
+    meta = t._meta()
+    live_dirs = t._snaps()[-1]["manifest"]
+    assert len(live_dirs) == 5
+    for d in live_dirs:
+        assert d in meta["dir_specs"], f"lost dir_specs entry for {d}"
+        assert meta["dir_stats"].get(d), f"lost dir_stats entry for {d}"
+    import json as _json
+    import os as _os
+
+    mdir = _os.path.join(t.path, "metadata")
+    hint = open(_os.path.join(mdir, "version-hint.text")).read().strip()
+    doc = _json.load(open(_os.path.join(mdir, f"v{hint}.metadata.json")))
+    cur = [s for s in doc["snapshots"] if s["snapshot-id"] == doc["current-snapshot-id"]][0]
+    mlist = _json.load(open(cur["manifest-list"]))
+    assert len(mlist["manifests"]) == 5
+    for man in mlist["manifests"]:
+        assert man["data_files"], f"export lists no data files for {man['manifest_path']}"
 
 
 def test_read_modify_write_conflict_detected(wh, spark):
@@ -293,11 +314,11 @@ def test_read_modify_write_conflict_detected(wh, spark):
 
     parent = t.current_snapshot_id()
     remaining = t.read().filter("id != 2")
-    d, _ = t._write_data(remaining)
+    p = t._write_data(remaining)
     # another writer lands before our commit
     t.insert_values([(3, "c")])
     with pytest.raises(CommitConflictError):
-        t._commit_replace("delete", [d], {"predicate": "id = 2"}, parent)
+        t._commit_replace("delete", [p], {"predicate": "id = 2"}, parent)
     # the concurrent writer's row is intact; retrying the delete succeeds
     assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
     t.delete_where("id = 2")
@@ -395,3 +416,49 @@ def test_cross_process_commit_protocol_no_lost_updates(wh):
     assert sorted(manifest) == sorted(
         f"dir-w{w}-{i}" for w in range(4) for i in range(5)
     )
+
+
+def test_metadata_read_survives_dropped_old_partition_source(wh, spark):
+    """A dir written under an identity spec whose source column was LATER
+    dropped (drop_column only protects the CURRENT spec's source) must not
+    break metadata-column reads — the old spec's _partition field shows as
+    null instead of raising on the schema lookup."""
+    t = wh.create_table("db", "droppedsrc", "id int, region string", partition_by="region")
+    t.insert_values([(1, "eu"), (2, "us")])
+    t.evolve_partition_spec(None)  # unpartitioned going forward
+    t.append(spark.createDataFrame([(3, "ap")], "id int, region string"))
+    t.drop_column("region")  # legal now: region is no longer the current source
+    got = t.read(metadata_columns=True)
+    rows = {r.id: r for r in got.collect()}
+    assert set(rows) == {1, 2, 3}
+    # old-era rows keep a _partition struct slot for the dead spec, valued null
+    assert rows[3]._partition["_p_identity_region"] is None
+
+
+def test_export_default_spec_id_after_evolving_back(wh, spark, tmp_path):
+    """Spec evolution A->B->A dedups spec_history, so the CURRENT spec sits
+    at an earlier history index — default-spec-id must follow it (and match
+    the spec_id stamped on new data files), not point at the last entry."""
+    import json as _json
+    import os as _os
+
+    t = wh.create_table("db", "abba", "id int, d date", partition_by="d")
+    t.insert_values([(1, datetime_date(2024, 1, 1))])
+    t.evolve_partition_spec("id", "bucket16")  # B
+    t.evolve_partition_spec("d", "identity")  # back to A
+    t.insert_values([(2, datetime_date(2024, 1, 2))])
+    meta = t._meta()
+    assert t._current_spec_id(meta) == 0
+    mdir = _os.path.join(t.path, "metadata")
+    hint = open(_os.path.join(mdir, "version-hint.text")).read().strip()
+    doc = _json.load(open(_os.path.join(mdir, f"v{hint}.metadata.json")))
+    assert doc["default-spec-id"] == 0
+    # and the latest-written dir carries the same spec id
+    last_dir = t._snaps()[-1]["manifest"][-1]
+    assert meta["dir_specs"][last_dir]["spec_id"] == 0
+
+
+def datetime_date(y, m, d):
+    import datetime
+
+    return datetime.date(y, m, d)
