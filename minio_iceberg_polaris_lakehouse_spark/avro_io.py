@@ -226,7 +226,10 @@ def read_datum(r: _Reader, schema):
                 n = -n
                 r.read_long()
             for _ in range(n):
-                out[r.read_string()] = read_datum(r, schema["values"])
+                # key MUST be read before the value: Python evaluates the
+                # RHS of `d[k] = v` first, which would swap the stream order
+                k = r.read_string()
+                out[k] = read_datum(r, schema["values"])
     raise ValueError(f"unsupported Avro type {t!r}")
 
 
@@ -294,7 +297,9 @@ def read_container(path: str) -> tuple[dict, dict[str, bytes], list]:
             n = -n
             r.read_long()
         for _ in range(n):
-            meta[r.read_string()] = r.read_bytes()
+            # key first — `d[k] = v` evaluates v before k
+            k = r.read_string()
+            meta[k] = r.read_bytes()
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
     sync = r.read(16)

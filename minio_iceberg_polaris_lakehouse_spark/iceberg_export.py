@@ -17,25 +17,32 @@ so an independent reader can resolve the current schema (with stable
 field ids), partition specs, the snapshot chain, and the exact data-file
 list with record counts/sizes — without this engine's code.
 
-Documented divergence: real Iceberg manifest lists / manifests are Avro
-files; this container has no Avro writer, so both levels are collapsed
-into ONE spec-shaped JSON document per snapshot (`manifest-list` entries
-carry the data files inline). Every field name matches the Avro schema's
-(`manifest_path`, `data_file.file_path`, `record_count`, ...), making a
-future Avro writer a serialization swap, not a redesign.
+Both metadata levels are written in the REAL binary layout: manifest
+lists and manifests are Avro object-container files (deflate codec,
+field-id annotated schemas) produced by the engine's pure-stdlib Avro
+writer (avro_io.py, byte-validated in tests against the independent Java
+Avro implementation on Spark's classpath). A spec-shaped JSON rendering
+of each manifest list (`snap-<id>.manifest-list.json`, both levels
+inlined) is kept alongside as a human-debuggable sibling; the metadata
+document's `manifest-list` field points at the Avro file, as the spec
+requires (reference README.md:169-175 shows `snap-….avro`).
 
-Cost model: export is driver-side JSON of O(files) entries built from
-footer stats CACHED at write time (warehouse.py `dir_stats`) — no data
-reads, no Spark job, same order of work as Iceberg's own commit path.
+Cost model: export is driver-side JSON/Avro of O(files) entries built
+from footer stats CACHED at write time (warehouse.py `dir_stats`) — no
+data reads, no Spark job, same order of work as Iceberg's own commit
+path. Per-dir manifest Avro files are immutable and written once.
 """
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
+import urllib.parse
 
 from pyspark.sql import types as T
 
+from minio_iceberg_polaris_lakehouse_spark import avro_io
 from minio_iceberg_polaris_lakehouse_spark.warehouse import Table, _atomic_write_json
 
 _PRIMITIVES: dict[str, str] = {
@@ -143,6 +150,202 @@ def _partition_specs(meta: dict, ids: dict) -> list[dict]:
     return specs
 
 
+# ---------------------------------------------------------------------------
+# Avro manifest / manifest-list layer (Iceberg spec §Manifests, §Manifest
+# Lists — schemas carry the spec's field-ids so id-based schema resolution
+# works in real readers)
+# ---------------------------------------------------------------------------
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+# identity-transform partition values: Spark type name -> Avro schema
+_AVRO_IDENTITY = {
+    "integer": "int",
+    "long": "long",
+    "short": "int",
+    "byte": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": {"type": "int", "logicalType": "date"},
+}
+_AVRO_TRANSFORM = {
+    "day": {"type": "int", "logicalType": "date"},
+    "month": "string",
+    "year": "int",
+    "bucket16": "int",
+}
+
+
+def _partition_avro_field(meta: dict, spec: dict) -> tuple[str, object] | None:
+    """(field_name, avro_type) for a dir's partition column, or None for
+    unpartitioned specs. Sources dropped from the current schema fall back
+    to string (values parse from the hive path anyway)."""
+    source = spec.get("source")
+    if source is None:
+        return None
+    transform = spec.get("transform", "identity")
+    name = f"_p_{transform}_{source}"
+    if transform != "identity":
+        return name, _AVRO_TRANSFORM[transform]
+    schema = T.StructType.fromJson(json.loads(meta["schema"]))
+    if source in schema.fieldNames():
+        return name, _AVRO_IDENTITY.get(schema[source].dataType.typeName(), "string")
+    return name, "string"
+
+
+def _partition_value(rel_path: str, field_name: str, avro_type) -> object:
+    """Decode the hive-style partition value embedded in a data file's
+    relative path (``_p_day_ts=2024-11-25/part-….parquet``) to the typed
+    Avro datum. Unparseable / __HIVE_DEFAULT_PARTITION__ → None."""
+    for part in rel_path.split(os.sep)[:-1]:
+        if "=" not in part:
+            continue
+        k, _, raw = part.partition("=")
+        if k != field_name:
+            continue
+        val = urllib.parse.unquote(raw)
+        if val == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        try:
+            if isinstance(avro_type, dict) and avro_type.get("logicalType") == "date":
+                return (datetime.date.fromisoformat(val) - datetime.date(1970, 1, 1)).days
+            if avro_type == "int" or avro_type == "long":
+                return int(val)
+            if avro_type == "double" or avro_type == "float":
+                return float(val)
+            if avro_type == "boolean":
+                return val.lower() == "true"
+            return val
+        except ValueError:
+            return None
+    return None
+
+
+def _manifest_entry_schema(partition_field: tuple[str, object] | None) -> dict:
+    part_fields = []
+    if partition_field is not None:
+        name, avro_type = partition_field
+        part_fields.append(
+            {"name": name, "type": ["null", avro_type], "default": None, "field-id": 1000}
+        )
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 3,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 4,
+            },
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int", "field-id": 134},
+                        {"name": "file_path", "type": "string", "field-id": 100},
+                        {"name": "file_format", "type": "string", "field-id": 101},
+                        {
+                            "name": "partition",
+                            "field-id": 102,
+                            "type": {"type": "record", "name": "r102", "fields": part_fields},
+                        },
+                        {"name": "record_count", "type": "long", "field-id": 103},
+                        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                    ],
+                },
+            },
+        ],
+    }
+
+
+def _write_manifest_avro(
+    table: Table,
+    meta: dict,
+    dirname: str,
+    files: list[dict],
+    added_snapshot_id: int,
+    seq: int,
+    spec_rec: dict,
+) -> str:
+    """One immutable Avro manifest per data directory (written once;
+    manifests are content-addressed by dir, which is itself immutable)."""
+    mdir = os.path.join(table.path, "metadata")
+    path = os.path.join(mdir, f"manifest-{dirname}.avro")
+    if os.path.isfile(path):
+        return path
+    part_field = _partition_avro_field(meta, spec_rec)
+    schema = _manifest_entry_schema(part_field)
+    records = []
+    for f in files:
+        partition: dict[str, object] = {}
+        if part_field is not None:
+            partition[part_field[0]] = _partition_value(f["path"], part_field[0], part_field[1])
+        records.append(
+            {
+                "status": 1,  # ADDED (in its adding snapshot)
+                "snapshot_id": added_snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,  # DATA
+                    "file_path": os.path.join(table.path, dirname, f["path"]),
+                    "file_format": "PARQUET",
+                    "partition": partition,
+                    "record_count": f["rows"],
+                    "file_size_in_bytes": f["bytes"],
+                },
+            }
+        )
+    ids = meta.get("column_ids", {})
+    iceberg_schema = _schema_json(meta, 0, T.StructType.fromJson(json.loads(meta["schema"])))
+    specs = _partition_specs(meta, ids)
+    sid = min(int(spec_rec.get("spec_id", 0)), len(specs) - 1)
+    avro_io.write_container(
+        path,
+        schema,
+        records,
+        metadata={
+            "schema": json.dumps(iceberg_schema),
+            "partition-spec": json.dumps(specs[sid]["fields"]),
+            "partition-spec-id": str(sid),
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+    return path
+
+
 def write_iceberg_metadata(table: Table) -> str:
     """Export the table's current state as Iceberg-v2-shaped metadata.
     Returns the metadata file path. Called after every commit; safe to
@@ -169,17 +372,48 @@ def write_iceberg_metadata(table: Table) -> str:
 
     dir_stats = meta.get("dir_stats", {})
     dir_specs = meta.get("dir_specs", {})
+    # a dir's adding snapshot = its first appearance in the chain (drives
+    # the manifest's added_snapshot_id/sequence_number and the list's
+    # added-vs-existing counts)
+    added_in: dict[str, tuple[int, int]] = {}
+    for seq, s in enumerate(snaps, start=1):
+        for d in s["manifest"]:
+            added_in.setdefault(d, (s["snapshot_id"], seq))
     snapshot_entries = []
     for seq, s in enumerate(snaps, start=1):
-        manifest_list = os.path.join(mdir, f"snap-{s['snapshot_id']}.manifest-list.json")
-        manifests = []
+        manifest_list_avro = os.path.join(mdir, f"snap-{s['snapshot_id']}-manifest-list.avro")
+        manifest_list_json = os.path.join(mdir, f"snap-{s['snapshot_id']}.manifest-list.json")
+        manifests_json = []
+        list_records = []
         for d in s["manifest"]:
             files = dir_stats.get(d, [])
-            manifests.append(
+            spec_rec = dir_specs.get(d, {"source": None, "transform": "identity", "spec_id": 0})
+            add_snap, add_seq = added_in.get(d, (s["snapshot_id"], seq))
+            mpath = _write_manifest_avro(table, meta, d, files, add_snap, add_seq, spec_rec)
+            rows = sum(f["rows"] for f in files)
+            added = add_snap == s["snapshot_id"]
+            list_records.append(
                 {
-                    "manifest_path": os.path.join(table.path, d),
-                    "partition_spec_id": int(dir_specs.get(d, {}).get("spec_id", 0)),
-                    "added_snapshot_id": s["snapshot_id"],
+                    "manifest_path": mpath,
+                    "manifest_length": os.path.getsize(mpath),
+                    "partition_spec_id": int(spec_rec.get("spec_id", 0)),
+                    "content": 0,  # data
+                    "sequence_number": add_seq,
+                    "min_sequence_number": add_seq,
+                    "added_snapshot_id": add_snap,
+                    "added_files_count": len(files) if added else 0,
+                    "existing_files_count": 0 if added else len(files),
+                    "deleted_files_count": 0,
+                    "added_rows_count": rows if added else 0,
+                    "existing_rows_count": 0 if added else rows,
+                    "deleted_rows_count": 0,
+                }
+            )
+            manifests_json.append(
+                {
+                    "manifest_path": mpath,
+                    "partition_spec_id": int(spec_rec.get("spec_id", 0)),
+                    "added_snapshot_id": add_snap,
                     "data_files": [
                         {
                             "content": 0,  # 0 = DATA (v2 spec)
@@ -192,7 +426,19 @@ def write_iceberg_metadata(table: Table) -> str:
                     ],
                 }
             )
-        _atomic_write_json(manifest_list, {"manifests": manifests})
+        avro_io.write_container(
+            manifest_list_avro,
+            _MANIFEST_LIST_SCHEMA,
+            list_records,
+            metadata={
+                "snapshot-id": str(s["snapshot_id"]),
+                "parent-snapshot-id": str(s["parent_id"]),
+                "sequence-number": str(seq),
+                "format-version": "2",
+            },
+        )
+        # human-debuggable sibling with both metadata levels inlined
+        _atomic_write_json(manifest_list_json, {"manifests": manifests_json})
         schema_json = s.get("schema") or meta["schema"]
         snapshot_entries.append(
             {
@@ -200,7 +446,7 @@ def write_iceberg_metadata(table: Table) -> str:
                 "parent-snapshot-id": s["parent_id"],
                 "sequence-number": seq,
                 "timestamp-ms": s["committed_at_ms"],
-                "manifest-list": manifest_list,
+                "manifest-list": manifest_list_avro,
                 "summary": {
                     "operation": (
                         s["operation"] if s["operation"] in ("append", "replace", "overwrite", "delete") else "overwrite"

@@ -92,10 +92,16 @@ def test_independent_reader_resolves_schema_and_files(wh, spark):
     assert snaps[1]["parent-snapshot-id"] == 1
     assert snaps[0]["summary"]["operation"] == "append"
 
-    # independent read: manifest list -> data files -> pyarrow
-    with open(snaps[-1]["manifest-list"]) as f:
-        manifests = json.load(f)["manifests"]
-    files = [df_ for m in manifests for df_ in m["data_files"]]
+    # independent read: Avro manifest list -> Avro manifests -> pyarrow
+    from minio_iceberg_polaris_lakehouse_spark import avro_io
+
+    _schema, _meta, manifests = avro_io.read_container(snaps[-1]["manifest-list"])
+    assert snaps[-1]["manifest-list"].endswith(".avro")
+    files = []
+    for m in manifests:
+        assert os.path.getsize(m["manifest_path"]) == m["manifest_length"]
+        _s, _m, entries = avro_io.read_container(m["manifest_path"])
+        files.extend(e["data_file"] for e in entries)
     assert files and all(fe["file_format"] == "PARQUET" for fe in files)
     total = 0
     for fe in files:
@@ -171,6 +177,12 @@ def test_metadata_version_monotonic_across_expiry(wh, spark):
         assert int(f.read()) == 5
     assert md2["current-snapshot-id"] == 4
     # every referenced data file still exists
-    with open(md2["snapshots"][-1]["manifest-list"]) as f:
-        files = [d for m in json.load(f)["manifests"] for d in m["data_files"]]
+    from minio_iceberg_polaris_lakehouse_spark import avro_io
+
+    _s, _m, manifests = avro_io.read_container(md2["snapshots"][-1]["manifest-list"])
+    files = [
+        e["data_file"]
+        for m in manifests
+        for e in avro_io.read_container(m["manifest_path"])[2]
+    ]
     assert files and all(os.path.isfile(fe["file_path"]) for fe in files)

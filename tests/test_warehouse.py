@@ -297,10 +297,13 @@ def test_concurrent_appends_both_survive(wh, spark):
     hint = open(_os.path.join(mdir, "version-hint.text")).read().strip()
     doc = _json.load(open(_os.path.join(mdir, f"v{hint}.metadata.json")))
     cur = [s for s in doc["snapshots"] if s["snapshot-id"] == doc["current-snapshot-id"]][0]
-    mlist = _json.load(open(cur["manifest-list"]))
-    assert len(mlist["manifests"]) == 5
-    for man in mlist["manifests"]:
-        assert man["data_files"], f"export lists no data files for {man['manifest_path']}"
+    from minio_iceberg_polaris_lakehouse_spark import avro_io
+
+    _s, _m, manifests = avro_io.read_container(cur["manifest-list"])
+    assert len(manifests) == 5
+    for man in manifests:
+        _s2, _m2, entries = avro_io.read_container(man["manifest_path"])
+        assert entries, f"export lists no data files for {man['manifest_path']}"
 
 
 def test_read_modify_write_conflict_detected(wh, spark):
