@@ -37,7 +37,7 @@ HEADLINE = [
     "text_bpe_tokens",
     "rel_q5_local_supplier_volume",
     "rel_q21_waiting_supplier",
-    "sim_ann_ivf",
+    "sim_ann_ivf_topk",
 ]
 
 

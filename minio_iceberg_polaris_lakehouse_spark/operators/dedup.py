@@ -184,16 +184,49 @@ def minhash_signature(df: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
-@register("dedup_minhash_lsh", oracle=None)
+@register(
+    "dedup_minhash_lsh",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 1)),
+                   i -> concat_ws(' ',
+                        regexp_split_to_array(trim(lower(text)), '\\s+')[i],
+                        regexp_split_to_array(trim(lower(text)), '\\s+')[i+1],
+                        regexp_split_to_array(trim(lower(text)), '\\s+')[i+2]))) AS shingles
+        FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) * 1.0
+                     / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+        FROM sh a JOIN sh b
+          ON a.doc_id < b.doc_id
+         -- sound prefilter: J >= 0.5 forces |A| and |B| within 2x of each
+         -- other (J = I/U >= 1/2 -> min >= I >= U/2 >= max/2)
+         AND len(a.shingles) * 2 >= len(b.shingles)
+         AND len(b.shingles) * 2 >= len(a.shingles))
+    SELECT doc_a, doc_b, jaccard
+    FROM pairs
+    WHERE jaccard >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates, verified with exact Jaccard.
 
     Pipeline: shingle → 16-permutation MinHash signature → 4 bands of 4 →
     equality self-join on (band_id, band_hash) → exact Jaccard ≥ 0.5 verify.
-    No oracle: the xxhash64 family is Spark-specific (rows-only check);
-    tests/test_dedup.py asserts the LSH candidates reproduce the brute-force
-    Jaccard pairs. Scale: the only quadratic step is within an LSH bucket,
-    and bucket sizes are bounded by collision probability, not corpus size.
+
+    Value-checked against a brute-force ALL-PAIRS Jaccard oracle (no
+    blocking): the final output is the exact-Jaccard-verified pair set, so
+    precision is exact by construction, and at the driver SF the banding
+    recalls every true pair (pinned by tests/test_dedup.py's recall test;
+    re-measured equal at sf0.001 and sf0.01) — so LSH output == brute
+    force, row for row. The intermediate xxhash64 signatures stay
+    engine-specific; only the verified pairs are compared. Scale: the only
+    quadratic step is within an LSH bucket, and bucket sizes are bounded
+    by collision probability, not corpus size.
     """
     d = load_table(spark, sf_dir, "documents")
     sig = minhash_signature(d)

@@ -207,16 +207,46 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("rel_approx_sketches", oracle=None)
+@register(
+    "rel_approx_sketches",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS hll_within_3rsd,
+           TRUE AS median_within_rank_band,
+           TRUE AS p99_within_rank_band
+    FROM orders
+    """,
+)
 def rel_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-pass sketch variants for 100 TB: HLL++ distinct counts and
-    approximate percentiles. Rows-only (sketch values are engine-specific);
-    tests/test_relational3.py bounds them against the exact answers."""
+    approximate percentiles. Sketch VALUES are engine-specific, so the
+    value-checked output is the error-bound contract computed IN-PLAN:
+    the HLL estimate within 3×rsd of the exact distinct count, and each
+    approx percentile inside the ±1%-rank band of the exact distribution
+    (percentile_approx(accuracy=10000) guarantees rank error ≤ n/10000,
+    far inside the band at every test SF). The oracle is the exact count
+    plus literal TRUE bounds — a sketch regression flips a boolean and
+    fails the hash. At 100 TB only the sketches run; the exact twins here
+    are what makes the sketch error observable at test scale."""
     o = load_table(spark, sf_dir, "orders")
-    return o.agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median_price"),
-        F.percentile_approx("o_totalprice", 0.99, 10000).alias("approx_p99_price"),
+    agg = o.agg(
+        F.count_distinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("ac"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("am"),
+        F.percentile_approx("o_totalprice", 0.99, 10000).alias("a99"),
+        F.expr("percentile(o_totalprice, array(0.49D, 0.51D, 0.985D, 0.995D))").alias("pb"),
+    )
+    return agg.select(
+        F.col("exact_customers").cast("long").alias("exact_customers"),
+        (
+            F.abs(F.col("ac") - F.col("exact_customers")) / F.col("exact_customers") <= 0.06
+        ).alias("hll_within_3rsd"),
+        ((F.col("am") >= F.col("pb")[0]) & (F.col("am") <= F.col("pb")[1])).alias(
+            "median_within_rank_band"
+        ),
+        ((F.col("a99") >= F.col("pb")[2]) & (F.col("a99") <= F.col("pb")[3])).alias(
+            "p99_within_rank_band"
+        ),
     )
 
 

@@ -53,7 +53,7 @@ def test_label_centroid_norm_matches_numpy(spark, sf_dir):
 
 def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     brute = QUERIES["sim_topk_bruteforce"].spark(spark, sf_dir).collect()
-    ann = QUERIES["sim_ann_ivf"].spark(spark, sf_dir).collect()
+    ann = QUERIES["sim_ann_ivf_topk"].spark(spark, sf_dir).collect()
     truth, got = {}, {}
     for r in brute:
         truth.setdefault(r.q_id, set()).add(r.neighbor_id)
@@ -66,8 +66,17 @@ def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.25, recalls
 
 
+def test_ann_ivf_recall_gate_query(spark, sf_dir):
+    """The driver-gated sim_ann_ivf entry: one row, in-plan recall bound
+    satisfied."""
+    rows = QUERIES["sim_ann_ivf"].spark(spark, sf_dir).collect()
+    assert len(rows) == 1
+    assert rows[0].n_queries == 8 and rows[0].k == 10
+    assert rows[0].recall_ok is True
+
+
 def test_ann_ivf_hits_carry_exact_cosine(spark, sf_dir):
-    ann = QUERIES["sim_ann_ivf"].spark(spark, sf_dir).collect()
+    ann = QUERIES["sim_ann_ivf_topk"].spark(spark, sf_dir).collect()
     emb = {r.vec_id: np.asarray(r.embedding, dtype="float64")
            for r in load_table(spark, sf_dir, "embeddings").collect()}
     for r in ann[:50]:
