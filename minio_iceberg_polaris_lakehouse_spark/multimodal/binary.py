@@ -2,11 +2,13 @@
 video payloads as opaque BINARY columns with typed metadata, processed by
 Arrow-batched pandas iterators (`mapInPandas`).
 
-The container ships no image/audio codecs, so the decode kernel is a
-clearly-marked deterministic stub (`fake_decode_image`); everything the
-engine is responsible for — schema, binary column plumbing, batch shape,
-partitioning — is real and tested. Swapping the stub for PIL/ffmpeg is a
-one-function change that does not alter the plan.
+The image path is REAL: blobs are actual PNG files (encoded by the
+engine's pure-stdlib codec, multimodal/png.py) and the decode/resize
+kernels parse them — signature, CRC-checked chunks, zlib inflate, scanline
+unfiltering — yielding true width/height/luma. Non-PNG payloads (e.g.
+audio/video, for which the container ships no codec) fall back to the
+clearly-marked deterministic stub (`fake_decode_image`), keeping the
+plumbing testable for every media type.
 """
 
 from __future__ import annotations
@@ -50,12 +52,39 @@ DECODED_SCHEMA = StructType(
 
 
 def fake_decode_image(blob: bytes) -> tuple[int, int, int]:
-    """STUB decode: a real implementation would be
-    ``PIL.Image.open(io.BytesIO(blob))``; this container has no codecs, so
-    we derive deterministic (width, height, mean_luma) pseudo-properties
-    from the blob's sha256 — keeps every downstream assertion exact."""
+    """STUB decode for media types without a codec in this container
+    (audio/video): deterministic (width, height, mean_luma)
+    pseudo-properties from the blob's sha256, keeping downstream
+    assertions exact. PNG blobs never reach this — see decode_image."""
     h = hashlib.sha256(blob).digest()
     return (64 + h[0] % 192, 64 + h[1] % 192, h[2])
+
+
+def decode_image(blob: bytes) -> tuple[int, int, int]:
+    """Dispatch: REAL decode for PNG blobs (multimodal/png.py — full
+    signature/CRC/inflate/unfilter parse), stub for anything else."""
+    from minio_iceberg_polaris_lakehouse_spark.multimodal import png
+
+    if bytes(blob[:8]) == png.PNG_SIG:
+        pixels = png.decode_png(bytes(blob))
+        h, w = pixels.shape[:2]
+        return (w, h, png.mean_luma(pixels))
+    return fake_decode_image(blob)
+
+
+def _doc_pixels(doc_id: int, payload: bytes):
+    """Deterministic grayscale pixel grid for a document: the payload
+    bytes tiled into a (h, w) image whose shape derives from doc_id and
+    length — every byte of content contributes to the real luma."""
+    import numpy as np
+
+    w = 32 + (len(payload) % 48)
+    h = 24 + (doc_id % 40)
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if buf.size == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+    reps = -(-(w * h) // buf.size)  # ceil division
+    return np.tile(buf, reps)[: w * h].reshape(h, w)
 
 
 def assets_from_documents(df: DataFrame) -> DataFrame:
@@ -71,6 +100,32 @@ def assets_from_documents(df: DataFrame) -> DataFrame:
     )
 
 
+def png_assets_from_documents(df: DataFrame) -> DataFrame:
+    """Asset table with REAL image blobs: each document's text renders to
+    a deterministic grayscale pixel grid, PNG-encoded by the engine's
+    codec — the decode kernels then exercise an actual parse, not a stub.
+    mapInPandas keeps the encode Arrow-batched and shuffle-free."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from minio_iceberg_polaris_lakehouse_spark.multimodal import png
+
+        for pdf in batches:
+            blobs = [
+                png.encode_png(_doc_pixels(did, text.encode("utf-8")))
+                for did, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image/png",
+                    "blob": blobs,
+                    "n_bytes": [len(b) for b in blobs],
+                }
+            )
+
+    return df.select("doc_id", "text").mapInPandas(kernel, ASSET_SCHEMA)
+
+
 def decode_assets(assets: DataFrame) -> DataFrame:
     """Arrow-batched decode over partitions: `mapInPandas` streams record
     batches through Python once, yielding typed metadata — the pattern for
@@ -79,7 +134,7 @@ def decode_assets(assets: DataFrame) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [fake_decode_image(b) for b in pdf["blob"]]
+            decoded = [decode_image(b) for b in pdf["blob"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -122,11 +177,14 @@ def mm_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("mm_decode_features", oracle=None)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode pipeline end-to-end: blob → mapInPandas decode stub → typed
-    features → aggregate. Rows-only check (the decode kernel is a Python
-    stub, not SQL-expressible); tests assert determinism and schema."""
+    """Decode pipeline end-to-end over REAL image bytes: document text →
+    PNG encode kernel → mapInPandas PNG decode (signature/CRC/inflate/
+    unfilter) → true width/height/luma → aggregate. Rows-only check (the
+    PNG byte stream is engine-rendered, not SQL-expressible); the codec
+    itself is cross-validated against Java ImageIO in
+    tests/test_multimodal.py."""
     d = load_table(spark, sf_dir, "documents")
-    decoded = decode_assets(assets_from_documents(d))
+    decoded = decode_assets(png_assets_from_documents(d))
     return (
         decoded.groupBy((F.col("mean_luma") / 32).cast("int").alias("luma_bucket"))
         .agg(
@@ -149,11 +207,21 @@ RESIZED_SCHEMA = StructType(
 
 
 def fake_resize(blob: bytes, w: int, h: int) -> bytes:
-    """STUB resize: a real kernel would be PIL ``Image.resize((w, h))``;
-    here the output blob is a deterministic digest-prefixed slice sized
-    proportionally to w*h, so byte-length assertions stay exact."""
+    """STUB resize for non-PNG payloads: the output blob is a
+    deterministic digest-prefixed slice sized proportionally to w*h, so
+    byte-length assertions stay exact."""
     h_ = hashlib.sha256(blob + f"{w}x{h}".encode()).digest()
     return h_ + blob[: max(0, (w * h) // 64 - len(h_))]
+
+
+def resize_blob(blob: bytes, w: int, h: int) -> bytes:
+    """REAL resize for PNG blobs: decode → vectorized nearest-neighbor →
+    re-encode; stub for media without a codec."""
+    from minio_iceberg_polaris_lakehouse_spark.multimodal import png
+
+    if bytes(blob[:8]) == png.PNG_SIG:
+        return png.encode_png(png.resize_nearest(png.decode_png(bytes(blob)), w, h))
+    return fake_resize(blob, w, h)
 
 
 def resize_assets(assets: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
@@ -163,7 +231,7 @@ def resize_assets(assets: DataFrame, width: int = 224, height: int = 224) -> Dat
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [fake_resize(b, width, height) for b in pdf["blob"]]
+            out = [resize_blob(b, width, height) for b in pdf["blob"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -194,10 +262,12 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("mm_resize_stats", oracle=None)
 def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize pipeline: blob → resize kernel → byte accounting. Rows-only
-    check (stubbed codec); tests assert chaining + determinism."""
+    """Resize pipeline over REAL PNGs: encode → decode → nearest-neighbor
+    resize to 224×224 → re-encode → byte accounting. Rows-only check (PNG
+    byte stream is engine-rendered); tests assert the resized blobs decode
+    to the requested dimensions with content-derived pixels."""
     d = load_table(spark, sf_dir, "documents")
-    resized = resize_assets(assets_from_documents(d), 224, 224)
+    resized = resize_assets(png_assets_from_documents(d), 224, 224)
     return (
         resized.groupBy("width", "height")
         .agg(

@@ -121,3 +121,117 @@ def test_golden_bytes_fixture(spark):
         1: (46, "e830f324b3b532d4"),
         2: (43, "d948f602bcf7de57"),
     }
+
+
+# ---------------------------------------------------------------------------
+# Real PNG codec (multimodal/png.py): round-trip, cross-validation against
+# the independent Java ImageIO implementation, and the real decode/resize
+# query paths.
+# ---------------------------------------------------------------------------
+def test_png_roundtrip_and_bytes():
+    import numpy as np
+
+    from minio_iceberg_polaris_lakehouse_spark.multimodal import png
+
+    rng = np.random.default_rng(7)
+    for shape in [(5, 3), (24, 31), (8, 8, 3)]:
+        pixels = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        blob = png.encode_png(pixels)
+        assert blob[:8] == png.PNG_SIG
+        out = png.decode_png(blob)
+        assert out.shape == pixels.shape
+        assert (out == pixels).all()
+
+
+def test_png_cross_validated_with_java_imageio(spark, tmp_path):
+    """Both directions against Java ImageIO: (1) our encode → ImageIO
+    decode, (2) ImageIO encode (which emits filtered scanlines) → our
+    decode. Pixel-exact both ways proves the codec is real PNG, not a
+    self-consistent invention."""
+    import numpy as np
+
+    from minio_iceberg_polaris_lakehouse_spark.multimodal import png
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(11)
+
+    # ours -> ImageIO
+    pixels = rng.integers(0, 256, size=(13, 17), dtype=np.uint8)
+    p1 = str(tmp_path / "ours.png")
+    with open(p1, "wb") as f:
+        f.write(png.encode_png(pixels))
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(p1))
+    assert (img.getWidth(), img.getHeight()) == (17, 13)
+    raster = img.getRaster()
+    for y in range(13):
+        for x in range(17):
+            assert raster.getSample(x, y, 0) == int(pixels[y, x]), (x, y)
+
+    # ImageIO -> ours (gradient content makes ImageIO pick non-zero filters)
+    grad = (np.add.outer(np.arange(19), np.arange(23)) * 3 % 256).astype(np.uint8)
+    bi = jvm.java.awt.image.BufferedImage(23, 19, jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    r2 = bi.getRaster()
+    for y in range(19):
+        for x in range(23):
+            r2.setSample(x, y, 0, int(grad[y, x]))
+    p2 = str(tmp_path / "theirs.png")
+    jvm.javax.imageio.ImageIO.write(bi, "png", jvm.java.io.File(p2))
+    with open(p2, "rb") as f:
+        ours = png.decode_png(f.read())
+    assert ours.shape == (19, 23)
+    assert (ours == grad).all()
+
+
+def test_png_decode_rejects_corruption():
+    import numpy as np
+    import pytest as _pytest
+
+    from minio_iceberg_polaris_lakehouse_spark.multimodal import png
+
+    blob = bytearray(png.encode_png(np.zeros((4, 4), dtype=np.uint8)))
+    with _pytest.raises(ValueError, match="signature"):
+        png.decode_png(b"notapng" + bytes(blob))
+    blob[20] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
+    with _pytest.raises(ValueError, match="CRC"):
+        png.decode_png(bytes(blob))
+
+
+def test_decode_features_are_real_pixel_values(spark, sf_dir):
+    """mm_decode_features now decodes REAL PNGs: width/height/luma match a
+    driver-side recomputation from the same deterministic pixel grid."""
+    from minio_iceberg_polaris_lakehouse_spark.multimodal import png
+    from minio_iceberg_polaris_lakehouse_spark.multimodal.binary import (
+        _doc_pixels,
+        decode_assets,
+        png_assets_from_documents,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(30)
+    decoded = {r.doc_id: r for r in decode_assets(png_assets_from_documents(d)).collect()}
+    for row in d.select("doc_id", "text").collect():
+        pixels = _doc_pixels(row.doc_id, row.text.encode("utf-8"))
+        want = (pixels.shape[1], pixels.shape[0], png.mean_luma(pixels))
+        got = decoded[row.doc_id]
+        assert (got.width, got.height, got.mean_luma) == want, row.doc_id
+
+
+def test_resize_real_png_dimensions_and_content(spark, sf_dir):
+    """Resized blobs are valid PNGs of the requested size whose pixels are
+    the nearest-neighbor mapping of the source grid."""
+    import numpy as np
+
+    from minio_iceberg_polaris_lakehouse_spark.multimodal import png
+    from minio_iceberg_polaris_lakehouse_spark.multimodal.binary import (
+        _doc_pixels,
+        png_assets_from_documents,
+        resize_assets,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(10)
+    resized = {r.doc_id: r for r in resize_assets(png_assets_from_documents(d), 64, 48).collect()}
+    for row in d.select("doc_id", "text").collect():
+        out = png.decode_png(bytes(resized[row.doc_id].blob))
+        assert out.shape == (48, 64)
+        src = _doc_pixels(row.doc_id, row.text.encode("utf-8"))
+        want = png.resize_nearest(src, 64, 48)
+        assert (out == np.asarray(want)).all(), row.doc_id
