@@ -297,9 +297,12 @@ def _write_manifest_avro(
     added_snapshot_id: int,
     seq: int,
     spec_rec: dict,
+    content: int = 0,
 ) -> str:
     """One immutable Avro manifest per data directory (written once;
-    manifests are content-addressed by dir, which is itself immutable)."""
+    manifests are content-addressed by dir, which is itself immutable).
+    ``content`` is the Iceberg v2 file-content code: 0 = DATA,
+    1 = POSITION_DELETES (merge-on-read tombstone files)."""
     mdir = os.path.join(table.path, "metadata")
     path = os.path.join(mdir, f"manifest-{dirname}.avro")
     if os.path.isfile(path):
@@ -318,7 +321,7 @@ def _write_manifest_avro(
                 "sequence_number": seq,
                 "file_sequence_number": seq,
                 "data_file": {
-                    "content": 0,  # DATA
+                    "content": content,
                     "file_path": os.path.join(table.path, dirname, f["path"]),
                     "file_format": "PARQUET",
                     "partition": partition,
@@ -340,7 +343,7 @@ def _write_manifest_avro(
             "partition-spec": json.dumps(specs[sid]["fields"]),
             "partition-spec-id": str(sid),
             "format-version": "2",
-            "content": "data",
+            "content": "data" if content == 0 else "deletes",
         },
     )
     return path
@@ -377,7 +380,7 @@ def write_iceberg_metadata(table: Table) -> str:
     # added-vs-existing counts)
     added_in: dict[str, tuple[int, int]] = {}
     for seq, s in enumerate(snaps, start=1):
-        for d in s["manifest"]:
+        for d in s["manifest"] + s.get("delete_dirs", []):
             added_in.setdefault(d, (s["snapshot_id"], seq))
     snapshot_entries = []
     for seq, s in enumerate(snaps, start=1):
@@ -424,6 +427,32 @@ def write_iceberg_metadata(table: Table) -> str:
                         }
                         for f in files
                     ],
+                }
+            )
+        for d in s.get("delete_dirs", []):
+            files = dir_stats.get(d, [])
+            add_snap, add_seq = added_in.get(d, (s["snapshot_id"], seq))
+            spec_rec = dir_specs.get(d, {"source": None, "transform": "identity", "spec_id": 0})
+            mpath = _write_manifest_avro(
+                table, meta, d, files, add_snap, add_seq, spec_rec, content=1
+            )
+            rows = sum(f["rows"] for f in files)
+            added = add_snap == s["snapshot_id"]
+            list_records.append(
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": os.path.getsize(mpath),
+                    "partition_spec_id": int(spec_rec.get("spec_id", 0)),
+                    "content": 1,  # POSITION_DELETES manifest
+                    "sequence_number": add_seq,
+                    "min_sequence_number": add_seq,
+                    "added_snapshot_id": add_snap,
+                    "added_files_count": len(files) if added else 0,
+                    "existing_files_count": 0 if added else len(files),
+                    "deleted_files_count": 0,
+                    "added_rows_count": rows if added else 0,
+                    "existing_rows_count": 0 if added else rows,
+                    "deleted_rows_count": 0,
                 }
             )
         avro_io.write_container(

@@ -99,6 +99,16 @@ def _lake(spark: SparkSession):
         (104, 3, 300.00, '2025-01-13')
         """
     )
+    # schema-evolution fixture (D10): ADD COLUMN with NULL backfill
+    # (reference README.md:132-133; success criterion SETUP_GUIDE_WIN.md:464)
+    # then RENAME — all through SQL DDL
+    lake.sql(
+        "CREATE TABLE IF NOT EXISTS polaris.test_db.evolution (id INT, name STRING) USING ICEBERG"
+    )
+    lake.sql("INSERT INTO polaris.test_db.evolution VALUES (1, 'a'), (2, 'b')")
+    lake.sql("ALTER TABLE polaris.test_db.evolution ADD COLUMN email STRING")
+    lake.sql("INSERT INTO polaris.test_db.evolution VALUES (3, 'c', 'c@example.com')")
+    lake.sql("ALTER TABLE polaris.test_db.evolution RENAME COLUMN email TO contact")
     _LAKES[key] = lake
     return lake
 
@@ -225,6 +235,29 @@ def ref_duplicate_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT CAST(COUNT(*) AS BIGINT) AS total, "
         "CAST(COUNT(DISTINCT id) AS BIGINT) AS distinct_ids "
         "FROM polaris.test_db.test_table_dup"
+    )
+
+
+@register(
+    "ref_schema_evolution",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'a', CAST(NULL AS VARCHAR)),
+        (2, 'b', CAST(NULL AS VARCHAR)),
+        (3, 'c', 'c@example.com'))
+        AS e(id, name, contact)
+    ORDER BY id
+    """,
+)
+def ref_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution (D10) end-to-end through SQL DDL: ADD COLUMN is
+    metadata-only with NULL backfill on read for pre-evolution rows
+    (reference README.md:132-133; 'Schema evolution works (ADD COLUMN)'
+    success criterion SETUP_GUIDE_WIN.md:464), and RENAME preserves values
+    — the fixture inserted two rows, added `email`, inserted a third with
+    it, then renamed it to `contact`."""
+    return _lake(spark).sql(
+        "SELECT id, name, contact FROM polaris.test_db.evolution ORDER BY id"
     )
 
 

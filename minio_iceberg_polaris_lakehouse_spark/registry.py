@@ -59,6 +59,9 @@ _PRIORITY: list[str] = [
     "ref_table_history",
     "ref_table_snapshots",
     "ref_time_travel_counts",
+    # schema evolution (D10) through SQL DDL — ADD COLUMN NULL backfill +
+    # RENAME, literal-VALUES oracle
+    "ref_schema_evolution",
     "rel_filter_projection",
     # join family (J2-J9 + range + as-of)
     "rel_join_left_outer",
@@ -85,10 +88,10 @@ _PRIORITY: list[str] = [
     "win_top3_per_segment",
     # sort / top-k (O1-O3)
     "rel_topk_orders",
-    # set operations (§2.7)
+    # set operations (§2.7) — except_all follows in registration order
+    # (still oracle-checked locally); its window slot went to D10
     "set_union_all_counts",
     "set_union_distinct",
-    "set_except_all",
     # scalar-function suites (F5)
     "fn_string_suite",
     "fn_date_suite",

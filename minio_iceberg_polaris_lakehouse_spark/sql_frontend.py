@@ -371,7 +371,7 @@ class LakehouseSQL:
         return self._empty()
 
     @staticmethod
-    def _append_positional(tab: Table, src: DataFrame) -> None:
+    def _align_positional(tab: Table, src: DataFrame) -> DataFrame:
         schema = tab.schema()
         if len(src.columns) != len(schema.fields):
             raise WarehouseError(
@@ -379,13 +379,31 @@ class LakehouseSQL:
             )
         from pyspark.sql import functions as F
 
-        aligned = src.select(
+        return src.select(
             *[
                 F.col(c).cast(f.dataType).alias(f.name)
                 for c, f in zip(src.columns, schema.fields)
             ]
         )
-        tab.append(aligned)
+
+    @classmethod
+    def _append_positional(cls, tab: Table, src: DataFrame) -> None:
+        tab.append(cls._align_positional(tab, src))
+
+    def _insert_overwrite_values(self, m: re.Match) -> DataFrame:
+        """INSERT OVERWRITE TABLE t VALUES ... — replace-the-table
+        semantics under one snapshot (Spark's INSERT OVERWRITE on an
+        unpartitioned-spec write: full overwrite)."""
+        tab = self._existing_table(m.group(1))
+        src = self.spark.sql(f"SELECT * FROM (VALUES {m.group(2)})")
+        tab.overwrite(self._align_positional(tab, src))
+        return self._empty()
+
+    def _insert_overwrite_select(self, m: re.Match) -> DataFrame:
+        tab = self._existing_table(m.group(1))
+        src = self.spark.sql(self._rewrite_query(m.group(2)))
+        tab.overwrite(self._align_positional(tab, src))
+        return self._empty()
 
     def _delete_from(self, m: re.Match) -> DataFrame:
         tab = self._existing_table(m.group(1))
@@ -492,6 +510,40 @@ class LakehouseSQL:
             "rewritten_data_files_count int, added_data_files_count int",
         )
 
+    _TRANSFORM_SQL = {
+        "day": "days({src})",
+        "month": "months({src})",
+        "year": "years({src})",
+        "bucket16": "bucket(16, {src})",
+        "identity": "{src}",
+    }
+
+    def _show_create_table(self, m: re.Match) -> DataFrame:
+        """SHOW CREATE TABLE t → one `createtab_stmt` row whose text
+        ROUND-TRIPS through this front-end's own CREATE TABLE parser
+        (schema, USING iceberg, partition transform, table properties)."""
+        tab = self._existing_table(m.group(1))
+        cols = ",\n  ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}" for f in tab.schema().fields
+        )
+        stmt = f"CREATE TABLE {self.catalog}.{tab.ns}.{tab.name} (\n  {cols})\nUSING iceberg"
+        spec = tab.partition_spec()
+        if spec.source is not None:
+            part = self._TRANSFORM_SQL[spec.transform].format(src=spec.source)
+            stmt += f"\nPARTITIONED BY ({part})"
+        props = tab._meta()["properties"]
+        if props:
+            kvs = ",\n  ".join(f"'{k}' = '{v}'" for k, v in sorted(props.items()))
+            stmt += f"\nTBLPROPERTIES (\n  {kvs})"
+        return self.spark.createDataFrame([Row(createtab_stmt=stmt)], "createtab_stmt string")
+
+    def _explain(self, m: re.Match) -> DataFrame:
+        """EXPLAIN [EXTENDED|FORMATTED|CODEGEN|COST] <query> — rewrite the
+        query against the warehouse views, then let Catalyst's own EXPLAIN
+        render the plan (the same output a Spark user reads)."""
+        mode, query = (m.group(1) or "").strip(), m.group(2)
+        return self.spark.sql(f"EXPLAIN {mode} {self._rewrite_query(query)}".strip())
+
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], T.StructType([]))
 
@@ -516,6 +568,16 @@ class LakehouseSQL:
         (rf"DESCRIBE\s+(TABLE\s+|EXTENDED\s+)?((?:{_IDENT}\.)*{_IDENT})", _describe),
         (rf"INSERT\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})\s+VALUES\s+(.*)", _insert_values),
         (rf"INSERT\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})\s+(SELECT\s+.*|WITH\s+.*)", _insert_select),
+        (
+            rf"INSERT\s+OVERWRITE\s+(?:TABLE\s+)?((?:{_IDENT}\.)*{_IDENT})\s+VALUES\s+(.*)",
+            _insert_overwrite_values,
+        ),
+        (
+            rf"INSERT\s+OVERWRITE\s+(?:TABLE\s+)?((?:{_IDENT}\.)*{_IDENT})\s+(SELECT\s+.*|WITH\s+.*)",
+            _insert_overwrite_select,
+        ),
+        (rf"SHOW\s+CREATE\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})", _show_create_table),
+        (r"EXPLAIN\s+(EXTENDED\s+|FORMATTED\s+|CODEGEN\s+|COST\s+)?(SELECT\s+.*|WITH\s+.*)", _explain),
         (rf"DELETE\s+FROM\s+((?:{_IDENT}\.)*{_IDENT})\s+WHERE\s+(.*)", _delete_from),
         (
             rf"MERGE\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})(?:\s+(?:AS\s+)?{_IDENT})?"

@@ -345,7 +345,12 @@ class Table:
             pass
 
     def _append_snapshot(
-        self, snaps: list[dict], operation: str, dirs: list[str], summary: dict[str, Any]
+        self,
+        snaps: list[dict],
+        operation: str,
+        dirs: list[str],
+        summary: dict[str, Any],
+        delete_dirs: list[str] | None = None,
     ) -> int:
         sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
         snaps.append(
@@ -355,6 +360,10 @@ class Table:
                 "committed_at_ms": int(time.time() * 1000),
                 "operation": operation,
                 "manifest": dirs,
+                # positional-delete files live on the SNAPSHOT (Iceberg v2
+                # merge-on-read): data dirs stay untouched, tombstones
+                # apply on read
+                "delete_dirs": delete_dirs or [],
                 "summary": summary,
                 # schema as of this commit — time travel projects THIS, not
                 # the table's current schema (Iceberg resolves time-travel
@@ -405,7 +414,10 @@ class Table:
             self._record_pending(pending)
             snaps = self._snaps()
             live = (snaps[-1]["manifest"] if snaps else []) + new_dirs
-            return self._append_snapshot(snaps, operation, live, summary)
+            # appends don't touch existing rows: the parent's tombstones
+            # stay in force
+            inherited = snaps[-1].get("delete_dirs", []) if snaps else []
+            return self._append_snapshot(snaps, operation, live, summary, inherited)
         finally:
             self._release_commit_lock(lock, token)
 
@@ -503,6 +515,30 @@ class Table:
             schema = T.StructType(list(schema.fields)).add(spec.column(), dt)
         return schema
 
+    def _dir_columns(self, dirname: str, meta: dict) -> list[str] | None:
+        """Physical column names a dir was written with. New writes record
+        them in dir_specs; legacy dirs fall back to one parquet footer
+        (driver-side, metadata-only)."""
+        rec = meta.get("dir_specs", {}).get(dirname)
+        if rec and "columns" in rec:
+            return rec["columns"]
+        stats = meta.get("dir_stats", {}).get(dirname)
+        try:
+            if stats:
+                fpath = os.path.join(self.path, dirname, stats[0]["path"])
+            else:
+                fpath = next(
+                    os.path.join(root, f)
+                    for root, _dirs, files in os.walk(os.path.join(self.path, dirname))
+                    for f in sorted(files)
+                    if f.endswith(".parquet")
+                )
+            import pyarrow.parquet as pq
+
+            return list(pq.ParquetFile(fpath).schema_arrow.names)
+        except (StopIteration, OSError):
+            return None
+
     def _dir_frames(
         self, dirs: list[str], schema: T.StructType | None = None
     ) -> list[tuple[PartitionSpec, int, DataFrame]]:
@@ -510,17 +546,58 @@ class Table:
         consistent hive layouts but differ across schema-evolution /
         partition-spec boundaries, so they cannot share one inference pass
         (or, post-evolution, one partition column). _meta.json is read ONCE
-        here and threaded through (not once per directory)."""
+        here and threaded through (not once per directory).
+
+        RENAME COLUMN support: files written before a rename carry the old
+        physical name; each dir's written columns are mapped through the
+        rename chain (stopping at the first name present in the target
+        schema, so time-travel reads against pre-rename snapshot schemas
+        resolve too) and the scan reads the old name, aliasing to the
+        target name — values survive renames without rewrites (the
+        name-based analogue of Iceberg's field-id resolution)."""
         meta = self._meta()
         if schema is None:
             schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        renames = meta.get("renames", [])
+        target_names = set(schema.fieldNames())
+
+        def map_name(written: str) -> str:
+            n = written
+            if n in target_names:
+                return n
+            for r in renames:
+                if n == r["from"]:
+                    n = r["to"]
+                    if n in target_names:
+                        return n
+            return n
+
         out = []
         for d in dirs:
             spec, spec_id = self._dir_spec(d, meta)
             phys = self._physical_schema(spec, schema)
-            out.append(
-                (spec, spec_id, self.spark.read.schema(phys).parquet(os.path.join(self.path, d)))
-            )
+            path = os.path.join(self.path, d)
+            alias: dict[str, str] = {}
+            if renames:
+                written = self._dir_columns(d, meta) or []
+                alias = {
+                    wc: map_name(wc) for wc in written if map_name(wc) != wc
+                }
+            if alias:
+                inv = {v: k for k, v in alias.items()}
+                read_schema = T.StructType(
+                    [
+                        T.StructField(inv.get(f.name, f.name), f.dataType, f.nullable)
+                        for f in phys.fields
+                    ]
+                )
+                df = self.spark.read.schema(read_schema).parquet(path)
+                df = df.select(
+                    *[F.col(inv.get(f.name, f.name)).alias(f.name) for f in phys.fields]
+                )
+            else:
+                df = self.spark.read.schema(phys).parquet(path)
+            out.append((spec, spec_id, df))
         return out
 
     def _snapshot_schema(self, snap: dict) -> T.StructType:
@@ -532,12 +609,35 @@ class Table:
             return T.StructType.fromJson(json.loads(snap["schema"]))
         return self.schema()
 
-    def _read_dirs(self, dirs: list[str], schema: T.StructType | None = None) -> DataFrame:
+    def _read_dirs(
+        self,
+        dirs: list[str],
+        schema: T.StructType | None = None,
+        file_pos: bool = False,
+    ) -> DataFrame:
+        """``file_pos=True`` appends `_file`/`_pos` (from Spark's native
+        `_metadata` hidden column — JVM-side, no extra scan) for
+        positional-delete application."""
         schema = self.schema() if schema is None else schema
         if not dirs:
-            return self.spark.createDataFrame([], schema)
+            df = self.spark.createDataFrame([], schema)
+            if file_pos:
+                df = df.select(
+                    "*",
+                    F.lit(None).cast("string").alias("_file"),
+                    F.lit(None).cast("long").alias("_pos"),
+                )
+            return df
         frames = self._dir_frames(dirs, schema)
         cols = schema.fieldNames()
+        extra = (
+            [
+                F.col("_metadata.file_path").alias("_file"),
+                F.col("_metadata.row_index").alias("_pos"),
+            ]
+            if file_pos
+            else []
+        )
 
         def project(spec: PartitionSpec, df: DataFrame) -> DataFrame:
             # identity transform: the hive partition column holds the
@@ -556,14 +656,38 @@ class Table:
                     *[
                         F.col(spec.column()).alias(c) if c == spec.source else F.col(c)
                         for c in cols
-                    ]
+                    ],
+                    *extra,
                 )
-            return df.select(*cols)
+            return df.select(*cols, *extra)
 
         df = project(frames[0][0], frames[0][2])
         for spec, _sid, other in frames[1:]:
             df = df.unionByName(project(spec, other))
         return df
+
+    # ------------- merge-on-read positional deletes (Iceberg v2) -----------
+    _DELETE_SCHEMA = "file_path string, pos bigint"
+
+    def _tombstones(self, delete_dirs: list[str]) -> DataFrame | None:
+        """Union of a snapshot's positional-delete files: (file_path, pos)
+        rows, exactly Iceberg v2's delete-file schema. None when the
+        snapshot carries no deletes (the common case costs nothing)."""
+        if not delete_dirs:
+            return None
+        paths = [os.path.join(self.path, d) for d in delete_dirs]
+        return self.spark.read.schema(self._DELETE_SCHEMA).parquet(*paths)
+
+    def _apply_deletes(self, df: DataFrame, delete_dirs: list[str], cols: list[str]) -> DataFrame:
+        """Anti-join live rows against the tombstones on (_file, _pos).
+        The tombstone side is broadcast: delete files are a tiny fraction
+        of the data (that is the point of merge-on-read), so at cluster
+        scale this is a map-side filter with no shuffle of the data."""
+        tomb = self._tombstones(delete_dirs)
+        if tomb is None:
+            return df.select(*cols)
+        cond = (df["_file"] == tomb["file_path"]) & (df["_pos"] == tomb["pos"])
+        return df.join(F.broadcast(tomb), cond, "left_anti").select(*cols)
 
     def read(
         self,
@@ -578,14 +702,21 @@ class Table:
         _pos, _deleted` (reference getting_started.ipynb:128-132): _file/
         _pos come from Spark's native `_metadata` hidden column (JVM-side,
         no extra scan), _partition is the unified partition struct across
-        the specs in play, and _deleted is always false — this engine is
-        copy-on-write, deleted rows leave the manifest instead of being
-        tombstoned (documented divergence from merge-on-read Iceberg)."""
+        the specs in play, and _deleted is LIVE (Iceberg v2 semantics):
+        rows tombstoned by merge-on-read positional deletes surface with
+        `_deleted=true` in metadata scans (the Iceberg debugging workflow
+        of inspecting deleted rows) while normal reads exclude them.
+        Copy-on-write deletes rewrite data instead, so their removed rows
+        leave the manifest entirely."""
         time_travel = version is not None or as_of_ms is not None
         snap = self._resolve(version, as_of_ms)
         schema = self._snapshot_schema(snap) if time_travel else self.schema()
         cols = schema.fieldNames()
+        del_dirs = snap.get("delete_dirs", [])
         if not metadata_columns:
+            if del_dirs:
+                df = self._read_dirs(snap["manifest"], schema, file_pos=True)
+                return self._apply_deletes(df, del_dirs, cols)
             return self._read_dirs(snap["manifest"], schema).select(*cols)
 
         frames = self._dir_frames(snap["manifest"], schema)
@@ -642,6 +773,25 @@ class Table:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if del_dirs:
+            # live _deleted: tombstoned rows stay VISIBLE in metadata scans,
+            # flagged true (Iceberg's inspect-deleted-rows workflow)
+            tomb = self._tombstones(del_dirs).select(
+                "file_path", "pos", F.lit(True).alias("_tomb")
+            )
+            cond = (out["_file"] == tomb["file_path"]) & (out["_pos"] == tomb["pos"])
+            out = (
+                out.drop("_deleted")
+                .join(F.broadcast(tomb), cond, "left")
+                .select(
+                    *cols,
+                    "_file",
+                    "_pos",
+                    "_spec_id",
+                    "_partition",
+                    F.coalesce(F.col("_tomb"), F.lit(False)).alias("_deleted"),
+                )
+            )
         return out
 
     def scan(self, eq: dict[str, Any] | None = None, between: dict[str, tuple] | None = None) -> DataFrame:
@@ -658,7 +808,9 @@ class Table:
         new one — files written before the evolution are simply not
         prunable by the new column, exactly Iceberg's semantics)."""
         cols = [f.name for f in self.schema().fields]
-        dirs = self._resolve()["manifest"]
+        snap = self._resolve()
+        dirs = snap["manifest"]
+        del_dirs = snap.get("delete_dirs", [])
         if not dirs:
             return self.spark.createDataFrame([], self.schema()).select(*cols)
 
@@ -690,10 +842,20 @@ class Table:
                         (F.col(spec.column()) >= derived(lo, spec.transform))
                         & (F.col(spec.column()) <= derived(hi, spec.transform))
                     )
-            parts.append(df.select(*cols))
+            parts.append(
+                df.select(
+                    *cols,
+                    F.col("_metadata.file_path").alias("_file"),
+                    F.col("_metadata.row_index").alias("_pos"),
+                )
+                if del_dirs
+                else df.select(*cols)
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if del_dirs:
+            out = self._apply_deletes(out, del_dirs, cols)
         return out
 
     def to_pandas(self, **kw):
@@ -732,6 +894,9 @@ class Table:
             "source": spec.source,
             "transform": spec.transform,
             "spec_id": self._current_spec_id(meta),
+            # physical column names as written — reads map them through the
+            # rename chain so RENAME COLUMN preserves old files' values
+            "columns": cols,
         }
         return PendingData(dirname, sum(s["rows"] for s in stats), spec_rec, stats)
 
@@ -775,16 +940,77 @@ class Table:
             self._release_commit_lock(lock, token)
 
     # ---------------- DML beyond append (M1) ----------------
-    def delete_where(self, condition: str) -> int:
-        """DELETE FROM t WHERE ... — copy-on-write of the surviving rows
-        into a new snapshot. Read-modify-write: conflicts (another writer
-        committing between our read and our commit) raise
-        CommitConflictError instead of silently dropping their rows."""
+    def delete_where(self, condition: str, mode: str | None = None) -> int:
+        """DELETE FROM t WHERE ... in either Iceberg row-level mode.
+
+        copy-on-write (default): rewrite the surviving rows into a new
+        snapshot — reads stay delete-free, writes pay the rewrite.
+
+        merge-on-read: write a POSITIONAL DELETE file ((file_path, pos) —
+        Iceberg v2's delete-file schema) and leave the data untouched;
+        reads apply the tombstones, and metadata scans surface the rows
+        with `_deleted=true`. Select per call (``mode=``) or per table
+        (property ``write.delete.mode``, the Iceberg knob).
+
+        Both are read-modify-write: conflicts (another writer committing
+        between our read and our commit) raise CommitConflictError
+        instead of silently dropping their rows."""
+        mode = mode or self._meta()["properties"].get("write.delete.mode", "copy-on-write")
+        if mode == "merge-on-read":
+            return self._delete_where_mor(condition)
         parent = self.current_snapshot_id()
         cur = self.read()
         remaining = cur.filter(f"NOT ({condition})")
         p = self._write_data(remaining)
         return self._commit_replace("delete", [p], {"predicate": condition}, parent)
+
+    def _delete_where_mor(self, condition: str) -> int:
+        """Merge-on-read DELETE: compute matching LIVE row positions, land
+        them as a zstd parquet delete file, commit a snapshot that keeps
+        the parent's data dirs and adds the tombstones. O(matches) write
+        instead of O(table) — the scale win merge-on-read exists for."""
+        parent = self.current_snapshot_id()
+        snap = self._resolve()
+        existing = snap.get("delete_dirs", [])
+        live = self._read_dirs(snap["manifest"], file_pos=True)
+        tomb = self._tombstones(existing)
+        if tomb is not None:
+            cond = (live["_file"] == tomb["file_path"]) & (live["_pos"] == tomb["pos"])
+            live = live.join(F.broadcast(tomb), cond, "left_anti")
+        hits = live.filter(f"({condition})").select(
+            F.col("_file").alias("file_path"), F.col("_pos").alias("pos")
+        )
+        dirname = f"delete-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.path, dirname)
+        hits.write.option("compression", "zstd").parquet(out)
+        stats = _parquet_footer_stats(out)
+        n = sum(s["rows"] for s in stats)
+        pend = PendingData(
+            dirname, n, {"source": None, "transform": "identity", "spec_id": 0, "content": "deletes"}, stats
+        )
+        lock, token = self._acquire_commit_lock()
+        try:
+            snaps = self._snaps()
+            current = snaps[-1]["snapshot_id"] if snaps else None
+            if current != parent:
+                raise CommitConflictError(
+                    f"{self.ns}.{self.name}: snapshot moved {parent} -> "
+                    f"{current} during merge-on-read delete; re-read and retry"
+                )
+            self._record_pending([pend])
+            return self._append_snapshot(
+                snaps,
+                "delete",
+                snap["manifest"],
+                {
+                    "predicate": condition,
+                    "added-delete-files": 1,
+                    "added-position-deletes": n,
+                },
+                existing + [dirname],
+            )
+        finally:
+            self._release_commit_lock(lock, token)
 
     def update_where(self, assignments: dict[str, str], condition: str) -> int:
         """UPDATE t SET col = expr, ... WHERE condition — copy-on-write:
@@ -894,6 +1120,12 @@ class Table:
         self._write_meta(meta)
 
     def rename_column(self, old: str, new: str) -> None:
+        """Metadata-only RENAME COLUMN: reads map old physical names
+        through the rename chain (see _dir_frames), so no files are
+        rewritten and values survive. The current partition spec's source
+        cannot be renamed (specs are keyed by name here, not field id)."""
+        if self._meta()["partition"].get("source") == old:
+            raise WarehouseError(f"column {old} is the partition source")
         meta = self._meta()
         schema = T.StructType.fromJson(json.loads(meta["schema"]))
         fields = [
@@ -975,10 +1207,12 @@ class Table:
         try:
             snaps = self._snaps()
             keep = snaps[-keep_last:]
-            live_dirs = {d for s in keep for d in s["manifest"]}
+            live_dirs = {d for s in keep for d in s["manifest"]} | {
+                d for s in keep for d in s.get("delete_dirs", [])
+            }
             removed = 0
             for s in snaps[:-keep_last]:
-                for d in s["manifest"]:
+                for d in s["manifest"] + s.get("delete_dirs", []):
                     if d not in live_dirs:
                         p = os.path.join(self.path, d)
                         if os.path.isdir(p):

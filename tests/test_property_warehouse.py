@@ -110,3 +110,78 @@ def test_sql_insert_select_roundtrip(spark, tmp_path_factory, rows):
     )
     want = sorted((i, s, a) for i, s, a in rows)
     assert got == want
+
+
+# Rewriter masking/name-resolution edges (r2 advice #10): table-like names
+# inside string literals must never be rewritten, alias.column references
+# that LOOK like ns.table must resolve to the alias, and keyword case must
+# not matter. The fuzz drives all three through one fixture warehouse.
+_TRICKY_LITERALS = [
+    "see p.users for details",
+    "polaris.p.users",
+    "p.orders VERSION AS OF 1",
+    "users",
+    "from p.users select",
+    "it''s p.users",  # escaped quote inside the literal
+]
+
+
+def _case_mix(word: str, flags: list[bool]) -> str:
+    return "".join(
+        c.upper() if flags[i % len(flags)] else c.lower() for i, c in enumerate(word)
+    )
+
+
+_rw_case = st.lists(st.booleans(), min_size=1, max_size=4)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    lit=st.sampled_from(_TRICKY_LITERALS),
+    threshold=st.integers(0, 4),
+    flags=_rw_case,
+    use_alias=st.booleans(),
+)
+def test_sql_rewriter_masking_and_aliases(spark, tmp_path_factory, lit, threshold, flags, use_alias):
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    global _RW_LAKE
+    try:
+        lake = _RW_LAKE
+    except NameError:
+        lake = _RW_LAKE = LakehouseSQL(spark, str(tmp_path_factory.mktemp("rwfuzz")))
+        lake.sql("CREATE TABLE polaris.p.users (id INT, name STRING) USING ICEBERG")
+        lake.sql(
+            "INSERT INTO polaris.p.users VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d'),(5,'e')"
+        )
+        lake.sql("CREATE TABLE polaris.p.orders (oid INT, uid INT) USING ICEBERG")
+        lake.sql("INSERT INTO polaris.p.orders VALUES (10,1),(11,2)")
+
+    sel, frm, whr, order = (
+        _case_mix("SELECT", flags),
+        _case_mix("FROM", flags),
+        _case_mix("WHERE", flags),
+        _case_mix("ORDER BY", flags),
+    )
+    if use_alias:
+        # alias u: u.id/u.name look like ns.table but must resolve as alias
+        q = (
+            f"{sel} u.id, '{lit}' AS note, (SELECT COUNT(*) {frm} p.orders) AS n_orders "
+            f"{frm} p.users u {whr} u.id > {threshold} {order} u.id"
+        )
+    else:
+        q = (
+            f"{sel} id, '{lit}' AS note, (SELECT COUNT(*) {frm} p.orders) AS n_orders "
+            f"{frm} p.users {whr} id > {threshold} {order} id"
+        )
+    rows = lake.sql(q).collect()
+    want_ids = [i for i in [1, 2, 3, 4, 5] if i > threshold]
+    assert [r.id for r in rows] == want_ids
+    # the literal came through the mask/unmask round untouched (SQL '' -> ')
+    expected_note = lit.replace("''", "'")
+    assert all(r.note == expected_note for r in rows)
+    assert all(r.n_orders == 2 for r in rows)

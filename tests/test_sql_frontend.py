@@ -401,3 +401,120 @@ def test_ctas_if_not_exists_is_noop_on_existing_table(lake):
     # plain CTAS without IF NOT EXISTS still errors on an existing table
     with pytest.raises(WarehouseError):
         lake.sql("CREATE TABLE polaris.db.ctas AS SELECT * FROM polaris.db.src")
+
+
+def test_merge_on_read_delete_through_sql(lake):
+    """Table property write.delete.mode=merge-on-read drives DELETE FROM
+    through the positional-delete path; metadata scans surface tombstoned
+    rows as _deleted=true (reference getting_started.ipynb:128-132 lists
+    _deleted as a live metadata column)."""
+    lake.sql(
+        "CREATE TABLE polaris.db.mor_sql (id INT, v STRING) USING ICEBERG "
+        "TBLPROPERTIES ('write.delete.mode'='merge-on-read')"
+    )
+    lake.sql("INSERT INTO polaris.db.mor_sql VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    lake.sql("DELETE FROM polaris.db.mor_sql WHERE id = 2")
+    # normal reads exclude the tombstoned row
+    rows = sorted(r.id for r in lake.sql("SELECT id FROM polaris.db.mor_sql").collect())
+    assert rows == [1, 3]
+    # metadata scan shows it flagged deleted
+    got = {
+        r.id: r._deleted
+        for r in lake.sql("SELECT id, _deleted FROM polaris.db.mor_sql").collect()
+    }
+    assert got == {1: False, 2: True, 3: False}
+    # snapshots metadata table records the delete-file commit
+    ops = [
+        (r.operation, r.summary.get("added-delete-files"))
+        for r in lake.sql(
+            "SELECT operation, summary FROM polaris.db.mor_sql.snapshots ORDER BY snapshot_id"
+        ).collect()
+    ]
+    assert ops == [("append", None), ("delete", "1")]
+
+
+def test_insert_overwrite(lake):
+    lake.sql("CREATE TABLE polaris.db.iow (id INT, v STRING) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.db.iow VALUES (1, 'a'), (2, 'b')")
+    lake.sql("INSERT OVERWRITE TABLE polaris.db.iow VALUES (9, 'z')")
+    assert [tuple(r) for r in lake.sql("SELECT * FROM polaris.db.iow").collect()] == [(9, "z")]
+    # bare form without TABLE keyword + SELECT source
+    lake.sql("INSERT OVERWRITE polaris.db.iow SELECT id + 1, v FROM polaris.db.iow")
+    assert [tuple(r) for r in lake.sql("SELECT * FROM polaris.db.iow").collect()] == [(10, "z")]
+    # overwrite is a snapshot like any other: time travel sees the old rows
+    rows = lake.sql("SELECT id FROM polaris.db.iow VERSION AS OF 1 ORDER BY id").collect()
+    assert [r.id for r in rows] == [1, 2]
+
+
+def test_show_create_table_round_trips(lake):
+    """SHOW CREATE TABLE output re-executes through the front-end and
+    reproduces schema, partition transform, and properties."""
+    lake.sql(
+        """
+        CREATE TABLE polaris.db.sct (
+            id INT, amount DECIMAL(10,2), created_at TIMESTAMP
+        ) USING ICEBERG PARTITIONED BY (days(created_at))
+        TBLPROPERTIES ('write.delete.mode'='merge-on-read')
+        """
+    )
+    stmt = lake.sql("SHOW CREATE TABLE polaris.db.sct").collect()[0].createtab_stmt
+    assert "PARTITIONED BY (days(created_at))" in stmt
+    assert "'write.delete.mode' = 'merge-on-read'" in stmt
+    # round-trip: execute the emitted DDL for a clone table
+    clone = stmt.replace("polaris.db.sct", "polaris.db.sct2")
+    lake.sql(clone)
+    t1 = lake.wh.table("db", "sct")
+    t2 = lake.wh.table("db", "sct2")
+    assert t2.schema() == t1.schema()
+    assert t2.partition_spec() == t1.partition_spec()
+    assert t2._meta()["properties"]["write.delete.mode"] == "merge-on-read"
+
+
+def test_explain_select(lake):
+    lake.sql("CREATE TABLE polaris.db.exp (id INT, v STRING) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.db.exp VALUES (1, 'a')")
+    plan = lake.sql("EXPLAIN SELECT v, COUNT(*) AS n FROM polaris.db.exp GROUP BY v").collect()
+    text = "\n".join(r[0] for r in plan)
+    assert "Aggregate" in text or "HashAggregate" in text
+    ftext = "\n".join(
+        r[0] for r in lake.sql("EXPLAIN FORMATTED SELECT id FROM polaris.db.exp WHERE id > 0").collect()
+    )
+    assert "Filter" in ftext
+
+
+def test_partitioned_by_cast_timestamp_as_date(lake):
+    """The reference helper's exact spelling (warehouse_helpers.py:48):
+    PARTITIONED BY (CAST(created_at AS DATE)) on a TIMESTAMP column — a
+    day transform. Create, insert, and prune-scan through the engine."""
+    lake.sql(
+        """
+        CREATE TABLE polaris.db.cast_part (
+            id INT, name STRING, created_at TIMESTAMP
+        ) USING ICEBERG PARTITIONED BY (CAST(created_at AS DATE))
+        """
+    )
+    tab = lake.wh.table("db", "cast_part")
+    spec = tab.partition_spec()
+    assert (spec.source, spec.transform) == ("created_at", "day")
+    lake.sql(
+        """
+        INSERT INTO polaris.db.cast_part VALUES
+        (1, 'a', CAST('2024-11-25 10:00:00' AS TIMESTAMP)),
+        (2, 'b', CAST('2024-11-26 11:00:00' AS TIMESTAMP))
+        """
+    )
+    # hidden partitioning: filter the RAW column, prune by the derived day
+    got = tab.scan(eq={"created_at": "2024-11-25 10:00:00"}).collect()
+    assert [r.id for r in got] == [1]
+    # the data landed in day-partitioned hive dirs
+    import os as _os
+
+    dirs = [
+        d
+        for root, ds, _ in _os.walk(tab.path)
+        for d in ds
+        if d.startswith("_p_day_created_at=")
+    ]
+    assert sorted(dirs) == ["_p_day_created_at=2024-11-25", "_p_day_created_at=2024-11-26"]
+    rows = lake.sql("SELECT id FROM polaris.db.cast_part ORDER BY id").collect()
+    assert [r.id for r in rows] == [1, 2]

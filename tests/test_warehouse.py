@@ -91,6 +91,22 @@ def test_schema_evolution_null_backfill(wh):
     assert t.read(version=2).columns == ["id", "name", "email"]
     t.rename_column("email", "contact")
     assert [c for c, _ in t.describe()] == ["id", "name", "contact"]
+    # values written under the OLD name survive the rename (files are not
+    # rewritten; the read maps old physical names through the rename chain)
+    vals = {r.id: r.contact for r in t.read().collect()}
+    assert vals == {1: None, 2: "y@example.com"}
+    # chained rename still resolves the original physical name
+    t.rename_column("contact", "reach")
+    vals2 = {r.id: r.reach for r in t.read().collect()}
+    assert vals2 == {1: None, 2: "y@example.com"}
+    # time travel to the pre-rename snapshot shows the era's name AND value
+    old_read = t.read(version=2)
+    assert "email" in old_read.columns
+    assert {r.id: r.email for r in old_read.collect()}[2] == "y@example.com"
+    # renaming the current partition source is refused (spec keyed by name)
+    tp = wh.create_table("db", "evo_part", "id int, d date", partition_by="d")
+    with pytest.raises(WarehouseError):
+        tp.rename_column("d", "dt")
 
 
 def test_time_travel_schema_after_drop_column(wh):
@@ -465,3 +481,87 @@ def datetime_date(y, m, d):
     import datetime
 
     return datetime.date(y, m, d)
+
+
+def test_merge_on_read_positional_deletes(wh, spark):
+    """Iceberg v2 merge-on-read: DELETE writes positional tombstones, data
+    dirs stay untouched, reads apply the deletes, metadata scans surface
+    the rows with _deleted=true, and time travel on either side of the
+    delete stays correct."""
+    t = wh.create_table(
+        "db", "mor", "id int, v string", properties={"write.delete.mode": "merge-on-read"}
+    )
+    t.insert_values([(1, "a"), (2, "b"), (3, "c"), (4, "d")])
+    files_before = t.data_file_count()
+
+    t.delete_where("id IN (2, 4)")
+    # data untouched, only tombstones added
+    assert t.data_file_count() == files_before
+    assert sorted(r.id for r in t.read().collect()) == [1, 3]
+    # scan() (pruned path) applies the deletes too
+    assert sorted(r.id for r in t.scan().collect()) == [1, 3]
+
+    # metadata scan: tombstoned rows visible, flagged _deleted=true
+    md = {r.id: r._deleted for r in t.read(metadata_columns=True).collect()}
+    assert md == {1: False, 2: True, 3: False, 4: True}
+
+    # snapshots table records the delete-file commit
+    snaps = t.snapshots().orderBy("snapshot_id").collect()
+    assert snaps[-1].operation == "delete"
+    assert snaps[-1].summary["added-delete-files"] == "1"
+    assert snaps[-1].summary["added-position-deletes"] == "2"
+
+    # time travel: before the delete all rows live; after, deletes apply
+    assert sorted(r.id for r in t.read(version=1).collect()) == [1, 2, 3, 4]
+    assert sorted(r.id for r in t.read(version=2).collect()) == [1, 3]
+
+    # appends inherit the tombstones; a second MOR delete stacks
+    t.append(spark.createDataFrame([(5, "e")], "id int, v string"))
+    assert sorted(r.id for r in t.read().collect()) == [1, 3, 5]
+    t.delete_where("id = 1")
+    assert sorted(r.id for r in t.read().collect()) == [3, 5]
+    md2 = {r.id: r._deleted for r in t.read(metadata_columns=True).collect()}
+    assert md2 == {1: True, 2: True, 3: False, 4: True, 5: False}
+
+    # copy-on-write compaction collapses the tombstones into rewritten data
+    t.compact(target_partitions=1)
+    assert sorted(r.id for r in t.read().collect()) == [3, 5]
+    assert all(not r._deleted for r in t.read(metadata_columns=True).collect())
+
+
+def test_mor_delete_export_and_expiry(wh, spark):
+    """Delete files appear in the Avro export as POSITION_DELETES
+    manifests (content=1), and snapshot expiry garbage-collects
+    unreferenced delete dirs."""
+    import json as _json
+    import os as _os
+
+    from minio_iceberg_polaris_lakehouse_spark import avro_io
+
+    t = wh.create_table("db", "mor_exp", "id int")
+    t.insert_values([(i,) for i in range(10)])
+    t.delete_where("id >= 8", mode="merge-on-read")
+    assert sorted(r.id for r in t.read().collect()) == list(range(8))
+
+    mdir = _os.path.join(t.path, "metadata")
+    hint = open(_os.path.join(mdir, "version-hint.text")).read().strip()
+    doc = _json.load(open(_os.path.join(mdir, f"v{hint}.metadata.json")))
+    cur = [s for s in doc["snapshots"] if s["snapshot-id"] == doc["current-snapshot-id"]][0]
+    _s, _m, manifests = avro_io.read_container(cur["manifest-list"])
+    by_content = {}
+    for man in manifests:
+        by_content.setdefault(man["content"], []).append(man)
+    assert 0 in by_content and 1 in by_content
+    dman = by_content[1][0]
+    assert dman["added_rows_count"] == 2  # two tombstoned positions
+    _s2, mmeta, entries = avro_io.read_container(dman["manifest_path"])
+    assert mmeta["content"] == b"deletes"
+    assert all(e["data_file"]["content"] == 1 for e in entries)
+
+    # compact (collapses deletes), then expire: the delete dir is GC'd
+    t.compact()
+    delete_dirs = [d for d in _os.listdir(t.path) if d.startswith("delete-")]
+    assert delete_dirs
+    t.expire_snapshots(keep_last=1)
+    assert not [d for d in _os.listdir(t.path) if d.startswith("delete-")]
+    assert sorted(r.id for r in t.read().collect()) == list(range(8))
