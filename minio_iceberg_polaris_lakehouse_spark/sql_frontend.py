@@ -172,7 +172,7 @@ class LakehouseSQL:
         pattern = re.compile(
             rf"(?<![A-Za-z0-9_.'])"
             rf"(?:(?P<cat>{cat})\.)?(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
-            rf"(?P<meta>\.(?:history|snapshots))?"
+            rf"(?P<meta>\.(?:history|snapshots|files|manifests|refs))?"
             rf"(?P<tt>\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
             rf"|\s+TIMESTAMP\s+AS\s+OF\s+\x00L(?P<ts>\d+)\x00)?"
             rf"(?![A-Za-z0-9_.])",
@@ -187,7 +187,7 @@ class LakehouseSQL:
             meta = (m.group("meta") or "").lstrip(".").lower()
             view = f"_lh_{ns}__{tbl}"
             if meta:
-                df = tab.history() if meta == "history" else tab.snapshots()
+                df = getattr(tab, meta)()  # history/snapshots/files/manifests/refs
                 view += f"__{meta}"
             elif m.group("ver") is not None:
                 version = int(m.group("ver"))
@@ -510,6 +510,41 @@ class LakehouseSQL:
             "rewritten_data_files_count int, added_data_files_count int",
         )
 
+    def _call_rollback_to_snapshot(self, m: re.Match) -> DataFrame:
+        """CALL c.system.rollback_to_snapshot(table => 't', snapshot_id => N)"""
+        tab = self._existing_table(m.group(1).strip("'\""))
+        previous = tab.current_snapshot_id()
+        target = int(m.group(2))
+        tab.rollback_to(target)
+        return self.spark.createDataFrame(
+            [Row(previous_snapshot_id=previous, current_snapshot_id=target)],
+            "previous_snapshot_id bigint, current_snapshot_id bigint",
+        )
+
+    def _call_expire_snapshots(self, m: re.Match) -> DataFrame:
+        """CALL c.system.expire_snapshots(table => 't' [, retain_last => N])"""
+        tab = self._existing_table(m.group(1).strip("'\""))
+        retain = int(m.group(2)) if m.group(2) else 1
+        removed = tab.expire_snapshots(keep_last=retain)
+        return self.spark.createDataFrame(
+            [Row(deleted_data_files_count=removed)], "deleted_data_files_count int"
+        )
+
+    def _call_remove_orphan_files(self, m: re.Match) -> DataFrame:
+        """CALL c.system.remove_orphan_files(table => 't')"""
+        tab = self._existing_table(m.group(1).strip("'\""))
+        removed = tab.remove_orphan_files()
+        return self.spark.createDataFrame(
+            [Row(orphan_file_location_count=removed)], "orphan_file_location_count int"
+        )
+
+    def _truncate_table(self, m: re.Match) -> DataFrame:
+        self._existing_table(m.group(1)).truncate()
+        return self._empty()
+
+    def _show_partitions(self, m: re.Match) -> DataFrame:
+        return self._existing_table(m.group(1)).partitions()
+
     _TRANSFORM_SQL = {
         "day": "days({src})",
         "month": "months({src})",
@@ -612,4 +647,21 @@ class LakehouseSQL:
             rf"CALL\s+{_IDENT}\.system\.rewrite_data_files\s*\(\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*\)",
             _call_rewrite_data_files,
         ),
+        (
+            rf"CALL\s+{_IDENT}\.system\.rollback_to_snapshot\s*\("
+            r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*,\s*snapshot_id\s*=>\s*(\d+)\s*\)",
+            _call_rollback_to_snapshot,
+        ),
+        (
+            rf"CALL\s+{_IDENT}\.system\.expire_snapshots\s*\("
+            r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*(?:,\s*retain_last\s*=>\s*(\d+)\s*)?\)",
+            _call_expire_snapshots,
+        ),
+        (
+            rf"CALL\s+{_IDENT}\.system\.remove_orphan_files\s*\("
+            r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*\)",
+            _call_remove_orphan_files,
+        ),
+        (rf"TRUNCATE\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})", _truncate_table),
+        (rf"SHOW\s+PARTITIONS\s+((?:{_IDENT}\.)*{_IDENT})", _show_partitions),
     ]

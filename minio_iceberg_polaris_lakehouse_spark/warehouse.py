@@ -1177,6 +1177,138 @@ class Table:
         )
         return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)
 
+    def files(self) -> DataFrame:
+        """<table>.files metadata table (Iceberg): one row per live data
+        file of the current snapshot — content, file_path, file_format,
+        spec_id, record_count, file_size_in_bytes. Built from the footer
+        stats cached at commit time: metadata-only, no data scan."""
+        snap = self._resolve()
+        meta = self._meta()
+        stats, specs = meta.get("dir_stats", {}), meta.get("dir_specs", {})
+        rows = []
+        for content, dirs in ((0, snap["manifest"]), (1, snap.get("delete_dirs", []))):
+            for d in dirs:
+                sid = int(specs.get(d, {}).get("spec_id", 0))
+                for f in stats.get(d, []):
+                    rows.append(
+                        Row(
+                            content=content,
+                            file_path=os.path.join(self.path, d, f["path"]),
+                            file_format="PARQUET",
+                            spec_id=sid,
+                            record_count=f["rows"],
+                            file_size_in_bytes=f["bytes"],
+                        )
+                    )
+        schema = (
+            "content int, file_path string, file_format string, spec_id int, "
+            "record_count bigint, file_size_in_bytes bigint"
+        )
+        return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)
+
+    def manifests(self) -> DataFrame:
+        """<table>.manifests metadata table: one row per manifest (data
+        dir) of the current snapshot, with the Avro manifest's path and
+        length plus which snapshot added it."""
+        snap = self._resolve()
+        snaps = self._snaps()
+        added_in: dict[str, int] = {}
+        for s in snaps:
+            for d in s["manifest"] + s.get("delete_dirs", []):
+                added_in.setdefault(d, s["snapshot_id"])
+        meta = self._meta()
+        specs = meta.get("dir_specs", {})
+        rows = []
+        for content, dirs in ((0, snap["manifest"]), (1, snap.get("delete_dirs", []))):
+            for d in dirs:
+                mpath = os.path.join(self.path, "metadata", f"manifest-{d}.avro")
+                rows.append(
+                    Row(
+                        content=content,
+                        path=mpath,
+                        length=os.path.getsize(mpath) if os.path.isfile(mpath) else None,
+                        partition_spec_id=int(specs.get(d, {}).get("spec_id", 0)),
+                        added_snapshot_id=added_in.get(d, snap["snapshot_id"]),
+                    )
+                )
+        schema = (
+            "content int, path string, length bigint, partition_spec_id int, "
+            "added_snapshot_id bigint"
+        )
+        return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)
+
+    def refs(self) -> DataFrame:
+        """<table>.refs metadata table: the main branch pointer (this
+        engine has no user-defined branches/tags yet)."""
+        schema = "name string, type string, snapshot_id bigint"
+        cur = self.current_snapshot_id()
+        if cur is None:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame([Row(name="main", type="BRANCH", snapshot_id=cur)], schema)
+
+    def partitions(self) -> DataFrame:
+        """SHOW PARTITIONS: distinct hive partition values across the
+        current snapshot's data dirs (directory listing — metadata-only)."""
+        snap = self._resolve()
+        parts = set()
+        for d in snap["manifest"]:
+            base = os.path.join(self.path, d)
+            for root, dirs, _files in os.walk(base):
+                for sub in dirs:
+                    if "=" in sub and sub.startswith("_p_"):
+                        parts.add(sub)
+        schema = "partition string"
+        rows = [Row(partition=p) for p in sorted(parts)]
+        return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)
+
+    def rollback_to(self, snapshot_id: int) -> int:
+        """CALL system.rollback_to_snapshot: make an earlier snapshot's
+        state current again. The log is append-only, so this commits a NEW
+        'rollback' snapshot that re-points at the target's data (history
+        is preserved and time travel to the in-between snapshots still
+        works — the same observable behavior as Iceberg's ref move)."""
+        target = self._resolve(version=snapshot_id)
+        lock, token = self._acquire_commit_lock()
+        try:
+            return self._append_snapshot(
+                self._snaps(),
+                "rollback",
+                target["manifest"],
+                {"rollback-to": snapshot_id},
+                target.get("delete_dirs", []),
+            )
+        finally:
+            self._release_commit_lock(lock, token)
+
+    def truncate(self) -> int:
+        """TRUNCATE TABLE: one 'delete' snapshot with an empty manifest —
+        no data rewritten, time travel to pre-truncate snapshots intact."""
+        parent = self.current_snapshot_id()
+        return self._commit_replace("delete", [], {"truncate": True}, parent)
+
+    def remove_orphan_files(self) -> int:
+        """CALL system.remove_orphan_files: delete data/delete dirs on
+        disk that no snapshot references (left behind by failed writes
+        whose commit never happened). Returns the number removed."""
+        lock, token = self._acquire_commit_lock()
+        try:
+            referenced = set()
+            for s in self._snaps():
+                referenced.update(s["manifest"])
+                referenced.update(s.get("delete_dirs", []))
+            removed = 0
+            for d in os.listdir(self.path):
+                if (
+                    (d.startswith("data-") or d.startswith("delete-"))
+                    and d not in referenced
+                    and os.path.isdir(os.path.join(self.path, d))
+                ):
+                    shutil.rmtree(os.path.join(self.path, d))
+                    removed += 1
+            return removed
+        finally:
+            self._release_commit_lock(lock, token)
+
     def describe(self) -> list[tuple[str, str]]:
         """DESCRIBE TABLE (reference D9)."""
         return [(f.name, f.dataType.simpleString()) for f in self.schema().fields]

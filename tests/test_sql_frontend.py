@@ -518,3 +518,67 @@ def test_partitioned_by_cast_timestamp_as_date(lake):
     assert sorted(dirs) == ["_p_day_created_at=2024-11-25", "_p_day_created_at=2024-11-26"]
     rows = lake.sql("SELECT id FROM polaris.db.cast_part ORDER BY id").collect()
     assert [r.id for r in rows] == [1, 2]
+
+
+def test_files_manifests_refs_metadata_tables(lake):
+    """Iceberg's .files/.manifests/.refs metadata tables through SQL."""
+    lake.sql("CREATE TABLE polaris.db.meta3 (id INT) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.db.meta3 VALUES (1), (2)")
+    lake.sql("INSERT INTO polaris.db.meta3 VALUES (3)")
+    files = lake.sql(
+        "SELECT content, file_format, record_count FROM polaris.db.meta3.files ORDER BY file_path"
+    ).collect()
+    assert all(f.content == 0 and f.file_format == "PARQUET" for f in files)
+    assert sum(f.record_count for f in files) == 3
+    mans = lake.sql("SELECT * FROM polaris.db.meta3.manifests").collect()
+    assert len(mans) == 2  # one manifest per commit dir
+    assert sorted(m.added_snapshot_id for m in mans) == [1, 2]
+    assert all(m.length and m.path.endswith(".avro") for m in mans)
+    refs = lake.sql("SELECT * FROM polaris.db.meta3.refs").collect()
+    assert [(r.name, r.type, r.snapshot_id) for r in refs] == [("main", "BRANCH", 2)]
+
+
+def test_rollback_truncate_and_procedures(lake):
+    lake.sql("CREATE TABLE polaris.db.proc (id INT) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.db.proc VALUES (1), (2)")
+    lake.sql("INSERT INTO polaris.db.proc VALUES (3)")
+    # rollback to snapshot 1: state reverts, history preserved
+    out = lake.sql(
+        "CALL polaris.system.rollback_to_snapshot(table => 'db.proc', snapshot_id => 1)"
+    ).collect()[0]
+    assert (out.previous_snapshot_id, out.current_snapshot_id) == (2, 1)
+    assert sorted(r.id for r in lake.sql("SELECT * FROM polaris.db.proc").collect()) == [1, 2]
+    # in-between snapshot still time-travels
+    rows = lake.sql("SELECT id FROM polaris.db.proc VERSION AS OF 2 ORDER BY id").collect()
+    assert [r.id for r in rows] == [1, 2, 3]
+    # truncate: empty table, new snapshot, old ones intact
+    lake.sql("TRUNCATE TABLE polaris.db.proc")
+    assert lake.sql("SELECT COUNT(*) AS n FROM polaris.db.proc").collect()[0].n == 0
+    assert (
+        lake.sql("SELECT COUNT(*) AS n FROM polaris.db.proc VERSION AS OF 3").collect()[0].n
+        == 2
+    )
+    # expire down to the latest snapshot, then remove orphans (none expected
+    # beyond what expire already GC'd)
+    lake.sql("CALL polaris.system.expire_snapshots(table => 'db.proc', retain_last => 1)")
+    hist = lake.sql("SELECT * FROM polaris.db.proc.history").collect()
+    assert len(hist) == 1
+    orphans = lake.sql(
+        "CALL polaris.system.remove_orphan_files(table => 'db.proc')"
+    ).collect()[0]
+    assert orphans.orphan_file_location_count == 0
+    assert lake.sql("SELECT COUNT(*) AS n FROM polaris.db.proc").collect()[0].n == 0
+
+
+def test_show_partitions(lake):
+    lake.sql(
+        "CREATE TABLE polaris.db.parts (id INT, d DATE) USING ICEBERG PARTITIONED BY (d)"
+    )
+    lake.sql(
+        "INSERT INTO polaris.db.parts VALUES (1, DATE '2024-01-01'), (2, DATE '2024-01-02')"
+    )
+    parts = [r.partition for r in lake.sql("SHOW PARTITIONS polaris.db.parts").collect()]
+    assert parts == ["_p_identity_d=2024-01-01", "_p_identity_d=2024-01-02"]
+    # unpartitioned table -> empty result, not an error
+    lake.sql("CREATE TABLE polaris.db.nopart (id INT) USING ICEBERG")
+    assert lake.sql("SHOW PARTITIONS polaris.db.nopart").collect() == []
