@@ -173,7 +173,7 @@ class LakehouseSQL:
             rf"(?<![A-Za-z0-9_.'])"
             rf"(?:(?P<cat>{cat})\.)?(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
             rf"(?P<meta>\.(?:history|snapshots|files|manifests|refs))?"
-            rf"(?P<tt>\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+            rf"(?P<tt>\s+VERSION\s+AS\s+OF\s+(?:(?P<ver>\d+)|\x00L(?P<verref>\d+)\x00)"
             rf"|\s+TIMESTAMP\s+AS\s+OF\s+\x00L(?P<ts>\d+)\x00)?"
             rf"(?![A-Za-z0-9_.])",
             re.IGNORECASE,
@@ -193,6 +193,11 @@ class LakehouseSQL:
                 version = int(m.group("ver"))
                 df = tab.read(version=version)
                 view += f"__v{version}"
+            elif m.group("verref") is not None:
+                # VERSION AS OF 'branch-or-tag' (Iceberg ref time travel)
+                ref = literals[int(m.group("verref"))].strip("'")
+                df = tab.read(version=ref)
+                view += f"__r{abs(hash(ref)) % 10**8}"
             elif m.group("ts") is not None:
                 lit = literals[int(m.group("ts"))].strip("'")
                 ts = datetime.datetime.fromisoformat(lit)
@@ -492,6 +497,18 @@ class LakehouseSQL:
         tab.evolve_partition_spec(None)
         return self._empty()
 
+    def _alter_create_ref(self, m: re.Match) -> DataFrame:
+        """ALTER TABLE t CREATE BRANCH|TAG name [AS OF VERSION n]"""
+        tab = self._existing_table(m.group(1))
+        ref_type, name, ver = m.group(2).lower(), m.group(3), m.group(4)
+        tab.create_ref(name, ref_type, int(ver) if ver else None)
+        return self._empty()
+
+    def _alter_drop_ref(self, m: re.Match) -> DataFrame:
+        tab = self._existing_table(m.group(1))
+        tab.drop_ref(m.group(3))
+        return self._empty()
+
     def _alter_compact(self, m: re.Match) -> DataFrame:
         """The reference helper issues `ALTER TABLE t COMPACT`
         (warehouse_helpers.py:145) — not valid Spark/Iceberg SQL, but the
@@ -641,6 +658,15 @@ class LakehouseSQL:
         (
             rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+DROP\s+PARTITION\s+FIELD\s+(.*)",
             _alter_drop_partition_field,
+        ),
+        (
+            rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+CREATE\s+(BRANCH|TAG)\s+({_IDENT})"
+            r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?",
+            _alter_create_ref,
+        ),
+        (
+            rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+DROP\s+(BRANCH|TAG)\s+({_IDENT})",
+            _alter_drop_ref,
         ),
         (rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+COMPACT", _alter_compact),
         (

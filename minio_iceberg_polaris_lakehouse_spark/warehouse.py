@@ -452,7 +452,12 @@ class Table:
         snaps = self._snaps()
         return snaps[-1]["snapshot_id"] if snaps else None
 
-    def _resolve(self, version: int | None = None, as_of_ms: int | None = None) -> dict:
+    def _resolve(self, version: int | str | None = None, as_of_ms: int | None = None) -> dict:
+        if isinstance(version, str):  # branch/tag name -> pinned snapshot
+            refs = self._meta().get("refs", {})
+            if version not in refs:
+                raise WarehouseError(f"unknown ref {version!r} on {self.ns}.{self.name}")
+            version = int(refs[version]["snapshot_id"])
         snaps = self._snaps()
         if not snaps:
             if version is not None:
@@ -691,7 +696,7 @@ class Table:
 
     def read(
         self,
-        version: int | None = None,
+        version: int | str | None = None,
         as_of_ms: int | None = None,
         metadata_columns: bool = False,
     ) -> DataFrame:
@@ -1012,16 +1017,23 @@ class Table:
         finally:
             self._release_commit_lock(lock, token)
 
-    def update_where(self, assignments: dict[str, str], condition: str) -> int:
-        """UPDATE t SET col = expr, ... WHERE condition — copy-on-write:
-        matching rows are rewritten with the assignment expressions,
-        non-matching rows pass through unchanged, one new snapshot.
-        Read-modify-write, so it conflicts (CommitConflictError) rather
-        than losing a concurrent writer's commit."""
+    def update_where(
+        self, assignments: dict[str, str], condition: str, mode: str | None = None
+    ) -> int:
+        """UPDATE t SET col = expr, ... WHERE condition in either Iceberg
+        row-level mode (per call or via the ``write.update.mode`` table
+        property): copy-on-write rewrites the whole table's rows into one
+        new snapshot; merge-on-read tombstones the matched positions and
+        appends only the rewritten rows — O(matches) data written instead
+        of O(table). Read-modify-write either way: conflicts raise
+        CommitConflictError rather than losing a concurrent commit."""
         cols = self.schema().fieldNames()
         unknown = [c for c in assignments if c not in cols]
         if unknown:
             raise WarehouseError(f"UPDATE of unknown column(s): {unknown}")
+        mode = mode or self._meta()["properties"].get("write.update.mode", "copy-on-write")
+        if mode == "merge-on-read":
+            return self._update_where_mor(assignments, condition)
         parent = self.current_snapshot_id()
         cur = self.read()
         updated = cur.select(
@@ -1036,6 +1048,61 @@ class Table:
         )
         p = self._write_data(updated)
         return self._commit_replace("update", [p], {"predicate": condition}, parent)
+
+    def _update_where_mor(self, assignments: dict[str, str], condition: str) -> int:
+        """Merge-on-read UPDATE (Iceberg v2): positional-delete the
+        matched rows' old positions AND append a data dir holding their
+        rewritten versions, in ONE snapshot."""
+        cols = self.schema().fieldNames()
+        parent = self.current_snapshot_id()
+        snap = self._resolve()
+        existing = snap.get("delete_dirs", [])
+        live = self._read_dirs(snap["manifest"], file_pos=True)
+        tomb = self._tombstones(existing)
+        if tomb is not None:
+            cond = (live["_file"] == tomb["file_path"]) & (live["_pos"] == tomb["pos"])
+            live = live.join(F.broadcast(tomb), cond, "left_anti")
+        matched = live.filter(f"({condition})")
+        hits = matched.select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
+        ddir = f"delete-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.path, ddir)
+        hits.write.option("compression", "zstd").parquet(out)
+        dstats = _parquet_footer_stats(out)
+        n_del = sum(s["rows"] for s in dstats)
+        pend_del = PendingData(
+            ddir, n_del, {"source": None, "transform": "identity", "spec_id": 0, "content": "deletes"}, dstats
+        )
+        rewritten = matched.select(
+            *[
+                (F.expr(assignments[c]).alias(c) if c in assignments else F.col(c))
+                for c in cols
+            ]
+        )
+        p = self._write_data(rewritten)
+        lock, token = self._acquire_commit_lock()
+        try:
+            snaps = self._snaps()
+            current = snaps[-1]["snapshot_id"] if snaps else None
+            if current != parent:
+                raise CommitConflictError(
+                    f"{self.ns}.{self.name}: snapshot moved {parent} -> "
+                    f"{current} during merge-on-read update; re-read and retry"
+                )
+            self._record_pending([pend_del, p])
+            return self._append_snapshot(
+                snaps,
+                "update",
+                snap["manifest"] + [p.dirname],
+                {
+                    "predicate": condition,
+                    "added-delete-files": 1,
+                    "added-position-deletes": n_del,
+                    "added-records": p.rows,
+                },
+                existing + [ddir],
+            )
+        finally:
+            self._release_commit_lock(lock, token)
 
     def merge_into(
         self,
@@ -1238,13 +1305,49 @@ class Table:
         return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)
 
     def refs(self) -> DataFrame:
-        """<table>.refs metadata table: the main branch pointer (this
-        engine has no user-defined branches/tags yet)."""
+        """<table>.refs metadata table: the main branch pointer plus any
+        user-created branches/tags (create_ref)."""
         schema = "name string, type string, snapshot_id bigint"
         cur = self.current_snapshot_id()
-        if cur is None:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.createDataFrame([Row(name="main", type="BRANCH", snapshot_id=cur)], schema)
+        rows = [] if cur is None else [Row(name="main", type="BRANCH", snapshot_id=cur)]
+        for name, rec in sorted(self._meta().get("refs", {}).items()):
+            rows.append(Row(name=name, type=rec["type"], snapshot_id=int(rec["snapshot_id"])))
+        return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)
+
+    def create_ref(self, name: str, ref_type: str = "tag", snapshot_id: int | None = None) -> None:
+        """Named ref (Iceberg branch/tag) pinning a snapshot: time travel
+        by name (`VERSION AS OF 'audit-2024'`), protected from
+        expire_snapshots. Refs here are READ pointers — writes always go
+        to main (documented divergence from Iceberg's writable branches)."""
+        if ref_type.lower() not in ("branch", "tag"):
+            raise WarehouseError(f"ref type must be branch or tag, not {ref_type}")
+        if name == "main":
+            raise WarehouseError("ref name 'main' is reserved")
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None:
+            raise WarehouseError("cannot create a ref on an empty table")
+        self._resolve(version=int(sid))  # validates the snapshot exists
+        lock, token = self._acquire_commit_lock()
+        try:
+            meta = self._meta()
+            meta.setdefault("refs", {})[name] = {
+                "snapshot_id": int(sid),
+                "type": ref_type.upper(),
+            }
+            self._write_meta(meta)
+        finally:
+            self._release_commit_lock(lock, token)
+
+    def drop_ref(self, name: str) -> None:
+        lock, token = self._acquire_commit_lock()
+        try:
+            meta = self._meta()
+            if name not in meta.get("refs", {}):
+                raise WarehouseError(f"unknown ref {name!r}")
+            del meta["refs"][name]
+            self._write_meta(meta)
+        finally:
+            self._release_commit_lock(lock, token)
 
     def partitions(self) -> DataFrame:
         """SHOW PARTITIONS: distinct hive partition values across the
@@ -1338,12 +1441,21 @@ class Table:
         lock, token = self._acquire_commit_lock()
         try:
             snaps = self._snaps()
-            keep = snaps[-keep_last:]
+            # ref-pinned snapshots (branches/tags) survive expiry
+            pinned = {
+                int(r["snapshot_id"]) for r in self._meta().get("refs", {}).values()
+            }
+            tail = snaps[-keep_last:]
+            keep = [
+                s for s in snaps if s in tail or s["snapshot_id"] in pinned
+            ]
             live_dirs = {d for s in keep for d in s["manifest"]} | {
                 d for s in keep for d in s.get("delete_dirs", [])
             }
             removed = 0
-            for s in snaps[:-keep_last]:
+            for s in snaps:
+                if s in keep:
+                    continue
                 for d in s["manifest"] + s.get("delete_dirs", []):
                     if d not in live_dirs:
                         p = os.path.join(self.path, d)

@@ -582,3 +582,21 @@ def test_show_partitions(lake):
     # unpartitioned table -> empty result, not an error
     lake.sql("CREATE TABLE polaris.db.nopart (id INT) USING ICEBERG")
     assert lake.sql("SHOW PARTITIONS polaris.db.nopart").collect() == []
+
+
+def test_branch_tag_sql_and_ref_time_travel(lake):
+    lake.sql("CREATE TABLE polaris.db.refsql (id INT) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.db.refsql VALUES (1)")
+    lake.sql("INSERT INTO polaris.db.refsql VALUES (2)")
+    lake.sql("ALTER TABLE polaris.db.refsql CREATE TAG audit AS OF VERSION 1")
+    lake.sql("INSERT INTO polaris.db.refsql VALUES (3)")
+    # time travel by ref name (string literal)
+    rows = lake.sql("SELECT id FROM polaris.db.refsql VERSION AS OF 'audit'").collect()
+    assert [r.id for r in rows] == [1]
+    refs = {
+        r.name: (r.type, r.snapshot_id)
+        for r in lake.sql("SELECT * FROM polaris.db.refsql.refs").collect()
+    }
+    assert refs == {"main": ("BRANCH", 3), "audit": ("TAG", 1)}
+    lake.sql("ALTER TABLE polaris.db.refsql DROP TAG audit")
+    assert [r.name for r in lake.sql("SELECT * FROM polaris.db.refsql.refs").collect()] == ["main"]

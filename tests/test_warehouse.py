@@ -565,3 +565,51 @@ def test_mor_delete_export_and_expiry(wh, spark):
     t.expire_snapshots(keep_last=1)
     assert not [d for d in _os.listdir(t.path) if d.startswith("delete-")]
     assert sorted(r.id for r in t.read().collect()) == list(range(8))
+
+
+def test_merge_on_read_update(wh, spark):
+    """MOR UPDATE: matched rows tombstoned AND their rewritten versions
+    appended in one snapshot — O(matches) written, not O(table)."""
+    t = wh.create_table(
+        "db", "mor_upd", "id int, v string, amount double",
+        properties={"write.update.mode": "merge-on-read"},
+    )
+    t.insert_values([(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)])
+    files_before = t.data_file_count()
+    t.update_where({"amount": "amount * 2"}, "id >= 2")
+    got = {r.id: r.amount for r in t.read().collect()}
+    assert got == {1: 10.0, 2: 40.0, 3: 60.0}
+    # the original data files were not rewritten, only a small delta added
+    snaps = t.snapshots().orderBy("snapshot_id").collect()
+    assert snaps[-1].operation == "update"
+    assert snaps[-1].summary["added-position-deletes"] == "2"
+    assert snaps[-1].summary["added-records"] == "2"
+    assert t.data_file_count() > files_before  # delta dir appended
+    # metadata scan: old versions visible as deleted, new versions live
+    md = [(r.id, r.amount, r._deleted) for r in t.read(metadata_columns=True).collect()]
+    assert (2, 20.0, True) in md and (2, 40.0, False) in md
+    # time travel to pre-update
+    assert {r.id: r.amount for r in t.read(version=1).collect()} == {1: 10.0, 2: 20.0, 3: 30.0}
+
+
+def test_branches_and_tags(wh, spark):
+    """Named refs: time travel by name, refs metadata table, expiry
+    protection for pinned snapshots."""
+    t = wh.create_table("db", "reft", "id int")
+    t.insert_values([(1,)])
+    t.insert_values([(2,)])
+    t.create_ref("audit", "tag", snapshot_id=1)
+    t.insert_values([(3,)])
+    assert sorted(r.id for r in t.read(version="audit").collect()) == [1]
+    refs = {r.name: (r.type, r.snapshot_id) for r in t.refs().collect()}
+    assert refs["main"] == ("BRANCH", 3)
+    assert refs["audit"] == ("TAG", 1)
+    # expiry keeps the pinned snapshot (and its data) alive
+    t.expire_snapshots(keep_last=1)
+    assert sorted(r.id for r in t.read(version="audit").collect()) == [1]
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+    snap_ids = [s["snapshot_id"] for s in t._snaps()]
+    assert snap_ids == [1, 3]  # tail + pinned survive, middle expired
+    t.drop_ref("audit")
+    with pytest.raises(WarehouseError):
+        t.read(version="audit")
