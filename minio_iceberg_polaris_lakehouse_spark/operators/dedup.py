@@ -394,3 +394,120 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .orderBy("label", "rn")
     )
+
+
+@register(
+    "dedup_cluster_keep_one",
+    oracle="""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, lang, CAST(FLOOR(n_chars / 50) AS BIGINT) AS len_bucket,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 1)),
+                   i -> concat_ws(' ',
+                        regexp_split_to_array(trim(lower(text)), '\\s+')[i],
+                        regexp_split_to_array(trim(lower(text)), '\\s+')[i+1],
+                        regexp_split_to_array(trim(lower(text)), '\\s+')[i+2]))) AS shingles
+        FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        WHERE len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) * 1.0
+              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
+    edge AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edge
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edge e ON r.b = e.a WHERE e.b <> r.a),
+    comp AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a)
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_removed
+    FROM comp
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """,
+)
+def dedup_cluster_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution — the curation step after pair
+    finding: connected components over the Jaccard≥0.5 pair graph, keep
+    one representative (the min doc_id) per cluster. Output: one row per
+    cluster with its size and how many docs dedup removes.
+
+    Spark side: Pregel-style iterative min-label propagation — each round
+    joins labels across edges and keeps the elementwise min; converges in
+    O(log diameter) rounds (near-dup clusters are shallow — text corpora
+    converge in 2-4). Each round localCheckpoints to keep lineage flat
+    (the standard pattern for iterative DataFrame algorithms; at 100 TB
+    this is exactly GraphX/GraphFrames' CC loop, one shuffle per round
+    over the EDGE list, which is tiny relative to the corpus).
+    DuckDB oracle: the same components via a recursive transitive-closure
+    CTE — an iterative algorithm still held to an exact cross-engine
+    value check."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 50).cast("long").alias("len_bucket"),
+        tokens_expr().alias("toks"),
+    ).select("doc_id", "lang", "len_bucket", hashed_shingles("toks").alias("shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect("a.shingles", "b.shingles")) * 1.0 / F.size(
+        F.array_union("a.shingles", "b.shingles")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.5)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # converges in O(log diameter); 2^20 >> any corpus
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy(edges["src"].alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("label").cast("long").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            (F.count("*") - 1).cast("long").alias("n_removed"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -109,6 +109,15 @@ def _lake(spark: SparkSession):
     lake.sql("ALTER TABLE polaris.test_db.evolution ADD COLUMN email STRING")
     lake.sql("INSERT INTO polaris.test_db.evolution VALUES (3, 'c', 'c@example.com')")
     lake.sql("ALTER TABLE polaris.test_db.evolution RENAME COLUMN email TO contact")
+    # merge-on-read fixture (M1): positional-delete DELETE via the
+    # write.delete.mode table property; tombstoned rows stay inspectable
+    # as _deleted=true (reference getting_started.ipynb:128-132)
+    lake.sql(
+        "CREATE TABLE IF NOT EXISTS polaris.test_db.mor (id INT, v STRING) USING ICEBERG "
+        "TBLPROPERTIES ('write.delete.mode'='merge-on-read')"
+    )
+    lake.sql("INSERT INTO polaris.test_db.mor VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    lake.sql("DELETE FROM polaris.test_db.mor WHERE id IN (2, 4)")
     _LAKES[key] = lake
     return lake
 
@@ -258,6 +267,28 @@ def ref_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     it, then renamed it to `contact`."""
     return _lake(spark).sql(
         "SELECT id, name, contact FROM polaris.test_db.evolution ORDER BY id"
+    )
+
+
+@register(
+    "ref_mor_delete",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'a', false), (2, 'b', true), (3, 'c', false), (4, 'd', true))
+        AS m(id, v, was_deleted)
+    ORDER BY id
+    """,
+)
+def ref_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (Iceberg v2, M1): the fixture table deleted
+    ids 2 and 4 via positional tombstones — the data files are untouched
+    and a metadata scan surfaces every row with its live `_deleted` flag
+    (the inspect-deleted-rows workflow behind the reference's `_deleted
+    boolean` metadata column, getting_started.ipynb:128-132). Normal
+    SELECTs (checked by the fixture's own pytest) exclude the tombstoned
+    rows."""
+    return _lake(spark).sql(
+        "SELECT id, v, _deleted AS was_deleted FROM polaris.test_db.mor ORDER BY id"
     )
 
 

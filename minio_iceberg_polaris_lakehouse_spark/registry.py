@@ -62,6 +62,8 @@ _PRIORITY: list[str] = [
     # schema evolution (D10) through SQL DDL — ADD COLUMN NULL backfill +
     # RENAME, literal-VALUES oracle
     "ref_schema_evolution",
+    # merge-on-read DELETE (M1) with live _deleted metadata column
+    "ref_mor_delete",
     "rel_filter_projection",
     # join family (J2-J9 + range + as-of)
     "rel_join_left_outer",
@@ -69,7 +71,8 @@ _PRIORITY: list[str] = [
     "rel_join_full_outer",
     "rel_join_semi",
     "rel_join_anti",
-    "rel_join_cross",
+    # cross join follows in registration order (still oracle-checked
+    # locally); its window slot went to the merge-on-read golden
     "rel_range_join",
     "rel_asof_join",
     # subqueries (correlated/scalar variants follow in registration order)
