@@ -143,3 +143,20 @@ def test_embedding_topk_uses_window_group_limit(spark, sf_dir):
     label survive to the final sort."""
     df = q("dedup_embedding_cosine", spark, sf_dir)
     assert count_nodes(df, "WindowGroupLimit") >= 1, plan_string(df)
+
+
+def test_mor_read_applies_deletes_broadcast(spark, tmp_path):
+    """Merge-on-read reads must apply tombstones as a BROADCAST anti-join
+    (map-side filter) — a shuffled anti-join of the fact data against the
+    tiny delete set would be the 100 TB scale-killer."""
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = wh.create_table("db", "morplan", "id bigint")
+    t.append(spark.range(10000))
+    t.delete_where("id % 100 = 0", mode="merge-on-read")
+    df = t.read()
+    s = plan_string(df)
+    assert "BroadcastHashJoin" in s and "LeftAnti" in s, s
+    assert "SortMergeJoin" not in s, s
+    assert df.count() == 9900

@@ -613,3 +613,26 @@ def test_branches_and_tags(wh, spark):
     t.drop_ref("audit")
     with pytest.raises(WarehouseError):
         t.read(version="audit")
+
+
+def test_incremental_append_scan(wh, spark):
+    """Incremental scan returns exactly the rows appended in the snapshot
+    interval, applies MOR tombstones, and refuses replacing snapshots."""
+    t = wh.create_table("db", "inc", "id int")
+    t.insert_values([(1,), (2,)])  # v1
+    t.insert_values([(3,)])  # v2
+    t.insert_values([(4,), (5,)])  # v3
+    assert sorted(r.id for r in t.incremental_scan(1).collect()) == [3, 4, 5]
+    assert sorted(r.id for r in t.incremental_scan(1, 2).collect()) == [3]
+    assert t.incremental_scan(3).collect() == []
+    # MOR delete in the interval: tombstoned appended row excluded, the
+    # delete snapshot itself is consumable (pure metadata, no rewrite)
+    t.delete_where("id = 4", mode="merge-on-read")  # v4
+    assert sorted(r.id for r in t.incremental_scan(1).collect()) == [3, 5]
+    # a replacing snapshot (compaction) breaks append-only consumption
+    t.compact()  # v5
+    with pytest.raises(WarehouseError, match="replacing"):
+        t.incremental_scan(1)
+    # but consuming from AFTER the rewrite works again
+    t.insert_values([(6,)])  # v6
+    assert sorted(r.id for r in t.incremental_scan(5).collect()) == [6]
