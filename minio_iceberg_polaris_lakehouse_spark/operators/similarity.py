@@ -185,13 +185,11 @@ def lsh_buckets(vec_col) -> Column:
     return F.array(*tables)
 
 
-@register("sim_ann_lsh", oracle=None)
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbors via random-hyperplane LSH: corpus and
-    queries hash to signature buckets; search only touches same-bucket
-    candidates, then exact-rescores. Rows-only check (bucketing is
-    hash-family-specific); tests/test_similarity.py measures recall vs the
-    brute-force baseline. At 100 TB the bucket join replaces the full-corpus
+def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-k pipeline (shared by the bench-style
+    raw entry and the recall gate): corpus and queries hash to signature
+    buckets; search only touches same-bucket candidates, then
+    exact-rescores. At 100 TB the bucket join replaces the full-corpus
     scan per query — the classic ANN trade."""
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e")
@@ -335,3 +333,37 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     result quality is gated by sim_ann_ivf's recall bound and
     tests/test_similarity.py."""
     return _ivf_topk(spark, sf_dir)
+
+
+LSH_RECALL_BOUND = 0.15  # aggregate recall@10 floor (measured 0.24-0.25)
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=f"""
+    SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           {TOP_K} AS k,
+           TRUE AS recall_ok
+    """,
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN with the same value-checked quality contract as
+    sim_ann_ivf: aggregate recall@k vs the in-plan exact brute-force twin
+    must clear LSH_RECALL_BOUND. Bucket layout stays hash-family-specific;
+    a broken pipeline (empty buckets, lost candidates) drops recall to ~0
+    and flips the boolean."""
+    lsh = _lsh_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    exact = sim_topk_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = lsh.join(exact, ["q_id", "neighbor_id"], "inner")
+    return hits.agg(
+        F.lit(N_QUERIES).cast("long").alias("n_queries"),
+        F.lit(TOP_K).alias("k"),
+        (F.count("*") / (N_QUERIES * TOP_K) >= LSH_RECALL_BOUND).alias("recall_ok"),
+    )
+
+
+@register("sim_ann_lsh_topk", oracle=None)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw LSH top-k output (rows-only: bucketing is hash-family-specific;
+    quality gated by sim_ann_lsh's recall bound and tests)."""
+    return _lsh_topk(spark, sf_dir)

@@ -14,7 +14,7 @@ QUERIES = all_queries()
 
 def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     brute = QUERIES["sim_topk_bruteforce"].spark(spark, sf_dir).collect()
-    ann = QUERIES["sim_ann_lsh"].spark(spark, sf_dir).collect()
+    ann = QUERIES["sim_ann_lsh_topk"].spark(spark, sf_dir).collect()
     truth = {}
     for r in brute:
         truth.setdefault(r.q_id, set()).add(r.neighbor_id)
@@ -31,13 +31,18 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
 def test_ann_results_are_true_neighbors(spark, sf_dir):
     """Every ANN hit must carry the correct exact cosine (rescoring is
     exact even when candidate generation is approximate)."""
-    ann = QUERIES["sim_ann_lsh"].spark(spark, sf_dir).collect()
+    ann = QUERIES["sim_ann_lsh_topk"].spark(spark, sf_dir).collect()
     emb = {r.vec_id: np.asarray(r.embedding, dtype="float64")
            for r in load_table(spark, sf_dir, "embeddings").collect()}
     for r in ann[:50]:
         a, b = emb[r.q_id], emb[r.neighbor_id]
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(cos - r.cosine) < 1e-5
+
+
+def test_ann_lsh_recall_gate_query(spark, sf_dir):
+    rows = QUERIES["sim_ann_lsh"].spark(spark, sf_dir).collect()
+    assert len(rows) == 1 and rows[0].recall_ok is True
 
 
 def test_label_centroid_norm_matches_numpy(spark, sf_dir):
