@@ -600,3 +600,104 @@ def test_branch_tag_sql_and_ref_time_travel(lake):
     assert refs == {"main": ("BRANCH", 3), "audit": ("TAG", 1)}
     lake.sql("ALTER TABLE polaris.db.refsql DROP TAG audit")
     assert [r.name for r in lake.sql("SELECT * FROM polaris.db.refsql.refs").collect()] == ["main"]
+
+
+# --------------------------------------------------------------------------
+# Property fuzz of the SELECT rewriter's masking / name-resolution edges
+# (literal masking at sql_frontend.py:161-167, name pattern :172-180).
+# Oracle: the same query template executed against plain temp views — the
+# rewriter must agree with Catalyst on every generated spelling.
+# --------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@pytest.fixture()
+def fuzz_lake(lake):
+    lake.sql("CREATE TABLE polaris.wh.users (id INT, name STRING) USING ICEBERG")
+    lake.sql("INSERT INTO wh.users VALUES (1, 'alice'), (2, 'bob'), (3, 'wh.users')")
+    lake.sql("CREATE TABLE polaris.wh.orders (id INT, amount DOUBLE) USING ICEBERG")
+    lake.sql("INSERT INTO wh.orders VALUES (1, 10.0), (2, 20.0)")
+    # oracle views over the same data, names no rewriter would touch
+    lake.wh.table("wh", "users").read().createOrReplaceTempView("exp_users")
+    lake.wh.table("wh", "orders").read().createOrReplaceTempView("exp_orders")
+    return lake
+
+
+def _casing(rng_choice, word):
+    return {
+        "lower": word.lower(),
+        "upper": word.upper(),
+        "title": word.title(),
+        "alternating": "".join(
+            c.upper() if i % 2 else c.lower() for i, c in enumerate(word)
+        ),
+    }[rng_choice]
+
+
+_KW_CASE = st.sampled_from(["lower", "upper", "title", "alternating"])
+_TABLE_SPELLING = st.sampled_from(["wh.users", "polaris.wh.users"])
+# aliases that shadow namespace/table/other-table names on purpose
+_ALIAS = st.sampled_from([None, "u", "users", "orders", "wh"])
+_LITERAL = st.sampled_from(
+    [
+        "plain",
+        "wh.users",
+        "see polaris.wh.orders now",
+        "it''s wh.users",
+        "SELECT * FROM wh.users",
+        "wh.users VERSION AS OF 1",
+        "",
+    ]
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    kw=_KW_CASE,
+    tbl=_TABLE_SPELLING,
+    alias=_ALIAS,
+    lit=_LITERAL,
+    qualify=st.booleans(),
+    extra_pred=st.booleans(),
+)
+def test_rewriter_fuzz_matches_direct_views(fuzz_lake, kw, tbl, alias, lit, qualify, extra_pred):
+    k = lambda w: _casing(kw, w)
+    prefix = f"{alias}." if (alias and qualify) else ""
+    template = (
+        f"{k('select')} {prefix}id {k('as')} id, name {k('from')} {{t}}"
+        + (f" {k('as')} {alias}" if alias else "")
+        + f" {k('where')} name <> '{lit}'"
+        + (f" {k('and')} {prefix}id > 0" if extra_pred else "")
+        + f" {k('order')} {k('by')} {prefix}id"
+    )
+    got = [tuple(r) for r in fuzz_lake.sql(template.format(t=tbl)).collect()]
+    exp = [
+        tuple(r)
+        for r in fuzz_lake.spark.sql(template.format(t="exp_users")).collect()
+    ]
+    assert got == exp
+    # the literal must survive the mask/unmask round-trip verbatim
+    rewritten = fuzz_lake._rewrite_query(template.format(t=tbl))
+    assert f"'{lit}'" in rewritten
+    assert "\x00" not in rewritten
+
+
+def test_rewriter_alias_shadowing_other_table(fuzz_lake):
+    # alias `orders` shadows wh.orders; qualified refs must resolve to the
+    # alias (users columns), not rewrite into the orders view
+    rows = fuzz_lake.sql(
+        "SELECT orders.id, orders.name FROM wh.users AS orders WHERE orders.id = 2"
+    ).collect()
+    assert [tuple(r) for r in rows] == [(2, "bob")]
+
+
+def test_rewriter_literal_with_escaped_quote_and_table_name(fuzz_lake):
+    rows = fuzz_lake.sql(
+        "SELECT id FROM wh.users WHERE name = 'wh.users' AND 'it''s wh.users' <> name"
+    ).collect()
+    assert [r.id for r in rows] == [3]
