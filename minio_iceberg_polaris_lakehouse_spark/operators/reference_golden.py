@@ -118,6 +118,16 @@ def _lake(spark: SparkSession):
     )
     lake.sql("INSERT INTO polaris.test_db.mor VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
     lake.sql("DELETE FROM polaris.test_db.mor WHERE id IN (2, 4)")
+    # file-skipping fixture: WRITE ORDERED BY clusters writes so footer
+    # bounds are tight; two disjoint-range inserts → two commit dirs, and
+    # a selective scan prunes one entirely from its manifest stats alone
+    # (Iceberg file skipping, reference README.md:138-139,178)
+    lake.sql(
+        "CREATE TABLE IF NOT EXISTS polaris.test_db.skip_demo (id INT, v STRING) USING ICEBERG"
+    )
+    lake.sql("ALTER TABLE polaris.test_db.skip_demo WRITE ORDERED BY (id)")
+    lake.sql("INSERT INTO polaris.test_db.skip_demo VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    lake.sql("INSERT INTO polaris.test_db.skip_demo VALUES (10, 'x'), (11, 'y'), (12, 'z')")
     _LAKES[key] = lake
     return lake
 
@@ -354,3 +364,22 @@ def ref_time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "       (SELECT CAST(COUNT(*) AS BIGINT) "
         "        FROM polaris.test_db.test_table_dup VERSION AS OF 2) AS v2_rows"
     )
+
+
+@register(
+    "ref_file_skipping",
+    oracle="""
+    SELECT * FROM (VALUES (10, 'x'), (11, 'y')) AS s(id, v) ORDER BY id
+    """,
+)
+def ref_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-time file skipping from manifest statistics (reference
+    README.md:138-139 "computing statistics ... fast even with billions of
+    files"; pruning path README.md:178). The fixture table is WRITE ORDERED
+    BY (id) and holds two disjoint-range commits ([1,3] and [10,12]); this
+    BETWEEN scan drops the first commit's files from footer bounds alone —
+    Spark never lists them (pinned by tests/test_file_skipping.py). The
+    driver gate verifies the surviving rows are exactly right."""
+    lake = _lake(spark)
+    tab = lake.wh.table("test_db", "skip_demo")
+    return tab.scan(between={"id": (10, 11)}).orderBy("id")

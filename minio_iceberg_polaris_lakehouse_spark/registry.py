@@ -64,6 +64,9 @@ _PRIORITY: list[str] = [
     "ref_schema_evolution",
     # merge-on-read DELETE (M1) with live _deleted metadata column
     "ref_mor_delete",
+    # scan-time file skipping from manifest stats (README.md:138-139) over
+    # a WRITE ORDERED BY clustered table
+    "ref_file_skipping",
     "rel_filter_projection",
     # join family (J2-J9 + range + as-of)
     "rel_join_left_outer",
@@ -91,10 +94,10 @@ _PRIORITY: list[str] = [
     "win_top3_per_segment",
     # sort / top-k (O1-O3)
     "rel_topk_orders",
-    # set operations (§2.7) — except_all follows in registration order
-    # (still oracle-checked locally); its window slot went to D10
+    # set operations (§2.7) — union_distinct/except_all follow in
+    # registration order (still oracle-checked locally); their window
+    # slots went to D10 and the file-skipping golden
     "set_union_all_counts",
-    "set_union_distinct",
     # scalar-function suites (F5)
     "fn_string_suite",
     "fn_date_suite",

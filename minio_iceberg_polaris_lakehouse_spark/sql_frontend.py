@@ -509,6 +509,18 @@ class LakehouseSQL:
         tab.drop_ref(m.group(3))
         return self._empty()
 
+    def _alter_write_ordered(self, m: re.Match) -> DataFrame:
+        """ALTER TABLE t WRITE ORDERED BY (a, b) — Iceberg sort-order DDL:
+        future writes cluster by these columns so footer bounds make
+        scan-time file skipping effective (warehouse.set_write_order)."""
+        tab = self._existing_table(m.group(1))
+        cols_text = m.group(2).strip()
+        if cols_text.startswith("("):
+            cols_text = _balanced_paren_group(cols_text)[0]
+        cols = [c.strip().split()[0] for c in cols_text.split(",") if c.strip()]
+        tab.set_write_order(*cols)
+        return self._empty()
+
     def _alter_compact(self, m: re.Match) -> DataFrame:
         """The reference helper issues `ALTER TABLE t COMPACT`
         (warehouse_helpers.py:145) — not valid Spark/Iceberg SQL, but the
@@ -667,6 +679,10 @@ class LakehouseSQL:
         (
             rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+DROP\s+(BRANCH|TAG)\s+({_IDENT})",
             _alter_drop_ref,
+        ),
+        (
+            rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+WRITE\s+ORDERED\s+BY\s+(.*)",
+            _alter_write_ordered,
         ),
         (rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+COMPACT", _alter_compact),
         (

@@ -186,10 +186,64 @@ class Warehouse:
         shutil.rmtree(t.path)
 
 
+def _json_safe_bound(v: Any) -> Any:
+    """JSON-serializable form of a parquet min/max statistic. Dates and
+    timestamps become ISO strings, Decimals strings; binary (no total
+    order we want to reason about) returns None → no bound recorded."""
+    import datetime
+    import decimal
+
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    return None
+
+
+def _file_column_bounds(pf) -> dict[str, list]:
+    """Per-column [min, max] across a file's row groups, from footer
+    statistics only (what Iceberg stores as manifest-entry lower_bounds /
+    upper_bounds). Columns without complete min/max stats in every row
+    group are omitted — absence of a bound means "cannot skip", never a
+    wrong skip."""
+    md = pf.metadata
+    bounds: dict[str, list] = {}
+    incomplete: set[str] = set()
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in incomplete:
+                continue  # nested columns: no file-level pruning
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("no min/max")
+                lo, hi = _json_safe_bound(st.min), _json_safe_bound(st.max)
+            except Exception:  # pyarrow raises ArrowNotImplementedError for
+                incomplete.add(name)  # some types' statistics — no bound, no skip
+                bounds.pop(name, None)
+                continue
+            if lo is None or hi is None:
+                incomplete.add(name)
+                bounds.pop(name, None)
+                continue
+            if name in bounds:
+                bounds[name][0] = min(bounds[name][0], lo)
+                bounds[name][1] = max(bounds[name][1], hi)
+            else:
+                bounds[name] = [lo, hi]
+    return bounds
+
+
 def _parquet_footer_stats(out_dir: str) -> list[dict]:
-    """Per-file (path, rows, bytes) from parquet footers — metadata-only,
-    no Spark job, no re-execution of the plan that produced the files
-    (the same stats an Iceberg commit records in its manifest entries)."""
+    """Per-file (path, rows, bytes, column bounds) from parquet footers —
+    metadata-only, no Spark job, no re-execution of the plan that produced
+    the files (the same stats an Iceberg commit records in its manifest
+    entries, incl. lower_bounds/upper_bounds for scan-time file skipping)."""
     import pyarrow.parquet as pq
 
     stats = []
@@ -197,14 +251,97 @@ def _parquet_footer_stats(out_dir: str) -> list[dict]:
         for f in sorted(files):
             if f.endswith(".parquet"):
                 p = os.path.join(root, f)
-                stats.append(
-                    {
-                        "path": os.path.relpath(p, out_dir),
-                        "rows": pq.ParquetFile(p).metadata.num_rows,
-                        "bytes": os.path.getsize(p),
-                    }
-                )
+                pf = pq.ParquetFile(p)
+                rec = {
+                    "path": os.path.relpath(p, out_dir),
+                    "rows": pf.metadata.num_rows,
+                    "bytes": os.path.getsize(p),
+                }
+                b = _file_column_bounds(pf)
+                if b:
+                    rec["bounds"] = b
+                stats.append(rec)
     return stats
+
+
+def _bound_key(dtype: T.DataType, v: Any):
+    """Comparable key for a predicate value / stored file bound under the
+    column's Spark type. Returns None when no safe comparison exists —
+    callers must then keep the file (conservative: a missing key can only
+    cost IO, never rows)."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    try:
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return int(v)
+        if isinstance(dtype, (T.FloatType, T.DoubleType)):
+            return float(v)
+        if isinstance(dtype, T.DecimalType):
+            return decimal.Decimal(str(v))
+        if isinstance(dtype, T.StringType):
+            return str(v)
+        if isinstance(dtype, T.BooleanType):
+            return bool(v)
+        if isinstance(dtype, T.DateType):
+            if isinstance(v, datetime.datetime):
+                return v.date()
+            if isinstance(v, datetime.date):
+                return v
+            return datetime.date.fromisoformat(str(v)[:10])
+        if isinstance(dtype, T.TimestampType):
+            if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+                v = datetime.datetime(v.year, v.month, v.day)
+            elif not isinstance(v, datetime.datetime):
+                v = datetime.datetime.fromisoformat(str(v))
+            return v.replace(tzinfo=None)  # stats may carry UTC tz, predicates not
+    except (ValueError, TypeError, ArithmeticError):
+        return None
+    return None
+
+
+def _file_survives(
+    bounds: dict[str, list] | None,
+    schema: T.StructType,
+    eq: dict[str, Any] | None,
+    between: dict[str, tuple] | None,
+) -> bool:
+    """Manifest-level file skipping (Iceberg lower_bounds/upper_bounds
+    pruning, reference README.md:138-139 "file skipping via statistics"):
+    False only when the footer bounds PROVE no row can match. Parquet
+    min/max exclude nulls, and eq/between predicates drop nulls too, so
+    skipping on non-null ranges is exact."""
+    if not bounds:
+        return True
+    names = set(schema.fieldNames())
+    for col, v in (eq or {}).items():
+        if col not in bounds or col not in names:
+            continue
+        dt = schema[col].dataType
+        key, lo, hi = _bound_key(dt, v), _bound_key(dt, bounds[col][0]), _bound_key(dt, bounds[col][1])
+        if key is None or lo is None or hi is None:
+            continue
+        try:
+            if key < lo or key > hi:
+                return False
+        except TypeError:
+            continue
+    for col, (plo, phi) in (between or {}).items():
+        if col not in bounds or col not in names:
+            continue
+        dt = schema[col].dataType
+        klo, khi = _bound_key(dt, plo), _bound_key(dt, phi)
+        lo, hi = _bound_key(dt, bounds[col][0]), _bound_key(dt, bounds[col][1])
+        if lo is None or hi is None:
+            continue
+        try:
+            if (khi is not None and khi < lo) or (klo is not None and klo > hi):
+                return False
+        except TypeError:
+            continue
+    return True
 
 
 def _with_null_metadata_columns(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -545,7 +682,10 @@ class Table:
             return None
 
     def _dir_frames(
-        self, dirs: list[str], schema: T.StructType | None = None
+        self,
+        dirs: list[str],
+        schema: T.StructType | None = None,
+        file_subsets: dict[str, list[str]] | None = None,
     ) -> list[tuple[PartitionSpec, int, DataFrame]]:
         """One scan per commit directory — commit dirs are each internally
         consistent hive layouts but differ across schema-evolution /
@@ -582,6 +722,19 @@ class Table:
             spec, spec_id = self._dir_spec(d, meta)
             phys = self._physical_schema(spec, schema)
             path = os.path.join(self.path, d)
+
+            def read_dir(read_schema: T.StructType, d=d, path=path) -> DataFrame:
+                # explicit surviving-file list from bounds pruning, read
+                # with basePath so hive partition columns still resolve
+                sub = (file_subsets or {}).get(d)
+                if sub is not None:
+                    return (
+                        self.spark.read.schema(read_schema)
+                        .option("basePath", path)
+                        .parquet(*[os.path.join(path, rel) for rel in sub])
+                    )
+                return self.spark.read.schema(read_schema).parquet(path)
+
             alias: dict[str, str] = {}
             if renames:
                 written = self._dir_columns(d, meta) or []
@@ -596,12 +749,12 @@ class Table:
                         for f in phys.fields
                     ]
                 )
-                df = self.spark.read.schema(read_schema).parquet(path)
+                df = read_dir(read_schema)
                 df = df.select(
                     *[F.col(inv.get(f.name, f.name)).alias(f.name) for f in phys.fields]
                 )
             else:
-                df = self.spark.read.schema(phys).parquet(path)
+                df = read_dir(phys)
             out.append((spec, spec_id, df))
         return out
 
@@ -812,12 +965,46 @@ class Table:
         evolution (old dirs prune by the old transform, new dirs by the
         new one — files written before the evolution are simply not
         prunable by the new column, exactly Iceberg's semantics)."""
-        cols = [f.name for f in self.schema().fields]
+        schema = self.schema()
+        cols = [f.name for f in schema.fields]
         snap = self._resolve()
         dirs = snap["manifest"]
         del_dirs = snap.get("delete_dirs", [])
         if not dirs:
-            return self.spark.createDataFrame([], self.schema()).select(*cols)
+            return self.spark.createDataFrame([], schema).select(*cols)
+
+        # ---- manifest-level FILE SKIPPING from footer bounds (Iceberg's
+        # "file skipping via statistics", README.md:138-139): drop whole
+        # files — or whole commit dirs — whose [min,max] provably exclude
+        # the predicate, before Spark plans a single split. Metadata-only;
+        # at 100 TB this is the difference between reading a table and
+        # reading the handful of files a selective predicate touches.
+        # Disabled under column renames (bounds are keyed by written
+        # physical names; conservative, costs IO only).
+        meta = self._meta()
+        subsets: dict[str, list[str]] = {}
+        if (eq or between) and not meta.get("renames"):
+            dir_stats = meta.get("dir_stats", {})
+            kept_dirs = []
+            for d in dirs:
+                fstats = dir_stats.get(d)
+                if not fstats:
+                    kept_dirs.append(d)
+                    continue
+                keep = [
+                    fs["path"]
+                    for fs in fstats
+                    if fs["rows"] > 0
+                    and _file_survives(fs.get("bounds"), schema, eq, between)
+                ]
+                if not keep:
+                    continue
+                if len(keep) < len(fstats):
+                    subsets[d] = keep
+                kept_dirs.append(d)
+            dirs = kept_dirs
+            if not dirs:
+                return self.spark.createDataFrame([], schema).select(*cols)
 
         def derived(lit_val, transform):
             e = {
@@ -829,7 +1016,7 @@ class Table:
             return None if e is None else e(lit_val)
 
         parts = []
-        for spec, _sid, df in self._dir_frames(dirs):
+        for spec, _sid, df in self._dir_frames(dirs, file_subsets=subsets):
             for col, v in (eq or {}).items():
                 df = df.filter(F.col(col) == v)
                 if spec.source == col and spec.column() in df.columns:
@@ -934,6 +1121,15 @@ class Table:
         for c in missing:
             df = df.withColumn(c, F.lit(None).cast(schema[c].dataType))
         aligned = df.select(*[F.col(c).cast(schema[c].dataType).alias(c) for c in cols])
+        order = [c for c in meta.get("sort_order", []) if c in cols]
+        if order:
+            # write clustering: range-shuffle so files hold near-disjoint
+            # key ranges, then sort within — tight footer bounds for the
+            # scan-time file skipping in scan(). One extra shuffle per
+            # write, amortized across every future selective read.
+            aligned = aligned.repartitionByRange(*[F.col(c) for c in order]).sortWithinPartitions(
+                *order
+            )
         writer = aligned
         if spec.column() is not None:
             writer = aligned.withColumn(spec.column(), spec.expr())
@@ -1252,6 +1448,24 @@ class Table:
             ids[new] = ids.pop(old)  # rename keeps the field id (Iceberg)
         self._write_meta(meta)
 
+    def set_write_order(self, *columns: str) -> None:
+        """ALTER TABLE … WRITE ORDERED BY (Iceberg sort orders): future
+        writes range-partition + sort rows by these columns, so each data
+        file covers a narrow, near-disjoint value range and the footer
+        bounds recorded at commit make scan-time file skipping actually
+        bite (clustering is what turns min/max stats from "usually
+        overlapping" into "prunes 99% of files" at 100 TB). Metadata-only;
+        existing files are untouched (compact() rewrites them under the
+        order). Empty column list clears the order."""
+        meta = self._meta()
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        names = set(schema.fieldNames())
+        missing = [c for c in columns if c not in names]
+        if missing:
+            raise WarehouseError(f"sort columns not in schema: {missing}")
+        meta["sort_order"] = list(columns)
+        self._write_meta(meta)
+
     # ---------------- metadata tables (S3/S4) ----------------
     def history(self) -> DataFrame:
         """<table>.history (reference getting_started.ipynb:166): columns
@@ -1303,6 +1517,7 @@ class Table:
             for d in dirs:
                 sid = int(specs.get(d, {}).get("spec_id", 0))
                 for f in stats.get(d, []):
+                    b = f.get("bounds") or {}
                     rows.append(
                         Row(
                             content=content,
@@ -1311,11 +1526,14 @@ class Table:
                             spec_id=sid,
                             record_count=f["rows"],
                             file_size_in_bytes=f["bytes"],
+                            lower_bounds={k: str(v[0]) for k, v in b.items()},
+                            upper_bounds={k: str(v[1]) for k, v in b.items()},
                         )
                     )
         schema = (
             "content int, file_path string, file_format string, spec_id int, "
-            "record_count bigint, file_size_in_bytes bigint"
+            "record_count bigint, file_size_in_bytes bigint, "
+            "lower_bounds map<string,string>, upper_bounds map<string,string>"
         )
         return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)
 
