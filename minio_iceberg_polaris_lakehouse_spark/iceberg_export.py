@@ -28,7 +28,7 @@ document's `manifest-list` field points at the Avro file, as the spec
 requires (reference README.md:169-175 shows `snap-….avro`).
 
 Cost model: export is driver-side JSON/Avro of O(files) entries built
-from footer stats CACHED at write time (warehouse.py `dir_stats`) — no
+from footer stats CACHED at write time (per-dir .stats.json sidecars) — no
 data reads, no Spark job, same order of work as Iceberg's own commit
 path. Per-dir manifest Avro files are immutable and written once.
 """
@@ -43,7 +43,11 @@ import urllib.parse
 from pyspark.sql import types as T
 
 from minio_iceberg_polaris_lakehouse_spark import avro_io
-from minio_iceberg_polaris_lakehouse_spark.warehouse import Table, _atomic_write_json
+from minio_iceberg_polaris_lakehouse_spark.warehouse import (
+    Table,
+    _atomic_write_json,
+    _load_dir_stats,
+)
 
 _PRIMITIVES: dict[str, str] = {
     "integer": "int",
@@ -373,7 +377,6 @@ def write_iceberg_metadata(table: Table) -> str:
     ]
     current_schema_id = schema_versions.index(meta["schema"])
 
-    dir_stats = meta.get("dir_stats", {})
     dir_specs = meta.get("dir_specs", {})
     # a dir's adding snapshot = its first appearance in the chain (drives
     # the manifest's added_snapshot_id/sequence_number and the list's
@@ -389,7 +392,7 @@ def write_iceberg_metadata(table: Table) -> str:
         manifests_json = []
         list_records = []
         for d in s["manifest"]:
-            files = dir_stats.get(d, [])
+            files = _load_dir_stats(table.path, d, meta)
             spec_rec = dir_specs.get(d, {"source": None, "transform": "identity", "spec_id": 0})
             add_snap, add_seq = added_in.get(d, (s["snapshot_id"], seq))
             mpath = _write_manifest_avro(table, meta, d, files, add_snap, add_seq, spec_rec)
@@ -430,7 +433,7 @@ def write_iceberg_metadata(table: Table) -> str:
                 }
             )
         for d in s.get("delete_dirs", []):
-            files = dir_stats.get(d, [])
+            files = _load_dir_stats(table.path, d, meta)
             add_snap, add_seq = added_in.get(d, (s["snapshot_id"], seq))
             spec_rec = dir_specs.get(d, {"source": None, "transform": "identity", "spec_id": 0})
             mpath = _write_manifest_avro(

@@ -239,11 +239,23 @@ def _file_column_bounds(pf) -> dict[str, list]:
     return bounds
 
 
+DIR_STATS_FILE = ".stats.json"  # dot-prefixed: invisible to Spark's file lister
+
+# Commit dirs are immutable, so their stats are too — cache by sidecar path.
+_STATS_CACHE: dict[str, list] = {}
+
+
 def _parquet_footer_stats(out_dir: str) -> list[dict]:
     """Per-file (path, rows, bytes, column bounds) from parquet footers —
     metadata-only, no Spark job, no re-execution of the plan that produced
     the files (the same stats an Iceberg commit records in its manifest
-    entries, incl. lower_bounds/upper_bounds for scan-time file skipping)."""
+    entries, incl. lower_bounds/upper_bounds for scan-time file skipping).
+
+    Writes the stats as a SIDECAR (.stats.json) inside the data dir
+    itself: the dir is immutable, so the sidecar is written once with the
+    data (no lock), travels with it through GC, and keeps _meta.json
+    O(dirs) instead of O(total files) — at 100 TB a central per-file stats
+    blob would grow unbounded and every reader would parse all of it."""
     import pyarrow.parquet as pq
 
     stats = []
@@ -261,6 +273,25 @@ def _parquet_footer_stats(out_dir: str) -> list[dict]:
                 if b:
                     rec["bounds"] = b
                 stats.append(rec)
+    _atomic_write_json(os.path.join(out_dir, DIR_STATS_FILE), {"files": stats})
+    return stats
+
+
+def _load_dir_stats(table_path: str, dirname: str, meta: dict) -> list[dict]:
+    """A dir's per-file footer stats: the immutable sidecar written with
+    the data, with fallback to the legacy central meta entry for tables
+    written before sidecars. Readers touch only the dirs of the snapshot
+    they scan — O(dirs read), never O(table files)."""
+    p = os.path.join(table_path, dirname, DIR_STATS_FILE)
+    cached = _STATS_CACHE.get(p)
+    if cached is not None:
+        return cached
+    try:
+        with open(p) as fh:
+            stats = json.load(fh)["files"]
+    except (OSError, ValueError, KeyError):
+        stats = meta.get("dir_stats", {}).get(dirname, [])
+    _STATS_CACHE[p] = stats
     return stats
 
 
@@ -368,11 +399,12 @@ def _atomic_write_json(path: str, obj: dict) -> None:
 @dataclass
 class PendingData:
     """A data directory written for a not-yet-committed snapshot. Carries
-    the spec it was written under and its parquet-footer stats so the
-    commit can merge them into _meta.json ATOMICALLY with the snapshot
-    append (inside the commit lock) — an unlocked read-modify-write of
-    _meta.json here would let two concurrent appenders lose each other's
-    dir_specs/dir_stats entries."""
+    the spec it was written under (merged into _meta.json ATOMICALLY with
+    the snapshot append, inside the commit lock — an unlocked
+    read-modify-write would let two concurrent appenders lose each
+    other's dir_specs entries) and its parquet-footer stats for the
+    commit summary; the stats themselves persist in the dir's immutable
+    .stats.json sidecar, not in _meta.json."""
 
     dirname: str
     rows: int
@@ -517,19 +549,20 @@ class Table:
         return sid
 
     def _record_pending(self, pending: list["PendingData"]) -> None:
-        """Merge freshly written dirs' spec + footer stats into _meta.json.
-        MUST run inside the commit lock: commits also rewrite _meta.json
+        """Merge freshly written dirs' specs into _meta.json. MUST run
+        inside the commit lock: commits also rewrite _meta.json
         (write_iceberg_metadata bumps metadata_version), so an unlocked
-        read-modify-write here can lose a concurrent appender's
-        dir_specs/dir_stats entry — the Iceberg export would then list
-        that directory with no data files and independent readers would
-        silently miss rows."""
+        read-modify-write here can lose a concurrent appender's dir_specs
+        entry — the Iceberg export would then list that directory with no
+        data files and independent readers would silently miss rows.
+        Per-file stats do NOT land here: they live in the dir's immutable
+        .stats.json sidecar (written lock-free with the data), keeping
+        this file O(dirs)."""
         if not pending:
             return
         meta = self._meta()
         for p in pending:
             meta.setdefault("dir_specs", {})[p.dirname] = p.spec_rec
-            meta.setdefault("dir_stats", {})[p.dirname] = p.stats
         self._write_meta(meta)
 
     @staticmethod
@@ -664,7 +697,7 @@ class Table:
         rec = meta.get("dir_specs", {}).get(dirname)
         if rec and "columns" in rec:
             return rec["columns"]
-        stats = meta.get("dir_stats", {}).get(dirname)
+        stats = _load_dir_stats(self.path, dirname, meta)
         try:
             if stats:
                 fpath = os.path.join(self.path, dirname, stats[0]["path"])
@@ -984,10 +1017,9 @@ class Table:
         meta = self._meta()
         subsets: dict[str, list[str]] = {}
         if (eq or between) and not meta.get("renames"):
-            dir_stats = meta.get("dir_stats", {})
             kept_dirs = []
             for d in dirs:
-                fstats = dir_stats.get(d)
+                fstats = _load_dir_stats(self.path, d, meta)
                 if not fstats:
                     kept_dirs.append(d)
                     continue
@@ -1511,12 +1543,12 @@ class Table:
         stats cached at commit time: metadata-only, no data scan."""
         snap = self._resolve()
         meta = self._meta()
-        stats, specs = meta.get("dir_stats", {}), meta.get("dir_specs", {})
+        specs = meta.get("dir_specs", {})
         rows = []
         for content, dirs in ((0, snap["manifest"]), (1, snap.get("delete_dirs", []))):
             for d in dirs:
                 sid = int(specs.get(d, {}).get("spec_id", 0))
-                for f in stats.get(d, []):
+                for f in _load_dir_stats(self.path, d, meta):
                     b = f.get("bounds") or {}
                     rows.append(
                         Row(

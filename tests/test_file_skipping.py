@@ -139,3 +139,47 @@ def test_sql_write_ordered_by(spark, tmp_path):
     assert fe.sql("SELECT count(*) AS n FROM db.so").collect()[0].n == 3
     tab = fe.wh.table("db", "so")
     assert tab._meta().get("sort_order") == ["id"]
+
+
+def test_stats_live_in_sidecars_not_central_meta(wh):
+    # _meta.json must stay O(dirs): per-file stats live in each commit
+    # dir's immutable .stats.json sidecar, written with the data (no
+    # lock), so a 100 TB table's metadata file doesn't grow with file
+    # count and readers parse only the dirs they scan.
+    import json as _json
+    import os as _os
+
+    t = wh.create_table("db", "sc1", "id int, v string")
+    t.insert_values([(1, "a"), (2, "b")])
+    meta = _json.load(open(_os.path.join(t.path, "_meta.json")))
+    assert "dir_stats" not in meta
+    snap_dirs = t._resolve()["manifest"]
+    for d in snap_dirs:
+        side = _os.path.join(t.path, d, ".stats.json")
+        assert _os.path.isfile(side)
+        recs = _json.load(open(side))["files"]
+        assert sum(r["rows"] for r in recs) == 2
+    # consumers still see the stats: .files table and bounds pruning
+    assert t.files().count() >= 1
+    assert [tuple(r) for r in t.scan(eq={"id": 2}).collect()] == [(2, "b")]
+
+
+def test_legacy_central_dir_stats_still_readable(wh):
+    # tables written before sidecars keep working via the meta fallback
+    import json as _json
+    import os as _os
+
+    t = wh.create_table("db", "sc2", "id int, v string")
+    t.insert_values([(7, "g")])
+    d = t._resolve()["manifest"][0]
+    side = _os.path.join(t.path, d, ".stats.json")
+    stats = _json.load(open(side))["files"]
+    _os.remove(side)  # simulate a pre-sidecar table
+    from minio_iceberg_polaris_lakehouse_spark import warehouse as W
+
+    W._STATS_CACHE.clear()
+    meta = _json.load(open(_os.path.join(t.path, "_meta.json")))
+    meta["dir_stats"] = {d: stats}
+    W._atomic_write_json(_os.path.join(t.path, "_meta.json"), meta)
+    assert t.files().count() == len(stats)
+    assert [tuple(r) for r in t.scan(eq={"id": 7}).collect()] == [(7, "g")]

@@ -296,16 +296,20 @@ def test_concurrent_appends_both_survive(wh, spark):
     snaps = t.snapshots().orderBy("snapshot_id").collect()
     assert [s.snapshot_id for s in snaps] == [1, 2, 3, 4, 5]
     assert [s.parent_id for s in snaps] == [None, 1, 2, 3, 4]
-    # meta's per-dir records survived the race too: the dir_specs/dir_stats
-    # merge happens under the commit lock, so no writer's entry is lost —
-    # every live data dir has footer stats and the Iceberg export lists
-    # every dir with a non-empty data_files list
+    # meta's per-dir records survived the race too: the dir_specs merge
+    # happens under the commit lock, so no writer's entry is lost; per-file
+    # stats live in each dir's immutable .stats.json sidecar (written
+    # lock-free with the data), so every live data dir has footer stats
+    # and the Iceberg export lists every dir with a non-empty data_files
+    # list
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import _load_dir_stats
+
     meta = t._meta()
     live_dirs = t._snaps()[-1]["manifest"]
     assert len(live_dirs) == 5
     for d in live_dirs:
         assert d in meta["dir_specs"], f"lost dir_specs entry for {d}"
-        assert meta["dir_stats"].get(d), f"lost dir_stats entry for {d}"
+        assert _load_dir_stats(t.path, d, meta), f"lost stats sidecar for {d}"
     import json as _json
     import os as _os
 
