@@ -109,13 +109,15 @@ def _iceberg_type(dt: T.DataType, next_id: list[int]):
     raise ValueError(f"no Iceberg mapping for Spark type {dt.simpleString()}")
 
 
-_TRANSFORM_NAMES = {
-    "identity": "identity",
-    "day": "day",
-    "month": "month",
-    "year": "year",
-    "bucket16": "bucket[16]",
-}
+def _transform_name(transform: str) -> str:
+    """Engine transform string → Iceberg spec transform name
+    (bucket<N> → bucket[N], truncate<N> → truncate[N])."""
+    if transform in ("identity", "day", "month", "year", "hour"):
+        return transform
+    for prefix in ("bucket", "truncate"):
+        if transform.startswith(prefix) and transform[len(prefix) :].isdigit():
+            return f"{prefix}[{int(transform[len(prefix):])}]"
+    return transform
 
 
 def _schema_json(meta: dict, schema_id: int, schema: T.StructType) -> dict:
@@ -141,7 +143,7 @@ def _partition_specs(meta: dict, ids: dict) -> list[dict]:
     for spec_id, spec in enumerate(history):
         fields = []
         if spec.get("source") is not None:
-            transform = _TRANSFORM_NAMES[spec.get("transform", "identity")]
+            transform = _transform_name(spec.get("transform", "identity"))
             fields.append(
                 {
                     "name": f"_p_{spec.get('transform', 'identity')}_{spec['source']}",
@@ -191,12 +193,21 @@ _AVRO_IDENTITY = {
     "boolean": "boolean",
     "date": {"type": "int", "logicalType": "date"},
 }
-_AVRO_TRANSFORM = {
-    "day": {"type": "int", "logicalType": "date"},
-    "month": "string",
-    "year": "int",
-    "bucket16": "int",
-}
+def _avro_transform_type(transform: str, meta: dict, source: str) -> object:
+    """Avro type of a derived partition value. truncate keeps the source's
+    type (string fallback when the source was dropped — values parse from
+    the hive path anyway)."""
+    if transform == "day":
+        return {"type": "int", "logicalType": "date"}
+    if transform in ("month", "hour"):
+        return "string"
+    if transform == "year" or transform.startswith("bucket"):
+        return "int"
+    if transform.startswith("truncate"):
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        if source in schema.fieldNames():
+            return _AVRO_IDENTITY.get(schema[source].dataType.typeName(), "string")
+    return "string"
 
 
 def _partition_avro_field(meta: dict, spec: dict) -> tuple[str, object] | None:
@@ -209,7 +220,7 @@ def _partition_avro_field(meta: dict, spec: dict) -> tuple[str, object] | None:
     transform = spec.get("transform", "identity")
     name = f"_p_{transform}_{source}"
     if transform != "identity":
-        return name, _AVRO_TRANSFORM[transform]
+        return name, _avro_transform_type(transform, meta, source)
     schema = T.StructType.fromJson(json.loads(meta["schema"]))
     if source in schema.fieldNames():
         return name, _AVRO_IDENTITY.get(schema[source].dataType.typeName(), "string")

@@ -296,14 +296,12 @@ class LakehouseSQL:
         m = _fullmatch(rf"CAST\s*\(\s*({_IDENT})\s+AS\s+DATE\s*\)", expr)
         if m:
             return m.group(1), "day"
-        m = _fullmatch(rf"(days?|months?|years?)\s*\(\s*({_IDENT})\s*\)", expr)
+        m = _fullmatch(rf"(days?|months?|years?|hours?)\s*\(\s*({_IDENT})\s*\)", expr)
         if m:
-            return m.group(2), {"day": "day", "month": "month", "year": "year"}[
-                m.group(1).lower().rstrip("s")
-            ]
-        m = _fullmatch(rf"bucket\s*\(\s*16\s*,\s*({_IDENT})\s*\)", expr)
+            return m.group(2), m.group(1).lower().rstrip("s")
+        m = _fullmatch(rf"(bucket|truncate)\s*\(\s*(\d+)\s*,\s*({_IDENT})\s*\)", expr)
         if m:
-            return m.group(1), "bucket16"
+            return m.group(3), f"{m.group(1).lower()}{int(m.group(2))}"
         m = _fullmatch(_IDENT, expr)
         if m:
             return expr, "identity"
@@ -574,13 +572,18 @@ class LakehouseSQL:
     def _show_partitions(self, m: re.Match) -> DataFrame:
         return self._existing_table(m.group(1)).partitions()
 
-    _TRANSFORM_SQL = {
-        "day": "days({src})",
-        "month": "months({src})",
-        "year": "years({src})",
-        "bucket16": "bucket(16, {src})",
-        "identity": "{src}",
-    }
+    @staticmethod
+    def _transform_sql(transform: str, src: str) -> str:
+        """Render a partition transform back to the DDL form
+        _parse_partition_expr accepts (SHOW CREATE TABLE round-trip)."""
+        if transform == "identity":
+            return src
+        if transform in ("day", "month", "year", "hour"):
+            return f"{transform}s({src})"
+        for prefix in ("bucket", "truncate"):
+            if transform.startswith(prefix) and transform[len(prefix) :].isdigit():
+                return f"{prefix}({int(transform[len(prefix):])}, {src})"
+        return src
 
     def _show_create_table(self, m: re.Match) -> DataFrame:
         """SHOW CREATE TABLE t → one `createtab_stmt` row whose text
@@ -593,7 +596,7 @@ class LakehouseSQL:
         stmt = f"CREATE TABLE {self.catalog}.{tab.ns}.{tab.name} (\n  {cols})\nUSING iceberg"
         spec = tab.partition_spec()
         if spec.source is not None:
-            part = self._TRANSFORM_SQL[spec.transform].format(src=spec.source)
+            part = self._transform_sql(spec.transform, spec.source)
             stmt += f"\nPARTITIONED BY ({part})"
         props = tab._meta()["properties"]
         if props:

@@ -76,12 +76,26 @@ class PartitionSpec:
     warehouse_helpers.py:48)."""
 
     source: str | None = None
-    transform: str = "identity"  # identity | day | month | year | bucket16
+    # identity | day | month | year | hour | bucket<N> | truncate<N>
+    # (parameterized transforms encode their width in the name, Iceberg's
+    # bucket[N] / truncate[W])
+    transform: str = "identity"
 
     def column(self) -> str | None:
         return None if self.source is None else f"_p_{self.transform}_{self.source}"
 
-    def expr(self):
+    def param(self) -> int | None:
+        """Width N of a bucket<N>/truncate<N> transform, else None."""
+        for prefix in ("bucket", "truncate"):
+            if self.transform.startswith(prefix) and self.transform[len(prefix) :].isdigit():
+                return int(self.transform[len(prefix) :])
+        return None
+
+    def expr(self, dtype: T.DataType | None = None):
+        """Derived-partition expression. ``dtype`` (the source column's
+        type) selects the truncate flavor: numeric → v - pmod(v, W)
+        (Iceberg's floor semantics, negatives included), otherwise string
+        prefix. Validation callers may omit it."""
         if self.source is None:
             return None
         src = F.col(self.source)
@@ -93,8 +107,15 @@ class PartitionSpec:
             return F.date_format(src, "yyyy-MM")
         if self.transform == "year":
             return F.year(src)
-        if self.transform == "bucket16":
-            return F.pmod(F.hash(src), F.lit(16))
+        if self.transform == "hour":
+            return F.date_format(src, "yyyy-MM-dd-HH")
+        n = self.param()
+        if n is not None and self.transform.startswith("bucket"):
+            return F.pmod(F.hash(src), F.lit(n))
+        if n is not None and self.transform.startswith("truncate"):
+            if isinstance(dtype, T.NumericType):
+                return src - F.pmod(src, F.lit(n))
+            return F.substring(src, 1, n)
         raise WarehouseError(f"unknown partition transform {self.transform}")
 
 
@@ -646,12 +667,21 @@ class Table:
         return snaps[-1]
 
     # ---------------- read path (S1/S5/S6) ----------------
-    _TRANSFORM_TYPES = {
-        "day": T.DateType(),
-        "month": T.StringType(),
-        "year": T.IntegerType(),
-        "bucket16": T.IntegerType(),
-    }
+    @staticmethod
+    def _transform_type(spec: PartitionSpec, source_dtype: T.DataType | None) -> T.DataType:
+        """Storage type of a derived partition column. truncate keeps the
+        source's type; a dropped source falls back to string (hive-path
+        values parse back from the dir name regardless)."""
+        t = spec.transform
+        if t == "identity" or t.startswith("truncate"):
+            return source_dtype if source_dtype is not None else T.StringType()
+        if t == "day":
+            return T.DateType()
+        if t in ("month", "hour"):
+            return T.StringType()
+        if t == "year" or t.startswith("bucket"):
+            return T.IntegerType()
+        return T.StringType()
 
     def _dir_spec(self, dirname: str, meta: dict | None = None) -> tuple[PartitionSpec, int]:
         """(spec, spec_id) a data directory was WRITTEN under. Specs can
@@ -680,11 +710,7 @@ class Table:
         schema = self.schema() if schema is None else schema
         spec = spec if spec is not None else self.partition_spec()
         if spec.column() is not None and spec.source in schema.fieldNames():
-            dt = (
-                schema[spec.source].dataType
-                if spec.transform == "identity"
-                else self._TRANSFORM_TYPES[spec.transform]
-            )
+            dt = self._transform_type(spec, schema[spec.source].dataType)
             # COPY before add(): StructType.add mutates in place and the
             # caller's schema object is shared across directories
             schema = T.StructType(list(schema.fields)).add(spec.column(), dt)
@@ -922,18 +948,16 @@ class Table:
         for spec, _sid, _df in frames:
             if spec.column() is not None and spec.column() not in seen:
                 seen.add(spec.column())
-                if spec.transform == "identity":
-                    # an old dir's identity spec may reference a column
-                    # dropped since (drop_column only protects the CURRENT
-                    # spec's source) — surface the field as a null string
-                    # instead of raising on the schema lookup
-                    dt = (
-                        cur_schema[spec.source].dataType
-                        if spec.source in cur_schema.fieldNames()
-                        else T.StringType()
-                    )
-                else:
-                    dt = self._TRANSFORM_TYPES[spec.transform]
+                # an old dir's identity/truncate spec may reference a
+                # column dropped since (drop_column only protects the
+                # CURRENT spec's source) — _transform_type falls back to
+                # string instead of raising on the schema lookup
+                dt = self._transform_type(
+                    spec,
+                    cur_schema[spec.source].dataType
+                    if spec.source in cur_schema.fieldNames()
+                    else None,
+                )
                 part_fields.append((spec.column(), dt))
 
         parts = []
@@ -1038,34 +1062,55 @@ class Table:
             if not dirs:
                 return self.spark.createDataFrame([], schema).select(*cols)
 
-        def derived(lit_val, transform):
-            e = {
-                "identity": lambda v: F.lit(v),
-                "day": lambda v: F.to_date(F.lit(v)),
-                "month": lambda v: F.date_format(F.lit(v), "yyyy-MM"),
-                "year": lambda v: F.year(F.lit(v)),
-            }.get(transform)
-            return None if e is None else e(lit_val)
+        def derived(lit_val, spec, monotone_only=False):
+            """Partition-column literal for a predicate on the SOURCE
+            column — the engine half of hidden partitioning. With
+            ``monotone_only`` (range pruning) order-breaking transforms
+            (bucket) return None; hour's yyyy-MM-dd-HH and truncate's
+            prefix/floor are monotone, so ranges map through them."""
+            tr = spec.transform
+            if tr == "identity":
+                return F.lit(lit_val)
+            if tr == "day":
+                return F.to_date(F.lit(lit_val))
+            if tr == "month":
+                return F.date_format(F.lit(lit_val), "yyyy-MM")
+            if tr == "year":
+                return F.year(F.lit(lit_val))
+            if tr == "hour":
+                return F.date_format(F.lit(lit_val), "yyyy-MM-dd-HH")
+            n = spec.param()
+            if n is not None and tr.startswith("truncate"):
+                if isinstance(lit_val, str):
+                    return F.lit(lit_val[:n])
+                if isinstance(lit_val, int) and not isinstance(lit_val, bool):
+                    return F.lit(lit_val - (lit_val % n))
+                return None
+            if n is not None and tr.startswith("bucket") and not monotone_only:
+                dt = schema[spec.source].dataType if spec.source in schema.fieldNames() else None
+                lit = F.lit(lit_val).cast(dt) if dt is not None else F.lit(lit_val)
+                # literal hashed exactly as the writer hashed the column —
+                # Catalyst folds this to a constant partition filter
+                return F.pmod(F.hash(lit), F.lit(n))
+            return None
 
         parts = []
         for spec, _sid, df in self._dir_frames(dirs, file_subsets=subsets):
             for col, v in (eq or {}).items():
                 df = df.filter(F.col(col) == v)
                 if spec.source == col and spec.column() in df.columns:
-                    dv = derived(v, spec.transform)
+                    dv = derived(v, spec)
                     if dv is not None:
                         df = df.filter(F.col(spec.column()) == dv)
             for col, (lo, hi) in (between or {}).items():
                 df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
-                if (
-                    spec.source == col
-                    and spec.column() in df.columns
-                    and spec.transform in ("identity", "day", "month", "year")
-                ):
-                    df = df.filter(
-                        (F.col(spec.column()) >= derived(lo, spec.transform))
-                        & (F.col(spec.column()) <= derived(hi, spec.transform))
-                    )
+                if spec.source == col and spec.column() in df.columns:
+                    dlo = derived(lo, spec, monotone_only=True)
+                    dhi = derived(hi, spec, monotone_only=True)
+                    if dlo is not None and dhi is not None:
+                        df = df.filter(
+                            (F.col(spec.column()) >= dlo) & (F.col(spec.column()) <= dhi)
+                        )
             parts.append(
                 df.select(
                     *cols,
@@ -1164,7 +1209,8 @@ class Table:
             )
         writer = aligned
         if spec.column() is not None:
-            writer = aligned.withColumn(spec.column(), spec.expr())
+            src_dt = schema[spec.source].dataType if spec.source in cols else None
+            writer = aligned.withColumn(spec.column(), spec.expr(src_dt))
             writer.write.option("compression", "zstd").partitionBy(spec.column()).parquet(out)
         else:
             writer.write.option("compression", "zstd").parquet(out)

@@ -183,3 +183,29 @@ def test_legacy_central_dir_stats_still_readable(wh):
     W._atomic_write_json(_os.path.join(t.path, "_meta.json"), meta)
     assert t.files().count() == len(stats)
     assert [tuple(r) for r in t.scan(eq={"id": 7}).collect()] == [(7, "g")]
+
+
+def test_compact_rewrites_under_sort_order(wh, spark):
+    # Iceberg's rewrite_data_files(strategy => 'sort'): compaction goes
+    # through the same write path as appends, so a table-level WRITE
+    # ORDERED BY re-clusters existing unordered data into tight-bounds
+    # files a selective scan can skip.
+    t = wh.create_table("db", "cso", "id bigint, v string")
+    coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        # interleaved ranges: every pre-compaction file spans ~the whole domain
+        t.append(
+            t.spark.range(0, 4000).selectExpr(
+                "pmod(id * 2654435761, 4000) as id", "concat('v', id) as v"
+            )
+        )
+        t.set_write_order("id")
+        t.compact(target_partitions=8)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce)
+    total = _files_read(t.read())
+    assert total > 1
+    out = t.scan(between={"id": (10, 30)})
+    assert out.count() == t.read().filter("id between 10 and 30").count()
+    assert _files_read(out) < total
