@@ -13,6 +13,7 @@ from __future__ import annotations
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from minio_iceberg_polaris_lakehouse_spark.warehouse import Warehouse
 
@@ -185,3 +186,55 @@ def test_sql_rewriter_masking_and_aliases(spark, tmp_path_factory, lit, threshol
     expected_note = lit.replace("''", "'")
     assert all(r.note == expected_note for r in rows)
     assert all(r.n_orders == 2 for r in rows)
+
+
+# ---- file-skipping soundness fuzz ------------------------------------------
+# The invariant that makes manifest pruning safe to ship: for ANY data and
+# ANY eq/between predicate, scan() (bounds-pruned) returns exactly what an
+# unpruned filter over read() returns. A wrong skip silently loses rows at
+# 100 TB — this is the test that forbids it.
+
+_skip_row = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+    st.text(alphabet="abcxyz", min_size=0, max_size=4),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    commits=st.lists(
+        st.lists(_skip_row, min_size=1, max_size=4), min_size=1, max_size=3
+    ),
+    pred=st.one_of(
+        st.tuples(st.just("eq_id"), st.integers(min_value=-55, max_value=55)),
+        st.tuples(st.just("eq_v"), st.text(alphabet="abcxyz", min_size=0, max_size=4)),
+        st.tuples(
+            st.just("between_id"),
+            st.tuples(
+                st.integers(min_value=-55, max_value=55),
+                st.integers(min_value=-55, max_value=55),
+            ),
+        ),
+    ),
+)
+def test_file_skipping_never_loses_rows(spark, prop_wh, commits, pred):
+    _counter[0] += 1
+    t = prop_wh.create_table("db", f"skip_{_counter[0]}", "id int, v string")
+    for rows in commits:
+        t.insert_values(rows)
+    kind, arg = pred
+    if kind == "eq_id":
+        got = t.scan(eq={"id": arg})
+        want = t.read().filter(F.col("id") == arg)
+    elif kind == "eq_v":
+        got = t.scan(eq={"v": arg})
+        want = t.read().filter(F.col("v") == arg)
+    else:
+        lo, hi = min(arg), max(arg)
+        got = t.scan(between={"id": (lo, hi)})
+        want = t.read().filter(F.col("id").between(lo, hi))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -1,0 +1,120 @@
+"""Streaming read of a warehouse table (streaming/table_source.py) —
+the Iceberg streaming-source model: micro-batches are append snapshots
+consumed in commit order, O(new data) per poll, exactly-once across
+restarts via the snapshot checkpoint."""
+
+from __future__ import annotations
+
+import pytest
+
+from minio_iceberg_polaris_lakehouse_spark.streaming.table_source import TableStream
+from minio_iceberg_polaris_lakehouse_spark.warehouse import Warehouse, WarehouseError
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "warehouse"))
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_initial_batch_then_increments(wh):
+    t = wh.create_table("db", "s1", "id int, v string")
+    t.insert_values([(1, "a"), (2, "b")])
+    ts = TableStream(t)
+    df, frm, to = ts.poll()
+    assert (frm, to) == (0, 1)
+    assert _rows(df) == [(1, "a"), (2, "b")]
+    assert ts.poll() is None  # no new commits
+    t.insert_values([(3, "c")])
+    t.insert_values([(4, "d")])
+    df2, frm2, to2 = ts.poll()
+    assert (frm2, to2) == (1, 3)
+    assert _rows(df2) == [(3, "c"), (4, "d")]  # only the appends, once
+    assert ts.poll() is None
+
+
+def test_from_version_skips_history(wh):
+    t = wh.create_table("db", "s2", "id int, v string")
+    t.insert_values([(1, "a")])
+    t.insert_values([(2, "b")])
+    ts = TableStream(t, from_version=1)
+    df, frm, to = ts.poll()
+    assert (frm, to) == (1, 2)
+    assert _rows(df) == [(2, "b")]
+
+
+def test_empty_table_polls_none_until_first_commit(wh):
+    t = wh.create_table("db", "s3", "id int, v string")
+    ts = TableStream(t)
+    assert ts.poll() is None
+    t.insert_values([(9, "z")])
+    df, _, _ = ts.poll()
+    assert _rows(df) == [(9, "z")]
+
+
+def test_replacing_snapshot_raises_by_default(wh):
+    t = wh.create_table("db", "s4", "id int, v string")
+    t.insert_values([(1, "a")])
+    ts = TableStream(t)
+    ts.poll()
+    t.compact()
+    with pytest.raises(WarehouseError):
+        ts.poll()
+
+
+def test_skip_replacements_advances_without_reemitting(wh):
+    t = wh.create_table("db", "s5", "id int, v string")
+    t.insert_values([(1, "a")])
+    ts = TableStream(t, skip_replacements=True)
+    ts.poll()
+    t.compact()  # rewrites (1,'a') — consumer already saw it
+    t.insert_values([(2, "b")])
+    df, _, to = ts.poll()
+    assert _rows(df) == [(2, "b")]  # post-rewrite append only, no re-emit
+    assert to == t.current_snapshot_id()
+    assert ts.poll() is None
+
+
+def test_checkpoint_resume_is_exactly_once(wh, tmp_path):
+    t = wh.create_table("db", "s6", "id int, v string")
+    ckpt = str(tmp_path / "ckpt.json")
+    t.insert_values([(1, "a")])
+    ts = TableStream(t, checkpoint_path=ckpt)
+    df, _, _ = ts.poll()
+    assert _rows(df) == [(1, "a")]
+    t.insert_values([(2, "b")])
+    # simulate restart: a NEW reader on the same checkpoint resumes after
+    # the last delivered snapshot — batch (1, 'a') is not replayed
+    ts2 = TableStream(t, checkpoint_path=ckpt)
+    df2, frm, to = ts2.poll()
+    assert (frm, to) == (1, 2)
+    assert _rows(df2) == [(2, "b")]
+    assert ts2.poll() is None
+
+
+def test_drain_collects_all_pending(wh):
+    t = wh.create_table("db", "s7", "id int, v string")
+    t.insert_values([(1, "a")])
+    ts = TableStream(t)
+    t.insert_values([(2, "b")])
+    batches = ts.drain()
+    # initial batch is everything at first poll time; appends landed
+    # before the drain are folded into the per-poll increments
+    got = sorted(r for b in batches for r in map(tuple, b[0].collect()))
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_mor_delete_batches_apply_tombstones(wh):
+    t = wh.create_table("db", "s8", "id int, v string")
+    t.insert_values([(1, "a")])
+    ts = TableStream(t)
+    ts.poll()
+    t.insert_values([(2, "b"), (3, "c")])
+    t.delete_where("id = 3", mode="merge-on-read")
+    df, _, _ = ts.poll()
+    # the increment reflects the delete: (3,'c') was appended AND
+    # tombstoned within the interval, so the consumer never sees it
+    assert _rows(df) == [(2, "b")]
