@@ -478,6 +478,12 @@ class LakehouseSQL:
         self._existing_table(m.group(1)).rename_column(m.group(2), m.group(3))
         return self._empty()
 
+    def _alter_column_type(self, m: re.Match) -> DataFrame:
+        """ALTER TABLE t ALTER COLUMN c TYPE <dtype> — Iceberg type
+        widening (metadata-only; warehouse validates the promotion)."""
+        self._existing_table(m.group(1)).alter_column_type(m.group(2), m.group(3).strip())
+        return self._empty()
+
     def _alter_add_partition_field(self, m: re.Match) -> DataFrame:
         """ALTER TABLE t ADD PARTITION FIELD <transform> — Iceberg's
         partition-spec evolution DDL (reference README.md:129-130: specs
@@ -563,6 +569,18 @@ class LakehouseSQL:
         removed = tab.remove_orphan_files()
         return self.spark.createDataFrame(
             [Row(orphan_file_location_count=removed)], "orphan_file_location_count int"
+        )
+
+    def _call_rewrite_position_deletes(self, m: re.Match) -> DataFrame:
+        """CALL c.system.rewrite_position_delete_files(table => 't') —
+        fold merge-on-read tombstones into the data, rewriting only the
+        affected dirs (warehouse.materialize_deletes)."""
+        tab = self._existing_table(m.group(1).strip("'\""))
+        before = tab._resolve().get("delete_dirs", [])
+        tab.materialize_deletes()
+        return self.spark.createDataFrame(
+            [Row(rewritten_delete_files_count=len(before))],
+            "rewritten_delete_files_count int",
         )
 
     def _truncate_table(self, m: re.Match) -> DataFrame:
@@ -667,6 +685,10 @@ class LakehouseSQL:
             _alter_rename_column,
         ),
         (
+            rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})\s+TYPE\s+(.+)",
+            _alter_column_type,
+        ),
+        (
             rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+ADD\s+PARTITION\s+FIELD\s+(.*)",
             _alter_add_partition_field,
         ),
@@ -706,6 +728,11 @@ class LakehouseSQL:
             rf"CALL\s+{_IDENT}\.system\.remove_orphan_files\s*\("
             r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*\)",
             _call_remove_orphan_files,
+        ),
+        (
+            rf"CALL\s+{_IDENT}\.system\.rewrite_position_delete_files\s*\("
+            r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*\)",
+            _call_rewrite_position_deletes,
         ),
         (rf"TRUNCATE\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})", _truncate_table),
         (rf"SHOW\s+PARTITIONS\s+((?:{_IDENT}\.)*{_IDENT})", _show_partitions),

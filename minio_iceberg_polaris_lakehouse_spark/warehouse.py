@@ -1526,6 +1526,47 @@ class Table:
             ids[new] = ids.pop(old)  # rename keeps the field id (Iceberg)
         self._write_meta(meta)
 
+    @staticmethod
+    def _is_widening(old: T.DataType, new: T.DataType) -> bool:
+        """Iceberg v2 type promotion: int→long, float→double,
+        decimal(P,S)→decimal(P',S) with P'≥P. Anything else would change
+        values on read and is refused."""
+        if isinstance(old, T.IntegerType) and isinstance(new, T.LongType):
+            return True
+        if isinstance(old, T.FloatType) and isinstance(new, T.DoubleType):
+            return True
+        if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):
+            return new.scale == old.scale and new.precision >= old.precision
+        return False
+
+    def alter_column_type(self, name: str, dtype: str) -> None:
+        """Metadata-only type WIDENING (Iceberg schema evolution's third
+        primitive next to add/drop/rename): int→long, float→double,
+        decimal precision growth. No files rewritten — old files' narrower
+        physical type upcasts on read (Spark's parquet reader resolves the
+        declared read schema against each file's footer), exactly
+        Iceberg's field-id type promotion."""
+        meta = self._meta()
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        if name not in schema.fieldNames():
+            raise WarehouseError(f"no such column {name}")
+        new_dt = T.StructType.fromDDL(f"x {dtype}").fields[0].dataType
+        old_dt = schema[name].dataType
+        if old_dt == new_dt:
+            return
+        if not self._is_widening(old_dt, new_dt):
+            raise WarehouseError(
+                f"cannot change {name} from {old_dt.simpleString()} to "
+                f"{new_dt.simpleString()}: only widening promotions are allowed "
+                "(int->bigint, float->double, decimal precision growth)"
+            )
+        fields = [
+            T.StructField(f.name, new_dt if f.name == name else f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+        meta["schema"] = T.StructType(fields).json()
+        self._write_meta(meta)
+
     def set_write_order(self, *columns: str) -> None:
         """ALTER TABLE … WRITE ORDERED BY (Iceberg sort orders): future
         writes range-partition + sort rows by these columns, so each data
@@ -1776,6 +1817,43 @@ class Table:
         cur = self.read().coalesce(target_partitions)
         p = self._write_data(cur)
         return self._commit_replace("replace", [p], {"compacted-to": target_partitions}, parent)
+
+    def materialize_deletes(self) -> int:
+        """rewrite_position_delete_files: fold merge-on-read tombstones
+        back into the data by rewriting ONLY the commit dirs that contain
+        tombstoned files — O(affected data), not O(table). Untouched dirs
+        carry over into the new snapshot by name; the delete files are
+        dropped. Readers stop paying the anti-join, which is the point of
+        running this after deletes accumulate."""
+        parent = self.current_snapshot_id()
+        snap = self._resolve()
+        del_dirs = snap.get("delete_dirs", [])
+        if not del_dirs:
+            return parent or 0  # no tombstones — nothing to rewrite
+        import urllib.parse
+
+        tomb = self._tombstones(del_dirs)
+        tomb_files = {
+            urllib.parse.urlparse(r.file_path).path  # _metadata paths are file: URIs
+            for r in tomb.select("file_path").distinct().collect()
+        }
+        affected = [
+            d
+            for d in snap["manifest"]
+            if any(f.startswith(os.path.join(self.path, d) + os.sep) for f in tomb_files)
+        ]
+        untouched = [d for d in snap["manifest"] if d not in affected]
+        schema = self.schema()
+        cols = schema.fieldNames()
+        rewritten = self._read_dirs(affected, schema, file_pos=True)
+        live = self._apply_deletes(rewritten, del_dirs, cols)
+        p = self._write_data(live)
+        return self._commit_replace(
+            "replace",
+            untouched + [p],
+            {"rewrote-dirs": len(affected), "materialized-deletes": len(tomb_files)},
+            parent,
+        )
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Iceberg expire_snapshots: drop history older than the last N

@@ -118,3 +118,43 @@ def test_mor_delete_batches_apply_tombstones(wh):
     # the increment reflects the delete: (3,'c') was appended AND
     # tombstoned within the interval, so the consumer never sees it
     assert _rows(df) == [(2, "b")]
+
+
+def test_materialize_deletes_rewrites_only_affected_dirs(wh):
+    # rewrite_position_delete_files: O(affected data) — the dir without
+    # tombstones carries over by NAME (same physical files), tombstoned
+    # dirs are rewritten live-rows-only, delete files drop off the snapshot
+    t = wh.create_table("db", "md1", "id int, v string")
+    t.insert_values([(1, "a"), (2, "b")])      # dir A — untouched
+    t.insert_values([(10, "x"), (11, "y")])    # dir B — gets a tombstone
+    before_dirs = set(t._resolve()["manifest"])
+    t.delete_where("id = 10", mode="merge-on-read")
+    assert t._resolve().get("delete_dirs")
+    t.materialize_deletes()
+    snap = t._resolve()
+    assert snap.get("delete_dirs", []) == []
+    after_dirs = set(snap["manifest"])
+    assert len(before_dirs & after_dirs) == 1  # dir A survived as-is
+    assert sorted(map(tuple, t.read().collect())) == [(1, "a"), (2, "b"), (11, "y")]
+    # no-op when there is nothing to rewrite
+    v = t.current_snapshot_id()
+    assert t.materialize_deletes() == v
+
+
+def test_rewrite_position_delete_files_sql(spark, tmp_path):
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    fe = LakehouseSQL(spark, str(tmp_path / "wh"))
+    fe.sql("CREATE NAMESPACE IF NOT EXISTS db")
+    fe.sql(
+        "CREATE TABLE db.m (id INT, v STRING) USING iceberg "
+        "TBLPROPERTIES ('write.delete.mode'='merge-on-read')"
+    )
+    fe.sql("INSERT INTO db.m VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    fe.sql("DELETE FROM db.m WHERE id = 2")
+    out = fe.sql("CALL polaris.system.rewrite_position_delete_files(table => 'db.m')")
+    assert out.collect()[0].rewritten_delete_files_count == 1
+    rows = fe.sql("SELECT id, v FROM db.m ORDER BY id").collect()
+    assert [(r.id, r.v) for r in rows] == [(1, "a"), (3, "c")]
+    tab = fe.wh.table("db", "m")
+    assert tab._resolve().get("delete_dirs", []) == []

@@ -115,3 +115,48 @@ def test_export_names_new_transforms(wh):
     assert any(
         f["transform"] == "truncate[2]" for s in specs for f in s["fields"]
     )
+
+
+# ---- type widening (Iceberg schema evolution's third primitive) -----------
+
+
+def test_type_widening_metadata_only(wh, spark):
+    t = wh.create_table("db", "w1", "id int, ratio float, amt decimal(8,2)")
+    t.insert_values([(1, 1.5, None)])
+    t.append(spark.sql("SELECT 2 AS id, CAST(2.5 AS FLOAT) AS ratio, CAST(10.25 AS DECIMAL(8,2)) AS amt"))
+    t.alter_column_type("id", "bigint")
+    t.alter_column_type("ratio", "double")
+    t.alter_column_type("amt", "decimal(12,2)")
+    got = sorted(map(tuple, t.read().collect()))
+    assert [r[0] for r in got] == [1, 2]  # old int32 files upcast on read
+    assert dict(t.read().dtypes) == {"id": "bigint", "ratio": "double", "amt": "decimal(12,2)"}
+    # post-widening appends with the wide type coexist with old files
+    t.insert_values([(3_000_000_000, 3.5, None)])
+    assert t.read().count() == 3
+
+
+def test_type_widening_refuses_narrowing_and_reshaping(wh):
+    import pytest as _pytest
+
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import WarehouseError
+
+    t = wh.create_table("db", "w2", "id bigint, v string, amt decimal(10,2)")
+    for col, bad in (("id", "int"), ("v", "int"), ("amt", "decimal(10,4)"), ("amt", "decimal(8,2)")):
+        with _pytest.raises(WarehouseError):
+            t.alter_column_type(col, bad)
+
+
+def test_type_widening_through_sql_and_time_travel(spark, tmp_path):
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    fe = LakehouseSQL(spark, str(tmp_path / "wh"))
+    fe.sql("CREATE NAMESPACE IF NOT EXISTS db")
+    fe.sql("CREATE TABLE db.wt (id INT, v STRING) USING iceberg")
+    fe.sql("INSERT INTO db.wt VALUES (1, 'a')")
+    fe.sql("ALTER TABLE db.wt ALTER COLUMN id TYPE BIGINT")
+    fe.sql("INSERT INTO db.wt VALUES (3000000000, 'b')")
+    rows = fe.sql("SELECT id, v FROM db.wt ORDER BY id").collect()
+    assert [(r.id, r.v) for r in rows] == [(1, "a"), (3000000000, "b")]
+    # time travel to the pre-widening snapshot projects the OLD schema
+    tt = fe.sql("SELECT id, v FROM db.wt VERSION AS OF 1").collect()
+    assert [(r.id, r.v) for r in tt] == [(1, "a")]
