@@ -97,7 +97,8 @@ class LakehouseSQL:
         s = statement.strip().rstrip(";").strip()
         head = s.split(None, 1)[0].upper() if s else ""
         if head in ("SELECT", "WITH", "VALUES", "TABLE"):
-            return self.spark.sql(self._rewrite_query(s))
+            hints = self._scan_hints(s) if head == "SELECT" else None
+            return self.spark.sql(self._rewrite_query(s, hints))
         for matcher, handler in self._STATEMENTS:
             m = _fullmatch(matcher, s)
             if m:
@@ -138,8 +139,94 @@ class LakehouseSQL:
             raise WarehouseError(f"table {ns}.{t} does not exist")
         return tab
 
+    # --------------------------------------------- SELECT manifest pruning
+    def _scan_hints(self, s: str) -> dict[tuple[str, str], dict] | None:
+        """Extract eq/between predicates a SELECT provably applies as
+        TOP-LEVEL conjuncts to a SINGLE table, so the view can be backed
+        by Table.scan() and manifest-level file skipping fires for plain
+        SQL — `SELECT … FROM t WHERE id BETWEEN 5 AND 9 AND v = 'x'`
+        plans only the files whose footer bounds can match.
+
+        Soundness over coverage: hints only fire when the statement shape
+        GUARANTEES the predicate is a required conjunct of that one
+        table's scan — one dotted table in FROM (no joins/commas), no
+        subqueries (the WHERE segment may not contain parentheses), no
+        top-level OR. Unrecognized conjuncts are simply not used (skipping
+        by a subset of conjuncts is still sound). Anything else → None,
+        and the view falls back to the full snapshot read."""
+        literals: list[str] = []
+        masked = re.sub(
+            r"'(?:[^']|'')*'", lambda m: (literals.append(m.group(0)), f"\x00L{len(literals)-1}\x00")[1], s
+        )
+        m = re.match(
+            rf"(?is)^\s*SELECT\s+(?P<proj>.*?)\s+FROM\s+"
+            rf"(?:(?P<cat>{re.escape(self.catalog)})\.)?(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
+            rf"(?:\s+(?:AS\s+)?(?P<alias>{_IDENT}))?\s+WHERE\s+(?P<rest>.*)$",
+            masked,
+        )
+        if m is None or re.search(r"(?i)\bfrom\b", m.group("proj")):
+            return None
+        ns, tbl, alias = m.group("ns"), m.group("tbl"), m.group("alias")
+        if alias and alias.upper() in ("GROUP", "ORDER", "LIMIT", "HAVING", "UNION", "WHERE"):
+            return None
+        tab = self.wh.table(ns, tbl)
+        if not tab.exists():
+            return None
+        rest = m.group("rest")
+        tail = re.search(r"(?i)\b(GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING|WINDOW|UNION|EXCEPT|INTERSECT)\b", rest)
+        pred = rest[: tail.start()] if tail else rest
+        if "(" in pred or ")" in pred or re.search(r"(?i)\bor\b", pred):
+            return None
+        fields = set(tab.schema().fieldNames())
+        prefixes = {p.lower() for p in (alias, tbl, f"{ns}.{tbl}") if p}
+
+        def col_of(token: str) -> str | None:
+            t = token.strip()
+            for p in sorted(prefixes, key=len, reverse=True):
+                if t.lower().startswith(p + "."):
+                    t = t[len(p) + 1 :]
+                    break
+            return t if re.fullmatch(_IDENT, t) and t in fields else None
+
+        def lit_of(token: str):
+            t = token.strip()
+            lm = re.fullmatch(r"\x00L(\d+)\x00", t)
+            if lm:
+                return literals[int(lm.group(1))][1:-1].replace("''", "'")
+            if re.fullmatch(r"-?\d+", t):
+                return int(t)
+            if re.fullmatch(r"-?\d+\.\d+", t):
+                return float(t)
+            return None
+
+        eq: dict[str, object] = {}
+        between: dict[str, tuple] = {}
+
+        def grab_between(bm: re.Match) -> str:
+            c, lo, hi = col_of(bm.group(1)), lit_of(bm.group(2)), lit_of(bm.group(3))
+            if c is not None and lo is not None and hi is not None and c not in between:
+                between[c] = (lo, hi)
+            return "\x00B\x00"  # consumed — keeps the AND split clean
+
+        pred = re.sub(
+            rf"(?i)({_IDENT}(?:\.{_IDENT})?)\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)",
+            grab_between,
+            pred,
+        )
+        for conjunct in re.split(r"(?i)\s+AND\s+", pred):
+            em = re.fullmatch(
+                rf"\s*({_IDENT}(?:\.{_IDENT})?)\s*=\s*(\S+)\s*", conjunct
+            )
+            if em:
+                c, v = col_of(em.group(1)), lit_of(em.group(2))
+                if c is not None and v is not None and c not in eq:
+                    eq[c] = v
+        if not eq and not between:
+            return None
+        return {(ns, tbl): {"eq": eq or None, "between": between or None}}
+
     # ------------------------------------------------------- SELECT rewrite
-    def _rewrite_query(self, s: str) -> str:
+    def _rewrite_query(self, s: str, hints: dict | None = None) -> str:
         """Replace warehouse table references (2/3-part names, optional
         .history/.snapshots metadata suffix, optional VERSION AS OF /
         TIMESTAMP AS OF) with temp views over the resolved snapshot, then
@@ -205,9 +292,17 @@ class LakehouseSQL:
                 df = tab.read(as_of_ms=ms)
                 view += f"__ts{ms}"
             else:
-                df = tab.read(metadata_columns=wants_metadata_cols)
-                if wants_metadata_cols:
-                    view += "__meta"
+                hint = (hints or {}).get((ns, tbl))
+                if hint and not wants_metadata_cols:
+                    # single-table SELECT with provably-conjunct predicates
+                    # (_scan_hints): back the view with the bounds-pruned
+                    # scan so manifest file skipping fires for plain SQL;
+                    # the statement still applies its full WHERE on top
+                    df = tab.scan(eq=hint["eq"], between=hint["between"])
+                else:
+                    df = tab.read(metadata_columns=wants_metadata_cols)
+                    if wants_metadata_cols:
+                        view += "__meta"
             df.createOrReplaceTempView(view)
             return view
 

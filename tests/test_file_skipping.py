@@ -209,3 +209,77 @@ def test_compact_rewrites_under_sort_order(wh, spark):
     out = t.scan(between={"id": (10, 30)})
     assert out.count() == t.read().filter("id between 10 and 30").count()
     assert _files_read(out) < total
+
+
+# ---- manifest skipping through plain SQL (scan hints) ----------------------
+
+
+def test_sql_select_prunes_files_on_clustered_table(spark, tmp_path):
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    fe = LakehouseSQL(spark, str(tmp_path / "wh"))
+    fe.sql("CREATE NAMESPACE IF NOT EXISTS db")
+    fe.sql("CREATE TABLE db.sq (id INT, v STRING) USING iceberg")
+    fe.sql("INSERT INTO db.sq VALUES (1, 'a'), (2, 'b')")
+    fe.sql("INSERT INTO db.sq VALUES (100, 'x'), (200, 'y')")
+    total = len(fe.table("db.sq").inputFiles())
+    out = fe.sql("SELECT id, v FROM db.sq WHERE id BETWEEN 90 AND 150 AND v = 'x'")
+    assert [tuple(r) for r in out.collect()] == [(100, "x")]
+    assert len(out.inputFiles()) < total  # first commit's files never planned
+
+
+def test_sql_scan_hints_shape_gate(spark, tmp_path):
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    fe = LakehouseSQL(spark, str(tmp_path / "wh"))
+    fe.sql("CREATE NAMESPACE IF NOT EXISTS db")
+    fe.sql("CREATE TABLE db.g (id INT, v STRING) USING iceberg")
+    fe.sql("CREATE TABLE db.h (id INT, w STRING) USING iceberg")
+    fe.sql("INSERT INTO db.g VALUES (1, 'a')")
+    # hints fire for the sound single-table shapes
+    assert fe._scan_hints("SELECT v FROM db.g WHERE id = 1") == {
+        ("db", "g"): {"eq": {"id": 1}, "between": None}
+    }
+    assert fe._scan_hints("SELECT v FROM db.g t WHERE t.id BETWEEN 1 AND 5") == {
+        ("db", "g"): {"eq": None, "between": {"id": (1, 5)}}
+    }
+    assert fe._scan_hints(
+        "SELECT v FROM db.g WHERE id = 1 AND v = 'x''y' ORDER BY v"
+    ) == {("db", "g"): {"eq": {"id": 1, "v": "x'y"}, "between": None}}
+    # and NEVER for shapes where the conjunct guarantee doesn't hold
+    assert fe._scan_hints("SELECT v FROM db.g WHERE id = 1 OR v = 'x'") is None
+    assert fe._scan_hints("SELECT v FROM db.g WHERE (id = 1)") is None
+    assert (
+        fe._scan_hints("SELECT * FROM db.g JOIN db.h ON db.g.id = db.h.id WHERE db.g.id = 1")
+        is None
+    )
+    assert (
+        fe._scan_hints("SELECT v FROM db.g WHERE id IN (SELECT id FROM db.h)") is None
+    )
+    assert (
+        fe._scan_hints("SELECT (SELECT MAX(id) FROM db.h) FROM db.g WHERE id = 1") is None
+    )
+    # unknown column conjuncts are ignored, known ones still hint
+    assert fe._scan_hints("SELECT v FROM db.g WHERE id = 1 AND nope = 2") == {
+        ("db", "g"): {"eq": {"id": 1}, "between": None}
+    }
+
+
+def test_sql_hinted_results_match_unhinted(spark, tmp_path):
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    fe = LakehouseSQL(spark, str(tmp_path / "wh"))
+    fe.sql("CREATE NAMESPACE IF NOT EXISTS db")
+    fe.sql("CREATE TABLE db.eqv (id INT, v STRING) USING iceberg")
+    fe.sql("INSERT INTO db.eqv VALUES (1, 'a'), (2, 'b'), (3, NULL)")
+    fe.sql("INSERT INTO db.eqv VALUES (10, 'x'), (20, 'a')")
+    stmts = [
+        "SELECT id, v FROM db.eqv WHERE id = 10",
+        "SELECT id, v FROM db.eqv WHERE v = 'a' AND id BETWEEN 1 AND 25 ORDER BY id",
+        "SELECT count(*) AS n FROM db.eqv WHERE id BETWEEN 2 AND 19",
+        "SELECT v FROM db.eqv WHERE id = 99",
+    ]
+    for stmt in stmts:
+        got = sorted(map(tuple, fe.sql(stmt).collect()))
+        want = sorted(map(tuple, spark.sql(fe._rewrite_query(stmt)).collect()))
+        assert got == want, stmt

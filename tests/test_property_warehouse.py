@@ -237,4 +237,65 @@ def test_file_skipping_never_loses_rows(spark, prop_wh, commits, pred):
         lo, hi = min(arg), max(arg)
         got = t.scan(between={"id": (lo, hi)})
         want = t.read().filter(F.col("id").between(lo, hi))
-    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    def key(r):  # None-safe total order for the multiset comparison
+        return tuple((x is None, x) for x in r)
+
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, want.collect()), key=key
+    )
+
+
+# ---- SQL scan-hint soundness fuzz ------------------------------------------
+# The hints path backs a SELECT's view with a bounds-pruned scan ONLY when
+# the statement shape proves the predicates are top-level conjuncts of one
+# table. This fuzz compares the hinted statement against the plain rewrite
+# (no hints) across keyword-bearing literals, aliases, casing, OR/paren
+# shapes — they must agree row-for-row every time.
+
+_tricky_str = st.sampled_from(
+    ["a", "x WHERE y", "1 AND 2", "b BETWEEN c", "it''s", "FROM db.t", ""]
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), _tricky_str), min_size=1, max_size=6
+    ),
+    alias=st.sampled_from(["", "t", "g", "AS t"]),
+    where=st.sampled_from(
+        [
+            "id = {n}",
+            "v = {s}",
+            "id = {n} AND v = {s}",
+            "id BETWEEN {n} AND {m}",
+            "id BETWEEN {n} AND {m} AND v = {s}",
+            "id = {n} OR v = {s}",
+            "(id = {n}) AND v = {s}",
+            "v = {s} AND id = {n}",
+        ]
+    ),
+    n=st.integers(-2, 22),
+    m=st.integers(-2, 22),
+    pick=_tricky_str,
+    kw=st.sampled_from(["WHERE", "where", "Where"]),
+)
+def test_sql_hints_always_match_plain_rewrite(spark, prop_wh, rows, alias, where, n, m, pick, kw):
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    _counter[0] += 1
+    fe = LakehouseSQL(spark, prop_wh.root)
+    name = f"hint_{_counter[0]}"
+    t = prop_wh.create_table("db", name, "id int, v string")
+    t.insert_values(rows)
+    lit = "'" + pick.replace("'", "''") + "'"
+    pred = where.format(n=n, m=m, s=lit)
+    prefix = (alias.replace("AS ", "") + ".") if alias and "g" not in alias else ""
+    stmt = f"SELECT {prefix}id, {prefix}v FROM db.{name} {alias} {kw} {pred} ORDER BY {prefix}id"
+    got = sorted(map(tuple, fe.sql(stmt).collect()))
+    want = sorted(map(tuple, spark.sql(fe._rewrite_query(stmt)).collect()))
+    assert got == want, stmt
