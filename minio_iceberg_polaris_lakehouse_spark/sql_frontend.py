@@ -202,10 +202,21 @@ class LakehouseSQL:
         eq: dict[str, object] = {}
         between: dict[str, tuple] = {}
 
+        def tighten(c: str, lo, hi) -> None:
+            """Merge a one-sided/closed range into `between` (max of lows,
+            min of highs — only comparable values tighten)."""
+            plo, phi = between.get(c, (None, None))
+            try:
+                nlo = lo if plo is None else (plo if lo is None else max(plo, lo))
+                nhi = hi if phi is None else (phi if hi is None else min(phi, hi))
+            except TypeError:
+                return
+            between[c] = (nlo, nhi)
+
         def grab_between(bm: re.Match) -> str:
             c, lo, hi = col_of(bm.group(1)), lit_of(bm.group(2)), lit_of(bm.group(3))
-            if c is not None and lo is not None and hi is not None and c not in between:
-                between[c] = (lo, hi)
+            if c is not None and lo is not None and hi is not None:
+                tighten(c, lo, hi)
             return "\x00B\x00"  # consumed — keeps the AND split clean
 
         pred = re.sub(
@@ -215,12 +226,22 @@ class LakehouseSQL:
         )
         for conjunct in re.split(r"(?i)\s+AND\s+", pred):
             em = re.fullmatch(
-                rf"\s*({_IDENT}(?:\.{_IDENT})?)\s*=\s*(\S+)\s*", conjunct
+                rf"\s*({_IDENT}(?:\.{_IDENT})?)\s*(=|>=|<=|>|<)\s*(\S+)\s*", conjunct
             )
-            if em:
-                c, v = col_of(em.group(1)), lit_of(em.group(2))
-                if c is not None and v is not None and c not in eq:
+            if not em:
+                continue
+            c, op, v = col_of(em.group(1)), em.group(2), lit_of(em.group(3))
+            if c is None or v is None:
+                continue
+            if op == "=":
+                if c not in eq:
                     eq[c] = v
+            elif op in (">", ">="):
+                # strict ops relax to inclusive for the view: the statement
+                # re-applies its full WHERE, so a superset view is sound
+                tighten(c, v, None)
+            else:
+                tighten(c, None, v)
         if not eq and not between:
             return None
         return {(ns, tbl): {"eq": eq or None, "between": between or None}}

@@ -1103,14 +1103,19 @@ class Table:
                     if dv is not None:
                         df = df.filter(F.col(spec.column()) == dv)
             for col, (lo, hi) in (between or {}).items():
-                df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+                # open-ended ranges: (lo, None) = `col >= lo`, (None, hi)
+                # = `col <= hi` — same pruning machinery, one-sided
+                if lo is not None:
+                    df = df.filter(F.col(col) >= lo)
+                if hi is not None:
+                    df = df.filter(F.col(col) <= hi)
                 if spec.source == col and spec.column() in df.columns:
-                    dlo = derived(lo, spec, monotone_only=True)
-                    dhi = derived(hi, spec, monotone_only=True)
-                    if dlo is not None and dhi is not None:
-                        df = df.filter(
-                            (F.col(spec.column()) >= dlo) & (F.col(spec.column()) <= dhi)
-                        )
+                    dlo = None if lo is None else derived(lo, spec, monotone_only=True)
+                    dhi = None if hi is None else derived(hi, spec, monotone_only=True)
+                    if dlo is not None:
+                        df = df.filter(F.col(spec.column()) >= dlo)
+                    if dhi is not None:
+                        df = df.filter(F.col(spec.column()) <= dhi)
             parts.append(
                 df.select(
                     *cols,

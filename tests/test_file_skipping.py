@@ -283,3 +283,29 @@ def test_sql_hinted_results_match_unhinted(spark, tmp_path):
         got = sorted(map(tuple, fe.sql(stmt).collect()))
         want = sorted(map(tuple, spark.sql(fe._rewrite_query(stmt)).collect()))
         assert got == want, stmt
+
+
+def test_sql_inequality_hints_prune(spark, tmp_path):
+    # the reference's own `WHERE id > 2` shape (iceberg_queries.ipynb:171)
+    # now prunes: strict ops relax to inclusive bounds for the view and
+    # the statement re-applies the exact predicate on top
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    fe = LakehouseSQL(spark, str(tmp_path / "wh"))
+    fe.sql("CREATE NAMESPACE IF NOT EXISTS db")
+    fe.sql("CREATE TABLE db.iq (id INT, v STRING) USING iceberg")
+    fe.sql("INSERT INTO db.iq VALUES (1, 'a'), (2, 'b')")
+    fe.sql("INSERT INTO db.iq VALUES (100, 'x'), (200, 'y')")
+    total = len(fe.table("db.iq").inputFiles())
+    out = fe.sql("SELECT id, v FROM db.iq WHERE id > 50 ORDER BY id")
+    assert [(r.id, r.v) for r in out.collect()] == [(100, "x"), (200, "y")]
+    assert len(out.inputFiles()) < total
+    # strictness preserved at the row level
+    edge = fe.sql("SELECT id FROM db.iq WHERE id > 100")
+    assert [r.id for r in edge.collect()] == [200]
+    # conjunct ranges tighten: > and <= combine into one interval
+    hint = fe._scan_hints("SELECT v FROM db.iq WHERE id > 50 AND id <= 150")
+    assert hint == {("db", "iq"): {"eq": None, "between": {"id": (50, 150)}}}
+    # open-ended Python-side scan API agrees
+    tab = fe.wh.table("db", "iq")
+    assert sorted(r.id for r in tab.scan(between={"id": (None, 99)}).collect()) == [1, 2]
