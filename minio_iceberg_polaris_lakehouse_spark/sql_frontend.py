@@ -97,6 +97,9 @@ class LakehouseSQL:
         s = statement.strip().rstrip(";").strip()
         head = s.split(None, 1)[0].upper() if s else ""
         if head in ("SELECT", "WITH", "VALUES", "TABLE"):
+            fast = self._metadata_count(s) if head == "SELECT" else None
+            if fast is not None:
+                return fast
             hints = self._scan_hints(s) if head == "SELECT" else None
             return self.spark.sql(self._rewrite_query(s, hints))
         for matcher, handler in self._STATEMENTS:
@@ -138,6 +141,31 @@ class LakehouseSQL:
         if not tab.exists():
             raise WarehouseError(f"table {ns}.{t} does not exist")
         return tab
+
+    # --------------------------------------------- metadata-only COUNT(*)
+    def _metadata_count(self, s: str) -> DataFrame | None:
+        """`SELECT COUNT(*) [AS alias] FROM t` — the reference's
+        count_rows helper shape (warehouse_helpers.py:85) — answered from
+        the commit-time footer stats: no Spark job, no data read, O(dirs)
+        driver work. Fires only for this exact single-table shape with no
+        WHERE/time-travel; anything else (or a table with unrecorded
+        legacy stats) falls through to the real plan."""
+        m = _fullmatch(
+            rf"SELECT\s+COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+({_IDENT}))?\s+FROM\s+"
+            rf"(?:{re.escape(self.catalog)}\.)?({_IDENT})\.({_IDENT})",
+            s,
+        )
+        if m is None:
+            return None
+        alias, ns, tbl = m.group(1), m.group(2), m.group(3)
+        tab = self.wh.table(ns, tbl)
+        if not tab.exists():
+            return None
+        n = tab.row_count()
+        if n is None:
+            return None
+        col = alias or "count(1)"  # Spark's COUNT(*) output name
+        return self.spark.createDataFrame([(n,)], T.StructType([T.StructField(col, T.LongType(), False)]))
 
     # --------------------------------------------- SELECT manifest pruning
     def _scan_hints(self, s: str) -> dict[tuple[str, str], dict] | None:

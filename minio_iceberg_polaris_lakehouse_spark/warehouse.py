@@ -1823,6 +1823,25 @@ class Table:
         p = self._write_data(cur)
         return self._commit_replace("replace", [p], {"compacted-to": target_partitions}, parent)
 
+    def row_count(self) -> int | None:
+        """Metadata-only COUNT(*): Σ data-file rows − Σ tombstone rows of
+        the current snapshot, from the footer stats recorded at commit —
+        no Spark job, O(dirs) driver work ("listing files, computing
+        statistics … fast even with billions of files", reference
+        README.md:138-139). Returns None when any dir lacks recorded
+        stats (pre-sidecar legacy data) — callers then fall back to a
+        real scan rather than risk an undercount."""
+        snap = self._resolve()
+        meta = self._meta()
+        total = 0
+        for content_dirs, sign in ((snap["manifest"], 1), (snap.get("delete_dirs", []), -1)):
+            for d in content_dirs:
+                has_sidecar = os.path.isfile(os.path.join(self.path, d, DIR_STATS_FILE))
+                if not has_sidecar and d not in meta.get("dir_stats", {}):
+                    return None  # no recorded stats for this dir — don't guess
+                total += sign * sum(f["rows"] for f in _load_dir_stats(self.path, d, meta))
+        return total
+
     def materialize_deletes(self) -> int:
         """rewrite_position_delete_files: fold merge-on-read tombstones
         back into the data by rewriting ONLY the commit dirs that contain

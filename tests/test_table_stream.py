@@ -158,3 +158,42 @@ def test_rewrite_position_delete_files_sql(spark, tmp_path):
     assert [(r.id, r.v) for r in rows] == [(1, "a"), (3, "c")]
     tab = fe.wh.table("db", "m")
     assert tab._resolve().get("delete_dirs", []) == []
+
+
+def test_metadata_only_count(spark, tmp_path):
+    # SELECT COUNT(*) FROM t answered from footer stats — no data scan
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    fe = LakehouseSQL(spark, str(tmp_path / "wh"))
+    fe.sql("CREATE NAMESPACE IF NOT EXISTS db")
+    fe.sql(
+        "CREATE TABLE db.c (id INT, v STRING) USING iceberg "
+        "TBLPROPERTIES ('write.delete.mode'='merge-on-read')"
+    )
+    fe.sql("INSERT INTO db.c VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    fe.sql("INSERT INTO db.c VALUES (4, 'd')")
+    out = fe.sql("SELECT COUNT(*) AS total FROM db.c")
+    assert out.schema["total"].dataType.simpleString() == "bigint"
+    assert out.collect()[0].total == 4
+    # merge-on-read tombstones subtract metadata-only too
+    fe.sql("DELETE FROM db.c WHERE id IN (2, 4)")
+    assert fe.sql("SELECT COUNT(*) FROM db.c").collect()[0][0] == 2
+    assert fe.sql("SELECT count(*) from db.c").columns == ["count(1)"]
+    # Python API agrees with a real scan, incl. after compaction
+    tab = fe.wh.table("db", "c")
+    assert tab.row_count() == tab.read().count() == 2
+    tab.compact()
+    assert tab.row_count() == tab.read().count() == 2
+    # shapes that are NOT the fast path still work via the real plan
+    assert fe.sql("SELECT COUNT(*) AS n FROM db.c WHERE id = 1").collect()[0].n == 1
+    # legacy dir without stats: fast path declines, full plan answers
+    import json as _json
+    import os as _os
+
+    from minio_iceberg_polaris_lakehouse_spark import warehouse as W
+
+    d = tab._resolve()["manifest"][0]
+    _os.remove(_os.path.join(tab.path, d, ".stats.json"))
+    W._STATS_CACHE.clear()
+    assert tab.row_count() is None
+    assert fe.sql("SELECT COUNT(*) AS n FROM db.c").collect()[0].n == 2
