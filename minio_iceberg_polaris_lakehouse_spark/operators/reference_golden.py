@@ -367,6 +367,41 @@ def ref_time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ref_table_changes",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'a', 'insert', CAST(1 AS BIGINT), 0),
+        (2, 'b', 'insert', CAST(1 AS BIGINT), 0),
+        (3, 'c', 'insert', CAST(1 AS BIGINT), 0),
+        (4, 'd', 'insert', CAST(1 AS BIGINT), 0),
+        (2, 'b', 'delete', CAST(2 AS BIGINT), 1),
+        (4, 'd', 'delete', CAST(2 AS BIGINT), 1))
+        AS c(id, v, change_type, commit_snapshot_id, change_ordinal)
+    ORDER BY change_ordinal, id
+    """,
+)
+def ref_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog scan (Iceberg's `CALL system.create_changelog_view`)
+    end-to-end through the SQL front-end: the merge-on-read fixture
+    committed one 4-row INSERT (snapshot 1) then tombstoned ids 2 and 4
+    (snapshot 2), so its changelog is four tagged inserts followed by two
+    tagged deletes — the feed a downstream consumer applies to stay in
+    sync. The reference's Iceberg catalog advertises exactly this
+    snapshot/CDC machinery (README.md:119-142 snapshots; v2 row-level
+    deletes)."""
+    lake = _lake(spark)
+    lake.sql(
+        "CALL polaris.system.create_changelog_view(table => 'test_db.mor', "
+        "changelog_view => 'mor_changes')"
+    )
+    return lake.sql(
+        "SELECT id, v, _change_type AS change_type, "
+        "_commit_snapshot_id AS commit_snapshot_id, _change_ordinal AS change_ordinal "
+        "FROM mor_changes ORDER BY change_ordinal, id"
+    )
+
+
+@register(
     "ref_file_skipping",
     oracle="""
     SELECT * FROM (VALUES (10, 'x'), (11, 'y')) AS s(id, v) ORDER BY id

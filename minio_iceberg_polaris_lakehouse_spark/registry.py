@@ -64,6 +64,8 @@ _PRIORITY: list[str] = [
     "ref_schema_evolution",
     # merge-on-read DELETE (M1) with live _deleted metadata column
     "ref_mor_delete",
+    # CDC changelog scan (create_changelog_view): tagged insert/delete feed
+    "ref_table_changes",
     # scan-time file skipping from manifest stats (README.md:138-139) over
     # a WRITE ORDERED BY clustered table
     "ref_file_skipping",
@@ -99,10 +101,11 @@ _PRIORITY: list[str] = [
     # slots went to D10 and the file-skipping golden
     "set_union_all_counts",
     # scalar-function suites (F5)
+    # fn_json_extract follows in registration order (still oracle-checked
+    # locally); its window slot went to the CDC changelog golden
     "fn_string_suite",
     "fn_date_suite",
     "fn_math_suite",
-    "fn_json_extract",
     # streaming windows + event analytics (§2.12)
     "stream_tumbling_window",
     "stream_session_window",

@@ -727,6 +727,21 @@ class LakehouseSQL:
             "rewritten_delete_files_count int",
         )
 
+    def _call_create_changelog_view(self, m: re.Match) -> DataFrame:
+        """CALL c.system.create_changelog_view(table => 't'
+        [, changelog_view => 'v'] [, start_snapshot_id => N]
+        [, end_snapshot_id => N]) — registers the table's row-level
+        changelog (warehouse.Table.changes) as a temp view queryable by
+        any subsequent SELECT, and returns the view name (Iceberg's
+        procedure contract). Iceberg spells the snapshot range inside an
+        options map; this front-end accepts them as flat named args."""
+        tab = self._existing_table(m.group(1).strip("'\""))
+        view = (m.group(2) or f"{tab.name}_changes").strip("'\"")
+        start = int(m.group(3)) if m.group(3) else None
+        end = int(m.group(4)) if m.group(4) else None
+        tab.changes(from_version=start, to_version=end).createOrReplaceTempView(view)
+        return self.spark.createDataFrame([Row(changelog_view=view)], "changelog_view string")
+
     def _truncate_table(self, m: re.Match) -> DataFrame:
         self._existing_table(m.group(1)).truncate()
         return self._empty()
@@ -877,6 +892,14 @@ class LakehouseSQL:
             rf"CALL\s+{_IDENT}\.system\.rewrite_position_delete_files\s*\("
             r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*\)",
             _call_rewrite_position_deletes,
+        ),
+        (
+            rf"CALL\s+{_IDENT}\.system\.create_changelog_view\s*\("
+            r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")"
+            r"(?:\s*,\s*changelog_view\s*=>\s*('[^']+'|\"[^\"]+\"))?"
+            r"(?:\s*,\s*start_snapshot_id\s*=>\s*(\d+))?"
+            r"(?:\s*,\s*end_snapshot_id\s*=>\s*(\d+))?\s*\)",
+            _call_create_changelog_view,
         ),
         (rf"TRUNCATE\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})", _truncate_table),
         (rf"SHOW\s+PARTITIONS\s+((?:{_IDENT}\.)*{_IDENT})", _show_partitions),

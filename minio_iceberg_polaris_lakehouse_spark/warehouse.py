@@ -1178,6 +1178,102 @@ class Table:
             return self._apply_deletes(df, del_dirs, cols)
         return self._read_dirs(new_dirs, self._snapshot_schema(by_id[to_version])).select(*cols)
 
+    _CHANGE_COLS = [
+        ("_change_type", T.StringType()),
+        ("_commit_snapshot_id", T.LongType()),
+        ("_change_ordinal", T.IntegerType()),
+    ]
+
+    def changes(self, from_version: int | None = None, to_version: int | None = None) -> DataFrame:
+        """Iceberg changelog scan (`CALL system.create_changelog_view`):
+        the row-level changes committed by snapshots in
+        (``from_version``, ``to_version``], each tagged `_change_type`
+        ('insert' | 'delete'), `_commit_snapshot_id`, and
+        `_change_ordinal` (commit order within the window) — the CDC feed
+        a downstream consumer applies to stay in sync.
+
+        Per snapshot, exactly Iceberg's file-level changelog semantics:
+        rows of newly added data files are inserts; rows of removed data
+        files are deletes (minus rows the parent had already tombstoned —
+        those were emitted as deletes when the tombstone committed); rows
+        targeted by newly added positional-delete files are deletes.
+        `replace` snapshots (compaction, rewrite_position_delete_files)
+        rewrite bytes without changing table contents, so — like
+        Iceberg's changelog — they emit nothing.
+
+        Scale: the scan reads ONLY the churned dirs of each snapshot in
+        the window (plus, for MOR delete commits, the parent manifest
+        filtered by a broadcast semi-join on the tombstones) — O(changed
+        data), never a diff of two full table reads."""
+        snaps = self._snaps()
+        by_id = {s["snapshot_id"]: s for s in snaps}
+        if to_version is None:
+            to_version = snaps[-1]["snapshot_id"] if snaps else 0
+        elif to_version not in by_id:
+            raise WarehouseError(f"snapshot {to_version} not found")
+        if from_version is not None and from_version not in by_id:
+            raise WarehouseError(f"snapshot {from_version} not found")
+        start = from_version if from_version is not None else 0
+        schema = self._snapshot_schema(by_id[to_version]) if snaps else self.schema()
+        cols = schema.fieldNames()
+
+        parts: list[DataFrame] = []
+        ordinal = 0
+        window = [s for s in snaps if start < s["snapshot_id"] <= to_version]
+        for s in window:
+            idx = snaps.index(s)
+            parent = snaps[idx - 1] if idx > 0 else {"manifest": [], "delete_dirs": []}
+            if s["operation"] == "replace":
+                continue  # physical rewrite, no logical change
+            cur_dirs = set(s["manifest"])
+            par_dirs = set(parent["manifest"])
+            par_dels = parent.get("delete_dirs", [])
+            added = [d for d in s["manifest"] if d not in par_dirs]
+            removed = [d for d in parent["manifest"] if d not in cur_dirs]
+            new_dels = [
+                d for d in s.get("delete_dirs", []) if d not in set(par_dels)
+            ]
+
+            def tag(df: DataFrame, change: str, sid=None, ord_=None) -> DataFrame:
+                return df.select(
+                    *cols,
+                    F.lit(change).alias("_change_type"),
+                    F.lit(sid).cast("long").alias("_commit_snapshot_id"),
+                    F.lit(ord_).cast("int").alias("_change_ordinal"),
+                )
+
+            sid, emitted = s["snapshot_id"], False
+            if added:
+                parts.append(
+                    tag(self._read_dirs(added, schema).select(*cols), "insert", sid, ordinal)
+                )
+                emitted = True
+            if removed:
+                # rows the parent had already tombstoned were emitted as
+                # deletes by THAT commit — don't emit them twice
+                df = self._read_dirs(removed, schema, file_pos=True)
+                parts.append(tag(self._apply_deletes(df, par_dels, cols), "delete", sid, ordinal))
+                emitted = True
+            if new_dels:
+                df = self._read_dirs(parent["manifest"], schema, file_pos=True)
+                tomb = self._tombstones(new_dels)
+                cond = (df["_file"] == tomb["file_path"]) & (df["_pos"] == tomb["pos"])
+                hit = df.join(F.broadcast(tomb), cond, "left_semi").select(*cols)
+                parts.append(tag(hit, "delete", sid, ordinal))
+                emitted = True
+            if emitted:
+                ordinal += 1
+        if not parts:
+            empty = T.StructType(
+                list(schema.fields)
+                + [T.StructField(n, t, True) for n, t in self._CHANGE_COLS]
+            )
+            return self.spark.createDataFrame([], empty)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def to_pandas(self, **kw):
         """Arrow-backed pandas export (reference S9: warehouse_helpers.py:117)."""
         return self.read(**kw).toPandas()
