@@ -370,6 +370,7 @@ def write_iceberg_metadata(table: Table) -> str:
     call standalone."""
     meta = table._meta()
     snaps = table._snaps()
+    mains = [s for s in snaps if not s.get("branch")]
     ids = meta.get("column_ids", {})
     mdir = os.path.join(table.path, "metadata")
     os.makedirs(mdir, exist_ok=True)
@@ -517,20 +518,28 @@ def write_iceberg_metadata(table: Table) -> str:
         "default-spec-id": table._current_spec_id(meta),
         "last-partition-id": 1000 + len(meta.get("spec_history", [0])) - 1,
         "properties": meta.get("properties", {}),
-        "current-snapshot-id": snaps[-1]["snapshot_id"] if snaps else -1,
+        # main's head — branch-staged (write-audit-publish) snapshots are
+        # present in "snapshots" but referenced only by their named ref
+        "current-snapshot-id": mains[-1]["snapshot_id"] if mains else -1,
         "snapshots": snapshot_entries,
         "snapshot-log": [
             {"timestamp-ms": s["committed_at_ms"], "snapshot-id": s["snapshot_id"]}
-            for s in snaps
+            for s in mains
         ],
         "metadata-log": [],
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
-        "refs": (
-            {"main": {"snapshot-id": snaps[-1]["snapshot_id"], "type": "branch"}}
-            if snaps
-            else {}
-        ),
+        "refs": {
+            **(
+                {"main": {"snapshot-id": mains[-1]["snapshot_id"], "type": "branch"}}
+                if mains
+                else {}
+            ),
+            **{
+                name: {"snapshot-id": int(rec["snapshot_id"]), "type": rec["type"].lower()}
+                for name, rec in meta.get("refs", {}).items()
+            },
+        },
     }
     # monotonic metadata version persisted in table meta — snapshot
     # expiry shrinks the snapshot list, so len(snaps) would regress and

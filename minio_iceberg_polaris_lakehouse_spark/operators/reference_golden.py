@@ -128,6 +128,20 @@ def _lake(spark: SparkSession):
     lake.sql("ALTER TABLE polaris.test_db.skip_demo WRITE ORDERED BY (id)")
     lake.sql("INSERT INTO polaris.test_db.skip_demo VALUES (1, 'a'), (2, 'b'), (3, 'c')")
     lake.sql("INSERT INTO polaris.test_db.skip_demo VALUES (10, 'x'), (11, 'y'), (12, 'z')")
+    # write-audit-publish fixture: one published row, one row staged on the
+    # `audit` branch (invisible to main), then fast-forwarded to main
+    lake.sql(
+        "CREATE TABLE IF NOT EXISTS polaris.test_db.wapdemo (id INT, v STRING) USING ICEBERG"
+    )
+    lake.sql("INSERT INTO polaris.test_db.wapdemo VALUES (1, 'a')")
+    lake.sql("ALTER TABLE polaris.test_db.wapdemo CREATE BRANCH audit")
+    lake.sql("SET spark.wap.branch = 'audit'")
+    lake.sql("INSERT INTO polaris.test_db.wapdemo VALUES (2, 'staged')")
+    lake.sql("RESET spark.wap.branch")
+    lake.sql(
+        "CALL polaris.system.fast_forward(table => 'test_db.wapdemo', "
+        "branch => 'main', to => 'audit')"
+    )
     _LAKES[key] = lake
     return lake
 
@@ -398,6 +412,36 @@ def ref_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT id, v, _change_type AS change_type, "
         "_commit_snapshot_id AS commit_snapshot_id, _change_ordinal AS change_ordinal "
         "FROM mor_changes ORDER BY change_ordinal, id"
+    )
+
+
+@register(
+    "ref_wap_publish",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS rows_before,
+           CAST(2 AS BIGINT) AS rows_staged,
+           CAST(2 AS BIGINT) AS rows_published,
+           CAST(1 AS BIGINT) AS unpublished_snapshots
+    """,
+)
+def ref_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (Iceberg WAP, §2.11 transactions): the fixture
+    staged an INSERT on the `audit` branch under `SET spark.wap.branch`
+    (snapshot 2 — never an ancestor of main, as history records), audited
+    it via `VERSION AS OF 'audit'`, then published with
+    `CALL system.fast_forward`. Main showed 1 row before the publish
+    (snapshot 1), the branch showed 2, and main shows 2 after — the
+    atomic-visibility contract the reference's catalog documents
+    (README.md:124 'If a write fails, nothing changes')."""
+    return _lake(spark).sql(
+        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) "
+        "        FROM polaris.test_db.wapdemo VERSION AS OF 1) AS rows_before, "
+        "       (SELECT CAST(COUNT(*) AS BIGINT) "
+        "        FROM polaris.test_db.wapdemo VERSION AS OF 'audit') AS rows_staged, "
+        "       (SELECT CAST(COUNT(*) AS BIGINT) "
+        "        FROM polaris.test_db.wapdemo) AS rows_published, "
+        "       (SELECT CAST(COUNT(*) AS BIGINT) FROM polaris.test_db.wapdemo.history "
+        "        WHERE NOT is_current_ancestor) AS unpublished_snapshots"
     )
 
 

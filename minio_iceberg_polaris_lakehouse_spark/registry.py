@@ -66,6 +66,8 @@ _PRIORITY: list[str] = [
     "ref_mor_delete",
     # CDC changelog scan (create_changelog_view): tagged insert/delete feed
     "ref_table_changes",
+    # write-audit-publish (§2.11): branch-staged INSERT + fast_forward
+    "ref_wap_publish",
     # scan-time file skipping from manifest stats (README.md:138-139) over
     # a WRITE ORDERED BY clustered table
     "ref_file_skipping",
@@ -101,11 +103,11 @@ _PRIORITY: list[str] = [
     # slots went to D10 and the file-skipping golden
     "set_union_all_counts",
     # scalar-function suites (F5)
-    # fn_json_extract follows in registration order (still oracle-checked
-    # locally); its window slot went to the CDC changelog golden
+    # fn_math_suite/fn_json_extract follow in registration order (still
+    # oracle-checked locally); their window slots went to the CDC
+    # changelog and write-audit-publish goldens
     "fn_string_suite",
     "fn_date_suite",
-    "fn_math_suite",
     # streaming windows + event analytics (§2.12)
     "stream_tumbling_window",
     "stream_session_window",

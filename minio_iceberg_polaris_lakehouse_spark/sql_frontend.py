@@ -91,6 +91,8 @@ class LakehouseSQL:
         self.spark = spark
         self.wh = Warehouse(spark, warehouse_dir)
         self.catalog = catalog
+        # write-audit-publish session state (`SET spark.wap.branch = '...'`)
+        self._wap_branch: str | None = None
 
     # ------------------------------------------------------------------ API
     def sql(self, statement: str) -> DataFrame:
@@ -533,9 +535,12 @@ class LakehouseSQL:
             ]
         )
 
-    @classmethod
-    def _append_positional(cls, tab: Table, src: DataFrame) -> None:
-        tab.append(cls._align_positional(tab, src))
+    def _append_positional(self, tab: Table, src: DataFrame) -> None:
+        # an active `SET spark.wap.branch = '...'` routes INSERTs to that
+        # branch (Iceberg's write-audit-publish session knob): staged,
+        # auditable via VERSION AS OF 'branch', invisible to main until
+        # CALL system.fast_forward publishes
+        tab.append(self._align_positional(tab, src), branch=self._wap_branch)
 
     def _insert_overwrite_values(self, m: re.Match) -> DataFrame:
         """INSERT OVERWRITE TABLE t VALUES ... — replace-the-table
@@ -727,6 +732,43 @@ class LakehouseSQL:
             "rewritten_delete_files_count int",
         )
 
+    def _set_wap_branch(self, m: re.Match) -> DataFrame:
+        """SET spark.wap.branch = 'audit' — route subsequent INSERTs to a
+        staged branch (Iceberg write-audit-publish)."""
+        self._wap_branch = m.group(1).strip().strip("'\"") or None
+        return self._empty()
+
+    def _reset_wap_branch(self, m: re.Match) -> DataFrame:
+        """RESET spark.wap.branch — subsequent INSERTs land on main."""
+        self._wap_branch = None
+        return self._empty()
+
+    def _call_fast_forward(self, m: re.Match) -> DataFrame:
+        """CALL c.system.fast_forward(table => 't', branch => 'main',
+        to => 'audit') — publish the staged branch to main (the WAP
+        closing step; Iceberg procedure of the same name)."""
+        tab = self._existing_table(m.group(1).strip("'\""))
+        target, source = m.group(2).strip("'\""), m.group(3).strip("'\"")
+        if target != "main":
+            raise WarehouseError("fast_forward target must be 'main'")
+        previous = tab.current_snapshot_id()
+        updated = tab.fast_forward(source)
+        return self.spark.createDataFrame(
+            [Row(branch_updated=target, previous_ref=previous, updated_ref=updated)],
+            "branch_updated string, previous_ref bigint, updated_ref bigint",
+        )
+
+    def _call_cherrypick_snapshot(self, m: re.Match) -> DataFrame:
+        """CALL c.system.cherrypick_snapshot(table => 't',
+        snapshot_id => N) — apply one staged append's delta onto main."""
+        tab = self._existing_table(m.group(1).strip("'\""))
+        source = int(m.group(2))
+        current = tab.cherry_pick(source)
+        return self.spark.createDataFrame(
+            [Row(source_snapshot_id=source, current_snapshot_id=current)],
+            "source_snapshot_id bigint, current_snapshot_id bigint",
+        )
+
     def _call_create_changelog_view(self, m: re.Match) -> DataFrame:
         """CALL c.system.create_changelog_view(table => 't'
         [, changelog_view => 'v'] [, start_snapshot_id => N]
@@ -892,6 +934,20 @@ class LakehouseSQL:
             rf"CALL\s+{_IDENT}\.system\.rewrite_position_delete_files\s*\("
             r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*\)",
             _call_rewrite_position_deletes,
+        ),
+        (r"SET\s+spark\.wap\.branch\s*=\s*(.+)", _set_wap_branch),
+        (r"RESET\s+spark\.wap\.branch", _reset_wap_branch),
+        (
+            rf"CALL\s+{_IDENT}\.system\.fast_forward\s*\("
+            r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*,"
+            r"\s*branch\s*=>\s*('[^']+'|\"[^\"]+\")\s*,"
+            r"\s*to\s*=>\s*('[^']+'|\"[^\"]+\")\s*\)",
+            _call_fast_forward,
+        ),
+        (
+            rf"CALL\s+{_IDENT}\.system\.cherrypick_snapshot\s*\("
+            r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*,\s*snapshot_id\s*=>\s*(\d+)\s*\)",
+            _call_cherrypick_snapshot,
         ),
         (
             rf"CALL\s+{_IDENT}\.system\.create_changelog_view\s*\("

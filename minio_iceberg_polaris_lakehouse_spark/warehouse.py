@@ -461,14 +461,20 @@ class Table:
 
     def properties(self) -> dict[str, str]:
         props = dict(self._meta()["properties"])
-        snaps = self._snaps()
-        if snaps:
-            props["current-snapshot-id"] = str(snaps[-1]["snapshot_id"])
+        mains = self._main_snaps()
+        if mains:
+            props["current-snapshot-id"] = str(mains[-1]["snapshot_id"])
         return props
 
     def _snaps(self) -> list[dict]:
         with open(os.path.join(self.path, SNAP_FILE)) as f:
             return json.load(f)["snapshots"]
+
+    def _main_snaps(self, snaps: list[dict] | None = None) -> list[dict]:
+        """The main-branch lineage: every snapshot not staged on a named
+        branch (write-audit-publish commits carry a "branch" tag and stay
+        invisible to main until published)."""
+        return [s for s in (self._snaps() if snaps is None else snaps) if not s.get("branch")]
 
     # -- commit protocol (§2.11): atomic pointer swap + optimistic locking --
     _LOCK_TIMEOUT_S = 20.0
@@ -541,26 +547,35 @@ class Table:
         dirs: list[str],
         summary: dict[str, Any],
         delete_dirs: list[str] | None = None,
+        branch: str | None = None,
     ) -> int:
         sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
-        snaps.append(
-            {
-                "snapshot_id": sid,
-                "parent_id": snaps[-1]["snapshot_id"] if snaps else None,
-                "committed_at_ms": int(time.time() * 1000),
-                "operation": operation,
-                "manifest": dirs,
-                # positional-delete files live on the SNAPSHOT (Iceberg v2
-                # merge-on-read): data dirs stay untouched, tombstones
-                # apply on read
-                "delete_dirs": delete_dirs or [],
-                "summary": summary,
-                # schema as of this commit — time travel projects THIS, not
-                # the table's current schema (Iceberg resolves time-travel
-                # reads with the snapshot's schema)
-                "schema": self._meta()["schema"],
-            }
-        )
+        if branch:
+            chain = [s for s in snaps if s.get("branch") == branch]
+            lineage = chain or self._main_snaps(snaps)
+        else:
+            lineage = self._main_snaps(snaps)
+        entry = {
+            "snapshot_id": sid,
+            "parent_id": lineage[-1]["snapshot_id"] if lineage else None,
+            "committed_at_ms": int(time.time() * 1000),
+            "operation": operation,
+            "manifest": dirs,
+            # positional-delete files live on the SNAPSHOT (Iceberg v2
+            # merge-on-read): data dirs stay untouched, tombstones
+            # apply on read
+            "delete_dirs": delete_dirs or [],
+            "summary": summary,
+            # schema as of this commit — time travel projects THIS, not
+            # the table's current schema (Iceberg resolves time-travel
+            # reads with the snapshot's schema)
+            "schema": self._meta()["schema"],
+        }
+        if branch:
+            # staged on a named branch (write-audit-publish): invisible to
+            # main reads until fast_forward/cherry_pick publishes it
+            entry["branch"] = branch
+        snaps.append(entry)
         _atomic_write_json(os.path.join(self.path, SNAP_FILE), {"snapshots": snaps})
         # mirror the commit as Iceberg-v2-shaped open metadata so readers
         # other than this engine can resolve schema + data files
@@ -594,20 +609,47 @@ class Table:
         dirs = [a.dirname if isinstance(a, PendingData) else a for a in adds]
         return dirs, [a for a in adds if isinstance(a, PendingData)]
 
-    def _commit_add(self, operation: str, adds: list, summary: dict[str, Any]) -> int:
+    def _commit_add(
+        self, operation: str, adds: list, summary: dict[str, Any], branch: str | None = None
+    ) -> int:
         """Commit that ADDS data dirs to whatever the current snapshot is.
         Appends are commutative, so under the lock they always succeed —
         two concurrent appenders both land, neither lost (Iceberg gives
-        appends the same fast-path retry)."""
+        appends the same fast-path retry). ``branch`` stages the commit on
+        a named branch instead of main (write-audit-publish): the base is
+        the branch's current head (the ref), and the ref advances to the
+        new snapshot — main readers never see it until published."""
         new_dirs, pending = self._split_adds(adds)
         lock, token = self._acquire_commit_lock()
         try:
             self._record_pending(pending)
             snaps = self._snaps()
-            live = (snaps[-1]["manifest"] if snaps else []) + new_dirs
+            if branch:
+                meta = self._meta()
+                rec = meta.get("refs", {}).get(branch)
+                if rec is None or rec.get("type") != "BRANCH":
+                    raise WarehouseError(
+                        f"unknown branch {branch!r} on {self.ns}.{self.name} "
+                        "(create it first: create_ref(name, 'branch'))"
+                    )
+                base = next(s for s in snaps if s["snapshot_id"] == int(rec["snapshot_id"]))
+                sid = self._append_snapshot(
+                    snaps,
+                    operation,
+                    base["manifest"] + new_dirs,
+                    summary,
+                    base.get("delete_dirs", []),
+                    branch=branch,
+                )
+                meta = self._meta()  # re-read: the commit re-exported metadata
+                meta["refs"][branch]["snapshot_id"] = sid
+                self._write_meta(meta)
+                return sid
+            mains = self._main_snaps(snaps)
+            live = (mains[-1]["manifest"] if mains else []) + new_dirs
             # appends don't touch existing rows: the parent's tombstones
             # stay in force
-            inherited = snaps[-1].get("delete_dirs", []) if snaps else []
+            inherited = mains[-1].get("delete_dirs", []) if mains else []
             return self._append_snapshot(snaps, operation, live, summary, inherited)
         finally:
             self._release_commit_lock(lock, token)
@@ -628,7 +670,8 @@ class Table:
         lock, token = self._acquire_commit_lock()
         try:
             snaps = self._snaps()
-            current = snaps[-1]["snapshot_id"] if snaps else None
+            mains = self._main_snaps(snaps)
+            current = mains[-1]["snapshot_id"] if mains else None
             if current != expected_parent:
                 raise CommitConflictError(
                     f"{self.ns}.{self.name}: snapshot moved {expected_parent} -> "
@@ -640,8 +683,8 @@ class Table:
             self._release_commit_lock(lock, token)
 
     def current_snapshot_id(self) -> int | None:
-        snaps = self._snaps()
-        return snaps[-1]["snapshot_id"] if snaps else None
+        mains = self._main_snaps()
+        return mains[-1]["snapshot_id"] if mains else None
 
     def _resolve(self, version: int | str | None = None, as_of_ms: int | None = None) -> dict:
         if isinstance(version, str):  # branch/tag name -> pinned snapshot
@@ -659,12 +702,18 @@ class Table:
                 if s["snapshot_id"] == version:
                     return s
             raise WarehouseError(f"snapshot {version} not found for {self.ns}.{self.name}")
+        # default / timestamp reads resolve on the MAIN lineage only —
+        # branch-staged (write-audit-publish) snapshots are addressable by
+        # id or ref name but invisible to main until published
+        mains = self._main_snaps(snaps)
+        if not mains:
+            return {"manifest": [], "snapshot_id": None}
         if as_of_ms is not None:
-            eligible = [s for s in snaps if s["committed_at_ms"] <= as_of_ms]
+            eligible = [s for s in mains if s["committed_at_ms"] <= as_of_ms]
             if not eligible:
                 raise WarehouseError(f"no snapshot at or before {as_of_ms}")
             return eligible[-1]
-        return snaps[-1]
+        return mains[-1]
 
     # ---------------- read path (S1/S5/S6) ----------------
     @staticmethod
@@ -1144,7 +1193,7 @@ class Table:
         rescan of the table. Snapshots that REPLACE data (overwrite/
         compact/copy-on-write DML) are not expressible as pure appends;
         encountering one raises, as Iceberg's incremental scan does."""
-        snaps = self._snaps()
+        snaps = self._main_snaps()
         by_id = {s["snapshot_id"]: s for s in snaps}
         if from_version not in by_id:
             raise WarehouseError(f"snapshot {from_version} not found")
@@ -1205,7 +1254,7 @@ class Table:
         the window (plus, for MOR delete commits, the parent manifest
         filtered by a broadcast semi-join on the tombstones) — O(changed
         data), never a diff of two full table reads."""
-        snaps = self._snaps()
+        snaps = self._main_snaps()
         by_id = {s["snapshot_id"]: s for s in snaps}
         if to_version is None:
             to_version = snaps[-1]["snapshot_id"] if snaps else 0
@@ -1339,16 +1388,18 @@ class Table:
         except ValueError:
             return len(history)
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, branch: str | None = None) -> int:
         """Append-only INSERT: duplicates by design (§2.11). Appends are
         commutative — two concurrent appenders both survive (see
-        _commit_add)."""
+        _commit_add). ``branch`` stages the write on a named branch
+        (write-audit-publish): main readers don't see it until
+        fast_forward/cherry_pick publishes it."""
         p = self._write_data(df)
-        return self._commit_add("append", [p], {"added-records": p.rows})
+        return self._commit_add("append", [p], {"added-records": p.rows}, branch=branch)
 
-    def insert_values(self, rows: list[tuple]) -> int:
+    def insert_values(self, rows: list[tuple], branch: str | None = None) -> int:
         """INSERT INTO t VALUES ... (reference S7: getting_started.ipynb:96)."""
-        return self.append(self.spark.createDataFrame(rows, self.schema()))
+        return self.append(self.spark.createDataFrame(rows, self.schema()), branch=branch)
 
     def overwrite(self, df: DataFrame) -> int:
         """CTAS/overwrite (reference S8: warehouse_helpers.py:107-111).
@@ -1417,7 +1468,8 @@ class Table:
         lock, token = self._acquire_commit_lock()
         try:
             snaps = self._snaps()
-            current = snaps[-1]["snapshot_id"] if snaps else None
+            mains = self._main_snaps(snaps)
+            current = mains[-1]["snapshot_id"] if mains else None
             if current != parent:
                 raise CommitConflictError(
                     f"{self.ns}.{self.name}: snapshot moved {parent} -> "
@@ -1503,7 +1555,8 @@ class Table:
         lock, token = self._acquire_commit_lock()
         try:
             snaps = self._snaps()
-            current = snaps[-1]["snapshot_id"] if snaps else None
+            mains = self._main_snaps(snaps)
+            current = mains[-1]["snapshot_id"] if mains else None
             if current != parent:
                 raise CommitConflictError(
                     f"{self.ns}.{self.name}: snapshot moved {parent} -> "
@@ -1696,7 +1749,9 @@ class Table:
                 made_current_at=_ms_to_ts(s["committed_at_ms"]),
                 snapshot_id=s["snapshot_id"],
                 parent_id=s["parent_id"],
-                is_current_ancestor=True,
+                # branch-staged (unpublished WAP) snapshots are not
+                # ancestors of the current main state
+                is_current_ancestor=not s.get("branch"),
             )
             for s in snaps
         ]
@@ -1819,6 +1874,87 @@ class Table:
                 "type": ref_type.upper(),
             }
             self._write_meta(meta)
+        finally:
+            self._release_commit_lock(lock, token)
+
+    def fast_forward(self, branch: str) -> int:
+        """CALL system.fast_forward('main', branch): PUBLISH a branch's
+        staged snapshots to main — the write-audit-publish closing step.
+        Requires main not to have moved since the branch forked (a true
+        fast-forward, Iceberg's contract); otherwise CommitConflictError —
+        re-stage or cherry-pick instead. The published state lands as a
+        new main snapshot re-pointing at the branch head's manifest (the
+        log stays append-only; observable behavior matches Iceberg's ref
+        move, with lineage recorded in the summary)."""
+        lock, token = self._acquire_commit_lock()
+        try:
+            snaps = self._snaps()
+            meta = self._meta()
+            rec = meta.get("refs", {}).get(branch)
+            if rec is None or rec.get("type") != "BRANCH":
+                raise WarehouseError(f"unknown branch {branch!r} on {self.ns}.{self.name}")
+            by_id = {s["snapshot_id"]: s for s in snaps}
+            head = by_id[int(rec["snapshot_id"])]
+            mains = self._main_snaps(snaps)
+            main_head = mains[-1]["snapshot_id"] if mains else None
+            if not head.get("branch"):
+                return main_head  # branch never diverged — nothing to publish
+            # fork base: walk parents through the branch-staged snapshots
+            base = head
+            while base.get("branch"):
+                base = by_id[base["parent_id"]]
+            if base["snapshot_id"] != main_head:
+                raise CommitConflictError(
+                    f"{self.ns}.{self.name}: main moved {base['snapshot_id']} -> "
+                    f"{main_head} since branch {branch!r} forked; not a fast-forward"
+                )
+            return self._append_snapshot(
+                snaps,
+                "append",
+                head["manifest"],
+                {"published-from-branch": branch, "published-snapshot-id": head["snapshot_id"]},
+                head.get("delete_dirs", []),
+            )
+        finally:
+            self._release_commit_lock(lock, token)
+
+    def cherry_pick(self, snapshot_id: int) -> int:
+        """CALL system.cherrypick_snapshot: apply ONE staged snapshot's
+        append delta on top of the current main head (Iceberg's WAP
+        publish for `spark.wap.id`-staged commits). Append snapshots only
+        — their delta is commutative, so this succeeds even after main
+        has moved (unlike fast_forward); replacing snapshots raise, as in
+        Iceberg."""
+        lock, token = self._acquire_commit_lock()
+        try:
+            snaps = self._snaps()
+            by_id = {s["snapshot_id"]: s for s in snaps}
+            if snapshot_id not in by_id:
+                raise WarehouseError(f"snapshot {snapshot_id} not found")
+            src = by_id[snapshot_id]
+            parent = by_id.get(src["parent_id"]) if src["parent_id"] is not None else None
+            par_dirs = set(parent["manifest"]) if parent else set()
+            par_dels = set(parent.get("delete_dirs", [])) if parent else set()
+            if (
+                src["operation"] != "append"
+                or not par_dirs.issubset(set(src["manifest"]))
+                or set(src.get("delete_dirs", [])) != par_dels
+            ):
+                raise WarehouseError(
+                    f"snapshot {snapshot_id} is not a pure append — "
+                    "cherry-pick supports append snapshots only"
+                )
+            delta = [d for d in src["manifest"] if d not in par_dirs]
+            mains = self._main_snaps(snaps)
+            live = (mains[-1]["manifest"] if mains else []) + delta
+            inherited = mains[-1].get("delete_dirs", []) if mains else []
+            return self._append_snapshot(
+                snaps,
+                "append",
+                live,
+                {"cherry-picked-from": snapshot_id, **src.get("summary", {})},
+                inherited,
+            )
         finally:
             self._release_commit_lock(lock, token)
 
@@ -1985,7 +2121,9 @@ class Table:
             pinned = {
                 int(r["snapshot_id"]) for r in self._meta().get("refs", {}).values()
             }
-            tail = snaps[-keep_last:]
+            # the retention tail counts MAIN history; branch-staged
+            # snapshots survive only while a ref pins them
+            tail = self._main_snaps(snaps)[-keep_last:]
             keep = [
                 s for s in snaps if s in tail or s["snapshot_id"] in pinned
             ]

@@ -1,0 +1,142 @@
+"""Write-audit-publish (Iceberg WAP): writes staged on a named branch are
+invisible to main until published via fast_forward (ref move) or
+cherry_pick (append-delta replay); audits read the branch by name."""
+
+from __future__ import annotations
+
+import pytest
+
+from minio_iceberg_polaris_lakehouse_spark.warehouse import (
+    CommitConflictError,
+    Warehouse,
+    WarehouseError,
+)
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "warehouse"))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_branch_write_invisible_to_main(wh):
+    t = wh.create_table("db", "w1", "id int, v string")
+    t.insert_values([(1, "a")])
+    t.create_ref("audit", "branch")
+    t.insert_values([(2, "staged")], branch="audit")
+    # main readers see only the published row
+    assert _rows(t.read()) == [(1, "a")]
+    assert t.current_snapshot_id() == 1
+    # the audit session reads the branch by name (VERSION AS OF 'audit')
+    assert _rows(t.read(version="audit")) == [(1, "a"), (2, "staged")]
+
+
+def test_fast_forward_publishes(wh):
+    t = wh.create_table("db", "w2", "id int, v string")
+    t.insert_values([(1, "a")])
+    t.create_ref("audit", "branch")
+    t.insert_values([(2, "b")], branch="audit")
+    t.insert_values([(3, "c")], branch="audit")  # branch advances
+    sid = t.fast_forward("audit")
+    assert _rows(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    assert t.current_snapshot_id() == sid
+    summary = t._resolve(sid)["summary"]
+    assert summary["published-from-branch"] == "audit"
+
+
+def test_fast_forward_conflicts_when_main_moved(wh):
+    t = wh.create_table("db", "w3", "id int, v string")
+    t.insert_values([(1, "a")])
+    t.create_ref("audit", "branch")
+    t.insert_values([(2, "staged")], branch="audit")
+    t.insert_values([(3, "raced")])  # main moves underneath
+    with pytest.raises(CommitConflictError):
+        t.fast_forward("audit")
+    # cherry-pick still applies the staged append's delta
+    staged_sid = int(t._meta()["refs"]["audit"]["snapshot_id"])
+    t.cherry_pick(staged_sid)
+    assert _rows(t.read()) == [(1, "a"), (2, "staged"), (3, "raced")]
+
+
+def test_cherry_pick_refuses_non_append(wh):
+    t = wh.create_table("db", "w4", "id int, v string")
+    t.insert_values([(1, "a"), (2, "b")])
+    t.delete_where("id = 2")  # copy-on-write replace
+    with pytest.raises(WarehouseError):
+        t.cherry_pick(2)
+
+
+def test_branch_snapshots_excluded_from_lineage_scans(wh):
+    t = wh.create_table("db", "w5", "id int, v string")
+    t.insert_values([(1, "a")])
+    t.create_ref("audit", "branch")
+    t.insert_values([(2, "staged")], branch="audit")
+    t.insert_values([(3, "main2")])
+    # incremental scan and changelog walk MAIN lineage only
+    inc = _rows(t.incremental_scan(1))
+    assert inc == [(3, "main2")]
+    feed = _rows(t.changes().select("id", "_change_type"))
+    assert feed == [(1, "insert"), (3, "insert")]
+    # history flags the staged snapshot as not-an-ancestor
+    anc = {r.snapshot_id: r.is_current_ancestor for r in t.history().collect()}
+    assert anc[2] is False and anc[1] is True and anc[3] is True
+    # timestamp travel never resolves to a staged snapshot
+    import time
+
+    assert _rows(t.read(as_of_ms=int(time.time() * 1000) + 10_000)) == [
+        (1, "a"),
+        (3, "main2"),
+    ]
+
+
+def test_expire_keeps_ref_pinned_branch_head(wh):
+    t = wh.create_table("db", "w6", "id int, v string")
+    t.insert_values([(1, "a")])
+    t.create_ref("audit", "branch")
+    t.insert_values([(2, "staged")], branch="audit")
+    t.insert_values([(3, "b")])
+    t.expire_snapshots(keep_last=1)
+    # branch head survives expiry (ref-pinned); branch still readable
+    assert _rows(t.read(version="audit")) == [(1, "a"), (2, "staged")]
+    assert _rows(t.read()) == [(1, "a"), (3, "b")]
+
+
+def test_wap_sql_surface(spark, tmp_path):
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    lake = LakehouseSQL(spark, str(tmp_path / "wh"))
+    lake.sql("CREATE TABLE polaris.db.wap (id INT, v STRING) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.db.wap VALUES (1, 'a')")
+    lake.sql("ALTER TABLE polaris.db.wap CREATE BRANCH audit")
+    lake.sql("SET spark.wap.branch = 'audit'")
+    lake.sql("INSERT INTO polaris.db.wap VALUES (2, 'staged')")
+    # main unchanged; branch has the staged row
+    assert lake.sql("SELECT COUNT(*) AS n FROM polaris.db.wap").collect()[0].n == 1
+    assert (
+        lake.sql(
+            "SELECT COUNT(*) AS n FROM polaris.db.wap VERSION AS OF 'audit'"
+        ).collect()[0].n
+        == 2
+    )
+    lake.sql("RESET spark.wap.branch")
+    out = lake.sql(
+        "CALL polaris.system.fast_forward(table => 'db.wap', "
+        "branch => 'main', to => 'audit')"
+    ).collect()[0]
+    assert out.branch_updated == "main"
+    assert lake.sql("SELECT COUNT(*) AS n FROM polaris.db.wap").collect()[0].n == 2
+    # cherrypick path: stage another append, publish by snapshot id
+    lake.sql("SET spark.wap.branch = 'audit'")
+    lake.sql("INSERT INTO polaris.db.wap VALUES (3, 'staged2')")
+    lake.sql("RESET spark.wap.branch")
+    staged = int(
+        lake.wh.table("db", "wap")._meta()["refs"]["audit"]["snapshot_id"]
+    )
+    picked = lake.sql(
+        f"CALL polaris.system.cherrypick_snapshot(table => 'db.wap', snapshot_id => {staged})"
+    ).collect()[0]
+    assert picked.source_snapshot_id == staged
+    assert lake.sql("SELECT COUNT(*) AS n FROM polaris.db.wap").collect()[0].n == 3
