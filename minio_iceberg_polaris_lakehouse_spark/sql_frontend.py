@@ -683,9 +683,24 @@ class LakehouseSQL:
         return self._empty()
 
     def _call_rewrite_data_files(self, m: re.Match) -> DataFrame:
+        """CALL c.system.rewrite_data_files(table => 't'
+        [, strategy => 'sort'] [, sort_order => 'zorder(a, b)' | 'a, b']
+        [, target_partitions => N]) — plain compaction, sort-clustered
+        rewrite, or multi-column z-order rewrite (Iceberg's procedure
+        shapes)."""
         tab = self._existing_table(m.group(1).strip("'\""))
+        sort_order = (m.group(3) or "").strip("'\"").strip()
+        target = int(m.group(4)) if m.group(4) else 1
+        sort_by: list[str] | None = None
+        zorder: list[str] | None = None
+        if sort_order:
+            zm = re.fullmatch(r"zorder\s*\(([^)]*)\)", sort_order, re.IGNORECASE)
+            if zm:
+                zorder = [c.strip() for c in zm.group(1).split(",") if c.strip()]
+            else:
+                sort_by = [c.strip().split()[0] for c in sort_order.split(",") if c.strip()]
         before = tab.data_file_count()
-        tab.compact()
+        tab.compact(target_partitions=target, sort_by=sort_by, zorder=zorder)
         after = tab.data_file_count()
         return self.spark.createDataFrame(
             [Row(rewritten_data_files_count=before, added_data_files_count=after)],
@@ -912,7 +927,11 @@ class LakehouseSQL:
         ),
         (rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+COMPACT", _alter_compact),
         (
-            rf"CALL\s+{_IDENT}\.system\.rewrite_data_files\s*\(\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*\)",
+            rf"CALL\s+{_IDENT}\.system\.rewrite_data_files\s*\("
+            r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")"
+            r"(?:\s*,\s*strategy\s*=>\s*('[^']+'|\"[^\"]+\"))?"
+            r"(?:\s*,\s*sort_order\s*=>\s*('[^']+'|\"[^\"]+\"))?"
+            r"(?:\s*,\s*target_partitions\s*=>\s*(\d+))?\s*\)",
             _call_rewrite_data_files,
         ),
         (

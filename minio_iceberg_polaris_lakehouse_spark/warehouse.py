@@ -48,7 +48,7 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import Column, DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1328,7 +1328,7 @@ class Table:
         return self.read(**kw).toPandas()
 
     # ---------------- write path (S7/S8/M2) ----------------
-    def _write_data(self, df: DataFrame) -> PendingData:
+    def _write_data(self, df: DataFrame, pre_clustered: bool = False) -> PendingData:
         """Write one immutable data directory for this commit (executors do
         all IO; zstd parquet as in the reference table properties). The row
         count comes from the written files' parquet FOOTERS, not a second
@@ -1348,7 +1348,10 @@ class Table:
         for c in missing:
             df = df.withColumn(c, F.lit(None).cast(schema[c].dataType))
         aligned = df.select(*[F.col(c).cast(schema[c].dataType).alias(c) for c in cols])
-        order = [c for c in meta.get("sort_order", []) if c in cols]
+        # pre_clustered: the caller already arranged the partitioning/order
+        # (e.g. a zorder rewrite) — re-shuffling by the table sort order
+        # here would destroy it
+        order = [] if pre_clustered else [c for c in meta.get("sort_order", []) if c in cols]
         if order:
             # write clustering: range-shuffle so files hold near-disjoint
             # key ranges, then sort within — tight footer bounds for the
@@ -2045,15 +2048,90 @@ class Table:
                 n += sum(1 for f in files if f.endswith(".parquet"))
         return n
 
-    def compact(self, target_partitions: int = 1) -> int:
+    _ZORDER_TOTAL_BITS = 18
+
+    def _cluster_zorder(self, df: DataFrame, cols: list[str], target_partitions: int) -> DataFrame:
+        """Multi-dimensional write clustering (Iceberg's
+        rewrite_data_files(strategy => 'sort', sort_order => 'zorder(…)')):
+        min-max scale each column to a fixed-width integer bucket,
+        interleave the buckets' bits into one Z-value, then
+        range-partition + sort on it. Files then hold z-contiguous blocks,
+        so parquet footer [min,max] bounds stay tight on EVERY zorder
+        column at once and scan() skips files for predicates on any of
+        them — one-dimensional WRITE ORDERED BY only tightens the leading
+        column. Bounds come from one scalar aggregate over the input
+        (maintenance-time, O(k) result rows); the Z expression itself is
+        pure JVM arithmetic, no Python in the rewrite path."""
+        k = len(cols)
+        bits = max(4, self._ZORDER_TOTAL_BITS // k)
+        schema = self.schema()
+
+        def as_num(c: str) -> Column:
+            dt = schema[c].dataType
+            if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+                return F.col(c).cast("timestamp").cast("long").cast("double")
+            if isinstance(dt, T.NumericType):
+                return F.col(c).cast("double")
+            raise WarehouseError(
+                f"zorder supports numeric/temporal columns; {c} is {dt.simpleString()}"
+            )
+
+        aggs: list[Column] = []
+        for c in cols:
+            aggs += [F.min(as_num(c)).alias(f"lo_{c}"), F.max(as_num(c)).alias(f"hi_{c}")]
+        row = df.agg(*aggs).collect()[0]
+        z = F.lit(0).cast("long")
+        top = (1 << bits) - 1
+        for j, c in enumerate(cols):
+            lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+            if lo is None or hi is None or hi == lo:
+                continue  # all-null or constant column: no locality to encode
+            scaled = (as_num(c) - F.lit(float(lo))) / F.lit(float(hi) - float(lo))
+            bucket = F.coalesce(
+                F.least(F.greatest(F.floor(scaled * top), F.lit(0)), F.lit(top)),
+                F.lit(0),
+            ).cast("long")
+            for i in range(bits):
+                z = z + F.shiftleft(
+                    F.shiftright(bucket, i).bitwiseAND(F.lit(1)).cast("long"), i * k + j
+                )
+        return (
+            df.withColumn("_zval", z)
+            .repartitionByRange(target_partitions, "_zval")
+            .sortWithinPartitions("_zval")
+            .drop("_zval")
+        )
+
+    def compact(
+        self,
+        target_partitions: int = 1,
+        sort_by: list[str] | None = None,
+        zorder: list[str] | None = None,
+    ) -> int:
         """rewrite_data_files: coalesce the live data into target-sized
         files under a new 'replace' snapshot. This is the valid form of the
         reference's intended small-file compaction (its `ALTER TABLE t
-        COMPACT`, warehouse_helpers.py:142-146, is not executable SQL)."""
+        COMPACT`, warehouse_helpers.py:142-146, is not executable SQL).
+        ``sort_by`` range-clusters the rewrite on those columns (strategy
+        => 'sort'); ``zorder`` interleave-clusters on multiple columns so
+        file skipping works on all of them (see _cluster_zorder)."""
         parent = self.current_snapshot_id()
-        cur = self.read().coalesce(target_partitions)
-        p = self._write_data(cur)
-        return self._commit_replace("replace", [p], {"compacted-to": target_partitions}, parent)
+        cur = self.read()
+        if zorder:
+            cur = self._cluster_zorder(cur, zorder, target_partitions)
+        elif sort_by:
+            cur = cur.repartitionByRange(
+                target_partitions, *[F.col(c) for c in sort_by]
+            ).sortWithinPartitions(*sort_by)
+        else:
+            cur = cur.coalesce(target_partitions)
+        summary: dict[str, Any] = {"compacted-to": target_partitions}
+        if zorder:
+            summary["zorder"] = ",".join(zorder)
+        if sort_by:
+            summary["sort"] = ",".join(sort_by)
+        p = self._write_data(cur, pre_clustered=bool(zorder or sort_by))
+        return self._commit_replace("replace", [p], summary, parent)
 
     def row_count(self) -> int | None:
         """Metadata-only COUNT(*): Σ data-file rows − Σ tombstone rows of
