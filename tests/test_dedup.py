@@ -92,3 +92,52 @@ def test_exact_dedup_drops_only_duplicates(spark, sf_dir):
     n_docs = d.count()
     n_unique = d.select(D.content_hash().alias("h")).distinct().count()
     assert kept.count() == n_unique <= n_docs
+
+
+def test_contamination_flags_exact_dup_eval_docs(spark, sf_dir):
+    """An eval doc whose normalized text equals some train doc's must be
+    ~fully covered (contamination 1.0) and flagged; every score must be a
+    valid fraction with the flag consistent."""
+    from pyspark.sql import functions as F
+
+    from minio_iceberg_polaris_lakehouse_spark.functions.text import text_contamination
+    from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
+
+    out = text_contamination(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "eval slice must not be empty"
+    for r in rows:
+        assert 0.0 <= r.contamination <= 1.0
+        assert r.flagged == (r.contamination >= 0.8)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.trim(F.lower(F.col("text"))), 256).alias("h")
+    )
+    ev = d.filter(F.col("doc_id") % 10 == 0).alias("e")
+    tr = d.filter(F.col("doc_id") % 10 != 0).alias("t")
+    dup_eval_ids = {
+        r.doc_id
+        for r in ev.join(tr, F.col("e.h") == F.col("t.h"))
+        .select(F.col("e.doc_id").alias("doc_id"))
+        .collect()
+    }
+    scored = {r.doc_id: r for r in rows}
+    # the corpus's exact dups don't necessarily cross the mod-10 split at
+    # every SF; when they do, coverage must be total
+    for did in dup_eval_ids:
+        assert scored[did].contamination == 1.0
+        assert scored[did].flagged
+    # the shared tiny vocabulary guarantees nonzero shingle overlap
+    assert max(r.contamination for r in rows) > 0.0
+
+
+def test_repetition_signals_are_valid_fractions(spark, sf_dir):
+    from minio_iceberg_polaris_lakehouse_spark.functions.text import (
+        text_repetition_signals,
+    )
+
+    rows = text_repetition_signals(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.top_bigram_frac <= 1.0
+        assert 0.0 <= r.rep_trigram_frac < 1.0
+        assert r.repetitive == (r.top_bigram_frac >= 0.06)

@@ -88,3 +88,49 @@ def test_ann_ivf_hits_carry_exact_cosine(spark, sf_dir):
         a, b = emb[r.q_id], emb[r.neighbor_id]
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(cos - r.cosine) < 1e-5
+
+
+def test_ann_int8_recall_vs_brute_force(spark, sf_dir):
+    from minio_iceberg_polaris_lakehouse_spark.operators.similarity import (
+        INT8_RECALL_BOUND,
+        N_QUERIES,
+        TOP_K,
+        _int8_topk,
+        sim_topk_bruteforce,
+    )
+
+    ann = _int8_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    exact = sim_topk_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = ann.join(exact, ["q_id", "neighbor_id"]).count()
+    recall = hits / (N_QUERIES * TOP_K)
+    assert recall >= INT8_RECALL_BOUND
+    # the exact rescore means reported cosines ARE the true cosines
+    got = {
+        (r.q_id, r.neighbor_id): r.cosine
+        for r in _int8_topk(spark, sf_dir).collect()
+    }
+    truth = {
+        (r.q_id, r.neighbor_id): r.cosine
+        for r in sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+    for key, cos in got.items():
+        if key in truth:
+            assert abs(cos - truth[key]) < 1e-9
+
+
+def test_ann_int8_quantization_is_bounded(spark, sf_dir):
+    # every quantized component must live in [-127, 127] — overflow or a
+    # broken scale would silently corrupt the integer dot product
+    from pyspark.sql import functions as F
+
+    from minio_iceberg_polaris_lakehouse_spark.operators.similarity import as_double
+    from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
+
+    v = load_table(spark, sf_dir, "embeddings").select(as_double("embedding").alias("e"))
+    scale = v.agg((F.lit(127.0) / F.max(F.array_max(F.transform("e", F.abs)))).alias("scale"))
+    q = v.crossJoin(F.broadcast(scale)).select(
+        F.array_max(
+            F.transform("e", lambda x: F.abs(F.round(x * F.col("scale"))))
+        ).alias("mx")
+    )
+    assert q.agg(F.max("mx")).collect()[0][0] <= 127.0
