@@ -310,7 +310,7 @@ class LakehouseSQL:
         pattern = re.compile(
             rf"(?<![A-Za-z0-9_.'])"
             rf"(?:(?P<cat>{cat})\.)?(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
-            rf"(?P<meta>\.(?:history|snapshots|files|manifests|refs))?"
+            rf"(?P<meta>\.(?:history|snapshots|files|manifests|refs|partitions))?"
             rf"(?P<tt>\s+VERSION\s+AS\s+OF\s+(?:(?P<ver>\d+)|\x00L(?P<verref>\d+)\x00)"
             rf"|\s+TIMESTAMP\s+AS\s+OF\s+\x00L(?P<ts>\d+)\x00)?"
             rf"(?![A-Za-z0-9_.])",
@@ -325,7 +325,10 @@ class LakehouseSQL:
             meta = (m.group("meta") or "").lstrip(".").lower()
             view = f"_lh_{ns}__{tbl}"
             if meta:
-                df = getattr(tab, meta)()  # history/snapshots/files/manifests/refs
+                # history/snapshots/files/manifests/refs/partitions;
+                # .partitions is the stats-bearing Iceberg metadata table,
+                # not the SHOW PARTITIONS listing
+                df = tab.partitions_table() if meta == "partitions" else getattr(tab, meta)()
                 view += f"__{meta}"
             elif m.group("ver") is not None:
                 version = int(m.group("ver"))
@@ -662,6 +665,22 @@ class LakehouseSQL:
         tab.drop_ref(m.group(3))
         return self._empty()
 
+    def _alter_set_tblproperties(self, m: re.Match) -> DataFrame:
+        """ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...) — metadata-only;
+        honored knobs (write.delete.mode, write.update.mode, ...) apply to
+        the next write."""
+        tab = self._existing_table(m.group(1))
+        props = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group(2)))
+        if not props:
+            raise WarehouseError("SET TBLPROPERTIES needs at least one 'key'='value'")
+        tab.set_properties(props)
+        return self._empty()
+
+    def _alter_unset_tblproperties(self, m: re.Match) -> DataFrame:
+        tab = self._existing_table(m.group(1))
+        tab.unset_properties(re.findall(r"'([^']+)'", m.group(2)))
+        return self._empty()
+
     def _alter_write_ordered(self, m: re.Match) -> DataFrame:
         """ALTER TABLE t WRITE ORDERED BY (a, b) — Iceberg sort-order DDL:
         future writes cluster by these columns so footer bounds make
@@ -920,6 +939,15 @@ class LakehouseSQL:
         (
             rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+DROP\s+(BRANCH|TAG)\s+({_IDENT})",
             _alter_drop_ref,
+        ),
+        (
+            rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+SET\s+TBLPROPERTIES\s*\((.*)\)",
+            _alter_set_tblproperties,
+        ),
+        (
+            rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+UNSET\s+TBLPROPERTIES\s*"
+            r"(?:IF\s+EXISTS\s*)?\((.*)\)",
+            _alter_unset_tblproperties,
         ),
         (
             rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+WRITE\s+ORDERED\s+BY\s+(.*)",

@@ -1987,6 +1987,62 @@ class Table:
         rows = [Row(partition=p) for p in sorted(parts)]
         return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)
 
+    def partitions_table(self) -> DataFrame:
+        """<table>.partitions metadata table (Iceberg): one row per live
+        partition value with record_count and file_count, built entirely
+        from the commit-time footer stats — metadata-only, no data scan
+        (unpartitioned tables report one null-partition row, as Iceberg
+        does). Tombstoned rows are NOT subtracted (Iceberg's .partitions
+        reports data-file record counts; position deletes live in the
+        separate delete-file stats)."""
+        snap = self._resolve()
+        meta = self._meta()
+        agg: dict[str, list[int]] = {}
+        for d in snap["manifest"]:
+            for f in _load_dir_stats(self.path, d, meta):
+                # hive-style partition dirs are encoded in the file's
+                # relative path as _p_<col>=<value> segments
+                part = "/".join(
+                    seg for seg in f["path"].split(os.sep)[:-1] if seg.startswith("_p_") and "=" in seg
+                ) or None
+                cur = agg.setdefault(part or "", [0, 0])
+                cur[0] += int(f["rows"])
+                cur[1] += 1
+        rows = [
+            Row(
+                partition=(p or None),
+                record_count=c[0],
+                file_count=c[1],
+            )
+            for p, c in sorted(agg.items())
+        ]
+        schema = "partition string, record_count bigint, file_count int"
+        return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)
+
+    def set_properties(self, props: dict[str, str]) -> None:
+        """ALTER TABLE … SET TBLPROPERTIES — metadata-only; the Iceberg
+        knobs this engine honors (write.delete.mode, write.update.mode,
+        …) take effect on the next write."""
+        lock, token = self._acquire_commit_lock()
+        try:
+            meta = self._meta()
+            meta["properties"].update({str(k): str(v) for k, v in props.items()})
+            self._write_meta(meta)
+        finally:
+            self._release_commit_lock(lock, token)
+
+    def unset_properties(self, keys: list[str]) -> None:
+        """ALTER TABLE … UNSET TBLPROPERTIES (IF EXISTS semantics: absent
+        keys are ignored, matching Spark)."""
+        lock, token = self._acquire_commit_lock()
+        try:
+            meta = self._meta()
+            for k in keys:
+                meta["properties"].pop(k, None)
+            self._write_meta(meta)
+        finally:
+            self._release_commit_lock(lock, token)
+
     def rollback_to(self, snapshot_id: int) -> int:
         """CALL system.rollback_to_snapshot: make an earlier snapshot's
         state current again. The log is append-only, so this commits a NEW

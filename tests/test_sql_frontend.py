@@ -701,3 +701,56 @@ def test_rewriter_literal_with_escaped_quote_and_table_name(fuzz_lake):
         "SELECT id FROM wh.users WHERE name = 'wh.users' AND 'it''s wh.users' <> name"
     ).collect()
     assert [r.id for r in rows] == [3]
+
+
+def test_set_unset_tblproperties(lake):
+    lake.sql("CREATE TABLE polaris.db.props (id INT) USING ICEBERG")
+    lake.sql(
+        "ALTER TABLE polaris.db.props SET TBLPROPERTIES "
+        "('write.delete.mode'='merge-on-read', 'owner'='etl')"
+    )
+    props = {
+        r.key: r.value
+        for r in lake.sql("SHOW TBLPROPERTIES polaris.db.props").collect()
+    }
+    assert props["write.delete.mode"] == "merge-on-read"
+    assert props["owner"] == "etl"
+    # the knob actually takes effect: DELETE now goes merge-on-read
+    lake.sql("INSERT INTO polaris.db.props VALUES (1), (2)")
+    lake.sql("DELETE FROM polaris.db.props WHERE id = 1")
+    tab = lake.wh.table("db", "props")
+    assert tab._resolve().get("delete_dirs"), "expected positional-delete files"
+    lake.sql("ALTER TABLE polaris.db.props UNSET TBLPROPERTIES ('owner')")
+    props = {
+        r.key: r.value
+        for r in lake.sql("SHOW TBLPROPERTIES polaris.db.props").collect()
+    }
+    assert "owner" not in props
+    # UNSET of a missing key is a no-op (Spark IF EXISTS semantics)
+    lake.sql("ALTER TABLE polaris.db.props UNSET TBLPROPERTIES IF EXISTS ('nope')")
+
+
+def test_partitions_metadata_table(lake):
+    lake.sql(
+        "CREATE TABLE polaris.db.ptab (id INT, d DATE) USING ICEBERG PARTITIONED BY (d)"
+    )
+    lake.sql(
+        "INSERT INTO polaris.db.ptab VALUES "
+        "(1, '2024-01-01'), (2, '2024-01-01'), (3, '2024-01-02')"
+    )
+    rows = lake.sql(
+        "SELECT partition, record_count, file_count FROM polaris.db.ptab.partitions "
+        "ORDER BY partition"
+    ).collect()
+    by_part = {r.partition: (r.record_count, r.file_count) for r in rows}
+    assert len(by_part) == 2
+    counts = sorted(v[0] for v in by_part.values())
+    assert counts == [1, 2]
+    assert all(v[1] >= 1 for v in by_part.values())
+    # unpartitioned table: one null-partition row covering everything
+    lake.sql("CREATE TABLE polaris.db.unpart (id INT) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.db.unpart VALUES (1), (2), (3)")
+    rows = lake.sql(
+        "SELECT partition, record_count FROM polaris.db.unpart.partitions"
+    ).collect()
+    assert len(rows) == 1 and rows[0].partition is None and rows[0].record_count == 3
