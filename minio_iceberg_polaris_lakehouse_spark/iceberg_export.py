@@ -367,7 +367,13 @@ def _write_manifest_avro(
 def write_iceberg_metadata(table: Table) -> str:
     """Export the table's current state as Iceberg-v2-shaped metadata.
     Returns the metadata file path. Called after every commit; safe to
-    call standalone."""
+    call standalone.
+
+    Known divergence: EQUALITY delete files (snapshot ``eq_deletes``) are
+    not exported as content=2 manifests yet — an external reader of a
+    table with live equality deletes would see deleted keys as live. Run
+    `rewrite_position_delete_files` (materialize_deletes) first; it folds
+    them into the data and the export is then exact."""
     meta = table._meta()
     snaps = table._snaps()
     mains = [s for s in snaps if not s.get("branch")]

@@ -93,6 +93,8 @@ class LakehouseSQL:
         self.catalog = catalog
         # write-audit-publish session state (`SET spark.wap.branch = '...'`)
         self._wap_branch: str | None = None
+        # view-expansion recursion guard (views over views; cycles raise)
+        self._view_stack: set[str] = set()
 
     # ------------------------------------------------------------------ API
     def sql(self, statement: str) -> DataFrame:
@@ -321,7 +323,25 @@ class LakehouseSQL:
             ns, tbl = m.group("ns"), m.group("tbl")
             tab = self.wh.table(ns, tbl)
             if not tab.exists():
-                return m.group(0)  # not a warehouse table (e.g. alias.column)
+                vsql = self.wh.views().get(f"{ns}.{tbl}")
+                if vsql is None:
+                    return m.group(0)  # not a warehouse object (e.g. alias.column)
+                # catalog VIEW: expand by re-resolving its stored SQL
+                # against CURRENT table state (recursively — views over
+                # views work; cycles raise)
+                if m.group("tt"):
+                    raise WarehouseError(f"time travel is not supported on view {ns}.{tbl}")
+                key = f"{ns}.{tbl}"
+                if key in self._view_stack:
+                    raise WarehouseError(f"view cycle detected at {key}")
+                self._view_stack.add(key)
+                try:
+                    df = self.spark.sql(self._rewrite_query(vsql))
+                finally:
+                    self._view_stack.discard(key)
+                vname = f"_lh_view_{ns}__{tbl}"
+                df.createOrReplaceTempView(vname)
+                return vname
             meta = (m.group("meta") or "").lstrip(".").lower()
             view = f"_lh_{ns}__{tbl}"
             if meta:
@@ -575,6 +595,38 @@ class LakehouseSQL:
             assignments[col.strip()] = expr.strip()
         tab.update_where(assignments, m.group(3))
         return self._empty()
+
+    def _create_view(self, m: re.Match) -> DataFrame:
+        """CREATE [OR REPLACE] VIEW [IF NOT EXISTS] ns.v AS <query> —
+        catalog views (the Iceberg/Polaris view concept): the SQL text is
+        stored and re-resolved against current table state on every
+        query, so a view over a table sees later INSERTs."""
+        replace, ine = bool(m.group(1)), bool(m.group(2))
+        ns, v = self._resolve_table_name(m.group(3))
+        query = m.group(4)
+        # validate now: the body must analyze against current tables
+        self.spark.sql(self._rewrite_query(query)).schema  # noqa: B018
+        self.wh.create_view(ns, v, query, replace=replace, if_not_exists=ine)
+        return self._empty()
+
+    def _drop_view(self, m: re.Match) -> DataFrame:
+        ns, v = self._resolve_table_name(m.group(2))
+        self.wh.drop_view(ns, v, if_exists=bool(m.group(1)))
+        return self._empty()
+
+    def _show_views(self, m: re.Match) -> DataFrame:
+        ns = self._resolve_ns_name(m.group(1)) if m.group(1) else None
+        rows = [
+            Row(namespace=k.split(".", 1)[0], viewName=k.split(".", 1)[1])
+            for k in sorted(self.wh.views())
+            if ns is None or k.split(".", 1)[0] == ns
+        ]
+        schema = "namespace string, viewName string"
+        return (
+            self.spark.createDataFrame(rows, schema)
+            if rows
+            else self.spark.createDataFrame([], schema)
+        )
 
     def _create_table_as_select(self, m: re.Match) -> DataFrame:
         """CREATE TABLE t AS SELECT ... (CTAS): schema inferred from the
@@ -875,6 +927,13 @@ class LakehouseSQL:
         (rf"SHOW\s+TBLPROPERTIES\s+((?:{_IDENT}\.)*{_IDENT})", _show_tblproperties),
         (rf"CREATE\s+NAMESPACE\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:{_IDENT}\.)?{_IDENT})", _create_namespace),
         (rf"DROP\s+NAMESPACE\s+(IF\s+EXISTS\s+)?((?:{_IDENT}\.)?{_IDENT})(\s+CASCADE)?", _drop_namespace),
+        (
+            rf"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?"
+            rf"((?:{_IDENT}\.)*{_IDENT})\s+AS\s+(SELECT\s+.*|WITH\s+.*)",
+            _create_view,
+        ),
+        (rf"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?((?:{_IDENT}\.)*{_IDENT})", _drop_view),
+        (rf"SHOW\s+VIEWS(?:\s+IN\s+((?:{_IDENT}\.)?{_IDENT}))?", _show_views),
         (
             rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?((?:{_IDENT}\.)*{_IDENT})\s+AS\s+(SELECT\s+.*|WITH\s+.*)",
             _create_table_as_select,

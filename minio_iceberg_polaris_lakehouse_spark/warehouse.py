@@ -206,6 +206,50 @@ class Warehouse:
             raise WarehouseError(f"table {ns}.{name} does not exist")
         shutil.rmtree(t.path)
 
+    # ---------------- views (catalog-level SQL views) ----------------
+    def _views_path(self) -> str:
+        return os.path.join(self.root, "_views.json")
+
+    def views(self) -> dict[str, str]:
+        """All view definitions, keyed 'ns.name' → SQL text. Views are
+        CATALOG objects (like Iceberg/Polaris views): the stored SQL is
+        re-resolved against table state at every query."""
+        try:
+            with open(self._views_path()) as f:
+                return json.load(f)["views"]
+        except (OSError, ValueError, KeyError):
+            return {}
+
+    def create_view(
+        self,
+        ns: str,
+        name: str,
+        sql_text: str,
+        replace: bool = False,
+        if_not_exists: bool = False,
+    ) -> None:
+        if Table(self, ns, name).exists():
+            raise WarehouseError(f"{ns}.{name} is a table, not a view")
+        views = self.views()
+        key = f"{ns}.{name}"
+        if key in views and not replace:
+            if if_not_exists:
+                return
+            raise WarehouseError(f"view {key} exists (use CREATE OR REPLACE VIEW)")
+        views[key] = sql_text
+        self.create_namespace(ns)
+        _atomic_write_json(self._views_path(), {"views": views})
+
+    def drop_view(self, ns: str, name: str, if_exists: bool = False) -> None:
+        views = self.views()
+        key = f"{ns}.{name}"
+        if key not in views:
+            if if_exists:
+                return
+            raise WarehouseError(f"view {key} does not exist")
+        del views[key]
+        _atomic_write_json(self._views_path(), {"views": views})
+
 
 def _json_safe_bound(v: Any) -> Any:
     """JSON-serializable form of a parquet min/max statistic. Dates and
@@ -548,6 +592,7 @@ class Table:
         summary: dict[str, Any],
         delete_dirs: list[str] | None = None,
         branch: str | None = None,
+        eq_deletes: list[dict] | None = None,
     ) -> int:
         sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
         if branch:
@@ -565,6 +610,12 @@ class Table:
             # merge-on-read): data dirs stay untouched, tombstones
             # apply on read
             "delete_dirs": delete_dirs or [],
+            # equality-delete files ({dir, cols, seq}): rows matching the
+            # key columns are dead IF their data sequence < seq
+            "eq_deletes": [
+                {**r, "seq": r["seq"] if r.get("seq") is not None else sid}
+                for r in (eq_deletes or [])
+            ],
             "summary": summary,
             # schema as of this commit — time travel projects THIS, not
             # the table's current schema (Iceberg resolves time-travel
@@ -576,6 +627,19 @@ class Table:
             # main reads until fast_forward/cherry_pick publishes it
             entry["branch"] = branch
         snaps.append(entry)
+        # persist each dir's DATA SEQUENCE (the snapshot that first added
+        # it) in table meta: equality-delete applicability must survive
+        # expire_snapshots truncating the log it could otherwise be
+        # derived from
+        meta = self._meta()
+        seq_rec = meta.setdefault("dir_seqs", {})
+        changed = False
+        for d in dirs:
+            if d not in seq_rec:
+                seq_rec[d] = sid
+                changed = True
+        if changed:
+            self._write_meta(meta)
         _atomic_write_json(os.path.join(self.path, SNAP_FILE), {"snapshots": snaps})
         # mirror the commit as Iceberg-v2-shaped open metadata so readers
         # other than this engine can resolve schema + data files
@@ -640,6 +704,7 @@ class Table:
                     summary,
                     base.get("delete_dirs", []),
                     branch=branch,
+                    eq_deletes=base.get("eq_deletes", []),
                 )
                 meta = self._meta()  # re-read: the commit re-exported metadata
                 meta["refs"][branch]["snapshot_id"] = sid
@@ -648,9 +713,13 @@ class Table:
             mains = self._main_snaps(snaps)
             live = (mains[-1]["manifest"] if mains else []) + new_dirs
             # appends don't touch existing rows: the parent's tombstones
-            # stay in force
+            # (positional AND equality) stay in force — new rows carry a
+            # HIGHER sequence, so equality deletes can't touch them
             inherited = mains[-1].get("delete_dirs", []) if mains else []
-            return self._append_snapshot(snaps, operation, live, summary, inherited)
+            inherited_eq = mains[-1].get("eq_deletes", []) if mains else []
+            return self._append_snapshot(
+                snaps, operation, live, summary, inherited, eq_deletes=inherited_eq
+            )
         finally:
             self._release_commit_lock(lock, token)
 
@@ -880,10 +949,14 @@ class Table:
         dirs: list[str],
         schema: T.StructType | None = None,
         file_pos: bool = False,
+        seq_of: dict[str, int] | None = None,
     ) -> DataFrame:
         """``file_pos=True`` appends `_file`/`_pos` (from Spark's native
         `_metadata` hidden column — JVM-side, no extra scan) for
-        positional-delete application."""
+        positional-delete application. ``seq_of`` (dir → data sequence
+        number, i.e. the snapshot that first added the dir) appends a
+        per-dir `_seq` literal — equality deletes only apply to rows
+        whose sequence predates the delete file's (Iceberg v2)."""
         schema = self.schema() if schema is None else schema
         if not dirs:
             df = self.spark.createDataFrame([], schema)
@@ -893,6 +966,8 @@ class Table:
                     F.lit(None).cast("string").alias("_file"),
                     F.lit(None).cast("long").alias("_pos"),
                 )
+            if seq_of is not None:
+                df = df.select("*", F.lit(None).cast("long").alias("_seq"))
             return df
         frames = self._dir_frames(dirs, schema)
         cols = schema.fieldNames()
@@ -905,7 +980,10 @@ class Table:
             else []
         )
 
-        def project(spec: PartitionSpec, df: DataFrame) -> DataFrame:
+        def project(spec: PartitionSpec, df: DataFrame, d: str) -> DataFrame:
+            dir_extra = list(extra)
+            if seq_of is not None:
+                dir_extra.append(F.lit(int(seq_of.get(d, 0))).cast("long").alias("_seq"))
             # identity transform: the hive partition column holds the
             # source value EXACTLY, so project it in the source's place —
             # a filter on the source column then becomes a Catalyst
@@ -923,14 +1001,58 @@ class Table:
                         F.col(spec.column()).alias(c) if c == spec.source else F.col(c)
                         for c in cols
                     ],
-                    *extra,
+                    *dir_extra,
                 )
-            return df.select(*cols, *extra)
+            return df.select(*cols, *dir_extra)
 
-        df = project(frames[0][0], frames[0][2])
-        for spec, _sid, other in frames[1:]:
-            df = df.unionByName(project(spec, other))
+        df = project(frames[0][0], frames[0][2], dirs[0])
+        for (spec, _sid, other), d in zip(frames[1:], dirs[1:]):
+            df = df.unionByName(project(spec, other, d))
         return df
+
+    def _dir_seqs(self) -> dict[str, int]:
+        """Data sequence number per dir: the snapshot that first added it.
+        Read from the commit-time record in table meta (which survives
+        snapshot expiry); legacy dirs fall back to the log walk."""
+        seqs = {d: int(v) for d, v in self._meta().get("dir_seqs", {}).items()}
+        for s in self._main_snaps():
+            for d in s["manifest"]:
+                seqs.setdefault(d, s["snapshot_id"])
+        return seqs
+
+    # ---------------- merge-on-read equality deletes (Iceberg v2) ----------
+    def _eq_key_frame(self, rec: dict) -> DataFrame:
+        """One equality-delete file's distinct key rows, renamed with an
+        __eq_ prefix so joins never collide with data column names."""
+        cols = rec["cols"]
+        keys = (
+            self.spark.read.parquet(os.path.join(self.path, rec["dir"]))
+            .select(*cols)
+            .dropDuplicates(cols)
+        )
+        return keys.select(*[F.col(c).alias(f"__eq_{c}") for c in cols])
+
+    def _eq_match_cond(self, df: DataFrame, rec: dict, with_seq: bool = True):
+        cond = F.lit(True)
+        for c in rec["cols"]:
+            cond = cond & df[c].eqNullSafe(F.col(f"__eq_{c}"))
+        if with_seq:
+            # Iceberg v2 sequence rule: an equality delete applies only to
+            # rows whose data file PREDATES the delete file — later
+            # re-inserts of the same key survive
+            cond = cond & (df["_seq"] < F.lit(int(rec["seq"])))
+        return cond
+
+    def _apply_eq_deletes(self, df: DataFrame, eq_recs: list[dict], cols: list[str]) -> DataFrame:
+        """Anti-join live rows against each equality-delete file on its
+        key columns + the sequence rule. Delete files are tiny (distinct
+        keys), so each is a broadcast — map-side filters, no shuffle of
+        the data."""
+        for rec in eq_recs:
+            df = df.join(
+                F.broadcast(self._eq_key_frame(rec)), self._eq_match_cond(df, rec), "left_anti"
+            )
+        return df.select(*cols)
 
     # ------------- merge-on-read positional deletes (Iceberg v2) -----------
     _DELETE_SCHEMA = "file_path string, pos bigint"
@@ -979,10 +1101,21 @@ class Table:
         schema = self._snapshot_schema(snap) if time_travel else self.schema()
         cols = schema.fieldNames()
         del_dirs = snap.get("delete_dirs", [])
+        eq_recs = snap.get("eq_deletes", [])
         if not metadata_columns:
-            if del_dirs:
-                df = self._read_dirs(snap["manifest"], schema, file_pos=True)
-                return self._apply_deletes(df, del_dirs, cols)
+            if del_dirs or eq_recs:
+                df = self._read_dirs(
+                    snap["manifest"],
+                    schema,
+                    file_pos=bool(del_dirs),
+                    seq_of=self._dir_seqs() if eq_recs else None,
+                )
+                if del_dirs:
+                    keep = cols + (["_seq"] if eq_recs else [])
+                    df = self._apply_deletes(df, del_dirs, keep)
+                if eq_recs:
+                    df = self._apply_eq_deletes(df, eq_recs, cols)
+                return df
             return self._read_dirs(snap["manifest"], schema).select(*cols)
 
         frames = self._dir_frames(snap["manifest"], schema)
@@ -1009,8 +1142,9 @@ class Table:
                 )
                 part_fields.append((spec.column(), dt))
 
+        seqs = self._dir_seqs() if eq_recs else {}
         parts = []
-        for spec, spec_id, df in frames:
+        for (spec, spec_id, df), d in zip(frames, snap["manifest"]):
             struct_cols = [
                 (
                     F.col(name)
@@ -1024,6 +1158,9 @@ class Table:
                 if struct_cols
                 else F.lit(None).cast(T.StructType())
             )
+            extra = (
+                [F.lit(int(seqs.get(d, 0))).cast("long").alias("_seq")] if eq_recs else []
+            )
             parts.append(
                 df.select(
                     *cols,
@@ -1032,11 +1169,13 @@ class Table:
                     F.lit(spec_id).alias("_spec_id"),
                     partition_col.alias("_partition"),
                     F.lit(False).alias("_deleted"),
+                    *extra,
                 )
             )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        meta_cols = ["_file", "_pos", "_spec_id", "_partition"]
         if del_dirs:
             # live _deleted: tombstoned rows stay VISIBLE in metadata scans,
             # flagged true (Iceberg's inspect-deleted-rows workflow)
@@ -1049,13 +1188,23 @@ class Table:
                 .join(F.broadcast(tomb), cond, "left")
                 .select(
                     *cols,
-                    "_file",
-                    "_pos",
-                    "_spec_id",
-                    "_partition",
+                    *meta_cols,
+                    *(["_seq"] if eq_recs else []),
                     F.coalesce(F.col("_tomb"), F.lit(False)).alias("_deleted"),
                 )
             )
+        if eq_recs:
+            # equality-deleted rows also surface flagged, honoring the
+            # sequence rule (a re-inserted key's newer row stays false)
+            for i, rec in enumerate(eq_recs):
+                k = self._eq_key_frame(rec).withColumn(f"_ehit{i}", F.lit(True))
+                out = out.join(F.broadcast(k), self._eq_match_cond(out, rec), "left").drop(
+                    *[f"__eq_{c}" for c in rec["cols"]]
+                )
+            flag = F.col("_deleted")
+            for i in range(len(eq_recs)):
+                flag = flag | F.coalesce(F.col(f"_ehit{i}"), F.lit(False))
+            out = out.select(*cols, *meta_cols, flag.alias("_deleted"))
         return out
 
     def scan(self, eq: dict[str, Any] | None = None, between: dict[str, tuple] | None = None) -> DataFrame:
@@ -1143,8 +1292,10 @@ class Table:
                 return F.pmod(F.hash(lit), F.lit(n))
             return None
 
+        eq_recs = snap.get("eq_deletes", [])
+        seqs = self._dir_seqs() if eq_recs else {}
         parts = []
-        for spec, _sid, df in self._dir_frames(dirs, file_subsets=subsets):
+        for (spec, _sid, df), dname in zip(self._dir_frames(dirs, file_subsets=subsets), dirs):
             for col, v in (eq or {}).items():
                 df = df.filter(F.col(col) == v)
                 if spec.source == col and spec.column() in df.columns:
@@ -1165,20 +1316,22 @@ class Table:
                         df = df.filter(F.col(spec.column()) >= dlo)
                     if dhi is not None:
                         df = df.filter(F.col(spec.column()) <= dhi)
-            parts.append(
-                df.select(
-                    *cols,
+            extra = []
+            if del_dirs:
+                extra += [
                     F.col("_metadata.file_path").alias("_file"),
                     F.col("_metadata.row_index").alias("_pos"),
-                )
-                if del_dirs
-                else df.select(*cols)
-            )
+                ]
+            if eq_recs:
+                extra.append(F.lit(int(seqs.get(dname, 0))).cast("long").alias("_seq"))
+            parts.append(df.select(*cols, *extra))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         if del_dirs:
-            out = self._apply_deletes(out, del_dirs, cols)
+            out = self._apply_deletes(out, del_dirs, cols + (["_seq"] if eq_recs else []))
+        if eq_recs:
+            out = self._apply_eq_deletes(out, eq_recs, cols)
         return out
 
     def incremental_scan(
@@ -1219,13 +1372,24 @@ class Table:
             )
         new_dirs = [d for d in by_id[to_version]["manifest"] if d not in base]
         del_dirs = by_id[to_version].get("delete_dirs", [])
-        cols = self._snapshot_schema(by_id[to_version]).fieldNames()
+        eq_recs = by_id[to_version].get("eq_deletes", [])
+        schema = self._snapshot_schema(by_id[to_version])
+        cols = schema.fieldNames()
         if not new_dirs:
-            return self.spark.createDataFrame([], self._snapshot_schema(by_id[to_version]))
-        if del_dirs:
-            df = self._read_dirs(new_dirs, self._snapshot_schema(by_id[to_version]), file_pos=True)
-            return self._apply_deletes(df, del_dirs, cols)
-        return self._read_dirs(new_dirs, self._snapshot_schema(by_id[to_version])).select(*cols)
+            return self.spark.createDataFrame([], schema)
+        if del_dirs or eq_recs:
+            df = self._read_dirs(
+                new_dirs,
+                schema,
+                file_pos=bool(del_dirs),
+                seq_of=self._dir_seqs() if eq_recs else None,
+            )
+            if del_dirs:
+                df = self._apply_deletes(df, del_dirs, cols + (["_seq"] if eq_recs else []))
+            if eq_recs:
+                df = self._apply_eq_deletes(df, eq_recs, cols)
+            return df
+        return self._read_dirs(new_dirs, schema).select(*cols)
 
     _CHANGE_COLS = [
         ("_change_type", T.StringType()),
@@ -1277,10 +1441,16 @@ class Table:
             cur_dirs = set(s["manifest"])
             par_dirs = set(parent["manifest"])
             par_dels = parent.get("delete_dirs", [])
+            par_eq = parent.get("eq_deletes", [])
             added = [d for d in s["manifest"] if d not in par_dirs]
             removed = [d for d in parent["manifest"] if d not in cur_dirs]
             new_dels = [
                 d for d in s.get("delete_dirs", []) if d not in set(par_dels)
+            ]
+            new_eq = [
+                r
+                for r in s.get("eq_deletes", [])
+                if r["dir"] not in {p["dir"] for p in par_eq}
             ]
 
             def tag(df: DataFrame, change: str, sid=None, ord_=None) -> DataFrame:
@@ -1297,17 +1467,43 @@ class Table:
                     tag(self._read_dirs(added, schema).select(*cols), "insert", sid, ordinal)
                 )
                 emitted = True
+            seqs = self._dir_seqs() if (par_eq or new_eq) else None
+
+            def parent_alive(dirs: list[str]) -> DataFrame:
+                # rows the parent had already tombstoned (positionally or
+                # by equality) were emitted as deletes by THOSE commits —
+                # don't emit them twice
+                df = self._read_dirs(dirs, schema, file_pos=True, seq_of=seqs)
+                keep = cols + (["_seq", "_file", "_pos"] if par_eq or new_eq else [])
+                df = self._apply_deletes(df, par_dels, keep)
+                if par_eq:
+                    df = self._apply_eq_deletes(df, par_eq, keep)
+                return df
+
             if removed:
-                # rows the parent had already tombstoned were emitted as
-                # deletes by THAT commit — don't emit them twice
-                df = self._read_dirs(removed, schema, file_pos=True)
-                parts.append(tag(self._apply_deletes(df, par_dels, cols), "delete", sid, ordinal))
+                parts.append(
+                    tag(parent_alive(removed).select(*cols), "delete", sid, ordinal)
+                )
                 emitted = True
             if new_dels:
                 df = self._read_dirs(parent["manifest"], schema, file_pos=True)
                 tomb = self._tombstones(new_dels)
                 cond = (df["_file"] == tomb["file_path"]) & (df["_pos"] == tomb["pos"])
                 hit = df.join(F.broadcast(tomb), cond, "left_semi").select(*cols)
+                parts.append(tag(hit, "delete", sid, ordinal))
+                emitted = True
+            if new_eq:
+                alive = parent_alive(parent["manifest"])
+                hits: DataFrame | None = None
+                for rec in new_eq:
+                    h = alive.join(
+                        F.broadcast(self._eq_key_frame(rec)),
+                        self._eq_match_cond(alive, rec),
+                        "left_semi",
+                    )
+                    hits = h if hits is None else hits.unionByName(h)
+                # a row matching several delete files emits once
+                hit = hits.dropDuplicates(["_file", "_pos"]).select(*cols)
                 parts.append(tag(hit, "delete", sid, ordinal))
                 emitted = True
             if emitted:
@@ -1438,6 +1634,8 @@ class Table:
         mode = mode or self._meta()["properties"].get("write.delete.mode", "copy-on-write")
         if mode == "merge-on-read":
             return self._delete_where_mor(condition)
+        if mode == "merge-on-read-equality":
+            return self._delete_where_mor_eq(condition)
         parent = self.current_snapshot_id()
         cur = self.read()
         remaining = cur.filter(f"NOT ({condition})")
@@ -1489,6 +1687,71 @@ class Table:
                     "added-position-deletes": n,
                 },
                 existing + [dirname],
+                eq_deletes=snap.get("eq_deletes", []),
+            )
+        finally:
+            self._release_commit_lock(lock, token)
+
+    def _delete_where_mor_eq(self, condition: str) -> int:
+        """Merge-on-read EQUALITY delete (Iceberg v2's second delete-file
+        type — what streaming/CDC writers produce): land the DISTINCT key
+        values of the matched rows as an equality-delete file over the
+        table's `write.delete.equality-columns`; data files stay
+        untouched. Reads drop any row matching a key whose data sequence
+        predates the delete's — so re-INSERTing a deleted key later
+        resurrects it (the semantic difference from positional deletes,
+        pinned by test). O(matched keys) written instead of O(table)."""
+        props = self._meta()["properties"]
+        cols = [
+            c.strip()
+            for c in props.get("write.delete.equality-columns", "").split(",")
+            if c.strip()
+        ]
+        if not cols:
+            raise WarehouseError(
+                "equality deletes need the write.delete.equality-columns table property"
+            )
+        schema_cols = self.schema().fieldNames()
+        unknown = [c for c in cols if c not in schema_cols]
+        if unknown:
+            raise WarehouseError(f"equality columns not in schema: {unknown}")
+        parent = self.current_snapshot_id()
+        snap = self._resolve()
+        keys = self.read().filter(f"({condition})").select(*cols).dropDuplicates(cols)
+        dirname = f"delete-eq-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.path, dirname)
+        keys.write.option("compression", "zstd").parquet(out)
+        stats = _parquet_footer_stats(out)
+        n = sum(s["rows"] for s in stats)
+        pend = PendingData(
+            dirname,
+            n,
+            {"source": None, "transform": "identity", "spec_id": 0, "content": "eq-deletes"},
+            stats,
+        )
+        lock, token = self._acquire_commit_lock()
+        try:
+            snaps = self._snaps()
+            mains = self._main_snaps(snaps)
+            current = mains[-1]["snapshot_id"] if mains else None
+            if current != parent:
+                raise CommitConflictError(
+                    f"{self.ns}.{self.name}: snapshot moved {parent} -> "
+                    f"{current} during equality delete; re-read and retry"
+                )
+            self._record_pending([pend])
+            return self._append_snapshot(
+                snaps,
+                "delete",
+                snap["manifest"],
+                {
+                    "predicate": condition,
+                    "added-delete-files": 1,
+                    "added-equality-deletes": n,
+                },
+                snap.get("delete_dirs", []),
+                eq_deletes=snap.get("eq_deletes", [])
+                + [{"dir": dirname, "cols": cols, "seq": None}],  # seq = this commit
             )
         finally:
             self._release_commit_lock(lock, token)
@@ -1577,6 +1840,7 @@ class Table:
                     "added-records": p.rows,
                 },
                 existing + [ddir],
+                eq_deletes=snap.get("eq_deletes", []),
             )
         finally:
             self._release_commit_lock(lock, token)
@@ -1791,7 +2055,11 @@ class Table:
         meta = self._meta()
         specs = meta.get("dir_specs", {})
         rows = []
-        for content, dirs in ((0, snap["manifest"]), (1, snap.get("delete_dirs", []))):
+        for content, dirs in (
+            (0, snap["manifest"]),
+            (1, snap.get("delete_dirs", [])),
+            (2, [r["dir"] for r in snap.get("eq_deletes", [])]),  # EQUALITY_DELETES
+        ):
             for d in dirs:
                 sid = int(specs.get(d, {}).get("spec_id", 0))
                 for f in _load_dir_stats(self.path, d, meta):
@@ -1917,6 +2185,7 @@ class Table:
                 head["manifest"],
                 {"published-from-branch": branch, "published-snapshot-id": head["snapshot_id"]},
                 head.get("delete_dirs", []),
+                eq_deletes=head.get("eq_deletes", []),
             )
         finally:
             self._release_commit_lock(lock, token)
@@ -1938,10 +2207,12 @@ class Table:
             parent = by_id.get(src["parent_id"]) if src["parent_id"] is not None else None
             par_dirs = set(parent["manifest"]) if parent else set()
             par_dels = set(parent.get("delete_dirs", [])) if parent else set()
+            par_eq = {r["dir"] for r in (parent.get("eq_deletes", []) if parent else [])}
             if (
                 src["operation"] != "append"
                 or not par_dirs.issubset(set(src["manifest"]))
                 or set(src.get("delete_dirs", [])) != par_dels
+                or {r["dir"] for r in src.get("eq_deletes", [])} != par_eq
             ):
                 raise WarehouseError(
                     f"snapshot {snapshot_id} is not a pure append — "
@@ -1951,12 +2222,14 @@ class Table:
             mains = self._main_snaps(snaps)
             live = (mains[-1]["manifest"] if mains else []) + delta
             inherited = mains[-1].get("delete_dirs", []) if mains else []
+            inherited_eq = mains[-1].get("eq_deletes", []) if mains else []
             return self._append_snapshot(
                 snaps,
                 "append",
                 live,
                 {"cherry-picked-from": snapshot_id, **src.get("summary", {})},
                 inherited,
+                eq_deletes=inherited_eq,
             )
         finally:
             self._release_commit_lock(lock, token)
@@ -2058,6 +2331,7 @@ class Table:
                 target["manifest"],
                 {"rollback-to": snapshot_id},
                 target.get("delete_dirs", []),
+                eq_deletes=target.get("eq_deletes", []),
             )
         finally:
             self._release_commit_lock(lock, token)
@@ -2078,6 +2352,7 @@ class Table:
             for s in self._snaps():
                 referenced.update(s["manifest"])
                 referenced.update(s.get("delete_dirs", []))
+                referenced.update(r["dir"] for r in s.get("eq_deletes", []))
             removed = 0
             for d in os.listdir(self.path):
                 if (
@@ -2199,6 +2474,10 @@ class Table:
         real scan rather than risk an undercount."""
         snap = self._resolve()
         meta = self._meta()
+        if snap.get("eq_deletes"):
+            # equality-deleted row counts aren't derivable from footers
+            # (keys may hit any number of rows) — force the real scan
+            return None
         total = 0
         for content_dirs, sign in ((snap["manifest"], 1), (snap.get("delete_dirs", []), -1)):
             for d in content_dirs:
@@ -2218,6 +2497,18 @@ class Table:
         parent = self.current_snapshot_id()
         snap = self._resolve()
         del_dirs = snap.get("delete_dirs", [])
+        if snap.get("eq_deletes"):
+            # equality deletes can hit rows in ANY dir whose sequence
+            # predates them — fold everything in one full rewrite (the
+            # positional-only path below stays O(affected dirs))
+            live = self.read()
+            p = self._write_data(live)
+            return self._commit_replace(
+                "replace",
+                [p],
+                {"materialized-equality-deletes": len(snap["eq_deletes"])},
+                parent,
+            )
         if not del_dirs:
             return parent or 0  # no tombstones — nothing to rewrite
         import urllib.parse
@@ -2261,20 +2552,34 @@ class Table:
             keep = [
                 s for s in snaps if s in tail or s["snapshot_id"] in pinned
             ]
-            live_dirs = {d for s in keep for d in s["manifest"]} | {
-                d for s in keep for d in s.get("delete_dirs", [])
-            }
+            live_dirs = (
+                {d for s in keep for d in s["manifest"]}
+                | {d for s in keep for d in s.get("delete_dirs", [])}
+                | {r["dir"] for s in keep for r in s.get("eq_deletes", [])}
+            )
             removed = 0
             for s in snaps:
                 if s in keep:
                     continue
-                for d in s["manifest"] + s.get("delete_dirs", []):
+                for d in (
+                    s["manifest"]
+                    + s.get("delete_dirs", [])
+                    + [r["dir"] for r in s.get("eq_deletes", [])]
+                ):
                     if d not in live_dirs:
                         p = os.path.join(self.path, d)
                         if os.path.isdir(p):
                             shutil.rmtree(p)
                             removed += 1
             _atomic_write_json(os.path.join(self.path, SNAP_FILE), {"snapshots": keep})
+            # prune commit-time sequence records for dirs that no longer
+            # exist anywhere (keeps meta O(live dirs))
+            meta = self._meta()
+            if meta.get("dir_seqs"):
+                meta["dir_seqs"] = {
+                    d: v for d, v in meta["dir_seqs"].items() if d in live_dirs
+                }
+                self._write_meta(meta)
             # re-export open metadata so vN+1 reflects the pruned history
             from minio_iceberg_polaris_lakehouse_spark.iceberg_export import (
                 write_iceberg_metadata,

@@ -754,3 +754,58 @@ def test_partitions_metadata_table(lake):
         "SELECT partition, record_count FROM polaris.db.unpart.partitions"
     ).collect()
     assert len(rows) == 1 and rows[0].partition is None and rows[0].record_count == 3
+
+
+def test_create_view_lifecycle(lake):
+    lake.sql("CREATE TABLE polaris.db.vt (id INT, amount DOUBLE) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.db.vt VALUES (1, 10.0), (2, 20.0)")
+    lake.sql(
+        "CREATE VIEW polaris.db.big_vt AS SELECT id, amount FROM db.vt WHERE amount > 15"
+    )
+    assert [tuple(r) for r in lake.sql("SELECT id FROM db.big_vt ORDER BY id").collect()] == [(2,)]
+    # views re-resolve at query time: later INSERTs show through
+    lake.sql("INSERT INTO polaris.db.vt VALUES (3, 30.0)")
+    assert [
+        tuple(r) for r in lake.sql("SELECT id FROM db.big_vt ORDER BY id").collect()
+    ] == [(2,), (3,)]
+    # views over views
+    lake.sql(
+        "CREATE VIEW polaris.db.vv AS SELECT COUNT(*) AS n FROM db.big_vt"
+    )
+    assert lake.sql("SELECT n FROM db.vv").collect()[0].n == 2
+    views = {r.viewName for r in lake.sql("SHOW VIEWS IN polaris.db").collect()}
+    assert views == {"big_vt", "vv"}
+    # duplicate create fails; OR REPLACE and IF NOT EXISTS don't
+    import pytest as _pytest
+
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import WarehouseError
+
+    with _pytest.raises(WarehouseError):
+        lake.sql("CREATE VIEW polaris.db.vv AS SELECT 1 AS one")
+    lake.sql("CREATE VIEW IF NOT EXISTS polaris.db.vv AS SELECT 1 AS one")
+    assert lake.sql("SELECT n FROM db.vv").collect()[0].n == 2  # unchanged
+    lake.sql("CREATE OR REPLACE VIEW polaris.db.vv AS SELECT 99 AS n")
+    assert lake.sql("SELECT n FROM db.vv").collect()[0].n == 99
+    lake.sql("DROP VIEW polaris.db.vv")
+    assert {r.viewName for r in lake.sql("SHOW VIEWS").collect()} == {"big_vt"}
+    lake.sql("DROP VIEW IF EXISTS polaris.db.vv")  # no-op
+    with _pytest.raises(WarehouseError):
+        lake.sql("DROP VIEW polaris.db.vv")
+
+
+def test_view_time_travel_rejected_and_persistence(spark, tmp_path):
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import WarehouseError
+    import pytest as _pytest
+
+    wh_dir = str(tmp_path / "wh")
+    lake = LakehouseSQL(spark, wh_dir)
+    lake.sql("CREATE TABLE polaris.db.t (id INT) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.db.t VALUES (1)")
+    lake.sql("CREATE VIEW polaris.db.v AS SELECT id FROM db.t")
+    with _pytest.raises(WarehouseError):
+        lake.sql("SELECT * FROM db.v VERSION AS OF 1")
+    # view definitions are catalog state: a NEW session over the same
+    # warehouse dir resolves them
+    lake2 = LakehouseSQL(spark, wh_dir)
+    assert lake2.sql("SELECT id FROM db.v").collect()[0].id == 1
