@@ -558,6 +558,19 @@ class LakehouseSQL:
             ]
         )
 
+    def _reject_wap_dml(self, stmt: str) -> None:
+        """Row-level DML and overwrites are not branch-routed (only
+        INSERT appends are), so running them while `SET spark.wap.branch`
+        is active would silently mutate main behind the audit branch —
+        reject instead (Iceberg routes ALL writes to the WAP branch;
+        until this engine does, an explicit error beats a silent leak)."""
+        if self._wap_branch:
+            raise WarehouseError(
+                f"{stmt} while spark.wap.branch = '{self._wap_branch}' is set "
+                "would bypass the audit branch and mutate main; RESET "
+                "spark.wap.branch first (only INSERT appends are branch-routed)"
+            )
+
     def _append_positional(self, tab: Table, src: DataFrame) -> None:
         # an active `SET spark.wap.branch = '...'` routes INSERTs to that
         # branch (Iceberg's write-audit-publish session knob): staged,
@@ -569,18 +582,21 @@ class LakehouseSQL:
         """INSERT OVERWRITE TABLE t VALUES ... — replace-the-table
         semantics under one snapshot (Spark's INSERT OVERWRITE on an
         unpartitioned-spec write: full overwrite)."""
+        self._reject_wap_dml("INSERT OVERWRITE")
         tab = self._existing_table(m.group(1))
         src = self.spark.sql(f"SELECT * FROM (VALUES {m.group(2)})")
         tab.overwrite(self._align_positional(tab, src))
         return self._empty()
 
     def _insert_overwrite_select(self, m: re.Match) -> DataFrame:
+        self._reject_wap_dml("INSERT OVERWRITE")
         tab = self._existing_table(m.group(1))
         src = self.spark.sql(self._rewrite_query(m.group(2)))
         tab.overwrite(self._align_positional(tab, src))
         return self._empty()
 
     def _delete_from(self, m: re.Match) -> DataFrame:
+        self._reject_wap_dml("DELETE")
         tab = self._existing_table(m.group(1))
         tab.delete_where(m.group(2))
         return self._empty()
@@ -588,6 +604,7 @@ class LakehouseSQL:
     def _update(self, m: re.Match) -> DataFrame:
         """UPDATE t SET col = expr [, ...] WHERE cond — copy-on-write
         rewrite of matching rows (Iceberg row-level UPDATE semantics)."""
+        self._reject_wap_dml("UPDATE")
         tab = self._existing_table(m.group(1))
         assignments: dict[str, str] = {}
         for part in _split_top_level(m.group(2)):
@@ -649,6 +666,7 @@ class LakehouseSQL:
         (SETUP_GUIDE_WIN.md:368 'Use MERGE or DELETE + INSERT'). ``src``
         is a warehouse table name or a parenthesized SELECT; execution is
         the warehouse's copy-on-write merge (join + union plan)."""
+        self._reject_wap_dml("MERGE")
         target, src_text, on_l, on_r = m.group(1), m.group(2).strip(), m.group(3), m.group(4)
         tab = self._existing_table(target)
         if src_text.startswith("("):

@@ -43,14 +43,27 @@ class TableSink:
             and s["summary"].get(_QUERY_KEY) == self.query_name
         }
 
+    def high_water_batch_id(self) -> int | None:
+        """Highest batch id ever committed by this query, persisted in
+        table meta — expire_snapshots erases the snapshot summaries the
+        set-scan dedup relies on, but meta survives expiry, so a
+        checkpoint replay of an old batch after history expiry is still
+        a no-op (batch ids are monotonic per Structured Streaming
+        query/checkpoint, so a single watermark suffices)."""
+        rec = self.table._meta().get("streaming_sinks", {}).get(self.query_name)
+        return int(rec) if rec is not None else None
+
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> int | None:
         """Commit one micro-batch; returns the snapshot id, or None when
         the batch id was already committed (a replay after a crash
         between the table commit and the checkpoint write)."""
+        hw = self.high_water_batch_id()
+        if hw is not None and int(batch_id) <= hw:
+            return None
         if int(batch_id) in self.committed_batch_ids():
             return None
         p = self.table._write_data(batch_df)
-        return self.table._commit_add(
+        sid = self.table._commit_add(
             "append",
             [p],
             {
@@ -59,6 +72,19 @@ class TableSink:
                 _QUERY_KEY: self.query_name,
             },
         )
+        # advance the persistent watermark under the commit lock (a crash
+        # between commit and this write is still covered by the snapshot-
+        # summary scan above)
+        lock, token = self.table._acquire_commit_lock()
+        try:
+            meta = self.table._meta()
+            sinks = meta.setdefault("streaming_sinks", {})
+            if int(sinks.get(self.query_name, -1)) < int(batch_id):
+                sinks[self.query_name] = int(batch_id)
+                self.table._write_meta(meta)
+        finally:
+            self.table._release_commit_lock(lock, token)
+        return sid
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         self.write_batch(batch_df, batch_id)

@@ -593,16 +593,24 @@ class Table:
         delete_dirs: list[str] | None = None,
         branch: str | None = None,
         eq_deletes: list[dict] | None = None,
+        parent_id: int | None = None,
     ) -> int:
         sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
-        if branch:
+        if parent_id is not None:
+            # explicit base (branch commits pass their ref's snapshot so a
+            # branch re-pointed after a publish forks from the PUBLISHED
+            # head, not from stale branch-tagged history)
+            parent = parent_id
+        elif branch:
             chain = [s for s in snaps if s.get("branch") == branch]
             lineage = chain or self._main_snaps(snaps)
+            parent = lineage[-1]["snapshot_id"] if lineage else None
         else:
-            lineage = self._main_snaps(snaps)
+            mains = self._main_snaps(snaps)
+            parent = mains[-1]["snapshot_id"] if mains else None
         entry = {
             "snapshot_id": sid,
-            "parent_id": lineage[-1]["snapshot_id"] if lineage else None,
+            "parent_id": parent,
             "committed_at_ms": int(time.time() * 1000),
             "operation": operation,
             "manifest": dirs,
@@ -705,6 +713,7 @@ class Table:
                     base.get("delete_dirs", []),
                     branch=branch,
                     eq_deletes=base.get("eq_deletes", []),
+                    parent_id=base["snapshot_id"],
                 )
                 meta = self._meta()  # re-read: the commit re-exported metadata
                 meta["refs"][branch]["snapshot_id"] = sid
@@ -2127,8 +2136,13 @@ class Table:
     def create_ref(self, name: str, ref_type: str = "tag", snapshot_id: int | None = None) -> None:
         """Named ref (Iceberg branch/tag) pinning a snapshot: time travel
         by name (`VERSION AS OF 'audit-2024'`), protected from
-        expire_snapshots. Refs here are READ pointers — writes always go
-        to main (documented divergence from Iceberg's writable branches)."""
+        expire_snapshots (a branch pins its whole staged chain down to
+        the main fork point). Tags are read pointers; BRANCHES are
+        writable — `append(df, branch=...)` / `SET spark.wap.branch`
+        stage commits on the branch (write-audit-publish), published via
+        fast_forward/cherry_pick. Row-level DML (DELETE/UPDATE/MERGE)
+        is main-only and rejected by the SQL front-end while a WAP
+        branch is active."""
         if ref_type.lower() not in ("branch", "tag"):
             raise WarehouseError(f"ref type must be branch or tag, not {ref_type}")
         if name == "main":
@@ -2173,13 +2187,20 @@ class Table:
             # fork base: walk parents through the branch-staged snapshots
             base = head
             while base.get("branch"):
-                base = by_id[base["parent_id"]]
+                nxt = by_id.get(base.get("parent_id"))
+                if nxt is None:
+                    raise WarehouseError(
+                        f"{self.ns}.{self.name}: branch {branch!r} lost its fork "
+                        f"base (snapshot {base.get('parent_id')} was expired); "
+                        "cherry-pick the staged snapshots or re-stage on a fresh branch"
+                    )
+                base = nxt
             if base["snapshot_id"] != main_head:
                 raise CommitConflictError(
                     f"{self.ns}.{self.name}: main moved {base['snapshot_id']} -> "
                     f"{main_head} since branch {branch!r} forked; not a fast-forward"
                 )
-            return self._append_snapshot(
+            sid = self._append_snapshot(
                 snaps,
                 "append",
                 head["manifest"],
@@ -2187,6 +2208,21 @@ class Table:
                 head.get("delete_dirs", []),
                 eq_deletes=head.get("eq_deletes", []),
             )
+            # re-point the branch at the published main head (Iceberg's
+            # fast_forward leaves branch == main): the NEXT staged commit
+            # forks from the published state, so repeated stage+publish
+            # cycles on one branch — the normal WAP workflow — keep
+            # fast-forwarding instead of conflicting on a stale fork base
+            meta = self._meta()  # re-read: the commit re-exported metadata
+            meta["refs"][branch]["snapshot_id"] = sid
+            self._write_meta(meta)
+            # re-export so the open metadata's refs reflect the re-point
+            from minio_iceberg_polaris_lakehouse_spark.iceberg_export import (
+                write_iceberg_metadata,
+            )
+
+            write_iceberg_metadata(self)
+            return sid
         finally:
             self._release_commit_lock(lock, token)
 
@@ -2542,10 +2578,21 @@ class Table:
         lock, token = self._acquire_commit_lock()
         try:
             snaps = self._snaps()
-            # ref-pinned snapshots (branches/tags) survive expiry
-            pinned = {
-                int(r["snapshot_id"]) for r in self._meta().get("refs", {}).values()
-            }
+            # ref-pinned snapshots survive expiry — and for a BRANCH head
+            # the whole staged parent chain down to (and including) its
+            # main fork point must survive with it: fast_forward walks
+            # that chain to find the fork base, so expiring an
+            # intermediate staged snapshot would strand the branch
+            # unpublishable
+            by_id = {s["snapshot_id"]: s for s in snaps}
+            pinned: set[int] = set()
+            for r in self._meta().get("refs", {}).values():
+                s = by_id.get(int(r["snapshot_id"]))
+                while s is not None:
+                    pinned.add(s["snapshot_id"])
+                    if not s.get("branch"):
+                        break  # reached main history — the fork point
+                    s = by_id.get(s.get("parent_id"))
             # the retention tail counts MAIN history; branch-staged
             # snapshots survive only while a ref pins them
             tail = self._main_snaps(snaps)[-keep_last:]

@@ -44,6 +44,28 @@ def test_batch_commit_and_replay_dedup(wh, spark):
     assert t.read().count() == 4
 
 
+def test_replay_dedup_survives_snapshot_expiry(wh, spark):
+    """expire_snapshots erases the snapshot summaries the set-scan dedup
+    reads; the persistent high-water batch id in table meta must still
+    reject a checkpoint replay of an already-landed batch."""
+    t = wh.create_table("db", "snk_exp", "id int, v string")
+    sink = TableSink(t, "q1")
+    b0 = spark.createDataFrame([(1, "a")], t.schema())
+    b1 = spark.createDataFrame([(2, "b")], t.schema())
+    assert sink.write_batch(b0, 0) is not None
+    assert sink.write_batch(b1, 1) is not None
+    t.expire_snapshots(keep_last=1)
+    assert sink.committed_batch_ids() == {1}  # batch 0's summary expired
+    assert sink.high_water_batch_id() == 1
+    # replay of batch 0 after expiry: still a no-op
+    assert sink.write_batch(b0, 0) is None
+    assert sink.write_batch(b1, 1) is None
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+    # genuinely new batch still lands
+    assert sink.write_batch(spark.createDataFrame([(3, "c")], t.schema()), 2) is not None
+    assert sink.high_water_batch_id() == 2
+
+
 def test_structured_streaming_query_end_to_end(wh, spark, tmp_path):
     src_dir = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")

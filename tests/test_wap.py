@@ -104,6 +104,72 @@ def test_expire_keeps_ref_pinned_branch_head(wh):
     assert _rows(t.read()) == [(1, "a"), (3, "b")]
 
 
+def test_repeated_wap_cycles_fast_forward(wh):
+    """Stage + fast_forward twice on ONE branch — the normal WAP loop.
+    Publishing re-points the branch at the published main head, so the
+    second cycle forks from it and still fast-forwards (previously the
+    stale fork base made every second cycle a CommitConflictError)."""
+    t = wh.create_table("db", "w7", "id int, v string")
+    t.insert_values([(1, "a")])
+    t.create_ref("audit", "branch")
+    t.insert_values([(2, "cycle1")], branch="audit")
+    sid1 = t.fast_forward("audit")
+    assert int(t._meta()["refs"]["audit"]["snapshot_id"]) == sid1
+    # second cycle on the same branch
+    t.insert_values([(3, "cycle2")], branch="audit")
+    assert _rows(t.read()) == [(1, "a"), (2, "cycle1")]  # still staged
+    sid2 = t.fast_forward("audit")
+    assert _rows(t.read()) == [(1, "a"), (2, "cycle1"), (3, "cycle2")]
+    assert t.current_snapshot_id() == sid2
+    # and a third, for good measure
+    t.insert_values([(4, "cycle3")], branch="audit")
+    t.fast_forward("audit")
+    assert _rows(t.read())[-1] == (4, "cycle3")
+
+
+def test_expire_keeps_staged_chain_publishable(wh):
+    """Two commits staged on a branch, then expire: the INTERMEDIATE
+    staged snapshot must survive (fast_forward walks the parent chain to
+    the fork base), so the branch is still publishable after expiry."""
+    t = wh.create_table("db", "w8", "id int, v string")
+    t.insert_values([(1, "a")])
+    t.create_ref("audit", "branch")
+    t.insert_values([(2, "s1")], branch="audit")
+    t.insert_values([(3, "s2")], branch="audit")
+    t.expire_snapshots(keep_last=1)
+    sid = t.fast_forward("audit")
+    assert _rows(t.read()) == [(1, "a"), (2, "s1"), (3, "s2")]
+    assert t.current_snapshot_id() == sid
+
+
+def test_wap_branch_rejects_row_level_dml(spark, tmp_path):
+    """While SET spark.wap.branch is active, DELETE/UPDATE/MERGE/INSERT
+    OVERWRITE are rejected: they are not branch-routed, so running them
+    would silently mutate main behind the audit branch."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    lake = LakehouseSQL(spark, str(tmp_path / "whdml"))
+    lake.sql("CREATE TABLE polaris.db.guard (id INT, v STRING) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.db.guard VALUES (1, 'a')")
+    lake.sql("ALTER TABLE polaris.db.guard CREATE BRANCH audit")
+    lake.sql("SET spark.wap.branch = 'audit'")
+    for stmt in [
+        "DELETE FROM polaris.db.guard WHERE id = 1",
+        "UPDATE polaris.db.guard SET v = 'x' WHERE id = 1",
+        "MERGE INTO polaris.db.guard t USING (SELECT 1 AS id, 'y' AS v) s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        "INSERT OVERWRITE TABLE polaris.db.guard VALUES (9, 'z')",
+    ]:
+        with pytest.raises(WarehouseError, match="spark.wap.branch"):
+            lake.sql(stmt)
+    # main untouched by any of the rejected statements
+    assert lake.sql("SELECT COUNT(*) AS n FROM polaris.db.guard").collect()[0].n == 1
+    lake.sql("RESET spark.wap.branch")
+    lake.sql("DELETE FROM polaris.db.guard WHERE id = 1")  # now allowed
+    assert lake.sql("SELECT COUNT(*) AS n FROM polaris.db.guard").collect()[0].n == 0
+
+
 def test_wap_sql_surface(spark, tmp_path):
     from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
 
