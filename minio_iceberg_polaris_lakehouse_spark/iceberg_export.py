@@ -36,17 +36,21 @@ path. Per-dir manifest Avro files are immutable and written once.
 from __future__ import annotations
 
 import datetime
+import hashlib
 import json
 import os
 import urllib.parse
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from minio_iceberg_polaris_lakehouse_spark import avro_io
 from minio_iceberg_polaris_lakehouse_spark.warehouse import (
+    DIR_STATS_FILE,
     Table,
     _atomic_write_json,
     _load_dir_stats,
+    _parquet_footer_stats,
 )
 
 _PRIMITIVES: dict[str, str] = {
@@ -364,16 +368,79 @@ def _write_manifest_avro(
     return path
 
 
+def _compile_eq_deletes(table: Table, meta: dict, snap: dict) -> str | None:
+    """Compile a snapshot's live EQUALITY deletes into a POSITIONAL
+    delete parquet dir (Iceberg v2 `(file_path, pos)` schema) so the
+    export carries only content=0/1 manifests any v2 reader understands —
+    without this, an external reader would see equality-deleted keys as
+    live rows, breaking the open-format promise the reference is built on
+    (reference README.md:169-178).
+
+    Honors sequence numbers by construction: the semi-join keeps only
+    rows whose data sequence PREDATES the delete's (`_seq < rec.seq`),
+    so re-inserted keys are never tombstoned — the applicability rule is
+    baked into the emitted positions, making the compiled file valid
+    under any reader's sequence handling.
+
+    Cost: one Spark job per DISTINCT (eq-delete set, affected dirs)
+    fingerprint — the output dir is content-addressed and immutable, so
+    the every-commit export path reuses it for free (appends after the
+    delete change neither term: new dirs carry higher sequences). The
+    job itself is the same broadcast semi-join shape as the engine's own
+    eq-delete read path: O(data scanned once), delete keys broadcast."""
+    eq_recs = snap.get("eq_deletes", [])
+    if not eq_recs:
+        return None
+    seqs = table._dir_seqs()
+    max_seq = max(int(r["seq"]) for r in eq_recs)
+    affected = sorted(d for d in snap["manifest"] if int(seqs.get(d, 1)) < max_seq)
+    if not affected:
+        return None
+    fp = hashlib.sha1(
+        json.dumps(
+            {
+                "eq": sorted((r["dir"], int(r["seq"]), list(r["cols"])) for r in eq_recs),
+                "dirs": affected,
+            },
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:12]
+    dirname = f"eqpos-{fp}"  # no data-/delete- prefix: GC never touches it
+    out = os.path.join(table.path, dirname)
+    if os.path.isfile(os.path.join(out, DIR_STATS_FILE)):
+        return dirname
+    schema = T.StructType.fromJson(json.loads(snap.get("schema") or meta["schema"]))
+    df = table._read_dirs(snap["manifest"], schema, file_pos=True, seq_of=seqs)
+    matched = None
+    for rec in eq_recs:
+        m = df.join(
+            F.broadcast(table._eq_key_frame(rec)), table._eq_match_cond(df, rec), "left_semi"
+        )
+        matched = m if matched is None else matched.unionByName(m)
+    hits = (
+        matched
+        # plain absolute path, byte-identical to the manifests' file_path
+        # (Spark's _metadata.file_path is a file: URI)
+        .select(
+            F.regexp_replace(F.col("_file"), "^file:(//)?", "").alias("file_path"),
+            F.col("_pos").alias("pos"),
+        )
+        .dropDuplicates(["file_path", "pos"])
+        # the spec requires position-delete rows sorted by (file_path, pos)
+        .orderBy("file_path", "pos")
+        .coalesce(1)
+    )
+    hits.write.option("compression", "zstd").parquet(out)
+    _parquet_footer_stats(out)
+    return dirname
+
+
 def write_iceberg_metadata(table: Table) -> str:
     """Export the table's current state as Iceberg-v2-shaped metadata.
     Returns the metadata file path. Called after every commit; safe to
-    call standalone.
-
-    Known divergence: EQUALITY delete files (snapshot ``eq_deletes``) are
-    not exported as content=2 manifests yet — an external reader of a
-    table with live equality deletes would see deleted keys as live. Run
-    `rewrite_position_delete_files` (materialize_deletes) first; it folds
-    them into the data and the export is then exact."""
+    call standalone. Equality deletes are compiled into positional
+    delete files at export time (_compile_eq_deletes), so external
+    readers see exactly the engine's own row set."""
     meta = table._meta()
     snaps = table._snaps()
     mains = [s for s in snaps if not s.get("branch")]
@@ -396,12 +463,20 @@ def write_iceberg_metadata(table: Table) -> str:
     current_schema_id = schema_versions.index(meta["schema"])
 
     dir_specs = meta.get("dir_specs", {})
+    # equality deletes surface to external readers as compiled positional
+    # delete dirs, one per distinct (eq set, affected dirs) fingerprint
+    eqpos: dict[int, str] = {}
+    for s in snaps:
+        d = _compile_eq_deletes(table, meta, s)
+        if d:
+            eqpos[s["snapshot_id"]] = d
     # a dir's adding snapshot = its first appearance in the chain (drives
     # the manifest's added_snapshot_id/sequence_number and the list's
     # added-vs-existing counts)
     added_in: dict[str, tuple[int, int]] = {}
     for seq, s in enumerate(snaps, start=1):
-        for d in s["manifest"] + s.get("delete_dirs", []):
+        extra = [eqpos[s["snapshot_id"]]] if s["snapshot_id"] in eqpos else []
+        for d in s["manifest"] + s.get("delete_dirs", []) + extra:
             added_in.setdefault(d, (s["snapshot_id"], seq))
     snapshot_entries = []
     for seq, s in enumerate(snaps, start=1):
@@ -450,7 +525,8 @@ def write_iceberg_metadata(table: Table) -> str:
                     ],
                 }
             )
-        for d in s.get("delete_dirs", []):
+        eq_extra = [eqpos[s["snapshot_id"]]] if s["snapshot_id"] in eqpos else []
+        for d in s.get("delete_dirs", []) + eq_extra:
             files = _load_dir_stats(table.path, d, meta)
             add_snap, add_seq = added_in.get(d, (s["snapshot_id"], seq))
             spec_rec = dir_specs.get(d, {"source": None, "transform": "identity", "spec_id": 0})

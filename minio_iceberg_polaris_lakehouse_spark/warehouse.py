@@ -1066,6 +1066,21 @@ class Table:
     # ------------- merge-on-read positional deletes (Iceberg v2) -----------
     _DELETE_SCHEMA = "file_path string, pos bigint"
 
+    @staticmethod
+    def _plain_path(col: Column) -> Column:
+        """Spark's `_metadata.file_path` is a `file:` URI; the Iceberg
+        export's manifests (and delete files written from this version
+        on) store plain filesystem paths. Normalize for storage and on
+        BOTH sides of every tombstone comparison, so legacy delete files
+        written in URI form keep matching."""
+        return F.regexp_replace(col, "^file:(//)?", "")
+
+    @classmethod
+    def _pos_delete_cond(cls, data: DataFrame, tomb: DataFrame) -> Column:
+        return (cls._plain_path(data["_file"]) == cls._plain_path(tomb["file_path"])) & (
+            data["_pos"] == tomb["pos"]
+        )
+
     def _tombstones(self, delete_dirs: list[str]) -> DataFrame | None:
         """Union of a snapshot's positional-delete files: (file_path, pos)
         rows, exactly Iceberg v2's delete-file schema. None when the
@@ -1083,8 +1098,9 @@ class Table:
         tomb = self._tombstones(delete_dirs)
         if tomb is None:
             return df.select(*cols)
-        cond = (df["_file"] == tomb["file_path"]) & (df["_pos"] == tomb["pos"])
-        return df.join(F.broadcast(tomb), cond, "left_anti").select(*cols)
+        return df.join(F.broadcast(tomb), self._pos_delete_cond(df, tomb), "left_anti").select(
+            *cols
+        )
 
     def read(
         self,
@@ -1191,7 +1207,7 @@ class Table:
             tomb = self._tombstones(del_dirs).select(
                 "file_path", "pos", F.lit(True).alias("_tomb")
             )
-            cond = (out["_file"] == tomb["file_path"]) & (out["_pos"] == tomb["pos"])
+            cond = self._pos_delete_cond(out, tomb)
             out = (
                 out.drop("_deleted")
                 .join(F.broadcast(tomb), cond, "left")
@@ -1497,7 +1513,7 @@ class Table:
             if new_dels:
                 df = self._read_dirs(parent["manifest"], schema, file_pos=True)
                 tomb = self._tombstones(new_dels)
-                cond = (df["_file"] == tomb["file_path"]) & (df["_pos"] == tomb["pos"])
+                cond = self._pos_delete_cond(df, tomb)
                 hit = df.join(F.broadcast(tomb), cond, "left_semi").select(*cols)
                 parts.append(tag(hit, "delete", sid, ordinal))
                 emitted = True
@@ -1662,10 +1678,9 @@ class Table:
         live = self._read_dirs(snap["manifest"], file_pos=True)
         tomb = self._tombstones(existing)
         if tomb is not None:
-            cond = (live["_file"] == tomb["file_path"]) & (live["_pos"] == tomb["pos"])
-            live = live.join(F.broadcast(tomb), cond, "left_anti")
+            live = live.join(F.broadcast(tomb), self._pos_delete_cond(live, tomb), "left_anti")
         hits = live.filter(f"({condition})").select(
-            F.col("_file").alias("file_path"), F.col("_pos").alias("pos")
+            self._plain_path(F.col("_file")).alias("file_path"), F.col("_pos").alias("pos")
         )
         dirname = f"delete-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, dirname)
@@ -1808,10 +1823,11 @@ class Table:
         live = self._read_dirs(snap["manifest"], file_pos=True)
         tomb = self._tombstones(existing)
         if tomb is not None:
-            cond = (live["_file"] == tomb["file_path"]) & (live["_pos"] == tomb["pos"])
-            live = live.join(F.broadcast(tomb), cond, "left_anti")
+            live = live.join(F.broadcast(tomb), self._pos_delete_cond(live, tomb), "left_anti")
         matched = live.filter(f"({condition})")
-        hits = matched.select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
+        hits = matched.select(
+            self._plain_path(F.col("_file")).alias("file_path"), F.col("_pos").alias("pos")
+        )
         ddir = f"delete-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, ddir)
         hits.write.option("compression", "zstd").parquet(out)

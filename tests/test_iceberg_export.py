@@ -139,6 +139,82 @@ def test_schema_evolution_tracked_in_export(wh, spark):
     assert md["snapshots"][0]["schema-id"] != md["snapshots"][1]["schema-id"]
 
 
+def _independent_read(table_path: str, columns: list[str]) -> list[tuple]:
+    """Full external-reader walk: version-hint → vN.metadata.json →
+    manifest-list Avro → manifest Avros → pyarrow on the data files,
+    applying content=1 POSITIONAL delete files exactly as the Iceberg v2
+    spec reads them — byte-exact file_path match, no normalization, and
+    none of the engine's read path."""
+    from minio_iceberg_polaris_lakehouse_spark import avro_io
+
+    md = _load_current_metadata(table_path)
+    cur = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    _s, _m, manifests = avro_io.read_container(cur["manifest-list"])
+    data_files, delete_files = [], []
+    for m in manifests:
+        _s2, _m2, entries = avro_io.read_container(m["manifest_path"])
+        for e in entries:
+            (delete_files if m["content"] == 1 else data_files).append(e["data_file"])
+    tombs = set()
+    for fe in delete_files:
+        for r in pq.read_table(fe["file_path"]).to_pylist():
+            tombs.add((r["file_path"], r["pos"]))
+    rows = []
+    for fe in data_files:
+        for pos, r in enumerate(pq.read_table(fe["file_path"], columns=columns).to_pylist()):
+            if (fe["file_path"], pos) not in tombs:
+                rows.append(tuple(r[c] for c in columns))
+    return sorted(rows)
+
+
+def test_positional_deletes_readable_externally(wh, spark):
+    """Merge-on-read positional DELETE: the exported content=1 manifest
+    plus the delete parquet give an external reader the same rows the
+    engine serves (delete-file file_path matches the manifests' plain
+    paths byte-for-byte)."""
+    t = wh.create_table(
+        "db", "mor_exp", "id int, v string",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert_values([(1, "a"), (2, "b"), (3, "c")])
+    t.delete_where("id = 2")
+    engine = sorted(map(tuple, t.read().collect()))
+    assert engine == [(1, "a"), (3, "c")]
+    assert _independent_read(t.path, ["id", "v"]) == engine
+
+
+def test_equality_deletes_compiled_to_positional_in_export(wh, spark):
+    """EQUALITY deletes are compiled into positional delete files at
+    export time: an external reader applying plain v2 positional deletes
+    sees deleted keys absent AND later re-inserts of the same key alive
+    (the sequence rule is baked into the emitted positions)."""
+    t = wh.create_table(
+        "db", "eq_exp", "id int, v string",
+        properties={
+            "write.delete.mode": "merge-on-read-equality",
+            "write.delete.equality-columns": "id",
+        },
+    )
+    t.insert_values([(1, "a"), (2, "b"), (3, "c")])
+    t.delete_where("id = 2")
+    t.insert_values([(2, "reborn")])  # higher sequence: key resurrects
+    engine = sorted(map(tuple, t.read().collect()))
+    assert engine == [(1, "a"), (2, "reborn"), (3, "c")]
+    assert _independent_read(t.path, ["id", "v"]) == engine
+    # the export carries only content 0 (data) and 1 (positional deletes)
+    # manifests — no engine-private equality-delete artifacts
+    from minio_iceberg_polaris_lakehouse_spark import avro_io
+
+    md = _load_current_metadata(t.path)
+    cur = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    _s, _m, manifests = avro_io.read_container(cur["manifest-list"])
+    assert {m["content"] for m in manifests} == {0, 1}
+
+
 def test_duckdb_iceberg_reader_if_available(wh, spark):
     """If the DuckDB iceberg extension can load (it usually cannot,
     offline), point it at the exported metadata; otherwise skip — the
