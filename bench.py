@@ -41,9 +41,41 @@ HEADLINE = [
 ]
 
 
+def _machine_load() -> dict:
+    """1/5/15-min load averages + running-process count. Published in the
+    bench JSON so a number taken on a loaded machine is attributable:
+    round 4's only apparent regression (+70% across byte-identical
+    queries) was concurrent load, invisible in the artifact."""
+    la1, la5, la15 = os.getloadavg()
+    procs = sum(1 for d in os.listdir("/proc") if d.isdigit())
+    return {
+        "loadavg_1m": round(la1, 2),
+        "loadavg_5m": round(la5, 2),
+        "loadavg_15m": round(la15, 2),
+        "processes": procs,
+        "cpus": os.cpu_count(),
+    }
+
+
+def _settle(threshold: float, max_wait_s: int) -> None:
+    """If the 1-min load average says the machine is still busy from
+    preceding work (e.g. a test suite that just finished), wait for it to
+    drain before timing anything — bounded, so the bench always runs."""
+    waited = 0
+    while os.getloadavg()[0] > threshold and waited < max_wait_s:
+        time.sleep(5)
+        waited += 5
+    if waited:
+        print(f"# settled {waited}s (loadavg now {os.getloadavg()[0]:.1f})", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # half the cores busy before we even start == contaminated timings
+    load_threshold = 0.5 * (os.cpu_count() or 8)
+    _settle(load_threshold, int(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "90")))
+    load_start = _machine_load()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
@@ -77,6 +109,10 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    load_end = _machine_load()
+    # loadavg_1m at start counts OTHER work only (Spark isn't running
+    # yet); at end it includes the bench's own executors, so the start
+    # value is the contamination signal
     print(
         json.dumps(
             {
@@ -87,6 +123,9 @@ def main() -> None:
                 "stddev": stddevs,
                 "iters": iters,
                 "sf": sf,
+                "load_start": load_start,
+                "load_end": load_end,
+                "load_contaminated": load_start["loadavg_1m"] > 0.5 * (os.cpu_count() or 8),
             }
         )
     )
