@@ -190,15 +190,34 @@ def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw entry and the recall gate): corpus and queries hash to signature
     buckets; search only touches same-bucket candidates, then
     exact-rescores. At 100 TB the bucket join replaces the full-corpus
-    scan per query — the classic ANN trade."""
+    scan per query — the classic ANN trade.
+
+    MULTI-PROBE: each query also probes every bucket at Hamming
+    distance 1 from its own signature (one hyperplane bit flipped) —
+    the standard multi-probe LSH trick: a true neighbor that landed
+    just across ONE separating hyperplane is still found. Probing is
+    query-side only (the corpus keeps one bucket per table), so the
+    corpus scan and index are unchanged; the broadcast query set grows
+    ×(1+PLANES_PER_TABLE), still bytes. Lifts recall@10 from ~0.25 to
+    ~0.7 for ~the cost of proportionally more candidate rescores."""
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e")
     )
     sigs = v.select("vec_id", "e", F.explode(lsh_buckets(F.col("e"))).alias("tb")).select(
         "vec_id", "e", "tb.table_id", "tb.bucket"
     )
-    q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), "table_id", "bucket"
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(PLANES_PER_TABLE)],
+    )
+    q = (
+        sigs.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("qe"),
+            "table_id",
+            F.explode(probes).alias("bucket"),
+        )
     )
     cand = (
         sigs.join(F.broadcast(q), ["table_id", "bucket"])
@@ -335,7 +354,7 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(spark, sf_dir)
 
 
-LSH_RECALL_BOUND = 0.15  # aggregate recall@10 floor (measured 0.24-0.25)
+LSH_RECALL_BOUND = 0.60  # recall@10 floor (multi-probe measured 0.86-0.88)
 
 
 @register(
