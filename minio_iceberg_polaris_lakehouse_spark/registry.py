@@ -72,10 +72,11 @@ _PRIORITY: list[str] = [
     # a WRITE ORDERED BY clustered table
     "ref_file_skipping",
     "rel_filter_projection",
-    # join family (J2-J9 + range + as-of)
+    # join family (J2-J9 + range + as-of); right/full outer rotated out
+    # in r5 after two all-green driver rounds — their slots give driver-
+    # grade evidence to families resting on the local replica (the
+    # rotated-out veterans stay oracle-checked in test_oracle_parity.py)
     "rel_join_left_outer",
-    "rel_join_right_outer",
-    "rel_join_full_outer",
     "rel_join_semi",
     "rel_join_anti",
     # cross join follows in registration order (still oracle-checked
@@ -88,27 +89,21 @@ _PRIORITY: list[str] = [
     "rel_pricing_summary",
     "rel_groupby_having",
     "rel_count_distinct",
-    # rel_grouping_sets follows in registration order (rel_rollup keeps the
-    # grouping-analytics family driver-verified); its slot went to the
-    # train/eval contamination audit
+    # grouping analytics: rollup + the never-driver-checked grouping-sets
+    # and cube variants (rotated in r5)
     "rel_rollup",
+    "rel_grouping_sets",
+    "rel_cube",
     "rel_approx_sketches",
-    "rel_percentiles",
     "agg_median_approx",
     # window functions (§2.5)
-    "win_range_frame",
     "win_top3_per_segment",
     # sort / top-k (O1-O3)
     "rel_topk_orders",
-    # set operations (§2.7) — union_distinct/except_all follow in
-    # registration order (still oracle-checked locally); their window
-    # slots went to D10 and the file-skipping golden
-    "set_union_all_counts",
-    # scalar-function suites (F5)
-    # fn_math_suite/fn_json_extract follow in registration order (still
-    # oracle-checked locally); their window slots went to the CDC
-    # changelog and write-audit-publish goldens
-    "fn_string_suite",
+    # scalar-function suites (F5): math + json rotated in r5 (string/date
+    # veterans rotated out after two green rounds, still local-checked)
+    "fn_math_suite",
+    "fn_json_extract",
     "fn_date_suite",
     # streaming windows + event analytics (§2.12)
     "stream_tumbling_window",
@@ -123,13 +118,15 @@ _PRIORITY: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
-    # X3 similarity
+    # X3 similarity (int8 recall gate rotated in r5)
     "sim_topk_bruteforce",
     "sim_ann_ivf",
+    "sim_ann_int8",
     # X5 text analysis (the end-to-end curation funnel: X1+X5; train/eval
-    # contamination audit) + X4 multimodal
+    # contamination audit; Gopher-style repetition signals) + X4 multimodal
     "text_curation_pipeline",
     "text_contamination",
+    "text_repetition_signals",
     "mm_blob_stats",
 ]
 
