@@ -21,6 +21,10 @@ Semantics (matching Iceberg's options):
 - Progress checkpoints to a JSON file: restart resumes after the last
   DELIVERED snapshot — with an idempotent sink this is exactly-once,
   the same contract as the engine's foreachBatch parquet sink.
+- ``mode='cdc'`` streams `Table.changes()` instead of appends: MOR
+  deletes/updates arrive as `_change_type`-tagged rows and compaction
+  emits nothing, so row-level churn never stalls the stream — the
+  Iceberg CDC shape a bronze→silver pipeline consumes.
 """
 
 from __future__ import annotations
@@ -52,8 +56,12 @@ class TableStream:
         from_version: int | None = None,
         checkpoint_path: str | None = None,
         skip_replacements: bool = False,
+        mode: str = "append",
     ):
+        if mode not in ("append", "cdc"):
+            raise WarehouseError(f"stream mode must be 'append' or 'cdc', not {mode!r}")
         self.table = table
+        self.mode = mode
         self.skip_replacements = skip_replacements
         self.checkpoint_path = checkpoint_path
         restored = self._restore()
@@ -88,13 +96,25 @@ class TableStream:
         """One micro-batch: rows appended by snapshots (last, current],
         or None if the table hasn't advanced. Checkpoint is saved AFTER
         the caller gets the batch handle — re-running a failed batch is
-        the idempotent-sink's job, exactly foreachBatch's contract."""
+        the idempotent-sink's job, exactly foreachBatch's contract.
+
+        ``mode='cdc'`` streams the CHANGELOG instead (Iceberg's
+        changelog-view-over-a-stream shape): each batch is
+        `Table.changes(last, current)` — rows tagged `_change_type`
+        ('insert'|'delete'), `_commit_snapshot_id`, `_change_ordinal` —
+        so merge-on-read DELETEs/UPDATEs and copy-on-write rewrites
+        surface as delete+insert rows rather than refusing mid-stream,
+        and a downstream MERGE keeps a silver table in sync (the
+        bronze→silver CDC pattern). Planning stays O(churned dirs per
+        snapshot); replace/compaction snapshots emit nothing."""
         cur = self.table.current_snapshot_id()
         if not cur:
             return None  # empty table (no snapshots yet), nothing to stream
         if self._initial_pending:
-            # initial batch: full current snapshot
-            df = self.table.read()
+            # initial batch: full current snapshot (cdc: the full
+            # changelog replay from the first snapshot — same rows,
+            # tagged, plus any deletes history already contains)
+            df = self.table.changes(None, cur) if self.mode == "cdc" else self.table.read()
             frm, self._last = 0, cur
             self._initial_pending = False
             self._save()
@@ -102,6 +122,11 @@ class TableStream:
         if cur == self._last:
             return None
         frm = self._last
+        if self.mode == "cdc":
+            df = self.table.changes(frm, cur)
+            self._last = cur
+            self._save()
+            return df, frm, cur
         try:
             df = self.table.incremental_scan(frm, cur)
         except WarehouseError:

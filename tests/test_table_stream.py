@@ -78,6 +78,79 @@ def test_skip_replacements_advances_without_reemitting(wh):
     assert ts.poll() is None
 
 
+def test_cdc_stream_emits_mor_delete_as_tagged_row(wh):
+    """mode='cdc': a merge-on-read DELETE that would refuse (or skip) in
+    append mode surfaces as a delete-tagged changelog row, and the
+    following re-insert as an insert-tagged one."""
+    t = wh.create_table(
+        "db", "cdc1", "id int, v string",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert_values([(1, "a"), (2, "b")])
+    ts = TableStream(t, mode="cdc")
+    df, frm, to = ts.poll()
+    assert (frm, to) == (0, 1)
+    assert _rows(df.select("id", "v", "_change_type")) == [
+        (1, "a", "insert"),
+        (2, "b", "insert"),
+    ]
+    t.delete_where("id = 2")  # MOR: positional delete file, data untouched
+    df2, frm2, to2 = ts.poll()
+    assert (frm2, to2) == (1, 2)
+    assert _rows(df2.select("id", "v", "_change_type")) == [(2, "b", "delete")]
+    t.insert_values([(2, "b2")])
+    df3, _, _ = ts.poll()
+    assert _rows(df3.select("id", "v", "_change_type")) == [(2, "b2", "insert")]
+    assert ts.poll() is None
+
+
+def test_cdc_stream_exactly_once_across_checkpoint_restart(wh, tmp_path):
+    """A restarted cdc stream resumes AFTER the last delivered snapshot:
+    the MOR delete delivered before the crash is not re-emitted, and a
+    delete committed while down is."""
+    t = wh.create_table(
+        "db", "cdc2", "id int, v string",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    ckpt = str(tmp_path / "cdc2.ckpt.json")
+    t.insert_values([(1, "a"), (2, "b"), (3, "c")])
+    ts = TableStream(t, checkpoint_path=ckpt, mode="cdc")
+    assert ts.poll() is not None  # initial snapshot delivered
+    t.delete_where("id = 2")
+    df, _, _ = ts.poll()
+    assert _rows(df.select("id", "_change_type")) == [(2, "delete")]
+    # crash: new stream from the same checkpoint — nothing re-emitted
+    ts2 = TableStream(t, checkpoint_path=ckpt, mode="cdc")
+    assert ts2.poll() is None
+    # a delete committed while the consumer was down IS delivered once
+    t.delete_where("id = 3")
+    ts3 = TableStream(t, checkpoint_path=ckpt, mode="cdc")
+    df2, _, _ = ts3.poll()
+    assert _rows(df2.select("id", "_change_type")) == [(3, "delete")]
+    assert ts3.poll() is None
+
+
+def test_cdc_stream_compaction_emits_nothing(wh):
+    """replace snapshots (compaction / materialize_deletes) rewrite bytes,
+    not contents — the cdc stream advances past them with zero rows
+    instead of refusing like append mode."""
+    t = wh.create_table(
+        "db", "cdc3", "id int, v string",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert_values([(1, "a"), (2, "b")])
+    ts = TableStream(t, mode="cdc")
+    ts.poll()
+    t.delete_where("id = 1")
+    ts.poll()
+    t.materialize_deletes()  # replace snapshot
+    out = ts.poll()
+    assert out is not None
+    df, _, _ = out
+    assert df.count() == 0
+    assert ts.poll() is None
+
+
 def test_checkpoint_resume_is_exactly_once(wh, tmp_path):
     t = wh.create_table("db", "s6", "id int, v string")
     ckpt = str(tmp_path / "ckpt.json")
