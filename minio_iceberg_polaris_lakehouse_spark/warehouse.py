@@ -174,6 +174,11 @@ class Warehouse:
             if if_not_exists:
                 return t
             raise WarehouseError(f"table {ns}.{name} exists")
+        if f"{ns}.{name}" in self.views():
+            # the inverse of create_view's guard: a table under a view's
+            # name would be shadowed by the view in SELECT resolution
+            # while DML hit the table — reject the ambiguity outright
+            raise WarehouseError(f"{ns}.{name} is a view, not a table")
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
         os.makedirs(t.path, exist_ok=True)

@@ -793,6 +793,95 @@ def test_create_view_lifecycle(lake):
         lake.sql("DROP VIEW polaris.db.vv")
 
 
+def test_view_table_name_collisions_rejected_both_ways(lake):
+    """A view may not take an existing table's name and a table may not
+    take an existing view's name — either way one statement kind would
+    resolve to the view and the other to the table, a silent split-brain."""
+    import pytest as _pytest
+
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import WarehouseError
+
+    lake.sql("CREATE TABLE polaris.db.clash (id INT) USING ICEBERG")
+    with _pytest.raises(WarehouseError, match="is a table"):
+        lake.sql("CREATE VIEW polaris.db.clash AS SELECT 1 AS one")
+    lake.sql("CREATE VIEW polaris.db.vclash AS SELECT 1 AS one")
+    with _pytest.raises(WarehouseError, match="is a view"):
+        lake.sql("CREATE TABLE polaris.db.vclash (id INT) USING ICEBERG")
+    # CTAS takes the same guard path
+    with _pytest.raises(WarehouseError, match="is a view"):
+        lake.sql("CREATE TABLE polaris.db.vclash AS SELECT 2 AS two")
+
+
+_VIEW_KW = st.sampled_from(["lower", "upper", "title", "alternating"])
+_VIEW_TBL = st.sampled_from(["wh.users", "polaris.wh.users"])
+# view body aliases that shadow the catalog, namespace, another table, or
+# the VIEW's own name — the stored SQL must re-resolve correctly anyway
+_VIEW_ALIAS = st.sampled_from([None, "users", "orders", "wh", "polaris", "fuzzview"])
+_VIEW_LIT = st.sampled_from(
+    ["plain", "wh.users", "SELECT * FROM wh.users", "wh.users VERSION AS OF 1", ""]
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(kw=_VIEW_KW, tbl=_VIEW_TBL, alias=_VIEW_ALIAS, lit=_VIEW_LIT, replace=st.booleans())
+def test_view_definition_fuzz_matches_direct(fuzz_lake, kw, tbl, alias, lit, replace):
+    """Property fuzz of CREATE [OR REPLACE] VIEW bodies: keyword casing,
+    table spellings, shadowing aliases, and literals that LOOK like table
+    references or time travel must all store + re-resolve to exactly what
+    Catalyst computes on plain temp views; querying the view with time
+    travel always raises."""
+    k = lambda w: _casing(kw, w)
+    prefix = f"{alias}." if alias else ""
+    body = (
+        f"{k('select')} {prefix}id {k('as')} id, name {k('from')} {tbl}"
+        + (f" {k('as')} {alias}" if alias else "")
+        + f" {k('where')} name <> '{lit}'"
+    )
+    fuzz_lake.sql("DROP VIEW IF EXISTS polaris.wh.fuzzview")
+    stmt = "CREATE OR REPLACE VIEW" if replace else "CREATE VIEW"
+    fuzz_lake.sql(f"{stmt} polaris.wh.fuzzview AS {body}")
+    if replace:  # replace must actually swap the definition
+        fuzz_lake.sql(
+            f"CREATE OR REPLACE VIEW polaris.wh.fuzzview AS {body}"
+        )
+    got = [tuple(r) for r in fuzz_lake.sql("SELECT id, name FROM wh.fuzzview ORDER BY id").collect()]
+    exp_body = body.replace(tbl, "exp_users", 1)
+    exp = [
+        tuple(r)
+        for r in fuzz_lake.spark.sql(
+            f"SELECT id, name FROM ({exp_body}) ORDER BY id"
+        ).collect()
+    ]
+    assert got == exp
+    # the stored definition survives verbatim (literal not mangled)
+    assert f"'{lit}'" in fuzz_lake.wh.views()["wh.fuzzview"]
+    # time travel on a view is always an error, never a silent table read
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import WarehouseError
+
+    with pytest.raises(WarehouseError):
+        fuzz_lake.sql("SELECT * FROM wh.fuzzview VERSION AS OF 1")
+
+
+def test_view_body_time_travel_resolves_at_query_time(lake):
+    """Time travel INSIDE a view body is legal (it pins a table snapshot,
+    not a view version) and keeps resolving after the table advances."""
+    lake.sql("CREATE TABLE polaris.db.ttv (id INT) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.db.ttv VALUES (1)")
+    lake.sql("INSERT INTO polaris.db.ttv VALUES (2)")
+    lake.sql(
+        "CREATE VIEW polaris.db.v1only AS "
+        "SELECT COUNT(*) AS n FROM db.ttv VERSION AS OF 1"
+    )
+    assert lake.sql("SELECT n FROM db.v1only").collect()[0].n == 1
+    lake.sql("INSERT INTO polaris.db.ttv VALUES (3)")
+    assert lake.sql("SELECT n FROM db.v1only").collect()[0].n == 1  # still pinned
+    assert lake.sql("SELECT COUNT(*) AS n FROM db.ttv").collect()[0].n == 3
+
+
 def test_view_time_travel_rejected_and_persistence(spark, tmp_path):
     from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
     from minio_iceberg_polaris_lakehouse_spark.warehouse import WarehouseError
