@@ -631,6 +631,20 @@ class LakehouseSQL:
         self.wh.drop_view(ns, v, if_exists=bool(m.group(1)))
         return self._empty()
 
+    def _alter_view_as(self, m: re.Match) -> DataFrame:
+        """ALTER VIEW ns.v AS <query> — redefine an existing view's body
+        (validated against current tables now, like CREATE VIEW)."""
+        ns, v = self._resolve_table_name(m.group(1))
+        query = m.group(2)
+        self.spark.sql(self._rewrite_query(query)).schema  # noqa: B018
+        self.wh.alter_view(ns, v, query)
+        return self._empty()
+
+    def _alter_view_rename(self, m: re.Match) -> DataFrame:
+        ns, v = self._resolve_table_name(m.group(1))
+        self.wh.rename_view(ns, v, m.group(2).split(".")[-1])
+        return self._empty()
+
     def _show_views(self, m: re.Match) -> DataFrame:
         ns = self._resolve_ns_name(m.group(1)) if m.group(1) else None
         rows = [
@@ -951,6 +965,14 @@ class LakehouseSQL:
             _create_view,
         ),
         (rf"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?((?:{_IDENT}\.)*{_IDENT})", _drop_view),
+        (
+            rf"ALTER\s+VIEW\s+((?:{_IDENT}\.)*{_IDENT})\s+AS\s+(SELECT\s+.*|WITH\s+.*)",
+            _alter_view_as,
+        ),
+        (
+            rf"ALTER\s+VIEW\s+((?:{_IDENT}\.)*{_IDENT})\s+RENAME\s+TO\s+((?:{_IDENT}\.)*{_IDENT})",
+            _alter_view_rename,
+        ),
         (rf"SHOW\s+VIEWS(?:\s+IN\s+((?:{_IDENT}\.)?{_IDENT}))?", _show_views),
         (
             rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?((?:{_IDENT}\.)*{_IDENT})\s+AS\s+(SELECT\s+.*|WITH\s+.*)",

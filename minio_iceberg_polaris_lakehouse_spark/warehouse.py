@@ -255,6 +255,30 @@ class Warehouse:
         del views[key]
         _atomic_write_json(self._views_path(), {"views": views})
 
+    def alter_view(self, ns: str, name: str, sql_text: str) -> None:
+        """ALTER VIEW ... AS — redefine an EXISTING view's body (unlike
+        CREATE OR REPLACE, it refuses to create)."""
+        views = self.views()
+        key = f"{ns}.{name}"
+        if key not in views:
+            raise WarehouseError(f"view {key} does not exist")
+        views[key] = sql_text
+        _atomic_write_json(self._views_path(), {"views": views})
+
+    def rename_view(self, ns: str, name: str, new_name: str) -> None:
+        """ALTER VIEW ... RENAME TO — within the same namespace; the new
+        name must be free of both views and tables."""
+        views = self.views()
+        key, new_key = f"{ns}.{name}", f"{ns}.{new_name}"
+        if key not in views:
+            raise WarehouseError(f"view {key} does not exist")
+        if new_key in views:
+            raise WarehouseError(f"view {new_key} exists")
+        if Table(self, ns, new_name).exists():
+            raise WarehouseError(f"{new_key} is a table, not a view")
+        views[new_key] = views.pop(key)
+        _atomic_write_json(self._views_path(), {"views": views})
+
 
 def _json_safe_bound(v: Any) -> Any:
     """JSON-serializable form of a parquet min/max statistic. Dates and

@@ -866,6 +866,37 @@ def test_view_definition_fuzz_matches_direct(fuzz_lake, kw, tbl, alias, lit, rep
         fuzz_lake.sql("SELECT * FROM wh.fuzzview VERSION AS OF 1")
 
 
+def test_alter_view_redefine_and_rename(lake):
+    import pytest as _pytest
+
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import WarehouseError
+
+    lake.sql("CREATE TABLE polaris.db.avt (id INT) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.db.avt VALUES (1), (2), (3)")
+    lake.sql("CREATE VIEW polaris.db.av AS SELECT COUNT(*) AS n FROM db.avt")
+    assert lake.sql("SELECT n FROM db.av").collect()[0].n == 3
+    # redefine the body
+    lake.sql("ALTER VIEW polaris.db.av AS SELECT COUNT(*) AS n FROM db.avt WHERE id > 1")
+    assert lake.sql("SELECT n FROM db.av").collect()[0].n == 2
+    # unlike CREATE OR REPLACE, ALTER refuses to create
+    with _pytest.raises(WarehouseError, match="does not exist"):
+        lake.sql("ALTER VIEW polaris.db.nope AS SELECT 1 AS one")
+    # a body that doesn't analyze is rejected and the old body survives
+    with _pytest.raises(Exception):
+        lake.sql("ALTER VIEW polaris.db.av AS SELECT no_such_col FROM db.avt")
+    assert lake.sql("SELECT n FROM db.av").collect()[0].n == 2
+    # rename; old name gone, new name resolves, collisions refused
+    lake.sql("ALTER VIEW polaris.db.av RENAME TO av2")
+    assert lake.sql("SELECT n FROM db.av2").collect()[0].n == 2
+    with _pytest.raises(Exception):  # old name unresolvable (Spark's not-found)
+        lake.sql("SELECT n FROM db.av")
+    lake.sql("CREATE VIEW polaris.db.av3 AS SELECT 1 AS one")
+    with _pytest.raises(WarehouseError, match="exists"):
+        lake.sql("ALTER VIEW polaris.db.av3 RENAME TO av2")
+    with _pytest.raises(WarehouseError, match="is a table"):
+        lake.sql("ALTER VIEW polaris.db.av3 RENAME TO avt")
+
+
 def test_view_body_time_travel_resolves_at_query_time(lake):
     """Time travel INSIDE a view body is legal (it pins a table snapshot,
     not a view version) and keeps resolving after the table advances."""
