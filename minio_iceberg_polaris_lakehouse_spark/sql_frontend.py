@@ -681,6 +681,12 @@ class LakehouseSQL:
         is a warehouse table name or a parenthesized SELECT; execution is
         the warehouse's copy-on-write merge (join + union plan)."""
         self._reject_wap_dml("MERGE")
+        tab, src, key = self._merge_parts(m)
+        tab.merge_into(src, on=key)
+        return self._empty()
+
+    def _merge_parts(self, m: re.Match):
+        """Shared target/source/key resolution for the MERGE forms."""
         target, src_text, on_l, on_r = m.group(1), m.group(2).strip(), m.group(3), m.group(4)
         tab = self._existing_table(target)
         if src_text.startswith("("):
@@ -692,7 +698,19 @@ class LakehouseSQL:
         kl, kr = on_l.split(".")[-1], on_r.split(".")[-1]
         if kl != kr:
             raise WarehouseError(f"MERGE ON must equate the same column name: {on_l} = {on_r}")
-        tab.merge_into(src, on=kl)
+        return tab, src, kl
+
+    def _merge_into_delete(self, m: re.Match) -> DataFrame:
+        """MERGE INTO t USING src ON ... WHEN MATCHED THEN DELETE
+        [WHEN NOT MATCHED THEN INSERT *] — the dedup-remediation form the
+        reference's troubleshooting guide reaches for
+        (SETUP_GUIDE_WIN.md:368 'Use MERGE or DELETE + INSERT'): matched
+        target rows drop; source rows with no match optionally insert."""
+        self._reject_wap_dml("MERGE")
+        tab, src, key = self._merge_parts(m)
+        tab.merge_into(
+            src, on=key, matched_action="delete", insert_missing=bool(m.group(5))
+        )
         return self._empty()
 
     # ------------------------------------------------------- ALTER handlers
@@ -1005,6 +1023,14 @@ class LakehouseSQL:
             rf"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
             rf"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*",
             _merge_into,
+        ),
+        (
+            rf"MERGE\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})(?:\s+(?:AS\s+)?{_IDENT})?"
+            rf"\s+USING\s+(\(.*\)|(?:{_IDENT}\.)*{_IDENT})(?:\s+(?:AS\s+)?{_IDENT})?"
+            rf"\s+ON\s+({_IDENT}\.{_IDENT})\s*=\s*({_IDENT}\.{_IDENT})"
+            rf"\s+WHEN\s+MATCHED\s+THEN\s+DELETE"
+            rf"(\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?",
+            _merge_into_delete,
         ),
         (
             rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+ADD\s+COLUMNS?\s+(.*)",

@@ -1905,34 +1905,44 @@ class Table:
         on: str,
         update_cols: list[str] | None = None,
         insert_missing: bool = True,
+        matched_action: str = "update",
     ) -> int:
         """MERGE INTO target USING source ON target.<on> = source.<on>
-        WHEN MATCHED THEN UPDATE SET <update_cols> (or all non-key columns)
-        WHEN NOT MATCHED THEN INSERT * — expressed as a join + union, the
-        exact relational algebra Iceberg's copy-on-write MERGE plans.
-        Read-modify-write: raises CommitConflictError if another writer
-        commits between our snapshot read and the pointer swap."""
+        WHEN MATCHED THEN UPDATE SET <update_cols> (or all non-key
+        columns) | DELETE, WHEN NOT MATCHED THEN INSERT * — expressed as
+        a join + union, the exact relational algebra Iceberg's
+        copy-on-write MERGE plans. ``matched_action='delete'`` is the
+        dedup-remediation form (matched target rows drop instead of
+        updating). Read-modify-write: raises CommitConflictError if
+        another writer commits between our snapshot read and the pointer
+        swap."""
+        if matched_action not in ("update", "delete"):
+            raise WarehouseError(f"matched_action must be update or delete, not {matched_action}")
         parent = self.current_snapshot_id()
         cols = [f.name for f in self.schema().fields]
         update_cols = update_cols or [c for c in cols if c != on]
         tgt, src = self.read().alias("t"), source.alias("s")
-        matched = tgt.join(src, F.col(f"t.{on}") == F.col(f"s.{on}"), "inner").select(
-            *[
-                (F.col(f"s.{c}") if c in update_cols else F.col(f"t.{c}")).alias(c)
-                for c in cols
-            ]
-        )
         unmatched_tgt = tgt.join(src, F.col(f"t.{on}") == F.col(f"s.{on}"), "left_anti").select(
             *[F.col(c) for c in cols]
         )
-        merged = unmatched_tgt.unionByName(matched)
+        merged = unmatched_tgt
+        if matched_action == "update":
+            matched = tgt.join(src, F.col(f"t.{on}") == F.col(f"s.{on}"), "inner").select(
+                *[
+                    (F.col(f"s.{c}") if c in update_cols else F.col(f"t.{c}")).alias(c)
+                    for c in cols
+                ]
+            )
+            merged = merged.unionByName(matched)
         if insert_missing:
             new_rows = src.join(tgt, F.col(f"s.{on}") == F.col(f"t.{on}"), "left_anti").select(
                 *[F.col(c) for c in cols]
             )
             merged = merged.unionByName(new_rows)
         p = self._write_data(merged)
-        return self._commit_replace("merge", [p], {"on": on}, parent)
+        return self._commit_replace(
+            "merge", [p], {"on": on, "matched-action": matched_action}, parent
+        )
 
     # ---------------- schema evolution (D10) ----------------
     def add_column(self, name: str, dtype: str) -> None:
@@ -2674,10 +2684,30 @@ class Table:
                 self._write_meta(meta)
             # re-export open metadata so vN+1 reflects the pruned history
             from minio_iceberg_polaris_lakehouse_spark.iceberg_export import (
+                _compile_eq_deletes,
                 write_iceberg_metadata,
             )
 
             write_iceberg_metadata(self)
+            # GC compiled equality→positional delete dirs (export
+            # artifacts, fingerprint-addressed) that no retained snapshot
+            # resolves to — the export just (re)compiled/reused every
+            # live one, so the name recomputation below is a cached
+            # lookup, never a Spark job
+            meta = self._meta()
+            live_eqpos = {
+                d
+                for s in keep
+                if (d := _compile_eq_deletes(self, meta, s)) is not None
+            }
+            for d in os.listdir(self.path):
+                if (
+                    d.startswith("eqpos-")
+                    and d not in live_eqpos
+                    and os.path.isdir(os.path.join(self.path, d))
+                ):
+                    shutil.rmtree(os.path.join(self.path, d))
+                    removed += 1
             return removed
         finally:
             self._release_commit_lock(lock, token)

@@ -215,6 +215,31 @@ def test_equality_deletes_compiled_to_positional_in_export(wh, spark):
     assert {m["content"] for m in manifests} == {0, 1}
 
 
+def test_expire_gcs_stale_compiled_eqpos_dirs(wh, spark):
+    """The compiled equality→positional delete dirs are fingerprint-
+    addressed export artifacts; snapshot expiry must GC the ones no
+    retained snapshot resolves to (each new eq-delete commit mints a new
+    fingerprint — without GC they accumulate forever) while the live one
+    keeps serving external readers."""
+    import os
+
+    t = wh.create_table(
+        "db", "eq_gc", "id int, v string",
+        properties={
+            "write.delete.mode": "merge-on-read-equality",
+            "write.delete.equality-columns": "id",
+        },
+    )
+    t.insert_values([(1, "a"), (2, "b"), (3, "c"), (4, "d")])
+    t.delete_where("id = 2")  # fingerprint 1
+    t.delete_where("id = 3")  # fingerprint 2 (superset eq set)
+    eqpos = lambda: {d for d in os.listdir(t.path) if d.startswith("eqpos-")}  # noqa: E731
+    assert len(eqpos()) == 2
+    t.expire_snapshots(keep_last=1)
+    assert len(eqpos()) == 1  # only the current snapshot's compilation
+    assert _independent_read(t.path, ["id", "v"]) == [(1, "a"), (4, "d")]
+
+
 def test_duckdb_iceberg_reader_if_available(wh, spark):
     """If the DuckDB iceberg extension can load (it usually cannot,
     offline), point it at the exported metadata; otherwise skip — the

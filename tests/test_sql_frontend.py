@@ -793,6 +793,32 @@ def test_create_view_lifecycle(lake):
         lake.sql("DROP VIEW polaris.db.vv")
 
 
+def test_merge_when_matched_delete(lake):
+    """MERGE ... WHEN MATCHED THEN DELETE [WHEN NOT MATCHED THEN INSERT *]
+    — matched target rows drop; without the INSERT clause source-only rows
+    are ignored, with it they land."""
+    lake.sql("CREATE TABLE polaris.db.md (id INT, v STRING) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.db.md VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    # delete-only: ids 2 and 9; 2 matches (drops), 9 doesn't (ignored)
+    lake.sql(
+        "MERGE INTO polaris.db.md t USING (SELECT * FROM VALUES (2, 'x'), (9, 'y') AS s(id, v)) s "
+        "ON t.id = s.id WHEN MATCHED THEN DELETE"
+    )
+    assert [tuple(r) for r in lake.sql("SELECT * FROM db.md ORDER BY id").collect()] == [
+        (1, "a"),
+        (3, "c"),
+    ]
+    # delete + insert: 3 drops, 7 inserts
+    lake.sql(
+        "MERGE INTO polaris.db.md t USING (SELECT * FROM VALUES (3, 'z'), (7, 'n') AS s(id, v)) s "
+        "ON t.id = s.id WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert [tuple(r) for r in lake.sql("SELECT * FROM db.md ORDER BY id").collect()] == [
+        (1, "a"),
+        (7, "n"),
+    ]
+
+
 def test_view_table_name_collisions_rejected_both_ways(lake):
     """A view may not take an existing table's name and a table may not
     take an existing view's name — either way one statement kind would
