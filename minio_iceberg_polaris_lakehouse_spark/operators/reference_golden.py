@@ -142,6 +142,20 @@ def _lake(spark: SparkSession):
         "CALL polaris.system.fast_forward(table => 'test_db.wapdemo', "
         "branch => 'main', to => 'audit')"
     )
+    # MERGE delete-form fixture: the reference's dedup-remediation recipe
+    # ('Use MERGE or DELETE + INSERT', SETUP_GUIDE_WIN.md:368) — matched
+    # keys drop, unmatched source rows insert
+    lake.sql(
+        "CREATE TABLE IF NOT EXISTS polaris.test_db.merge_del (id INT, v STRING) USING ICEBERG"
+    )
+    lake.sql(
+        "INSERT INTO polaris.test_db.merge_del VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')"
+    )
+    lake.sql(
+        "MERGE INTO polaris.test_db.merge_del t "
+        "USING (SELECT * FROM VALUES (2, 'x'), (4, 'y'), (9, 'new') AS s(id, v)) s "
+        "ON t.id = s.id WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *"
+    )
     _LAKES[key] = lake
     return lake
 
@@ -462,3 +476,18 @@ def ref_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake = _lake(spark)
     tab = lake.wh.table("test_db", "skip_demo")
     return tab.scan(between={"id": (10, 11)}).orderBy("id")
+
+
+@register(
+    "ref_merge_delete",
+    oracle="""
+    SELECT * FROM (VALUES (1, 'a'), (3, 'c'), (9, 'new')) AS m(id, v) ORDER BY id
+    """,
+)
+def ref_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE ... WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT * —
+    the reference's dedup-remediation recipe ('Use MERGE or DELETE +
+    INSERT', SETUP_GUIDE_WIN.md:368). The fixture merged VALUES (2,..),
+    (4,..), (9,'new') into {1,2,3,4}: matched keys 2 and 4 dropped,
+    unmatched 9 inserted."""
+    return _lake(spark).sql("SELECT id, v FROM polaris.test_db.merge_del ORDER BY id")
