@@ -145,6 +145,39 @@ def test_embedding_topk_uses_window_group_limit(spark, sf_dir):
     assert count_nodes(df, "WindowGroupLimit") >= 1, plan_string(df)
 
 
+def test_multiprobe_lsh_no_cartesian_and_broadcast_queries(spark, sf_dir):
+    """Multi-probe LSH (r5): the Hamming-1 probe expansion lives on the
+    broadcast QUERY side — the corpus must still hash-join on
+    (table_id, bucket), never cross-join, and the probe explode must not
+    push the query set out of broadcast range."""
+    df = q("sim_ann_lsh_topk", spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_nodes(df, "BroadcastHashJoin") >= 1, plan_string(df)
+
+
+def test_eq_delete_read_broadcasts_keys(spark, tmp_path):
+    """Equality-delete reads anti-join the data against the (tiny) key
+    file — must be a broadcast, not a shuffle of the fact side; the
+    export-time compile reuses the same join, so this pin covers both."""
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = wh.create_table(
+        "db", "eqplan", "id bigint",
+        properties={
+            "write.delete.mode": "merge-on-read-equality",
+            "write.delete.equality-columns": "id",
+        },
+    )
+    t.append(spark.range(10000))
+    t.delete_where("id % 100 = 0")
+    df = t.read()
+    s = plan_string(df)
+    assert "BroadcastHashJoin" in s and "LeftAnti" in s, s
+    assert "SortMergeJoin" not in s, s
+    assert df.count() == 9900
+
+
 def test_mor_read_applies_deletes_broadcast(spark, tmp_path):
     """Merge-on-read reads must apply tombstones as a BROADCAST anti-join
     (map-side filter) — a shuffled anti-join of the fact data against the
