@@ -141,3 +141,74 @@ def test_sql_procedure_registers_view(spark, tmp_path):
     )
     w1 = lake.sql("SELECT id, _change_type FROM cdc_w1").collect()
     assert all(r._change_type in ("insert", "delete") for r in w1)
+
+
+# --------------------------------------------------------------------------
+# Property fuzz: replaying the changelog reconstructs the table.
+# For ANY commit sequence (appends, copy-on-write and merge-on-read
+# positional deletes, equality deletes, compaction), applying the tagged
+# rows in commit order — inserts add one occurrence, deletes remove one —
+# must land exactly on the engine's own read. This is the consumer-side
+# contract a bronze→silver MERGE depends on.
+# --------------------------------------------------------------------------
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.lists(st.integers(0, 9), min_size=1, max_size=4)),
+        st.tuples(st.just("delete_cow"), st.integers(0, 9)),
+        st.tuples(st.just("delete_mor"), st.integers(0, 9)),
+        st.tuples(st.just("delete_eq"), st.integers(0, 9)),
+        st.tuples(st.just("compact"), st.just(None)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+_N = [0]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS)
+def test_changelog_replay_reconstructs_table(spark, tmp_path_factory, ops):
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("cdc_fuzz")))
+    _N[0] += 1
+    t = wh.create_table(
+        "db", f"fz{_N[0]}", "id int, v string",
+        properties={"write.delete.equality-columns": "id"},
+    )
+    seq = 0
+    for op, arg in ops:
+        if op == "append":
+            seq += 1
+            t.insert_values([(i, f"r{seq}") for i in arg])
+        elif op == "delete_cow":
+            t.delete_where(f"id = {arg}", mode="copy-on-write")
+        elif op == "delete_mor":
+            t.delete_where(f"id = {arg}", mode="merge-on-read")
+        elif op == "delete_eq":
+            t.delete_where(f"id = {arg}", mode="merge-on-read-equality")
+        elif op == "compact":
+            try:
+                t.materialize_deletes()
+            except WarehouseError:
+                pass
+    state: Counter = Counter()
+    rows = t.changes().select("id", "v", "_change_type", "_change_ordinal").collect()
+    for r in sorted(rows, key=lambda r: r._change_ordinal):
+        key = (r.id, r.v)
+        if r._change_type == "insert":
+            state[key] += 1
+        else:
+            state[key] -= 1
+            assert state[key] >= 0, f"delete of never-inserted row {key}"
+    replayed = sorted(state.elements())
+    direct = sorted((r.id, r.v) for r in t.read().collect())
+    assert replayed == direct
