@@ -57,6 +57,28 @@ def _machine_load() -> dict:
     }
 
 
+def _cpu_calibration() -> float:
+    """Seconds for a fixed pure-Python/NumPy workload — a machine-speed
+    constant published with the timings. Query times vary run-to-run with
+    host-level contention and frequency scaling that loadavg (namespace-
+    or host-wide) cannot see; dividing totals by this probe separates
+    'the code got slower' from 'the machine got slower'."""
+    import hashlib
+
+    import numpy as np
+
+    t0 = time.perf_counter()
+    a = np.arange(2_000_000, dtype=np.float64)
+    for _ in range(20):
+        a = np.sqrt(a * 1.0000001 + 1.0)
+    h = hashlib.sha256()
+    b = bytes(8_000_000)
+    for _ in range(10):
+        h.update(b)
+    _sink = (float(a[0]), h.hexdigest())  # keep the work observable
+    return round(time.perf_counter() - t0, 4)
+
+
 def _settle(threshold: float, max_wait_s: int) -> None:
     """If the 1-min load average says the machine is still busy from
     preceding work (e.g. a test suite that just finished), wait for it to
@@ -76,6 +98,7 @@ def main() -> None:
     load_threshold = 0.5 * (os.cpu_count() or 8)
     _settle(load_threshold, int(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "90")))
     load_start = _machine_load()
+    cpu_probe = _cpu_calibration()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
@@ -126,6 +149,10 @@ def main() -> None:
                 "load_start": load_start,
                 "load_end": load_end,
                 "load_contaminated": load_start["loadavg_1m"] > 0.5 * (os.cpu_count() or 8),
+                # single-core machine-speed probe (seconds; ~0.5 s on a
+                # healthy box) — divide totals by probe ratio before
+                # comparing rounds
+                "cpu_probe_s": cpu_probe,
             }
         )
     )
