@@ -43,9 +43,14 @@ COPY_AS_IS = ["region", "nation"]
 
 
 def _stride(con: duckdb.DuckDBPyConnection, src: str, table: str, col: str) -> int:
-    return con.execute(
-        f"SELECT max({col}) FROM read_parquet('{src}/{table}.parquet')"
-    ).fetchone()[0]
+    # max+1: ids may start at 0, so a max-only stride would make copy i's
+    # lowest key collide with copy i-1's highest
+    return (
+        con.execute(
+            f"SELECT max({col}) FROM read_parquet('{src}/{table}.parquet')"
+        ).fetchone()[0]
+        + 1
+    )
 
 
 _STRIDE_SOURCE = {  # column -> (owning table, its key) the stride comes from
@@ -100,7 +105,7 @@ def _shuffle_words(text: str, salt: int) -> str:
 def _replicate_documents(src: str, dst: str, k: int) -> None:
     tb = pq.read_table(f"{src}/documents.parquet")
     n = tb.num_rows
-    stride = max(tb["doc_id"].to_pylist()) if n else 0
+    stride = (max(tb["doc_id"].to_pylist()) + 1) if n else 0
     parts = [tb]
     for i in range(1, k):
         ids = [d + i * stride for d in tb["doc_id"].to_pylist()]
@@ -119,7 +124,7 @@ def _replicate_documents(src: str, dst: str, k: int) -> None:
 
 def _replicate_embeddings(src: str, dst: str, k: int) -> None:
     tb = pq.read_table(f"{src}/embeddings.parquet")
-    stride = max(tb["vec_id"].to_pylist()) if tb.num_rows else 0
+    stride = (max(tb["vec_id"].to_pylist()) + 1) if tb.num_rows else 0
     parts = [tb]
     for i in range(1, k):
         cols = {}
