@@ -839,6 +839,23 @@ class LakehouseSQL:
             "previous_snapshot_id bigint, current_snapshot_id bigint",
         )
 
+    def _call_rollback_to_timestamp(self, m: re.Match) -> DataFrame:
+        """CALL c.system.rollback_to_timestamp(table => 't',
+        timestamp => TIMESTAMP '...') — roll main back to the snapshot
+        current as of the timestamp (Iceberg's second rollback form)."""
+        import datetime
+
+        tab = self._existing_table(m.group(1).strip("'\""))
+        previous = tab.current_snapshot_id()
+        ts = datetime.datetime.fromisoformat(m.group(2).strip("'\""))
+        as_of_ms = int(ts.timestamp() * 1000)
+        target = tab._resolve(as_of_ms=as_of_ms)["snapshot_id"]
+        tab.rollback_to(target)
+        return self.spark.createDataFrame(
+            [Row(previous_snapshot_id=previous, current_snapshot_id=target)],
+            "previous_snapshot_id bigint, current_snapshot_id bigint",
+        )
+
     def _call_expire_snapshots(self, m: re.Match) -> DataFrame:
         """CALL c.system.expire_snapshots(table => 't' [, retain_last => N])"""
         tab = self._existing_table(m.group(1).strip("'\""))
@@ -1091,6 +1108,12 @@ class LakehouseSQL:
             rf"CALL\s+{_IDENT}\.system\.rollback_to_snapshot\s*\("
             r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*,\s*snapshot_id\s*=>\s*(\d+)\s*\)",
             _call_rollback_to_snapshot,
+        ),
+        (
+            rf"CALL\s+{_IDENT}\.system\.rollback_to_timestamp\s*\("
+            r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*,\s*timestamp\s*=>\s*"
+            r"(?:TIMESTAMP\s*)?('[^']+'|\"[^\"]+\")\s*\)",
+            _call_rollback_to_timestamp,
         ),
         (
             rf"CALL\s+{_IDENT}\.system\.expire_snapshots\s*\("

@@ -570,6 +570,24 @@ def test_rollback_truncate_and_procedures(lake):
     assert lake.sql("SELECT COUNT(*) AS n FROM polaris.db.proc").collect()[0].n == 0
 
 
+def test_rollback_to_timestamp(lake):
+    import datetime
+
+    lake.sql("CREATE TABLE polaris.db.rbts (id INT) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.db.rbts VALUES (1)")
+    t = lake.wh.table("db", "rbts")
+    after_first = t._resolve(1)["committed_at_ms"]
+    lake.sql("INSERT INTO polaris.db.rbts VALUES (2)")
+    # a timestamp between commit 1 and commit 2 resolves to snapshot 1
+    ts = datetime.datetime.fromtimestamp((after_first + 1) / 1000).isoformat()
+    out = lake.sql(
+        f"CALL polaris.system.rollback_to_timestamp(table => 'db.rbts', "
+        f"timestamp => TIMESTAMP '{ts}')"
+    ).collect()[0]
+    assert (out.previous_snapshot_id, out.current_snapshot_id) == (2, 1)
+    assert [r.id for r in lake.sql("SELECT id FROM db.rbts").collect()] == [1]
+
+
 def test_show_partitions(lake):
     lake.sql(
         "CREATE TABLE polaris.db.parts (id INT, d DATE) USING ICEBERG PARTITIONED BY (d)"
