@@ -77,7 +77,6 @@ _PRIORITY: list[str] = [
     # grade evidence to families resting on the local replica (the
     # rotated-out veterans stay oracle-checked in test_oracle_parity.py)
     "rel_join_left_outer",
-    "rel_join_semi",
     "rel_join_anti",
     # cross join follows in registration order (still oracle-checked
     # locally); its window slot went to the merge-on-read golden
@@ -118,10 +117,12 @@ _PRIORITY: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
-    # X3 similarity (int8 recall gate rotated in r5)
+    # X3 similarity (int8 + multi-probe-LSH recall gates rotated in r5;
+    # rel_join_semi yielded its slot after three green rounds)
     "sim_topk_bruteforce",
     "sim_ann_ivf",
     "sim_ann_int8",
+    "sim_ann_lsh",
     # X5 text analysis (the end-to-end curation funnel: X1+X5; train/eval
     # contamination audit; Gopher-style repetition signals) + X4 multimodal
     "text_curation_pipeline",
