@@ -130,6 +130,48 @@ def test_cdc_stream_exactly_once_across_checkpoint_restart(wh, tmp_path):
     assert ts3.poll() is None
 
 
+def test_cdc_bronze_to_silver_sync(wh, tmp_path):
+    """The full CDC loop: a silver table applies a bronze table's
+    changelog stream (deletes then inserts, in commit order) and equals
+    bronze after every drain — inserts, MOR deletes, and a re-insert all
+    propagate through one checkpointed stream."""
+    from pyspark.sql import functions as F
+
+    bronze = wh.create_table(
+        "db", "bz", "id int, v string",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    silver = wh.create_table("db", "sv", "id int, v string")
+    ts = TableStream(bronze, checkpoint_path=str(tmp_path / "bz.ckpt"), mode="cdc")
+
+    def sync():
+        for df, _frm, _to in ts.drain():
+            for ordinal in sorted(
+                r[0] for r in df.select("_change_ordinal").distinct().collect()
+            ):
+                batch = df.filter(F.col("_change_ordinal") == ordinal)
+                dels = [r.id for r in batch.filter("_change_type = 'delete'").collect()]
+                ins = batch.filter("_change_type = 'insert'").select("id", "v")
+                if dels:
+                    silver.delete_where(f"id IN ({', '.join(map(str, dels))})")
+                if ins.head(1):
+                    silver.append(ins)
+
+    bronze.insert_values([(1, "a"), (2, "b"), (3, "c")])
+    sync()
+    assert _rows(silver.read()) == _rows(bronze.read())
+    bronze.delete_where("id = 2")
+    bronze.insert_values([(4, "d")])
+    sync()
+    assert _rows(silver.read()) == _rows(bronze.read()) == [(1, "a"), (3, "c"), (4, "d")]
+    bronze.insert_values([(2, "b-again")])  # deleted key returns
+    bronze.delete_where("id = 1")
+    sync()
+    assert _rows(silver.read()) == _rows(bronze.read())
+    sync()  # idempotent: nothing pending, nothing double-applied
+    assert _rows(silver.read()) == _rows(bronze.read())
+
+
 def test_cdc_stream_compaction_emits_nothing(wh):
     """replace snapshots (compaction / materialize_deletes) rewrite bytes,
     not contents — the cdc stream advances past them with zero rows
