@@ -287,3 +287,70 @@ def test_metadata_version_monotonic_across_expiry(wh, spark):
         for e in avro_io.read_container(m["manifest_path"])[2]
     ]
     assert files and all(os.path.isfile(fe["file_path"]) for fe in files)
+
+
+# --------------------------------------------------------------------------
+# Property fuzz: after ANY commit sequence (appends, copy-on-write and
+# merge-on-read positional deletes, equality deletes, compaction, expiry),
+# an independent reader walking the exported metadata tree — applying
+# content=1 positional deletes with byte-exact path matching — sees exactly
+# the rows the engine's own read serves. This is the open-format promise,
+# pinned across the whole delete-mode interaction space.
+# --------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from minio_iceberg_polaris_lakehouse_spark.warehouse import WarehouseError
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.lists(st.integers(0, 9), min_size=1, max_size=4)),
+        st.tuples(st.just("delete_cow"), st.integers(0, 9)),
+        st.tuples(st.just("delete_mor"), st.integers(0, 9)),
+        st.tuples(st.just("delete_eq"), st.integers(0, 9)),
+        st.tuples(st.just("compact"), st.just(None)),
+        st.tuples(st.just("expire"), st.just(None)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+_N = [0]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS)
+def test_export_fuzz_external_reader_matches_engine(spark, tmp_path_factory, ops):
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("exp_fuzz")))
+    _N[0] += 1
+    t = wh.create_table(
+        "db", f"xf{_N[0]}", "id int, v string",
+        properties={"write.delete.equality-columns": "id"},
+    )
+    seq = 0
+    for op, arg in ops:
+        if op == "append":
+            seq += 1
+            t.insert_values([(i, f"r{seq}") for i in arg])
+        elif op == "delete_cow":
+            t.delete_where(f"id = {arg}", mode="copy-on-write")
+        elif op == "delete_mor":
+            t.delete_where(f"id = {arg}", mode="merge-on-read")
+        elif op == "delete_eq":
+            t.delete_where(f"id = {arg}", mode="merge-on-read-equality")
+        elif op == "compact":
+            try:
+                t.materialize_deletes()
+            except WarehouseError:
+                pass
+        elif op == "expire":
+            t.expire_snapshots(keep_last=1)
+    if t.current_snapshot_id() is None:
+        return  # nothing exported for an empty table
+    engine = sorted((r.id, r.v) for r in t.read().collect())
+    external = _independent_read(t.path, ["id", "v"])
+    assert external == engine
