@@ -558,19 +558,6 @@ class LakehouseSQL:
             ]
         )
 
-    def _reject_wap_dml(self, stmt: str) -> None:
-        """Row-level DML and overwrites are not branch-routed (only
-        INSERT appends are), so running them while `SET spark.wap.branch`
-        is active would silently mutate main behind the audit branch —
-        reject instead (Iceberg routes ALL writes to the WAP branch;
-        until this engine does, an explicit error beats a silent leak)."""
-        if self._wap_branch:
-            raise WarehouseError(
-                f"{stmt} while spark.wap.branch = '{self._wap_branch}' is set "
-                "would bypass the audit branch and mutate main; RESET "
-                "spark.wap.branch first (only INSERT appends are branch-routed)"
-            )
-
     def _append_positional(self, tab: Table, src: DataFrame) -> None:
         # an active `SET spark.wap.branch = '...'` routes INSERTs to that
         # branch (Iceberg's write-audit-publish session knob): staged,
@@ -581,36 +568,35 @@ class LakehouseSQL:
     def _insert_overwrite_values(self, m: re.Match) -> DataFrame:
         """INSERT OVERWRITE TABLE t VALUES ... — replace-the-table
         semantics under one snapshot (Spark's INSERT OVERWRITE on an
-        unpartitioned-spec write: full overwrite)."""
-        self._reject_wap_dml("INSERT OVERWRITE")
+        unpartitioned-spec write: full overwrite). Like every write
+        statement, an active `SET spark.wap.branch` routes it to the
+        branch (Iceberg's session-wide WAP write routing)."""
         tab = self._existing_table(m.group(1))
         src = self.spark.sql(f"SELECT * FROM (VALUES {m.group(2)})")
-        tab.overwrite(self._align_positional(tab, src))
+        tab.overwrite(self._align_positional(tab, src), branch=self._wap_branch)
         return self._empty()
 
     def _insert_overwrite_select(self, m: re.Match) -> DataFrame:
-        self._reject_wap_dml("INSERT OVERWRITE")
         tab = self._existing_table(m.group(1))
         src = self.spark.sql(self._rewrite_query(m.group(2)))
-        tab.overwrite(self._align_positional(tab, src))
+        tab.overwrite(self._align_positional(tab, src), branch=self._wap_branch)
         return self._empty()
 
     def _delete_from(self, m: re.Match) -> DataFrame:
-        self._reject_wap_dml("DELETE")
         tab = self._existing_table(m.group(1))
-        tab.delete_where(m.group(2))
+        tab.delete_where(m.group(2), branch=self._wap_branch)
         return self._empty()
 
     def _update(self, m: re.Match) -> DataFrame:
         """UPDATE t SET col = expr [, ...] WHERE cond — copy-on-write
-        rewrite of matching rows (Iceberg row-level UPDATE semantics)."""
-        self._reject_wap_dml("UPDATE")
+        rewrite of matching rows (Iceberg row-level UPDATE semantics).
+        An active `SET spark.wap.branch` stages it on the branch."""
         tab = self._existing_table(m.group(1))
         assignments: dict[str, str] = {}
         for part in _split_top_level(m.group(2)):
             col, expr = part.split("=", 1)
             assignments[col.strip()] = expr.strip()
-        tab.update_where(assignments, m.group(3))
+        tab.update_where(assignments, m.group(3), branch=self._wap_branch)
         return self._empty()
 
     def _create_view(self, m: re.Match) -> DataFrame:
@@ -680,9 +666,8 @@ class LakehouseSQL:
         (SETUP_GUIDE_WIN.md:368 'Use MERGE or DELETE + INSERT'). ``src``
         is a warehouse table name or a parenthesized SELECT; execution is
         the warehouse's copy-on-write merge (join + union plan)."""
-        self._reject_wap_dml("MERGE")
         tab, src, key = self._merge_parts(m)
-        tab.merge_into(src, on=key)
+        tab.merge_into(src, on=key, branch=self._wap_branch)
         return self._empty()
 
     def _merge_parts(self, m: re.Match):
@@ -706,10 +691,13 @@ class LakehouseSQL:
         reference's troubleshooting guide reaches for
         (SETUP_GUIDE_WIN.md:368 'Use MERGE or DELETE + INSERT'): matched
         target rows drop; source rows with no match optionally insert."""
-        self._reject_wap_dml("MERGE")
         tab, src, key = self._merge_parts(m)
         tab.merge_into(
-            src, on=key, matched_action="delete", insert_missing=bool(m.group(5))
+            src,
+            on=key,
+            matched_action="delete",
+            insert_missing=bool(m.group(5)),
+            branch=self._wap_branch,
         )
         return self._empty()
 

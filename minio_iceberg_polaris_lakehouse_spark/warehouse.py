@@ -767,25 +767,54 @@ class Table:
         adds: list,
         summary: dict[str, Any],
         expected_parent: int | None,
+        branch: str | None = None,
+        delete_dirs: list[str] | None = None,
+        eq_deletes: list[dict] | None = None,
     ) -> int:
         """Commit that REPLACES the manifest based on state read at
         ``expected_parent``. If another writer committed since, the result
         would silently drop their rows — so it conflicts instead of
         committing (optimistic concurrency; raise, caller re-reads and
-        retries)."""
+        retries). ``branch`` stages the replacement on a named branch
+        (write-audit-publish row-level DML): the conflict check runs
+        against the BRANCH head, the snapshot is branch-tagged (invisible
+        to main until fast_forward publishes it), and the ref advances."""
         dirs, pending = self._split_adds(adds)
         lock, token = self._acquire_commit_lock()
         try:
             snaps = self._snaps()
-            mains = self._main_snaps(snaps)
-            current = mains[-1]["snapshot_id"] if mains else None
+            if branch:
+                meta = self._meta()
+                rec = meta.get("refs", {}).get(branch)
+                if rec is None or rec.get("type") != "BRANCH":
+                    raise WarehouseError(
+                        f"unknown branch {branch!r} on {self.ns}.{self.name}"
+                    )
+                current = int(rec["snapshot_id"])
+            else:
+                mains = self._main_snaps(snaps)
+                current = mains[-1]["snapshot_id"] if mains else None
             if current != expected_parent:
                 raise CommitConflictError(
                     f"{self.ns}.{self.name}: snapshot moved {expected_parent} -> "
                     f"{current} during {operation}; re-read and retry"
                 )
             self._record_pending(pending)
-            return self._append_snapshot(snaps, operation, dirs, summary)
+            sid = self._append_snapshot(
+                snaps,
+                operation,
+                dirs,
+                summary,
+                delete_dirs=delete_dirs,
+                branch=branch,
+                eq_deletes=eq_deletes,
+                parent_id=current if branch else None,
+            )
+            if branch:
+                meta = self._meta()  # re-read: the commit re-exported metadata
+                meta["refs"][branch]["snapshot_id"] = sid
+                self._write_meta(meta)
+            return sid
         finally:
             self._release_commit_lock(lock, token)
 
@@ -1654,15 +1683,30 @@ class Table:
         """INSERT INTO t VALUES ... (reference S7: getting_started.ipynb:96)."""
         return self.append(self.spark.createDataFrame(rows, self.schema()), branch=branch)
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, branch: str | None = None) -> int:
         """CTAS/overwrite (reference S8: warehouse_helpers.py:107-111).
         Replaces the whole table regardless of prior state — no read
         dependency, so it commits unconditionally (last overwrite wins,
-        matching Iceberg's createOrReplace)."""
+        matching Iceberg's createOrReplace). ``branch`` stages the
+        replacement on the branch instead of main (WAP routing)."""
         p = self._write_data(df)
         lock, token = self._acquire_commit_lock()
         try:
             self._record_pending([p])
+            if branch:
+                head = self._branch_head(branch)
+                sid = self._append_snapshot(
+                    self._snaps(),
+                    "overwrite",
+                    [p.dirname],
+                    {"replaced": True, "added-records": p.rows},
+                    branch=branch,
+                    parent_id=head,
+                )
+                meta = self._meta()  # re-read: the commit re-exported metadata
+                meta["refs"][branch]["snapshot_id"] = sid
+                self._write_meta(meta)
+                return sid
             return self._append_snapshot(
                 self._snaps(), "overwrite", [p.dirname], {"replaced": True, "added-records": p.rows}
             )
@@ -1670,7 +1714,13 @@ class Table:
             self._release_commit_lock(lock, token)
 
     # ---------------- DML beyond append (M1) ----------------
-    def delete_where(self, condition: str, mode: str | None = None) -> int:
+    def _branch_head(self, branch: str) -> int:
+        rec = self._meta().get("refs", {}).get(branch)
+        if rec is None or rec.get("type") != "BRANCH":
+            raise WarehouseError(f"unknown branch {branch!r} on {self.ns}.{self.name}")
+        return int(rec["snapshot_id"])
+
+    def delete_where(self, condition: str, mode: str | None = None, branch: str | None = None) -> int:
         """DELETE FROM t WHERE ... in either Iceberg row-level mode.
 
         copy-on-write (default): rewrite the surviving rows into a new
@@ -1682,27 +1732,34 @@ class Table:
         with `_deleted=true`. Select per call (``mode=``) or per table
         (property ``write.delete.mode``, the Iceberg knob).
 
+        ``branch`` stages the delete on a named branch (write-audit-
+        publish, Iceberg's session-wide write routing): computed from and
+        committed to the BRANCH state, invisible to main until published.
+
         Both are read-modify-write: conflicts (another writer committing
         between our read and our commit) raise CommitConflictError
         instead of silently dropping their rows."""
         mode = mode or self._meta()["properties"].get("write.delete.mode", "copy-on-write")
         if mode == "merge-on-read":
-            return self._delete_where_mor(condition)
+            return self._delete_where_mor(condition, branch=branch)
         if mode == "merge-on-read-equality":
-            return self._delete_where_mor_eq(condition)
-        parent = self.current_snapshot_id()
-        cur = self.read()
+            return self._delete_where_mor_eq(condition, branch=branch)
+        parent = self._branch_head(branch) if branch else self.current_snapshot_id()
+        cur = self.read(version=branch) if branch else self.read()
         remaining = cur.filter(f"NOT ({condition})")
         p = self._write_data(remaining)
-        return self._commit_replace("delete", [p], {"predicate": condition}, parent)
+        return self._commit_replace(
+            "delete", [p], {"predicate": condition}, parent, branch=branch
+        )
 
-    def _delete_where_mor(self, condition: str) -> int:
+    def _delete_where_mor(self, condition: str, branch: str | None = None) -> int:
         """Merge-on-read DELETE: compute matching LIVE row positions, land
         them as a zstd parquet delete file, commit a snapshot that keeps
         the parent's data dirs and adds the tombstones. O(matches) write
-        instead of O(table) — the scale win merge-on-read exists for."""
-        parent = self.current_snapshot_id()
-        snap = self._resolve()
+        instead of O(table) — the scale win merge-on-read exists for.
+        ``branch`` stages against and onto the branch (WAP routing)."""
+        parent = self._branch_head(branch) if branch else self.current_snapshot_id()
+        snap = self._resolve(version=branch) if branch else self._resolve()
         existing = snap.get("delete_dirs", [])
         live = self._read_dirs(snap["manifest"], file_pos=True)
         tomb = self._tombstones(existing)
@@ -1722,15 +1779,18 @@ class Table:
         lock, token = self._acquire_commit_lock()
         try:
             snaps = self._snaps()
-            mains = self._main_snaps(snaps)
-            current = mains[-1]["snapshot_id"] if mains else None
+            if branch:
+                current = self._branch_head(branch)
+            else:
+                mains = self._main_snaps(snaps)
+                current = mains[-1]["snapshot_id"] if mains else None
             if current != parent:
                 raise CommitConflictError(
                     f"{self.ns}.{self.name}: snapshot moved {parent} -> "
                     f"{current} during merge-on-read delete; re-read and retry"
                 )
             self._record_pending([pend])
-            return self._append_snapshot(
+            sid = self._append_snapshot(
                 snaps,
                 "delete",
                 snap["manifest"],
@@ -1740,12 +1800,19 @@ class Table:
                     "added-position-deletes": n,
                 },
                 existing + [dirname],
+                branch=branch,
                 eq_deletes=snap.get("eq_deletes", []),
+                parent_id=parent if branch else None,
             )
+            if branch:
+                meta = self._meta()  # re-read: the commit re-exported metadata
+                meta["refs"][branch]["snapshot_id"] = sid
+                self._write_meta(meta)
+            return sid
         finally:
             self._release_commit_lock(lock, token)
 
-    def _delete_where_mor_eq(self, condition: str) -> int:
+    def _delete_where_mor_eq(self, condition: str, branch: str | None = None) -> int:
         """Merge-on-read EQUALITY delete (Iceberg v2's second delete-file
         type — what streaming/CDC writers produce): land the DISTINCT key
         values of the matched rows as an equality-delete file over the
@@ -1768,9 +1835,10 @@ class Table:
         unknown = [c for c in cols if c not in schema_cols]
         if unknown:
             raise WarehouseError(f"equality columns not in schema: {unknown}")
-        parent = self.current_snapshot_id()
-        snap = self._resolve()
-        keys = self.read().filter(f"({condition})").select(*cols).dropDuplicates(cols)
+        parent = self._branch_head(branch) if branch else self.current_snapshot_id()
+        snap = self._resolve(version=branch) if branch else self._resolve()
+        src = self.read(version=branch) if branch else self.read()
+        keys = src.filter(f"({condition})").select(*cols).dropDuplicates(cols)
         dirname = f"delete-eq-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, dirname)
         keys.write.option("compression", "zstd").parquet(out)
@@ -1785,15 +1853,18 @@ class Table:
         lock, token = self._acquire_commit_lock()
         try:
             snaps = self._snaps()
-            mains = self._main_snaps(snaps)
-            current = mains[-1]["snapshot_id"] if mains else None
+            if branch:
+                current = self._branch_head(branch)
+            else:
+                mains = self._main_snaps(snaps)
+                current = mains[-1]["snapshot_id"] if mains else None
             if current != parent:
                 raise CommitConflictError(
                     f"{self.ns}.{self.name}: snapshot moved {parent} -> "
                     f"{current} during equality delete; re-read and retry"
                 )
             self._record_pending([pend])
-            return self._append_snapshot(
+            sid = self._append_snapshot(
                 snaps,
                 "delete",
                 snap["manifest"],
@@ -1803,14 +1874,25 @@ class Table:
                     "added-equality-deletes": n,
                 },
                 snap.get("delete_dirs", []),
+                branch=branch,
                 eq_deletes=snap.get("eq_deletes", [])
                 + [{"dir": dirname, "cols": cols, "seq": None}],  # seq = this commit
+                parent_id=parent if branch else None,
             )
+            if branch:
+                meta = self._meta()  # re-read: the commit re-exported metadata
+                meta["refs"][branch]["snapshot_id"] = sid
+                self._write_meta(meta)
+            return sid
         finally:
             self._release_commit_lock(lock, token)
 
     def update_where(
-        self, assignments: dict[str, str], condition: str, mode: str | None = None
+        self,
+        assignments: dict[str, str],
+        condition: str,
+        mode: str | None = None,
+        branch: str | None = None,
     ) -> int:
         """UPDATE t SET col = expr, ... WHERE condition in either Iceberg
         row-level mode (per call or via the ``write.update.mode`` table
@@ -1825,9 +1907,9 @@ class Table:
             raise WarehouseError(f"UPDATE of unknown column(s): {unknown}")
         mode = mode or self._meta()["properties"].get("write.update.mode", "copy-on-write")
         if mode == "merge-on-read":
-            return self._update_where_mor(assignments, condition)
-        parent = self.current_snapshot_id()
-        cur = self.read()
+            return self._update_where_mor(assignments, condition, branch=branch)
+        parent = self._branch_head(branch) if branch else self.current_snapshot_id()
+        cur = self.read(version=branch) if branch else self.read()
         updated = cur.select(
             *[
                 (
@@ -1839,15 +1921,19 @@ class Table:
             ]
         )
         p = self._write_data(updated)
-        return self._commit_replace("update", [p], {"predicate": condition}, parent)
+        return self._commit_replace(
+            "update", [p], {"predicate": condition}, parent, branch=branch
+        )
 
-    def _update_where_mor(self, assignments: dict[str, str], condition: str) -> int:
+    def _update_where_mor(
+        self, assignments: dict[str, str], condition: str, branch: str | None = None
+    ) -> int:
         """Merge-on-read UPDATE (Iceberg v2): positional-delete the
         matched rows' old positions AND append a data dir holding their
         rewritten versions, in ONE snapshot."""
         cols = self.schema().fieldNames()
-        parent = self.current_snapshot_id()
-        snap = self._resolve()
+        parent = self._branch_head(branch) if branch else self.current_snapshot_id()
+        snap = self._resolve(version=branch) if branch else self._resolve()
         existing = snap.get("delete_dirs", [])
         live = self._read_dirs(snap["manifest"], file_pos=True)
         tomb = self._tombstones(existing)
@@ -1875,15 +1961,18 @@ class Table:
         lock, token = self._acquire_commit_lock()
         try:
             snaps = self._snaps()
-            mains = self._main_snaps(snaps)
-            current = mains[-1]["snapshot_id"] if mains else None
+            if branch:
+                current = self._branch_head(branch)
+            else:
+                mains = self._main_snaps(snaps)
+                current = mains[-1]["snapshot_id"] if mains else None
             if current != parent:
                 raise CommitConflictError(
                     f"{self.ns}.{self.name}: snapshot moved {parent} -> "
                     f"{current} during merge-on-read update; re-read and retry"
                 )
             self._record_pending([pend_del, p])
-            return self._append_snapshot(
+            sid = self._append_snapshot(
                 snaps,
                 "update",
                 snap["manifest"] + [p.dirname],
@@ -1894,8 +1983,15 @@ class Table:
                     "added-records": p.rows,
                 },
                 existing + [ddir],
+                branch=branch,
                 eq_deletes=snap.get("eq_deletes", []),
+                parent_id=parent if branch else None,
             )
+            if branch:
+                meta = self._meta()  # re-read: the commit re-exported metadata
+                meta["refs"][branch]["snapshot_id"] = sid
+                self._write_meta(meta)
+            return sid
         finally:
             self._release_commit_lock(lock, token)
 
@@ -1906,6 +2002,7 @@ class Table:
         update_cols: list[str] | None = None,
         insert_missing: bool = True,
         matched_action: str = "update",
+        branch: str | None = None,
     ) -> int:
         """MERGE INTO target USING source ON target.<on> = source.<on>
         WHEN MATCHED THEN UPDATE SET <update_cols> (or all non-key
@@ -1918,10 +2015,11 @@ class Table:
         swap."""
         if matched_action not in ("update", "delete"):
             raise WarehouseError(f"matched_action must be update or delete, not {matched_action}")
-        parent = self.current_snapshot_id()
+        parent = self._branch_head(branch) if branch else self.current_snapshot_id()
         cols = [f.name for f in self.schema().fields]
         update_cols = update_cols or [c for c in cols if c != on]
-        tgt, src = self.read().alias("t"), source.alias("s")
+        tgt = (self.read(version=branch) if branch else self.read()).alias("t")
+        src = source.alias("s")
         unmatched_tgt = tgt.join(src, F.col(f"t.{on}") == F.col(f"s.{on}"), "left_anti").select(
             *[F.col(c) for c in cols]
         )
@@ -1941,7 +2039,7 @@ class Table:
             merged = merged.unionByName(new_rows)
         p = self._write_data(merged)
         return self._commit_replace(
-            "merge", [p], {"on": on, "matched-action": matched_action}, parent
+            "merge", [p], {"on": on, "matched-action": matched_action}, parent, branch=branch
         )
 
     # ---------------- schema evolution (D10) ----------------
@@ -2193,11 +2291,10 @@ class Table:
         by name (`VERSION AS OF 'audit-2024'`), protected from
         expire_snapshots (a branch pins its whole staged chain down to
         the main fork point). Tags are read pointers; BRANCHES are
-        writable — `append(df, branch=...)` / `SET spark.wap.branch`
-        stage commits on the branch (write-audit-publish), published via
-        fast_forward/cherry_pick. Row-level DML (DELETE/UPDATE/MERGE)
-        is main-only and rejected by the SQL front-end while a WAP
-        branch is active."""
+        writable — appends AND row-level DML (`branch=` on append/
+        delete_where/update_where/merge_into/overwrite, or session-wide
+        via `SET spark.wap.branch`) stage on the branch
+        (write-audit-publish), published via fast_forward/cherry_pick."""
         if ref_type.lower() not in ("branch", "tag"):
             raise WarehouseError(f"ref type must be branch or tag, not {ref_type}")
         if name == "main":

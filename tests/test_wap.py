@@ -142,32 +142,69 @@ def test_expire_keeps_staged_chain_publishable(wh):
     assert t.current_snapshot_id() == sid
 
 
-def test_wap_branch_rejects_row_level_dml(spark, tmp_path):
-    """While SET spark.wap.branch is active, DELETE/UPDATE/MERGE/INSERT
-    OVERWRITE are rejected: they are not branch-routed, so running them
-    would silently mutate main behind the audit branch."""
+def test_wap_branch_routes_row_level_dml(spark, tmp_path):
+    """While SET spark.wap.branch is active, DELETE/UPDATE/MERGE stage on
+    the branch (Iceberg's session-wide WAP write routing): main is
+    untouched until fast_forward publishes the audited state."""
     from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
 
     lake = LakehouseSQL(spark, str(tmp_path / "whdml"))
     lake.sql("CREATE TABLE polaris.db.guard (id INT, v STRING) USING ICEBERG")
-    lake.sql("INSERT INTO polaris.db.guard VALUES (1, 'a')")
+    lake.sql("INSERT INTO polaris.db.guard VALUES (1, 'a'), (2, 'b'), (3, 'c')")
     lake.sql("ALTER TABLE polaris.db.guard CREATE BRANCH audit")
     lake.sql("SET spark.wap.branch = 'audit'")
-    for stmt in [
-        "DELETE FROM polaris.db.guard WHERE id = 1",
-        "UPDATE polaris.db.guard SET v = 'x' WHERE id = 1",
-        "MERGE INTO polaris.db.guard t USING (SELECT 1 AS id, 'y' AS v) s "
+    lake.sql("DELETE FROM polaris.db.guard WHERE id = 1")
+    lake.sql("UPDATE polaris.db.guard SET v = 'b2' WHERE id = 2")
+    lake.sql(
+        "MERGE INTO polaris.db.guard t USING (SELECT 4 AS id, 'd' AS v) s "
         "ON t.id = s.id "
-        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
-        "INSERT OVERWRITE TABLE polaris.db.guard VALUES (9, 'z')",
-    ]:
-        with pytest.raises(WarehouseError, match="spark.wap.branch"):
-            lake.sql(stmt)
-    # main untouched by any of the rejected statements
-    assert lake.sql("SELECT COUNT(*) AS n FROM polaris.db.guard").collect()[0].n == 1
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    # main untouched by every routed statement
+    assert _rows(lake.wh.table("db", "guard").read()) == [(1, "a"), (2, "b"), (3, "c")]
+    # the branch carries the audited state
+    assert _rows(lake.wh.table("db", "guard").read(version="audit")) == [
+        (2, "b2"),
+        (3, "c"),
+        (4, "d"),
+    ]
     lake.sql("RESET spark.wap.branch")
-    lake.sql("DELETE FROM polaris.db.guard WHERE id = 1")  # now allowed
-    assert lake.sql("SELECT COUNT(*) AS n FROM polaris.db.guard").collect()[0].n == 0
+    lake.sql(
+        "CALL polaris.system.fast_forward(table => 'db.guard', "
+        "branch => 'main', to => 'audit')"
+    )
+    assert _rows(lake.wh.table("db", "guard").read()) == [(2, "b2"), (3, "c"), (4, "d")]
+
+
+def test_wap_branch_routes_mor_delete(wh):
+    """Merge-on-read DELETE staged on a branch: tombstones land on the
+    branch snapshot, main reads stay delete-free until publish."""
+    t = wh.create_table(
+        "db", "w9", "id int, v string",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert_values([(1, "a"), (2, "b"), (3, "c")])
+    t.create_ref("audit", "branch")
+    t.delete_where("id = 2", branch="audit")
+    assert _rows(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    assert _rows(t.read(version="audit")) == [(1, "a"), (3, "c")]
+    t.fast_forward("audit")
+    assert _rows(t.read()) == [(1, "a"), (3, "c")]
+    # second cycle: equality delete on the same branch
+    t2 = wh.create_table(
+        "db", "w9e", "id int, v string",
+        properties={
+            "write.delete.mode": "merge-on-read-equality",
+            "write.delete.equality-columns": "id",
+        },
+    )
+    t2.insert_values([(1, "a"), (2, "b")])
+    t2.create_ref("audit", "branch")
+    t2.delete_where("id = 1", branch="audit")
+    assert _rows(t2.read()) == [(1, "a"), (2, "b")]
+    assert _rows(t2.read(version="audit")) == [(2, "b")]
+    t2.fast_forward("audit")
+    assert _rows(t2.read()) == [(2, "b")]
 
 
 def test_wap_sql_surface(spark, tmp_path):
