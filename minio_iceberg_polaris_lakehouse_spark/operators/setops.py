@@ -57,31 +57,53 @@ def set_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.groupBy("nationkey").agg(F.count("*").alias("n")).orderBy("nationkey")
 
 
+def _urgent_custkeys(spark, sf_dir) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").cast("bigint").alias("custkey"))
+    )
+
+
+def _low_custkeys(spark, sf_dir) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "5-LOW")
+        .select(F.col("o_custkey").cast("bigint").alias("custkey"))
+    )
+
+
 @register(
     "set_intersect",
     oracle="""
-    SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+    SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     INTERSECT
-    SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
-    ORDER BY nationkey
+    SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    ORDER BY custkey
     """,
 )
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT: nations with both customers and suppliers."""
-    return _cust_nations(spark, sf_dir).intersect(_supp_nations(spark, sf_dir)).orderBy("nationkey")
+    """INTERSECT: customers who placed both an urgent AND a low-priority
+    order — a selective result (neither side's superset), so the driver
+    hash actually exercises the distinct-ing intersection, unlike the
+    original nations variant whose result equaled the full key domain."""
+    return _urgent_custkeys(spark, sf_dir).intersect(_low_custkeys(spark, sf_dir)).orderBy("custkey")
 
 
 @register(
     "set_except",
     oracle="""
-    SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+    SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     EXCEPT
-    SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
-    ORDER BY nationkey
+    SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    ORDER BY custkey
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct): nations with customers but no suppliers —
-    `subtract` is Spark's EXCEPT DISTINCT (exceptAll would only cancel
-    per-occurrence)."""
-    return _cust_nations(spark, sf_dir).subtract(_supp_nations(spark, sf_dir)).orderBy("nationkey")
+    """EXCEPT (distinct): customers who placed an urgent order but never a
+    low-priority one — non-empty AND a strict subset of the left side at
+    every test SF, so the driver hash can't pass vacuously (the original
+    nations variant returned 0 rows: every nation has both customers and
+    suppliers). `subtract` is Spark's EXCEPT DISTINCT (exceptAll would
+    only cancel per-occurrence)."""
+    return _urgent_custkeys(spark, sf_dir).subtract(_low_custkeys(spark, sf_dir)).orderBy("custkey")

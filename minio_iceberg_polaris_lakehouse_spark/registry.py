@@ -48,10 +48,16 @@ _REGISTRY: dict[str, Query] = {}
 # not listed follows in registration order (and still runs in the local
 # oracle-parity suite, which has no cap).
 _PRIORITY: list[str] = [
-    # flagship + reference goldens (scan, filter, J1, A1, sort, decimal)
+    # flagship + reference goldens (scan, filter, J1, A1, sort, decimal).
+    # r6 rotation: 15 veterans with >=4 green driver rounds each
+    # (ref_count_star, ref_join_users_orders, rel_filter_projection,
+    # rel_topk_orders, fn_date_suite, stream_tumbling_window,
+    # dedup_exact_keep_first, sim_topk_bruteforce, rel_pricing_summary,
+    # rel_rollup, rel_join_left_outer, evt_sessionization, udf_vector_norm,
+    # rel_count_distinct, rel_asof_join) yield their slots to 15 queries
+    # the driver has NEVER hash-checked; all veterans remain green in the
+    # uncapped local replica (tests/test_oracle_parity.py).
     "flagship_revenue_by_nation",
-    "ref_count_star",
-    "ref_join_users_orders",
     "ref_join_users_orders_decimal",
     "ref_duplicate_append",
     # warehouse metadata tables + time travel through the SQL front-end
@@ -71,63 +77,66 @@ _PRIORITY: list[str] = [
     # scan-time file skipping from manifest stats (README.md:138-139) over
     # a WRITE ORDERED BY clustered table
     "ref_file_skipping",
-    "rel_filter_projection",
-    # join family (J2-J9 + range + as-of); right/full outer rotated out
-    # in r5 after two all-green driver rounds — their slots give driver-
-    # grade evidence to families resting on the local replica (the
-    # rotated-out veterans stay oracle-checked in test_oracle_parity.py)
-    "rel_join_left_outer",
+    # row-level MERGE with matched-THEN-DELETE branch (M1) — first driver
+    # window slot (previously local-replica evidence only)
+    "ref_merge_delete",
+    # join family (J2-J9 + range + as-of); left-outer/as-of rotated out in
+    # r6 after 5 green rounds each — anti + range keep the family's slots
     "rel_join_anti",
-    # cross join follows in registration order (still oracle-checked
-    # locally); its window slot went to the merge-on-read golden
     "rel_range_join",
-    "rel_asof_join",
     # subqueries (correlated/scalar variants follow in registration order)
     "rel_in_subquery",
     # aggregation family (A2-A12)
-    "rel_pricing_summary",
     "rel_groupby_having",
-    "rel_count_distinct",
-    # grouping analytics: rollup + the never-driver-checked grouping-sets
-    # and cube variants (rotated in r5)
-    "rel_rollup",
+    # grouping analytics (rollup/count-distinct veterans rested in r6)
     "rel_grouping_sets",
     "rel_cube",
     "rel_approx_sketches",
     "agg_median_approx",
-    # window functions (§2.5)
+    # window functions (§2.5): top3 stays as the partitioned-rank anchor;
+    # rank/dense_rank, lag/lead, and running-sum frames get their FIRST
+    # driver slots in r6 (never checked in r1-r5)
     "win_top3_per_segment",
-    # sort / top-k (O1-O3)
-    "rel_topk_orders",
-    # scalar-function suites (F5): math + json rotated in r5 (string/date
-    # veterans rotated out after two green rounds, still local-checked)
+    "win_rank_dense_rank",
+    "win_lag_lead",
+    "win_running_sum",
+    # set operations (§2.7): INTERSECT/EXCEPT never driver-checked before
+    "set_intersect",
+    "set_except",
+    # scalar-function suites (F5): array suite first driver slot
     "fn_math_suite",
     "fn_json_extract",
-    "fn_date_suite",
-    # streaming windows + event analytics (§2.12)
-    "stream_tumbling_window",
+    "fn_array_suite",
+    # streaming windows + event analytics (§2.12): sliding window and the
+    # click→purchase funnel get first driver slots
     "stream_session_window",
-    "evt_sessionization",
+    "stream_sliding_window",
+    "evt_click_purchase_funnel",
     # UDF surface (§2.13)
-    "udf_vector_norm",
     "udf_grouped_stats",
     "udf_grouped_agg_median",
-    # X1/X2 dedup
-    "dedup_exact_keep_first",
+    # X1/X2 dedup: connected-component cluster resolution first driver slot
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
-    # X3 similarity (int8 + multi-probe-LSH recall gates rotated in r5;
-    # rel_join_semi yielded its slot after three green rounds)
-    "sim_topk_bruteforce",
+    "dedup_cluster_keep_one",
+    # skew handling: salted high-cardinality groupBy first driver slot
+    "skew_salted_groupby",
+    # X3 similarity: recall gates stay; label centroids + the LSH top-k
+    # bench twin (rows-only) get first driver slots
     "sim_ann_ivf",
     "sim_ann_int8",
     "sim_ann_lsh",
-    # X5 text analysis (the end-to-end curation funnel: X1+X5; train/eval
-    # contamination audit; Gopher-style repetition signals) + X4 multimodal
+    "sim_label_centroids",
+    "sim_ann_lsh_topk",
+    # X5 text analysis: quality-score and fingerprint first driver slots
+    # alongside the veterans curation/contamination/repetition
     "text_curation_pipeline",
     "text_contamination",
     "text_repetition_signals",
+    "text_quality_score",
+    "text_fingerprint",
+    # X4 multimodal
     "mm_blob_stats",
 ]
 
