@@ -39,7 +39,9 @@ import datetime
 import hashlib
 import json
 import os
+import shutil
 import urllib.parse
+import uuid
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -430,8 +432,39 @@ def _compile_eq_deletes(table: Table, meta: dict, snap: dict) -> str | None:
         .orderBy("file_path", "pos")
         .coalesce(1)
     )
-    hits.write.option("compression", "zstd").parquet(out)
-    _parquet_footer_stats(out)
+    # Crash-safe publish: build the dir (parquet + stats sidecar) at a
+    # temp path, then rename into place. The sidecar's presence is the
+    # completeness marker checked above, so a dir at the final path is
+    # always whole; a half-written leftover from a crash between the
+    # parquet write and the sidecar (which would make every later export
+    # — and hence every commit — fail with 'path already exists') is
+    # detected by its missing sidecar and replaced.
+    tmp = os.path.join(table.path, f".{dirname}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+    hits.write.option("compression", "zstd").parquet(tmp)
+    # deterministic file names: the dir's content is a pure function of
+    # its fingerprint (hits are globally sorted and coalesced), so naming
+    # the parts by index makes a rebuilt dir path-identical to the
+    # original — already-exported immutable manifests that recorded the
+    # old file path stay valid after a self-heal
+    for i, f in enumerate(sorted(p for p in os.listdir(tmp) if p.endswith(".parquet"))):
+        os.rename(os.path.join(tmp, f), os.path.join(tmp, f"eqpos-{i:05d}.parquet"))
+    for f in os.listdir(tmp):  # Spark job markers don't belong in the artifact
+        if f == "_SUCCESS" or f.endswith(".crc"):
+            os.remove(os.path.join(tmp, f))
+    _parquet_footer_stats(tmp)
+    if os.path.isdir(out):
+        if os.path.isfile(os.path.join(out, DIR_STATS_FILE)):
+            # a concurrent exporter published the identical fingerprint
+            shutil.rmtree(tmp, ignore_errors=True)
+            return dirname
+        shutil.rmtree(out)  # crashed leftover without sidecar
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        # lost a publish race: keep the winner if complete, else re-raise
+        if not os.path.isfile(os.path.join(out, DIR_STATS_FILE)):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
     return dirname
 
 

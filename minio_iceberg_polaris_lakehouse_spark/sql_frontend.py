@@ -129,6 +129,25 @@ class LakehouseSQL:
             return parts[0], parts[1]
         raise WarehouseError(f"table name must be [catalog.]namespace.table: {name}")
 
+    def _session_tzinfo(self) -> datetime.tzinfo:
+        """tzinfo for spark.sql.session.timeZone — the zone Spark itself
+        uses for naive TIMESTAMP literals. Region ids resolve via
+        zoneinfo; fixed offsets ('+05:30', 'GMT+8', 'UTC') are parsed
+        directly."""
+        tz = self.spark.conf.get("spark.sql.session.timeZone")
+        try:
+            from zoneinfo import ZoneInfo
+
+            return ZoneInfo(tz)
+        except Exception:
+            m = re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?", tz)
+            if not m:
+                raise WarehouseError(f"unparseable spark.sql.session.timeZone: {tz}") from None
+            sign = 1 if m.group(1) == "+" else -1
+            return datetime.timezone(
+                sign * datetime.timedelta(hours=int(m.group(2)), minutes=int(m.group(3) or 0))
+            )
+
     def _resolve_ns_name(self, name: str) -> str:
         parts = [p.strip() for p in name.split(".")]
         if len(parts) == 2:
@@ -362,7 +381,10 @@ class LakehouseSQL:
             elif m.group("ts") is not None:
                 lit = literals[int(m.group("ts"))].strip("'")
                 ts = datetime.datetime.fromisoformat(lit)
-                ms = int(ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+                if ts.tzinfo is None:
+                    # naive literals follow spark.sql.session.timeZone
+                    ts = ts.replace(tzinfo=self._session_tzinfo())
+                ms = int(ts.timestamp() * 1000)
                 df = tab.read(as_of_ms=ms)
                 view += f"__ts{ms}"
             else:
@@ -628,7 +650,19 @@ class LakehouseSQL:
 
     def _alter_view_rename(self, m: re.Match) -> DataFrame:
         ns, v = self._resolve_table_name(m.group(1))
-        self.wh.rename_view(ns, v, m.group(2).split(".")[-1])
+        new = m.group(2).strip()
+        if "." in new:
+            new_ns, new_v = self._resolve_table_name(new)
+            # Iceberg/Spark reject cross-namespace view renames; silently
+            # dropping the qualifier would rename a.v to a.w when the
+            # user asked for b.w
+            if new_ns != ns:
+                raise WarehouseError(
+                    f"cannot rename view across namespaces: {ns}.{v} -> {new_ns}.{new_v}"
+                )
+        else:
+            new_v = new  # bare name: stays in the source namespace
+        self.wh.rename_view(ns, v, new_v)
         return self._empty()
 
     def _show_views(self, m: re.Match) -> DataFrame:
@@ -831,11 +865,15 @@ class LakehouseSQL:
         """CALL c.system.rollback_to_timestamp(table => 't',
         timestamp => TIMESTAMP '...') — roll main back to the snapshot
         current as of the timestamp (Iceberg's second rollback form)."""
-        import datetime
-
         tab = self._existing_table(m.group(1).strip("'\""))
         previous = tab.current_snapshot_id()
         ts = datetime.datetime.fromisoformat(m.group(2).strip("'\""))
+        if ts.tzinfo is None:
+            # Spark TIMESTAMP literals follow spark.sql.session.timeZone,
+            # NOT the process's OS timezone — datetime.timestamp() on a
+            # naive value would resolve to the wrong snapshot whenever
+            # the two differ
+            ts = ts.replace(tzinfo=self._session_tzinfo())
         as_of_ms = int(ts.timestamp() * 1000)
         target = tab._resolve(as_of_ms=as_of_ms)["snapshot_id"]
         tab.rollback_to(target)

@@ -12,6 +12,16 @@ no-ops and each batch's rows appear exactly once — the same dedup-by-
 commit-metadata design Iceberg's real streaming sink uses. The scan is
 O(snapshots) over the JSON log, metadata-only.
 
+Dedup identity is (query_name, checkpoint id): batch ids are only
+monotonic within ONE checkpoint lineage, so a query restarted under the
+same name with a FRESH checkpoint (batch ids restart at 0) must not be
+deduped against the old run's batches. The checkpoint id is Spark's own
+query id from `<checkpointLocation>/metadata` — minted once per new
+checkpoint, stable across restarts from the same checkpoint — resolved
+lazily at the first micro-batch (the file exists by then). A sink built
+without a checkpoint location keeps identity None, matching records
+written the same way.
+
 Scale: each micro-batch is an append commit (commutative, lock-fast);
 the table's snapshot log grows by one entry per trigger, which is what
 `expire_snapshots` is for. Data volume per commit equals the batch —
@@ -20,67 +30,133 @@ nothing is rewritten.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame
 
 from minio_iceberg_polaris_lakehouse_spark.warehouse import Table
 
 _BATCH_KEY = "streaming-batch-id"
 _QUERY_KEY = "streaming-query"
+_CKPT_KEY = "streaming-checkpoint"
 
 
 class TableSink:
     """foreachBatch-compatible sink with exactly-once batch dedup."""
 
-    def __init__(self, table: Table, query_name: str = "stream"):
+    def __init__(
+        self,
+        table: Table,
+        query_name: str = "stream",
+        checkpoint_location: str | None = None,
+    ):
         self.table = table
         self.query_name = query_name
+        self._ckpt_location = checkpoint_location
+        self._ckpt_id: str | None = None
+        self._ckpt_resolved = checkpoint_location is None
+
+    def _checkpoint_id(self) -> str | None:
+        """Spark's query id from the checkpoint's metadata file — the
+        durable identity of a checkpoint lineage. Resolved lazily: the
+        file is written when the query starts, i.e. before the first
+        foreachBatch call; until then (or when unreadable) the location
+        string itself is the identity."""
+        if self._ckpt_resolved:
+            return self._ckpt_id
+        cid = self._ckpt_location
+        try:
+            with open(os.path.join(self._ckpt_location, "metadata")) as f:
+                cid = json.load(f)["id"]
+            self._ckpt_resolved = True  # durable id found; cache forever
+        except (OSError, ValueError, KeyError):
+            pass  # query not started yet — fall back, retry next call
+        self._ckpt_id = cid
+        return cid
 
     def committed_batch_ids(self) -> set[int]:
+        cid = self._checkpoint_id()
         return {
             int(s["summary"][_BATCH_KEY])
             for s in self.table._snaps()
             if _BATCH_KEY in s.get("summary", {})
             and s["summary"].get(_QUERY_KEY) == self.query_name
+            and s["summary"].get(_CKPT_KEY) == cid
         }
 
-    def high_water_batch_id(self) -> int | None:
-        """Highest batch id ever committed by this query, persisted in
-        table meta — expire_snapshots erases the snapshot summaries the
-        set-scan dedup relies on, but meta survives expiry, so a
-        checkpoint replay of an old batch after history expiry is still
-        a no-op (batch ids are monotonic per Structured Streaming
-        query/checkpoint, so a single watermark suffices)."""
+    def _sink_rec(self) -> dict | None:
         rec = self.table._meta().get("streaming_sinks", {}).get(self.query_name)
-        return int(rec) if rec is not None else None
+        if rec is None:
+            return None
+        if isinstance(rec, dict):
+            return rec
+        # pre-checkpoint-identity record (bare int watermark)
+        return {"hw": int(rec), "checkpoint": None}
+
+    def high_water_batch_id(self) -> int | None:
+        """Highest batch id committed by this (query, checkpoint) —
+        persisted in table meta because expire_snapshots erases the
+        snapshot summaries the set-scan dedup relies on, so a checkpoint
+        replay of an old batch after history expiry is still a no-op
+        (batch ids are monotonic per checkpoint lineage). A record left
+        by a DIFFERENT checkpoint lineage under the same query name is
+        ignored: a fresh checkpoint restarts batch ids at 0 and must not
+        have its early batches swallowed by the old run's watermark."""
+        rec = self._sink_rec()
+        if rec is None or rec.get("checkpoint") != self._checkpoint_id():
+            return None
+        return int(rec["hw"])
+
+    def reset_watermark(self) -> None:
+        """Drop the persisted watermark for this query name — for
+        callers that reuse a name with a new checkpoint lineage but
+        construct the sink without a checkpoint location (where the
+        automatic lineage check can't tell the runs apart)."""
+        lock, token = self.table._acquire_commit_lock()
+        try:
+            meta = self.table._meta()
+            if meta.get("streaming_sinks", {}).pop(self.query_name, None) is not None:
+                self.table._write_meta(meta)
+        finally:
+            self.table._release_commit_lock(lock, token)
 
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> int | None:
         """Commit one micro-batch; returns the snapshot id, or None when
         the batch id was already committed (a replay after a crash
         between the table commit and the checkpoint write)."""
+        cid = self._checkpoint_id()
         hw = self.high_water_batch_id()
         if hw is not None and int(batch_id) <= hw:
             return None
         if int(batch_id) in self.committed_batch_ids():
             return None
         p = self.table._write_data(batch_df)
-        sid = self.table._commit_add(
-            "append",
-            [p],
-            {
-                "added-records": p.rows,
-                _BATCH_KEY: int(batch_id),
-                _QUERY_KEY: self.query_name,
-            },
-        )
+        summary = {
+            "added-records": p.rows,
+            _BATCH_KEY: int(batch_id),
+            _QUERY_KEY: self.query_name,
+        }
+        if cid is not None:
+            summary[_CKPT_KEY] = cid
+        sid = self.table._commit_add("append", [p], summary)
         # advance the persistent watermark under the commit lock (a crash
         # between commit and this write is still covered by the snapshot-
-        # summary scan above)
+        # summary scan above); a new checkpoint lineage takes over the
+        # query name's record outright
         lock, token = self.table._acquire_commit_lock()
         try:
             meta = self.table._meta()
             sinks = meta.setdefault("streaming_sinks", {})
-            if int(sinks.get(self.query_name, -1)) < int(batch_id):
-                sinks[self.query_name] = int(batch_id)
+            rec = sinks.get(self.query_name)
+            if isinstance(rec, int):
+                rec = {"hw": rec, "checkpoint": None}
+            if (
+                rec is None
+                or rec.get("checkpoint") != cid
+                or int(rec["hw"]) < int(batch_id)
+            ):
+                sinks[self.query_name] = {"hw": int(batch_id), "checkpoint": cid}
                 self.table._write_meta(meta)
         finally:
             self.table._release_commit_lock(lock, token)
@@ -100,7 +176,7 @@ def write_stream_to_table(
     ``table`` exactly once (availableNow trigger: drain what's available,
     then stop — the batch-and-resume pattern; a production query would
     use a processingTime trigger with the same sink)."""
-    sink = TableSink(table, query_name)
+    sink = TableSink(table, query_name, checkpoint_location=checkpoint_dir)
     q = (
         stream_df.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)

@@ -240,6 +240,46 @@ def test_expire_gcs_stale_compiled_eqpos_dirs(wh, spark):
     assert _independent_read(t.path, ["id", "v"]) == [(1, "a"), (4, "d")]
 
 
+def test_export_self_heals_half_written_eqpos_dir(wh, spark):
+    """A crash between the compiled-delete parquet write and its stats
+    sidecar used to leave a dir that made every later export (and hence
+    every commit on the table) fail with 'path already exists'. The
+    publish is now build-at-temp-path + rename, with the sidecar as the
+    completeness marker, so the next export replaces the leftover."""
+    import os
+    import shutil
+
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import DIR_STATS_FILE
+
+    t = wh.create_table(
+        "db", "eq_heal", "id int, v string",
+        properties={
+            "write.delete.mode": "merge-on-read-equality",
+            "write.delete.equality-columns": "id",
+        },
+    )
+    t.insert_values([(1, "a"), (2, "b"), (3, "c")])
+    t.delete_where("id = 2")
+    eqpos = [d for d in os.listdir(t.path) if d.startswith("eqpos-")]
+    assert len(eqpos) == 1
+    # simulate the crash: dir exists, sidecar missing
+    os.remove(os.path.join(t.path, eqpos[0], DIR_STATS_FILE))
+    # next commit re-runs the export; it must replace the leftover, not die
+    t.insert_values([(4, "d")])
+    assert os.path.isfile(os.path.join(t.path, eqpos[0], DIR_STATS_FILE))
+    assert _independent_read(t.path, ["id", "v"]) == [
+        (1, "a"), (3, "c"), (4, "d"),
+    ]
+    # no temp dirs left behind
+    assert not [d for d in os.listdir(t.path) if ".tmp-" in d]
+    # and a fully-deleted leftover dir also heals
+    shutil.rmtree(os.path.join(t.path, eqpos[0]))
+    t.insert_values([(5, "e")])
+    assert _independent_read(t.path, ["id", "v"]) == [
+        (1, "a"), (3, "c"), (4, "d"), (5, "e"),
+    ]
+
+
 def test_duckdb_iceberg_reader_if_available(wh, spark):
     """If the DuckDB iceberg extension can load (it usually cannot,
     offline), point it at the exported metadata; otherwise skip — the

@@ -939,6 +939,54 @@ def test_alter_view_redefine_and_rename(lake):
         lake.sql("ALTER VIEW polaris.db.av3 RENAME TO av2")
     with _pytest.raises(WarehouseError, match="is a table"):
         lake.sql("ALTER VIEW polaris.db.av3 RENAME TO avt")
+    # cross-namespace renames are rejected like Iceberg/Spark (the old
+    # code silently dropped the qualifier and renamed within db)
+    lake.sql("CREATE NAMESPACE IF NOT EXISTS polaris.db_other")
+    with _pytest.raises(WarehouseError, match="across namespaces"):
+        lake.sql("ALTER VIEW polaris.db.av3 RENAME TO db_other.av9")
+    with _pytest.raises(WarehouseError, match="across namespaces"):
+        lake.sql("ALTER VIEW polaris.db.av3 RENAME TO polaris.db_other.av9")
+    # ...but a SAME-namespace qualified target is fine
+    lake.sql("ALTER VIEW polaris.db.av3 RENAME TO db.av4")
+    assert lake.sql("SELECT one FROM db.av4").collect()[0].one == 1
+
+
+def test_rollback_to_timestamp_honors_session_timezone(lake):
+    """Naive TIMESTAMP literals follow spark.sql.session.timeZone, not
+    the OS timezone: the same wall-clock string must resolve to a
+    different snapshot under a different session zone."""
+    import datetime
+
+    lake.sql("CREATE TABLE polaris.db.rbtz (id INT) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.db.rbtz VALUES (1)")
+    t = lake.wh.table("db", "rbtz")
+    after_first = t._resolve(1)["committed_at_ms"]
+    lake.sql("INSERT INTO polaris.db.rbtz VALUES (2)")
+    # wall-clock string for (first commit + 1ms) in a UTC-8 zone: as a
+    # UTC instant it would predate every snapshot and the CALL would fail
+    wall = datetime.datetime.fromtimestamp(
+        (after_first + 1) / 1000,
+        tz=datetime.timezone(datetime.timedelta(hours=-8)),
+    ).replace(tzinfo=None).isoformat()
+    prev_tz = lake.spark.conf.get("spark.sql.session.timeZone")
+    lake.spark.conf.set("spark.sql.session.timeZone", "-08:00")
+    try:
+        out = lake.sql(
+            f"CALL polaris.system.rollback_to_timestamp(table => 'db.rbtz', "
+            f"timestamp => TIMESTAMP '{wall}')"
+        ).collect()[0]
+    finally:
+        lake.spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    assert (out.previous_snapshot_id, out.current_snapshot_id) == (2, 1)
+    # an explicit-offset literal is honored as written, any session zone
+    aware = datetime.datetime.fromtimestamp(
+        (after_first + 1) / 1000, tz=datetime.timezone.utc
+    ).isoformat()
+    out2 = lake.sql(
+        f"CALL polaris.system.rollback_to_timestamp(table => 'db.rbtz', "
+        f"timestamp => TIMESTAMP '{aware}')"
+    ).collect()[0]
+    assert out2.current_snapshot_id == 1
 
 
 def test_view_body_time_travel_resolves_at_query_time(lake):

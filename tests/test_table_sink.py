@@ -82,6 +82,53 @@ def test_structured_streaming_query_end_to_end(wh, spark, tmp_path):
     assert _rows(t.read()) == [(1, "a"), (2, "b")]
 
 
+def test_fresh_checkpoint_same_query_name_not_swallowed(wh, spark, tmp_path):
+    """Batch ids are only monotonic within one checkpoint lineage: a
+    query restarted under the SAME name with a FRESH checkpoint restarts
+    at batch 0, and the old lineage's persisted watermark must not
+    silently drop its batches (the pre-fix behavior). Dedup identity is
+    (query_name, Spark checkpoint query id)."""
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame([(1, "a")], "id int, v string").write.parquet(src_dir)
+    t = wh.create_table("db", "snk_fresh", "id int, v string")
+    stream = spark.readStream.schema("id int, v string").parquet(src_dir)
+    write_stream_to_table(stream, t, str(tmp_path / "ckpt1"), "q")
+    assert _rows(t.read()) == [(1, "a")]
+    # new data arrives; the operator restarts the query with a NEW
+    # checkpoint (e.g. after losing the old one) — batch ids reset to 0
+    spark.createDataFrame([(2, "b")], "id int, v string").write.mode("append").parquet(src_dir)
+    stream2 = spark.readStream.schema("id int, v string").parquet(src_dir)
+    write_stream_to_table(stream2, t, str(tmp_path / "ckpt2"), "q")
+    # the fresh lineage re-reads everything (exactly-once holds only
+    # within a lineage); the regression being pinned is that its batches
+    # LAND at all — (2, 'b') must be present
+    rows = _rows(t.read())
+    assert (2, "b") in rows
+    assert (1, "a") in rows
+    # replays within the new lineage still dedup
+    n = len(t._snaps())
+    stream3 = spark.readStream.schema("id int, v string").parquet(src_dir)
+    write_stream_to_table(stream3, t, str(tmp_path / "ckpt2"), "q")
+    assert len(t._snaps()) == n
+
+
+def test_reset_watermark_for_locationless_sink(wh, spark):
+    """A sink constructed without a checkpoint location can't detect a
+    lineage change automatically; reset_watermark() is the explicit
+    escape hatch."""
+    t = wh.create_table("db", "snk_rst", "id int, v string")
+    s1 = TableSink(t, "q")
+    assert s1.write_batch(spark.createDataFrame([(1, "a")], t.schema()), 0) is not None
+    t.insert_values([(9, "z")])  # non-streaming commit so expiry can...
+    t.expire_snapshots(keep_last=1)  # ...drop batch 0's summary, leaving
+    # only the meta watermark...
+    s2 = TableSink(t, "q")
+    s2.reset_watermark()
+    # ...which, once reset, lets a new run's batch 0 land
+    assert s2.write_batch(spark.createDataFrame([(2, "b")], t.schema()), 0) is not None
+    assert (2, "b") in _rows(t.read())
+
+
 def test_bronze_to_silver_pipeline(wh, spark):
     """The medallion loop: bronze table streams out (append snapshots),
     a transform runs per batch, silver table streams in — incremental
