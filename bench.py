@@ -91,28 +91,12 @@ def _settle(threshold: float, max_wait_s: int) -> None:
         print(f"# settled {waited}s (loadavg now {os.getloadavg()[0]:.1f})", file=sys.stderr)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    # half the cores busy before we even start == contaminated timings
-    load_threshold = 0.5 * (os.cpu_count() or 8)
-    _settle(load_threshold, int(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "90")))
-    load_start = _machine_load()
-    cpu_probe = _cpu_calibration()
-    spark = get_spark(app_name="bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    registry = all_queries()
-
-    # one untimed pass: session/codegen/JIT + file-index warm-up so the
-    # measured numbers reflect steady-state query cost, not first-query setup
-    registry["flagship_revenue_by_nation"].spark(spark, sf_dir).count()
-
-    # Per query: one untimed warm-up (per-query codegen/JIT + page cache),
-    # then ITERS timed runs. MIN is the reported number (steady-state plan
-    # execution on a warm cluster); stddev across the timed runs is
-    # published so round-over-round deltas are attributable — r2's n=2
-    # left sub-1.3s "regressions" indistinguishable from noise.
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
+def _run_suite(spark, registry, sf_dir: str, iters: int) -> tuple[dict, dict]:
+    """Per query: one untimed warm-up (per-query codegen/JIT + page
+    cache), then ``iters`` timed runs. MIN is the reported number
+    (steady-state plan execution on a warm cluster); stddev across the
+    timed runs is published so round-over-round deltas are attributable —
+    r2's n=2 left sub-1.3s 'regressions' indistinguishable from noise."""
     timings: dict[str, float] = {}
     stddevs: dict[str, float] = {}
     for name in HEADLINE:
@@ -130,6 +114,97 @@ def main() -> None:
             f"# {name}: min {timings[name]:.3f}s sd {stddevs[name]:.4f} ({n} rows)",
             file=sys.stderr,
         )
+    return timings, stddevs
+
+
+def _ensure_sf1_replica(sf_dir: str) -> str | None:
+    """Build (once; cached across runs by a source-stamped marker) the
+    10× key-shifted replica of ``sf_dir`` via tools/make_scale_data.py —
+    schemas byte-identical, join fan-outs preserved, document text
+    decorrelated per copy, so timing it measures scaling, not a data
+    artifact. Returns None (and the bench proceeds without the sf1
+    section) if generation fails — scale headroom is an extra signal,
+    never a reason the primary numbers don't get recorded."""
+    dst = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1_cache")
+    marker = os.path.join(dst, ".complete")
+    src_id = f"{os.path.abspath(sf_dir)}:k=10"
+    try:
+        with open(marker) as f:
+            if f.read().strip() == src_id:
+                return dst
+    except OSError:
+        pass
+    import shutil
+    import subprocess
+
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    tool = str(Path(__file__).resolve().parent / "tools" / "make_scale_data.py")
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [sys.executable, tool, sf_dir, dst, "10"], capture_output=True, text=True
+    )
+    if r.returncode != 0:
+        print(f"# sf1 replica generation failed: {r.stderr[-300:]}", file=sys.stderr)
+        return None
+    print(f"# sf1 replica built in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    with open(marker, "w") as f:
+        f.write(src_id)
+    return dst
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # half the cores busy before we even start == contaminated timings
+    load_threshold = 0.5 * (os.cpu_count() or 8)
+    _settle(load_threshold, int(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "90")))
+    load_start = _machine_load()
+    cpu_probe = _cpu_calibration()
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+
+    # one untimed pass: session/codegen/JIT + file-index warm-up so the
+    # measured numbers reflect steady-state query cost, not first-query setup
+    registry["flagship_revenue_by_nation"].spark(spark, sf_dir).count()
+
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
+    timings, stddevs = _run_suite(spark, registry, sf_dir, iters)
+
+    # scale-headroom section: the same suite on a 10× replica, so a
+    # super-linear (hidden O(n²)) regression shows up as an artifact
+    # diff, not only in SCALE.md prose. Runs by default only for the
+    # canonical sf0.1 bench ("--sf1"/SPARK_GRAFT_BENCH_SF1=1 forces it,
+    # =0 disables); fewer iters — the signal is the RATIO, not the ulp.
+    sf1_flag = os.environ.get("SPARK_GRAFT_BENCH_SF1", "")
+    run_sf1 = ("--sf1" in sys.argv[1:] or sf1_flag == "1") or (
+        sf1_flag != "0" and abs(sf - 0.1) < 1e-9
+    )
+    sf1_section = None
+    if run_sf1:
+        d = _ensure_sf1_replica(sf_dir)
+        if d:
+            sf1_iters = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_ITERS", "2"))
+            print(f"# sf1 pass ({sf1_iters} iters) at {d}", file=sys.stderr)
+            t1, s1 = _run_suite(spark, registry, d, sf1_iters)
+            scaling = {
+                n: round(t1[n] / timings[n], 2) if timings[n] > 0 else None
+                for n in HEADLINE
+            }
+            worst = max(scaling, key=lambda n: scaling[n] or 0)
+            sf1_section = {
+                "sf": round(sf * 10, 4),
+                "queries": t1,
+                "stddev": s1,
+                "iters": sf1_iters,
+                "total": round(sum(t1.values()), 3),
+                # per-query sf1/sf0.1 ratio; 10× data at <10× time = no
+                # super-linear term (fixed overheads make small queries
+                # land well under the line)
+                "scaling_vs_base": scaling,
+                "worst_query_scaling": {"query": worst, "ratio": scaling[worst]},
+            }
 
     total = round(sum(timings.values()), 3)
     load_end = _machine_load()
@@ -153,6 +228,7 @@ def main() -> None:
                 # healthy box) — divide totals by probe ratio before
                 # comparing rounds
                 "cpu_probe_s": cpu_probe,
+                **({"sf1": sf1_section} if sf1_section else {}),
             }
         )
     )

@@ -24,9 +24,10 @@ from __future__ import annotations
 
 import io
 import json
-import os
 import struct
 import zlib
+
+from minio_iceberg_polaris_lakehouse_spark import fsio
 
 MAGIC = b"Obj\x01"
 SYNC = b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d\x0e\x0f"
@@ -270,22 +271,20 @@ def write_container(
     else:
         raise ValueError(f"unsupported codec {codec}")
 
-    tmp = f"{path}.tmp"
-    with open(tmp, "wb") as f:
-        f.write(header.getvalue())
-        if records:
-            block = io.BytesIO()
-            write_long(block, len(records))
-            write_bytes(block, payload)
-            block.write(SYNC)
-            f.write(block.getvalue())
-    os.replace(tmp, path)
+    buf = io.BytesIO()
+    buf.write(header.getvalue())
+    if records:
+        block = io.BytesIO()
+        write_long(block, len(records))
+        write_bytes(block, payload)
+        block.write(SYNC)
+        buf.write(block.getvalue())
+    fsio.write_bytes_atomic(path, buf.getvalue(), "avro")
 
 
 def read_container(path: str) -> tuple[dict, dict[str, bytes], list]:
     """Read an Avro object container file → (schema, metadata, records)."""
-    with open(path, "rb") as f:
-        r = _Reader(f.read())
+    r = _Reader(fsio.read_bytes(path))
     if r.read(4) != MAGIC:
         raise ValueError(f"{path}: not an Avro container file")
     meta: dict[str, bytes] = {}

@@ -39,14 +39,13 @@ import datetime
 import hashlib
 import json
 import os
-import shutil
 import urllib.parse
 import uuid
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from minio_iceberg_polaris_lakehouse_spark import avro_io
+from minio_iceberg_polaris_lakehouse_spark import avro_io, fsio
 from minio_iceberg_polaris_lakehouse_spark.warehouse import (
     DIR_STATS_FILE,
     Table,
@@ -326,7 +325,7 @@ def _write_manifest_avro(
     1 = POSITION_DELETES (merge-on-read tombstone files)."""
     mdir = os.path.join(table.path, "metadata")
     path = os.path.join(mdir, f"manifest-{dirname}.avro")
-    if os.path.isfile(path):
+    if fsio.isfile(path):
         return path
     part_field = _partition_avro_field(meta, spec_rec)
     schema = _manifest_entry_schema(part_field)
@@ -409,7 +408,7 @@ def _compile_eq_deletes(table: Table, meta: dict, snap: dict) -> str | None:
     ).hexdigest()[:12]
     dirname = f"eqpos-{fp}"  # no data-/delete- prefix: GC never touches it
     out = os.path.join(table.path, dirname)
-    if os.path.isfile(os.path.join(out, DIR_STATS_FILE)):
+    if fsio.isfile(os.path.join(out, DIR_STATS_FILE)):
         return dirname
     schema = T.StructType.fromJson(json.loads(snap.get("schema") or meta["schema"]))
     df = table._read_dirs(snap["manifest"], schema, file_pos=True, seq_of=seqs)
@@ -446,25 +445,25 @@ def _compile_eq_deletes(table: Table, meta: dict, snap: dict) -> str | None:
     # the parts by index makes a rebuilt dir path-identical to the
     # original — already-exported immutable manifests that recorded the
     # old file path stay valid after a self-heal
-    for i, f in enumerate(sorted(p for p in os.listdir(tmp) if p.endswith(".parquet"))):
-        os.rename(os.path.join(tmp, f), os.path.join(tmp, f"eqpos-{i:05d}.parquet"))
-    for f in os.listdir(tmp):  # Spark job markers don't belong in the artifact
+    for i, f in enumerate(sorted(p for p in fsio.listdir(tmp) if p.endswith(".parquet"))):
+        fsio.rename(os.path.join(tmp, f), os.path.join(tmp, f"eqpos-{i:05d}.parquet"))
+    for f in fsio.listdir(tmp):  # Spark job markers don't belong in the artifact
         if f == "_SUCCESS" or f.endswith(".crc"):
-            os.remove(os.path.join(tmp, f))
+            fsio.remove(os.path.join(tmp, f))
     _parquet_footer_stats(tmp)
-    if os.path.isdir(out):
-        if os.path.isfile(os.path.join(out, DIR_STATS_FILE)):
+    if fsio.isdir(out):
+        if fsio.isfile(os.path.join(out, DIR_STATS_FILE)):
             # a concurrent exporter published the identical fingerprint
-            shutil.rmtree(tmp, ignore_errors=True)
+            fsio.rmtree(tmp, ignore_errors=True)
             return dirname
-        shutil.rmtree(out)  # crashed leftover without sidecar
+        fsio.rmtree(out)  # crashed leftover without sidecar
     try:
-        os.rename(tmp, out)
+        fsio.rename(tmp, out)
     except OSError:
         # lost a publish race: keep the winner if complete, else re-raise
-        if not os.path.isfile(os.path.join(out, DIR_STATS_FILE)):
+        if not fsio.isfile(os.path.join(out, DIR_STATS_FILE)):
             raise
-        shutil.rmtree(tmp, ignore_errors=True)
+        fsio.rmtree(tmp, ignore_errors=True)
     return dirname
 
 
@@ -479,7 +478,7 @@ def write_iceberg_metadata(table: Table) -> str:
     mains = [s for s in snaps if not s.get("branch")]
     ids = meta.get("column_ids", {})
     mdir = os.path.join(table.path, "metadata")
-    os.makedirs(mdir, exist_ok=True)
+    fsio.makedirs(mdir, exist_ok=True)
 
     # distinct schemas across snapshots (dedup by json), current last
     schema_versions: list[str] = []
@@ -527,7 +526,7 @@ def write_iceberg_metadata(table: Table) -> str:
             list_records.append(
                 {
                     "manifest_path": mpath,
-                    "manifest_length": os.path.getsize(mpath),
+                    "manifest_length": fsio.getsize(mpath),
                     "partition_spec_id": int(spec_rec.get("spec_id", 0)),
                     "content": 0,  # data
                     "sequence_number": add_seq,
@@ -571,7 +570,7 @@ def write_iceberg_metadata(table: Table) -> str:
             list_records.append(
                 {
                     "manifest_path": mpath,
-                    "manifest_length": os.path.getsize(mpath),
+                    "manifest_length": fsio.getsize(mpath),
                     "partition_spec_id": int(spec_rec.get("spec_id", 0)),
                     "content": 1,  # POSITION_DELETES manifest
                     "sequence_number": add_seq,
@@ -664,9 +663,7 @@ def write_iceberg_metadata(table: Table) -> str:
     table._write_meta(meta)
     path = os.path.join(mdir, f"v{version}.metadata.json")
     _atomic_write_json(path, doc)
-    with open(os.path.join(mdir, "version-hint.text.tmp"), "w") as f:
-        f.write(str(version))
-    os.replace(
-        os.path.join(mdir, "version-hint.text.tmp"), os.path.join(mdir, "version-hint.text")
+    fsio.write_bytes_atomic(
+        os.path.join(mdir, "version-hint.text"), str(version).encode(), "hint"
     )
     return path

@@ -42,7 +42,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -51,6 +50,8 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from minio_iceberg_polaris_lakehouse_spark import fsio
 
 META_FILE = "_meta.json"
 SNAP_FILE = "_snapshots.json"
@@ -124,34 +125,34 @@ class Warehouse:
 
     def __init__(self, spark: SparkSession, warehouse_dir: str):
         self.spark = spark
-        self.root = os.path.abspath(warehouse_dir)
-        os.makedirs(self.root, exist_ok=True)
+        self.root = fsio.abspath(warehouse_dir)
+        fsio.makedirs(self.root, exist_ok=True)
 
     # -- namespaces (reference D2/D5/D6: warehouse_helpers.py:20-34) -------
     def create_namespace(self, ns: str) -> None:
-        os.makedirs(os.path.join(self.root, ns), exist_ok=True)
+        fsio.makedirs(os.path.join(self.root, ns), exist_ok=True)
 
     def drop_namespace(self, ns: str, cascade: bool = False) -> None:
         path = os.path.join(self.root, ns)
-        if not os.path.isdir(path):
+        if not fsio.isdir(path):
             return
-        if os.listdir(path) and not cascade:
+        if fsio.listdir(path) and not cascade:
             raise WarehouseError(f"namespace {ns} not empty (use cascade=True)")
-        shutil.rmtree(path)
+        fsio.rmtree(path)
 
     def list_namespaces(self) -> list[str]:
         return sorted(
-            d for d in os.listdir(self.root) if os.path.isdir(os.path.join(self.root, d))
+            d for d in fsio.listdir(self.root) if fsio.isdir(os.path.join(self.root, d))
         )
 
     def list_tables(self, ns: str) -> list[str]:
         path = os.path.join(self.root, ns)
-        if not os.path.isdir(path):
+        if not fsio.isdir(path):
             return []
         return sorted(
             d
-            for d in os.listdir(path)
-            if os.path.isfile(os.path.join(path, d, META_FILE))
+            for d in fsio.listdir(path)
+            if fsio.isfile(os.path.join(path, d, META_FILE))
         )
 
     def table(self, ns: str, name: str) -> "Table":
@@ -181,7 +182,7 @@ class Warehouse:
             raise WarehouseError(f"{ns}.{name} is a view, not a table")
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
-        os.makedirs(t.path, exist_ok=True)
+        fsio.makedirs(t.path, exist_ok=True)
         meta = {
             "schema": schema.json(),
             "table_uuid": str(uuid.uuid4()),
@@ -209,7 +210,7 @@ class Warehouse:
             if if_exists:
                 return
             raise WarehouseError(f"table {ns}.{name} does not exist")
-        shutil.rmtree(t.path)
+        fsio.rmtree(t.path)
 
     # ---------------- views (catalog-level SQL views) ----------------
     def _views_path(self) -> str:
@@ -220,8 +221,7 @@ class Warehouse:
         CATALOG objects (like Iceberg/Polaris views): the stored SQL is
         re-resolved against table state at every query."""
         try:
-            with open(self._views_path()) as f:
-                return json.load(f)["views"]
+            return json.loads(fsio.read_text(self._views_path()))["views"]
         except (OSError, ValueError, KeyError):
             return {}
 
@@ -353,15 +353,15 @@ def _parquet_footer_stats(out_dir: str) -> list[dict]:
     import pyarrow.parquet as pq
 
     stats = []
-    for root, _dirs, files in os.walk(out_dir):
+    for root, _dirs, files in fsio.walk(out_dir):
         for f in sorted(files):
             if f.endswith(".parquet"):
                 p = os.path.join(root, f)
-                pf = pq.ParquetFile(p)
+                pf = pq.ParquetFile(fsio.open_binary(p))
                 rec = {
                     "path": os.path.relpath(p, out_dir),
                     "rows": pf.metadata.num_rows,
-                    "bytes": os.path.getsize(p),
+                    "bytes": fsio.getsize(p),
                 }
                 b = _file_column_bounds(pf)
                 if b:
@@ -381,8 +381,7 @@ def _load_dir_stats(table_path: str, dirname: str, meta: dict) -> list[dict]:
     if cached is not None:
         return cached
     try:
-        with open(p) as fh:
-            stats = json.load(fh)["files"]
+        stats = json.loads(fsio.read_text(p))["files"]
     except (OSError, ValueError, KeyError):
         stats = meta.get("dir_stats", {}).get(dirname, [])
     _STATS_CACHE[p] = stats
@@ -484,10 +483,7 @@ def _with_null_metadata_columns(df: DataFrame, cols: list[str]) -> DataFrame:
 def _atomic_write_json(path: str, obj: dict) -> None:
     """Commit = write-temp + rename: the atomic metadata-pointer swap the
     table format's ACID guarantee rests on (reference README.md:124)."""
-    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(obj, f)
-    os.replace(tmp, path)
+    fsio.write_bytes_atomic(path, json.dumps(obj).encode(), uuid.uuid4().hex)
 
 
 @dataclass
@@ -516,11 +512,10 @@ class Table:
 
     # ---------------- metadata ----------------
     def exists(self) -> bool:
-        return os.path.isfile(os.path.join(self.path, META_FILE))
+        return fsio.isfile(os.path.join(self.path, META_FILE))
 
     def _meta(self) -> dict:
-        with open(os.path.join(self.path, META_FILE)) as f:
-            return json.load(f)
+        return json.loads(fsio.read_text(os.path.join(self.path, META_FILE)))
 
     def _write_meta(self, meta: dict) -> None:
         _atomic_write_json(os.path.join(self.path, META_FILE), meta)
@@ -540,8 +535,7 @@ class Table:
         return props
 
     def _snaps(self) -> list[dict]:
-        with open(os.path.join(self.path, SNAP_FILE)) as f:
-            return json.load(f)["snapshots"]
+        return json.loads(fsio.read_text(os.path.join(self.path, SNAP_FILE)))["snapshots"]
 
     def _main_snaps(self, snaps: list[dict] | None = None) -> list[dict]:
         """The main-branch lineage: every snapshot not staged on a named
@@ -569,47 +563,38 @@ class Table:
         token = f"{os.getpid()}:{uuid.uuid4().hex}"
         deadline = time.monotonic() + self._LOCK_TIMEOUT_S
         while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, token.encode())
-                os.close(fd)
+            if fsio.try_create_exclusive(lock, token.encode()):
                 return lock, token
-            except FileExistsError:
+            try:
+                stale = time.time() - fsio.getmtime(lock) > self._LOCK_STALE_S
+            except FileNotFoundError:
+                continue
+            if stale:
+                broken = f"{lock}.broken.{uuid.uuid4().hex}"
                 try:
-                    stale = time.time() - os.path.getmtime(lock) > self._LOCK_STALE_S
+                    fsio.rename(lock, broken)
                 except FileNotFoundError:
-                    continue
-                if stale:
-                    broken = f"{lock}.broken.{uuid.uuid4().hex}"
-                    try:
-                        os.rename(lock, broken)
-                    except FileNotFoundError:
-                        continue  # holder released meanwhile; retry acquire
-                    if time.time() - os.path.getmtime(broken) > self._LOCK_STALE_S:
-                        os.unlink(broken)  # verified stale; retry acquire
-                    else:
-                        # raced: we renamed a FRESH lock aside — restore it
-                        # unless an even newer lock already took the name
-                        try:
-                            os.link(broken, lock)
-                        except FileExistsError:
-                            pass
-                        os.unlink(broken)
-                    continue
-                if time.monotonic() > deadline:
-                    raise WarehouseError(
-                        f"commit lock timeout on {self.ns}.{self.name}"
-                    ) from None
-                time.sleep(0.01)
+                    continue  # holder released meanwhile; retry acquire
+                if time.time() - fsio.getmtime(broken) > self._LOCK_STALE_S:
+                    fsio.remove(broken)  # verified stale; retry acquire
+                else:
+                    # raced: we renamed a FRESH lock aside — restore it
+                    # unless an even newer lock already took the name
+                    fsio.restore_renamed_lock(broken, lock)
+                continue
+            if time.monotonic() > deadline:
+                raise WarehouseError(
+                    f"commit lock timeout on {self.ns}.{self.name}"
+                ) from None
+            time.sleep(0.01)
 
     def _release_commit_lock(self, lock: str, token: str) -> None:
         """Unlink only if the lock still carries OUR token — if it was
         broken as stale and re-acquired, deleting it would free someone
         else's critical section."""
         try:
-            with open(lock) as f:
-                if f.read() == token:
-                    os.unlink(lock)
+            if fsio.read_text(lock) == token:
+                fsio.remove(lock)
         except FileNotFoundError:
             pass
 
@@ -915,13 +900,13 @@ class Table:
             else:
                 fpath = next(
                     os.path.join(root, f)
-                    for root, _dirs, files in os.walk(os.path.join(self.path, dirname))
+                    for root, _dirs, files in fsio.walk(os.path.join(self.path, dirname))
                     for f in sorted(files)
                     if f.endswith(".parquet")
                 )
             import pyarrow.parquet as pq
 
-            return list(pq.ParquetFile(fpath).schema_arrow.names)
+            return list(pq.ParquetFile(fsio.open_binary(fpath)).schema_arrow.names)
         except (StopIteration, OSError):
             return None
 
@@ -2265,7 +2250,7 @@ class Table:
                     Row(
                         content=content,
                         path=mpath,
-                        length=os.path.getsize(mpath) if os.path.isfile(mpath) else None,
+                        length=fsio.getsize(mpath) if fsio.isfile(mpath) else None,
                         partition_spec_id=int(specs.get(d, {}).get("spec_id", 0)),
                         added_snapshot_id=added_in.get(d, snap["snapshot_id"]),
                     )
@@ -2440,7 +2425,7 @@ class Table:
         parts = set()
         for d in snap["manifest"]:
             base = os.path.join(self.path, d)
-            for root, dirs, _files in os.walk(base):
+            for root, dirs, _files in fsio.walk(base):
                 for sub in dirs:
                     if "=" in sub and sub.startswith("_p_"):
                         parts.add(sub)
@@ -2542,13 +2527,13 @@ class Table:
                 referenced.update(s.get("delete_dirs", []))
                 referenced.update(r["dir"] for r in s.get("eq_deletes", []))
             removed = 0
-            for d in os.listdir(self.path):
+            for d in fsio.listdir(self.path):
                 if (
                     (d.startswith("data-") or d.startswith("delete-"))
                     and d not in referenced
-                    and os.path.isdir(os.path.join(self.path, d))
+                    and fsio.isdir(os.path.join(self.path, d))
                 ):
-                    shutil.rmtree(os.path.join(self.path, d))
+                    fsio.rmtree(os.path.join(self.path, d))
                     removed += 1
             return removed
         finally:
@@ -2563,7 +2548,7 @@ class Table:
         snap = self._resolve(version)
         n = 0
         for d in snap["manifest"]:
-            for root, _dirs, files in os.walk(os.path.join(self.path, d)):
+            for root, _dirs, files in fsio.walk(os.path.join(self.path, d)):
                 n += sum(1 for f in files if f.endswith(".parquet"))
         return n
 
@@ -2669,7 +2654,7 @@ class Table:
         total = 0
         for content_dirs, sign in ((snap["manifest"], 1), (snap.get("delete_dirs", []), -1)):
             for d in content_dirs:
-                has_sidecar = os.path.isfile(os.path.join(self.path, d, DIR_STATS_FILE))
+                has_sidecar = fsio.isfile(os.path.join(self.path, d, DIR_STATS_FILE))
                 if not has_sidecar and d not in meta.get("dir_stats", {}):
                     return None  # no recorded stats for this dir — don't guess
                 total += sign * sum(f["rows"] for f in _load_dir_stats(self.path, d, meta))
@@ -2767,8 +2752,8 @@ class Table:
                 ):
                     if d not in live_dirs:
                         p = os.path.join(self.path, d)
-                        if os.path.isdir(p):
-                            shutil.rmtree(p)
+                        if fsio.isdir(p):
+                            fsio.rmtree(p)
                             removed += 1
             _atomic_write_json(os.path.join(self.path, SNAP_FILE), {"snapshots": keep})
             # prune commit-time sequence records for dirs that no longer
@@ -2797,13 +2782,13 @@ class Table:
                 for s in keep
                 if (d := _compile_eq_deletes(self, meta, s)) is not None
             }
-            for d in os.listdir(self.path):
+            for d in fsio.listdir(self.path):
                 if (
                     d.startswith("eqpos-")
                     and d not in live_eqpos
-                    and os.path.isdir(os.path.join(self.path, d))
+                    and fsio.isdir(os.path.join(self.path, d))
                 ):
-                    shutil.rmtree(os.path.join(self.path, d))
+                    fsio.rmtree(os.path.join(self.path, d))
                     removed += 1
             return removed
         finally:
