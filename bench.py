@@ -185,14 +185,22 @@ def main() -> None:
     if run_sf1:
         d = _ensure_sf1_replica(sf_dir)
         if d:
-            sf1_iters = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_ITERS", "2"))
+            sf1_iters = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_ITERS", "3"))
             print(f"# sf1 pass ({sf1_iters} iters) at {d}", file=sys.stderr)
+            probe_before = _cpu_calibration()
             t1, s1 = _run_suite(spark, registry, d, sf1_iters)
+            probe_after = _cpu_calibration()
             scaling = {
                 n: round(t1[n] / timings[n], 2) if timings[n] > 0 else None
                 for n in HEADLINE
             }
             worst = max(scaling, key=lambda n: scaling[n] or 0)
+            # the sandbox's host-level throughput swings up to ~2.3×
+            # within hours (SCALE.md); a probe drift > 1.5× vs the
+            # session-start probe means the ratios below mix machine
+            # speed into data scaling — flagged, not silently reported
+            # (an idle re-run of a "28×" q21 measured 2.8×)
+            drift = max(probe_before, probe_after) / max(cpu_probe, 1e-9)
             sf1_section = {
                 "sf": round(sf * 10, 4),
                 "queries": t1,
@@ -204,6 +212,9 @@ def main() -> None:
                 # land well under the line)
                 "scaling_vs_base": scaling,
                 "worst_query_scaling": {"query": worst, "ratio": scaling[worst]},
+                "cpu_probe_before_s": probe_before,
+                "cpu_probe_after_s": probe_after,
+                "probe_degraded": round(drift, 2) > 1.5,
             }
 
     total = round(sum(timings.values()), 3)
