@@ -1,0 +1,484 @@
+"""Loopback Iceberg REST catalog — Polaris-shaped server + client
+(SURVEY §2.9 D12, previously scoped to session conf).
+
+The reference deploys Apache Polaris and bootstraps it over two PUBLIC
+HTTP APIs (setup-polaris.sh:17-75; setup-polaris.ps1:11-86):
+
+1. **Polaris management API** — OAuth2 client-credentials token
+   (`POST /api/catalog/v1/oauth/tokens`), then catalog CRUD
+   (`POST/GET /api/management/v1/catalogs`) with a storage config.
+2. **Iceberg REST catalog API** (the Apache Iceberg
+   rest-catalog-open-api spec) — config, namespace and table CRUD,
+   `loadTable` returning the current metadata location, and
+   `commitTable` with *requirements* that make the commit a CAS on the
+   metadata pointer (HTTP 409 on conflict).
+
+This module implements both surfaces offline: a stdlib
+ThreadingHTTPServer whose catalogs are backed by engine `Warehouse`
+instances, and a stdlib-urllib `RestCatalogClient`. The division of
+labor matches the real stack exactly (reference README.md architecture:
+Spark reads/writes data files on MinIO directly; Polaris only arbitrates
+table METADATA): data and metadata files move through the engine /
+shared filesystem, while the catalog owns the current-metadata pointer
+and serializes commits by compare-and-swap — the conditional-PUT
+semantics the engine's commit-lock docstring names as the object-store
+deployment story (warehouse.py `_acquire_commit_lock`).
+
+Scale: the server holds no data-plane state — per table it stores one
+pointer string; commit CAS is O(1) under one mutex (Polaris uses its
+database transaction for the same). A 1000-executor job touches the
+catalog twice per table (load + commit), never per file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import secrets
+import threading
+import urllib.error
+import urllib.parse
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from minio_iceberg_polaris_lakehouse_spark import fsio
+from minio_iceberg_polaris_lakehouse_spark.warehouse import Warehouse
+
+
+class CommitConflict(Exception):
+    """Client-side image of the server's 409: the commit's requirements
+    no longer hold (someone else moved the pointer first)."""
+
+
+# --------------------------------------------------------------- server
+
+
+class _CatalogState:
+    """Server-side state: principals, tokens, catalogs, and the
+    per-table metadata pointers the CAS commits arbitrate."""
+
+    def __init__(self, root: str, client_id: str, client_secret: str):
+        self.root = root
+        self.client_id = client_id
+        self.client_secret = client_secret
+        self.tokens: set[str] = set()
+        self.catalogs: dict[str, dict] = {}  # name -> {properties, storage, warehouse}
+        # (catalog, ns, table) -> current metadata location; the ONE piece
+        # of state the catalog owns in the real architecture
+        self.pointers: dict[tuple[str, str, str], str] = {}
+        self.lock = threading.Lock()
+
+    def warehouse_for(self, catalog: str, spark) -> Warehouse:
+        base = self.catalogs[catalog]["properties"].get(
+            "default-base-location", os.path.join(self.root, catalog)
+        )
+        return Warehouse(spark, base)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    state: _CatalogState  # injected by make_server
+
+    # -- plumbing
+    def log_message(self, *a):  # silence test output
+        pass
+
+    def _json(self, code: int, obj: dict) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _error(self, code: int, msg: str, etype: str = "BadRequestException") -> None:
+        # Iceberg REST error envelope (rest-catalog-open-api: ErrorModel)
+        self._json(code, {"error": {"message": msg, "type": etype, "code": code}})
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        raw = self.rfile.read(n) if n else b""
+        ctype = self.headers.get("Content-Type", "")
+        if "x-www-form-urlencoded" in ctype:
+            return {k: v[0] for k, v in urllib.parse.parse_qs(raw.decode()).items()}
+        return json.loads(raw) if raw else {}
+
+    def _authed(self) -> bool:
+        auth = self.headers.get("Authorization", "")
+        return auth.startswith("Bearer ") and auth[7:] in self.state.tokens
+
+    # -- dispatch
+    def do_POST(self):  # noqa: N802
+        path = urllib.parse.urlparse(self.path).path
+        if path == "/api/catalog/v1/oauth/tokens":
+            return self._oauth_token()
+        if not self._authed():
+            return self._error(401, "missing or invalid bearer token", "NotAuthorizedException")
+        if path == "/api/management/v1/catalogs":
+            return self._create_catalog()
+        m = re.fullmatch(r"/api/catalog/v1/([^/]+)/namespaces", path)
+        if m:
+            return self._create_namespace(m.group(1))
+        m = re.fullmatch(r"/api/catalog/v1/([^/]+)/namespaces/([^/]+)/tables", path)
+        if m:
+            return self._create_table(m.group(1), m.group(2))
+        m = re.fullmatch(r"/api/catalog/v1/([^/]+)/namespaces/([^/]+)/tables/([^/]+)", path)
+        if m:
+            return self._commit_table(*m.groups())
+        self._error(404, f"no route for POST {path}", "NoSuchResourceException")
+
+    def do_GET(self):  # noqa: N802
+        path = urllib.parse.urlparse(self.path).path
+        if not self._authed():
+            return self._error(401, "missing or invalid bearer token", "NotAuthorizedException")
+        if path == "/api/management/v1/catalogs":
+            return self._json(
+                200,
+                {"catalogs": [
+                    {"name": n, "type": "INTERNAL", "properties": c["properties"]}
+                    for n, c in sorted(self.state.catalogs.items())
+                ]},
+            )
+        m = re.fullmatch(r"/api/catalog/v1/([^/]+)/config", path)
+        if m:
+            return self._json(200, {"defaults": {}, "overrides": {"prefix": m.group(1)}})
+        m = re.fullmatch(r"/api/catalog/v1/([^/]+)/namespaces", path)
+        if m:
+            return self._list_namespaces(m.group(1))
+        m = re.fullmatch(r"/api/catalog/v1/([^/]+)/namespaces/([^/]+)/tables", path)
+        if m:
+            return self._list_tables(m.group(1), m.group(2))
+        m = re.fullmatch(r"/api/catalog/v1/([^/]+)/namespaces/([^/]+)/tables/([^/]+)", path)
+        if m:
+            return self._load_table(*m.groups())
+        self._error(404, f"no route for GET {path}", "NoSuchResourceException")
+
+    def do_DELETE(self):  # noqa: N802
+        path = urllib.parse.urlparse(self.path).path
+        if not self._authed():
+            return self._error(401, "missing or invalid bearer token", "NotAuthorizedException")
+        m = re.fullmatch(r"/api/catalog/v1/([^/]+)/namespaces/([^/]+)/tables/([^/]+)", path)
+        if m:
+            return self._drop_table(*m.groups())
+        self._error(404, f"no route for DELETE {path}", "NoSuchResourceException")
+
+    # -- handlers
+    def _oauth_token(self):
+        """OAuth2 client-credentials → bearer token
+        (setup-polaris.sh:17-21: grant_type/client_id/client_secret/scope)."""
+        form = self._body()
+        if (
+            form.get("grant_type") != "client_credentials"
+            or form.get("client_id") != self.state.client_id
+            or form.get("client_secret") != self.state.client_secret
+        ):
+            return self._error(401, "invalid client credentials", "NotAuthorizedException")
+        token = secrets.token_hex(16)
+        self.state.tokens.add(token)
+        self._json(
+            200,
+            {"access_token": token, "token_type": "bearer",
+             "expires_in": 3600, "scope": form.get("scope", "")},
+        )
+
+    def _create_catalog(self):
+        """POST /api/management/v1/catalogs (setup-polaris.sh:37-57)."""
+        doc = self._body().get("catalog") or {}
+        name = doc.get("name")
+        if not name:
+            return self._error(400, "catalog.name required")
+        with self.state.lock:
+            if name in self.state.catalogs:
+                return self._error(409, f"catalog {name} exists", "AlreadyExistsException")
+            self.state.catalogs[name] = {
+                "properties": doc.get("properties", {}),
+                "storage": doc.get("storageConfigInfo", {}),
+            }
+        self._json(201, {"catalog": {"name": name, "type": doc.get("type", "INTERNAL")}})
+
+    def _wh(self, catalog: str) -> Warehouse | None:
+        if catalog not in self.state.catalogs:
+            self._error(404, f"no catalog {catalog}", "NoSuchCatalogException")
+            return None
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession() or SparkSession._instantiatedSession
+        return self.state.warehouse_for(catalog, spark)
+
+    def _create_namespace(self, catalog: str):
+        wh = self._wh(catalog)
+        if wh is None:
+            return
+        ns = ".".join(self._body().get("namespace", []))
+        if not ns:
+            return self._error(400, "namespace required")
+        wh.create_namespace(ns)
+        self._json(200, {"namespace": [ns], "properties": {}})
+
+    def _list_namespaces(self, catalog: str):
+        wh = self._wh(catalog)
+        if wh is None:
+            return
+        self._json(200, {"namespaces": [[n] for n in wh.list_namespaces()]})
+
+    def _list_tables(self, catalog: str, ns: str):
+        wh = self._wh(catalog)
+        if wh is None:
+            return
+        self._json(
+            200,
+            {"identifiers": [
+                {"namespace": [ns], "name": t} for t in wh.list_tables(ns)
+            ]},
+        )
+
+    def _metadata_location(self, tab) -> str:
+        mdir = os.path.join(tab.path, "metadata")
+        hint = os.path.join(mdir, "version-hint.text")
+        if not fsio.isfile(hint):
+            # a freshly created table has no commits yet; Iceberg's
+            # createTable still answers with an initial metadata doc
+            # (zero snapshots), so export one
+            from minio_iceberg_polaris_lakehouse_spark.iceberg_export import (
+                write_iceberg_metadata,
+            )
+
+            write_iceberg_metadata(tab)
+        v = fsio.read_text(hint).strip()
+        return os.path.join(mdir, f"v{v}.metadata.json")
+
+    def _create_table(self, catalog: str, ns: str):
+        wh = self._wh(catalog)
+        if wh is None:
+            return
+        doc = self._body()
+        name = doc.get("name")
+        schema = doc.get("schema")  # engine DDL string form
+        if not name or not schema:
+            return self._error(400, "name and schema required")
+        if name in wh.list_tables(ns):
+            return self._error(409, f"table {ns}.{name} exists", "AlreadyExistsException")
+        tab = wh.create_table(ns, name, schema)
+        loc = self._metadata_location(tab)
+        with self.state.lock:
+            self.state.pointers[(catalog, ns, name)] = loc
+        self._json(200, self._table_response(loc))
+
+    def _table_response(self, loc: str) -> dict:
+        return {
+            "metadata-location": loc,
+            "metadata": json.loads(fsio.read_text(loc)),
+        }
+
+    def _load_table(self, catalog: str, ns: str, name: str):
+        wh = self._wh(catalog)
+        if wh is None:
+            return
+        key = (catalog, ns, name)
+        with self.state.lock:
+            loc = self.state.pointers.get(key)
+        if loc is None:
+            if name not in wh.list_tables(ns):
+                return self._error(404, f"no table {ns}.{name}", "NoSuchTableException")
+            loc = self._metadata_location(wh.table(ns, name))
+            with self.state.lock:
+                self.state.pointers.setdefault(key, loc)
+        self._json(200, self._table_response(loc))
+
+    def _commit_table(self, catalog: str, ns: str, name: str):
+        """commitTable: CAS on the metadata pointer. The client stages
+        data+metadata on the shared filesystem (like Spark against
+        Polaris), then asks the catalog to move the pointer iff its
+        requirements still hold — 409 otherwise (the client re-loads and
+        retries). Requirement supported: assert-metadata-location (the
+        conditional-PUT form)."""
+        doc = self._body()
+        key = (catalog, ns, name)
+        new_loc = doc.get("metadata-location")
+        if not new_loc:
+            return self._error(400, "metadata-location required")
+        if not fsio.isfile(new_loc):
+            return self._error(400, f"metadata file not found: {new_loc}")
+        reqs = doc.get("requirements", [])
+        with self.state.lock:
+            cur = self.state.pointers.get(key)
+            if cur is None:
+                return self._error(404, f"no table {ns}.{name}", "NoSuchTableException")
+            for r in reqs:
+                if r.get("type") == "assert-metadata-location" and r.get("metadata-location") != cur:
+                    return self._error(
+                        409,
+                        f"requirement failed: pointer moved to {cur}",
+                        "CommitFailedException",
+                    )
+            self.state.pointers[key] = new_loc
+        self._json(200, self._table_response(new_loc))
+
+    def _drop_table(self, catalog: str, ns: str, name: str):
+        wh = self._wh(catalog)
+        if wh is None:
+            return
+        if name not in wh.list_tables(ns):
+            return self._error(404, f"no table {ns}.{name}", "NoSuchTableException")
+        wh.drop_table(ns, name)
+        with self.state.lock:
+            self.state.pointers.pop((catalog, ns, name), None)
+        self.send_response(204)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+
+def make_server(
+    root: str, client_id: str, client_secret: str, port: int = 0
+) -> tuple[ThreadingHTTPServer, int]:
+    """Start the loopback catalog on 127.0.0.1:port (0 = ephemeral);
+    returns (server, bound_port). Call server.shutdown() when done."""
+    state = _CatalogState(root, client_id, client_secret)
+    handler = type("BoundHandler", (_Handler,), {"state": state})
+    srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, srv.server_address[1]
+
+
+# --------------------------------------------------------------- client
+
+
+class RestCatalogClient:
+    """stdlib-urllib client for the two APIs, mirroring the reference's
+    curl flow (setup-polaris.sh): token → create catalog → use the
+    Iceberg REST surface. Commit is load → stage (engine-side) → CAS
+    POST, with a bounded conflict-retry loop."""
+
+    def __init__(self, base_url: str, client_id: str, client_secret: str):
+        self.base = base_url.rstrip("/")
+        form = urllib.parse.urlencode(
+            {
+                "grant_type": "client_credentials",
+                "client_id": client_id,
+                "client_secret": client_secret,
+                "scope": "PRINCIPAL_ROLE:ALL",
+            }
+        ).encode()
+        tok = self._request(
+            "POST",
+            "/api/catalog/v1/oauth/tokens",
+            data=form,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+            auth=False,
+        )
+        self.token = tok["access_token"]
+
+    def _request(
+        self,
+        method: str,
+        path: str,
+        data: bytes | None = None,
+        headers: dict | None = None,
+        auth: bool = True,
+    ) -> dict:
+        h = dict(headers or {})
+        if auth:
+            h["Authorization"] = f"Bearer {self.token}"
+        req = urllib.request.Request(
+            self.base + path, data=data, headers=h, method=method
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                raw = resp.read()
+                return json.loads(raw) if raw else {}
+        except urllib.error.HTTPError as e:
+            payload = e.read().decode()
+            try:
+                err = json.loads(payload)["error"]
+            except (ValueError, KeyError):
+                err = {"message": payload, "type": "HTTPError"}
+            if e.code == 409 and err.get("type") == "CommitFailedException":
+                raise CommitConflict(err["message"]) from None
+            raise RuntimeError(f"{e.code} {err.get('type')}: {err.get('message')}") from None
+
+    def _post_json(self, path: str, obj: dict) -> dict:
+        return self._request(
+            "POST", path, json.dumps(obj).encode(), {"Content-Type": "application/json"}
+        )
+
+    # -- management API
+    def create_catalog(self, name: str, base_location: str, allowed: str | None = None) -> dict:
+        return self._post_json(
+            "/api/management/v1/catalogs",
+            {
+                "catalog": {
+                    "name": name,
+                    "type": "INTERNAL",
+                    "properties": {"default-base-location": base_location},
+                    "storageConfigInfo": {
+                        "storageType": "FILE",
+                        "allowedLocations": [allowed or base_location + "/*"],
+                    },
+                }
+            },
+        )
+
+    def list_catalogs(self) -> list[str]:
+        return [c["name"] for c in self._request("GET", "/api/management/v1/catalogs")["catalogs"]]
+
+    # -- iceberg REST catalog API
+    def config(self, catalog: str) -> dict:
+        return self._request("GET", f"/api/catalog/v1/{catalog}/config")
+
+    def create_namespace(self, catalog: str, ns: str) -> dict:
+        return self._post_json(f"/api/catalog/v1/{catalog}/namespaces", {"namespace": [ns]})
+
+    def list_namespaces(self, catalog: str) -> list[str]:
+        out = self._request("GET", f"/api/catalog/v1/{catalog}/namespaces")
+        return [".".join(n) for n in out["namespaces"]]
+
+    def create_table(self, catalog: str, ns: str, name: str, schema_ddl: str) -> dict:
+        return self._post_json(
+            f"/api/catalog/v1/{catalog}/namespaces/{ns}/tables",
+            {"name": name, "schema": schema_ddl},
+        )
+
+    def list_tables(self, catalog: str, ns: str) -> list[str]:
+        out = self._request("GET", f"/api/catalog/v1/{catalog}/namespaces/{ns}/tables")
+        return [i["name"] for i in out["identifiers"]]
+
+    def load_table(self, catalog: str, ns: str, name: str) -> dict:
+        return self._request("GET", f"/api/catalog/v1/{catalog}/namespaces/{ns}/tables/{name}")
+
+    def drop_table(self, catalog: str, ns: str, name: str) -> None:
+        self._request("DELETE", f"/api/catalog/v1/{catalog}/namespaces/{ns}/tables/{name}")
+
+    def commit_table(
+        self, catalog: str, ns: str, name: str, base_location: str, new_location: str
+    ) -> dict:
+        """One CAS attempt: move the pointer from base to new. Raises
+        CommitConflict on 409."""
+        return self._post_json(
+            f"/api/catalog/v1/{catalog}/namespaces/{ns}/tables/{name}",
+            {
+                "requirements": [
+                    {"type": "assert-metadata-location", "metadata-location": base_location}
+                ],
+                "updates": [],
+                "metadata-location": new_location,
+            },
+        )
+
+    def commit_with_retry(
+        self, catalog: str, ns: str, name: str, do_commit, max_attempts: int = 5
+    ) -> dict:
+        """The standard optimistic loop Iceberg clients run against a
+        REST catalog: load current pointer → stage a commit on top of it
+        (``do_commit(metadata)`` returns the NEW metadata location) →
+        CAS; on conflict, re-load and re-stage."""
+        for _ in range(max_attempts):
+            cur = self.load_table(catalog, ns, name)
+            new_loc = do_commit(cur)
+            try:
+                return self.commit_table(
+                    catalog, ns, name, cur["metadata-location"], new_loc
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"gave up after {max_attempts} attempts on {ns}.{name}")
