@@ -281,16 +281,20 @@ def test_export_self_heals_half_written_eqpos_dir(wh, spark):
 
 
 def test_duckdb_iceberg_reader_if_available(wh, spark):
-    """If the DuckDB iceberg extension can load (it usually cannot,
-    offline), point it at the exported metadata; otherwise skip — the
-    JSON-manifest divergence is documented in iceberg_export.py."""
+    """If the DuckDB iceberg extension can load (it usually cannot:
+    INSTALL needs the extension repo and this sandbox has no network —
+    verified each run below, so the moment the environment gains network
+    or a vendored extension this test self-arms), point it at the
+    exported metadata; otherwise skip. pyiceberg is likewise absent and
+    not vendorable offline (pip unavailable)."""
     import duckdb
 
     con = duckdb.connect()
     try:
+        con.execute("INSTALL iceberg")
         con.execute("LOAD iceberg")
-    except duckdb.Error:
-        pytest.skip("duckdb iceberg extension not available offline")
+    except duckdb.Error as e:
+        pytest.skip(f"duckdb iceberg extension unavailable offline: {str(e)[:120]}")
     t = wh.create_table("db", "duck_read", "id int, name string")
     t.insert_values([(1, "x")])
     out = con.execute(
