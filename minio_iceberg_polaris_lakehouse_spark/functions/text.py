@@ -512,3 +512,101 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_sequence_packing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               doc_id % 8 AS shard,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        FROM documents),
+    packed AS (
+        SELECT lang, shard, n_tokens,
+               CAST(FLOOR(
+                   (SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                   / 512) AS INT) AS pack_id
+        FROM toks)
+    SELECT lang, CAST(shard AS BIGINT) AS shard, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed
+    GROUP BY lang, shard, pack_id
+    ORDER BY lang, shard, pack_id
+    """,
+)
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LM training: assign documents to fixed
+    token-budget packs (budget 512) by cumulative token count, sharded.
+
+    A pack is a training sequence built by concatenating documents until
+    the budget fills; the assignment here is the streaming-fill rule
+    (pack_id = tokens_before // budget), the same policy T5-style
+    pipelines use before boundary-aware trimming. Packing needs no
+    GLOBAL order — only a deterministic order within a shard — so the
+    window partitions by (lang, doc_id % 8): at 100 TB that is 8×|lang|
+    independent cumulative sums, each a single sorted partition stream,
+    instead of one driver-choking global window (the WindowExec
+    all-to-one-partition trap). More shards = more parallelism, zero
+    semantic change."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.pmod(F.col("doc_id"), F.lit(8)).alias("shard"),
+        F.size(tokens()).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.select(
+        "lang",
+        "shard",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512)
+        .cast("int")
+        .alias("pack_id"),
+    )
+    return (
+        packed.groupBy("lang", "shard", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        )
+        .orderBy("lang", "shard", "pack_id")
+    )
+
+
+@register(
+    "text_vocab_build",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents),
+    counts AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM words GROUP BY tok)
+    SELECT tok, freq FROM counts
+    ORDER BY freq DESC, tok
+    LIMIT 50
+    """,
+)
+def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide vocabulary (top-50 tokens by frequency) — the first
+    pass of tokenizer training. explode → groupBy count is the canonical
+    wordcount: partial aggregation combines map-side, so the shuffle
+    carries one row per DISTINCT token per partition (vocab-sized, not
+    corpus-sized); the top-k is a TakeOrderedAndProject, never a global
+    sort of the vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), "tok")
+        .limit(50)
+    )

@@ -193,3 +193,27 @@ def test_mor_read_applies_deletes_broadcast(spark, tmp_path):
     assert "BroadcastHashJoin" in s and "LeftAnti" in s, s
     assert "SortMergeJoin" not in s, s
     assert df.count() == 9900
+
+
+def test_sequence_packing_window_is_sharded(spark, sf_dir):
+    """The packing cumsum must partition by (lang, shard) — a global
+    (unpartitioned) window would funnel the whole corpus through one
+    task at 100 TB."""
+    df = q("text_sequence_packing", spark, sf_dir)
+    s = plan_string(df)
+    assert "Window" in s
+    # Spark renders an unpartitioned window spec with an empty partition
+    # list; ours must carry both keys
+    assert "lang" in s and "shard" in s
+    i = s.index("Window")
+    assert "partition" not in s[i : i + 400].lower() or "lang" in s[i : i + 400], s[i : i + 400]
+
+
+def test_vocab_build_topk_and_partial_agg(spark, sf_dir):
+    """Vocabulary counting: map-side partial aggregation (the shuffle
+    carries distinct tokens, not corpus tokens) and top-k without a
+    global sort."""
+    df = q("text_vocab_build", spark, sf_dir)
+    s = plan_string(df)
+    assert count_nodes(df, "TakeOrderedAndProject") == 1, s
+    assert "partial_count" in s, s
