@@ -156,6 +156,21 @@ def _lake(spark: SparkSession):
         "USING (SELECT * FROM VALUES (2, 'x'), (4, 'y'), (9, 'new') AS s(id, v)) s "
         "ON t.id = s.id WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *"
     )
+    # external-reader fixture: schema evolution (rename keeps field id)
+    # + merge-on-read equality delete + key resurrection — the features
+    # whose EXPORTED form is hardest to get right; read back from the
+    # open metadata alone by ref_external_reader
+    lake.sql(
+        "CREATE TABLE IF NOT EXISTS polaris.test_db.ext_read (id INT, name STRING) "
+        "USING ICEBERG TBLPROPERTIES ("
+        "'write.delete.mode'='merge-on-read-equality', "
+        "'write.delete.equality-columns'='id')"
+    )
+    lake.sql("INSERT INTO polaris.test_db.ext_read VALUES (1, 'a'), (2, 'b')")
+    lake.sql("ALTER TABLE polaris.test_db.ext_read ADD COLUMN email STRING")
+    lake.sql("ALTER TABLE polaris.test_db.ext_read RENAME COLUMN email TO contact")
+    lake.sql("DELETE FROM polaris.test_db.ext_read WHERE id = 2")
+    lake.sql("INSERT INTO polaris.test_db.ext_read VALUES (2, 'reborn', 'r@e.com')")
     _LAKES[key] = lake
     return lake
 
@@ -491,3 +506,32 @@ def ref_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4,..), (9,'new') into {1,2,3,4}: matched keys 2 and 4 dropped,
     unmatched 9 inserted."""
     return _lake(spark).sql("SELECT id, v FROM polaris.test_db.merge_del ORDER BY id")
+
+
+@register(
+    "ref_external_reader",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'a', CAST(NULL AS VARCHAR)), (2, 'reborn', 'r@e.com'))
+        AS e(id, name, contact)
+    ORDER BY id
+    """,
+)
+def ref_external_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The open-format promise, consumer side (reference README.md:
+    169-178): read the ext_read fixture back through sources/
+    iceberg_reader.py — version-hint → metadata JSON → Avro manifests →
+    parquet + positional deletes, with FIELD-ID schema alignment — using
+    none of the engine's private snapshot log. The fixture stacks the
+    hard cases: a column added then renamed (old files NULL-fill via id
+    mapping), an equality delete compiled to positional form, and a
+    deleted key re-inserted after (sequence rule: survives)."""
+    from pyspark.sql import functions as F
+
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        read_iceberg_table,
+    )
+
+    lake = _lake(spark)
+    tab = lake.wh.table("test_db", "ext_read")
+    return read_iceberg_table(spark, tab.path).orderBy(F.col("id"))

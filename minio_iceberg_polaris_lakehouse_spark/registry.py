@@ -62,9 +62,11 @@ _PRIORITY: list[str] = [
     "ref_filter_select",
     # warehouse metadata tables + time travel through the SQL front-end
     # (S3/S4/S5) — deterministic fixture, literal-VALUES oracles
-    # schema evolution (D10) through SQL DDL — ADD COLUMN NULL backfill +
-    # RENAME, literal-VALUES oracle
-    "ref_schema_evolution",
+    # open-format consumer side: the standalone Iceberg metadata reader
+    # over a fixture stacking schema evolution + compiled equality
+    # deletes + key resurrection (ref_schema_evolution rotated out after
+    # 3 green rounds; its DDL path stays in the local replica)
+    "ref_external_reader",
     # merge-on-read DELETE (M1) with live _deleted metadata column
     "ref_mor_delete",
     # CDC changelog scan (create_changelog_view): tagged insert/delete feed

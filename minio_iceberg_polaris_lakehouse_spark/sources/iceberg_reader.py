@@ -1,0 +1,178 @@
+"""Read a standard Iceberg-v2 FILESYSTEM table from its metadata — the
+consumer side of the open-format promise (reference README.md:169-178:
+"any engine can read the table by walking the metadata tree").
+
+`read_iceberg_table(spark, location)` resolves `version-hint.text` →
+`vN.metadata.json` → manifest-list Avro → manifest Avros → parquet data
+files, applies content=1 POSITIONAL delete files, and returns a plain
+DataFrame — using none of the engine's private snapshot log. It reads
+tables this engine exported AND any other filesystem table following
+the same spec subset (v2, positional deletes, identity-style layout
+where logical columns live in the data files).
+
+Schema evolution is resolved the way Iceberg resolves it — by FIELD ID,
+not by name: each data manifest is read with the schema version its
+adding snapshot recorded, then aligned to the selected snapshot's
+schema by matching field ids (renames map, dropped columns disappear,
+added columns NULL-fill, int→long/float→double widenings cast).
+
+Scale: metadata walking is driver-side and O(manifests); the data read
+is a normal distributed parquet scan per schema-generation (file groups
+union after alignment). Delete application is an anti-join on
+(file path, row position) using Spark's `_metadata.row_index`, with the
+tombstone side broadcast — delete files are metadata-sized next to the
+data they tombstone.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from minio_iceberg_polaris_lakehouse_spark import avro_io, fsio
+
+_PRIM_TO_SPARK = {
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "string": T.StringType(),
+    "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "boolean": T.BooleanType(),
+    "date": T.DateType(),
+    "timestamptz": T.TimestampType(),
+    "timestamp": T.TimestampNTZType(),
+    "binary": T.BinaryType(),
+    "uuid": T.StringType(),
+}
+
+# legal Iceberg primitive-type promotions (spec §Schema Evolution)
+_WIDENS = {("int", "long"), ("float", "double")}
+
+
+def _spark_type(t) -> T.DataType:
+    if isinstance(t, str):
+        if t in _PRIM_TO_SPARK:
+            return _PRIM_TO_SPARK[t]
+        m = re.fullmatch(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+        if m:
+            return T.DecimalType(int(m.group(1)), int(m.group(2)))
+        raise ValueError(f"unsupported Iceberg type: {t}")
+    if isinstance(t, dict) and t.get("type") == "struct":
+        return T.StructType(
+            [
+                T.StructField(f["name"], _spark_type(f["type"]), not f.get("required"))
+                for f in t["fields"]
+            ]
+        )
+    if isinstance(t, dict) and t.get("type") == "list":
+        return T.ArrayType(_spark_type(t["element"]), not t.get("element-required"))
+    if isinstance(t, dict) and t.get("type") == "map":
+        return T.MapType(
+            _spark_type(t["key"]), _spark_type(t["value"]), not t.get("value-required")
+        )
+    raise ValueError(f"unsupported Iceberg type: {t!r}")
+
+
+def _struct(schema_json: dict) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(f["name"], _spark_type(f["type"]), not f.get("required"))
+            for f in schema_json["fields"]
+        ]
+    )
+
+
+def resolve_metadata_path(location: str) -> str:
+    """Accept a table dir, a metadata dir, or a vN.metadata.json path."""
+    if location.endswith(".metadata.json"):
+        return location
+    mdir = location if fsio.basename(location) == "metadata" else os.path.join(location, "metadata")
+    hint = fsio.read_text(os.path.join(mdir, "version-hint.text")).strip()
+    return os.path.join(mdir, f"v{hint}.metadata.json")
+
+
+def read_iceberg_table(
+    spark: SparkSession,
+    location: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+) -> DataFrame:
+    """Open the table at ``location`` (table dir / metadata dir /
+    metadata file) as a DataFrame; optional time travel by snapshot id
+    or timestamp (milliseconds)."""
+    md = json.loads(fsio.read_text(resolve_metadata_path(location)))
+    snaps = md.get("snapshots", [])
+    schemas = {s["schema-id"]: s for s in md.get("schemas", [])}
+    if snapshot_id is not None:
+        snap = next((s for s in snaps if s["snapshot-id"] == snapshot_id), None)
+        if snap is None:
+            raise ValueError(f"no snapshot {snapshot_id} at {location}")
+    elif as_of_ms is not None:
+        older = [s for s in snaps if s["timestamp-ms"] <= as_of_ms]
+        if not older:
+            raise ValueError(f"no snapshot at or before {as_of_ms} at {location}")
+        snap = max(older, key=lambda s: s["timestamp-ms"])
+    else:
+        cur = md.get("current-snapshot-id")
+        snap = next((s for s in snaps if s["snapshot-id"] == cur), None)
+
+    target_sid = snap.get("schema-id", md["current-schema-id"]) if snap else md["current-schema-id"]
+    target = schemas[target_sid]
+    if snap is None:  # table created but never committed to
+        return spark.createDataFrame([], _struct(target))
+
+    # schema version each snapshot wrote under — manifests carry their
+    # adding snapshot, which dates the physical column names in the files
+    schema_of_snap = {s["snapshot-id"]: s.get("schema-id", target_sid) for s in snaps}
+
+    _s, _m, manifests = avro_io.read_container(snap["manifest-list"])
+    groups: dict[int, list[str]] = {}  # schema-id -> data file paths
+    delete_paths: list[str] = []
+    for m in manifests:
+        _s2, _m2, entries = avro_io.read_container(m["manifest_path"])
+        if m["content"] == 1:
+            delete_paths.extend(e["data_file"]["file_path"] for e in entries)
+            continue
+        sid = schema_of_snap.get(m["added_snapshot_id"], target_sid)
+        groups.setdefault(sid, []).extend(e["data_file"]["file_path"] for e in entries)
+
+    if not groups:
+        return spark.createDataFrame([], _struct(target))
+
+    meta_cols = [
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "").alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
+    ]
+    parts: list[DataFrame] = []
+    for sid, files in groups.items():
+        file_schema = schemas[sid]
+        df = spark.read.schema(_struct(file_schema)).parquet(*files)
+        by_id = {f["id"]: f for f in file_schema["fields"]}
+        cols = []
+        for f in target["fields"]:  # field-id alignment: rename/fill/widen
+            src = by_id.get(f["id"])
+            out_t = _spark_type(f["type"])
+            if src is None:
+                cols.append(F.lit(None).cast(out_t).alias(f["name"]))
+            elif (src["type"], f["type"]) in _WIDENS or src["type"] != f["type"]:
+                cols.append(F.col(src["name"]).cast(out_t).alias(f["name"]))
+            else:
+                cols.append(F.col(src["name"]).alias(f["name"]))
+        parts.append(df.select(*cols, *meta_cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+
+    if delete_paths:
+        tombs = (
+            spark.read.parquet(*delete_paths)
+            .select(F.col("file_path").alias("__file"), F.col("pos").alias("__pos"))
+            .dropDuplicates(["__file", "__pos"])
+        )
+        out = out.join(F.broadcast(tombs), ["__file", "__pos"], "left_anti")
+    return out.drop("__file", "__pos")
