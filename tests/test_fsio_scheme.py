@@ -76,6 +76,13 @@ def test_full_table_lifecycle_on_mock_scheme(spark, mock_uri):
         open(os.path.join(local, "db", "users", "metadata", f"v{hint}.metadata.json"))
     )
     assert md["current-snapshot-id"] == t.current_snapshot_id()
+    # the standalone metadata reader resolves the same viewfs:// root
+    # end to end (metadata via the facade, data via Spark's connector)
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        read_iceberg_table,
+    )
+
+    assert _rows(read_iceberg_table(spark, t.path)) == [(1, "a"), (3, "c")]
 
 
 def test_sql_frontend_on_mock_scheme(spark, mock_uri):

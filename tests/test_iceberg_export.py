@@ -398,3 +398,11 @@ def test_export_fuzz_external_reader_matches_engine(spark, tmp_path_factory, ops
     engine = sorted((r.id, r.v) for r in t.read().collect())
     external = _independent_read(t.path, ["id", "v"])
     assert external == engine
+    # the first-class distributed reader (sources/iceberg_reader.py)
+    # agrees with both the engine and the pyarrow-only walk on every
+    # fuzzed commit history
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        read_iceberg_table,
+    )
+
+    assert sorted(map(tuple, read_iceberg_table(spark, t.path).collect())) == engine
