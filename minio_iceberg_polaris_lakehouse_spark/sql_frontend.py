@@ -95,6 +95,44 @@ class LakehouseSQL:
         self._wap_branch: str | None = None
         # view-expansion recursion guard (views over views; cycles raise)
         self._view_stack: set[str] = set()
+        self.rest = None  # set by from_rest
+
+    @classmethod
+    def from_rest(
+        cls,
+        spark: SparkSession,
+        url: str,
+        client_id: str,
+        client_secret: str,
+        catalog_name: str = "my_catalog",
+        catalog: str = "polaris",
+    ) -> "LakehouseSQL":
+        """Connect the way the reference connects to Polaris (OAuth2
+        client-credentials → catalog lookup, setup-polaris.sh:17-75 /
+        getting_started.ipynb's spark.sql.catalog.* conf): resolve the
+        named catalog's default-base-location over the REST management
+        API and bind the SQL session to it. The returned session keeps
+        the authenticated client at ``.rest`` for pointer commits and
+        loadTable calls."""
+        from minio_iceberg_polaris_lakehouse_spark.rest_catalog import RestCatalogClient
+
+        cli = RestCatalogClient(url, client_id, client_secret)
+        rec = next(
+            (
+                c
+                for c in cli._request("GET", "/api/management/v1/catalogs")["catalogs"]
+                if c["name"] == catalog_name
+            ),
+            None,
+        )
+        if rec is None:
+            raise WarehouseError(f"no catalog {catalog_name!r} at {url}")
+        base = rec["properties"].get("default-base-location")
+        if not base:
+            raise WarehouseError(f"catalog {catalog_name!r} has no default-base-location")
+        inst = cls(spark, base, catalog=catalog)
+        inst.rest = cli
+        return inst
 
     # ------------------------------------------------------------------ API
     def sql(self, statement: str) -> DataFrame:

@@ -133,3 +133,26 @@ def test_commit_cas_conflict_and_retry(server, spark):
     cli_a.create_namespace("cat2", "other")
     assert cli_a.list_namespaces("cat2") == ["other"]
     assert "other" not in cli_a.list_namespaces("cat")
+
+
+def test_sql_session_from_rest(server, spark):
+    """LakehouseSQL.from_rest: connect by URL + credentials (the way
+    the reference's Spark session binds to Polaris), resolve the
+    catalog's base location, and run the notebook SQL against it."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import WarehouseError
+
+    url, root = server
+    boot = RestCatalogClient(url, CID, SECRET)
+    boot.create_catalog("my_catalog", root + "/my_catalog")
+    lake = LakehouseSQL.from_rest(spark, url, CID, SECRET)
+    lake.sql("CREATE NAMESPACE IF NOT EXISTS polaris.test_db")
+    lake.sql("CREATE TABLE polaris.test_db.t (id INT, name STRING) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.test_db.t VALUES (1, 'Hello'), (2, 'World')")
+    assert lake.sql("SELECT COUNT(*) AS n FROM test_db.t").collect()[0].n == 2
+    # the data landed under the catalog's base location
+    assert os.path.isdir(os.path.join(root, "my_catalog", "test_db", "t"))
+    # the kept client is live: catalog-level ops work from the session
+    assert lake.rest.list_catalogs() == ["my_catalog"]
+    with pytest.raises(WarehouseError, match="no catalog"):
+        LakehouseSQL.from_rest(spark, url, CID, SECRET, catalog_name="nope")
