@@ -25,6 +25,7 @@ from __future__ import annotations
 import io
 import json
 import struct
+import uuid
 import zlib
 
 from minio_iceberg_polaris_lakehouse_spark import fsio
@@ -279,7 +280,7 @@ def write_container(
         write_bytes(block, payload)
         block.write(SYNC)
         buf.write(block.getvalue())
-    fsio.write_bytes_atomic(path, buf.getvalue(), "avro")
+    fsio.write_bytes_atomic(path, buf.getvalue(), uuid.uuid4().hex)
 
 
 def read_container(path: str) -> tuple[dict, dict[str, bytes], list]:

@@ -98,11 +98,19 @@ class _HadoopFS:
 
     @classmethod
     def for_path(cls, path: str) -> _HadoopFS:
+        from pyspark.sql import SparkSession
+
         m = _SCHEME_RE.match(path)
         authority = path[m.end() :].split("/", 1)[0]
-        key = path[: m.end()] + authority
+        uri = path[: m.end()] + authority
+        # key includes the application id: a cached handle's py4j gateway
+        # dies with its SparkSession, so a restarted session must mint a
+        # fresh FileSystem instead of dereferencing a dead JVM
+        spark = SparkSession.getActiveSession() or SparkSession._instantiatedSession
+        app = spark.sparkContext.applicationId if spark is not None else "-"
+        key = f"{app}::{uri}"
         if key not in cls._cache:
-            cls._cache[key] = cls(key + "/")
+            cls._cache[key] = cls(uri + "/")
         return cls._cache[key]
 
     def _call(self, fn, *args):
@@ -170,12 +178,64 @@ class _HadoopFS:
         finally:
             stream.close()
 
+    def open_seekable(self, p: str) -> _HadoopSeekable:
+        size = int(self.status(p).getLen())
+        return _HadoopSeekable(self, self._call(self._fs.open, self._P(p)), size)
+
     def write_bytes(self, p: str, data: bytes) -> None:
         out = self._call(self._fs.create, self._P(p), True)
         try:
             out.write(data)
         finally:
             out.close()
+
+
+class _HadoopSeekable(io.RawIOBase):
+    """Seekable read-only file-like over an FSDataInputStream — lets
+    pyarrow read a parquet FOOTER from a remote file without pulling the
+    whole file to the driver (a data file at scale is hundreds of MB;
+    the footer is KB). Each read() seeks the Java stream and returns
+    exactly the requested range via commons-io (byte[] return values
+    cross py4j efficiently; element-wise array access would not)."""
+
+    def __init__(self, hfs: _HadoopFS, stream, size: int):
+        self._hfs = hfs
+        self._in = stream
+        self._size = size
+        self._pos = 0
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        base = {0: 0, 1: self._pos, 2: self._size}[whence]
+        self._pos = max(0, min(self._size, base + offset))
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._size - self._pos
+        n = min(n, self._size - self._pos)
+        if n <= 0:
+            return b""
+        self._in.seek(self._pos)
+        data = bytes(
+            self._hfs._jvm.org.apache.commons.io.IOUtils.toByteArray(self._in, n)
+        )
+        self._pos += len(data)
+        return data
+
+    def close(self) -> None:
+        try:
+            self._in.close()
+        finally:
+            super().close()
 
 
 # ------------------------------------------------------------ facade ops
@@ -269,6 +329,12 @@ def rename(src: str, dst: str) -> None:
     over an existing dir fails; Hadoop rename returns False."""
     if is_remote(src):
         fs = _HadoopFS.for_path(src)
+        # Hadoop rename with an existing dst DIRECTORY moves src INTO it
+        # and reports success — check first to keep the fail-if-exists
+        # contract (narrow check-then-act window; the commit lock
+        # serializes the callers that care)
+        if fs.exists(dst):
+            raise FileExistsError(dst)
         if not fs.rename(src, dst):
             if not fs.exists(src):
                 raise FileNotFoundError(src)
@@ -310,11 +376,12 @@ def read_bytes(path: str) -> bytes:
 
 
 def open_binary(path: str):
-    """Readable binary file-like — a real file handle locally, an
-    in-memory buffer for remote paths (used for parquet FOOTER reads;
-    the files are metadata-sized, see module docstring)."""
+    """Readable binary file-like — a real file handle locally, a
+    SEEKABLE ranged-read stream for remote paths, so parquet footer
+    parsing (the per-commit stats pass) reads KBs off a remote data
+    file, never the whole file into driver memory."""
     if is_remote(path):
-        return io.BytesIO(_HadoopFS.for_path(path).read_bytes(path))
+        return _HadoopFS.for_path(path).open_seekable(path)
     return open(strip_file_scheme(path), "rb")
 
 

@@ -664,6 +664,6 @@ def write_iceberg_metadata(table: Table) -> str:
     path = os.path.join(mdir, f"v{version}.metadata.json")
     _atomic_write_json(path, doc)
     fsio.write_bytes_atomic(
-        os.path.join(mdir, "version-hint.text"), str(version).encode(), "hint"
+        os.path.join(mdir, "version-hint.text"), str(version).encode(), uuid.uuid4().hex
     )
     return path

@@ -256,11 +256,15 @@ class _Handler(BaseHTTPRequestHandler):
         schema = doc.get("schema")  # engine DDL string form
         if not name or not schema:
             return self._error(400, "name and schema required")
-        if name in wh.list_tables(ns):
-            return self._error(409, f"table {ns}.{name} exists", "AlreadyExistsException")
-        tab = wh.create_table(ns, name, schema)
-        loc = self._metadata_location(tab)
+        # check + create under the catalog mutex: the server is threaded,
+        # and two racing creates must produce one 200 and one 409, not an
+        # unhandled warehouse error (creation is driver-side metadata
+        # writes only, so holding the lock across it is cheap)
         with self.state.lock:
+            if name in wh.list_tables(ns):
+                return self._error(409, f"table {ns}.{name} exists", "AlreadyExistsException")
+            tab = wh.create_table(ns, name, schema)
+            loc = self._metadata_location(tab)
             self.state.pointers[(catalog, ns, name)] = loc
         self._json(200, self._table_response(loc))
 

@@ -54,6 +54,22 @@ _PRIM_TO_SPARK = {
 _WIDENS = {("int", "long"), ("float", "double")}
 
 
+def _legal_promotion(src, tgt) -> bool:
+    """True iff src -> tgt is a promotion the spec allows: int→long,
+    float→double, or decimal precision growth at the same scale. Nested
+    (dict) types only match exactly — handled by the == check upstream,
+    so any dict pair reaching here is an illegal change."""
+    if not (isinstance(src, str) and isinstance(tgt, str)):
+        return False
+    if (src, tgt) in _WIDENS:
+        return True
+    ms = re.fullmatch(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)", src)
+    mt = re.fullmatch(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)", tgt)
+    return bool(
+        ms and mt and ms.group(2) == mt.group(2) and int(mt.group(1)) >= int(ms.group(1))
+    )
+
+
 def _spark_type(t) -> T.DataType:
     if isinstance(t, str):
         if t in _PRIM_TO_SPARK:
@@ -159,10 +175,17 @@ def read_iceberg_table(
             out_t = _spark_type(f["type"])
             if src is None:
                 cols.append(F.lit(None).cast(out_t).alias(f["name"]))
-            elif (src["type"], f["type"]) in _WIDENS or src["type"] != f["type"]:
+            elif src["type"] == f["type"]:
+                cols.append(F.col(src["name"]).alias(f["name"]))
+            elif _legal_promotion(src["type"], f["type"]):
                 cols.append(F.col(src["name"]).cast(out_t).alias(f["name"]))
             else:
-                cols.append(F.col(src["name"]).alias(f["name"]))
+                # a narrowing or cross-kind change is metadata corruption,
+                # not evolution — silently casting would truncate/NULL data
+                raise ValueError(
+                    f"illegal type change for field id {f['id']} "
+                    f"({f['name']}): {src['type']!r} -> {f['type']!r}"
+                )
         parts.append(df.select(*cols, *meta_cols))
     out = parts[0]
     for p in parts[1:]:

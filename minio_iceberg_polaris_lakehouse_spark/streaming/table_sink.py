@@ -62,13 +62,18 @@ class TableSink:
         durable identity of a checkpoint lineage. Resolved lazily: the
         file is written when the query starts, i.e. before the first
         foreachBatch call; until then (or when unreadable) the location
-        string itself is the identity."""
+        string itself is the identity. Read through fsio so remote
+        checkpoint locations (hdfs://, s3a://) resolve too — a plain
+        open() would fail there every call and silently degrade the
+        identity to the location string, letting a wiped-and-recreated
+        checkpoint at the same URI swallow batches again."""
         if self._ckpt_resolved:
             return self._ckpt_id
+        from minio_iceberg_polaris_lakehouse_spark import fsio
+
         cid = self._ckpt_location
         try:
-            with open(os.path.join(self._ckpt_location, "metadata")) as f:
-                cid = json.load(f)["id"]
+            cid = json.loads(fsio.read_text(os.path.join(self._ckpt_location, "metadata")))["id"]
             self._ckpt_resolved = True  # durable id found; cache forever
         except (OSError, ValueError, KeyError):
             pass  # query not started yet — fall back, retry next call
@@ -76,13 +81,20 @@ class TableSink:
         return cid
 
     def committed_batch_ids(self) -> set[int]:
+        """Batch ids this (query, checkpoint lineage) already committed.
+        Records WITHOUT a checkpoint id — written pre-upgrade or by a
+        location-less sink — match ANY lineage: the ambiguity is
+        unresolvable after the fact, and matching is the safe side
+        (a replayed batch stays deduped; exactly-once holds across the
+        upgrade). A fresh lineage blocked by such a legacy record is
+        what reset_watermark() is for."""
         cid = self._checkpoint_id()
         return {
             int(s["summary"][_BATCH_KEY])
             for s in self.table._snaps()
             if _BATCH_KEY in s.get("summary", {})
             and s["summary"].get(_QUERY_KEY) == self.query_name
-            and s["summary"].get(_CKPT_KEY) == cid
+            and s["summary"].get(_CKPT_KEY) in (None, cid)
         }
 
     def _sink_rec(self) -> dict | None:
@@ -102,9 +114,12 @@ class TableSink:
         (batch ids are monotonic per checkpoint lineage). A record left
         by a DIFFERENT checkpoint lineage under the same query name is
         ignored: a fresh checkpoint restarts batch ids at 0 and must not
-        have its early batches swallowed by the old run's watermark."""
+        have its early batches swallowed by the old run's watermark.
+        A record with NO lineage (pre-upgrade, or a location-less sink)
+        matches any lineage — see committed_batch_ids for why the safe
+        side of that ambiguity is matching."""
         rec = self._sink_rec()
-        if rec is None or rec.get("checkpoint") != self._checkpoint_id():
+        if rec is None or rec.get("checkpoint") not in (None, self._checkpoint_id()):
             return None
         return int(rec["hw"])
 

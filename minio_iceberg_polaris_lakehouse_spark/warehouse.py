@@ -2528,8 +2528,15 @@ class Table:
                 referenced.update(r["dir"] for r in s.get("eq_deletes", []))
             removed = 0
             for d in fsio.listdir(self.path):
+                # ".eqpos-*.tmp-*": a compiled-delete build dir whose
+                # publish rename never happened (crashed exporter). The
+                # export holds the commit lock while building, and we
+                # hold it here, so any temp dir we can see is dead —
+                # without this sweep repeated crashes accumulate full
+                # parquet copies no other GC pattern matches
+                crashed_tmp = d.startswith(".eqpos-") and ".tmp-" in d
                 if (
-                    (d.startswith("data-") or d.startswith("delete-"))
+                    (d.startswith("data-") or d.startswith("delete-") or crashed_tmp)
                     and d not in referenced
                     and fsio.isdir(os.path.join(self.path, d))
                 ):

@@ -134,3 +134,27 @@ def test_fsio_primitives_on_mock_scheme(spark, mock_uri):
     assert not fsio.exists(root)
     # and everything above really happened on the local dir the scheme maps to
     assert not os.path.exists(os.path.join(local, "prim"))
+
+
+def test_remote_open_binary_is_ranged_and_seekable(spark, mock_uri):
+    """open_binary on a remote path must support seek/partial reads so
+    parquet footer parsing never pulls a whole data file to the driver."""
+    import pyarrow.parquet as pq
+
+    uri, local = mock_uri
+    fsio.makedirs(uri)
+    payload = bytes(range(256)) * 40
+    fsio.write_bytes(f"{uri}/blob.bin", payload)
+    f = fsio.open_binary(f"{uri}/blob.bin")
+    assert f.seekable()
+    assert f.seek(0, 2) == len(payload)  # size via seek-end
+    f.seek(10)
+    assert f.read(5) == payload[10:15]
+    f.seek(-4, 2)
+    assert f.read() == payload[-4:]
+    f.close()
+    # and pyarrow reads a real footer through it
+    spark.range(100).toDF("n").coalesce(1).write.parquet(f"{uri}/pqdir")
+    part = next(p for p in fsio.listdir(f"{uri}/pqdir") if p.endswith(".parquet"))
+    pf = pq.ParquetFile(fsio.open_binary(f"{uri}/pqdir/{part}"))
+    assert pf.metadata.num_rows == 100

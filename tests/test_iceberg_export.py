@@ -406,3 +406,28 @@ def test_export_fuzz_external_reader_matches_engine(spark, tmp_path_factory, ops
     )
 
     assert sorted(map(tuple, read_iceberg_table(spark, t.path).collect())) == engine
+
+
+def test_orphan_removal_sweeps_crashed_eqpos_tmp(wh, spark):
+    """A temp build dir left by an exporter that crashed before the
+    publish rename matches no data-/delete-/eqpos- GC pattern; orphan
+    removal must reclaim it (it holds full parquet copies)."""
+    import os
+
+    t = wh.create_table(
+        "db", "eq_tmp_gc", "id int, v string",
+        properties={
+            "write.delete.mode": "merge-on-read-equality",
+            "write.delete.equality-columns": "id",
+        },
+    )
+    t.insert_values([(1, "a"), (2, "b")])
+    t.delete_where("id = 2")
+    crashed = os.path.join(t.path, ".eqpos-deadbeef.tmp-123-abc")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+    assert t.remove_orphan_files() == 1
+    assert not os.path.isdir(crashed)
+    # the live compiled dir survived
+    assert [d for d in os.listdir(t.path) if d.startswith("eqpos-")]

@@ -127,3 +127,19 @@ def test_rest_catalog_loadtable_roundtrip(spark, tmp_path):
         assert _rows(read_iceberg_table(spark, loc)) == [(1, "a")]
     finally:
         srv.shutdown()
+
+
+def test_nested_types_roundtrip(wh, spark):
+    """Array/map/struct columns must survive the reader's field-id
+    alignment (equal nested types pass through; the widening check must
+    not choke on dict-typed schemas)."""
+    t = wh.create_table(
+        "db", "r7", "id int, tags array<string>, attrs map<string,int>, "
+        "geo struct<lat:double,lon:double>"
+    )
+    t.insert_values([(1, ["a", "b"], {"k": 1}, (1.5, 2.5))])
+    t.insert_values([(2, [], {}, (0.0, 0.0))])
+    got = read_iceberg_table(spark, t.path)
+    eng = t.read()
+    assert sorted(map(str, got.collect())) == sorted(map(str, eng.collect()))
+    assert dict(got.dtypes) == dict(eng.dtypes)

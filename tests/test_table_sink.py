@@ -153,3 +153,30 @@ def test_bronze_to_silver_pipeline(wh, spark):
     # re-pump with no new bronze commits: silver unchanged
     pump()
     assert silver.read().count() == 3
+
+
+def test_pre_upgrade_records_still_dedup_replays(wh, spark, tmp_path):
+    """Records written before checkpoint-lineage tracking carry no
+    checkpoint id (summary key absent, bare-int watermark). A replay
+    from the SAME checkpoint after upgrading must still be a no-op —
+    legacy records match any lineage (exactly-once wins the ambiguity;
+    reset_watermark() is the documented escape hatch for a genuinely
+    fresh lineage blocked by one)."""
+    t = wh.create_table("db", "snk_up", "id int, v string")
+    legacy = TableSink(t, "q")  # location-less == legacy record shape
+    assert legacy.write_batch(spark.createDataFrame([(1, "a")], t.schema()), 0) is not None
+    # strip to the pre-upgrade forms explicitly
+    meta = t._meta()
+    assert meta["streaming_sinks"]["q"]["checkpoint"] is None
+    meta["streaming_sinks"]["q"] = 0  # bare int, as the old code wrote
+    t._write_meta(meta)
+    # post-upgrade sink with a real checkpoint lineage replays batch 0
+    ckpt = tmp_path / "ck"
+    ckpt.mkdir()
+    (ckpt / "metadata").write_text('{"id": "11111111-2222"}')
+    s2 = TableSink(t, "q", checkpoint_location=str(ckpt))
+    assert s2.write_batch(spark.createDataFrame([(1, "dup")], t.schema()), 0) is None
+    assert t.read().count() == 1
+    # a NEW batch from the new lineage still lands
+    assert s2.write_batch(spark.createDataFrame([(2, "b")], t.schema()), 1) is not None
+    assert t.read().count() == 2
