@@ -49,22 +49,68 @@ def _fullmatch(pattern: str, s: str) -> re.Match | None:
 
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
-    """Split on ``sep`` at paren depth 0 (DECIMAL(10,2) stays intact)."""
-    parts, depth, cur = [], 0, []
-    for ch in text:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == sep and depth == 0:
-            parts.append("".join(cur).strip())
-            cur = []
-        else:
+    """Split on ``sep`` at paren depth 0, OUTSIDE string literals
+    (DECIMAL(10,2) and `SET note = 'a,b'` both stay intact; '' is the
+    SQL escape for a quote inside a literal)."""
+    parts, depth, cur, in_str = [], 0, [], False
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < n and text[i + 1] == "'":
+                    cur.append("''")
+                    i += 2
+                    continue
+                in_str = False
             cur.append(ch)
+        elif ch == "'":
+            in_str = True
+            cur.append(ch)
+        else:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == sep and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        i += 1
     tail = "".join(cur).strip()
     if tail:
         parts.append(tail)
     return parts
+
+
+def _split_at_top_level_where(text: str) -> tuple[str, str] | None:
+    """(before, after) around the first WHERE keyword outside string
+    literals and parens — the regex alternative would split inside
+    `SET note = 'x where y'`."""
+    depth, in_str = 0, False
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < n and text[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and text[i : i + 5].upper() == "WHERE":
+            before_ok = i == 0 or text[i - 1].isspace()
+            after = text[i + 5 : i + 6]
+            if before_ok and (after == "" or after.isspace()):
+                return text[:i].strip(), text[i + 5 :].strip()
+        i += 1
+    return None
 
 
 def _balanced_paren_group(text: str) -> tuple[str, str]:
@@ -169,22 +215,10 @@ class LakehouseSQL:
 
     def _session_tzinfo(self) -> datetime.tzinfo:
         """tzinfo for spark.sql.session.timeZone — the zone Spark itself
-        uses for naive TIMESTAMP literals. Region ids resolve via
-        zoneinfo; fixed offsets ('+05:30', 'GMT+8', 'UTC') are parsed
-        directly."""
-        tz = self.spark.conf.get("spark.sql.session.timeZone")
-        try:
-            from zoneinfo import ZoneInfo
+        uses for naive TIMESTAMP literals."""
+        from minio_iceberg_polaris_lakehouse_spark.warehouse import _tzinfo_of
 
-            return ZoneInfo(tz)
-        except Exception:
-            m = re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?", tz)
-            if not m:
-                raise WarehouseError(f"unparseable spark.sql.session.timeZone: {tz}") from None
-            sign = 1 if m.group(1) == "+" else -1
-            return datetime.timezone(
-                sign * datetime.timedelta(hours=int(m.group(2)), minutes=int(m.group(3) or 0))
-            )
+        return _tzinfo_of(self.spark.conf.get("spark.sql.session.timeZone"))
 
     def _resolve_ns_name(self, name: str) -> str:
         parts = [p.strip() for p in name.split(".")]
@@ -257,6 +291,13 @@ class LakehouseSQL:
             return None
         ns, tbl, alias = m.group("ns"), m.group("tbl"), m.group("alias")
         if alias and alias.upper() in ("GROUP", "ORDER", "LIMIT", "HAVING", "UNION", "WHERE"):
+            return None
+        # the hint-backed view replaces EVERY reference of the table in
+        # the statement, but soundness was only established for this
+        # first WHERE-guarded one — a second reference (UNION arm, IN
+        # subquery after the tail cut, self-join) would silently read
+        # the pre-filtered view and lose rows. One reference only.
+        if len(re.findall(rf"(?i)\b{re.escape(ns)}\s*\.\s*{re.escape(tbl)}\b", masked)) != 1:
             return None
         tab = self.wh.table(ns, tbl)
         if not tab.exists():
@@ -652,11 +693,17 @@ class LakehouseSQL:
         rewrite of matching rows (Iceberg row-level UPDATE semantics).
         An active `SET spark.wap.branch` stages it on the branch."""
         tab = self._existing_table(m.group(1))
+        split = _split_at_top_level_where(m.group(2))
+        if split is None:
+            raise WarehouseError("UPDATE requires a WHERE clause")
+        set_list, cond = split
         assignments: dict[str, str] = {}
-        for part in _split_top_level(m.group(2)):
+        for part in _split_top_level(set_list):
+            if "=" not in part:
+                raise WarehouseError(f"malformed SET assignment: {part!r}")
             col, expr = part.split("=", 1)
             assignments[col.strip()] = expr.strip()
-        tab.update_where(assignments, m.group(3), branch=self._wap_branch)
+        tab.update_where(assignments, cond, branch=self._wap_branch)
         return self._empty()
 
     def _create_view(self, m: re.Match) -> DataFrame:
@@ -1002,7 +1049,9 @@ class LakehouseSQL:
         return self.spark.createDataFrame([Row(changelog_view=view)], "changelog_view string")
 
     def _truncate_table(self, m: re.Match) -> DataFrame:
-        self._existing_table(m.group(1)).truncate()
+        # routes to the active WAP branch like every other write — a
+        # session that staged its INSERTs must not empty main directly
+        self._existing_table(m.group(1)).truncate(branch=self._wap_branch)
         return self._empty()
 
     def _show_partitions(self, m: re.Match) -> DataFrame:
@@ -1079,7 +1128,7 @@ class LakehouseSQL:
         ),
         (r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(.*)", _create_table),
         (
-            rf"UPDATE\s+((?:{_IDENT}\.)*{_IDENT})\s+SET\s+(.*?)\s+WHERE\s+(.*)",
+            rf"UPDATE\s+((?:{_IDENT}\.)*{_IDENT})\s+SET\s+(.*)",
             _update,
         ),
         (rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?((?:{_IDENT}\.)*{_IDENT})", _drop_table),

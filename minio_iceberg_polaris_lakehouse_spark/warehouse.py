@@ -222,8 +222,11 @@ class Warehouse:
         re-resolved against table state at every query."""
         try:
             return json.loads(fsio.read_text(self._views_path()))["views"]
-        except (OSError, ValueError, KeyError):
-            return {}
+        except FileNotFoundError:
+            return {}  # no views ever created
+        # any OTHER failure (permissions, torn read, bad JSON) must NOT
+        # collapse to {}: the next view write would then persist the
+        # empty set and silently erase every existing definition
 
     def create_view(
         self,
@@ -280,6 +283,39 @@ class Warehouse:
         _atomic_write_json(self._views_path(), {"views": views})
 
 
+def _tzinfo_of(tz: str):
+    """tzinfo for a Spark timezone string — region ids via zoneinfo,
+    fixed offsets ('+05:30', 'GMT+8', 'UTC') parsed directly."""
+    import datetime
+    import re as _re
+
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(tz)
+    except Exception:
+        m = _re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?", tz)
+        if not m:
+            raise WarehouseError(f"unparseable timezone: {tz}") from None
+        sign = 1 if m.group(1) == "+" else -1
+        return datetime.timezone(
+            sign * datetime.timedelta(hours=int(m.group(2)), minutes=int(m.group(3) or 0))
+        )
+
+
+def _session_tzinfo():
+    """tzinfo of the active session's spark.sql.session.timeZone — the
+    frame Spark gives naive TIMESTAMP literals."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession._instantiatedSession
+    if spark is None:
+        import datetime
+
+        return datetime.timezone.utc
+    return _tzinfo_of(spark.conf.get("spark.sql.session.timeZone"))
+
+
 def _json_safe_bound(v: Any) -> Any:
     """JSON-serializable form of a parquet min/max statistic. Dates and
     timestamps become ISO strings, Decimals strings; binary (no total
@@ -303,7 +339,7 @@ def _file_column_bounds(pf) -> dict[str, list]:
     group are omitted — absence of a bound means "cannot skip", never a
     wrong skip."""
     md = pf.metadata
-    bounds: dict[str, list] = {}
+    raw: dict[str, list] = {}
     incomplete: set[str] = set()
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
@@ -316,21 +352,29 @@ def _file_column_bounds(pf) -> dict[str, list]:
                 st = col.statistics
                 if st is None or not st.has_min_max:
                     raise ValueError("no min/max")
-                lo, hi = _json_safe_bound(st.min), _json_safe_bound(st.max)
+                # merge on the RAW statistic values — stringifying first
+                # would make Decimal/date merges lexicographic
+                # (min('10.5','9.5') == '10.5': an inverted lower bound
+                # that causes wrong skips, i.e. silent row loss)
+                lo, hi = st.min, st.max
+                if _json_safe_bound(lo) is None or _json_safe_bound(hi) is None:
+                    raise ValueError("unorderable bound type")
             except Exception:  # pyarrow raises ArrowNotImplementedError for
                 incomplete.add(name)  # some types' statistics — no bound, no skip
-                bounds.pop(name, None)
+                raw.pop(name, None)
                 continue
-            if lo is None or hi is None:
-                incomplete.add(name)
-                bounds.pop(name, None)
-                continue
-            if name in bounds:
-                bounds[name][0] = min(bounds[name][0], lo)
-                bounds[name][1] = max(bounds[name][1], hi)
+            if name in raw:
+                try:
+                    raw[name][0] = min(raw[name][0], lo)
+                    raw[name][1] = max(raw[name][1], hi)
+                except TypeError:  # mixed raw types across row groups
+                    incomplete.add(name)
+                    raw.pop(name, None)
             else:
-                bounds[name] = [lo, hi]
-    return bounds
+                raw[name] = [lo, hi]
+    return {
+        name: [_json_safe_bound(lo), _json_safe_bound(hi)] for name, (lo, hi) in raw.items()
+    }
 
 
 DIR_STATS_FILE = ".stats.json"  # dot-prefixed: invisible to Spark's file lister
@@ -416,11 +460,30 @@ def _bound_key(dtype: T.DataType, v: Any):
                 return v
             return datetime.date.fromisoformat(str(v)[:10])
         if isinstance(dtype, T.TimestampType):
+            # Everything compares in ONE frame (UTC wall clock) — footer
+            # stats carry tz-aware UTC instants; merely stripping tzinfo
+            # from them while leaving naive predicate values as-is would
+            # compare local against UTC wall clock and wrongly skip files
+            # (silent row loss) whenever the relevant zone isn't UTC.
+            # Naive values take the frame their ROW FILTER will use
+            # (skipping must never be stricter than the filter):
+            # - naive datetime/date OBJECTS (Table.scan API) become
+            #   Catalyst literals in the JVM's default = process-local
+            #   zone → astimezone() with no argument;
+            # - naive STRINGS (SQL literals via scan hints) are cast by
+            #   Spark in spark.sql.session.timeZone.
+            from_string = not isinstance(v, (datetime.date, datetime.datetime))
             if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
                 v = datetime.datetime(v.year, v.month, v.day)
             elif not isinstance(v, datetime.datetime):
                 v = datetime.datetime.fromisoformat(str(v))
-            return v.replace(tzinfo=None)  # stats may carry UTC tz, predicates not
+            if v.tzinfo is None:
+                v = (
+                    v.replace(tzinfo=_session_tzinfo())
+                    if from_string
+                    else v.astimezone()
+                )
+            return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
     except (ValueError, TypeError, ArithmeticError):
         return None
     return None
@@ -1924,25 +1987,32 @@ class Table:
         tomb = self._tombstones(existing)
         if tomb is not None:
             live = live.join(F.broadcast(tomb), self._pos_delete_cond(live, tomb), "left_anti")
-        matched = live.filter(f"({condition})")
-        hits = matched.select(
-            self._plain_path(F.col("_file")).alias("file_path"), F.col("_pos").alias("pos")
-        )
-        ddir = f"delete-{uuid.uuid4().hex[:12]}"
-        out = os.path.join(self.path, ddir)
-        hits.write.option("compression", "zstd").parquet(out)
-        dstats = _parquet_footer_stats(out)
-        n_del = sum(s["rows"] for s in dstats)
-        pend_del = PendingData(
-            ddir, n_del, {"source": None, "transform": "identity", "spec_id": 0, "content": "deletes"}, dstats
-        )
-        rewritten = matched.select(
-            *[
-                (F.expr(assignments[c]).alias(c) if c in assignments else F.col(c))
-                for c in cols
-            ]
-        )
-        p = self._write_data(rewritten)
+        # matched feeds TWO writes (tombstone positions + rewritten
+        # rows); persist it so the full-table scan + predicate run once,
+        # not once per write — the whole point of MOR UPDATE is
+        # O(matches) work on top of one read
+        matched = live.filter(f"({condition})").persist()
+        try:
+            hits = matched.select(
+                self._plain_path(F.col("_file")).alias("file_path"), F.col("_pos").alias("pos")
+            )
+            ddir = f"delete-{uuid.uuid4().hex[:12]}"
+            out = os.path.join(self.path, ddir)
+            hits.write.option("compression", "zstd").parquet(out)
+            dstats = _parquet_footer_stats(out)
+            n_del = sum(s["rows"] for s in dstats)
+            pend_del = PendingData(
+                ddir, n_del, {"source": None, "transform": "identity", "spec_id": 0, "content": "deletes"}, dstats
+            )
+            rewritten = matched.select(
+                *[
+                    (F.expr(assignments[c]).alias(c) if c in assignments else F.col(c))
+                    for c in cols
+                ]
+            )
+            p = self._write_data(rewritten)
+        finally:
+            matched.unpersist()
         lock, token = self._acquire_commit_lock()
         try:
             snaps = self._snaps()
@@ -2003,6 +2073,18 @@ class Table:
         parent = self._branch_head(branch) if branch else self.current_snapshot_id()
         cols = [f.name for f in self.schema().fields]
         update_cols = update_cols or [c for c in cols if c != on]
+        # MERGE cardinality check (Iceberg/Spark semantics): several
+        # source rows matching ONE target key is an error, not a silent
+        # row multiplication through the inner join. One aggregation over
+        # the (typically dimension-sized) source; first offender reported.
+        dup = (
+            source.groupBy(on).agg(F.count("*").alias("_n")).filter(F.col("_n") > 1).limit(1).collect()
+        )
+        if dup:
+            raise WarehouseError(
+                f"MERGE source has multiple rows for key {on}={dup[0][0]!r} "
+                "(ON clause must match at most one source row per target row)"
+            )
         tgt = (self.read(version=branch) if branch else self.read()).alias("t")
         src = source.alias("s")
         unmatched_tgt = tgt.join(src, F.col(f"t.{on}") == F.col(f"s.{on}"), "left_anti").select(
@@ -2509,16 +2591,29 @@ class Table:
         finally:
             self._release_commit_lock(lock, token)
 
-    def truncate(self) -> int:
+    def truncate(self, branch: str | None = None) -> int:
         """TRUNCATE TABLE: one 'delete' snapshot with an empty manifest —
-        no data rewritten, time travel to pre-truncate snapshots intact."""
-        parent = self.current_snapshot_id()
-        return self._commit_replace("delete", [], {"truncate": True}, parent)
+        no data rewritten, time travel to pre-truncate snapshots intact.
+        ``branch`` stages the truncation on a WAP branch like every other
+        row-level write (main readers keep the data until publish)."""
+        if branch:
+            parent = self._resolve(branch)["snapshot_id"]
+        else:
+            parent = self.current_snapshot_id()
+        return self._commit_replace("delete", [], {"truncate": True}, parent, branch=branch)
 
-    def remove_orphan_files(self) -> int:
+    def remove_orphan_files(self, older_than_s: float = 3 * 24 * 3600) -> int:
         """CALL system.remove_orphan_files: delete data/delete dirs on
         disk that no snapshot references (left behind by failed writes
-        whose commit never happened). Returns the number removed."""
+        whose commit never happened). Returns the number removed.
+
+        ``older_than_s`` guards in-flight writes: data dirs are written
+        BEFORE their commit takes the lock, so an unreferenced dir may be
+        seconds away from being referenced — deleting it would let the
+        commit land pointing at nothing (silent data loss on every later
+        read). Same 3-day default as Iceberg's remove_orphan_files."""
+        import time as _time
+
         lock, token = self._acquire_commit_lock()
         try:
             referenced = set()
@@ -2540,6 +2635,12 @@ class Table:
                     and d not in referenced
                     and fsio.isdir(os.path.join(self.path, d))
                 ):
+                    try:
+                        age = _time.time() - fsio.getmtime(os.path.join(self.path, d))
+                    except FileNotFoundError:
+                        continue
+                    if age < older_than_s:
+                        continue  # possibly an in-flight write
                     fsio.rmtree(os.path.join(self.path, d))
                     removed += 1
             return removed

@@ -427,6 +427,12 @@ def test_orphan_removal_sweeps_crashed_eqpos_tmp(wh, spark):
     os.makedirs(crashed)
     with open(os.path.join(crashed, "part-0.parquet"), "wb") as f:
         f.write(b"x")
+    # a FRESH unreferenced dir is protected by the age guard (it could
+    # be an in-flight write about to be referenced)...
+    assert t.remove_orphan_files() == 0
+    assert os.path.isdir(crashed)
+    # ...an old one is reclaimed
+    os.utime(crashed, (0, 0))
     assert t.remove_orphan_files() == 1
     assert not os.path.isdir(crashed)
     # the live compiled dir survived
