@@ -166,7 +166,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signature(df: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """doc_id → k-wide MinHash signature over word-3-gram shingles.
+    """doc_id → k-wide MinHash signature over word-3-gram shingles —
+    the standalone public API form (one column per permutation).
+    dedup_minhash_lsh deliberately does NOT call this: its one-array
+    signature pass also feeds banding and both verify sides from a
+    single scan subtree, a plan shape this column-per-permutation
+    surface cannot produce. The two share tokens_expr/hashed_shingles
+    so the shingle definition cannot drift.
 
     One explode + one grouped aggregation (k MIN aggregates in a single
     pass). Each shingle is hashed exactly once (hashed_shingles); the k
@@ -314,23 +320,35 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming distance 0)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-
-    def vote(i: int):
-        # per-bit vote: +1 when bit i of the token hash is set, else -1,
-        # summed over the token array in one JVM-side fold (the merge lambda
-        # must stay 2-arg — PySpark derives lambda variables from arity)
-        def merge(acc, t):
-            return acc + F.when(
-                F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-
-        return F.aggregate(toks, F.lit(0).cast("long"), merge)
-
-    fingerprint = F.lit(0).cast("long")
-    for i in range(SIMHASH_BITS):
-        fingerprint = fingerprint + F.when(
-            vote(i) > 0, F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+    # canonical SimHash: hash each token ONCE, vote every bit of that one
+    # hash. A single fold carries a 32-wide vote accumulator; the hash is
+    # the fold's lambda variable, so the earlier shape's 32 independent
+    # folds (re-splitting and re-hashing the text once per bit — the
+    # exact anti-pattern the module header measures at 3.5×) collapses
+    # into one tokenize + one hash per token.
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda v, m: v
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1).cast("long")).otherwise(
+                F.lit(-1).cast("long")
+            ),
+        ),
+    )
+    fingerprint = F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + b,
+    )
     return (
         d.select("doc_id", fingerprint.alias("simhash"))
         .groupBy("simhash")
@@ -494,7 +512,13 @@ def dedup_cluster_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("label"))
         .localCheckpoint()
     )
-    for _ in range(20):  # converges in O(log diameter); 2^20 >> any corpus
+    # min-label propagation moves a label ONE hop per round, so rounds
+    # needed = component diameter (not log diameter: there is no pointer
+    # doubling here). Near-dup chains are short in practice, but a long
+    # transitive chain must fail LOUDLY at the cap rather than silently
+    # report a split cluster (wrong n_members/n_removed vs the oracle).
+    converged = False
+    for _ in range(200):
         neigh = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy(edges["src"].alias("doc_id"))
@@ -518,7 +542,13 @@ def dedup_cluster_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            "near-dup cluster resolution did not converge in 200 rounds "
+            "(a component with diameter > 200?)"
+        )
     return (
         labels.groupBy(F.col("label").cast("long").alias("cluster_id"))
         .agg(

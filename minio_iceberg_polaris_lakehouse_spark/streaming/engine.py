@@ -26,7 +26,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
-from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -80,21 +80,33 @@ class TableSink:
         self._ckpt_id = cid
         return cid
 
+    def _identity_set(self) -> set:
+        """All identities that mean THIS lineage: None (pre-upgrade /
+        location-less records — matching is the safe side of that
+        ambiguity: a replayed batch stays deduped), the checkpoint
+        location string (the fallback used if the durable id was not
+        yet readable when a batch was stamped), and the durable query
+        id. Matching the whole set keeps dedup stable across the
+        fallback→durable transition — otherwise a batch stamped with
+        the fallback identity would be re-committed after a crash once
+        the durable id resolves."""
+        ids = {None, self._checkpoint_id()}
+        if self._ckpt_location is not None:
+            ids.add(self._ckpt_location)
+        return ids
+
     def committed_batch_ids(self) -> set[int]:
-        """Batch ids this (query, checkpoint lineage) already committed.
-        Records WITHOUT a checkpoint id — written pre-upgrade or by a
-        location-less sink — match ANY lineage: the ambiguity is
-        unresolvable after the fact, and matching is the safe side
-        (a replayed batch stays deduped; exactly-once holds across the
-        upgrade). A fresh lineage blocked by such a legacy record is
-        what reset_watermark() is for."""
-        cid = self._checkpoint_id()
+        """Batch ids this (query, checkpoint lineage) already committed
+        — see _identity_set for which identities count as this lineage;
+        a fresh lineage blocked by a legacy record is what
+        reset_watermark() is for."""
+        ids = self._identity_set()
         return {
             int(s["summary"][_BATCH_KEY])
             for s in self.table._snaps()
             if _BATCH_KEY in s.get("summary", {})
             and s["summary"].get(_QUERY_KEY) == self.query_name
-            and s["summary"].get(_CKPT_KEY) in (None, cid)
+            and s["summary"].get(_CKPT_KEY) in ids
         }
 
     def _sink_rec(self) -> dict | None:
@@ -116,10 +128,10 @@ class TableSink:
         ignored: a fresh checkpoint restarts batch ids at 0 and must not
         have its early batches swallowed by the old run's watermark.
         A record with NO lineage (pre-upgrade, or a location-less sink)
-        matches any lineage — see committed_batch_ids for why the safe
-        side of that ambiguity is matching."""
+        matches any lineage — see _identity_set for why the safe side
+        of that ambiguity is matching."""
         rec = self._sink_rec()
-        if rec is None or rec.get("checkpoint") not in (None, self._checkpoint_id()):
+        if rec is None or rec.get("checkpoint") not in self._identity_set():
             return None
         return int(rec["hw"])
 

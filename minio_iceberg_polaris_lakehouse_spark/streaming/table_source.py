@@ -18,9 +18,14 @@ Semantics (matching Iceberg's options):
   read; ``skip_replacements=True`` is Iceberg's
   `streaming-skip-overwrite-snapshots` — the stream advances past the
   rewrite without re-emitting rewritten data (consumers already saw it).
-- Progress checkpoints to a JSON file: restart resumes after the last
-  DELIVERED snapshot — with an idempotent sink this is exactly-once,
-  the same contract as the engine's foreachBatch parquet sink.
+- Progress checkpoints to a JSON file. With ``poll(commit=False)`` +
+  ``commit()`` after the sink succeeds, a crash mid-sink re-delivers
+  the batch on restart (at-least-once; exactly-once with an idempotent
+  sink — foreachBatch's contract). The default ``commit=True`` is the
+  convenience mode for in-process pipelines: it acknowledges on
+  delivery, so a crash between poll and sink drops that batch
+  (at-most-once) — callers that checkpoint durably should use the
+  explicit two-step.
 - ``mode='cdc'`` streams `Table.changes()` instead of appends: MOR
   deletes/updates arrive as `_change_type`-tagged rows and compaction
   emits nothing, so row-level churn never stalls the stream — the
@@ -30,9 +35,10 @@ Semantics (matching Iceberg's options):
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame
+
+from minio_iceberg_polaris_lakehouse_spark import fsio
 
 from minio_iceberg_polaris_lakehouse_spark.warehouse import (
     Table,
@@ -79,11 +85,13 @@ class TableStream:
 
     # -------------------------------------------------- checkpointing
     def _restore(self) -> int | None:
-        if not self.checkpoint_path or not os.path.isfile(self.checkpoint_path):
+        # through fsio: a remote (s3a://, hdfs://) checkpoint written by
+        # _save must also RESTORE, or every restart re-emits the whole
+        # table as the first batch
+        if not self.checkpoint_path or not fsio.isfile(self.checkpoint_path):
             return None
         try:
-            with open(self.checkpoint_path) as fh:
-                return int(json.load(fh)["last_snapshot_id"])
+            return int(json.loads(fsio.read_text(self.checkpoint_path))["last_snapshot_id"])
         except (OSError, ValueError, KeyError):
             return None
 
@@ -92,11 +100,17 @@ class TableStream:
             _atomic_write_json(self.checkpoint_path, {"last_snapshot_id": self._last})
 
     # -------------------------------------------------- polling
-    def poll(self) -> tuple[DataFrame, int, int] | None:
+    def poll(self, commit: bool = True) -> tuple[DataFrame, int, int] | None:
         """One micro-batch: rows appended by snapshots (last, current],
-        or None if the table hasn't advanced. Checkpoint is saved AFTER
-        the caller gets the batch handle — re-running a failed batch is
-        the idempotent-sink's job, exactly foreachBatch's contract.
+        or None if the table hasn't advanced.
+
+        ``commit=True`` (default) acknowledges the batch immediately —
+        convenient, but a crash between poll and the sink loses the
+        batch. For durable pipelines pass ``commit=False`` and call
+        :meth:`commit` once the sink has the rows: an un-committed batch
+        is re-delivered by the next poll (and by a restarted process),
+        which is at-least-once — exactly-once with an idempotent sink
+        such as TableSink.
 
         ``mode='cdc'`` streams the CHANGELOG instead (Iceberg's
         changelog-view-over-a-stream shape): each batch is
@@ -115,42 +129,69 @@ class TableStream:
             # changelog replay from the first snapshot — same rows,
             # tagged, plus any deletes history already contains)
             df = self.table.changes(None, cur) if self.mode == "cdc" else self.table.read()
-            frm, self._last = 0, cur
-            self._initial_pending = False
-            self._save()
-            return df, frm, cur
+            out = (df, 0, cur)
+            self._ack(cur, initial=True) if commit else self._stage(cur, initial=True)
+            return out
         if cur == self._last:
             return None
         frm = self._last
         if self.mode == "cdc":
             df = self.table.changes(frm, cur)
-            self._last = cur
-            self._save()
-            return df, frm, cur
+            out = (df, frm, cur)
+            self._ack(cur) if commit else self._stage(cur)
+            return out
         try:
             df = self.table.incremental_scan(frm, cur)
         except WarehouseError:
             if not self.skip_replacements:
                 raise
-            # Iceberg streaming-skip-overwrite-snapshots: advance past the
-            # rewrite; emit only snapshots appended AFTER it (walk forward
-            # to the latest replacing snapshot, then increment from there)
-            snaps = self.table._snaps()
-            replacing = [
-                s["snapshot_id"]
-                for s in snaps
-                if frm < s["snapshot_id"] <= cur and s["operation"] not in ("append", "delete", "update")
-            ]
-            base = max(replacing)
+            # Iceberg streaming-skip-overwrite-snapshots: advance past
+            # the rewrite. The boundary is found the same way
+            # incremental_scan decides consumability — a MAIN-lineage
+            # snapshot whose manifest is NOT a superset of its
+            # predecessor's replaced data (op names can't tell: COW
+            # delete/update replace, MOR delete/update append) — so
+            # branch-staged WAP snapshots and MOR row-level DML never
+            # derail the stream.
+            mains = self.table._main_snaps()
+            in_range = [s for s in mains if frm < s["snapshot_id"] <= cur]
+            prev = next((set(s["manifest"]) for s in mains if s["snapshot_id"] == frm), None)
+            base = frm
+            for snp in in_range:
+                man = set(snp["manifest"])
+                if prev is None or not prev.issubset(man):
+                    base = snp["snapshot_id"]
+                prev = man
             df = (
                 self.table.incremental_scan(base, cur)
                 if base != cur
                 else self.table.spark.createDataFrame([], self.table.schema())
             )
             frm = base
-        self._last = cur
+        out = (df, frm, cur)
+        self._ack(cur) if commit else self._stage(cur)
+        return out
+
+    # ------------------------------------------------ acknowledgement
+    def _stage(self, to: int, initial: bool = False) -> None:
+        self._pending = (to, initial)
+
+    def _ack(self, to: int, initial: bool = False) -> None:
+        self._last = to
+        if initial:
+            self._initial_pending = False
+        self._pending = None
         self._save()
-        return df, frm, cur
+
+    def commit(self) -> None:
+        """Acknowledge the batch from the last ``poll(commit=False)``:
+        advance and persist the checkpoint. Without this call the same
+        batch is re-delivered (by the next poll and by a restart) —
+        at-least-once delivery for durable sinks."""
+        if getattr(self, "_pending", None) is None:
+            return
+        to, initial = self._pending
+        self._ack(to, initial=initial)
 
     def drain(self, max_batches: int = 100) -> list[tuple[DataFrame, int, int]]:
         """Poll until the table stops advancing (bounded) — the

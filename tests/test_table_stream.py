@@ -312,3 +312,60 @@ def test_metadata_only_count(spark, tmp_path):
     W._STATS_CACHE.clear()
     assert tab.row_count() is None
     assert fe.sql("SELECT COUNT(*) AS n FROM db.c").collect()[0].n == 2
+
+
+def test_uncommitted_batch_redelivered(wh, spark, tmp_path):
+    """poll(commit=False) + commit() — foreachBatch's contract: a batch
+    whose sink crashed before commit() is re-delivered by the next poll
+    AND by a restarted stream; after commit() it is not."""
+    t = wh.create_table("db", "ack", "id int")
+    t.insert_values([(1,)])
+    ck = str(tmp_path / "ck.json")
+    s = TableStream(t, checkpoint_path=ck)
+    b = s.poll(commit=False)
+    assert b is not None and b[0].count() == 1
+    # sink "crashed": no commit — the same batch comes again
+    b2 = s.poll(commit=False)
+    assert b2 is not None and (b2[1], b2[2]) == (b[1], b[2])
+    # and a RESTARTED stream re-delivers it too (checkpoint not advanced)
+    s_restart = TableStream(t, checkpoint_path=ck)
+    b3 = s_restart.poll(commit=False)
+    assert b3 is not None and b3[0].count() == 1
+    s_restart.commit()
+    assert s_restart.poll() is None
+    # restart after commit: nothing re-delivered
+    assert TableStream(t, checkpoint_path=ck).poll() is None
+
+
+def test_skip_replacements_handles_cow_delete(wh, spark):
+    """Copy-on-write DELETE rewrites the manifest (operation 'delete'),
+    which incremental_scan rejects; skip_replacements must find the
+    replacement boundary by the same manifest-subset rule instead of
+    trusting operation names (pre-fix: max([]) ValueError)."""
+    t = wh.create_table("db", "cowskip", "id int")
+    t.insert_values([(1,), (2,)])
+    s = TableStream(t, skip_replacements=True)
+    s.poll()  # initial batch
+    t.delete_where("id = 1", mode="copy-on-write")  # replacing snapshot
+    t.insert_values([(3,)])
+    b = s.poll()
+    assert b is not None
+    # only the append AFTER the rewrite is emitted (consumers saw 1,2)
+    assert sorted(r.id for r in b[0].collect()) == [3]
+
+
+def test_skip_replacements_ignores_wap_branch_snapshots(wh, spark):
+    """A WAP-branch-staged snapshot between two main commits must not
+    become the recovery base (it is invisible to main; using its id
+    makes the retried incremental scan raise)."""
+    t = wh.create_table("db", "wapskip", "id int")
+    t.insert_values([(1,)])
+    s = TableStream(t, skip_replacements=True)
+    s.poll()
+    t.overwrite(spark.createDataFrame([(9,)], "id int"))  # replacing on main
+    t.create_ref("audit", "BRANCH")
+    t.insert_values([(99,)], branch="audit")  # branch-staged snapshot
+    t.insert_values([(2,)])  # main append
+    b = s.poll()
+    assert b is not None
+    assert sorted(r.id for r in b[0].collect()) == [2]
