@@ -28,6 +28,10 @@ def _configure(spark: SparkSession) -> SparkSession:
     session the driver built itself)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # non-ANSI semantics: NULL (not an error) for cast failures,
+    # array-index misses, and division by zero — matching the DuckDB
+    # oracles on edge rows (empty docs, short docs, odd JSON)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # INT96 timestamps carry no parquet stats → would blind file skipping
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from minio_iceberg_polaris_lakehouse_spark.operators.dedup import tokens_expr
 from minio_iceberg_polaris_lakehouse_spark.registry import register
 from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
 
@@ -97,7 +98,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS punct_chars
         FROM documents) t
     ORDER BY doc_id
-    """.replace("'the'", "'the'"),
+    """,
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality scoring: stopword ratio, punctuation
@@ -105,7 +106,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters of an LLM-pretraining data pipeline."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens()
-    lower_toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    lower_toks = tokens_expr()
     stop_hits = F.size(
         F.filter(lower_toks, lambda w: F.array_contains(F.lit(STOPWORDS), w))
     ).cast("int")
@@ -144,7 +145,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     fp = F.sha2(
         F.concat_ws(
-            " ", F.array_sort(F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+")))
+            " ", F.array_sort(F.array_distinct(tokens_expr()))
         ),
         256,
     )
@@ -178,7 +179,7 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥5% of its tokens are English stopwords; confusion counts against the
     labeled `lang` column."""
     d = load_table(spark, sf_dir, "documents")
-    lower_toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    lower_toks = tokens_expr()
     stop_ratio = F.size(
         F.filter(lower_toks, lambda w: F.array_contains(F.lit(STOPWORDS), w))
     ) * 1.0 / F.size(tokens())
@@ -334,7 +335,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     final sort, so the shuffle after counting carries one row per
     distinct (lang, bigram) and the rank stage is top-k, not full-sort."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = tokens_expr()
     t = d.select("lang", toks.alias("t")).filter(F.size("t") >= 2)
     # guard: Spark's sequence(1, 0) DESCENDS instead of returning empty,
     # so single-token docs are filtered out before index generation
@@ -396,10 +397,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     count per eval doc. No pairwise doc×doc comparison ever happens, so
     cost is O(corpus shingles), not O(train × eval). The same plan shape
     runs the real thing at 100 TB with the benchmark suite broadcast."""
-    from minio_iceberg_polaris_lakehouse_spark.operators.dedup import (
-        hashed_shingles,
-        tokens_expr,
-    )
+    from minio_iceberg_polaris_lakehouse_spark.operators.dedup import hashed_shingles
 
     d = load_table(spark, sf_dir, "documents")
     sh = d.select("doc_id", tokens_expr().alias("toks")).select(
@@ -472,7 +470,7 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     one explode + two partially-aggregated groupBys keyed by doc, so the
     exchange carries one row per distinct (doc, bigram)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = tokens_expr()
     t = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 3)
     bigram_arr = F.transform(
         F.sequence(F.lit(1), F.size("t") - 1),

@@ -41,9 +41,12 @@ def word_shingles(toks_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingle strings from a token-array column."""
     toks = F.col(toks_col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    # try_element_at: NULL past the array end under BOTH ANSI modes — a
+    # 1-2 token document must yield its short shingle, not abort the
+    # query under spark.sql.ansi.enabled=true
     return F.array_distinct(
         F.transform(
-            idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+            idx, lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j + 1) for j in range(n)])
         )
     )
 
@@ -54,7 +57,7 @@ def hashed_shingles(toks_col: str, n: int = 3) -> Column:
     toks = F.col(toks_col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.xxhash64(*[F.element_at(toks, i + j + 1) for j in range(n)]))
+        F.transform(idx, lambda i: F.xxhash64(*[F.try_element_at(toks, i + j + 1) for j in range(n)]))
     )
 
 

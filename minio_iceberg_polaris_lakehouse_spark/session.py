@@ -21,6 +21,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -45,6 +46,7 @@ def ship_package(spark: SparkSession) -> None:
         return
     pkg_dir = Path(__file__).resolve().parent
     tmp = tempfile.mkdtemp(prefix="lakehouse_pyfiles_")
+    atexit.register(shutil.rmtree, tmp, True)  # zips accumulate otherwise
     zpath = shutil.make_archive(
         os.path.join(tmp, "lakehouse_pkg"), "zip", root_dir=pkg_dir.parent, base_dir=pkg_dir.name
     )
@@ -74,6 +76,12 @@ def get_spark(
         # --- correctness-critical semantics ---
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4 defaults ANSI on; the engine's expression surface (and
+        # its DuckDB oracles) use non-ANSI semantics: cast failure and
+        # out-of-bounds element_at -> NULL, x/0 -> NULL — under ANSI an
+        # empty document or a non-numeric JSON field ABORTS the query
+        # instead of contributing a NULL
+        .config("spark.sql.ansi.enabled", "false")
         # --- scale / performance ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -21,7 +21,10 @@ def read_csv(
     infer: bool = False,
     **options,
 ) -> DataFrame:
-    r = spark.read.options(header=str(header).lower(), **options)
+    # a caller-supplied 'header' option wins over the keyword default —
+    # passing both ways used to raise a bare TypeError before Spark ran
+    options.setdefault("header", str(header).lower())
+    r = spark.read.options(**options)
     if schema is not None:
         r = r.schema(schema)
     elif infer:

@@ -147,15 +147,40 @@ def read_iceberg_table(
     schema_of_snap = {s["snapshot-id"]: s.get("schema-id", target_sid) for s in snaps}
 
     _s, _m, manifests = avro_io.read_container(snap["manifest-list"])
-    groups: dict[int, list[str]] = {}  # schema-id -> data file paths
+    # data files group by the SCHEMA THEY WERE WRITTEN WITH. The
+    # authoritative source is the manifest's own embedded schema metadata
+    # (written at the manifest's creation, immutable) — the
+    # adding-snapshot lookup is only the fallback, because expiry can
+    # remove the adding snapshot from the metadata document while its
+    # manifest stays referenced, and falling back to the TARGET schema
+    # would silently NULL every renamed column in those files.
+    groups: dict[str, tuple[dict, list[str]]] = {}  # schema json -> (schema, files)
     delete_paths: list[str] = []
     for m in manifests:
-        _s2, _m2, entries = avro_io.read_container(m["manifest_path"])
+        _s2, m2, entries = avro_io.read_container(m["manifest_path"])
+        # status 2 = DELETED: the entry records a file REMOVED by this
+        # snapshot lineage — reading it would resurrect deleted rows
+        live = [e for e in entries if e.get("status") != 2]
         if m["content"] == 1:
-            delete_paths.extend(e["data_file"]["file_path"] for e in entries)
+            for e in live:
+                if e["data_file"].get("content") == 2:
+                    raise ValueError(
+                        f"equality-delete file in {m['manifest_path']} — this "
+                        "reader applies positional deletes only; silently "
+                        "ignoring equality deletes would return deleted rows"
+                    )
+            delete_paths.extend(e["data_file"]["file_path"] for e in live)
             continue
-        sid = schema_of_snap.get(m["added_snapshot_id"], target_sid)
-        groups.setdefault(sid, []).extend(e["data_file"]["file_path"] for e in entries)
+        emb = m2.get("schema")
+        if emb is not None:
+            fschema = json.loads(emb.decode() if isinstance(emb, bytes) else emb)
+        else:
+            sid = schema_of_snap.get(m["added_snapshot_id"], target_sid)
+            fschema = schemas[sid]
+        key = json.dumps(fschema, sort_keys=True)
+        groups.setdefault(key, (fschema, []))[1].extend(
+            e["data_file"]["file_path"] for e in live
+        )
 
     if not groups:
         return spark.createDataFrame([], _struct(target))
@@ -165,8 +190,9 @@ def read_iceberg_table(
         F.col("_metadata.row_index").alias("__pos"),
     ]
     parts: list[DataFrame] = []
-    for sid, files in groups.items():
-        file_schema = schemas[sid]
+    for file_schema, files in groups.values():
+        if not files:
+            continue
         df = spark.read.schema(_struct(file_schema)).parquet(*files)
         by_id = {f["id"]: f for f in file_schema["fields"]}
         cols = []
@@ -187,6 +213,8 @@ def read_iceberg_table(
                     f"({f['name']}): {src['type']!r} -> {f['type']!r}"
                 )
         parts.append(df.select(*cols, *meta_cols))
+    if not parts:  # every entry was status=2 / groups held no files
+        return spark.createDataFrame([], _struct(target))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -143,3 +143,55 @@ def test_nested_types_roundtrip(wh, spark):
     eng = t.read()
     assert sorted(map(str, got.collect())) == sorted(map(str, eng.collect()))
     assert dict(got.dtypes) == dict(eng.dtypes)
+
+
+def test_rename_survives_snapshot_expiry(wh, spark):
+    """Expiry removes a file's ADDING snapshot from the metadata doc
+    while its manifest stays referenced; the reader must then take the
+    file's schema from the manifest's own embedded schema metadata —
+    falling back to the target schema would silently NULL the renamed
+    column for every old row."""
+    t = wh.create_table("db", "r8", "id int, name string")
+    t.insert_values([(1, "x")])
+    t.rename_column("name", "full_name")
+    t.insert_values([(2, "y")])
+    t.expire_snapshots(keep_last=1)  # snapshot 1 (adder of file 1) gone
+    got = read_iceberg_table(spark, t.path)
+    assert got.columns == ["id", "full_name"]
+    assert _rows(got) == [(1, "x"), (2, "y")]
+
+
+def test_short_documents_survive_ansi_mode(spark, tmp_path):
+    """Shingling uses try_element_at, so a 1-2 token document yields its
+    short shingle instead of aborting under spark.sql.ansi.enabled=true
+    (the PySpark 4 default a driver-built session would carry before
+    _configure runs)."""
+    from minio_iceberg_polaris_lakehouse_spark.operators.dedup import (
+        hashed_shingles,
+        tokens_expr,
+    )
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = spark.createDataFrame([("hello",), ("a b",), ("x y z w",)], "text string")
+        out = df.select(tokens_expr().alias("toks")).select(
+            F.size(hashed_shingles("toks")).alias("n")
+        )
+        ns = [r.n for r in out.collect()]
+        assert ns == [1, 1, 2]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_engine_sessions_pin_non_ansi(spark):
+    """get_spark and the driver-contract _configure both pin
+    spark.sql.ansi.enabled=false — the engine's expression surface (and
+    its DuckDB oracles) use NULL-on-error semantics."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+    import __spark_entry__ as m
+
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    m._configure(spark)
+    assert spark.conf.get("spark.sql.ansi.enabled") == "false"
