@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from minio_iceberg_polaris_lakehouse_spark.operators.relational import davg, dsum
+from minio_iceberg_polaris_lakehouse_spark.operators.relational import dsum
 from minio_iceberg_polaris_lakehouse_spark.registry import register
 from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
 
@@ -82,32 +82,34 @@ def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     seconds. Implemented as bucketed equality join: each event joins its
     own and the next 60s bucket, residual |Δt| filter after — linear in
     (events per user·minute)², never a full inequality join."""
+    # integer MICROSECONDS end to end: double seconds put pairs near the
+    # exact 60s boundary at the mercy of a ~0.25µs ulp, where the
+    # oracle's timestamp arithmetic is exact
     e = load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
         "ts",
-        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000.0).alias("sec"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
+    bucket = F.floor(F.col("us") / 60_000_000)
     left = e.select(
         "user_id",
         F.col("event_id").alias("a_id"),
-        F.col("sec").alias("a_sec"),
-        F.explode(
-            F.array(F.floor(F.col("sec") / 60), F.floor(F.col("sec") / 60) + 1, F.floor(F.col("sec") / 60) - 1)
-        ).alias("bucket"),
+        F.col("us").alias("a_us"),
+        F.explode(F.array(bucket, bucket + 1, bucket - 1)).alias("bucket"),
     )
     right = e.select(
         "user_id",
         F.col("event_id").alias("b_id"),
-        F.col("sec").alias("b_sec"),
-        F.floor(F.col("sec") / 60).alias("bucket"),
+        F.col("us").alias("b_us"),
+        F.floor(F.col("us") / 60_000_000).alias("bucket"),
     )
     # each unordered pair matches exactly once: the right side carries a
     # single bucket, the left's 3 candidate buckets hit it at most once,
     # and a_id < b_id picks one orientation — no dedup pass needed
     pairs = left.join(right, ["user_id", "bucket"]).filter(
         (F.col("a_id") < F.col("b_id"))
-        & (F.abs(F.col("b_sec") - F.col("a_sec")) <= 60.0)
+        & (F.abs(F.col("b_us") - F.col("a_us")) <= 60_000_000)
     )
     return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs")).orderBy("user_id")
 

@@ -33,7 +33,10 @@ def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (neither rollup nor cube): per-status totals,
     per-priority totals, and the grand total in one pass — Spark expands
     to a single Expand + one aggregate, not three scans."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    # collision-proof view name: registering this as plain "orders" would
+    # shadow the session-wide corpus view of the same name for every
+    # later unqualified query in the session
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rel_gsets_orders")
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
@@ -41,7 +44,7 @@ def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(o_totalprice AS DECIMAL(26,8))) AS DOUBLE) AS total,
                CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
                CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
-        FROM orders
+        FROM _rel_gsets_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
         """

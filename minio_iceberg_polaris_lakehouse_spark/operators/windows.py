@@ -51,10 +51,10 @@ def win_top3_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_rank_dense_rank",
     oracle="""
     SELECT p_brand, p_partkey, p_retailprice,
-           CAST(RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS INT) AS price_rank,
-           CAST(DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS INT) AS price_dense_rank
+           CAST(RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS INT) AS size_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS INT) AS size_dense_rank
     FROM part
-    ORDER BY p_brand, price_rank, p_partkey
+    ORDER BY p_brand, size_rank, p_partkey
     """,
 )
 def win_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,9 +65,9 @@ def win_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         "p_partkey",
         "p_retailprice",
-        F.rank().over(w).cast("int").alias("price_rank"),
-        F.dense_rank().over(w).cast("int").alias("price_dense_rank"),
-    ).orderBy("p_brand", "price_rank", "p_partkey")
+        F.rank().over(w).cast("int").alias("size_rank"),
+        F.dense_rank().over(w).cast("int").alias("size_dense_rank"),
+    ).orderBy("p_brand", "size_rank", "p_partkey")
 
 
 @register(

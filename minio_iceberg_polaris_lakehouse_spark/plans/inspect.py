@@ -15,10 +15,23 @@ from pyspark.sql import DataFrame
 
 
 def plan_string(df: DataFrame, mode: str = "formatted") -> str:
-    """The executed/physical plan as text (what .explain(mode) prints)."""
-    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), mode
-    )
+    """The executed/physical plan as text (what .explain(mode) prints).
+
+    Classic sessions go straight to the JVM; a Spark Connect DataFrame
+    has no _jdf/_sc, so fall back to capturing df.explain(mode) — same
+    text, works on both stacks."""
+    try:
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), mode
+        )
+    except AttributeError:
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode)
+        return buf.getvalue()
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
