@@ -279,14 +279,20 @@ class _Handler(BaseHTTPRequestHandler):
         if wh is None:
             return
         key = (catalog, ns, name)
+        # resolve AND lazily export under one critical section:
+        # _metadata_location writes initial Iceberg metadata when
+        # version-hint.text is absent (a warehouse-created table never
+        # loaded before), and write_iceberg_metadata takes no commit
+        # lock — two concurrent loadTable calls must not both run the
+        # export and race on version numbering (same discipline as
+        # _create_table)
         with self.state.lock:
             loc = self.state.pointers.get(key)
-        if loc is None:
-            if name not in wh.list_tables(ns):
-                return self._error(404, f"no table {ns}.{name}", "NoSuchTableException")
-            loc = self._metadata_location(wh.table(ns, name))
-            with self.state.lock:
-                self.state.pointers.setdefault(key, loc)
+            if loc is None:
+                if name not in wh.list_tables(ns):
+                    return self._error(404, f"no table {ns}.{name}", "NoSuchTableException")
+                loc = self._metadata_location(wh.table(ns, name))
+                self.state.pointers[key] = loc
         self._json(200, self._table_response(loc))
 
     def _commit_table(self, catalog: str, ns: str, name: str):

@@ -4,11 +4,13 @@ consumer side of the open-format promise (reference README.md:169-178:
 
 `read_iceberg_table(spark, location)` resolves `version-hint.text` →
 `vN.metadata.json` → manifest-list Avro → manifest Avros → parquet data
-files, applies content=1 POSITIONAL delete files, and returns a plain
+files, applies content=1 POSITIONAL and content=2 EQUALITY delete files
+(per the Iceberg v2 sequence-number rule), and returns a plain
 DataFrame — using none of the engine's private snapshot log. It reads
 tables this engine exported AND any other filesystem table following
-the same spec subset (v2, positional deletes, identity-style layout
-where logical columns live in the data files).
+the same spec subset (v2, positional + equality deletes, identity-style
+layout where logical columns live in the data files) — including
+Flink/CDC-written tables, whose writers emit equality deletes.
 
 Schema evolution is resolved the way Iceberg resolves it — by FIELD ID,
 not by name: each data manifest is read with the schema version its
@@ -18,10 +20,13 @@ added columns NULL-fill, int→long/float→double widenings cast).
 
 Scale: metadata walking is driver-side and O(manifests); the data read
 is a normal distributed parquet scan per schema-generation (file groups
-union after alignment). Delete application is an anti-join on
-(file path, row position) using Spark's `_metadata.row_index`, with the
-tombstone side broadcast — delete files are metadata-sized next to the
-data they tombstone.
+union after alignment). Positional-delete application is an anti-join
+on (file path, row position) using Spark's `_metadata.row_index`;
+equality-delete application is a null-safe anti-join on the delete
+file's `equality_ids` columns gated by `data_seq < delete_seq` (so a
+key re-inserted AFTER the delete survives). Both join the broadcast
+tombstone side — delete files are metadata-sized next to the data they
+tombstone — so neither shuffles the data.
 """
 
 from __future__ import annotations
@@ -112,6 +117,17 @@ def resolve_metadata_path(location: str) -> str:
     return os.path.join(mdir, f"v{hint}.metadata.json")
 
 
+def _entry_seq(entry: dict, manifest_rec: dict) -> int:
+    """Data sequence number of a manifest entry: the entry's own
+    sequence_number, inheriting the manifest-list record's when null
+    (Iceberg v2 metadata inheritance for status=ADDED entries); 0 for
+    v1-style metadata that carries neither."""
+    seq = entry.get("sequence_number")
+    if seq is None:
+        seq = manifest_rec.get("sequence_number")
+    return int(seq) if seq is not None else 0
+
+
 def read_iceberg_table(
     spark: SparkSession,
     location: str,
@@ -154,33 +170,51 @@ def read_iceberg_table(
     # remove the adding snapshot from the metadata document while its
     # manifest stays referenced, and falling back to the TARGET schema
     # would silently NULL every renamed column in those files.
-    groups: dict[str, tuple[dict, list[str]]] = {}  # schema json -> (schema, files)
+    # Each group also carries its DATA SEQUENCE number (Iceberg v2:
+    # entry-level sequence_number, inheriting from the manifest-list
+    # record when null) — equality deletes only hit rows whose data
+    # sequence predates the delete file's.
+    groups: dict[tuple[str, int], tuple[dict, int, list[str]]] = {}
     delete_paths: list[str] = []
+    eq_deletes: list[dict] = []  # {path, ids, seq, schema}
     for m in manifests:
         _s2, m2, entries = avro_io.read_container(m["manifest_path"])
         # status 2 = DELETED: the entry records a file REMOVED by this
         # snapshot lineage — reading it would resurrect deleted rows
         live = [e for e in entries if e.get("status") != 2]
-        if m["content"] == 1:
-            for e in live:
-                if e["data_file"].get("content") == 2:
-                    raise ValueError(
-                        f"equality-delete file in {m['manifest_path']} — this "
-                        "reader applies positional deletes only; silently "
-                        "ignoring equality deletes would return deleted rows"
-                    )
-            delete_paths.extend(e["data_file"]["file_path"] for e in live)
-            continue
         emb = m2.get("schema")
         if emb is not None:
             fschema = json.loads(emb.decode() if isinstance(emb, bytes) else emb)
         else:
             sid = schema_of_snap.get(m["added_snapshot_id"], target_sid)
             fschema = schemas[sid]
-        key = json.dumps(fschema, sort_keys=True)
-        groups.setdefault(key, (fschema, []))[1].extend(
-            e["data_file"]["file_path"] for e in live
-        )
+        if m["content"] == 1:
+            for e in live:
+                if e["data_file"].get("content") == 2:
+                    ids = e["data_file"].get("equality_ids")
+                    if not ids:
+                        raise ValueError(
+                            f"equality-delete file without equality_ids in "
+                            f"{m['manifest_path']} — cannot apply; silently "
+                            "ignoring it would return deleted rows"
+                        )
+                    eq_deletes.append(
+                        {
+                            "path": e["data_file"]["file_path"],
+                            "ids": list(ids),
+                            "seq": _entry_seq(e, m),
+                            "schema": fschema,
+                        }
+                    )
+                else:
+                    delete_paths.append(e["data_file"]["file_path"])
+            continue
+        skey = json.dumps(fschema, sort_keys=True)
+        for e in live:
+            seq = _entry_seq(e, m)
+            groups.setdefault((skey, seq), (fschema, seq, []))[2].append(
+                e["data_file"]["file_path"]
+            )
 
     if not groups:
         return spark.createDataFrame([], _struct(target))
@@ -190,7 +224,7 @@ def read_iceberg_table(
         F.col("_metadata.row_index").alias("__pos"),
     ]
     parts: list[DataFrame] = []
-    for file_schema, files in groups.values():
+    for file_schema, seq, files in groups.values():
         if not files:
             continue
         df = spark.read.schema(_struct(file_schema)).parquet(*files)
@@ -212,7 +246,7 @@ def read_iceberg_table(
                     f"illegal type change for field id {f['id']} "
                     f"({f['name']}): {src['type']!r} -> {f['type']!r}"
                 )
-        parts.append(df.select(*cols, *meta_cols))
+        parts.append(df.select(*cols, *meta_cols, F.lit(seq).alias("__seq")))
     if not parts:  # every entry was status=2 / groups held no files
         return spark.createDataFrame([], _struct(target))
     out = parts[0]
@@ -220,10 +254,60 @@ def read_iceberg_table(
         out = out.unionByName(p)
 
     if delete_paths:
+        # normalize the tombstone side too: legacy/foreign delete files may
+        # record file: URIs while _metadata.file_path was already stripped
+        # above — an unnormalized mismatch silently un-applies the delete
         tombs = (
             spark.read.parquet(*delete_paths)
-            .select(F.col("file_path").alias("__file"), F.col("pos").alias("__pos"))
+            .select(
+                F.regexp_replace(F.col("file_path"), "^file:(//)?", "").alias("__file"),
+                F.col("pos").alias("__pos"),
+            )
             .dropDuplicates(["__file", "__pos"])
         )
         out = out.join(F.broadcast(tombs), ["__file", "__pos"], "left_anti")
-    return out.drop("__file", "__pos")
+    for rec in eq_deletes:
+        out = _apply_eq_delete(spark, out, rec, target)
+    return out.drop("__file", "__pos", "__seq")
+
+
+def _apply_eq_delete(
+    spark: SparkSession, out: DataFrame, rec: dict, target: dict
+) -> DataFrame:
+    """Anti-join the live rows against one equality-delete file.
+
+    Key columns are identified by FIELD ID (`equality_ids`): resolved to
+    their name in the delete file's own schema generation (the column
+    name physically in the delete parquet) and independently to their
+    name in the target schema (the column name in the aligned data rows
+    — a rename between the two is legal). Comparison is null-safe and
+    gated on the v2 sequence rule `data_seq < delete_seq`, so a key
+    re-inserted after the delete is NOT tombstoned. Mirrors
+    warehouse.Table._apply_eq_deletes / _eq_match_cond for the engine's
+    own tables; delete side broadcast (metadata-sized)."""
+    by_id_src = {f["id"]: f for f in rec["schema"]["fields"]}
+    by_id_tgt = {f["id"]: f for f in target["fields"]}
+    pairs = []  # (name in delete file, field in target)
+    for fid in rec["ids"]:
+        src = by_id_src.get(fid)
+        tgt = by_id_tgt.get(fid)
+        if src is None or tgt is None:
+            raise ValueError(
+                f"equality-delete field id {fid} not resolvable "
+                f"(in delete schema: {src is not None}, in target: {tgt is not None})"
+            )
+        pairs.append((src["name"], tgt))
+    keys = (
+        spark.read.parquet(rec["path"])
+        .select(
+            *[
+                F.col(sname).cast(_spark_type(tgt["type"])).alias(f"__eq_{tgt['name']}")
+                for sname, tgt in pairs
+            ]
+        )
+        .dropDuplicates([f"__eq_{tgt['name']}" for _, tgt in pairs])
+    )
+    cond = out["__seq"] < F.lit(int(rec["seq"]))
+    for _, tgt in pairs:
+        cond = cond & out[tgt["name"]].eqNullSafe(F.col(f"__eq_{tgt['name']}"))
+    return out.join(F.broadcast(keys), cond, "left_anti")

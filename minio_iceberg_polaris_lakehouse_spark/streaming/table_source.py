@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame
 from minio_iceberg_polaris_lakehouse_spark import fsio
 
 from minio_iceberg_polaris_lakehouse_spark.warehouse import (
+    SnapshotNotFoundError,
     Table,
     WarehouseError,
     _atomic_write_json,
@@ -142,6 +143,20 @@ class TableStream:
             return out
         try:
             df = self.table.incremental_scan(frm, cur)
+        except SnapshotNotFoundError as e:
+            # the checkpointed snapshot was expired (expire_snapshots):
+            # what was appended since it is no longer derivable from
+            # metadata, so skip_replacements MUST NOT swallow this —
+            # treating the first in-range snapshot as a replacement
+            # boundary would silently drop those appends. Fail loudly;
+            # the operator resets the checkpoint (full re-read) or
+            # re-creates the stream from the current snapshot.
+            raise WarehouseError(
+                f"checkpointed snapshot {frm} has been expired from "
+                f"{self.table.ns}.{self.table.name}; incremental position "
+                "lost — delete the checkpoint to force a full re-read "
+                "(at-least-once restart) or recreate the stream"
+            ) from e
         except WarehouseError:
             if not self.skip_replacements:
                 raise

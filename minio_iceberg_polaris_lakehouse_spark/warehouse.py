@@ -61,6 +61,15 @@ class WarehouseError(RuntimeError):
     pass
 
 
+class SnapshotNotFoundError(WarehouseError):
+    """A referenced snapshot id is not in the main lineage — typically
+    expired by expire_snapshots. NOT the same condition as an
+    incremental scan crossing a replacing snapshot: a stream consumer
+    may legally skip a rewrite (skip_replacements) but must never treat
+    an expired checkpoint as one — the appends since the checkpoint are
+    unrecoverable from metadata and skipping would silently lose data."""
+
+
 class CommitConflictError(WarehouseError):
     """Optimistic-concurrency conflict: the table's current snapshot moved
     past the one this operation read from (another writer committed first).
@@ -1480,10 +1489,10 @@ class Table:
         snaps = self._main_snaps()
         by_id = {s["snapshot_id"]: s for s in snaps}
         if from_version not in by_id:
-            raise WarehouseError(f"snapshot {from_version} not found")
+            raise SnapshotNotFoundError(f"snapshot {from_version} not found")
         to_version = to_version if to_version is not None else snaps[-1]["snapshot_id"]
         if to_version not in by_id:
-            raise WarehouseError(f"snapshot {to_version} not found")
+            raise SnapshotNotFoundError(f"snapshot {to_version} not found")
         base = set(by_id[from_version]["manifest"])
         interval = [
             s
@@ -2073,19 +2082,28 @@ class Table:
         parent = self._branch_head(branch) if branch else self.current_snapshot_id()
         cols = [f.name for f in self.schema().fields]
         update_cols = update_cols or [c for c in cols if c != on]
-        # MERGE cardinality check (Iceberg/Spark semantics): several
-        # source rows matching ONE target key is an error, not a silent
-        # row multiplication through the inner join. One aggregation over
-        # the (typically dimension-sized) source; first offender reported.
+        # MERGE cardinality check (Iceberg/Spark semantics): a TARGET row
+        # matching several source rows is an error, not a silent row
+        # multiplication through the inner join. Duplicate source rows
+        # that match NOTHING are legal — they all insert via WHEN NOT
+        # MATCHED — so the duplicate scan is semi-joined against the
+        # target's keys first. One aggregation over the (typically
+        # dimension-sized) source; first offender reported.
+        tgt0 = self.read(version=branch) if branch else self.read()
         dup = (
-            source.groupBy(on).agg(F.count("*").alias("_n")).filter(F.col("_n") > 1).limit(1).collect()
+            source.join(tgt0.select(on), on, "left_semi")
+            .groupBy(on)
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .collect()
         )
         if dup:
             raise WarehouseError(
-                f"MERGE source has multiple rows for key {on}={dup[0][0]!r} "
+                f"MERGE: multiple source rows match target key {on}={dup[0][0]!r} "
                 "(ON clause must match at most one source row per target row)"
             )
-        tgt = (self.read(version=branch) if branch else self.read()).alias("t")
+        tgt = tgt0.alias("t")
         src = source.alias("s")
         unmatched_tgt = tgt.join(src, F.col(f"t.{on}") == F.col(f"s.{on}"), "left_anti").select(
             *[F.col(c) for c in cols]

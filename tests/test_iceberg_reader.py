@@ -161,6 +161,201 @@ def test_rename_survives_snapshot_expiry(wh, spark):
     assert _rows(got) == [(1, "x"), (2, "y")]
 
 
+def _foreign_entry_schema() -> dict:
+    """Manifest-entry Avro schema as a FOREIGN writer (Flink/CDC-style)
+    would emit it: includes `equality_ids` (Iceberg field-id 135) in
+    data_file, with entry-level sequence numbers nullable (inheriting
+    from the manifest-list record when null — spec §Sequence Number
+    Inheritance)."""
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None},
+            {"name": "file_sequence_number", "type": ["null", "long"], "default": None},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                        {
+                            "name": "equality_ids",
+                            "type": ["null", {"type": "array", "items": "int"}],
+                            "default": None,
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+
+
+def _build_foreign_table(tmp_path, with_eq_ids=True):
+    """Hand-author a complete foreign Iceberg-v2 filesystem table with a
+    RAW equality-delete file (pre-compilation, as a Flink-style writer
+    leaves it) plus a positional delete recorded as a file: URI:
+
+      seq 1  data A: (1,a) (2,b) (3,c) (4,d)
+      seq 2  equality delete on id ∈ {2, 3}   (applies to seq<2 only)
+      seq 2  positional delete (file:URI of A, pos 0) → kills (1,a)
+      seq 3  data B: (3,reborn)               (re-insert: survives)
+
+    Expected live rows: (3,reborn), (4,d).
+    """
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from minio_iceberg_polaris_lakehouse_spark import avro_io
+
+    root = str(tmp_path / "foreign_tbl")
+    mdir = f"{root}/metadata"
+    ddir = f"{root}/data"
+    import os
+
+    os.makedirs(mdir)
+    os.makedirs(ddir)
+
+    a_path = f"{ddir}/a.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int32()),
+                "name": pa.array(["a", "b", "c", "d"]),
+            }
+        ),
+        a_path,
+    )
+    b_path = f"{ddir}/b.parquet"
+    pq.write_table(
+        pa.table({"id": pa.array([3], pa.int32()), "name": pa.array(["reborn"])}),
+        b_path,
+    )
+    eq_path = f"{ddir}/eqdel.parquet"
+    pq.write_table(pa.table({"id": pa.array([2, 3], pa.int32())}), eq_path)
+    pos_path = f"{ddir}/posdel.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([f"file://{a_path}"]),  # URI form on purpose
+                "pos": pa.array([0], pa.int64()),
+            }
+        ),
+        pos_path,
+    )
+
+    schema_json = {
+        "schema-id": 0,
+        "type": "struct",
+        "fields": [
+            {"id": 1, "name": "id", "type": "int", "required": False},
+            {"id": 2, "name": "name", "type": "string", "required": False},
+        ],
+    }
+    entry_schema = _foreign_entry_schema()
+
+    def man(path, entries, seq):
+        avro_io.write_container(
+            path, entry_schema, entries, metadata={"schema": _json.dumps(schema_json)}
+        )
+        return path
+
+    def dfile(content, fpath, rows, eq_ids=None):
+        return {
+            "status": 1,
+            "snapshot_id": 3,
+            "sequence_number": None,  # inherit from the manifest-list record
+            "file_sequence_number": None,
+            "data_file": {
+                "content": content,
+                "file_path": fpath,
+                "file_format": "PARQUET",
+                "record_count": rows,
+                "file_size_in_bytes": 1,
+                "equality_ids": (eq_ids if with_eq_ids else None),
+            },
+        }
+
+    m_a = man(f"{mdir}/m-a.avro", [dfile(0, a_path, 4)], 1)
+    m_del = man(
+        f"{mdir}/m-del.avro",
+        [dfile(2, eq_path, 2, eq_ids=[1]), dfile(1, pos_path, 1)],
+        2,
+    )
+    m_b = man(f"{mdir}/m-b.avro", [dfile(0, b_path, 1)], 3)
+
+    from minio_iceberg_polaris_lakehouse_spark.iceberg_export import (
+        _MANIFEST_LIST_SCHEMA,
+    )
+
+    def mlrec(path, content, seq):
+        return {
+            "manifest_path": path,
+            "manifest_length": 1,
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": 3,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": 1,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+
+    mlist = f"{mdir}/snap-3-manifest-list.avro"
+    avro_io.write_container(
+        mlist,
+        _MANIFEST_LIST_SCHEMA,
+        [mlrec(m_a, 0, 1), mlrec(m_del, 1, 2), mlrec(m_b, 0, 3)],
+    )
+
+    meta = {
+        "format-version": 2,
+        "current-schema-id": 0,
+        "schemas": [schema_json],
+        "current-snapshot-id": 3,
+        "snapshots": [
+            {"snapshot-id": 3, "timestamp-ms": 1000, "schema-id": 0, "manifest-list": mlist}
+        ],
+    }
+    with open(f"{mdir}/v1.metadata.json", "w") as f:
+        _json.dump(meta, f)
+    with open(f"{mdir}/version-hint.text", "w") as f:
+        f.write("1")
+    return root
+
+
+def test_foreign_raw_equality_deletes(spark, tmp_path):
+    """A foreign (Flink/CDC-style) table with a RAW content=2 equality
+    delete file: keys {2,3} dead below seq 2, key 3 re-inserted at seq 3
+    survives (sequence rule), and the positional tombstone written in
+    file: URI form still matches (both sides normalized)."""
+    root = _build_foreign_table(tmp_path)
+    got = read_iceberg_table(spark, root)
+    assert got.columns == ["id", "name"]
+    assert _rows(got) == [(3, "reborn"), (4, "d")]
+
+
+def test_foreign_equality_delete_without_ids_fails_loudly(spark, tmp_path):
+    """content=2 with no equality_ids is unapplicable — must raise, not
+    silently return deleted rows."""
+    root = _build_foreign_table(tmp_path, with_eq_ids=False)
+    with pytest.raises(ValueError, match="equality_ids"):
+        read_iceberg_table(spark, root).collect()
+
+
 def test_short_documents_survive_ansi_mode(spark, tmp_path):
     """Shingling uses try_element_at, so a 1-2 token document yields its
     short shingle instead of aborting under spark.sql.ansi.enabled=true

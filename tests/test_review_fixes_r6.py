@@ -86,7 +86,7 @@ def test_merge_rejects_duplicate_source_keys(lake, spark):
     multiplication."""
     lake.sql("CREATE TABLE polaris.db.m (id INT, v STRING) USING ICEBERG")
     lake.sql("INSERT INTO polaris.db.m VALUES (1, 'a')")
-    with pytest.raises(WarehouseError, match="multiple rows"):
+    with pytest.raises(WarehouseError, match="multiple source rows"):
         lake.sql(
             "MERGE INTO polaris.db.m t "
             "USING (SELECT * FROM VALUES (1, 'x'), (1, 'y') AS s(id, v)) s "
