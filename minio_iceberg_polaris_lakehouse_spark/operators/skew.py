@@ -22,8 +22,18 @@ SALT_BUCKETS = 16
 def salted_sum(df: DataFrame, key: str, value: Column, alias: str, buckets: int = SALT_BUCKETS) -> DataFrame:
     """Two-phase skew-proof SUM: phase 1 aggregates on (key, salt) —
     spreading a hot key over `buckets` reducers — phase 2 merges the
-    per-salt partials. Exact because the accumulator is DECIMAL."""
-    salted = df.withColumn("_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(buckets)))
+    per-salt partials. Exact because the accumulator is DECIMAL.
+
+    The salt is CONTENT-DERIVED (xxhash64 of every column), so it is
+    stable across task retries and stage re-computation — a
+    monotonically_increasing_id-based salt would re-deal rows to
+    different buckets on retry, which is only safe for commutative
+    aggregates and a foot-gun in a public helper. Identical rows land
+    in the same bucket, which still spreads a hot KEY: a hot key's rows
+    differ in their other columns, which is what the hash covers."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+    )
     partial = salted.groupBy(key, "_salt").agg(
         F.sum(value.cast("decimal(26,8)")).alias("_partial"), F.count("*").alias("_n")
     )
@@ -61,7 +71,7 @@ def salted_join(
     side, replicate the dim side across all salts — hot fact keys spread
     over `buckets` tasks at the cost of buckets× dim shuffle volume."""
     salted_facts = facts.withColumn(
-        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(buckets))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(buckets))
     )
     replicated_dim = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
