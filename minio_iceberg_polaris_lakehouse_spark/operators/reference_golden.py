@@ -171,6 +171,15 @@ def _lake(spark: SparkSession):
     lake.sql("ALTER TABLE polaris.test_db.ext_read RENAME COLUMN email TO contact")
     lake.sql("DELETE FROM polaris.test_db.ext_read WHERE id = 2")
     lake.sql("INSERT INTO polaris.test_db.ext_read VALUES (2, 'reborn', 'r@e.com')")
+    # CALL system.register_table (reference README.md:28): attach the
+    # ext_read fixture's OPEN metadata under a second name, as if it were
+    # a foreign table — SELECT/JOIN on the registered name then runs
+    # through sources/iceberg_reader.py, not the private snapshot log
+    ext_path = lake.wh.table("test_db", "ext_read").path
+    lake.sql(
+        "CALL polaris.system.register_table(table => 'ext_db.mirror', "
+        f"metadata_file => '{ext_path}')"
+    )
     _LAKES[key] = lake
     return lake
 
@@ -535,3 +544,31 @@ def ref_external_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake = _lake(spark)
     tab = lake.wh.table("test_db", "ext_read")
     return read_iceberg_table(spark, tab.path).orderBy(F.col("id"))
+
+
+@register(
+    "ref_register_foreign",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'a', CAST(NULL AS VARCHAR), 'Hello'),
+        (2, 'reborn', 'r@e.com', 'World'))
+        AS e(id, name, contact, tname)
+    ORDER BY id
+    """,
+)
+def ref_register_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`CALL system.register_table` end-to-end through the SQL path
+    (reference README.md:28: "re-register existing Iceberg tables by
+    pointing to their metadata files"): the fixture registered
+    test_db.ext_read's open metadata as ext_db.mirror; this SELECT
+    joins the REGISTERED name (resolved via sources/iceberg_reader.py —
+    schema evolution + compiled deletes + resurrection all applied)
+    against a NATIVE table in the same statement."""
+    return _lake(spark).sql(
+        """
+        SELECT m.id, m.name, m.contact, t.name AS tname
+        FROM ext_db.mirror m
+        JOIN test_db.test_table t ON m.id = t.id
+        ORDER BY m.id
+        """
+    )

@@ -68,6 +68,10 @@ _PRIORITY: list[str] = [
     # deletes + key resurrection; r7 extends the reader to RAW foreign
     # equality-delete files (pytest-pinned)
     "ref_external_reader",
+    # NEW r7: CALL system.register_table through the SQL path — the
+    # registered foreign name SELECTed and JOINed against a native table
+    # (takes the slot of text_repetition_signals, 2 green rounds)
+    "ref_register_foreign",
     # row-level MERGE with matched-THEN-DELETE branch (M1) — 2nd round
     "ref_merge_delete",
     # TPC-H shapes never driver-checked before r7 (q5/q9 veterans and
@@ -120,7 +124,8 @@ _PRIORITY: list[str] = [
     "sim_label_centroids",
     # X5 text analysis: r6 first-timers hold; lang-profile, stratified
     # sample, top-bigrams, sequence packing, vocab build get FIRST slots
-    "text_repetition_signals",
+    # (text_repetition_signals rested at 2 green rounds for the
+    # register_table golden)
     "text_quality_score",
     "text_fingerprint",
     "text_langid_heuristic",

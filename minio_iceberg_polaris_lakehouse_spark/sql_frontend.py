@@ -198,9 +198,13 @@ class LakehouseSQL:
 
     def table(self, name: str) -> DataFrame:
         """``spark.table("my_warehouse.users")`` equivalent
-        (iceberg_queries.ipynb:233)."""
+        (iceberg_queries.ipynb:233). Resolves registered foreign Iceberg
+        tables too (CALL system.register_table)."""
         ns, t = self._resolve_table_name(name)
-        return self.wh.table(ns, t).read()
+        tab = self.wh.table(ns, t)
+        if not tab.exists() and f"{ns}.{t}" in self.wh.foreign_tables():
+            return self.wh.read_foreign_table(ns, t)
+        return tab.read()
 
     # ------------------------------------------------------- name handling
     def _resolve_table_name(self, name: str) -> tuple[str, str]:
@@ -421,6 +425,44 @@ class LakehouseSQL:
             ns, tbl = m.group("ns"), m.group("tbl")
             tab = self.wh.table(ns, tbl)
             if not tab.exists():
+                floc = self.wh.foreign_tables().get(f"{ns}.{tbl}")
+                if floc is not None:
+                    # registered FOREIGN Iceberg table: resolved through
+                    # the open metadata reader at every reference, so
+                    # foreign-writer commits are visible. Time travel
+                    # rides the reader's own snapshot/timestamp support;
+                    # branch/tag refs and metadata tables are private
+                    # snapshot-log concepts the open metadata lacks.
+                    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+                        read_iceberg_table,
+                    )
+
+                    if m.group("meta"):
+                        raise WarehouseError(
+                            f"metadata tables are not available on foreign table {ns}.{tbl}"
+                        )
+                    view = f"_lh_foreign_{ns}__{tbl}"
+                    if m.group("ver") is not None:
+                        df = read_iceberg_table(
+                            self.spark, floc, snapshot_id=int(m.group("ver"))
+                        )
+                        view += f"__v{m.group('ver')}"
+                    elif m.group("verref") is not None:
+                        raise WarehouseError(
+                            f"branch/tag time travel is not available on foreign table {ns}.{tbl}"
+                        )
+                    elif m.group("ts") is not None:
+                        lit = literals[int(m.group("ts"))].strip("'")
+                        ts = datetime.datetime.fromisoformat(lit)
+                        if ts.tzinfo is None:
+                            ts = ts.replace(tzinfo=self._session_tzinfo())
+                        ms = int(ts.timestamp() * 1000)
+                        df = read_iceberg_table(self.spark, floc, as_of_ms=ms)
+                        view += f"__ts{ms}"
+                    else:
+                        df = read_iceberg_table(self.spark, floc)
+                    df.createOrReplaceTempView(view)
+                    return view
                 vsql = self.wh.views().get(f"{ns}.{tbl}")
                 if vsql is None:
                     return m.group(0)  # not a warehouse object (e.g. alias.column)
@@ -496,9 +538,13 @@ class LakehouseSQL:
 
     def _show_tables(self, m: re.Match) -> DataFrame:
         ns = self._resolve_ns_name(m.group(1))
-        rows = [
-            Row(namespace=ns, tableName=t, isTemporary=False) for t in self.wh.list_tables(ns)
-        ]
+        names = set(self.wh.list_tables(ns))
+        names.update(  # registered foreign tables list alongside natives
+            k.split(".", 1)[1]
+            for k in self.wh.foreign_tables()
+            if k.split(".", 1)[0] == ns
+        )
+        rows = [Row(namespace=ns, tableName=t, isTemporary=False) for t in sorted(names)]
         schema = "namespace string, tableName string, isTemporary boolean"
         return self.spark.createDataFrame(rows, schema)
 
@@ -579,11 +625,38 @@ class LakehouseSQL:
 
     def _drop_table(self, m: re.Match) -> DataFrame:
         ns, t = self._resolve_table_name(m.group(2))
+        if f"{ns}.{t}" in self.wh.foreign_tables() and not self.wh.table(ns, t).exists():
+            # dropping a foreign REGISTRATION detaches it from the
+            # catalog; the foreign writer owns the files (never deleted)
+            self.wh.unregister_foreign_table(ns, t)
+            return self._empty()
         self.wh.drop_table(ns, t, if_exists=bool(m.group(1)))
         return self._empty()
 
     def _describe(self, m: re.Match) -> DataFrame:
         extended = bool(m.group(1)) and m.group(1).strip().upper() == "EXTENDED"
+        ns, t = self._resolve_table_name(m.group(2))
+        floc = self.wh.foreign_tables().get(f"{ns}.{t}")
+        if floc is not None and not self.wh.table(ns, t).exists():
+            # foreign registration: schema from the open metadata (no
+            # Spark job — the reader's plan is lazy), plus location and
+            # provider in the EXTENDED section
+            rows = [
+                Row(col_name=c, data_type=d, comment=None)
+                for c, d in self.wh.read_foreign_table(ns, t).dtypes
+            ]
+            if extended:
+                rows += [
+                    Row(col_name="", data_type="", comment=None),
+                    Row(col_name="# Detailed Table Information", data_type="", comment=None),
+                    Row(col_name="Name", data_type=f"{self.catalog}.{ns}.{t}", comment=None),
+                    Row(col_name="Location", data_type=floc, comment=None),
+                    Row(col_name="Provider", data_type="iceberg", comment=None),
+                    Row(col_name="Registration", data_type="foreign (read-only)", comment=None),
+                ]
+            return self.spark.createDataFrame(
+                rows, "col_name string, data_type string, comment string"
+            )
         tab = self._existing_table(m.group(2))
         rows = [Row(col_name=c, data_type=d, comment=None) for c, d in tab.describe()]
         spec = tab.partition_spec()
@@ -1048,6 +1121,51 @@ class LakehouseSQL:
         tab.changes(from_version=start, to_version=end).createOrReplaceTempView(view)
         return self.spark.createDataFrame([Row(changelog_view=view)], "changelog_view string")
 
+    def _call_register_table(self, m: re.Match) -> DataFrame:
+        """CALL c.system.register_table(table => 'ns.name',
+        metadata_file => '<table dir | metadata dir | vN.metadata.json>')
+        — attach an EXISTING foreign Iceberg table to the catalog by its
+        metadata (reference README.md:28: "re-register existing Iceberg
+        tables by pointing to their metadata files"). The registered name
+        is queryable/joinable in any SELECT, DESCRIBE-able, listed by
+        SHOW TABLES, read-only; DROP TABLE detaches without touching the
+        files. Returns Iceberg's procedure shape (current_snapshot_id,
+        total_records, total_data_files), computed driver-side from the
+        manifest list — metadata-sized, no Spark job."""
+        import json as _json
+
+        from minio_iceberg_polaris_lakehouse_spark import avro_io, fsio as _fsio
+
+        ns, name = self._resolve_table_name(m.group(1).strip("'\""))
+        location = m.group(2).strip("'\"")
+        resolved = self.wh.register_foreign_table(ns, name, location)
+        md = _json.loads(_fsio.read_text(resolved))
+        cur = md.get("current-snapshot-id")
+        snap = next(
+            (s for s in md.get("snapshots", []) if s["snapshot-id"] == cur), None
+        )
+        total_records = total_files = 0
+        if snap is not None:
+            _s, _m2, manifests = avro_io.read_container(snap["manifest-list"])
+            for man in manifests:
+                if man.get("content") == 0:
+                    total_files += int(man.get("added_files_count") or 0) + int(
+                        man.get("existing_files_count") or 0
+                    )
+                    total_records += int(man.get("added_rows_count") or 0) + int(
+                        man.get("existing_rows_count") or 0
+                    )
+        return self.spark.createDataFrame(
+            [
+                Row(
+                    current_snapshot_id=cur,
+                    total_records=total_records,
+                    total_data_files=total_files,
+                )
+            ],
+            "current_snapshot_id bigint, total_records bigint, total_data_files bigint",
+        )
+
     def _truncate_table(self, m: re.Match) -> DataFrame:
         # routes to the active WAP branch like every other write — a
         # session that staged its INSERTs must not empty main directly
@@ -1264,6 +1382,12 @@ class LakehouseSQL:
             r"(?:\s*,\s*start_snapshot_id\s*=>\s*(\d+))?"
             r"(?:\s*,\s*end_snapshot_id\s*=>\s*(\d+))?\s*\)",
             _call_create_changelog_view,
+        ),
+        (
+            rf"CALL\s+{_IDENT}\.system\.register_table\s*\("
+            r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*,"
+            r"\s*metadata_file\s*=>\s*('[^']+'|\"[^\"]+\")\s*\)",
+            _call_register_table,
         ),
         (rf"TRUNCATE\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})", _truncate_table),
         (rf"SHOW\s+PARTITIONS\s+((?:{_IDENT}\.)*{_IDENT})", _show_partitions),

@@ -189,6 +189,8 @@ class Warehouse:
             # name would be shadowed by the view in SELECT resolution
             # while DML hit the table — reject the ambiguity outright
             raise WarehouseError(f"{ns}.{name} is a view, not a table")
+        if f"{ns}.{name}" in self.foreign_tables():
+            raise WarehouseError(f"{ns}.{name} is a registered foreign table")
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
         fsio.makedirs(t.path, exist_ok=True)
@@ -290,6 +292,74 @@ class Warehouse:
             raise WarehouseError(f"{new_key} is a table, not a view")
         views[new_key] = views.pop(key)
         _atomic_write_json(self._views_path(), {"views": views})
+
+    # -------- foreign (open-format Iceberg) table registrations ----------
+    # The reference's `CALL system.register_table` ("re-register existing
+    # Iceberg tables by pointing to their metadata files", README.md:28):
+    # a catalog entry mapping 'ns.name' → an Iceberg metadata location
+    # read through sources/iceberg_reader.py. Registrations are READ-ONLY
+    # attachments — the foreign writer owns the table; DROP TABLE removes
+    # the registration and never touches the table's files.
+    def _foreign_path(self) -> str:
+        return os.path.join(self.root, "_foreign.json")
+
+    def foreign_tables(self) -> dict[str, str]:
+        """'ns.name' → registered metadata location (a table dir —
+        re-resolved through version-hint.text at every read, so foreign
+        commits stay visible — or a pinned vN.metadata.json path)."""
+        try:
+            return json.loads(fsio.read_text(self._foreign_path()))["tables"]
+        except FileNotFoundError:
+            return {}
+        # non-missing-file failures must propagate (same rationale as
+        # views()): collapsing to {} would let the next write erase every
+        # registration
+
+    def register_foreign_table(self, ns: str, name: str, metadata_location: str) -> str:
+        """Attach a foreign Iceberg table under ``ns.name``; returns the
+        resolved current metadata file (validates the location up
+        front — a bad path must fail at CALL time, not first SELECT)."""
+        from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+            resolve_metadata_path,
+        )
+
+        key = f"{ns}.{name}"
+        if Table(self, ns, name).exists():
+            raise WarehouseError(f"{key} is a native table")
+        if key in self.views():
+            raise WarehouseError(f"{key} is a view")
+        regs = self.foreign_tables()
+        if key in regs:
+            raise WarehouseError(f"foreign table {key} already registered")
+        resolved = resolve_metadata_path(metadata_location)  # raises if unreadable
+        regs[key] = metadata_location
+        self.create_namespace(ns)
+        _atomic_write_json(self._foreign_path(), {"tables": regs})
+        return resolved
+
+    def unregister_foreign_table(self, ns: str, name: str, if_exists: bool = False) -> None:
+        regs = self.foreign_tables()
+        key = f"{ns}.{name}"
+        if key not in regs:
+            if if_exists:
+                return
+            raise WarehouseError(f"foreign table {key} is not registered")
+        del regs[key]
+        _atomic_write_json(self._foreign_path(), {"tables": regs})
+
+    def read_foreign_table(
+        self, ns: str, name: str, snapshot_id: int | None = None, as_of_ms: int | None = None
+    ):
+        """DataFrame over a registered foreign table (time travel via the
+        open metadata — snapshot id or timestamp)."""
+        from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+            read_iceberg_table,
+        )
+
+        loc = self.foreign_tables().get(f"{ns}.{name}")
+        if loc is None:
+            raise WarehouseError(f"foreign table {ns}.{name} is not registered")
+        return read_iceberg_table(self.spark, loc, snapshot_id=snapshot_id, as_of_ms=as_of_ms)
 
 
 def _tzinfo_of(tz: str):

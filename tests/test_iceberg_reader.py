@@ -297,7 +297,7 @@ def _build_foreign_table(tmp_path, with_eq_ids=True):
         _MANIFEST_LIST_SCHEMA,
     )
 
-    def mlrec(path, content, seq):
+    def mlrec(path, content, seq, rows):
         return {
             "manifest_path": path,
             "manifest_length": 1,
@@ -309,7 +309,7 @@ def _build_foreign_table(tmp_path, with_eq_ids=True):
             "added_files_count": 1,
             "existing_files_count": 0,
             "deleted_files_count": 0,
-            "added_rows_count": 1,
+            "added_rows_count": rows,
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
         }
@@ -318,7 +318,7 @@ def _build_foreign_table(tmp_path, with_eq_ids=True):
     avro_io.write_container(
         mlist,
         _MANIFEST_LIST_SCHEMA,
-        [mlrec(m_a, 0, 1), mlrec(m_del, 1, 2), mlrec(m_b, 0, 3)],
+        [mlrec(m_a, 0, 1, 4), mlrec(m_del, 1, 2, 3), mlrec(m_b, 0, 3, 1)],
     )
 
     meta = {

@@ -1,0 +1,116 @@
+"""`CALL <catalog>.system.register_table` — attach an existing Iceberg
+table to the catalog by its metadata files (reference README.md:28) and
+use it by name in SQL: SELECT, JOIN against a native table, DESCRIBE,
+SHOW TABLES, time travel, DROP-to-detach."""
+
+from __future__ import annotations
+
+import pytest
+
+from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+from minio_iceberg_polaris_lakehouse_spark.warehouse import Warehouse, WarehouseError
+from tests.test_iceberg_reader import _build_foreign_table
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return LakehouseSQL(spark, str(tmp_path / "wh"))
+
+
+def _register(lake, root, name="ext.ft"):
+    return lake.sql(
+        f"CALL polaris.system.register_table(table => '{name}', "
+        f"metadata_file => '{root}')"
+    ).collect()[0]
+
+
+def test_register_select_join_describe_roundtrip(lake, spark, tmp_path):
+    root = _build_foreign_table(tmp_path)
+    row = _register(lake, root)
+    # Iceberg procedure shape, computed from the manifest list
+    assert row.current_snapshot_id == 3
+    assert row.total_data_files == 2 and row.total_records == 5
+
+    # SELECT by name (deletes + sequence rule applied: see fixture doc)
+    got = sorted(
+        (r.id, r.name) for r in lake.sql("SELECT id, name FROM ext.ft").collect()
+    )
+    assert got == [(3, "reborn"), (4, "d")]
+
+    # JOIN against a NATIVE table by name, plus DataFrame entry point
+    lake.sql("CREATE TABLE polaris.ext.dim (id INT, label STRING) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.ext.dim VALUES (3, 'three'), (4, 'four')")
+    j = lake.sql(
+        "SELECT f.id, f.name, d.label FROM ext.ft f "
+        "JOIN ext.dim d ON f.id = d.id ORDER BY f.id"
+    ).collect()
+    assert [(r.id, r.name, r.label) for r in j] == [
+        (3, "reborn", "three"),
+        (4, "d", "four"),
+    ]
+    assert sorted(r.id for r in lake.table("ext.ft").collect()) == [3, 4]
+
+    # DESCRIBE [EXTENDED]
+    desc = lake.sql("DESCRIBE ext.ft").collect()
+    assert [(r.col_name, r.data_type) for r in desc[:2]] == [
+        ("id", "int"),
+        ("name", "string"),
+    ]
+    ext = lake.sql("DESCRIBE EXTENDED polaris.ext.ft").collect()
+    kinds = {r.col_name: r.data_type for r in ext}
+    assert kinds.get("Registration") == "foreign (read-only)"
+    assert kinds.get("Provider") == "iceberg"
+
+    # SHOW TABLES lists foreign and native side by side
+    names = {r.tableName for r in lake.sql("SHOW TABLES IN ext").collect()}
+    assert names == {"ft", "dim"}
+
+    # DROP TABLE detaches the registration but never deletes the files
+    lake.sql("DROP TABLE ext.ft")
+    assert "ext.ft" not in lake.wh.foreign_tables()
+    import os
+
+    assert os.path.isdir(f"{root}/data")
+    with pytest.raises(Exception, match="(?i)not.*found|cannot be found"):
+        lake.sql("SELECT * FROM ext.ft WHERE id = 1").collect()
+
+
+def test_register_time_travel_and_own_export(lake, spark, tmp_path):
+    """Re-registering a table THIS engine exported (the README's
+    disaster-recovery recipe) — including VERSION AS OF through the
+    open metadata."""
+    other = Warehouse(spark, str(tmp_path / "other_wh"))
+    t = other.create_table("db", "src", "id int, v string")
+    t.insert_values([(1, "a")])
+    t.insert_values([(2, "b")])
+    _register(lake, t.path, name="mirror.src")
+    assert sorted(
+        (r.id, r.v) for r in lake.sql("SELECT id, v FROM mirror.src").collect()
+    ) == [(1, "a"), (2, "b")]
+    tt = lake.sql("SELECT id, v FROM mirror.src VERSION AS OF 1").collect()
+    assert [(r.id, r.v) for r in tt] == [(1, "a")]
+    # foreign commits after registration stay visible (location is
+    # re-resolved through version-hint at every read)
+    t.insert_values([(3, "c")])
+    assert sorted(r.id for r in lake.sql("SELECT id FROM mirror.src").collect()) == [1, 2, 3]
+
+
+def test_register_conflicts_and_guards(lake, spark, tmp_path):
+    root = _build_foreign_table(tmp_path)
+    lake.sql("CREATE TABLE polaris.ext.nat (id INT) USING ICEBERG")
+    with pytest.raises(WarehouseError, match="native table"):
+        _register(lake, root, name="ext.nat")
+    _register(lake, root, name="ext.ft")
+    with pytest.raises(WarehouseError, match="already registered"):
+        _register(lake, root, name="ext.ft")
+    # a native table can't be created over the registration
+    with pytest.raises(WarehouseError, match="foreign table"):
+        lake.sql("CREATE TABLE polaris.ext.ft (id INT) USING ICEBERG")
+    # bad location fails at CALL time, not first SELECT
+    with pytest.raises(Exception):
+        _register(lake, str(tmp_path / "nope"), name="ext.bad")
+    assert "ext.bad" not in lake.wh.foreign_tables()
+    # writes are rejected (read-only attachment): INSERT resolves no
+    # native table
+    with pytest.raises(WarehouseError):
+        lake.sql("INSERT INTO polaris.ext.ft VALUES (9, 'x')")
