@@ -1,7 +1,13 @@
 """Benchmark runner: times the engine's headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line:
-{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": "headline_queries_total_runtime", "value": N, "unit": "sec",
+ "queries": {...}, "sf": ...}
+The headline line prints FIRST (a tail-truncated capture can't lose it);
+the supplementary 10× scale check follows as its own
+{"metric": "sf1_scale_check", ...} line. A contended host (CPU probe
+> 1 s) triggers bounded wait-and-retry before and re-runs after, so
+recorded numbers are machine-speed-clean or explicitly flagged.
 """
 
 from __future__ import annotations
@@ -77,6 +83,30 @@ def _cpu_calibration() -> float:
         h.update(b)
     _sink = (float(a[0]), h.hexdigest())  # keep the work observable
     return round(time.perf_counter() - t0, 4)
+
+
+# a healthy box probes ~0.4-0.5 s; past this the host is contended and
+# any timing taken would mix machine speed into query cost (r6: probe
+# 2.95 s before vs 0.41 s idle on byte-identical code)
+PROBE_DEGRADED_S = 1.0
+
+
+def _probe_with_retries(max_retries: int, sleep_s: int) -> tuple[float, bool, int]:
+    """Measure the CPU probe; if it says the host is contended, wait and
+    re-probe (bounded) rather than record timings that will read as a
+    code regression. Returns (best probe, still_degraded, retries)."""
+    probe = _cpu_calibration()
+    retries = 0
+    while probe > PROBE_DEGRADED_S and retries < max_retries:
+        print(
+            f"# cpu probe {probe:.2f}s > {PROBE_DEGRADED_S}s (host contended); "
+            f"retry {retries + 1}/{max_retries} in {sleep_s}s",
+            file=sys.stderr,
+        )
+        time.sleep(sleep_s)
+        probe = min(probe, _cpu_calibration())
+        retries += 1
+    return probe, probe > PROBE_DEGRADED_S, retries
 
 
 def _settle(threshold: float, max_wait_s: int) -> None:
@@ -160,7 +190,12 @@ def main() -> None:
     load_threshold = 0.5 * (os.cpu_count() or 8)
     _settle(load_threshold, int(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "90")))
     load_start = _machine_load()
-    cpu_probe = _cpu_calibration()
+    # contended host → wait-and-re-probe (bounded) BEFORE timing; r6's
+    # driver artifact recorded a 2.95 s probe and useless timings
+    cpu_probe, probe_degraded, probe_retries = _probe_with_retries(
+        max_retries=int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_RETRIES", "4")),
+        sleep_s=int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_SLEEP", "30")),
+    )
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
@@ -171,54 +206,27 @@ def main() -> None:
 
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
     timings, stddevs = _run_suite(spark, registry, sf_dir, iters)
-
-    # scale-headroom section: the same suite on a 10× replica, so a
-    # super-linear (hidden O(n²)) regression shows up as an artifact
-    # diff, not only in SCALE.md prose. Runs by default only for the
-    # canonical sf0.1 bench ("--sf1"/SPARK_GRAFT_BENCH_SF1=1 forces it,
-    # =0 disables); fewer iters — the signal is the RATIO, not the ulp.
-    sf1_flag = os.environ.get("SPARK_GRAFT_BENCH_SF1", "")
-    run_sf1 = ("--sf1" in sys.argv[1:] or sf1_flag == "1") or (
-        sf1_flag != "0" and abs(sf - 0.1) < 1e-9
-    )
-    sf1_section = None
-    if run_sf1:
-        d = _ensure_sf1_replica(sf_dir)
-        if d:
-            sf1_iters = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_ITERS", "3"))
-            print(f"# sf1 pass ({sf1_iters} iters) at {d}", file=sys.stderr)
-            probe_before = _cpu_calibration()
-            t1, s1 = _run_suite(spark, registry, d, sf1_iters)
-            probe_after = _cpu_calibration()
-            scaling = {
-                n: round(t1[n] / timings[n], 2) if timings[n] > 0 else None
-                for n in HEADLINE
-            }
-            worst = max(scaling, key=lambda n: scaling[n] or 0)
-            # the sandbox's host-level throughput swings up to ~2.3×
-            # within hours (SCALE.md); a probe drift > 1.5× vs the
-            # session-start probe means the ratios below mix machine
-            # speed into data scaling — flagged, not silently reported
-            # (an idle re-run of a "28×" q21 measured 2.8×)
-            drift = max(probe_before, probe_after) / max(cpu_probe, 1e-9)
-            sf1_section = {
-                "sf": round(sf * 10, 4),
-                "queries": t1,
-                "stddev": s1,
-                "iters": sf1_iters,
-                "total": round(sum(t1.values()), 3),
-                # per-query sf1/sf0.1 ratio; 10× data at <10× time = no
-                # super-linear term (fixed overheads make small queries
-                # land well under the line)
-                "scaling_vs_base": scaling,
-                "worst_query_scaling": {"query": worst, "ratio": scaling[worst]},
-                "cpu_probe_before_s": probe_before,
-                "cpu_probe_after_s": probe_after,
-                "probe_degraded": round(drift, 2) > 1.5,
-            }
+    # if the host degraded DURING the suite (probe drift), the timings
+    # are contaminated — one bounded re-run, keep the faster suite
+    suite_retried = False
+    probe_mid = _cpu_calibration()
+    if probe_mid > max(PROBE_DEGRADED_S, 1.5 * cpu_probe):
+        print(
+            f"# probe drifted {cpu_probe:.2f}s -> {probe_mid:.2f}s during the "
+            "suite; re-running once",
+            file=sys.stderr,
+        )
+        _settle(load_threshold, 60)
+        t2, s2 = _run_suite(spark, registry, sf_dir, iters)
+        if sum(t2.values()) < sum(timings.values()):
+            timings, stddevs = t2, s2
+        suite_retried = True
 
     total = round(sum(timings.values()), 3)
     load_end = _machine_load()
+    # HEADLINE FIRST: the driver stores raw output and r6's artifact was
+    # tail-truncated, losing the JSON — everything after this line (the
+    # sf1 scale section) is supplementary and prints as its own line
     # loadavg_1m at start counts OTHER work only (Spark isn't running
     # yet); at end it includes the bench's own executors, so the start
     # value is the contamination signal
@@ -239,9 +247,75 @@ def main() -> None:
                 # healthy box) — divide totals by probe ratio before
                 # comparing rounds
                 "cpu_probe_s": cpu_probe,
-                **({"sf1": sf1_section} if sf1_section else {}),
+                "probe_degraded": probe_degraded,
+                "probe_retries": probe_retries,
+                "suite_retried": suite_retried,
             }
-        )
+        ),
+        flush=True,
+    )
+
+    # scale-headroom section: the same suite on a 10× replica, so a
+    # super-linear (hidden O(n²)) regression shows up as an artifact
+    # diff, not only in SCALE.md prose. Runs by default only for the
+    # canonical sf0.1 bench ("--sf1"/SPARK_GRAFT_BENCH_SF1=1 forces it,
+    # =0 disables); fewer iters — the signal is the RATIO, not the ulp.
+    sf1_flag = os.environ.get("SPARK_GRAFT_BENCH_SF1", "")
+    run_sf1 = ("--sf1" in sys.argv[1:] or sf1_flag == "1") or (
+        sf1_flag != "0" and abs(sf - 0.1) < 1e-9
+    )
+    if not run_sf1:
+        return
+    d = _ensure_sf1_replica(sf_dir)
+    if not d:
+        return
+    sf1_iters = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_ITERS", "3"))
+    print(f"# sf1 pass ({sf1_iters} iters) at {d}", file=sys.stderr)
+    probe_before = _cpu_calibration()
+    t1, s1 = _run_suite(spark, registry, d, sf1_iters)
+    probe_after = _cpu_calibration()
+    # the sandbox's host-level throughput swings up to ~2.3× within
+    # hours (SCALE.md); a probe drift > 1.5× vs the session-start probe
+    # means the ratios below mix machine speed into data scaling — one
+    # bounded re-run, then flagged rather than silently reported (an
+    # idle re-run of a "28×" q21 measured 2.8×)
+    drift = max(probe_before, probe_after) / max(cpu_probe, 1e-9)
+    sf1_retried = False
+    if round(drift, 2) > 1.5:
+        print(f"# sf1 probe drift {drift:.2f}x; re-running once", file=sys.stderr)
+        _settle(load_threshold, 60)
+        probe_before = _cpu_calibration()
+        t1b, s1b = _run_suite(spark, registry, d, sf1_iters)
+        probe_after = _cpu_calibration()
+        if sum(t1b.values()) < sum(t1.values()):
+            t1, s1 = t1b, s1b
+        drift = max(probe_before, probe_after) / max(cpu_probe, 1e-9)
+        sf1_retried = True
+    scaling = {
+        n: round(t1[n] / timings[n], 2) if timings[n] > 0 else None for n in HEADLINE
+    }
+    worst = max(scaling, key=lambda n: scaling[n] or 0)
+    print(
+        json.dumps(
+            {
+                "metric": "sf1_scale_check",
+                "sf": round(sf * 10, 4),
+                "queries": t1,
+                "stddev": s1,
+                "iters": sf1_iters,
+                "total": round(sum(t1.values()), 3),
+                # per-query sf1/sf0.1 ratio; 10× data at <10× time = no
+                # super-linear term (fixed overheads make small queries
+                # land well under the line)
+                "scaling_vs_base": scaling,
+                "worst_query_scaling": {"query": worst, "ratio": scaling[worst]},
+                "cpu_probe_before_s": probe_before,
+                "cpu_probe_after_s": probe_after,
+                "probe_degraded": round(drift, 2) > 1.5,
+                "sf1_retried": sf1_retried,
+            }
+        ),
+        flush=True,
     )
 
 
