@@ -156,3 +156,116 @@ def test_sql_session_from_rest(server, spark):
     assert lake.rest.list_catalogs() == ["my_catalog"]
     with pytest.raises(WarehouseError, match="no catalog"):
         LakehouseSQL.from_rest(spark, url, CID, SECRET, catalog_name="nope")
+
+
+def _meta_loc(tab):
+    hint = open(os.path.join(tab.path, "metadata", "version-hint.text")).read().strip()
+    return os.path.join(tab.path, "metadata", f"v{hint}.metadata.json")
+
+
+def test_concurrent_appends_through_rest_catalog(server, spark):
+    """The REST mirror of test_warehouse.py::
+    test_concurrent_appends_both_survive — four writers racing through
+    `commit_with_retry` (the catalog's CAS + 409-retry loop, the
+    deployment topology where Polaris arbitrates commits,
+    setup-polaris.sh:37-56). A barrier forces every writer to load the
+    SAME base pointer, so at most one CAS wins per round and the rest
+    must 409 and re-stage. All appends survive; the final pointer serves
+    every row through the open-metadata reader."""
+    import threading
+
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        read_iceberg_table,
+    )
+
+    url, root = server
+    boot = RestCatalogClient(url, CID, SECRET)
+    boot.create_catalog("cat", root + "/cat")
+    boot.create_namespace("cat", "db")
+    boot.create_table("cat", "db", "race", "id int, v string")
+    wh = Warehouse(spark, root + "/cat")
+    wh.table("db", "race").insert_values([(0, "base")])
+    boot.commit_with_retry(
+        "cat", "db", "race", lambda cur: _meta_loc(wh.table("db", "race"))
+    )
+
+    n_writers = 4
+    barrier = threading.Barrier(n_writers)
+    loads: list[str] = []  # bases seen by do_commit (re-stages add more)
+    errs: list[Exception] = []
+
+    def writer(i):
+        try:
+            cli = RestCatalogClient(url, CID, SECRET)
+            appended = [False]
+
+            def stage(cur):
+                loads.append(cur["metadata-location"])
+                if not appended[0]:
+                    # wait until EVERY writer holds the same base: the
+                    # CAS race is then guaranteed, not scheduler luck
+                    barrier.wait(timeout=30)
+                    appended[0] = True
+                    # data + metadata staged on the shared filesystem
+                    # (like Spark against Polaris); the CATALOG decides
+                    # whose pointer swap lands
+                    wh.table("db", "race").append(
+                        spark.createDataFrame([(i, f"w{i}")], "id int, v string")
+                    )
+                return _meta_loc(wh.table("db", "race"))
+
+            cli.commit_with_retry("cat", "db", "race", stage, max_attempts=10)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(1, n_writers + 1)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    # losers re-staged: more loads than writers proves 409s were taken
+    assert len(loads) > n_writers
+    final = boot.load_table("cat", "db", "race")["metadata-location"]
+    got = read_iceberg_table(spark, final)
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_conflicting_delete_through_rest_catalog(server, spark):
+    """The REST mirror of test_warehouse.py::
+    test_read_modify_write_conflict_detected: a writer who staged a
+    delete against a base the catalog has moved past must get a 409 on
+    the pointer swap (not silently drop the concurrent append), and the
+    standard retry loop publishes a final state containing BOTH the
+    delete and the concurrent row."""
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        read_iceberg_table,
+    )
+
+    url, root = server
+    cli_a = RestCatalogClient(url, CID, SECRET)
+    cli_b = RestCatalogClient(url, CID, SECRET)
+    cli_a.create_catalog("cat", root + "/cat")
+    cli_a.create_namespace("cat", "db")
+    cli_a.create_table("cat", "db", "t", "id int, v string")
+    wh = Warehouse(spark, root + "/cat")
+    tab = wh.table("db", "t")
+    tab.insert_values([(1, "a"), (2, "b")])
+    cli_a.commit_with_retry("cat", "db", "t", lambda cur: _meta_loc(tab))
+
+    # A reads its base; B commits an append through the catalog meanwhile
+    base_a = cli_a.load_table("cat", "db", "t")["metadata-location"]
+    wh.table("db", "t").append(spark.createDataFrame([(3, "c")], "id int, v string"))
+    cli_b.commit_with_retry("cat", "db", "t", lambda cur: _meta_loc(tab))
+
+    # A stages its delete and attempts the swap on the STALE base → 409
+    wh.table("db", "t").delete_where("id = 2")
+    with pytest.raises(CommitConflict):
+        cli_a.commit_table("cat", "db", "t", base_a, _meta_loc(tab))
+    # the retry loop re-loads the fresh base and lands
+    cli_a.commit_with_retry("cat", "db", "t", lambda cur: _meta_loc(tab))
+    final = cli_b.load_table("cat", "db", "t")["metadata-location"]
+    got = sorted(
+        (r.id, r.v) for r in read_iceberg_table(spark, final).collect()
+    )
+    assert got == [(1, "a"), (3, "c")]
