@@ -265,20 +265,18 @@ K_COARSE = 16  # IVF coarse-quantizer cells
 NPROBE = 4  # cells probed per query
 
 
-def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k pipeline (shared by the bench entry and the recall gate).
+def _ivf_scored(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(cells, scored): the coarse quantizer and every vector's cosine
+    against each centroid — shared by the in-plan pipeline, the recall
+    gate, and the persisted-index build (one set of formulas, so the
+    materialized assignment is bit-identical to the in-plan one).
 
     A deterministic sample of K_COARSE corpus vectors acts as the coarse
-    quantizer; every corpus vector is assigned to its most-similar
-    centroid (its "cell"), and a query searches only the NPROBE cells
-    whose centroids are closest to it, then exact-rescores.
-
-    Scale design: the K_COARSE centroids are a broadcast (bytes), the
-    cell assignment is one narrow map over the corpus scan, and the probe
-    join is an equi-join on cell id — at 100 TB the corpus would be
-    written partitioned by cell so a query reads NPROBE/K_COARSE of the
-    data. Seed choice is xxhash64-ranked sampling (deterministic, no
-    stored model, no driver-side fit)."""
+    quantizer (xxhash64-ranked sampling — deterministic, no stored model,
+    no driver-side fit); norms hoisted out of the K_COARSE-way cross
+    product (one fold per vector, not per (vector, cell)); operand order
+    dot/(ne*nce) matches cosine() exactly, so assignments are
+    bit-identical to a direct cosine ranking."""
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e")
     )
@@ -294,15 +292,29 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("ce"),
         F.col("ne").alias("nce"),
     )
-    # norms hoisted out of the K_COARSE-way cross product (one fold per
-    # vector, not per (vector, cell)); operand order dot/(ne*nce) matches
-    # cosine() exactly, so assignments are bit-identical
     scored = vn.crossJoin(F.broadcast(cells)).select(
         "vec_id",
         "e",
         "cell",
         (dot(F.col("e"), F.col("ce")) / (F.col("ne") * F.col("nce"))).alias("csim"),
     )
+    return cells, scored
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k pipeline (shared by the bench entry and the recall gate).
+
+    Every corpus vector is assigned to its most-similar centroid (its
+    "cell"), and a query searches only the NPROBE cells whose centroids
+    are closest to it, then exact-rescores.
+
+    Scale design: the K_COARSE centroids are a broadcast (bytes), the
+    cell assignment is one narrow map over the corpus scan, and the probe
+    join is an equi-join on cell id — at 100 TB the corpus is written
+    partitioned by cell (build_ivf_index / sim_ann_ivf_indexed, the
+    literal implementation) so a query reads NPROBE/K_COARSE of the
+    data."""
+    _cells, scored = _ivf_scored(spark, sf_dir)
     # cell assignment as an aggregate argmax (MAX over (csim, cell) structs,
     # lexicographic → deterministic), NOT a row_number window: the aggregate
     # pre-reduces 16 candidate rows to 1 map-side before the exchange, so at
@@ -375,6 +387,137 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     result quality is gated by sim_ann_ivf's recall bound and
     tests/test_similarity.py."""
     return _ivf_topk(spark, sf_dir)
+
+
+# ---------------- persisted IVF index (cell-partitioned table) ----------
+_IVF_INDEX_CACHE: dict[tuple[str, str], str] = {}  # (appId, sf_dir) -> wh root
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, wh_root: str):
+    """Materialize the IVF index as warehouse tables — the 100 TB
+    deployment shape the in-plan variant only described: the corpus is
+    written ONCE `PARTITIONED BY (cell)` (hive layout + per-file footer
+    bounds with min=max=cell), and the K_COARSE centroids as a
+    metadata-sized side table. Serving then reads ONLY the probed cells'
+    partitions (manifest-level file skipping — other cells' files are
+    never listed). Build cost is one assignment pass over the corpus +
+    one shuffle on cell; amortized across every future query batch.
+    Returns the Warehouse. Idempotent per root."""
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, wh_root)
+    idx = wh.create_table(
+        "ann", "ivf_index", "vec_id bigint, cell int, e array<double>",
+        partition_by="cell", if_not_exists=True,
+    )
+    cent = wh.create_table(
+        "ann", "ivf_centroids", "cell int, ce array<double>, nce double",
+        if_not_exists=True,
+    )
+    if idx.current_snapshot_id():
+        return wh
+    cells, scored = _ivf_scored(spark, sf_dir)
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("csim"), F.col("cell"))).alias("b"),
+        F.first("e").alias("e"),
+    )
+    assign = best.select("vec_id", F.col("b.cell").alias("cell"), "e")
+    cent.append(cells.select("cell", "ce", "nce"))
+    # one file per cell: repartition on the partition column so each hive
+    # dir holds a single parquet file (tight NPROBE/K_COARSE read ratio)
+    idx.append(assign.repartition("cell"))
+    return wh
+
+
+def _ivf_index_wh(spark: SparkSession, sf_dir: str):
+    """Session-cached index build (temp warehouse per Spark app + SF)."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_INDEX_CACHE:
+        _IVF_INDEX_CACHE[key] = tempfile.mkdtemp(prefix="lh_ivf_idx_")
+    return build_ivf_index(spark, sf_dir, _IVF_INDEX_CACHE[key])
+
+
+def ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve IVF top-k from the PERSISTED cell-partitioned index.
+
+    Planning mirrors Iceberg scan planning: score the (tiny) query set
+    against the broadcast centroid table, take each query's NPROBE
+    closest cells, and collect the DISTINCT probed cell ids
+    (≤ K_COARSE ints — metadata-sized, the partition list a catalog
+    would hand the scheduler). The data read is a union of per-cell
+    partition-pruned scans — tests pin that it touches probed/K_COARSE
+    of the index files — then the same broadcast equi-join rescore as
+    the in-plan variant."""
+    wh = _ivf_index_wh(spark, sf_dir)
+    cent = wh.table("ann", "ivf_centroids").read()
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), as_double("embedding").alias("qe"))
+        .select("q_id", "qe", norm(F.col("qe")).alias("nq"))
+    )
+    qscored = q.crossJoin(F.broadcast(cent)).select(
+        "q_id",
+        "qe",
+        "cell",
+        (dot(F.col("qe"), F.col("ce")) / (F.col("nq") * F.col("nce"))).alias("csim"),
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(F.desc("csim"), "cell")
+    probes = (
+        qscored.select("*", F.row_number().over(w_probe).alias("r"))
+        .filter(F.col("r") <= NPROBE)
+        .select("q_id", "qe", "cell")
+    )
+    probed_cells = sorted(
+        r.cell for r in probes.select("cell").distinct().collect()
+    )  # ≤ K_COARSE ints: the partition list, driver-side by design
+    idx = wh.table("ann", "ivf_index")
+    scans = [idx.scan(eq={"cell": c}) for c in probed_cells]
+    corpus = scans[0]
+    for s in scans[1:]:
+        corpus = corpus.unionByName(s)
+    cand = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cand.select("*", F.row_number().over(w).cast("int").alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .orderBy("q_id", "rn")
+    )
+
+
+@register(
+    "sim_ann_ivf_indexed",
+    oracle=f"""
+    SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           {TOP_K} AS k,
+           TRUE AS recall_ok
+    """,
+)
+def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index IVF variant under the same value-checked
+    quality contract as sim_ann_ivf: recall@k vs the in-plan exact
+    brute-force twin must clear IVF_RECALL_BOUND. The index build uses
+    the identical quantizer/assignment formulas, so recall matches the
+    in-plan variant; what this query additionally proves is the
+    build→persist→partition-pruned-serve path end to end."""
+    ann = ivf_indexed_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    exact = sim_topk_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = ann.join(exact, ["q_id", "neighbor_id"], "inner")
+    return hits.agg(
+        F.lit(N_QUERIES).cast("long").alias("n_queries"),
+        F.lit(TOP_K).alias("k"),
+        (F.count("*") / (N_QUERIES * TOP_K) >= IVF_RECALL_BOUND).alias("recall_ok"),
+    )
 
 
 LSH_RECALL_BOUND = 0.60  # recall@10 floor (multi-probe measured 0.86-0.88)

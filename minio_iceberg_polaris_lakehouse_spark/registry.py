@@ -118,8 +118,10 @@ _PRIORITY: list[str] = [
     # join (first driver slot; salt now content-derived — retry-stable)
     "skew_salted_groupby",
     "skew_salted_join",
-    # X3 similarity: recall-gated ANN variants (all oracle-backed in-plan)
-    "sim_ann_int8",
+    # X3 similarity: recall-gated ANN variants (all oracle-backed
+    # in-plan). NEW r7: the persisted cell-partitioned IVF index serve
+    # path (sim_ann_int8 rested at 2 green rounds for the slot)
+    "sim_ann_ivf_indexed",
     "sim_ann_lsh",
     "sim_label_centroids",
     # X5 text analysis: r6 first-timers hold; lang-profile, stratified

@@ -134,3 +134,73 @@ def test_ann_int8_quantization_is_bounded(spark, sf_dir):
         ).alias("mx")
     )
     assert q.agg(F.max("mx")).collect()[0][0] <= 127.0
+
+
+def test_ivf_persisted_index_partition_pruning(spark, sf_dir, tmp_path):
+    """The persisted IVF index (build_ivf_index) is the literal 100 TB
+    deployment of the docstring's 'write the corpus partitioned by
+    cell': one parquet file per cell, a probed cell's scan touches
+    EXACTLY 1/K_COARSE of the files (others are never listed), a single
+    query's serve reads NPROBE/K_COARSE, and the served top-k is
+    bit-identical to the in-plan variant (same quantizer formulas)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from minio_iceberg_polaris_lakehouse_spark.operators.similarity import (
+        K_COARSE,
+        N_QUERIES,
+        NPROBE,
+        _ivf_topk,
+        as_double,
+        build_ivf_index,
+        dot,
+        ivf_indexed_topk,
+        norm,
+    )
+    from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
+
+    wh = build_ivf_index(spark, sf_dir, str(tmp_path / "idx"))
+    idx = wh.table("ann", "ivf_index")
+    total = len(idx.read().inputFiles())
+    assert total == K_COARSE  # one file per cell (repartition on cell)
+
+    # single-cell scan: exactly one file listed — manifest-level skipping
+    some_cell = idx.read().select("cell").first().cell
+    one = idx.scan(eq={"cell": some_cell})
+    assert len(one.inputFiles()) == 1
+    assert set(r.cell for r in one.select("cell").distinct().collect()) == {some_cell}
+
+    # ONE query's serve plan: NPROBE probed cells -> NPROBE files read
+    cent = wh.table("ann", "ivf_centroids").read()
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("vec_id").alias("q_id"), as_double("embedding").alias("qe"))
+        .select("q_id", "qe", norm(F.col("qe")).alias("nq"))
+    )
+    qs = q.crossJoin(F.broadcast(cent)).select(
+        "q_id", "cell",
+        (dot(F.col("qe"), F.col("ce")) / (F.col("nq") * F.col("nce"))).alias("csim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("csim"), "cell")
+    probed = sorted(
+        r.cell
+        for r in qs.select("*", F.row_number().over(w).alias("r"))
+        .filter(F.col("r") <= NPROBE)
+        .select("cell")
+        .collect()
+    )
+    assert len(probed) == NPROBE
+    scans = [idx.scan(eq={"cell": c}) for c in probed]
+    union = scans[0]
+    for s in scans[1:]:
+        union = union.unionByName(s)
+    assert len(union.inputFiles()) == NPROBE  # NPROBE/K_COARSE of the data
+
+    # served result == in-plan result, and no cartesian anywhere
+    served = ivf_indexed_topk(spark, sf_dir)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, _ivf_topk(spark, sf_dir).collect())
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
