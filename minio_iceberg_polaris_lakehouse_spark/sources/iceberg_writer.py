@@ -1,0 +1,268 @@
+"""Append to a FOREIGN Iceberg-v2 filesystem table through its open
+metadata — the producer side of the open-format promise (reference
+README.md:169-178), completing D12: the engine can now write to a table
+it did not create, e.g. one registered via `CALL system.register_table`
+or served by the REST catalog.
+
+`append_iceberg_table(spark, location, df)` writes new parquet data
+files, a new Avro manifest at the next sequence number, a manifest list
+carrying every prior manifest plus the new one, and a vN+1 metadata
+document; it returns the new metadata path. Existing snapshots,
+manifests and data files are never touched (Iceberg metadata is
+immutable — an append is pure addition), so any concurrent READER keeps
+a consistent view.
+
+Concurrency contract: the filesystem layout has no commit lock. In
+`update_hint=True` mode (default) the version hint moves to the new
+metadata — correct for a single writer. For multi-writer topologies run
+the append inside `RestCatalogClient.commit_with_retry` with
+`update_hint=False`: the CATALOG's commitTable CAS arbitrates whose
+pointer lands, exactly how Spark writes through Polaris (and the 409
+loser re-stages on the fresh base).
+
+Scale: the data write is a normal distributed parquet write; everything
+else is driver-side metadata work, O(manifests + files added).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minio_iceberg_polaris_lakehouse_spark import avro_io, fsio
+from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+    _spark_type,
+    resolve_metadata_path,
+)
+
+_LIST_FIELDS = [
+    ("manifest_path", None),
+    ("manifest_length", 0),
+    ("partition_spec_id", 0),
+    ("content", 0),
+    ("sequence_number", 0),
+    ("min_sequence_number", 0),
+    ("added_snapshot_id", 0),
+    ("added_files_count", 0),
+    ("existing_files_count", 0),
+    ("deleted_files_count", 0),
+    ("added_rows_count", 0),
+    ("existing_rows_count", 0),
+    ("deleted_rows_count", 0),
+]
+
+
+def _sanitize_list_record(rec: dict) -> dict:
+    """Project a foreign manifest-list record onto the fields our list
+    schema writes (extra writer-specific fields drop; required numerics
+    default to 0 — the reader treats them as statistics only)."""
+    out = {}
+    for name, default in _LIST_FIELDS:
+        v = rec.get(name)
+        out[name] = default if v is None and default is not None else v
+    if out["manifest_path"] is None:
+        raise ValueError(f"manifest-list record without manifest_path: {rec!r}")
+    return out
+
+
+def append_iceberg_table(
+    spark: SparkSession,
+    location: str,
+    df: DataFrame,
+    update_hint: bool = True,
+) -> str:
+    """Append ``df`` to the Iceberg table at ``location`` (table dir /
+    metadata dir / metadata file); returns the NEW vN+1.metadata.json
+    path. ``update_hint=False`` leaves version-hint.text alone so a REST
+    catalog's commitTable CAS can arbitrate the pointer swap instead.
+
+    Scope: unpartitioned append (a non-empty default partition spec
+    raises — hidden-partition value derivation for arbitrary foreign
+    transforms is out of scope and writing unpartitioned files into a
+    partitioned table would corrupt pruning). Columns are matched by
+    NAME against the current schema and cast to its types; missing
+    nullable columns NULL-fill, missing required columns raise.
+    """
+    md_path = resolve_metadata_path(location)
+    md = json.loads(fsio.read_text(md_path))
+    mdir = os.path.dirname(md_path)
+    root = md.get("location") or os.path.dirname(mdir)
+
+    specs = md.get("partition-specs", [])
+    default_spec = next(
+        (s for s in specs if s.get("spec-id") == md.get("default-spec-id", 0)), None
+    )
+    if default_spec and default_spec.get("fields"):
+        raise ValueError(
+            "append_iceberg_table supports unpartitioned tables only; "
+            f"default spec has fields {default_spec['fields']!r}"
+        )
+
+    schemas = {s["schema-id"]: s for s in md.get("schemas", [])}
+    target = schemas[md["current-schema-id"]]
+    cols = []
+    for f in target["fields"]:
+        dt = _spark_type(f["type"])
+        if f["name"] in df.columns:
+            cols.append(F.col(f["name"]).cast(dt).alias(f["name"]))
+        elif not f.get("required"):
+            cols.append(F.lit(None).cast(dt).alias(f["name"]))
+        else:
+            raise ValueError(f"required column {f['name']} missing from append data")
+    aligned = df.select(*cols)
+
+    dirname = f"append-{uuid.uuid4().hex[:12]}"
+    out_dir = os.path.join(root, "data", dirname)
+    aligned.write.option("compression", "zstd").parquet(out_dir)
+    import pyarrow.parquet as pq
+
+    files = []
+    for name in sorted(fsio.listdir(out_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        p = os.path.join(out_dir, name)
+        pf = pq.ParquetFile(p)
+        files.append((p, pf.metadata.num_rows, fsio.getsize(p)))
+    added_rows = sum(r for _, r, _ in files)
+
+    snaps = md.get("snapshots", [])
+    parent = md.get("current-snapshot-id")
+    parent_snap = next((s for s in snaps if s["snapshot-id"] == parent), None)
+    snapshot_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+    now_ms = int(time.time() * 1000)
+
+    # the parent's manifests ride into the new list unchanged; read them
+    # now — they also floor the new sequence number for metadata that
+    # omits last-sequence-number (the new data MUST outrank every
+    # existing delete file, or appended rows would be tombstoned by
+    # older equality deletes)
+    prev_records: list[dict] = []
+    if parent_snap is not None:
+        _s, _m, prev = avro_io.read_container(parent_snap["manifest-list"])
+        prev_records = [_sanitize_list_record(r) for r in prev]
+    seq = (
+        max(
+            int(md.get("last-sequence-number", 0)),
+            max((int(r["sequence_number"] or 0) for r in prev_records), default=0),
+            max((int(s.get("sequence-number") or 0) for s in snaps), default=0),
+        )
+        + 1
+    )
+
+    # manifest for the new files, at the new sequence number
+    from minio_iceberg_polaris_lakehouse_spark.iceberg_export import (
+        _MANIFEST_LIST_SCHEMA,
+        _manifest_entry_schema,
+    )
+
+    entry_schema = _manifest_entry_schema(None)
+    man_path = os.path.join(mdir, f"manifest-{dirname}.avro")
+    avro_io.write_container(
+        man_path,
+        entry_schema,
+        [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": rows,
+                    "file_size_in_bytes": size,
+                },
+            }
+            for p, rows, size in files
+        ],
+        metadata={
+            "schema": json.dumps(target),
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+
+    # manifest list: every manifest the parent referenced (read above),
+    # plus ours — existing records pass through with their own sequence
+    # numbers, so older files keep their data sequence (equality-delete
+    # applicability is preserved) and delete manifests stay in force
+    list_path = os.path.join(mdir, f"snap-{snapshot_id}-manifest-list.avro")
+    avro_io.write_container(
+        list_path,
+        _MANIFEST_LIST_SCHEMA,
+        prev_records
+        + [
+            {
+                "manifest_path": man_path,
+                "manifest_length": 1,
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(files),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": added_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+        metadata={
+            "snapshot-id": str(snapshot_id),
+            "parent-snapshot-id": str(parent),
+            "sequence-number": str(seq),
+            "format-version": "2",
+        },
+    )
+
+    new_md = dict(md)
+    new_md["last-sequence-number"] = seq
+    new_md["last-updated-ms"] = now_ms
+    new_md["current-snapshot-id"] = snapshot_id
+    new_md["snapshots"] = snaps + [
+        {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": parent,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": list_path,
+            "summary": {
+                "operation": "append",
+                "added-records": str(added_rows),
+                "added-data-files": str(len(files)),
+            },
+            "schema-id": md["current-schema-id"],
+        }
+    ]
+    new_md["snapshot-log"] = md.get("snapshot-log", []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    refs = dict(md.get("refs", {}))
+    if "main" in refs:
+        refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+        new_md["refs"] = refs
+
+    m = re.fullmatch(r"v(\d+)\.metadata\.json", os.path.basename(md_path))
+    version = (int(m.group(1)) if m else 0) + 1
+    new_path = os.path.join(mdir, f"v{version}.metadata.json")
+    fsio.write_bytes_atomic(
+        new_path, json.dumps(new_md).encode(), uuid.uuid4().hex
+    )
+    if update_hint:
+        fsio.write_bytes_atomic(
+            os.path.join(mdir, "version-hint.text"),
+            str(version).encode(),
+            uuid.uuid4().hex,
+        )
+    return new_path

@@ -701,19 +701,50 @@ class LakehouseSQL:
         )
 
     # --------------------------------------------------------- DML handlers
+    def _foreign_for_write(self, name: str) -> tuple[str, str] | None:
+        """(ns, table) when ``name`` is a registered foreign table (and
+        no native table shadows it) — INSERT INTO then appends through
+        the open metadata (sources/iceberg_writer.py) instead of the
+        engine's private log."""
+        ns, t = self._resolve_table_name(name)
+        if f"{ns}.{t}" in self.wh.foreign_tables() and not self.wh.table(ns, t).exists():
+            return ns, t
+        return None
+
+    def _append_foreign_positional(self, ns: str, t: str, src: DataFrame) -> None:
+        names = self.wh.read_foreign_table(ns, t).columns
+        if len(src.columns) != len(names):
+            raise WarehouseError(
+                f"INSERT column count {len(src.columns)} != table arity {len(names)}"
+            )
+        if self._wap_branch:
+            raise WarehouseError(
+                "WAP branches are engine-log concepts; foreign table "
+                f"{ns}.{t} cannot stage branch writes"
+            )
+        self.wh.append_foreign_table(
+            ns, t, src.toDF(*names)  # positional INSERT semantics
+        )
+
     def _insert_values(self, m: re.Match) -> DataFrame:
-        tab = self._existing_table(m.group(1))
         values_sql = m.group(2)
         # Spark's own parser handles the literal rows (CAST literals,
         # string→DATE coercion, decimals) — we never tokenize values.
         src = self.spark.sql(f"SELECT * FROM (VALUES {values_sql})")
-        self._append_positional(tab, src)
+        foreign = self._foreign_for_write(m.group(1))
+        if foreign:
+            self._append_foreign_positional(*foreign, src)
+            return self._empty()
+        self._append_positional(self._existing_table(m.group(1)), src)
         return self._empty()
 
     def _insert_select(self, m: re.Match) -> DataFrame:
-        tab = self._existing_table(m.group(1))
         src = self.spark.sql(self._rewrite_query(m.group(2)))
-        self._append_positional(tab, src)
+        foreign = self._foreign_for_write(m.group(1))
+        if foreign:
+            self._append_foreign_positional(*foreign, src)
+            return self._empty()
+        self._append_positional(self._existing_table(m.group(1)), src)
         return self._empty()
 
     @staticmethod

@@ -361,6 +361,28 @@ class Warehouse:
             raise WarehouseError(f"foreign table {ns}.{name} is not registered")
         return read_iceberg_table(self.spark, loc, snapshot_id=snapshot_id, as_of_ms=as_of_ms)
 
+    def append_foreign_table(self, ns: str, name: str, df: DataFrame) -> str:
+        """Append to a registered foreign table through its open metadata
+        (sources/iceberg_writer.py) — new data files + manifest + vN+1
+        metadata, version hint advanced; returns the new metadata path.
+        Refuses a registration PINNED to a specific vN.metadata.json:
+        the append would land in a version the pinned registration never
+        serves, silently invisible to every subsequent read."""
+        from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+            append_iceberg_table,
+        )
+
+        loc = self.foreign_tables().get(f"{ns}.{name}")
+        if loc is None:
+            raise WarehouseError(f"foreign table {ns}.{name} is not registered")
+        if loc.endswith(".metadata.json"):
+            raise WarehouseError(
+                f"foreign table {ns}.{name} is pinned to {loc}; appends to a "
+                "pinned registration would be invisible — register the table "
+                "directory instead"
+            )
+        return append_iceberg_table(self.spark, loc, df)
+
 
 def _tzinfo_of(tz: str):
     """tzinfo for a Spark timezone string — region ids via zoneinfo,

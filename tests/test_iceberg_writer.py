@@ -1,0 +1,125 @@
+"""Foreign Iceberg append (sources/iceberg_writer.py): write to a table
+the engine didn't create, through the open metadata — new data files +
+manifest + vN+1 document; prior snapshots/sequence numbers untouched, so
+equality-delete applicability and time travel are preserved. Includes
+the REST-arbitrated mode (commitTable CAS decides the pointer swap)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+    read_iceberg_table,
+    resolve_metadata_path,
+)
+from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+    append_iceberg_table,
+)
+from minio_iceberg_polaris_lakehouse_spark.warehouse import Warehouse
+from tests.test_iceberg_reader import _build_foreign_table
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_append_to_hand_authored_foreign_table(spark, tmp_path):
+    """Append to the raw-equality-delete fixture: survivors (3,reborn),
+    (4,d) plus the new rows — including a NEW id=2 row that the seq-2
+    equality delete must NOT touch (its data sequence is higher), i.e.
+    appends preserve every older snapshot's delete semantics."""
+    root = _build_foreign_table(tmp_path)
+    new = spark.createDataFrame([(2, "back"), (9, "nine")], "id int, name string")
+    new_path = append_iceberg_table(spark, root, new)
+    assert new_path.endswith("v2.metadata.json")
+    got = read_iceberg_table(spark, root)
+    assert _rows(got) == [(2, "back"), (3, "reborn"), (4, "d"), (9, "nine")]
+    # prior snapshot still time-travels to the pre-append state
+    md = json.loads(open(new_path).read())
+    prev = md["snapshots"][0]["snapshot-id"]
+    assert _rows(read_iceberg_table(spark, root, snapshot_id=prev)) == [
+        (3, "reborn"),
+        (4, "d"),
+    ]
+
+
+def test_append_to_engine_exported_table(spark, tmp_path):
+    """Append to a table exported by (another) engine instance via its
+    open metadata; missing nullable columns NULL-fill, order-insensitive
+    name matching."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = wh.create_table("db", "src", "id int, v string, note string")
+    t.insert_values([(1, "a", None)])
+    out = append_iceberg_table(
+        spark, t.path, spark.createDataFrame([("b", 2)], "v string, id int")
+    )
+    got = read_iceberg_table(spark, t.path)
+    assert _rows(got) == [(1, "a", None), (2, "b", None)]
+    assert resolve_metadata_path(t.path) == out  # hint advanced
+
+
+def test_append_refuses_partitioned_and_missing_required(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = wh.create_table("db", "p", "id int, d date", partition_by="d")
+    t.insert_values([(1, __import__("datetime").date(2024, 1, 1))])
+    with pytest.raises(ValueError, match="unpartitioned"):
+        append_iceberg_table(
+            spark, t.path, spark.createDataFrame([(2,)], "id int")
+        )
+
+
+def test_rest_arbitrated_foreign_append(spark, tmp_path):
+    """update_hint=False + commit_with_retry: the catalog's CAS decides
+    the pointer swap; the committed location serves the appended rows."""
+    from minio_iceberg_polaris_lakehouse_spark.rest_catalog import (
+        RestCatalogClient,
+        make_server,
+    )
+
+    srv, port = make_server(str(tmp_path), "cid", "sec")
+    try:
+        cli = RestCatalogClient(f"http://127.0.0.1:{port}", "cid", "sec")
+        cli.create_catalog("cat", str(tmp_path / "cat"))
+        cli.create_namespace("cat", "db")
+        cli.create_table("cat", "db", "t", "id int")
+        wh = Warehouse(spark, str(tmp_path / "cat"))
+        wh.table("db", "t").insert_values([(1,)])
+        cli.commit_with_retry(
+            "cat", "db", "t",
+            lambda cur: resolve_metadata_path(wh.table("db", "t").path),
+        )
+
+        def stage(cur):
+            return append_iceberg_table(
+                spark,
+                cur["metadata-location"],
+                spark.createDataFrame([(2,)], "id int"),
+                update_hint=False,
+            )
+
+        cli.commit_with_retry("cat", "db", "t", stage)
+        loc = cli.load_table("cat", "db", "t")["metadata-location"]
+        assert _rows(read_iceberg_table(spark, loc)) == [(1,), (2,)]
+    finally:
+        srv.shutdown()
+
+
+def test_sql_insert_into_registered_foreign_table(spark, tmp_path):
+    """INSERT INTO a `CALL system.register_table` name routes through
+    the open-metadata writer; the very next SELECT (re-resolved through
+    version-hint) serves the appended rows."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    root = _build_foreign_table(tmp_path)
+    lake = LakehouseSQL(spark, str(tmp_path / "wh"))
+    lake.sql(
+        "CALL polaris.system.register_table(table => 'ext.ft', "
+        f"metadata_file => '{root}')"
+    )
+    lake.sql("INSERT INTO polaris.ext.ft VALUES (9, 'nine'), (10, 'ten')")
+    got = sorted(
+        (r.id, r.name) for r in lake.sql("SELECT id, name FROM ext.ft").collect()
+    )
+    assert got == [(3, "reborn"), (4, "d"), (9, "nine"), (10, "ten")]

@@ -110,7 +110,12 @@ def test_register_conflicts_and_guards(lake, spark, tmp_path):
     with pytest.raises(Exception):
         _register(lake, str(tmp_path / "nope"), name="ext.bad")
     assert "ext.bad" not in lake.wh.foreign_tables()
-    # writes are rejected (read-only attachment): INSERT resolves no
-    # native table
-    with pytest.raises(WarehouseError):
-        lake.sql("INSERT INTO polaris.ext.ft VALUES (9, 'x')")
+    # a registration PINNED to one metadata file refuses appends (they
+    # would land in a version the pin never serves)
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        resolve_metadata_path,
+    )
+
+    _register(lake, resolve_metadata_path(root), name="ext.pinned")
+    with pytest.raises(WarehouseError, match="pinned"):
+        lake.sql("INSERT INTO polaris.ext.pinned VALUES (9, 'x')")
