@@ -123,3 +123,47 @@ def test_sql_insert_into_registered_foreign_table(spark, tmp_path):
         (r.id, r.name) for r in lake.sql("SELECT id, name FROM ext.ft").collect()
     )
     assert got == [(3, "reborn"), (4, "d"), (9, "nine"), (10, "ten")]
+
+
+def test_fuzz_foreign_append_roundtrip(spark, tmp_path):
+    """Model check: a random sequence of foreign appends (varied types:
+    int/long/string/double/date columns, NULLs, empty frames) against a
+    plain list model — after each append the reader must serve exactly
+    model rows, and every prior snapshot must still time-travel to its
+    own prefix."""
+    import datetime
+    import random
+
+    rng = random.Random(74)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = wh.create_table("db", "fz", "id int, n bigint, s string, x double, d date")
+    schema = "id int, n bigint, s string, x double, d date"
+    model: list[tuple] = []
+    snapshots: list[tuple[int, list[tuple]]] = []
+
+    def rand_row(i):
+        return (
+            i,
+            rng.randint(-(2**40), 2**40) if rng.random() > 0.2 else None,
+            rng.choice(["alpha", "beta", None, "δγ"]),
+            round(rng.uniform(-1e6, 1e6), 3) if rng.random() > 0.2 else None,
+            datetime.date(2024, rng.randint(1, 12), rng.randint(1, 28))
+            if rng.random() > 0.3
+            else None,
+        )
+
+    # seed through the ENGINE (so the table has native metadata too)
+    first = [rand_row(i) for i in range(3)]
+    t.insert_values(first)
+    model += first
+    for step in range(4):
+        rows = [rand_row(100 * (step + 1) + j) for j in range(rng.randint(1, 5))]
+        path = append_iceberg_table(spark, t.path, spark.createDataFrame(rows, schema))
+        model += rows
+        md = json.loads(open(path).read())
+        snapshots.append((md["current-snapshot-id"], list(model)))
+        got = _rows(read_iceberg_table(spark, t.path))
+        assert got == sorted(model), f"step {step}: mismatch"
+    # every recorded snapshot still serves its own prefix
+    for sid, expect in snapshots:
+        assert _rows(read_iceberg_table(spark, t.path, snapshot_id=sid)) == sorted(expect)
