@@ -217,3 +217,33 @@ def test_vocab_build_topk_and_partial_agg(spark, sf_dir):
     s = plan_string(df)
     assert count_nodes(df, "TakeOrderedAndProject") == 1, s
     assert "partial_count" in s, s
+
+
+def test_foreign_reader_deletes_are_broadcast_hash_joins(spark, tmp_path):
+    """The open-metadata reader's delete application must stay
+    broadcast-hash: positional anti-join on (file, pos) and the
+    equality-delete anti-join (eqNullSafe keys hash; the sequence rule
+    rides as a residual condition) — never a nested-loop or cartesian,
+    never a shuffle of the data side."""
+    from tests.test_iceberg_reader import _build_foreign_table
+
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        read_iceberg_table,
+    )
+
+    df = read_iceberg_table(spark, _build_foreign_table(tmp_path))
+    assert count_nodes(df, "BroadcastHashJoin") >= 2, plan_string(df)
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0, plan_string(df)
+    assert_no_cartesian(df)
+
+
+def test_ivf_indexed_serve_plan(spark, sf_dir):
+    """Persisted-index IVF serve: probe join is a broadcast equi-join on
+    cell id; no cartesian anywhere in the serve plan."""
+    from minio_iceberg_polaris_lakehouse_spark.operators.similarity import (
+        ivf_indexed_topk,
+    )
+
+    df = ivf_indexed_topk(spark, sf_dir)
+    assert count_nodes(df, "BroadcastHashJoin") >= 1, plan_string(df)
+    assert_no_cartesian(df)
