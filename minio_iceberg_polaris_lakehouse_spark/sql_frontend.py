@@ -421,11 +421,18 @@ class LakehouseSQL:
             re.IGNORECASE,
         )
 
+        # one catalog read per STATEMENT, not per unresolved qualified
+        # name — a join with aliased columns hits repl() for every
+        # `alias.column` reference, and each miss would otherwise re-read
+        # the registry files
+        foreign_regs = self.wh.foreign_tables()
+        view_defs = self.wh.views()
+
         def repl(m: re.Match) -> str:
             ns, tbl = m.group("ns"), m.group("tbl")
             tab = self.wh.table(ns, tbl)
             if not tab.exists():
-                floc = self.wh.foreign_tables().get(f"{ns}.{tbl}")
+                floc = foreign_regs.get(f"{ns}.{tbl}")
                 if floc is not None:
                     # registered FOREIGN Iceberg table: resolved through
                     # the open metadata reader at every reference, so
@@ -463,7 +470,7 @@ class LakehouseSQL:
                         df = read_iceberg_table(self.spark, floc)
                     df.createOrReplaceTempView(view)
                     return view
-                vsql = self.wh.views().get(f"{ns}.{tbl}")
+                vsql = view_defs.get(f"{ns}.{tbl}")
                 if vsql is None:
                     return m.group(0)  # not a warehouse object (e.g. alias.column)
                 # catalog VIEW: expand by re-resolving its stored SQL
