@@ -608,3 +608,73 @@ def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "tok")
         .limit(50)
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+        FROM documents),
+    counts AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+    stats AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_total, CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM counts),
+    scored AS (
+        SELECT t.doc_id,
+               ROUND(LN((c.c + 1.0) / (s.n_total + s.vocab)), 6) AS lp
+        FROM toks t JOIN counts c ON t.tok = c.tok CROSS JOIN stats s)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(-lp AS DECIMAL(26,8))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_neg_logprob
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality signal: per-document average
+    negative log-probability under an add-one-smoothed UNIGRAM model of
+    the corpus itself (high = rare/garbled tokens, the filter axis CCNet
+    thresholds per language; the production variant scores against a
+    reference-corpus model — same plan, different count table).
+
+    Scale: one explode + one groupBy(tok) builds the count table; the
+    token stream re-joins it on tok (AQE picks broadcast while the vocab
+    fits, shuffle-hash beyond — vocabulary grows sub-linearly in corpus
+    size), then one groupBy(doc_id). No driver-side state. Determinism:
+    per-token log rounded to 6 decimals (the fn_math_suite-proven
+    cross-engine contract), then decimal-exact summation."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens_expr()).alias("tok"))
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    stats = counts.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("c") + 1.0) / (F.col("n_total") + F.col("vocab"))), 6
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum((-F.col("lp")).cast("decimal(26,8)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
