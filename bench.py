@@ -207,7 +207,9 @@ def main() -> None:
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
     timings, stddevs = _run_suite(spark, registry, sf_dir, iters)
     # if the host degraded DURING the suite (probe drift), the timings
-    # are contaminated — one bounded re-run, keep the faster suite
+    # are contaminated — one bounded re-run, keep the faster suite WITH
+    # the probe that accompanied it (mixing run A's timings with run B's
+    # probes would label contaminated numbers clean)
     suite_retried = False
     probe_mid = _cpu_calibration()
     if probe_mid > max(PROBE_DEGRADED_S, 1.5 * cpu_probe):
@@ -218,8 +220,9 @@ def main() -> None:
         )
         _settle(load_threshold, 60)
         t2, s2 = _run_suite(spark, registry, sf_dir, iters)
+        probe_retry = _cpu_calibration()
         if sum(t2.values()) < sum(timings.values()):
-            timings, stddevs = t2, s2
+            timings, stddevs, probe_mid = t2, s2, probe_retry
         suite_retried = True
 
     total = round(sum(timings.values()), 3)
@@ -247,7 +250,11 @@ def main() -> None:
                 # healthy box) — divide totals by probe ratio before
                 # comparing rounds
                 "cpu_probe_s": cpu_probe,
-                "probe_degraded": probe_degraded,
+                # probe measured right AFTER the kept suite — compare with
+                # cpu_probe_s to attribute drift to the reported timings
+                "cpu_probe_after_s": probe_mid,
+                "probe_degraded": probe_degraded
+                or probe_mid > max(PROBE_DEGRADED_S, 1.5 * cpu_probe),
                 "probe_retries": probe_retries,
                 "suite_retried": suite_retried,
             }
@@ -284,11 +291,14 @@ def main() -> None:
     if round(drift, 2) > 1.5:
         print(f"# sf1 probe drift {drift:.2f}x; re-running once", file=sys.stderr)
         _settle(load_threshold, 60)
-        probe_before = _cpu_calibration()
+        pb2 = _cpu_calibration()
         t1b, s1b = _run_suite(spark, registry, d, sf1_iters)
-        probe_after = _cpu_calibration()
+        pa2 = _cpu_calibration()
         if sum(t1b.values()) < sum(t1.values()):
-            t1, s1 = t1b, s1b
+            # keep timings AND their own probe pair together — reporting
+            # the retry's clean probes next to the first run's timings
+            # would mislabel contaminated numbers as trustworthy
+            t1, s1, probe_before, probe_after = t1b, s1b, pb2, pa2
         drift = max(probe_before, probe_after) / max(cpu_probe, 1e-9)
         sf1_retried = True
     scaling = {

@@ -414,7 +414,12 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, wh_root: str):
         "ann", "ivf_centroids", "cell int, ce array<double>, nce double",
         if_not_exists=True,
     )
-    if idx.current_snapshot_id():
+    # complete build = BOTH tables committed; a crash between the two
+    # writes must not leave a half-built index that a retry then doubles
+    # (duplicated centroids corrupt probe selection silently), so the
+    # guard checks both and the writes are OVERWRITEs — unconditional
+    # whole-table replacement, idempotent under any retry interleaving
+    if idx.current_snapshot_id() and cent.current_snapshot_id():
         return wh
     cells, scored = _ivf_scored(spark, sf_dir)
     best = scored.groupBy("vec_id").agg(
@@ -422,10 +427,10 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, wh_root: str):
         F.first("e").alias("e"),
     )
     assign = best.select("vec_id", F.col("b.cell").alias("cell"), "e")
-    cent.append(cells.select("cell", "ce", "nce"))
+    cent.overwrite(cells.select("cell", "ce", "nce"))
     # one file per cell: repartition on the partition column so each hive
     # dir holds a single parquet file (tight NPROBE/K_COARSE read ratio)
-    idx.append(assign.repartition("cell"))
+    idx.overwrite(assign.repartition("cell"))
     return wh
 
 

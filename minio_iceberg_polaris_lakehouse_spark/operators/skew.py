@@ -19,21 +19,34 @@ from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
 SALT_BUCKETS = 16
 
 
+def _content_salt(df: DataFrame, buckets: int) -> Column:
+    """Deterministic row-content salt: xxhash64 over every column, with
+    map-typed columns routed through to_json (Spark's hash functions
+    reject MapType — a raw xxhash64(*all_cols) would fail analysis on
+    any frame carrying a map). Stable across task retries and stage
+    re-computation, unlike a monotonically_increasing_id salt."""
+    cols = [
+        F.to_json(F.col(c)) if t.startswith("map") else F.col(c)
+        for c, t in df.dtypes
+    ]
+    return F.pmod(F.xxhash64(*cols), F.lit(buckets))
+
+
 def salted_sum(df: DataFrame, key: str, value: Column, alias: str, buckets: int = SALT_BUCKETS) -> DataFrame:
     """Two-phase skew-proof SUM: phase 1 aggregates on (key, salt) —
     spreading a hot key over `buckets` reducers — phase 2 merges the
     per-salt partials. Exact because the accumulator is DECIMAL.
 
-    The salt is CONTENT-DERIVED (xxhash64 of every column), so it is
-    stable across task retries and stage re-computation — a
+    The salt is CONTENT-DERIVED (_content_salt), so it is stable across
+    task retries and stage re-computation — a
     monotonically_increasing_id-based salt would re-deal rows to
     different buckets on retry, which is only safe for commutative
     aggregates and a foot-gun in a public helper. Identical rows land
-    in the same bucket, which still spreads a hot KEY: a hot key's rows
-    differ in their other columns, which is what the hash covers."""
-    salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
-    )
+    in the same bucket, which still spreads a hot KEY whose rows differ
+    in their other columns; a hot key of FULLY identical rows (pure
+    duplicate counting) keeps one bucket — pre-aggregate duplicates
+    first for that shape."""
+    salted = df.withColumn("_salt", _content_salt(df, buckets))
     partial = salted.groupBy(key, "_salt").agg(
         F.sum(value.cast("decimal(26,8)")).alias("_partial"), F.count("*").alias("_n")
     )
@@ -70,9 +83,7 @@ def salted_join(
     """Skewed fact⋈dim join when dim is too big to broadcast: salt the fact
     side, replicate the dim side across all salts — hot fact keys spread
     over `buckets` tasks at the cost of buckets× dim shuffle volume."""
-    salted_facts = facts.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(buckets))
-    )
+    salted_facts = facts.withColumn("_salt", _content_salt(facts, buckets))
     replicated_dim = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )

@@ -127,7 +127,10 @@ def append_iceberg_table(
         if not name.endswith(".parquet"):
             continue
         p = os.path.join(out_dir, name)
-        pf = pq.ParquetFile(p)
+        # footers through the fsio facade (same pattern as the engine's
+        # _parquet_footer_stats) so scheme:// table roots work — a raw
+        # local open would die AFTER the distributed write landed files
+        pf = pq.ParquetFile(fsio.open_binary(p))
         files.append((p, pf.metadata.num_rows, fsio.getsize(p)))
     added_rows = sum(r for _, r, _ in files)
 
@@ -195,8 +198,12 @@ def append_iceberg_table(
     # manifest list: every manifest the parent referenced (read above),
     # plus ours — existing records pass through with their own sequence
     # numbers, so older files keep their data sequence (equality-delete
-    # applicability is preserved) and delete manifests stay in force
-    list_path = os.path.join(mdir, f"snap-{snapshot_id}-manifest-list.avro")
+    # applicability is preserved) and delete manifests stay in force.
+    # The filename carries a per-writer uuid: two writers staging from
+    # the same base both compute the same snapshot_id, and a shared name
+    # would let the CAS loser overwrite the winner's committed list
+    stage_id = uuid.uuid4().hex[:12]
+    list_path = os.path.join(mdir, f"snap-{snapshot_id}-{stage_id}-manifest-list.avro")
     avro_io.write_container(
         list_path,
         _MANIFEST_LIST_SCHEMA,
@@ -204,7 +211,10 @@ def append_iceberg_table(
         + [
             {
                 "manifest_path": man_path,
-                "manifest_length": 1,
+                # real byte size: Iceberg core passes manifest_length to
+                # newInputFile(path, length) — a fake value breaks any
+                # real reader's ranged manifest fetch
+                "manifest_length": fsio.getsize(man_path),
                 "partition_spec_id": 0,
                 "content": 0,
                 "sequence_number": seq,
@@ -253,9 +263,20 @@ def append_iceberg_table(
         refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
         new_md["refs"] = refs
 
-    m = re.fullmatch(r"v(\d+)\.metadata\.json", os.path.basename(md_path))
+    m = re.fullmatch(r"v(\d+)(?:-[0-9a-f]+)?\.metadata\.json", os.path.basename(md_path))
     version = (int(m.group(1)) if m else 0) + 1
-    new_path = os.path.join(mdir, f"v{version}.metadata.json")
+    if update_hint:
+        # single-writer filesystem mode: the hint convention demands the
+        # exact vN name
+        new_path = os.path.join(mdir, f"v{version}.metadata.json")
+    else:
+        # CAS mode: two writers staging from the same base both compute
+        # version N+1 — a shared name would let the 409 loser's atomic
+        # rename REPLACE the winner's committed metadata (lost update
+        # behind a consistent-looking pointer). Per-writer uuid in the
+        # name (real Iceberg's 00005-<uuid>.metadata.json shape); the
+        # catalog pointer, not the filename, is the authority.
+        new_path = os.path.join(mdir, f"v{version}-{stage_id}.metadata.json")
     fsio.write_bytes_atomic(
         new_path, json.dumps(new_md).encode(), uuid.uuid4().hex
     )

@@ -448,7 +448,13 @@ class LakehouseSQL:
                         raise WarehouseError(
                             f"metadata tables are not available on foreign table {ns}.{tbl}"
                         )
-                    view = f"_lh_foreign_{ns}__{tbl}"
+                    # '__' also occurs inside identifiers (a__b.c vs
+                    # a.b__c would share a name); a digest of the exact
+                    # (ns, tbl) pair makes the view collision-proof
+                    import hashlib as _hl
+
+                    pair = _hl.sha1(f"{ns}\x00{tbl}".encode()).hexdigest()[:8]
+                    view = f"_lh_foreign_{ns}__{tbl}_{pair}"
                     if m.group("ver") is not None:
                         df = read_iceberg_table(
                             self.spark, floc, snapshot_id=int(m.group("ver"))

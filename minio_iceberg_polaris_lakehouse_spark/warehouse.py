@@ -249,6 +249,12 @@ class Warehouse:
     ) -> None:
         if Table(self, ns, name).exists():
             raise WarehouseError(f"{ns}.{name} is a table, not a view")
+        if f"{ns}.{name}" in self.foreign_tables():
+            # SELECT resolution checks foreign registrations BEFORE view
+            # definitions — a view under this name would be silently
+            # shadowed, never an error (same ambiguity the table/view
+            # guards reject outright)
+            raise WarehouseError(f"{ns}.{name} is a registered foreign table")
         views = self.views()
         key = f"{ns}.{name}"
         if key in views and not replace:
@@ -290,6 +296,8 @@ class Warehouse:
             raise WarehouseError(f"view {new_key} exists")
         if Table(self, ns, new_name).exists():
             raise WarehouseError(f"{new_key} is a table, not a view")
+        if new_key in self.foreign_tables():
+            raise WarehouseError(f"{new_key} is a registered foreign table")
         views[new_key] = views.pop(key)
         _atomic_write_json(self._views_path(), {"views": views})
 
