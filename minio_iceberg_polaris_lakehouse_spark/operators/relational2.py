@@ -79,9 +79,19 @@ def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) self-join: event pairs of the same user within 60
-    seconds. Implemented as bucketed equality join: each event joins its
-    own and the next 60s bucket, residual |Δt| filter after — linear in
-    (events per user·minute)², never a full inequality join."""
+    seconds. Implemented as bucketed equality join with a residual Δt
+    filter — linear in (events per user·minute)², never a full
+    inequality join.
+
+    Orientation is by TIME, not id: for any in-window pair the LATER
+    event's 60 s bucket is the earlier's own or the next one (floor is
+    monotone and Δt ≤ one bucket width), so the exploded side emits TWO
+    candidate buckets instead of the ±1 three of an id-oriented pairing
+    — 1/3 fewer candidate rows through the join, same exactly-once
+    match guarantee. Each unordered pair has exactly one strict
+    (time, id)-lexicographic orientation, so the per-user pair COUNT
+    equals the oracle's a_id < b_id formulation (this was the worst sf1
+    scaler at 3.96×/10×; the candidate stream is the scaling term)."""
     # integer MICROSECONDS end to end: double seconds put pairs near the
     # exact 60s boundary at the mercy of a ~0.25µs ulp, where the
     # oracle's timestamp arithmetic is exact
@@ -92,24 +102,24 @@ def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
     bucket = F.floor(F.col("us") / 60_000_000)
-    left = e.select(
+    earlier = e.select(
         "user_id",
         F.col("event_id").alias("a_id"),
         F.col("us").alias("a_us"),
-        F.explode(F.array(bucket, bucket + 1, bucket - 1)).alias("bucket"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
     )
-    right = e.select(
+    later = e.select(
         "user_id",
         F.col("event_id").alias("b_id"),
         F.col("us").alias("b_us"),
         F.floor(F.col("us") / 60_000_000).alias("bucket"),
     )
-    # each unordered pair matches exactly once: the right side carries a
-    # single bucket, the left's 3 candidate buckets hit it at most once,
-    # and a_id < b_id picks one orientation — no dedup pass needed
-    pairs = left.join(right, ["user_id", "bucket"]).filter(
-        (F.col("a_id") < F.col("b_id"))
-        & (F.abs(F.col("b_us") - F.col("a_us")) <= 60_000_000)
+    pairs = earlier.join(later, ["user_id", "bucket"]).filter(
+        (
+            (F.col("b_us") > F.col("a_us"))
+            | ((F.col("b_us") == F.col("a_us")) & (F.col("b_id") > F.col("a_id")))
+        )
+        & (F.col("b_us") - F.col("a_us") <= 60_000_000)
     )
     return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs")).orderBy("user_id")
 
