@@ -678,3 +678,88 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+        FROM documents),
+    toks AS (
+        SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+        FROM docs),
+    vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM toks),
+    pairs AS (
+        SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM pairs GROUP BY w1, w2),
+    hist AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    scored AS (
+        SELECT p.doc_id,
+               ROUND(LN((b.c12 + 1.0) / (h.c1 + v.v)), 6) AS lp
+        FROM pairs p
+        JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+        JOIN hist h ON p.w1 = h.w1
+        CROSS JOIN vocab v)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(-lp AS DECIMAL(26,8))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_neg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality signal (one step closer to CCNet's KenLM
+    filter than the unigram variant): per-document average negative
+    log-probability of each token given its predecessor, add-one
+    smoothed — P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V).
+
+    Scale: consecutive pairs come from arrays_zip over two slices of
+    the token array — pure JVM per-row work, NO positional self-join
+    (the oracle's pos+1 join shape would shuffle the whole token stream
+    twice); then one groupBy for bigram counts (history counts fold
+    from them) and one re-join of the pair stream. Documents under two
+    tokens drop out (no bigrams), matching the oracle. Determinism:
+    6-decimal per-pair log rounding + decimal summation, as in
+    text_unigram_logprob."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens_expr().alias("toks"))
+        .withColumn("w1s", F.expr("slice(toks, 1, size(toks)-1)"))
+        .withColumn("w2s", F.expr("slice(toks, 2, size(toks)-1)"))
+    )
+    pairs = docs.select(
+        "doc_id", F.explode(F.arrays_zip("w1s", "w2s")).alias("pr")
+    ).select(
+        "doc_id", F.col("pr.w1s").alias("w1"), F.col("pr.w2s").alias("w2")
+    )
+    vocab = (
+        docs.select(F.explode("toks").alias("tok"))
+        .agg(F.countDistinct("tok").cast("long").alias("v"))
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    hist = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    scored = (
+        pairs.join(big, ["w1", "w2"])
+        .join(hist, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))), 6
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum((-F.col("lp")).cast("decimal(26,8)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
