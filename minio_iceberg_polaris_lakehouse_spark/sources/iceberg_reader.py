@@ -271,6 +271,100 @@ def read_iceberg_table(
     return out.drop("__file", "__pos", "__seq")
 
 
+def incremental_read_iceberg_table(
+    spark: SparkSession,
+    location: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Iceberg-style incremental APPEND scan over a FOREIGN table's open
+    metadata: the rows added by snapshots (from, to] — the manifests
+    present in `to`'s manifest list but not in `from`'s, read with the
+    same field-id schema alignment as the full scan. The
+    change-consumption primitive a downstream pipeline polls, O(new
+    data), never a rescan.
+
+    Mirrors warehouse.Table.incremental_scan's contract exactly:
+    - a missing `from` snapshot raises SnapshotNotFoundError-equivalent
+      (ValueError here; the streaming source maps it) — an expired
+      checkpoint must fail loudly, not silently skip;
+    - an interval that REMOVES a manifest (rewrite/compaction/overwrite)
+      or ADDS delete manifests is not expressible as pure appends and
+      raises — the consumer falls back to a full re-read."""
+    md = json.loads(fsio.read_text(resolve_metadata_path(location)))
+    snaps = md.get("snapshots", [])
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    if from_snapshot_id not in by_id:
+        raise ValueError(f"snapshot {from_snapshot_id} not found at {location}")
+    if to_snapshot_id is None:
+        to_snapshot_id = md.get("current-snapshot-id")
+    if to_snapshot_id not in by_id:
+        raise ValueError(f"snapshot {to_snapshot_id} not found at {location}")
+    schemas = {s["schema-id"]: s for s in md.get("schemas", [])}
+    target_sid = by_id[to_snapshot_id].get("schema-id", md["current-schema-id"])
+    target = schemas[target_sid]
+    if to_snapshot_id == from_snapshot_id:
+        return spark.createDataFrame([], _struct(target))
+
+    def _mans(snap) -> dict[str, dict]:
+        _s, _m, recs = avro_io.read_container(snap["manifest-list"])
+        return {r["manifest_path"]: r for r in recs}
+
+    base = _mans(by_id[from_snapshot_id])
+    head = _mans(by_id[to_snapshot_id])
+    removed = [p for p in base if p not in head]
+    if removed:
+        raise ValueError(
+            f"incremental scan crosses replacing snapshot(s): manifests "
+            f"removed {removed[:3]}{'…' if len(removed) > 3 else ''} — data "
+            "was rewritten; fall back to a full scan"
+        )
+    added = [r for p, r in head.items() if p not in base]
+    if any(r.get("content") == 1 for r in added):
+        raise ValueError(
+            "incremental scan crosses row-level DELETEs — not expressible "
+            "as pure appends; fall back to a full scan"
+        )
+
+    parts: list[DataFrame] = []
+    for man in added:
+        _s2, m2, entries = avro_io.read_container(man["manifest_path"])
+        live = [e for e in entries if e.get("status") != 2]
+        emb = m2.get("schema")
+        fschema = (
+            json.loads(emb.decode() if isinstance(emb, bytes) else emb)
+            if emb is not None
+            else target
+        )
+        files = [e["data_file"]["file_path"] for e in live]
+        if not files:
+            continue
+        df = spark.read.schema(_struct(fschema)).parquet(*files)
+        by_fid = {f["id"]: f for f in fschema["fields"]}
+        cols = []
+        for f in target["fields"]:
+            src = by_fid.get(f["id"])
+            out_t = _spark_type(f["type"])
+            if src is None:
+                cols.append(F.lit(None).cast(out_t).alias(f["name"]))
+            elif src["type"] == f["type"]:
+                cols.append(F.col(src["name"]).alias(f["name"]))
+            elif _legal_promotion(src["type"], f["type"]):
+                cols.append(F.col(src["name"]).cast(out_t).alias(f["name"]))
+            else:
+                raise ValueError(
+                    f"illegal type change for field id {f['id']}: "
+                    f"{src['type']!r} -> {f['type']!r}"
+                )
+        parts.append(df.select(*cols))
+    if not parts:
+        return spark.createDataFrame([], _struct(target))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _apply_eq_delete(
     spark: SparkSession, out: DataFrame, rec: dict, target: dict
 ) -> DataFrame:
