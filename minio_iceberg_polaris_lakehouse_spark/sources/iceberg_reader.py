@@ -365,6 +365,193 @@ def incremental_read_iceberg_table(
     return out
 
 
+def changes_iceberg_table(
+    spark: SparkSession,
+    location: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """CDC changelog over a FOREIGN table's open metadata — the consumer
+    twin of warehouse.Table.changes for tables this engine didn't write
+    (a Flink/CDC-fed Iceberg table consumed into a bronze→silver
+    pipeline). Returns the interval's row-level changes tagged
+    `_change_type` ('insert' | 'delete') and `_commit_snapshot_id`
+    (the snapshot whose manifest-list diff introduced the change).
+
+    Scope and guarantees:
+    - appended data manifests → 'insert' rows (field-id aligned);
+    - added POSITIONAL delete manifests → the deleted rows re-read from
+      their data files and emitted as 'delete' (the tombstone side
+      broadcast);
+    - an interval that REMOVES a manifest (rewrite/compaction) or adds
+      EQUALITY deletes raises — emitting those as row-level changes
+      needs the engine's private lineage, and guessing silently would
+      corrupt a downstream MERGE. The caller falls back to a full
+      re-sync."""
+    md = json.loads(fsio.read_text(resolve_metadata_path(location)))
+    snaps = sorted(md.get("snapshots", []), key=lambda s: s["snapshot-id"])
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    if from_snapshot_id not in by_id:
+        raise ValueError(f"snapshot {from_snapshot_id} not found at {location}")
+    if to_snapshot_id is None:
+        to_snapshot_id = md.get("current-snapshot-id")
+    if to_snapshot_id not in by_id:
+        raise ValueError(f"snapshot {to_snapshot_id} not found at {location}")
+    schemas = {s["schema-id"]: s for s in md.get("schemas", [])}
+    target = schemas[by_id[to_snapshot_id].get("schema-id", md["current-schema-id"])]
+    out_schema = T.StructType(
+        _struct(target).fields
+        + [
+            T.StructField("_change_type", T.StringType(), False),
+            T.StructField("_commit_snapshot_id", T.LongType(), False),
+        ]
+    )
+    interval = [
+        s for s in snaps if from_snapshot_id < s["snapshot-id"] <= to_snapshot_id
+    ]
+    if not interval:
+        return spark.createDataFrame([], out_schema)
+
+    def _mans(snap) -> dict[str, dict]:
+        _s, _m, recs = avro_io.read_container(snap["manifest-list"])
+        return {r["manifest_path"]: r for r in recs}
+
+    def _aligned(fschema: dict, files: list[str], with_pos: bool) -> DataFrame:
+        df = spark.read.schema(_struct(fschema)).parquet(*files)
+        by_fid = {f["id"]: f for f in fschema["fields"]}
+        cols = []
+        for f in target["fields"]:
+            src = by_fid.get(f["id"])
+            out_t = _spark_type(f["type"])
+            if src is None:
+                cols.append(F.lit(None).cast(out_t).alias(f["name"]))
+            elif src["type"] == f["type"] or _legal_promotion(src["type"], f["type"]):
+                cols.append(F.col(src["name"]).cast(out_t).alias(f["name"]))
+            else:
+                raise ValueError(
+                    f"illegal type change for field id {f['id']}: "
+                    f"{src['type']!r} -> {f['type']!r}"
+                )
+        extra = (
+            [
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""
+                ).alias("__file"),
+                F.col("_metadata.row_index").alias("__pos"),
+            ]
+            if with_pos
+            else []
+        )
+        return df.select(*cols, *extra)
+
+    def _manifest_schema(m2: dict) -> dict:
+        emb = m2.get("schema")
+        if emb is None:
+            return target
+        return json.loads(emb.decode() if isinstance(emb, bytes) else emb)
+
+    # data files present at any point, by path → their schema generation
+    # (for re-reading rows a later positional delete tombstones)
+    file_schema: dict[str, dict] = {}
+    prev = _mans(by_id[from_snapshot_id])
+    for p, rec in prev.items():
+        if rec.get("content") == 0:
+            _s2, m2, entries = avro_io.read_container(p)
+            fs = _manifest_schema(m2)
+            for e in entries:
+                if e.get("status") != 2 and e["data_file"].get("content", 0) == 0:
+                    file_schema[e["data_file"]["file_path"]] = fs
+
+    parts: list[DataFrame] = []
+    for snap in interval:
+        sid = snap["snapshot-id"]
+        cur = _mans(snap)
+        removed = [p for p in prev if p not in cur]
+        if removed:
+            raise ValueError(
+                f"changelog crosses replacing snapshot {sid}: manifests "
+                "removed — data was rewritten; full re-sync required"
+            )
+        for p, rec in cur.items():
+            if p in prev:
+                continue
+            _s2, m2, entries = avro_io.read_container(p)
+            live = [e for e in entries if e.get("status") != 2]
+            fs = _manifest_schema(m2)
+            if rec.get("content") == 0:
+                files = []
+                for e in live:
+                    files.append(e["data_file"]["file_path"])
+                    file_schema[e["data_file"]["file_path"]] = fs
+                if files:
+                    parts.append(
+                        _aligned(fs, files, with_pos=False).select(
+                            "*",
+                            F.lit("insert").alias("_change_type"),
+                            F.lit(sid).cast("long").alias("_commit_snapshot_id"),
+                        )
+                    )
+            else:
+                eq = [e for e in live if e["data_file"].get("content") == 2]
+                if eq:
+                    raise ValueError(
+                        f"changelog crosses EQUALITY deletes in snapshot {sid} "
+                        "— not derivable from open metadata alone; full "
+                        "re-sync required"
+                    )
+                del_files = [e["data_file"]["file_path"] for e in live]
+                if not del_files:
+                    continue
+                tombs = (
+                    spark.read.parquet(*del_files)
+                    .select(
+                        F.regexp_replace(
+                            F.col("file_path"), "^file:(//)?", ""
+                        ).alias("__file"),
+                        F.col("pos").alias("__pos"),
+                    )
+                    .dropDuplicates(["__file", "__pos"])
+                )
+                # the tombstoned data files, re-read under their own
+                # schema generation; semi-join keeps only deleted rows
+                targets = sorted(
+                    {
+                        r["__file"]
+                        for r in tombs.select("__file").distinct().collect()
+                    }
+                )
+                by_gen: dict[str, tuple[dict, list[str]]] = {}
+                for fpath in targets:
+                    fs2 = file_schema.get(fpath)
+                    if fs2 is None:
+                        raise ValueError(
+                            f"delete file in snapshot {sid} targets unknown "
+                            f"data file {fpath}"
+                        )
+                    key = json.dumps(fs2, sort_keys=True)
+                    by_gen.setdefault(key, (fs2, []))[1].append(fpath)
+                for fs2, fpaths in by_gen.values():
+                    deleted = (
+                        _aligned(fs2, fpaths, with_pos=True)
+                        .join(F.broadcast(tombs), ["__file", "__pos"], "left_semi")
+                        .drop("__file", "__pos")
+                    )
+                    parts.append(
+                        deleted.select(
+                            "*",
+                            F.lit("delete").alias("_change_type"),
+                            F.lit(sid).cast("long").alias("_commit_snapshot_id"),
+                        )
+                    )
+        prev = cur
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _apply_eq_delete(
     spark: SparkSession, out: DataFrame, rec: dict, target: dict
 ) -> DataFrame:
