@@ -391,7 +391,9 @@ def changes_iceberg_table(
     md = json.loads(fsio.read_text(resolve_metadata_path(location)))
     snaps = sorted(md.get("snapshots", []), key=lambda s: s["snapshot-id"])
     by_id = {s["snapshot-id"]: s for s in snaps}
-    if from_snapshot_id not in by_id:
+    # from=0 is the virtual before-first snapshot: the FULL changelog
+    # replay (every snapshot's manifests diff against an empty base)
+    if from_snapshot_id != 0 and from_snapshot_id not in by_id:
         raise ValueError(f"snapshot {from_snapshot_id} not found at {location}")
     if to_snapshot_id is None:
         to_snapshot_id = md.get("current-snapshot-id")
@@ -453,7 +455,7 @@ def changes_iceberg_table(
     # data files present at any point, by path → their schema generation
     # (for re-reading rows a later positional delete tombstones)
     file_schema: dict[str, dict] = {}
-    prev = _mans(by_id[from_snapshot_id])
+    prev = _mans(by_id[from_snapshot_id]) if from_snapshot_id != 0 else {}
     for p, rec in prev.items():
         if rec.get("content") == 0:
             _s2, m2, entries = avro_io.read_container(p)

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from minio_iceberg_polaris_lakehouse_spark import fsio
 from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+    changes_iceberg_table,
     incremental_read_iceberg_table,
     read_iceberg_table,
     resolve_metadata_path,
@@ -45,9 +46,13 @@ class ForeignTableStream:
         location: str,
         from_snapshot_id: int | None = None,
         checkpoint_path: str | None = None,
+        mode: str = "append",
     ):
+        if mode not in ("append", "cdc"):
+            raise WarehouseError(f"stream mode must be 'append' or 'cdc', not {mode!r}")
         self.spark = spark
         self.location = location
+        self.mode = mode
         self.checkpoint_path = checkpoint_path
         self._pending: tuple[int, bool] | None = None
         restored = self._restore()
@@ -93,15 +98,27 @@ class ForeignTableStream:
         if cur is None:
             return None
         if self._initial_pending:
-            df = read_iceberg_table(self.spark, self.location)
+            # append mode: the table's current contents; cdc mode: the
+            # FULL changelog replay (inserts AND historical deletes, so a
+            # downstream MERGE reconstructs current state exactly —
+            # TableStream's cdc contract)
+            df = (
+                changes_iceberg_table(self.spark, self.location, 0, cur)
+                if self.mode == "cdc"
+                else read_iceberg_table(self.spark, self.location)
+            )
             out = (df, 0, cur)
             self._ack(cur, initial=True) if commit else self._stage(cur, initial=True)
             return out
         if cur == self._last:
             return None
         try:
-            df = incremental_read_iceberg_table(
-                self.spark, self.location, self._last, cur
+            df = (
+                changes_iceberg_table(self.spark, self.location, self._last, cur)
+                if self.mode == "cdc"
+                else incremental_read_iceberg_table(
+                    self.spark, self.location, self._last, cur
+                )
             )
         except ValueError as e:
             if "not found" in str(e):

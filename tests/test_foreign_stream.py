@@ -262,3 +262,27 @@ def test_foreign_changes_schema_evolution(spark, tmp_path):
     assert [(r.id, r.name, r.contact, r._change_type) for r in got.collect()] == [
         (2, "y", "y@e.com", "insert")
     ]
+
+
+def test_foreign_cdc_stream_full_replay_then_increments(spark, tmp_path):
+    """mode='cdc': the initial batch is the FULL changelog replay
+    (inserts + historical deletes), then per-poll interval changelogs —
+    the bronze→silver consumption pattern over a foreign table."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = wh.create_table(
+        "db", "fc", "id int, v string",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert_values([(1, "a"), (2, "b")])   # snap 1
+    t.delete_where("id = 1")                # snap 2
+    s = ForeignTableStream(
+        spark, t.path, checkpoint_path=str(tmp_path / "c.json"), mode="cdc"
+    )
+    df, frm, cur = s.poll()
+    got = sorted((r.id, r._change_type, r._commit_snapshot_id) for r in df.collect())
+    assert got == [(1, "delete", 2), (1, "insert", 1), (2, "insert", 1)]
+    t.insert_values([(3, "c")])             # snap 3
+    t.delete_where("id = 2")                # snap 4
+    df2, _, _ = s.poll()
+    got2 = sorted((r.id, r._change_type) for r in df2.collect())
+    assert got2 == [(2, "delete"), (3, "insert")]
