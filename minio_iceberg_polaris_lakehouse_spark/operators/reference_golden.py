@@ -180,6 +180,15 @@ def _lake(spark: SparkSession):
         "CALL polaris.system.register_table(table => 'ext_db.mirror', "
         f"metadata_file => '{ext_path}')"
     )
+    # foreign-CDC fixture: a merge-on-read table whose changelog is later
+    # consumed from the OPEN metadata alone (ref_foreign_changes)
+    lake.sql(
+        "CREATE TABLE IF NOT EXISTS polaris.test_db.cdc_src (id INT, v STRING) "
+        "USING ICEBERG TBLPROPERTIES ('write.delete.mode'='merge-on-read')"
+    )
+    lake.sql("INSERT INTO polaris.test_db.cdc_src VALUES (1, 'a'), (2, 'b')")
+    lake.sql("INSERT INTO polaris.test_db.cdc_src VALUES (3, 'c')")
+    lake.sql("DELETE FROM polaris.test_db.cdc_src WHERE id = 2")
     _LAKES[key] = lake
     return lake
 
@@ -544,6 +553,34 @@ def ref_external_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake = _lake(spark)
     tab = lake.wh.table("test_db", "ext_read")
     return read_iceberg_table(spark, tab.path).orderBy(F.col("id"))
+
+
+@register(
+    "ref_foreign_changes",
+    oracle="""
+    SELECT * FROM (VALUES
+        (2, 'b', 'delete', CAST(3 AS BIGINT)),
+        (3, 'c', 'insert', CAST(2 AS BIGINT)))
+        AS c(id, v, _change_type, _commit_snapshot_id)
+    ORDER BY _commit_snapshot_id, id
+    """,
+)
+def ref_foreign_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog consumed from the OPEN metadata alone
+    (sources/iceberg_reader.changes_iceberg_table): the cdc_src fixture
+    committed insert(1,2) → insert(3) → MOR-delete(2); the changelog
+    from snapshot 1 tags (3,insert @2) and (2,delete @3) — the
+    bronze→silver consumption pattern over any Iceberg table, no
+    private snapshot log involved."""
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        changes_iceberg_table,
+    )
+
+    lake = _lake(spark)
+    tab = lake.wh.table("test_db", "cdc_src")
+    return changes_iceberg_table(spark, tab.path, 1).orderBy(
+        "_commit_snapshot_id", "id"
+    )
 
 
 @register(
