@@ -172,6 +172,7 @@ def all_queries() -> dict[str, Query]:
     import minio_iceberg_polaris_lakehouse_spark.functions.scalars  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.functions.udfs  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.streaming.windows  # noqa: F401
+    import minio_iceberg_polaris_lakehouse_spark.multimodal.audio  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.multimodal.binary  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in _REGISTRY]
