@@ -609,3 +609,40 @@ def ref_register_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY m.id
         """
     )
+
+
+@register(
+    "ref_foreign_metadata",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(NULL AS BIGINT), 'append', CAST(3 AS BIGINT), CAST(1 AS BIGINT), TRUE),
+        (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'delete', CAST(3 AS BIGINT), CAST(1 AS BIGINT), TRUE),
+        (CAST(3 AS BIGINT), CAST(2 AS BIGINT), 'append', CAST(3 AS BIGINT), CAST(1 AS BIGINT), TRUE))
+        AS e(snapshot_id, parent_id, operation, live_records, tombstones, is_current_ancestor)
+    ORDER BY snapshot_id
+    """,
+)
+def ref_foreign_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata tables on a REGISTERED foreign table, derived purely from
+    the open Iceberg metadata (reference README.md:169-178 "any engine"):
+    .snapshots (parent chain + operations from the summary), .files
+    (manifest-recorded record counts for data files and positional
+    tombstones), and .history's ancestry flag, joined in one SQL
+    statement over the ext_db.mirror registration — column-compatible
+    with the native metadata views, no private snapshot log touched."""
+    return _lake(spark).sql(
+        """
+        SELECT s.snapshot_id, s.parent_id, s.operation,
+               f.live_records, f.tombstones, h.is_current_ancestor
+        FROM ext_db.mirror.snapshots s
+        CROSS JOIN (
+            SELECT CAST(SUM(CASE WHEN content = 0 THEN record_count END) AS BIGINT)
+                       AS live_records,
+                   CAST(SUM(CASE WHEN content = 1 THEN record_count END) AS BIGINT)
+                       AS tombstones
+            FROM ext_db.mirror.files
+        ) f
+        JOIN ext_db.mirror.history h ON h.snapshot_id = s.snapshot_id
+        ORDER BY s.snapshot_id
+        """
+    )

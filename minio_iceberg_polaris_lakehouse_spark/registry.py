@@ -59,10 +59,17 @@ _PRIORITY: list[str] = [
     # uncapped local replica (tests/test_oracle_parity.py), which runs
     # the identical DuckDB comparison — the window buys driver-grade
     # evidence for never-checked queries without losing local coverage.
+    # Second r7 rotation (this session): nine MORE never-driver-checked
+    # oracle-backed queries took the slots of nine single-round (r06+)
+    # veterans whose operator families keep other in-window members —
+    # ref_select_star/ref_filter_gt/ref_filter_select (scan family still
+    # anchored by flagship + plan pins), win_ntile/win_first_last/
+    # win_cume_dist_percent_rank (four window queries remain),
+    # fn_case_when/fn_coalesce_nullif (three scalar suites remain),
+    # set_intersect (set_except remains). Incoming: the audio-codec
+    # trio, PQ ANN, mixture sampling, the LM log-prob quality scores,
+    # and both foreign-metadata goldens.
     "flagship_revenue_by_nation",
-    "ref_select_star",
-    "ref_filter_gt",
-    "ref_filter_select",
     # open-format consumer side: the standalone Iceberg metadata reader
     # over a fixture stacking schema evolution + compiled equality
     # deletes + key resurrection; r7 extends the reader to RAW foreign
@@ -72,6 +79,11 @@ _PRIORITY: list[str] = [
     # registered foreign name SELECTed and JOINed against a native table
     # (takes the slot of text_repetition_signals, 2 green rounds)
     "ref_register_foreign",
+    # NEW r7 session 2: .snapshots/.files/.history on a registered
+    # foreign table from open metadata alone, and the CDC changelog
+    # consumed from open metadata
+    "ref_foreign_metadata",
+    "ref_foreign_changes",
     # row-level MERGE with matched-THEN-DELETE branch (M1) — 2nd round
     "ref_merge_delete",
     # TPC-H shapes never driver-checked before r7 (q5/q9 veterans and
@@ -85,24 +97,18 @@ _PRIORITY: list[str] = [
     "rel_q22_idle_customers",
     # relational reshaping: UNPIVOT/stack — first driver slot
     "rel_unpivot",
-    # window functions (§2.5): all seven r6 first-timers keep their slots
+    # window functions (§2.5): four of the seven r6 first-timers hold
     # for a second green round
     "win_rank_dense_rank",
     "win_moving_avg",
-    "win_ntile",
-    "win_first_last",
-    "win_cume_dist_percent_rank",
     "win_lag_lead",
     "win_running_sum",
     # set operations (§2.7)
-    "set_intersect",
     "set_except",
     # scalar-function suites (F5): r6 first-timers hold for round 2
     "fn_array_suite",
     "fn_map_suite",
     "fn_bitwise_suite",
-    "fn_case_when",
-    "fn_coalesce_nullif",
     # streaming windows + event analytics (§2.12)
     "stream_sliding_window",
     "evt_click_purchase_funnel",
@@ -124,6 +130,8 @@ _PRIORITY: list[str] = [
     "sim_ann_ivf_indexed",
     "sim_ann_lsh",
     "sim_label_centroids",
+    # NEW r7 session 2: product-quantization ANN (recall-gated in-plan)
+    "sim_ann_pq",
     # X5 text analysis: r6 first-timers hold; lang-profile, stratified
     # sample, top-bigrams, sequence packing, vocab build get FIRST slots
     # (text_repetition_signals rested at 2 green rounds for the
@@ -137,6 +145,15 @@ _PRIORITY: list[str] = [
     "text_top_bigrams",
     "text_sequence_packing",
     "text_vocab_build",
+    # NEW r7 session 2: CCNet-style LM quality scores, mixture sampling,
+    # and the real-WAV audio trio (decode stats / chunk fan-out /
+    # resample) — all oracle-backed first-timers
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "text_mixture_sample",
+    "mm_audio_stats",
+    "mm_audio_chunks",
+    "mm_audio_resample",
 ]
 
 

@@ -594,3 +594,116 @@ def _apply_eq_delete(
     for _, tgt in pairs:
         cond = cond & out[tgt["name"]].eqNullSafe(F.col(f"__eq_{tgt['name']}"))
     return out.join(F.broadcast(keys), cond, "left_anti")
+
+
+# ---------------- metadata tables from the open metadata ----------------
+# The same .snapshots/.history/.files surface the engine's own tables
+# expose (warehouse.py:2357-2432), derived for FOREIGN tables purely from
+# the Iceberg metadata document + manifest Avros — column-compatible, so
+# SQL written against a native table's metadata views runs unchanged
+# after a register_table attach. Driver-side and O(manifests), like all
+# Iceberg metadata planning.
+
+
+def _ts(ms: int):
+    import datetime
+
+    return datetime.datetime.fromtimestamp(
+        ms / 1000, tz=datetime.timezone.utc
+    ).replace(tzinfo=None)
+
+
+def read_iceberg_snapshots(spark: SparkSession, location: str) -> DataFrame:
+    """`.snapshots` over open metadata: one row per snapshot in the
+    metadata document (committed_at, ids, operation from the summary,
+    manifest-list path, stringified summary)."""
+    md = json.loads(fsio.read_text(resolve_metadata_path(location)))
+    schema = (
+        "committed_at timestamp, snapshot_id bigint, parent_id bigint, "
+        "operation string, manifest_list string, summary map<string,string>"
+    )
+    rows = [
+        (
+            _ts(s["timestamp-ms"]),
+            int(s["snapshot-id"]),
+            (int(s["parent-snapshot-id"]) if s.get("parent-snapshot-id") is not None else None),
+            (s.get("summary") or {}).get("operation"),
+            s.get("manifest-list"),
+            {k: str(v) for k, v in (s.get("summary") or {}).items() if k != "operation"},
+        )
+        for s in md.get("snapshots", [])
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def read_iceberg_history(spark: SparkSession, location: str) -> DataFrame:
+    """`.history` over open metadata: the snapshot-log (when each
+    snapshot became current), flagged with main-lineage ancestry walked
+    from current-snapshot-id via parent pointers."""
+    md = json.loads(fsio.read_text(resolve_metadata_path(location)))
+    parents = {
+        int(s["snapshot-id"]): (
+            int(s["parent-snapshot-id"]) if s.get("parent-snapshot-id") is not None else None
+        )
+        for s in md.get("snapshots", [])
+    }
+    ancestors: set[int] = set()
+    cur = md.get("current-snapshot-id")
+    while cur is not None and cur not in ancestors:
+        ancestors.add(int(cur))
+        cur = parents.get(int(cur))
+    log = md.get("snapshot-log") or [
+        # a metadata doc without a snapshot-log (minimal writers) still
+        # has commit times on the snapshots themselves
+        {"timestamp-ms": s["timestamp-ms"], "snapshot-id": s["snapshot-id"]}
+        for s in md.get("snapshots", [])
+    ]
+    schema = (
+        "made_current_at timestamp, snapshot_id bigint, parent_id bigint, "
+        "is_current_ancestor boolean"
+    )
+    rows = [
+        (
+            _ts(e["timestamp-ms"]),
+            int(e["snapshot-id"]),
+            parents.get(int(e["snapshot-id"])),
+            int(e["snapshot-id"]) in ancestors,
+        )
+        for e in log
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def read_iceberg_files(spark: SparkSession, location: str) -> DataFrame:
+    """`.files` over open metadata: one row per live file entry of the
+    current snapshot's manifests — data files (content 0) and delete
+    files (content 1 positional / 2 equality), with the manifest-recorded
+    counts and sizes. No data file is opened."""
+    md = json.loads(fsio.read_text(resolve_metadata_path(location)))
+    cur = md.get("current-snapshot-id")
+    snap = next((s for s in md.get("snapshots", []) if s["snapshot-id"] == cur), None)
+    schema = (
+        "content int, file_path string, file_format string, spec_id int, "
+        "record_count bigint, file_size_in_bytes bigint"
+    )
+    if snap is None:
+        return spark.createDataFrame([], schema)
+    rows = []
+    _s, _m, manifests = avro_io.read_container(snap["manifest-list"])
+    for m in manifests:
+        _s2, _m2, entries = avro_io.read_container(m["manifest_path"])
+        for e in entries:
+            if e.get("status") == 2:  # DELETED entry — not live
+                continue
+            df_ = e["data_file"]
+            rows.append(
+                (
+                    int(df_.get("content") or 0),
+                    df_["file_path"],
+                    (df_.get("file_format") or "PARQUET"),
+                    int(m.get("partition_spec_id") or 0),
+                    int(df_.get("record_count") or 0),
+                    int(df_.get("file_size_in_bytes") or 0),
+                )
+            )
+    return spark.createDataFrame(rows, schema)

@@ -438,16 +438,18 @@ class LakehouseSQL:
                     # the open metadata reader at every reference, so
                     # foreign-writer commits are visible. Time travel
                     # rides the reader's own snapshot/timestamp support;
-                    # branch/tag refs and metadata tables are private
-                    # snapshot-log concepts the open metadata lacks.
+                    # .history/.snapshots/.files derive from the metadata
+                    # document + manifest Avros (column-compatible with
+                    # the native metadata views); branch/tag refs and the
+                    # remaining metadata tables are private snapshot-log
+                    # concepts the open metadata lacks.
                     from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+                        read_iceberg_files,
+                        read_iceberg_history,
+                        read_iceberg_snapshots,
                         read_iceberg_table,
                     )
 
-                    if m.group("meta"):
-                        raise WarehouseError(
-                            f"metadata tables are not available on foreign table {ns}.{tbl}"
-                        )
                     # '__' also occurs inside identifiers (a__b.c vs
                     # a.b__c would share a name); a digest of the exact
                     # (ns, tbl) pair makes the view collision-proof
@@ -455,6 +457,23 @@ class LakehouseSQL:
 
                     pair = _hl.sha1(f"{ns}\x00{tbl}".encode()).hexdigest()[:8]
                     view = f"_lh_foreign_{ns}__{tbl}_{pair}"
+                    if m.group("meta"):
+                        fmeta = m.group("meta").lstrip(".").lower()
+                        readers = {
+                            "history": read_iceberg_history,
+                            "snapshots": read_iceberg_snapshots,
+                            "files": read_iceberg_files,
+                        }
+                        if fmeta not in readers:
+                            raise WarehouseError(
+                                f".{fmeta} is not available on foreign table "
+                                f"{ns}.{tbl} (open metadata exposes "
+                                "history/snapshots/files)"
+                            )
+                        df = readers[fmeta](self.spark, floc)
+                        view += f"__{fmeta}"
+                        df.createOrReplaceTempView(view)
+                        return view
                     if m.group("ver") is not None:
                         df = read_iceberg_table(
                             self.spark, floc, snapshot_id=int(m.group("ver"))

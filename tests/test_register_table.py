@@ -119,3 +119,72 @@ def test_register_conflicts_and_guards(lake, spark, tmp_path):
     _register(lake, resolve_metadata_path(root), name="ext.pinned")
     with pytest.raises(WarehouseError, match="pinned"):
         lake.sql("INSERT INTO polaris.ext.pinned VALUES (9, 'x')")
+
+
+def test_foreign_metadata_tables_on_fixture(lake, spark, tmp_path):
+    """.snapshots/.history/.files on a registered foreign table, derived
+    purely from the open metadata: the hand-authored Flink-style fixture
+    (one snapshot, three manifests, raw delete files)."""
+    root = _build_foreign_table(tmp_path)
+    _register(lake, root)
+
+    snaps = lake.sql("SELECT * FROM ext.ft.snapshots").collect()
+    assert len(snaps) == 1
+    s = snaps[0]
+    assert s.snapshot_id == 3 and s.parent_id is None
+    assert s.manifest_list.endswith("snap-3-manifest-list.avro")
+
+    hist = lake.sql("SELECT * FROM ext.ft.history").collect()
+    assert [(h.snapshot_id, h.is_current_ancestor) for h in hist] == [(3, True)]
+
+    files = lake.sql(
+        "SELECT content, file_path, record_count FROM ext.ft.files ORDER BY file_path"
+    ).collect()
+    by_name = {f.file_path.rsplit("/", 1)[-1]: f for f in files}
+    assert set(by_name) == {"a.parquet", "b.parquet", "eqdel.parquet", "posdel.parquet"}
+    assert (by_name["a.parquet"].content, by_name["a.parquet"].record_count) == (0, 4)
+    assert (by_name["eqdel.parquet"].content, by_name["eqdel.parquet"].record_count) == (2, 2)
+    assert (by_name["posdel.parquet"].content, by_name["posdel.parquet"].record_count) == (1, 1)
+    assert by_name["b.parquet"].content == 0
+
+    # SQL aggregates compose over the metadata views
+    n = lake.sql(
+        "SELECT CAST(SUM(record_count) AS BIGINT) AS rc FROM ext.ft.files WHERE content = 0"
+    ).collect()[0].rc
+    assert n == 5
+
+    # metadata tables the open format can't provide fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(WarehouseError, match="refs"):
+        lake.sql("SELECT * FROM ext.ft.refs").collect()
+
+
+def test_foreign_metadata_tables_on_own_export(lake, spark, tmp_path):
+    """Against a multi-snapshot table THIS engine exported: column parity
+    with the native metadata views, parent chaining, ancestry flags."""
+    other = Warehouse(spark, str(tmp_path / "other_wh"))
+    t = other.create_table("db", "src", "id int, v string")
+    t.insert_values([(1, "a")])
+    t.insert_values([(2, "b")])
+    t.insert_values([(3, "c")])
+    _register(lake, t.path, name="mirror.src")
+
+    native_cols = t.snapshots().columns
+    snaps = lake.sql("SELECT * FROM mirror.src.snapshots ORDER BY snapshot_id")
+    assert snaps.columns == native_cols
+    rows = snaps.collect()
+    assert [r.snapshot_id for r in rows] == [1, 2, 3]
+    assert [r.parent_id for r in rows] == [None, 1, 2]
+    assert all(r.operation == "append" for r in rows)
+
+    hist = lake.sql("SELECT * FROM mirror.src.history ORDER BY snapshot_id")
+    assert hist.columns == t.history().columns
+    assert [(h.snapshot_id, h.parent_id, h.is_current_ancestor) for h in hist.collect()] == [
+        (1, None, True),
+        (2, 1, True),
+        (3, 2, True),
+    ]
+
+    files = lake.sql("SELECT * FROM mirror.src.files").collect()
+    assert sum(f.record_count for f in files if f.content == 0) == 3
