@@ -46,6 +46,16 @@ HEADLINE = [
     "sim_ann_ivf_topk",
 ]
 
+# r7-new operators, timed separately and reported under "extended" in the
+# headline JSON — NOT added to `value`, so round-over-round totals stay
+# comparable while the new operators' costs are still on record
+EXTENDED = [
+    "sim_ann_pq_topk",
+    "mm_audio_stats",
+    "text_mixture_sample",
+    "text_unigram_logprob",
+]
+
 
 def _machine_load() -> dict:
     """1/5/15-min load averages + running-process count. Published in the
@@ -226,6 +236,18 @@ def main() -> None:
         suite_retried = True
 
     total = round(sum(timings.values()), 3)
+    # extended (r7-new) operators: 1 warm-up + 2 timed iters each, min
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        q = registry[name]
+        q.spark(spark, sf_dir).count()
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.spark(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        extended[name] = round(min(runs), 3)
+        print(f"# extended {name}: min {extended[name]:.3f}s", file=sys.stderr)
     load_end = _machine_load()
     # HEADLINE FIRST: the driver stores raw output and r6's artifact was
     # tail-truncated, losing the JSON — everything after this line (the
@@ -240,6 +262,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended": extended,
                 "stddev": stddevs,
                 "iters": iters,
                 "sf": sf,

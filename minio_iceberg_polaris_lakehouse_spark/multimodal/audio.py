@@ -75,6 +75,17 @@ def doc_samples(payload: bytes) -> np.ndarray:
     return (tiled - 128) * 256
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow projection across the cluster before a Python codec
+    kernel: a small local parquet arrives as ONE split, which would run
+    the per-blob work serially. The repartition moves only (doc_id,
+    text) bytes — negligible next to codec cost — and at 100 TB the scan
+    already has natural splits, where this becomes a cheap no-op-shaped
+    rebalance rather than a correctness requirement."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
 def wav_assets_from_documents(df: DataFrame) -> DataFrame:
     """Asset table with REAL audio blobs: each document's payload is
     synthesized to PCM and WAV-encoded by the engine's codec, so the
@@ -95,7 +106,7 @@ def wav_assets_from_documents(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.select("doc_id", "text").mapInPandas(kernel, AUDIO_ASSET_SCHEMA)
+    return _spread(df.select("doc_id", "text")).mapInPandas(kernel, AUDIO_ASSET_SCHEMA)
 
 
 def decode_audio(assets: DataFrame) -> DataFrame:

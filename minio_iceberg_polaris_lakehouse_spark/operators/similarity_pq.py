@@ -147,6 +147,12 @@ def _pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e")
     )
+    # a small local parquet is ONE split — spread it so the encode kernel
+    # and the 8-way ADC fan-out parallelize (at 100 TB the scan has
+    # natural splits and this rebalance is noise next to kernel cost)
+    target = spark.sparkContext.defaultParallelism
+    if v.rdd.getNumPartitions() < target:
+        v = v.repartition(target)
     q_rows = v.filter(F.col("vec_id") < N_QUERIES).collect()  # metadata-sized
     queries = {int(r.vec_id): np.array(r.e) for r in q_rows}
     codes = v.select("vec_id", _encode_codes(books)(F.col("e")).alias("codes"))

@@ -133,13 +133,23 @@ def read_iceberg_table(
     location: str,
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Open the table at ``location`` (table dir / metadata dir /
-    metadata file) as a DataFrame; optional time travel by snapshot id
-    or timestamp (milliseconds)."""
+    metadata file) as a DataFrame; optional time travel by snapshot id,
+    timestamp (milliseconds), or a named branch/tag from the metadata
+    document's ``refs`` map (Iceberg's ref time travel — VERSION AS OF
+    'audit-2024' works on a foreign table exactly as on a native one)."""
     md = json.loads(fsio.read_text(resolve_metadata_path(location)))
     snaps = md.get("snapshots", [])
     schemas = {s["schema-id"]: s for s in md.get("schemas", [])}
+    if ref is not None:
+        if snapshot_id is not None or as_of_ms is not None:
+            raise ValueError("ref is exclusive with snapshot_id/as_of_ms")
+        rec = (md.get("refs") or {}).get(ref)
+        if rec is None:
+            raise ValueError(f"no branch or tag {ref!r} at {location}")
+        snapshot_id = int(rec["snapshot-id"])
     if snapshot_id is not None:
         snap = next((s for s in snaps if s["snapshot-id"] == snapshot_id), None)
         if snap is None:
@@ -706,4 +716,16 @@ def read_iceberg_files(spark: SparkSession, location: str) -> DataFrame:
                     int(df_.get("file_size_in_bytes") or 0),
                 )
             )
+    return spark.createDataFrame(rows, schema)
+
+
+def read_iceberg_refs(spark: SparkSession, location: str) -> DataFrame:
+    """`.refs` over open metadata: the metadata document's branch/tag
+    map (column-compatible with the native refs view)."""
+    md = json.loads(fsio.read_text(resolve_metadata_path(location)))
+    schema = "name string, type string, snapshot_id bigint"
+    rows = [
+        (name, str(rec.get("type", "branch")).upper(), int(rec["snapshot-id"]))
+        for name, rec in sorted((md.get("refs") or {}).items())
+    ]
     return spark.createDataFrame(rows, schema)

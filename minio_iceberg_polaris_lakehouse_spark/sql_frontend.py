@@ -446,6 +446,7 @@ class LakehouseSQL:
                     from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
                         read_iceberg_files,
                         read_iceberg_history,
+                        read_iceberg_refs,
                         read_iceberg_snapshots,
                         read_iceberg_table,
                     )
@@ -463,12 +464,13 @@ class LakehouseSQL:
                             "history": read_iceberg_history,
                             "snapshots": read_iceberg_snapshots,
                             "files": read_iceberg_files,
+                            "refs": read_iceberg_refs,
                         }
                         if fmeta not in readers:
                             raise WarehouseError(
                                 f".{fmeta} is not available on foreign table "
                                 f"{ns}.{tbl} (open metadata exposes "
-                                "history/snapshots/files)"
+                                "history/snapshots/files/refs)"
                             )
                         df = readers[fmeta](self.spark, floc)
                         view += f"__{fmeta}"
@@ -480,9 +482,10 @@ class LakehouseSQL:
                         )
                         view += f"__v{m.group('ver')}"
                     elif m.group("verref") is not None:
-                        raise WarehouseError(
-                            f"branch/tag time travel is not available on foreign table {ns}.{tbl}"
-                        )
+                        # named ref from the metadata document's refs map
+                        refname = literals[int(m.group("verref"))].strip("'")
+                        df = read_iceberg_table(self.spark, floc, ref=refname)
+                        view += f"__r{abs(hash(refname)) % 10**8}"
                     elif m.group("ts") is not None:
                         lit = literals[int(m.group("ts"))].strip("'")
                         ts = datetime.datetime.fromisoformat(lit)

@@ -153,11 +153,14 @@ def test_foreign_metadata_tables_on_fixture(lake, spark, tmp_path):
     ).collect()[0].rc
     assert n == 5
 
+    # a fixture without a refs map still lists an empty .refs view
+    assert lake.sql("SELECT * FROM ext.ft.refs").collect() == []
+
     # metadata tables the open format can't provide fail loudly
     import pytest as _pytest
 
-    with _pytest.raises(WarehouseError, match="refs"):
-        lake.sql("SELECT * FROM ext.ft.refs").collect()
+    with _pytest.raises(WarehouseError, match="partitions"):
+        lake.sql("SELECT * FROM ext.ft.partitions").collect()
 
 
 def test_foreign_metadata_tables_on_own_export(lake, spark, tmp_path):
@@ -188,3 +191,29 @@ def test_foreign_metadata_tables_on_own_export(lake, spark, tmp_path):
 
     files = lake.sql("SELECT * FROM mirror.src.files").collect()
     assert sum(f.record_count for f in files if f.content == 0) == 3
+
+
+def test_foreign_ref_time_travel_and_refs_table(lake, spark, tmp_path):
+    """Branch/tag refs ride the metadata document's `refs` map: a tag
+    created before registration is visible in .refs and usable in
+    VERSION AS OF '<name>' on the registered foreign name."""
+    other = Warehouse(spark, str(tmp_path / "other_wh"))
+    t = other.create_table("db", "src", "id int, v string")
+    t.insert_values([(1, "a")])
+    t.create_ref("audit-v1", "tag", snapshot_id=1)
+    t.insert_values([(2, "b")])
+    _register(lake, t.path, name="mirror.src")
+
+    refs = {
+        r.name: (r.type, r.snapshot_id)
+        for r in lake.sql("SELECT * FROM mirror.src.refs").collect()
+    }
+    assert refs["audit-v1"] == ("TAG", 1)
+    assert refs["main"][0] == "BRANCH"
+
+    tagged = lake.sql("SELECT id, v FROM mirror.src VERSION AS OF 'audit-v1'").collect()
+    assert [(r.id, r.v) for r in tagged] == [(1, "a")]
+    assert sorted(r.id for r in lake.sql("SELECT id FROM mirror.src").collect()) == [1, 2]
+
+    with pytest.raises(Exception, match="no branch or tag"):
+        lake.sql("SELECT * FROM mirror.src VERSION AS OF 'nope'").collect()
