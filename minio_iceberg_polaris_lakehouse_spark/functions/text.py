@@ -763,3 +763,164 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------- PII scrubbing (curation-stage redaction) ----------------
+# Patterns shared verbatim by the Spark (Java regex) and DuckDB (RE2)
+# sides — restricted to the dialect intersection (no backreferences, no
+# lookaround), which is also what keeps them linear-time at 100 TB.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(col: Column) -> Column:
+    """Chained redaction: emails → phones → IPv4 literals. Order matters
+    only in that the email replacement removes its digits before the
+    numeric patterns run; each stage is a single JVM-side regexp_replace
+    (codegen'd, no Python)."""
+    out = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(out, PII_IP, "<IP>")
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH seeded AS (
+        -- the synthetic corpus carries no PII, so the fixture injects it
+        -- DETERMINISTICALLY (same expression on both engines); the
+        -- operator under test is the scrubber below
+        SELECT source,
+               text || CASE WHEN doc_id % 2 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                   ELSE '' END
+                    || CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567' ELSE '' END
+                    || CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.0.1' ELSE '' END
+                 AS seeded
+        FROM documents),
+    scrubbed AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(seeded, '{PII_EMAIL}')) AS BIGINT) AS emails,
+               CAST(len(regexp_extract_all(seeded, '{PII_PHONE}')) AS BIGINT) AS phones,
+               regexp_replace(regexp_replace(regexp_replace(seeded,
+                   '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_PHONE}', '<PHONE>', 'g'),
+                   '{PII_IP}', '<IP>', 'g') AS clean,
+               seeded
+        FROM seeded),
+    final AS (
+        SELECT source, emails, phones,
+               CAST(len(regexp_extract_all(clean, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS residual_ips_after,
+               length(seeded) - length(clean) AS removed
+        FROM scrubbed)
+    SELECT source,
+           CAST(SUM(emails) AS BIGINT) AS emails_redacted,
+           CAST(SUM(phones) AS BIGINT) AS phones_redacted,
+           CAST(SUM(removed) AS BIGINT) AS chars_removed,
+           CAST(SUM(residual_ips_after) AS BIGINT) AS residual_pii
+    FROM final
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-stage PII redaction: emails/phones/IPv4 replaced with
+    typed placeholder tokens, reported per source with a residual-PII
+    audit column (re-scanning the scrubbed text must find nothing). The
+    oracle replays injection + redaction + audit; length deltas make any
+    regex-dialect drift between engines break the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com"),
+                ),
+            ).otherwise(""),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" call 555-123-4567")).otherwise(""),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" host 10.0.0.1")).otherwise(""),
+        ).alias("seeded"),
+    )
+    scrubbed = seeded.select(
+        "source",
+        F.size(F.regexp_extract_all("seeded", F.lit(PII_EMAIL), F.lit(0))).cast("long").alias("emails"),
+        F.size(F.regexp_extract_all("seeded", F.lit(PII_PHONE), F.lit(0))).cast("long").alias("phones"),
+        pii_scrub(F.col("seeded")).alias("clean"),
+        "seeded",
+    )
+    final = scrubbed.select(
+        "source",
+        "emails",
+        "phones",
+        F.size(F.regexp_extract_all("clean", F.lit(PII_IP), F.lit(0))).cast("long").alias("residual"),
+        (F.length("seeded") - F.length("clean")).cast("long").alias("removed"),
+    )
+    return (
+        final.groupBy("source")
+        .agg(
+            F.sum("emails").cast("long").alias("emails_redacted"),
+            F.sum("phones").cast("long").alias("phones_redacted"),
+            F.sum("removed").cast("long").alias("chars_removed"),
+            F.sum("residual").cast("long").alias("residual_pii"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dedup_cross_corpus",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, source, n_chars,
+               sha256(array_to_string(
+                   list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))),
+                   ' ')) AS fp
+        FROM documents),
+    held AS (SELECT DISTINCT fp FROM fp WHERE source <> 'src0'),
+    audited AS (
+        SELECT f.source, f.n_chars,
+               f.fp IN (SELECT fp FROM held) AS hit
+        FROM fp f WHERE f.source = 'src0')
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN NOT hit THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM audited
+    """,
+)
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus decontamination by canonical fingerprint: drop every
+    'src0' (train-candidate) document whose order/repetition-invariant
+    token-set fingerprint also appears in ANY other source (the held-out
+    pool) — the dedup-against-eval step a training pipeline runs after
+    within-corpus dedup. Implementation is a LEFT SEMI join on the
+    64-hex fingerprint: the held-out side reduces to DISTINCT
+    fingerprints first (map-side combine), so at 100 TB the join carries
+    one row per distinct held-out doc, not per doc, and the train side
+    streams through a hash join on a 64-byte key — no text crosses the
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.sha2(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens_expr()))), 256)
+    fps = d.select("doc_id", "source", "n_chars", fp.alias("fp"))
+    train = fps.filter(F.col("source") == "src0")
+    held = fps.filter(F.col("source") != "src0").select("fp").distinct()
+    hits = train.join(held, "fp", "left_semi")
+    kept = train.join(held, "fp", "left_anti")
+    return (
+        train.agg(F.count("*").alias("n_train"))
+        .crossJoin(F.broadcast(hits.agg(F.count("*").alias("n_dropped"))))
+        .crossJoin(
+            F.broadcast(
+                kept.agg(
+                    F.count("*").alias("n_kept"),
+                    F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("kept_chars"),
+                )
+            )
+        )
+    )

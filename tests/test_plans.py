@@ -247,3 +247,37 @@ def test_ivf_indexed_serve_plan(spark, sf_dir):
     df = ivf_indexed_topk(spark, sf_dir)
     assert count_nodes(df, "BroadcastHashJoin") >= 1, plan_string(df)
     assert_no_cartesian(df)
+
+
+def test_pq_ann_no_unbroadcast_cartesian(spark, sf_dir):
+    """PQ's only fan-out is the K_QUERIES-way broadcast of query ids over
+    the code rows; the float corpus never self-joins."""
+    df = q("sim_ann_pq_topk", spark, sf_dir)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # the exact-rescore join on (q_id)/(neighbor_id) must broadcast the
+    # metadata-sized query side, not sort-merge the corpus
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_audio_kernels_are_map_only_before_agg(spark, sf_dir):
+    """The audio decode pipeline shuffles once for the doc_id->source
+    join and once for the final per-source aggregate - no exchange
+    between the chained Python kernels (encode -> decode stay in one
+    stage pipeline)."""
+    df = q("mm_audio_stats", spark, sf_dir)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan, plan
+    # partial aggregation before the exchange (map-side combine)
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_mixture_sample_no_wide_shuffle(spark, sf_dir):
+    """Mixture sampling's rate table joins back by BROADCAST; the only
+    exchanges are the #sources-row aggregates."""
+    df = q("text_mixture_sample", spark, sf_dir)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
