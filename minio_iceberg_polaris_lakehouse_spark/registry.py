@@ -138,8 +138,11 @@ _PRIORITY: list[str] = [
     # register_table golden)
     "text_quality_score",
     "text_fingerprint",
-    "text_langid_heuristic",
-    "text_token_stats",
+    # (text_langid_heuristic / text_token_stats rested at one green round
+    # each for the two curation first-timers below; both stay green in
+    # the uncapped local replica)
+    "text_pii_scrub",
+    "dedup_cross_corpus",
     "text_lang_profile",
     "text_stratified_sample",
     "text_top_bigrams",
