@@ -14,9 +14,12 @@ exactly:
 - budget      = (3 * total_chars) div 10     (30% of the corpus)
 - permille_s  = min(1000, (weight_s * budget * 1000)
                           div (sum_weights * chars_s))
-- keep doc    ⇔ (doc_id * 2654435761) % 1000 < permille_s
-                (Knuth multiplicative hash — decorrelates the cut from
-                 doc_id order; fits bigint)
+- keep doc    ⇔ ((doc_id % 131071) * 2654435761) % 1000 < permille_s
+                (Knuth multiplicative hash over a Mersenne-bounded id —
+                 decorrelates the cut from doc_id order, and the product
+                 stays < 2^49, so it can never overflow bigint even for
+                 astronomically large doc ids: identical arithmetic on
+                 every engine, no wrap-vs-error divergence)
 
 Scale design: pass 1 is a map-side partial aggregate to per-source
 totals (rows = #sources, metadata-sized); the rate table is broadcast
@@ -72,7 +75,7 @@ def mixture_sample(docs: DataFrame) -> DataFrame:
     under its source's permille threshold."""
     rates = source_rates(docs)
     return docs.join(F.broadcast(rates), "source").filter(
-        (F.col("doc_id") * _HASH) % 1000 < F.col("permille")
+        ((F.col("doc_id") % 131071) * _HASH) % 1000 < F.col("permille")
     )
 
 
@@ -96,7 +99,7 @@ def mixture_sample(docs: DataFrame) -> DataFrame:
     kept AS (
         SELECT d.source, d.doc_id, d.n_chars, r.permille
         FROM documents d JOIN rates r USING (source)
-        WHERE (d.doc_id * {_HASH}) % 1000 < r.permille)
+        WHERE ((d.doc_id % 131071) * {_HASH}) % 1000 < r.permille)
     SELECT source,
            CAST(ANY_VALUE(permille) AS BIGINT) AS permille,
            CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -59,7 +59,7 @@ def test_hash_decorrelates_from_id_order():
     """The multiplicative hash must not keep a contiguous doc_id prefix
     (doc_id % 1000 would): the kept set under permille 100 is spread
     across the id range."""
-    kept = [i for i in range(10_000) if (i * _HASH) % 1000 < 100]
+    kept = [i for i in range(10_000) if ((i % 131071) * _HASH) % 1000 < 100]
     assert 800 < len(kept) < 1200
     assert max(kept) > 9000 and min(kept) < 1000
     # no long runs of consecutive ids
