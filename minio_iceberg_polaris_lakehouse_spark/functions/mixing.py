@@ -61,9 +61,13 @@ def source_rates(docs: DataFrame, budget_num: int = 3, budget_den: int = 10) -> 
         )
         .withColumn(
             "permille",
+            # GREATEST(chars, 1): a source whose documents are all empty
+            # must get rate 1000 (keep everything — its budget share is
+            # free), not a divide-by-zero that Spark nulls and other
+            # engines reject
             F.least(
                 F.lit(1000).cast("long"),
-                F.expr("(weight * budget * 1000) div (sum_weights * chars)"),
+                F.expr("(weight * budget * 1000) div (sum_weights * greatest(chars, 1))"),
             ),
         )
         .select("source", "weight", "chars", "permille")
@@ -94,7 +98,7 @@ def mixture_sample(docs: DataFrame) -> DataFrame:
     rates AS (
         SELECT source, weight, chars,
                LEAST(1000, (weight * ((3 * total_chars) // 10) * 1000)
-                           // (sum_weights * chars)) AS permille
+                           // (sum_weights * GREATEST(chars, 1))) AS permille
         FROM totals CROSS JOIN grand),
     kept AS (
         SELECT d.source, d.doc_id, d.n_chars, r.permille

@@ -82,3 +82,14 @@ def test_registered_query_schema(spark, sf_dir):
     rows = out.collect()
     assert len(rows) > 0
     assert all(r.n_docs > 0 for r in rows)
+
+
+def test_all_empty_source_gets_full_rate(spark):
+    """A source whose docs are all zero-char must sample at permille
+    1000, not divide by zero."""
+    rows = [(1, "s_empty", 0), (2, "s_empty", 0), (3, "t_big", 500), (4, "t_big", 500)]
+    d = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+    rates = {r.source: r.permille for r in source_rates(d).collect()}
+    assert rates["s_empty"] == 1000
+    kept = mixture_sample(d)
+    assert kept.filter(kept.source == "s_empty").count() == 2
