@@ -1187,6 +1187,27 @@ class LakehouseSQL:
         tab.changes(from_version=start, to_version=end).createOrReplaceTempView(view)
         return self.spark.createDataFrame([Row(changelog_view=view)], "changelog_view string")
 
+    def _call_add_files(self, m: re.Match) -> DataFrame:
+        """CALL c.system.add_files(table => 'ns.t', source_table =>
+        '<parquet dir>') — Iceberg's migrate-in-place import: the
+        directory's parquet files join the table as a new append snapshot
+        with NO data rewrite (warehouse.Table.add_files). Returns the
+        procedure's (added_files_count, changed_partition_count) shape."""
+        ns, name = self._resolve_table_name(m.group(1).strip("'\""))
+        src = m.group(2).strip("'\"")
+        t = self.wh.table(ns, name)
+        if not t.exists():
+            raise WarehouseError(f"table {ns}.{name} not found")
+        before = t.snapshots().count()
+        t.add_files(src)
+        assert t.snapshots().count() == before + 1
+        import os as _os
+
+        n = sum(1 for f in _os.listdir(src) if f.endswith(".parquet"))
+        return self.spark.createDataFrame(
+            [Row(added_files_count=n, changed_partition_count=1)]
+        )
+
     def _call_register_table(self, m: re.Match) -> DataFrame:
         """CALL c.system.register_table(table => 'ns.name',
         metadata_file => '<table dir | metadata dir | vN.metadata.json>')
@@ -1454,6 +1475,12 @@ class LakehouseSQL:
             r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*,"
             r"\s*metadata_file\s*=>\s*('[^']+'|\"[^\"]+\")\s*\)",
             _call_register_table,
+        ),
+        (
+            rf"CALL\s+{_IDENT}\.system\.add_files\s*\("
+            r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*,"
+            r"\s*source_table\s*=>\s*('[^']+'|\"[^\"]+\")\s*\)",
+            _call_add_files,
         ),
         (rf"TRUNCATE\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})", _truncate_table),
         (rf"SHOW\s+PARTITIONS\s+((?:{_IDENT}\.)*{_IDENT})", _show_partitions),

@@ -1840,6 +1840,67 @@ class Table:
         """INSERT INTO t VALUES ... (reference S7: getting_started.ipynb:96)."""
         return self.append(self.spark.createDataFrame(rows, self.schema()), branch=branch)
 
+    def add_files(self, source_dir: str) -> int:
+        """Iceberg's `add_files` procedure: import an EXISTING parquet
+        directory as a new append snapshot WITHOUT rewriting data — the
+        migrate-in-place path for pre-lakehouse data. The commit is
+        metadata-only: the new data dir holds symlinks to the source
+        files (zero bytes copied; on an object-store deployment this
+        would be absolute-path manifest entries instead), footer stats
+        are harvested from the real footers exactly as for engine-written
+        dirs (so scan-time file skipping works on imported files), and
+        the snapshot summary records the provenance. The source files
+        stay owned by the caller — compaction/expiry rewrite INTO
+        engine-owned dirs and GC only the symlinks.
+
+        Requirements (same contract as Iceberg's procedure): the file
+        schema must be a by-name subset of the table schema with equal
+        types (missing newer columns NULL-backfill on read, like any
+        pre-evolution dir); the target table must be unpartitioned
+        (partition_filter import is out of scope)."""
+        if self.partition_spec().column() is not None:
+            raise WarehouseError("add_files requires an unpartitioned target table")
+        src = os.path.abspath(source_dir)
+        files = sorted(
+            os.path.join(src, f)
+            for f in os.listdir(src)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if not files:
+            raise WarehouseError(f"no parquet files in {source_dir}")
+        fschema = self.spark.read.parquet(*files).schema
+        tschema = self.schema()
+        tnames = {f.name: f.dataType for f in tschema.fields}
+        for f in fschema.fields:
+            if f.name not in tnames:
+                raise WarehouseError(
+                    f"add_files: source column {f.name} not in table schema"
+                )
+            if f.dataType != tnames[f.name]:
+                raise WarehouseError(
+                    f"add_files: source column {f.name} is {f.dataType.simpleString()}, "
+                    f"table has {tnames[f.name].simpleString()}"
+                )
+        dirname = f"data-import-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.path, dirname)
+        os.makedirs(out)
+        for i, fp in enumerate(files):
+            os.symlink(fp, os.path.join(out, f"part-{i:05d}-import.parquet"))
+        stats = _parquet_footer_stats(out)
+        meta = self._meta()
+        spec_rec = {
+            "source": None,
+            "transform": "identity",
+            "spec_id": self._current_spec_id(meta),
+            "columns": [f.name for f in fschema.fields],  # physical file columns
+        }
+        p = PendingData(dirname, sum(s["rows"] for s in stats), spec_rec, stats)
+        return self._commit_add(
+            "append",
+            [p],
+            {"added-records": p.rows, "added-data-files": len(files), "import-source": src},
+        )
+
     def overwrite(self, df: DataFrame, branch: str | None = None) -> int:
         """CTAS/overwrite (reference S8: warehouse_helpers.py:107-111).
         Replaces the whole table regardless of prior state — no read
