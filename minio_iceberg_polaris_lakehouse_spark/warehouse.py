@@ -1868,6 +1868,19 @@ class Table:
         )
         if not files:
             raise WarehouseError(f"no parquet files in {source_dir}")
+        # per-file footer check FIRST: spark.read.parquet(*files) would
+        # silently unify heterogeneous footers (int file + long file →
+        # long), and the narrow file would then read through the wrong
+        # vectorized schema later. Imports require byte-identical file
+        # schemas — same as Iceberg's add_files.
+        import pyarrow.parquet as pq
+
+        footers = {str(pq.read_schema(f)) for f in files}
+        if len(footers) > 1:
+            raise WarehouseError(
+                "add_files: source files carry differing schemas — "
+                "import them in separate calls per schema generation"
+            )
         fschema = self.spark.read.parquet(*files).schema
         tschema = self.schema()
         tnames = {f.name: f.dataType for f in tschema.fields}

@@ -108,3 +108,25 @@ def test_add_files_source_survives_table_drop(lake, spark, tmp_path):
     assert sorted(
         (r.id, r.v) for r in spark.read.parquet(src).collect()
     ) == [(1, "a")]
+
+
+def test_add_files_rejects_mixed_footer_schemas(lake, spark, tmp_path):
+    """int file + long file would silently widen under a merged read —
+    refuse, like Iceberg's procedure."""
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    spark.createDataFrame([(1, "a")], "id int, v string").coalesce(1).write.parquet(
+        str(mixed / "p1")
+    )
+    spark.createDataFrame([(2, "b")], "id bigint, v string").coalesce(1).write.parquet(
+        str(mixed / "p2")
+    )
+    import shutil
+
+    for sub in ["p1", "p2"]:
+        for f in (mixed / sub).glob("*.parquet"):
+            shutil.move(str(f), str(mixed / f"{sub}_{f.name}"))
+        shutil.rmtree(mixed / sub)
+    lake.sql("CREATE TABLE polaris.db.m (id BIGINT, v STRING) USING ICEBERG")
+    with pytest.raises(WarehouseError, match="differing schemas"):
+        lake.wh.table("db", "m").add_files(str(mixed))
