@@ -38,7 +38,10 @@ from pyspark.sql.types import (
 
 from minio_iceberg_polaris_lakehouse_spark.multimodal import wav
 from minio_iceberg_polaris_lakehouse_spark.registry import register
-from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
+from minio_iceberg_polaris_lakehouse_spark.sources.tables import (
+    load_table,
+    spread_for_kernel as _spread,
+)
 
 SAMPLE_RATE = 8000
 CHUNK_LEN = 400  # 50 ms training chunks at 8 kHz
@@ -73,17 +76,6 @@ def doc_samples(payload: bytes) -> np.ndarray:
     reps = -(-n // buf.size)
     tiled = np.tile(buf, reps)[:n].astype(np.int16)
     return (tiled - 128) * 256
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Fan a narrow projection across the cluster before a Python codec
-    kernel: a small local parquet arrives as ONE split, which would run
-    the per-blob work serially. The repartition moves only (doc_id,
-    text) bytes — negligible next to codec cost — and at 100 TB the scan
-    already has natural splits, where this becomes a cheap no-op-shaped
-    rebalance rather than a correctness requirement."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
 
 
 def wav_assets_from_documents(df: DataFrame) -> DataFrame:

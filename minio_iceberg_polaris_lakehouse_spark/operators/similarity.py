@@ -479,6 +479,10 @@ def ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.cell for r in probes.select("cell").distinct().collect()
     )  # ≤ K_COARSE ints: the partition list, driver-side by design
     idx = wh.table("ann", "ivf_index")
+    if not probed_cells:  # query-less corpus — empty result, not IndexError
+        return spark.createDataFrame(
+            [], "q_id bigint, neighbor_id bigint, cosine double, rn int"
+        )
     scans = [idx.scan(eq={"cell": c}) for c in probed_cells]
     corpus = scans[0]
     for s in scans[1:]:

@@ -43,7 +43,10 @@ from minio_iceberg_polaris_lakehouse_spark.operators.similarity import (
     sim_topk_bruteforce,
 )
 from minio_iceberg_polaris_lakehouse_spark.registry import register
-from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
+from minio_iceberg_polaris_lakehouse_spark.sources.tables import (
+    load_table,
+    spread_for_kernel,
+)
 
 M_SUB = 8  # subspaces (8 dims each over the 64-dim corpus)
 K_CODES = 16  # codebook entries per subspace (4-bit codes)
@@ -163,12 +166,9 @@ def _pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e")
     )
-    # a small local parquet is ONE split — spread it so the encode kernel
-    # and the 8-way ADC fan-out parallelize (at 100 TB the scan has
-    # natural splits and this rebalance is noise next to kernel cost)
-    target = spark.sparkContext.defaultParallelism
-    if v.rdd.getNumPartitions() < target:
-        v = v.repartition(target)
+    # spread the single local split so the encode kernel and the 8-way
+    # ADC fan-out parallelize (shared helper — see its docstring)
+    v = spread_for_kernel(v)
     books, queries = _pq_model(spark, sf_dir, v)
     codes = v.select("vec_id", _encode_codes(books)(F.col("e")).alias("codes"))
     qids = spark.createDataFrame(

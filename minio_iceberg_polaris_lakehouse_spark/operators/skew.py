@@ -26,7 +26,9 @@ def _content_salt(df: DataFrame, buckets: int) -> Column:
     any frame carrying a map). Stable across task retries and stage
     re-computation, unlike a monotonically_increasing_id salt."""
     cols = [
-        F.to_json(F.col(c)) if t.startswith("map") else F.col(c)
+        # 'map<' ANYWHERE in the type: xxhash64 also rejects MapType
+        # nested inside arrays/structs, not just top-level maps
+        F.to_json(F.col(c)) if "map<" in t else F.col(c)
         for c, t in df.dtypes
     ]
     return F.pmod(F.xxhash64(*cols), F.lit(buckets))

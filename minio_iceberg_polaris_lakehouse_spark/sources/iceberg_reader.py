@@ -399,8 +399,7 @@ def changes_iceberg_table(
       corrupt a downstream MERGE. The caller falls back to a full
       re-sync."""
     md = json.loads(fsio.read_text(resolve_metadata_path(location)))
-    snaps = sorted(md.get("snapshots", []), key=lambda s: s["snapshot-id"])
-    by_id = {s["snapshot-id"]: s for s in snaps}
+    by_id = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
     # from=0 is the virtual before-first snapshot: the FULL changelog
     # replay (every snapshot's manifests diff against an empty base)
     if from_snapshot_id != 0 and from_snapshot_id not in by_id:
@@ -418,9 +417,31 @@ def changes_iceberg_table(
             T.StructField("_commit_snapshot_id", T.LongType(), False),
         ]
     )
-    interval = [
-        s for s in snaps if from_snapshot_id < s["snapshot-id"] <= to_snapshot_id
-    ]
+    # Commit order comes from the PARENT POINTERS, never from sorting
+    # snapshot ids: real writers (Flink, Spark+Iceberg) draw random
+    # int64 ids, so id order has no relation to commit order. Walk
+    # to_snapshot_id → parents until from_snapshot_id (or the root for
+    # the virtual 0); a from that is not an ancestor means the
+    # checkpoint diverged from this lineage — fail loudly.
+    chain: list[dict] = []
+    cur_id = to_snapshot_id
+    seen: set[int] = set()
+    while cur_id is not None and cur_id in by_id and cur_id not in seen:
+        if cur_id == from_snapshot_id:
+            break
+        seen.add(cur_id)
+        chain.append(by_id[cur_id])
+        cur_id = by_id[cur_id].get("parent-snapshot-id")
+        if cur_id is not None:
+            cur_id = int(cur_id)
+    else:
+        if from_snapshot_id != 0:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of "
+                f"{to_snapshot_id} at {location} — lineage diverged; "
+                "full re-sync required"
+            )
+    interval = list(reversed(chain))
     if not interval:
         return spark.createDataFrame([], out_schema)
 
@@ -463,7 +484,13 @@ def changes_iceberg_table(
         return json.loads(emb.decode() if isinstance(emb, bytes) else emb)
 
     # data files present at any point, by path → their schema generation
-    # (for re-reading rows a later positional delete tombstones)
+    # (for re-reading rows a later positional delete tombstones). Keys
+    # are URI-NORMALIZED ('file:'-stripped) because the lookups below
+    # come from the tombstones' normalized __file column — a foreign
+    # writer recording file: URIs in its manifests must still resolve.
+    def _norm(p: str) -> str:
+        return re.sub(r"^file:(//)?", "", p)
+
     file_schema: dict[str, dict] = {}
     prev = _mans(by_id[from_snapshot_id]) if from_snapshot_id != 0 else {}
     for p, rec in prev.items():
@@ -472,7 +499,7 @@ def changes_iceberg_table(
             fs = _manifest_schema(m2)
             for e in entries:
                 if e.get("status") != 2 and e["data_file"].get("content", 0) == 0:
-                    file_schema[e["data_file"]["file_path"]] = fs
+                    file_schema[_norm(e["data_file"]["file_path"])] = fs
 
     parts: list[DataFrame] = []
     for snap in interval:
@@ -494,7 +521,7 @@ def changes_iceberg_table(
                 files = []
                 for e in live:
                     files.append(e["data_file"]["file_path"])
-                    file_schema[e["data_file"]["file_path"]] = fs
+                    file_schema[_norm(e["data_file"]["file_path"])] = fs
                 if files:
                     parts.append(
                         _aligned(fs, files, with_pos=False).select(

@@ -55,3 +55,15 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     oracle's pre-registered views)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread_for_kernel(df: DataFrame) -> DataFrame:
+    """Fan a narrow projection across the cluster before a Python
+    (Arrow-batched) kernel: a small local parquet arrives as ONE split,
+    which would run per-row codec/encode work serially. The repartition
+    moves only the projected columns — negligible next to kernel cost —
+    and at 100 TB the scan already has natural splits, making this a
+    cheap no-op-shaped rebalance rather than a correctness requirement.
+    Shared by the audio codec pipeline and the PQ encoder."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df

@@ -1198,12 +1198,7 @@ class LakehouseSQL:
         t = self.wh.table(ns, name)
         if not t.exists():
             raise WarehouseError(f"table {ns}.{name} not found")
-        before = t.snapshots().count()
-        t.add_files(src)
-        assert t.snapshots().count() == before + 1
-        import os as _os
-
-        n = sum(1 for f in _os.listdir(src) if f.endswith(".parquet"))
+        _sid, n = t.add_files(src)  # count = what the commit ACTUALLY imported
         return self.spark.createDataFrame(
             [Row(added_files_count=n, changed_partition_count=1)]
         )

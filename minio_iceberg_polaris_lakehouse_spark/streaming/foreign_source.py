@@ -71,13 +71,22 @@ class ForeignTableStream:
     # -------------------------------------------------- checkpointing
     def _restore(self) -> int | None:
         if not self.checkpoint_path or not fsio.isfile(self.checkpoint_path):
-            return None
+            return None  # genuinely no checkpoint — fresh stream
         try:
             return int(
                 json.loads(fsio.read_text(self.checkpoint_path))["last_snapshot_id"]
             )
-        except (OSError, ValueError, KeyError):
-            return None
+        except (OSError, ValueError, KeyError) as e:
+            # A checkpoint that EXISTS but cannot be parsed is at least
+            # as serious as an expired snapshot (which raises below):
+            # silently treating it as 'no checkpoint' would re-deliver
+            # the entire table as a fresh initial batch — duplicate
+            # delivery with no warning. The operator decides.
+            raise WarehouseError(
+                f"checkpoint {self.checkpoint_path} exists but is "
+                f"unreadable ({e!r}) — delete it to deliberately restart "
+                "from the full initial batch"
+            ) from e
 
     def _save(self) -> None:
         if self.checkpoint_path:

@@ -1840,7 +1840,7 @@ class Table:
         """INSERT INTO t VALUES ... (reference S7: getting_started.ipynb:96)."""
         return self.append(self.spark.createDataFrame(rows, self.schema()), branch=branch)
 
-    def add_files(self, source_dir: str) -> int:
+    def add_files(self, source_dir: str) -> tuple[int, int]:
         """Iceberg's `add_files` procedure: import an EXISTING parquet
         directory as a new append snapshot WITHOUT rewriting data — the
         migrate-in-place path for pre-lakehouse data. The commit is
@@ -1875,7 +1875,10 @@ class Table:
         # schemas — same as Iceberg's add_files.
         import pyarrow.parquet as pq
 
-        footers = {str(pq.read_schema(f)) for f in files}
+        # remove_metadata(): writer key-value metadata (Spark version,
+        # pandas blocks) varies file-to-file without changing the schema
+        # — only the field structure may differ
+        footers = {str(pq.read_schema(f).remove_metadata()) for f in files}
         if len(footers) > 1:
             raise WarehouseError(
                 "add_files: source files carry differing schemas — "
@@ -1908,11 +1911,12 @@ class Table:
             "columns": [f.name for f in fschema.fields],  # physical file columns
         }
         p = PendingData(dirname, sum(s["rows"] for s in stats), spec_rec, stats)
-        return self._commit_add(
+        sid = self._commit_add(
             "append",
             [p],
             {"added-records": p.rows, "added-data-files": len(files), "import-source": src},
         )
+        return sid, len(files)
 
     def overwrite(self, df: DataFrame, branch: str | None = None) -> int:
         """CTAS/overwrite (reference S8: warehouse_helpers.py:107-111).

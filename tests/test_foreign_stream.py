@@ -238,7 +238,13 @@ def test_foreign_changes_refuses_rewrites_and_equality(spark, tmp_path):
         ],
     )
     md["snapshots"].append(
-        {"snapshot-id": 4, "timestamp-ms": 2000, "schema-id": 0, "manifest-list": new_list}
+        {
+            "snapshot-id": 4,
+            "parent-snapshot-id": 3,  # real writers always chain parents
+            "timestamp-ms": 2000,
+            "schema-id": 0,
+            "manifest-list": new_list,
+        }
     )
     md["current-snapshot-id"] = 4
     with open(f"{mdir}/v1.metadata.json", "w") as f:
