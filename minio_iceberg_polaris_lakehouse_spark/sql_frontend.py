@@ -1187,6 +1187,22 @@ class LakehouseSQL:
         tab.changes(from_version=start, to_version=end).createOrReplaceTempView(view)
         return self.spark.createDataFrame([Row(changelog_view=view)], "changelog_view string")
 
+    def _call_snapshot_table(self, m: re.Match) -> DataFrame:
+        """CALL c.system.snapshot(source_table => '<parquet dir>',
+        table => 'ns.t') — Iceberg's table-migration procedure: create a
+        NEW lakehouse table over an existing parquet directory without
+        touching the source. Schema comes from the parquet footers; the
+        data joins as a zero-copy add_files import, so the procedure is
+        metadata-only end to end. Returns the imported-files count."""
+        src = m.group(1).strip("'\"")
+        ns, name = self._resolve_table_name(m.group(2).strip("'\""))
+        if self.wh.table(ns, name).exists():
+            raise WarehouseError(f"table {ns}.{name} already exists")
+        schema = self.spark.read.parquet(src).schema
+        t = self.wh.create_table(ns, name, schema)
+        _sid, n = t.add_files(src)
+        return self.spark.createDataFrame([Row(imported_files_count=n)])
+
     def _call_add_files(self, m: re.Match) -> DataFrame:
         """CALL c.system.add_files(table => 'ns.t', source_table =>
         '<parquet dir>') — Iceberg's migrate-in-place import: the
@@ -1476,6 +1492,12 @@ class LakehouseSQL:
             r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*,"
             r"\s*source_table\s*=>\s*('[^']+'|\"[^\"]+\")\s*\)",
             _call_add_files,
+        ),
+        (
+            rf"CALL\s+{_IDENT}\.system\.snapshot\s*\("
+            r"\s*source_table\s*=>\s*('[^']+'|\"[^\"]+\")\s*,"
+            r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*\)",
+            _call_snapshot_table,
         ),
         (rf"TRUNCATE\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})", _truncate_table),
         (rf"SHOW\s+PARTITIONS\s+((?:{_IDENT}\.)*{_IDENT})", _show_partitions),

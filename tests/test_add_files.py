@@ -130,3 +130,24 @@ def test_add_files_rejects_mixed_footer_schemas(lake, spark, tmp_path):
     lake.sql("CREATE TABLE polaris.db.m (id BIGINT, v STRING) USING ICEBERG")
     with pytest.raises(WarehouseError, match="differing schemas"):
         lake.wh.table("db", "m").add_files(str(mixed))
+
+
+def test_snapshot_procedure_migrates_in_place(lake, spark, tmp_path):
+    """CALL system.snapshot: new table over an existing parquet dir,
+    schema from footers, zero copy, source untouched."""
+    src = _write_source(spark, tmp_path / "hive_era", [(1, "a"), (2, "b")])
+    row = lake.sql(
+        f"CALL polaris.system.snapshot(source_table => '{src}', table => 'db.snap')"
+    ).collect()[0]
+    assert row.imported_files_count >= 1
+    got = sorted((r.id, r.v) for r in lake.sql("SELECT id, v FROM db.snap").collect())
+    assert got == [(1, "a"), (2, "b")]
+    assert [f.name for f in lake.wh.table("db", "snap").schema().fields] == ["id", "v"]
+    # further engine writes land in engine-owned dirs; source untouched
+    lake.sql("INSERT INTO db.snap VALUES (3, 'c')")
+    assert lake.sql("SELECT COUNT(*) AS n FROM db.snap").collect()[0].n == 3
+    assert sorted((r.id, r.v) for r in spark.read.parquet(src).collect()) == [(1, "a"), (2, "b")]
+    with pytest.raises(WarehouseError, match="already exists"):
+        lake.sql(
+            f"CALL polaris.system.snapshot(source_table => '{src}', table => 'db.snap')"
+        )
