@@ -149,3 +149,44 @@ def test_audio_pipeline_end_to_end(spark, sf_dir):
     up = decode_audio(resample_audio(assets, 16000))
     got = {r.doc_id: r.n_samples for r in up.collect()}
     assert got == {did: 2 * (800 + (len(t.encode()) % 1600)) for did, t in docs.items()}
+
+
+# ---------------- property fuzz (hypothesis) ----------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=4000),
+        ch=st.integers(min_value=1, max_value=4),
+        rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_wav_roundtrip_property(n, ch, rate, seed):
+        """Any PCM16 payload round-trips bit-exactly through the codec."""
+        r = np.random.default_rng(seed)
+        samples = r.integers(-32768, 32767, size=(n, ch), dtype=np.int16)
+        got, got_rate = wav.decode_wav(wav.encode_wav(samples, rate))
+        assert got_rate == rate
+        np.testing.assert_array_equal(got, samples.reshape(n, ch))
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=2000),
+        src=st.sampled_from([8000, 16000, 44100]),
+        dst=st.sampled_from([4000, 8000, 16000, 48000]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_wav_resample_bounds_property(n, src, dst, seed):
+        """Linear interpolation never exceeds the input's [min, max]
+        envelope, and the length contract round(n*dst/src) holds."""
+        r = np.random.default_rng(seed)
+        s = r.integers(-32768, 32767, size=n, dtype=np.int16)
+        out = wav.resample_linear(s, src, dst)
+        assert len(out) == max(1, int(round(n * dst / src))) or (src == dst and len(out) == n)
+        if n > 0:
+            assert out.min() >= s.min() and out.max() <= s.max()
+
+except ImportError:  # pragma: no cover — hypothesis is baked in, but be safe
+    pass
