@@ -1,0 +1,33 @@
+"""The examples/ scripts must actually run: they are the demo surface a
+new user executes first, and they exercise REST bootstrap + SQL + the
+open-metadata reader (getting_started) and the full curation operator
+chain (curation_pipeline) end to end in a fresh interpreter."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script: str, *args: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", script), *args],
+        capture_output=True,
+        text=True,
+        timeout=480,
+        cwd=REPO,
+    )
+
+
+def test_getting_started_example(tmp_path):
+    r = _run("getting_started.py", str(tmp_path / "wh"))
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_curation_pipeline_example():
+    r = _run("curation_pipeline.py", "/root/testdata/sf0.001")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "residual_pii" in r.stdout and "audio sidecar" in r.stdout
