@@ -132,18 +132,20 @@ def resample_audio(assets: DataFrame, dst_rate: int) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            blobs, counts = [], []
+            blobs = []
             for blob in pdf["blob"]:
                 samples, rate = wav.decode_wav(bytes(blob))
                 out = wav.resample_linear(samples[:, 0], rate, dst_rate)
                 blobs.append(wav.encode_wav(out, dst_rate))
-                counts.append(len(out))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": "audio/wav",
                     "blob": blobs,
-                    "n_bytes": counts,  # resampled sample count
+                    # n_bytes keeps the asset-schema contract (BLOB byte
+                    # length incl. RIFF header); sample counts come from
+                    # decode_audio, never from this column
+                    "n_bytes": [len(b) for b in blobs],
                 }
             )
 

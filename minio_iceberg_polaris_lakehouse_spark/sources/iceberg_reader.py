@@ -128,6 +128,34 @@ def _entry_seq(entry: dict, manifest_rec: dict) -> int:
     return int(seq) if seq is not None else 0
 
 
+
+def _align_cols(file_schema: dict, target: dict) -> list:
+    """Field-id schema alignment, shared by every reader path: for each
+    target field, the file's column with the SAME FIELD ID is renamed to
+    the target name; a missing id NULL-fills (column added after the
+    file was written); equal types pass through; legal promotions
+    (int→long, float→double, decimal precision growth) cast; anything
+    else is metadata corruption, not evolution — silently casting would
+    truncate/NULL data, so it raises."""
+    by_fid = {f["id"]: f for f in file_schema["fields"]}
+    cols = []
+    for f in target["fields"]:
+        src = by_fid.get(f["id"])
+        out_t = _spark_type(f["type"])
+        if src is None:
+            cols.append(F.lit(None).cast(out_t).alias(f["name"]))
+        elif src["type"] == f["type"]:
+            cols.append(F.col(src["name"]).alias(f["name"]))
+        elif _legal_promotion(src["type"], f["type"]):
+            cols.append(F.col(src["name"]).cast(out_t).alias(f["name"]))
+        else:
+            raise ValueError(
+                f"illegal type change for field id {f['id']} "
+                f"({f['name']}): {src['type']!r} -> {f['type']!r}"
+            )
+    return cols
+
+
 def read_iceberg_table(
     spark: SparkSession,
     location: str,
@@ -238,24 +266,7 @@ def read_iceberg_table(
         if not files:
             continue
         df = spark.read.schema(_struct(file_schema)).parquet(*files)
-        by_id = {f["id"]: f for f in file_schema["fields"]}
-        cols = []
-        for f in target["fields"]:  # field-id alignment: rename/fill/widen
-            src = by_id.get(f["id"])
-            out_t = _spark_type(f["type"])
-            if src is None:
-                cols.append(F.lit(None).cast(out_t).alias(f["name"]))
-            elif src["type"] == f["type"]:
-                cols.append(F.col(src["name"]).alias(f["name"]))
-            elif _legal_promotion(src["type"], f["type"]):
-                cols.append(F.col(src["name"]).cast(out_t).alias(f["name"]))
-            else:
-                # a narrowing or cross-kind change is metadata corruption,
-                # not evolution — silently casting would truncate/NULL data
-                raise ValueError(
-                    f"illegal type change for field id {f['id']} "
-                    f"({f['name']}): {src['type']!r} -> {f['type']!r}"
-                )
+        cols = _align_cols(file_schema, target)
         parts.append(df.select(*cols, *meta_cols, F.lit(seq).alias("__seq")))
     if not parts:  # every entry was status=2 / groups held no files
         return spark.createDataFrame([], _struct(target))
@@ -350,23 +361,7 @@ def incremental_read_iceberg_table(
         if not files:
             continue
         df = spark.read.schema(_struct(fschema)).parquet(*files)
-        by_fid = {f["id"]: f for f in fschema["fields"]}
-        cols = []
-        for f in target["fields"]:
-            src = by_fid.get(f["id"])
-            out_t = _spark_type(f["type"])
-            if src is None:
-                cols.append(F.lit(None).cast(out_t).alias(f["name"]))
-            elif src["type"] == f["type"]:
-                cols.append(F.col(src["name"]).alias(f["name"]))
-            elif _legal_promotion(src["type"], f["type"]):
-                cols.append(F.col(src["name"]).cast(out_t).alias(f["name"]))
-            else:
-                raise ValueError(
-                    f"illegal type change for field id {f['id']}: "
-                    f"{src['type']!r} -> {f['type']!r}"
-                )
-        parts.append(df.select(*cols))
+        parts.append(df.select(*_align_cols(fschema, target)))
     if not parts:
         return spark.createDataFrame([], _struct(target))
     out = parts[0]
@@ -451,20 +446,7 @@ def changes_iceberg_table(
 
     def _aligned(fschema: dict, files: list[str], with_pos: bool) -> DataFrame:
         df = spark.read.schema(_struct(fschema)).parquet(*files)
-        by_fid = {f["id"]: f for f in fschema["fields"]}
-        cols = []
-        for f in target["fields"]:
-            src = by_fid.get(f["id"])
-            out_t = _spark_type(f["type"])
-            if src is None:
-                cols.append(F.lit(None).cast(out_t).alias(f["name"]))
-            elif src["type"] == f["type"] or _legal_promotion(src["type"], f["type"]):
-                cols.append(F.col(src["name"]).cast(out_t).alias(f["name"]))
-            else:
-                raise ValueError(
-                    f"illegal type change for field id {f['id']}: "
-                    f"{src['type']!r} -> {f['type']!r}"
-                )
+        cols = _align_cols(fschema, target)
         extra = (
             [
                 F.regexp_replace(
@@ -511,9 +493,16 @@ def changes_iceberg_table(
                 f"changelog crosses replacing snapshot {sid}: manifests "
                 "removed — data was rewritten; full re-sync required"
             )
-        for p, rec in cur.items():
-            if p in prev:
-                continue
+        # TWO passes over the snapshot's new manifests: all DATA
+        # manifests register their files first, THEN delete manifests
+        # resolve against them — the manifest LIST carries no ordering
+        # guarantee, and a same-snapshot (data + positional-delete)
+        # commit may list the delete manifest first
+        new_mans = sorted(
+            ((p, rec) for p, rec in cur.items() if p not in prev),
+            key=lambda pr: pr[1].get("content") or 0,
+        )
+        for p, rec in new_mans:
             _s2, m2, entries = avro_io.read_container(p)
             live = [e for e in entries if e.get("status") != 2]
             fs = _manifest_schema(m2)
@@ -756,3 +745,12 @@ def read_iceberg_refs(spark: SparkSession, location: str) -> DataFrame:
         for name, rec in sorted((md.get("refs") or {}).items())
     ]
     return spark.createDataFrame(rows, schema)
+
+
+def read_iceberg_schema(location: str) -> T.StructType:
+    """Current schema from the metadata document alone — O(1) metadata
+    cost, no manifest walk (for DESCRIBE-style callers that only need
+    column names/types, not a scan plan)."""
+    md = json.loads(fsio.read_text(resolve_metadata_path(location)))
+    schemas = {s["schema-id"]: s for s in md.get("schemas", [])}
+    return _struct(schemas[md["current-schema-id"]])

@@ -673,12 +673,16 @@ class LakehouseSQL:
         ns, t = self._resolve_table_name(m.group(2))
         floc = self.wh.foreign_tables().get(f"{ns}.{t}")
         if floc is not None and not self.wh.table(ns, t).exists():
-            # foreign registration: schema from the open metadata (no
-            # Spark job — the reader's plan is lazy), plus location and
-            # provider in the EXTENDED section
+            # foreign registration: schema from the metadata DOCUMENT
+            # alone (read_iceberg_schema) — building the reader's scan
+            # plan would walk every manifest Avro just to print dtypes
+            from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+                read_iceberg_schema,
+            )
+
             rows = [
-                Row(col_name=c, data_type=d, comment=None)
-                for c, d in self.wh.read_foreign_table(ns, t).dtypes
+                Row(col_name=f.name, data_type=f.dataType.simpleString(), comment=None)
+                for f in read_iceberg_schema(floc).fields
             ]
             if extended:
                 rows += [
@@ -1200,7 +1204,13 @@ class LakehouseSQL:
             raise WarehouseError(f"table {ns}.{name} already exists")
         schema = self.spark.read.parquet(src).schema
         t = self.wh.create_table(ns, name, schema)
-        _sid, n = t.add_files(src)
+        try:
+            _sid, n = t.add_files(src)
+        except Exception:
+            # a failed import must not leave an orphan empty table that
+            # blocks the retry with 'already exists'
+            self.wh.drop_table(ns, name)
+            raise
         return self.spark.createDataFrame([Row(imported_files_count=n)])
 
     def _call_add_files(self, m: re.Match) -> DataFrame:

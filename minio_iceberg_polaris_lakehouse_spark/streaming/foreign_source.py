@@ -111,10 +111,15 @@ class ForeignTableStream:
             # FULL changelog replay (inserts AND historical deletes, so a
             # downstream MERGE reconstructs current state exactly —
             # TableStream's cdc contract)
+            # both modes PIN the batch to `cur`: an unpinned read would
+            # include rows a foreign writer commits between
+            # _current_snapshot() and the metadata re-read, while the
+            # checkpoint acks only `cur` — those rows would then be
+            # re-delivered by the next incremental poll
             df = (
                 changes_iceberg_table(self.spark, self.location, 0, cur)
                 if self.mode == "cdc"
-                else read_iceberg_table(self.spark, self.location)
+                else read_iceberg_table(self.spark, self.location, snapshot_id=cur)
             )
             out = (df, 0, cur)
             self._ack(cur, initial=True) if commit else self._stage(cur, initial=True)
