@@ -20,6 +20,7 @@ a DECIMAL(10,2) aggregate. Fixture rows come from:
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -189,6 +190,18 @@ def _lake(spark: SparkSession):
     lake.sql("INSERT INTO polaris.test_db.cdc_src VALUES (1, 'a'), (2, 'b')")
     lake.sql("INSERT INTO polaris.test_db.cdc_src VALUES (3, 'c')")
     lake.sql("DELETE FROM polaris.test_db.cdc_src WHERE id = 2")
+    # migrate-in-place fixture: a pre-lakehouse parquet directory brought
+    # in by CALL system.snapshot (zero-copy add_files import), then
+    # grown by a normal engine INSERT (ref_migrated_table)
+    legacy = os.path.join(lake.wh.root, "_legacy_parquet")
+    spark.createDataFrame(
+        [(10, "legacy-a"), (11, "legacy-b")], "id int, v string"
+    ).coalesce(1).write.mode("overwrite").parquet(legacy)
+    lake.sql(
+        f"CALL polaris.system.snapshot(source_table => '{legacy}', "
+        "table => 'migrated.legacy')"
+    )
+    lake.sql("INSERT INTO migrated.legacy VALUES (12, 'engine-c')")
     _LAKES[key] = lake
     return lake
 
@@ -644,5 +657,35 @@ def ref_foreign_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) f
         JOIN ext_db.mirror.history h ON h.snapshot_id = s.snapshot_id
         ORDER BY s.snapshot_id
+        """
+    )
+
+
+@register(
+    "ref_migrated_table",
+    oracle="""
+    SELECT * FROM (VALUES
+        (10, 'legacy-a', CAST(2 AS BIGINT)),
+        (11, 'legacy-b', CAST(2 AS BIGINT)),
+        (12, 'engine-c', CAST(2 AS BIGINT)))
+        AS e(id, v, n_snapshots)
+    ORDER BY id
+    """,
+)
+def ref_migrated_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migrate-in-place end to end (Iceberg's `snapshot`/`add_files`
+    procedures): a pre-lakehouse parquet directory became table
+    migrated.legacy via CALL system.snapshot — ZERO bytes copied, footer
+    stats harvested for file skipping — and a normal engine INSERT then
+    grew it. The SELECT proves imported and engine-written rows read as
+    one table; n_snapshots pins the expected commit count (import +
+    insert) via a scalar subquery over the metadata view."""
+    return _lake(spark).sql(
+        """
+        SELECT l.id, l.v,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM migrated.legacy.snapshots) AS n_snapshots
+        FROM migrated.legacy l
+        ORDER BY l.id
         """
     )
