@@ -97,12 +97,16 @@ _PRIORITY: list[str] = [
     "rel_q22_idle_customers",
     # relational reshaping: UNPIVOT/stack — first driver slot
     "rel_unpivot",
-    # window functions (§2.5): four of the seven r6 first-timers hold
+    # NEW r7 session 2: migrate-in-place (CALL system.snapshot +
+    # zero-copy add_files) read back with engine-written rows
+    # (win_running_sum rested at one green round for the slot; three
+    # window functions keep the §2.5 family in-window)
+    "ref_migrated_table",
+    # window functions (§2.5): three of the seven r6 first-timers hold
     # for a second green round
     "win_rank_dense_rank",
     "win_moving_avg",
     "win_lag_lead",
-    "win_running_sum",
     # set operations (§2.7)
     "set_except",
     # scalar-function suites (F5): r6 first-timers hold for round 2
