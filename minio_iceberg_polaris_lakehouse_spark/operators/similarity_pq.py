@@ -240,3 +240,137 @@ def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw PQ top-k (rows-only: code layout is codebook-specific; quality
     gated by sim_ann_pq's recall bound and tests/test_similarity_pq.py)."""
     return _pq_topk(spark, sf_dir)
+
+
+# ---------------- persisted PQ index (codes + codebook at rest) --------
+_PQ_INDEX_CACHE: dict[tuple[str, str], str] = {}  # (appId, sf_dir) -> wh root
+
+
+def build_pq_index(spark: SparkSession, sf_dir: str, wh_root: str):
+    """Materialize the PQ index as warehouse tables — the deployment
+    shape the in-plan variant's docstring promises: ``ann.pq_codes``
+    holds the corpus as M_SUB ints per vector (the 64×-compressed
+    representation candidate ranking scans at serve time; the float
+    embeddings are only read back for the O(candidates) rescore) and
+    ``ann.pq_codebook`` persists the trained model (one row per
+    (subspace, code) center), so serving nodes rebuild the ~4 KB ADC
+    tables from the catalog instead of retraining. Build cost is one
+    encode pass; OVERWRITE commits keep a retry idempotent (same rule as
+    build_ivf_index). Returns the Warehouse."""
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, wh_root)
+    codes_t = wh.create_table(
+        "ann", "pq_codes", "vec_id bigint, codes array<int>", if_not_exists=True
+    )
+    book_t = wh.create_table(
+        "ann", "pq_codebook", "m int, code int, center array<double>", if_not_exists=True
+    )
+    if codes_t.current_snapshot_id() and book_t.current_snapshot_id():
+        return wh
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    books, _queries = _pq_model(spark, sf_dir, v)
+    book_rows = [
+        (m, k, [float(x) for x in books[m][k]])
+        for m in range(M_SUB)
+        for k in range(K_CODES)
+    ]
+    book_t.overwrite(
+        spark.createDataFrame(book_rows, "m int, code int, center array<double>")
+    )
+    codes = spread_for_kernel(v).select(
+        "vec_id", _encode_codes(books)(F.col("e")).alias("codes")
+    )
+    codes_t.overwrite(codes)
+    return wh
+
+
+def _pq_index_wh(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_INDEX_CACHE:
+        _PQ_INDEX_CACHE[key] = tempfile.mkdtemp(prefix="lh_pq_idx_")
+    return build_pq_index(spark, sf_dir, _PQ_INDEX_CACHE[key])
+
+
+def pq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve PQ top-k from the PERSISTED index: the codebook table
+    rebuilds the numpy model (metadata-sized collect — what a serving
+    node loads from the catalog), ADC ranks the at-rest CODES table
+    (64× fewer bytes scanned than the float corpus), and only the
+    surviving PQ_CAND_FACTOR·k candidates join back to the embeddings
+    for the exact rescore. Results are bit-identical to the in-plan
+    variant (same codebook, same ADC order, same rescore)."""
+    wh = _pq_index_wh(spark, sf_dir)
+    book_rows = wh.table("ann", "pq_codebook").read().collect()
+    books = np.empty((M_SUB, K_CODES, EMB_DIM // M_SUB))
+    for r in book_rows:
+        books[r.m][r.code] = r.center
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    q_rows = v.filter(F.col("vec_id") < N_QUERIES).collect()
+    queries = {int(r.vec_id): np.array(r.e) for r in q_rows}
+    codes = wh.table("ann", "pq_codes").read()
+    qids = spark.createDataFrame([(qid,) for qid in sorted(queries)], "q_id bigint")
+    scored = (
+        codes.crossJoin(F.broadcast(qids))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _adc_scorer(books, queries)(F.col("q_id"), F.col("codes")).alias("adist"),
+        )
+    )
+    w_cand = Window.partitionBy("q_id").orderBy("adist", "neighbor_id")
+    cand = (
+        scored.select("*", F.row_number().over(w_cand).alias("cr"))
+        .filter(F.col("cr") <= PQ_CAND_FACTOR * TOP_K)
+        .select("q_id", "neighbor_id")
+    )
+    qv = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    rescored = (
+        cand.join(v.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        rescored.select("*", F.row_number().over(w).cast("int").alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .orderBy("q_id", "rn")
+    )
+
+
+@register(
+    "sim_ann_pq_indexed",
+    oracle=f"""
+    SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           {TOP_K} AS k,
+           TRUE AS recall_ok
+    """,
+)
+def sim_ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index PQ variant under the same recall contract as
+    sim_ann_pq: build→persist (codes + codebook tables)→serve must
+    recall ≥ PQ_RECALL_BOUND of the exact twin's neighbors. The serve
+    path scans the 64×-compressed codes table, never re-encoding the
+    corpus; tests additionally pin bit-identity with the in-plan
+    variant."""
+    ann = pq_indexed_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    exact = sim_topk_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = ann.join(exact, ["q_id", "neighbor_id"], "inner")
+    return hits.agg(
+        F.lit(N_QUERIES).cast("long").alias("n_queries"),
+        F.lit(TOP_K).alias("k"),
+        (F.count("*") / (N_QUERIES * TOP_K) >= PQ_RECALL_BOUND).alias("recall_ok"),
+    )

@@ -105,3 +105,32 @@ def test_candidate_depth_bounded(spark, sf_dir):
     per_q = out.groupBy("q_id").count().collect()
     assert all(r["count"] <= PQ_CAND_FACTOR * TOP_K for r in per_q)
     assert all(r["count"] == TOP_K for r in per_q)  # and exactly k survive
+
+
+def test_pq_persisted_index_matches_in_plan(spark, sf_dir, tmp_path):
+    """build → persist (codes + codebook tables) → serve returns results
+    bit-identical to the in-plan pipeline, and the at-rest codes are the
+    compressed representation (M_SUB ints per vector)."""
+    from minio_iceberg_polaris_lakehouse_spark.operators.similarity_pq import (
+        build_pq_index,
+        pq_indexed_topk,
+    )
+
+    wh = build_pq_index(spark, sf_dir, str(tmp_path / "idx"))
+    codes = wh.table("ann", "pq_codes").read().collect()
+    assert all(len(r.codes) == M_SUB for r in codes)
+    assert all(0 <= c < K_CODES for r in codes for c in r.codes)
+    book = wh.table("ann", "pq_codebook").read()
+    assert book.count() == M_SUB * K_CODES
+    # idempotent: a rebuild over the same root converges, not doubles
+    wh2 = build_pq_index(spark, sf_dir, str(tmp_path / "idx"))
+    assert wh2.table("ann", "pq_codebook").read().count() == M_SUB * K_CODES
+
+    served = sorted(map(tuple, pq_indexed_topk(spark, sf_dir).collect()))
+    inplan = sorted(map(tuple, _pq_topk(spark, sf_dir).collect()))
+    assert served == inplan
+
+
+def test_pq_indexed_recall_gate_query(spark, sf_dir):
+    rows = QUERIES["sim_ann_pq_indexed"].spark(spark, sf_dir).collect()
+    assert len(rows) == 1 and rows[0].recall_ok is True
