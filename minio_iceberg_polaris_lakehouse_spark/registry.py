@@ -111,7 +111,6 @@ _PRIORITY: list[str] = [
     "set_except",
     # scalar-function suites (F5): r6 first-timers hold for round 2
     "fn_array_suite",
-    "fn_map_suite",
     "fn_bitwise_suite",
     # streaming windows + event analytics (§2.12)
     "stream_sliding_window",
@@ -134,8 +133,12 @@ _PRIORITY: list[str] = [
     "sim_ann_ivf_indexed",
     "sim_ann_lsh",
     "sim_label_centroids",
-    # NEW r7 session 2: product-quantization ANN (recall-gated in-plan)
+    # NEW r7 session 2: product-quantization ANN — in-plan AND served
+    # from the persisted codes+codebook tables (both recall-gated;
+    # fn_map_suite rested at one green round for the second slot,
+    # fn_array_suite/fn_bitwise_suite keep the F5 family in-window)
     "sim_ann_pq",
+    "sim_ann_pq_indexed",
     # X5 text analysis: r6 first-timers hold; lang-profile, stratified
     # sample, top-bigrams, sequence packing, vocab build get FIRST slots
     # (text_repetition_signals rested at 2 green rounds for the
