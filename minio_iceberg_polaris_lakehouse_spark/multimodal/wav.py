@@ -74,7 +74,9 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
         (clen,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
         body = blob[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
-            if clen < 16:
+            # len(body) (not clen) is the real guard: a truncated stream
+            # can declare 16 bytes but carry fewer
+            if len(body) < 16:
                 raise ValueError("fmt chunk too short")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":

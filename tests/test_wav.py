@@ -190,3 +190,25 @@ try:
 
 except ImportError:  # pragma: no cover — hypothesis is baked in, but be safe
     pass
+
+
+def test_decode_never_crashes_on_corruption():
+    """Truncations and byte flips of a valid stream either decode (flips
+    landing in PCM payload) or raise ValueError — never an unhandled
+    struct/index error. (Python's own wave module raises EOFError and
+    struct.error on these; the engine's codec guarantees one exception
+    type for the caller to catch.)"""
+    r = np.random.default_rng(3)
+    base = wav.encode_wav(r.integers(-1000, 1000, size=256, dtype=np.int16), 8000)
+    for cut in range(0, len(base), 7):  # truncations
+        try:
+            wav.decode_wav(base[:cut])
+        except ValueError:
+            pass
+    for i in range(0, 60):  # header-region byte flips
+        blob = bytearray(base)
+        blob[i] ^= 0xFF
+        try:
+            wav.decode_wav(bytes(blob))
+        except ValueError:
+            pass
