@@ -199,6 +199,7 @@ def all_queries() -> dict[str, Query]:
     import minio_iceberg_polaris_lakehouse_spark.functions.text  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.functions.bpe  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.functions.mixing  # noqa: F401
+    import minio_iceberg_polaris_lakehouse_spark.functions.retrieval  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.functions.scalars  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.functions.udfs  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.streaming.windows  # noqa: F401

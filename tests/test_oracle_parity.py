@@ -32,6 +32,7 @@ NON_EMPTY = {
     "rel_q19_disjunctive_predicates",
     "rel_q21_waiting_supplier",
     "rel_q22_idle_customers",
+    "text_bm25_topk",
 }
 
 
