@@ -433,6 +433,61 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
+    """Connected components over an undirected pair graph via Pregel-style
+    iterative min-label propagation: each round joins labels across edges
+    and keeps the elementwise min; a node's final label is its component's
+    minimum id. ``pairs`` has columns (src, dst), one row per undirected
+    edge; returns (doc_id, label) for every node incident to an edge
+    (isolated nodes are the caller's business).
+
+    Each round localCheckpoints to keep lineage flat (the standard
+    pattern for iterative DataFrame algorithms; at 100 TB this is exactly
+    GraphX/GraphFrames' CC loop — one shuffle per round over the EDGE
+    list, which is tiny relative to the corpus). Min-label moves one hop
+    per round, so rounds needed = component diameter (no pointer
+    doubling); a deeper graph must fail LOUDLY at the cap rather than
+    silently report split clusters."""
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy(edges["src"].alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"component resolution did not converge in {max_rounds} rounds "
+        f"(a component with diameter > {max_rounds}?)"
+    )
+
+
 @register(
     "dedup_cluster_keep_one",
     oracle="""
@@ -506,52 +561,7 @@ def dedup_cluster_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     )
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("label"))
-        .localCheckpoint()
-    )
-    # min-label propagation moves a label ONE hop per round, so rounds
-    # needed = component diameter (not log diameter: there is no pointer
-    # doubling here). Near-dup chains are short in practice, but a long
-    # transitive chain must fail LOUDLY at the cap rather than silently
-    # report a split cluster (wrong n_members/n_removed vs the oracle).
-    converged = False
-    for _ in range(200):
-        neigh = (
-            edges.join(labels, edges["dst"] == labels["doc_id"])
-            .groupBy(edges["src"].alias("doc_id"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            "near-dup cluster resolution did not converge in 200 rounds "
-            "(a component with diameter > 200?)"
-        )
+    labels = min_label_components(pairs)
     return (
         labels.groupBy(F.col("label").cast("long").alias("cluster_id"))
         .agg(
