@@ -414,7 +414,7 @@ class LakehouseSQL:
         pattern = re.compile(
             rf"(?<![A-Za-z0-9_.'])"
             rf"(?:(?P<cat>{cat})\.)?(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
-            rf"(?P<meta>\.(?:history|snapshots|files|manifests|refs|partitions))?"
+            rf"(?P<meta>\.(?:history|snapshots|files|manifests|refs|partitions|entries|metadata_log_entries|all_data_files))?"
             rf"(?P<tt>\s+VERSION\s+AS\s+OF\s+(?:(?P<ver>\d+)|\x00L(?P<verref>\d+)\x00)"
             rf"|\s+TIMESTAMP\s+AS\s+OF\s+\x00L(?P<ts>\d+)\x00)?"
             rf"(?![A-Za-z0-9_.])",
@@ -735,6 +735,19 @@ class LakehouseSQL:
                     comment=None,
                 ),
             ]
+            stats = tab.statistics()
+            if stats is not None:
+                rows.append(
+                    Row(
+                        col_name="Statistics",
+                        data_type=(
+                            f"{stats['size_in_bytes']} bytes, "
+                            f"{stats['row_count']} rows"
+                            + (" (stale)" if stats["stale"] else "")
+                        ),
+                        comment=None,
+                    )
+                )
         return self.spark.createDataFrame(
             rows, "col_name string, data_type string, comment string"
         )
@@ -1139,6 +1152,58 @@ class LakehouseSQL:
             "rewritten_delete_files_count int",
         )
 
+    def _analyze_table(self, m: re.Match) -> DataFrame:
+        """ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b | FOR ALL
+        COLUMNS] (Spark's syntax) — one distributed aggregate computes
+        null counts / approximate NDV / min-max and persists them in the
+        table metadata (warehouse.Table.analyze). Returns the per-column
+        stats just computed."""
+        tab = self._existing_table(m.group(1))
+        spec = (m.group(2) or "").strip()
+        cols: list[str] | None
+        if not spec:
+            cols = []  # plain COMPUTE STATISTICS: table-level stats only
+        elif re.fullmatch(r"ALL\s+COLUMNS", spec, re.IGNORECASE):
+            cols = None
+        else:
+            body = re.sub(r"^COLUMNS\s+", "", spec, flags=re.IGNORECASE)
+            cols = [c.strip() for c in body.split(",") if c.strip()]
+        tab.analyze(cols)
+        return tab.column_stats()
+
+    def _call_compute_table_stats(self, m: re.Match) -> DataFrame:
+        """CALL c.system.compute_table_stats(table => 't'
+        [, columns => ARRAY('a','b')]) — Iceberg 1.4's NDV-stats
+        procedure, same computation as ANALYZE TABLE."""
+        tab = self._existing_table(m.group(1).strip("'\""))
+        cols = None
+        if m.group(2):
+            cols = [c.strip().strip("'\"") for c in m.group(2).split(",") if c.strip()]
+        stats = tab.analyze(cols)
+        return self.spark.createDataFrame(
+            [Row(statistics_file=tab.path + "/_meta.json", row_count=stats["row_count"])],
+            "statistics_file string, row_count bigint",
+        )
+
+    def _call_rewrite_manifests(self, m: re.Match) -> DataFrame:
+        """CALL c.system.rewrite_manifests(table => 't') — consolidate
+        per-dir manifest sidecars into a few bundle files so scan
+        planning reads O(bundles) metadata, not O(dirs) (Iceberg's
+        small-manifest compaction; warehouse.Table.rewrite_manifests)."""
+        tab = self._existing_table(m.group(1).strip("'\""))
+        rewritten, added = tab.rewrite_manifests()
+        return self.spark.createDataFrame(
+            [Row(rewritten_manifests_count=rewritten, added_manifests_count=added)],
+            "rewritten_manifests_count int, added_manifests_count int",
+        )
+
+    def _call_ancestors_of(self, m: re.Match) -> DataFrame:
+        """CALL c.system.ancestors_of(table => 't' [, snapshot_id => N])
+        — the parent-chain lineage of a snapshot, newest first."""
+        tab = self._existing_table(m.group(1).strip("'\""))
+        sid = int(m.group(2)) if m.group(2) else None
+        return tab.ancestors_of(sid)
+
     def _set_wap_branch(self, m: re.Match) -> DataFrame:
         """SET spark.wap.branch = 'audit' — route subsequent INSERTs to a
         staged branch (Iceberg write-audit-publish)."""
@@ -1468,6 +1533,27 @@ class LakehouseSQL:
             rf"CALL\s+{_IDENT}\.system\.rewrite_position_delete_files\s*\("
             r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*\)",
             _call_rewrite_position_deletes,
+        ),
+        (
+            rf"CALL\s+{_IDENT}\.system\.rewrite_manifests\s*\("
+            r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*\)",
+            _call_rewrite_manifests,
+        ),
+        (
+            rf"ANALYZE\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+COMPUTE\s+STATISTICS"
+            r"(?:\s+FOR\s+([^;]+?))?\s*;?\s*$",
+            _analyze_table,
+        ),
+        (
+            rf"CALL\s+{_IDENT}\.system\.compute_table_stats\s*\("
+            r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*"
+            r"(?:,\s*columns\s*=>\s*ARRAY\s*\(([^)]*)\)\s*)?\)",
+            _call_compute_table_stats,
+        ),
+        (
+            rf"CALL\s+{_IDENT}\.system\.ancestors_of\s*\("
+            r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*(?:,\s*snapshot_id\s*=>\s*(\d+)\s*)?\)",
+            _call_ancestors_of,
         ),
         (r"SET\s+spark\.wap\.branch\s*=\s*(.+)", _set_wap_branch),
         (r"RESET\s+spark\.wap\.branch", _reset_wap_branch),

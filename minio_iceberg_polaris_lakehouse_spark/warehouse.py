@@ -524,11 +524,31 @@ def _parquet_footer_stats(out_dir: str) -> list[dict]:
     return stats
 
 
+# rewrite_manifests bundles: one JSON covering many dirs' stats, cached by
+# bundle path so one read serves every dir in the bundle.
+_BUNDLE_CACHE: dict[str, dict] = {}
+
+
 def _load_dir_stats(table_path: str, dirname: str, meta: dict) -> list[dict]:
-    """A dir's per-file footer stats: the immutable sidecar written with
-    the data, with fallback to the legacy central meta entry for tables
-    written before sidecars. Readers touch only the dirs of the snapshot
-    they scan — O(dirs read), never O(table files)."""
+    """A dir's per-file footer stats. Resolution order: a consolidated
+    manifest bundle if `rewrite_manifests` has folded this dir into one
+    (one bundle read serves up to BUNDLE_SIZE dirs — the point of the
+    procedure), else the immutable sidecar written with the data, else
+    the legacy central meta entry for tables written before sidecars.
+    Readers touch only the dirs of the snapshot they scan — O(dirs read)
+    before bundling, O(bundles read) after, never O(table files)."""
+    bundle_rel = meta.get("dir_bundles", {}).get(dirname)
+    if bundle_rel:
+        bp = os.path.join(table_path, bundle_rel)
+        bundle = _BUNDLE_CACHE.get(bp)
+        if bundle is None:
+            try:
+                bundle = json.loads(fsio.read_text(bp))["dirs"]
+                _BUNDLE_CACHE[bp] = bundle
+            except (OSError, ValueError, KeyError):
+                bundle = None  # dangling bundle ref: fall through to sidecar
+        if bundle is not None and dirname in bundle:
+            return bundle[dirname]
     p = os.path.join(table_path, dirname, DIR_STATS_FILE)
     cached = _STATS_CACHE.get(p)
     if cached is not None:
@@ -2549,6 +2569,169 @@ class Table:
             rows.append(Row(name=name, type=rec["type"], snapshot_id=int(rec["snapshot_id"])))
         return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)
 
+    def entries(self) -> DataFrame:
+        """<table>.entries metadata table (Iceberg): one row per manifest
+        entry (data/delete file) of the current snapshot — status
+        (1 ADDED by the current snapshot, 0 EXISTING from an ancestor),
+        the snapshot that added it, its data sequence number (the adding
+        commit's 1-based position in the log, Iceberg's per-commit
+        sequence), and the file's stats. Metadata-only."""
+        snap = self._resolve()
+        snaps = self._snaps()
+        added_in: dict[str, tuple[int, int]] = {}
+        for seq, s in enumerate(snaps, start=1):
+            for d in s["manifest"] + s.get("delete_dirs", []) + [
+                r["dir"] for r in s.get("eq_deletes", [])
+            ]:
+                added_in.setdefault(d, (s["snapshot_id"], seq))
+        meta = self._meta()
+        rows = []
+        for content, dirs in (
+            (0, snap["manifest"]),
+            (1, snap.get("delete_dirs", [])),
+            (2, [r["dir"] for r in snap.get("eq_deletes", [])]),
+        ):
+            for d in dirs:
+                sid, seq = added_in.get(d, (snap["snapshot_id"], len(snaps)))
+                status = 1 if sid == snap["snapshot_id"] else 0
+                for f in _load_dir_stats(self.path, d, meta):
+                    rows.append(
+                        Row(
+                            status=status,
+                            snapshot_id=sid,
+                            sequence_number=seq,
+                            content=content,
+                            file_path=os.path.join(self.path, d, f["path"]),
+                            record_count=f["rows"],
+                            file_size_in_bytes=f["bytes"],
+                        )
+                    )
+        schema = (
+            "status int, snapshot_id bigint, sequence_number bigint, content int, "
+            "file_path string, record_count bigint, file_size_in_bytes bigint"
+        )
+        return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)
+
+    def all_data_files(self) -> DataFrame:
+        """<table>.all_data_files metadata table (Iceberg): every DATA
+        file referenced by ANY snapshot in the log — not just the current
+        one — deduplicated by path, so time-travel footprints and
+        compaction debt are visible before expire_snapshots GCs them."""
+        meta = self._meta()
+        specs = meta.get("dir_specs", {})
+        seen: set[str] = set()
+        rows = []
+        for s in self._snaps():
+            for d in s["manifest"]:
+                if d in seen:
+                    continue
+                seen.add(d)
+                sid = int(specs.get(d, {}).get("spec_id", 0))
+                for f in _load_dir_stats(self.path, d, meta):
+                    rows.append(
+                        Row(
+                            content=0,
+                            file_path=os.path.join(self.path, d, f["path"]),
+                            file_format="PARQUET",
+                            spec_id=sid,
+                            record_count=f["rows"],
+                            file_size_in_bytes=f["bytes"],
+                        )
+                    )
+        schema = (
+            "content int, file_path string, file_format string, spec_id int, "
+            "record_count bigint, file_size_in_bytes bigint"
+        )
+        return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)
+
+    def metadata_log_entries(self) -> DataFrame:
+        """<table>.metadata_log_entries metadata table (Iceberg): one row
+        per commit with the metadata document current after it. The
+        engine keeps ONE atomically-swapped metadata doc (its versions
+        correspond 1:1 to commits); when the open-format export has
+        written versioned `metadata/vN.metadata.json` docs those paths
+        are reported, otherwise every row points at the live doc."""
+        rows = []
+        snaps = self._snaps()
+        for i, s in enumerate(snaps, start=1):
+            versioned = os.path.join(self.path, "metadata", f"v{i}.metadata.json")
+            rows.append(
+                Row(
+                    timestamp=_ms_to_ts(s["committed_at_ms"]),
+                    file=versioned
+                    if fsio.isfile(versioned)
+                    else os.path.join(self.path, META_FILE),
+                    latest_snapshot_id=s["snapshot_id"],
+                )
+            )
+        schema = "timestamp timestamp, file string, latest_snapshot_id bigint"
+        return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)
+
+    def ancestors_of(self, snapshot_id: int | None = None) -> DataFrame:
+        """CALL system.ancestors_of: the parent-chain lineage of a
+        snapshot (default: the current one), newest first — Iceberg's
+        procedure for answering "what commits does this state depend
+        on". Walks parent_id links, so branch-staged snapshots off the
+        queried line are excluded."""
+        snaps = self._snaps()
+        by_id = {s["snapshot_id"]: s for s in snaps}
+        cur = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if cur is not None and cur not in by_id:
+            raise WarehouseError(f"unknown snapshot {cur} on {self.ns}.{self.name}")
+        rows = []
+        while cur is not None:
+            s = by_id[cur]
+            rows.append(Row(snapshot_id=s["snapshot_id"], timestamp=_ms_to_ts(s["committed_at_ms"])))
+            cur = s["parent_id"] if s["parent_id"] in by_id else None
+        schema = "snapshot_id bigint, timestamp timestamp"
+        return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)
+
+    BUNDLE_SIZE = 100  # dirs per consolidated manifest bundle
+
+    def rewrite_manifests(self, bundle_size: int | None = None) -> tuple[int, int]:
+        """CALL system.rewrite_manifests: consolidate many small per-dir
+        manifests (the `.stats.json` sidecars scan planning reads) into a
+        few immutable bundle files under `metadata/`, so planning a
+        snapshot costs O(bundles) metadata reads instead of O(dirs) —
+        Iceberg's small-manifest compaction, mapped to this engine's
+        dir-granular manifests. Metadata-only: no data moves, no snapshot
+        is added (the engine's manifests are dir-keyed, not
+        snapshot-keyed), sidecars stay in place for in-flight readers
+        holding the previous metadata doc. Returns (rewritten_manifests,
+        added_bundles). Dirs committed after the rewrite read their own
+        sidecars until the next rewrite folds them in."""
+        bsize = bundle_size or Table.BUNDLE_SIZE
+        lock, token = self._acquire_commit_lock()
+        try:
+            meta = self._meta()
+            dirs: set[str] = set()
+            for s in self._snaps():
+                dirs.update(s["manifest"])
+                dirs.update(s.get("delete_dirs", []))
+                dirs.update(r["dir"] for r in s.get("eq_deletes", []))
+            existing = meta.get("dir_bundles", {})
+            todo = sorted(d for d in dirs if d not in existing)
+            if not todo:
+                return (0, 0)
+            fsio.makedirs(os.path.join(self.path, "metadata"))
+            new_map = dict(existing)
+            added = 0
+            for i in range(0, len(todo), bsize):
+                chunk = todo[i : i + bsize]
+                payload = {"dirs": {d: _load_dir_stats(self.path, d, meta) for d in chunk}}
+                rel = os.path.join(
+                    "metadata", f"manifest-bundle-{uuid.uuid4().hex[:12]}.json"
+                )
+                _atomic_write_json(os.path.join(self.path, rel), payload)
+                for d in chunk:
+                    new_map[d] = rel
+                added += 1
+            meta["dir_bundles"] = new_map
+            self._write_meta(meta)
+            return (len(todo), added)
+        finally:
+            self._release_commit_lock(lock, token)
+
     def create_ref(self, name: str, ref_type: str = "tag", snapshot_id: int | None = None) -> None:
         """Named ref (Iceberg branch/tag) pinning a snapshot: time travel
         by name (`VERSION AS OF 'audit-2024'`), protected from
@@ -2846,6 +3029,107 @@ class Table:
     def describe(self) -> list[tuple[str, str]]:
         """DESCRIBE TABLE (reference D9)."""
         return [(f.name, f.dataType.simpleString()) for f in self.schema().fields]
+
+    # Types whose min/max are recorded by ANALYZE (Iceberg records bounds
+    # for these; arrays/maps/structs/binary get counts + NDV only).
+    _ANALYZE_ORDERABLE = (
+        T.NumericType,
+        T.StringType,
+        T.DateType,
+        T.TimestampType,
+        T.BooleanType,
+    )
+
+    def analyze(self, columns: list[str] | None = None) -> dict:
+        """ANALYZE TABLE … COMPUTE STATISTICS [FOR COLUMNS …] — the
+        `CALL system.compute_table_stats` procedure of Iceberg 1.4+.
+
+        ONE distributed aggregate over the current snapshot computes
+        per-column null counts, approximate NDV (HyperLogLog via
+        `approx_count_distinct` — map-side partial sketches merge at the
+        exchange, the same access pattern as Iceberg's theta-sketch
+        Puffin files), and min/max for orderable atomic types. Row count
+        and byte size come from commit-time footer stats (metadata-only,
+        no scan). The result is persisted in the table metadata keyed by
+        the snapshot analyzed, so consumers (DESCRIBE EXTENDED, external
+        planners) can tell stale stats from fresh ones."""
+        from pyspark.sql import functions as F
+
+        df = self.read()
+        fields = {f.name: f.dataType for f in df.schema.fields}
+        cols = list(fields) if columns is None else list(columns)
+        unknown = [c for c in cols if c not in fields]
+        if unknown:
+            raise WarehouseError(f"cannot ANALYZE unknown columns: {unknown}")
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for i, c in enumerate(cols):
+            aggs.append(F.count(F.col(c)).alias(f"c{i}"))
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"d{i}"))
+            if isinstance(fields[c], Table._ANALYZE_ORDERABLE):
+                aggs.append(F.min(F.col(c)).alias(f"mn{i}"))
+                aggs.append(F.max(F.col(c)).alias(f"mx{i}"))
+        row = df.agg(*aggs).collect()[0].asDict()
+        snap = self._resolve() if self.current_snapshot_id() is not None else None
+        meta = self._meta()
+        size = 0
+        if snap is not None:
+            for d in snap["manifest"]:
+                size += sum(f["bytes"] for f in _load_dir_stats(self.path, d, meta))
+        col_stats = {}
+        for i, c in enumerate(cols):
+            rec = {
+                "null_count": int(row["__rows"]) - int(row[f"c{i}"]),
+                "ndv": int(row[f"d{i}"]),
+            }
+            if f"mn{i}" in row:
+                rec["min"] = None if row[f"mn{i}"] is None else str(row[f"mn{i}"])
+                rec["max"] = None if row[f"mx{i}"] is None else str(row[f"mx{i}"])
+            col_stats[c] = rec
+        stats = {
+            "snapshot_id": self.current_snapshot_id(),
+            "row_count": int(row["__rows"]),
+            "size_in_bytes": size,
+            "columns": col_stats,
+        }
+        lock, token = self._acquire_commit_lock()
+        try:
+            meta = self._meta()
+            meta["statistics"] = stats
+            self._write_meta(meta)
+        finally:
+            self._release_commit_lock(lock, token)
+        return stats
+
+    def statistics(self) -> dict | None:
+        """The persisted ANALYZE result, or None if never analyzed.
+        `stale` is derived: the analyzed snapshot is no longer current."""
+        stats = self._meta().get("statistics")
+        if stats is None:
+            return None
+        return {**stats, "stale": stats.get("snapshot_id") != self.current_snapshot_id()}
+
+    def column_stats(self) -> DataFrame:
+        """Persisted per-column ANALYZE statistics as a DataFrame (the
+        SHOW-stats surface): column, null_count, ndv, min, max, stale."""
+        stats = self.statistics()
+        schema = (
+            "column string, null_count bigint, ndv bigint, "
+            "min string, max string, stale boolean"
+        )
+        if stats is None:
+            return self.spark.createDataFrame([], schema)
+        rows = [
+            Row(
+                column=c,
+                null_count=rec["null_count"],
+                ndv=rec["ndv"],
+                min=rec.get("min"),
+                max=rec.get("max"),
+                stale=stats["stale"],
+            )
+            for c, rec in sorted(stats["columns"].items())
+        ]
+        return self.spark.createDataFrame(rows, schema)
 
     # ---------------- maintenance (D11) ----------------
     def data_file_count(self, version: int | None = None) -> int:

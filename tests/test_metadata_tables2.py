@@ -1,0 +1,123 @@
+"""Metadata-table and maintenance-procedure completeness added this
+round: `.entries`, `.all_data_files`, `.metadata_log_entries`,
+`CALL system.rewrite_manifests` (manifest bundling), and
+`CALL system.ancestors_of`."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from minio_iceberg_polaris_lakehouse_spark import fsio
+from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return LakehouseSQL(spark, str(tmp_path / "warehouse"))
+
+
+def _mk_table(lake, rows=((1, "a"), (2, "b"))):
+    lake.sql("CREATE NAMESPACE IF NOT EXISTS db")
+    lake.sql("CREATE TABLE db.t (id INT, v STRING) USING iceberg")
+    for r in rows:
+        lake.sql(f"INSERT INTO db.t VALUES ({r[0]}, '{r[1]}')")
+    return lake.wh.table("db", "t")
+
+
+def test_entries_statuses_and_sequence(lake):
+    tab = _mk_table(lake)
+    rows = lake.sql("SELECT * FROM db.t.entries").collect()
+    assert len(rows) >= 2  # one data file per insert at minimum
+    # the LAST commit's files are ADDED(1), the first commit's EXISTING(0)
+    statuses = {r.snapshot_id: r.status for r in rows}
+    cur = tab.current_snapshot_id()
+    assert statuses[cur] == 1
+    assert 0 in statuses.values()
+    seqs = sorted({(r.snapshot_id, r.sequence_number) for r in rows})
+    # sequence numbers strictly increase with commit order
+    assert [s for _, s in seqs] == sorted({s for _, s in seqs})
+    for r in rows:
+        assert r.content == 0
+        assert r.record_count == 1
+        assert fsio.isfile(r.file_path)
+
+
+def test_all_data_files_sees_expired_current_union(lake):
+    tab = _mk_table(lake)
+    lake.sql("INSERT OVERWRITE db.t VALUES (9, 'z')")
+    cur_files = {r.file_path for r in tab.files().collect()}
+    all_files = {r.file_path for r in tab.all_data_files().collect()}
+    # the overwrite hid the first two files from .files, but
+    # .all_data_files still reports them (they back time travel)
+    assert cur_files < all_files
+    assert len(all_files) >= 3
+    rows = lake.sql("SELECT COUNT(*) AS n FROM db.t.all_data_files").collect()
+    assert rows[0].n == len(all_files)
+
+
+def test_metadata_log_entries_one_per_commit(lake):
+    tab = _mk_table(lake)
+    rows = lake.sql(
+        "SELECT * FROM db.t.metadata_log_entries ORDER BY timestamp"
+    ).collect()
+    snaps = tab.snapshots().collect()
+    assert len(rows) == len(snaps)
+    assert [r.latest_snapshot_id for r in rows] == [s.snapshot_id for s in snaps]
+    for r in rows:
+        assert fsio.isfile(r.file)
+
+
+def test_ancestors_of_walks_parent_chain(lake):
+    tab = _mk_table(lake, rows=((1, "a"), (2, "b"), (3, "c")))
+    rows = lake.sql("CALL lh.system.ancestors_of(table => 'db.t')").collect()
+    snaps = tab.snapshots().collect()
+    assert [r.snapshot_id for r in rows] == [s.snapshot_id for s in reversed(snaps)]
+    # explicit snapshot_id: lineage of the SECOND commit has two entries
+    mid = snaps[1].snapshot_id
+    rows2 = lake.sql(
+        f"CALL lh.system.ancestors_of(table => 'db.t', snapshot_id => {mid})"
+    ).collect()
+    assert [r.snapshot_id for r in rows2] == [snaps[1].snapshot_id, snaps[0].snapshot_id]
+
+
+def test_rewrite_manifests_bundles_and_reads_unchanged(lake):
+    tab = _mk_table(lake, rows=tuple((i, f"v{i}") for i in range(1, 6)))
+    before = sorted(tuple(r) for r in lake.sql("SELECT * FROM db.t").collect())
+    res = lake.sql("CALL lh.system.rewrite_manifests(table => 'db.t')").collect()[0]
+    assert res.rewritten_manifests_count == 5
+    assert res.added_manifests_count == 1
+    bundles = [
+        f
+        for f in fsio.listdir(os.path.join(tab.path, "metadata"))
+        if f.startswith("manifest-bundle-")
+    ]
+    assert len(bundles) == 1
+    # reads, pruning, and time travel are value-identical after bundling
+    after = sorted(tuple(r) for r in lake.sql("SELECT * FROM db.t").collect())
+    assert after == before
+    assert lake.sql("SELECT * FROM db.t WHERE id = 3").collect()[0].v == "v3"
+    first = tab.snapshots().collect()[0].snapshot_id
+    assert len(lake.sql(f"SELECT * FROM db.t VERSION AS OF {first}").collect()) == 1
+    # idempotent: nothing left to rewrite
+    res2 = lake.sql("CALL lh.system.rewrite_manifests(table => 'db.t')").collect()[0]
+    assert res2.rewritten_manifests_count == 0
+    # a dir committed AFTER the rewrite reads its own sidecar until the
+    # next rewrite folds it in
+    lake.sql("INSERT INTO db.t VALUES (99, 'post')")
+    assert lake.sql("SELECT * FROM db.t WHERE id = 99").collect()[0].v == "post"
+    res3 = lake.sql("CALL lh.system.rewrite_manifests(table => 'db.t')").collect()[0]
+    assert res3.rewritten_manifests_count == 1
+    # .files carries the same per-file stats through the bundle path
+    files = tab.files().collect()
+    assert all(f.record_count == 1 for f in files)
+
+
+def test_rewrite_manifests_file_skipping_still_prunes(lake):
+    """Manifest bundling must not break min/max file skipping: the
+    pruned-scan result and the pruned file count are unchanged."""
+    tab = _mk_table(lake, rows=tuple((i * 10, f"v{i}") for i in range(1, 5)))
+    pruned_before = tab.scan(between={"id": (30, 1000)}).count()
+    tab.rewrite_manifests()
+    assert tab.scan(between={"id": (30, 1000)}).count() == pruned_before
