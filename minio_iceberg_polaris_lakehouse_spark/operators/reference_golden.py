@@ -202,6 +202,19 @@ def _lake(spark: SparkSession):
         "table => 'migrated.legacy')"
     )
     lake.sql("INSERT INTO migrated.legacy VALUES (12, 'engine-c')")
+    # ANALYZE fixture: persisted table/column statistics (Iceberg 1.4's
+    # CALL system.compute_table_stats; Spark's ANALYZE TABLE). HLL NDV is
+    # deterministic for a fixed dataset, and the fixture is tiny enough
+    # that the sketch is exact — so the stats are literal-checkable
+    lake.sql(
+        "CREATE TABLE IF NOT EXISTS polaris.test_db.stats_demo "
+        "(id INT, v STRING, amt DECIMAL(10,2)) USING ICEBERG"
+    )
+    lake.sql(
+        "INSERT INTO polaris.test_db.stats_demo VALUES "
+        "(1, 'a', 10.50), (2, 'b', 20.00), (3, NULL, 10.50), (4, 'a', NULL)"
+    )
+    lake.sql("ANALYZE TABLE polaris.test_db.stats_demo COMPUTE STATISTICS FOR ALL COLUMNS")
     _LAKES[key] = lake
     return lake
 
@@ -689,3 +702,25 @@ def ref_migrated_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l.id
         """
     )
+
+
+@register(
+    "ref_analyze_stats",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('amt', CAST(1 AS BIGINT), CAST(2 AS BIGINT), '10.50', '20.00', FALSE),
+        ('id',  CAST(0 AS BIGINT), CAST(4 AS BIGINT), '1', '4', FALSE),
+        ('v',   CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'a', 'b', FALSE))
+        AS s("column", null_count, ndv, "min", "max", stale)
+    ORDER BY "column"
+    """,
+)
+def ref_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted ANALYZE statistics (Iceberg 1.4's
+    CALL system.compute_table_stats; Spark's ANALYZE TABLE ... FOR ALL
+    COLUMNS): the stats_demo fixture was analyzed at build time, and this
+    reads the stored per-column stats back — null counts, HLL NDV (exact
+    at fixture size), min/max, and the staleness flag (FALSE: no commit
+    landed after the ANALYZE). One distributed aggregate computed them;
+    map-side partial sketches are what make the same plan hold at 100 TB."""
+    return _lake(spark).wh.table("test_db", "stats_demo").column_stats().orderBy("column")
