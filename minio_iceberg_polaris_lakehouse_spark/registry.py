@@ -197,6 +197,7 @@ def all_queries() -> dict[str, Query]:
     import minio_iceberg_polaris_lakehouse_spark.operators.similarity  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.similarity_pq  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.semdedup  # noqa: F401
+    import minio_iceberg_polaris_lakehouse_spark.operators.pca  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.functions.text  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.functions.bpe  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.functions.mixing  # noqa: F401
