@@ -102,27 +102,33 @@ _PRIORITY: list[str] = [
     # (win_running_sum rested at one green round for the slot; three
     # window functions keep the §2.5 family in-window)
     "ref_migrated_table",
-    # window functions (§2.5): three of the seven r6 first-timers hold
-    # for a second green round
+    # NEW r7 session 3: persisted ANALYZE/NDV statistics through the SQL
+    # path (win_moving_avg rested at two green rounds; win_rank_dense_rank
+    # + win_lag_lead keep §2.5 in-window)
+    "ref_analyze_stats",
+    # window functions (§2.5): two of the seven r6 first-timers hold
     "win_rank_dense_rank",
-    "win_moving_avg",
     "win_lag_lead",
     # set operations (§2.7)
     "set_except",
-    # scalar-function suites (F5): r6 first-timers hold for round 2
+    # scalar-function suites (F5): fn_array_suite holds for round 2
+    # (fn_bitwise_suite rested; three more scalar suites stay green in
+    # the uncapped local replica)
     "fn_array_suite",
-    "fn_bitwise_suite",
     # streaming windows + event analytics (§2.12)
+    # (stream_event_type_rates rested at one green round)
     "stream_sliding_window",
     "evt_click_purchase_funnel",
-    "stream_event_type_rates",
     # UDF surface (§2.13): the row-at-a-time Python UDF demo gets its
     # first driver slot (grouped-agg veteran rotated out at 5 rounds)
     "udf_row_python",
-    # X1/X2 dedup: minhash stays as the hardest-operator anchor
+    # X1/X2 dedup: minhash stays as the hardest-operator anchor;
+    # NEW r7 session 3: SemDeDup-style semantic dedup (exact top-pair
+    # components hash-checked + in-plan candidate-capture gate) takes
+    # dedup_exact_stats' slot (one green round, family stays covered)
     "dedup_minhash_lsh",
     "dedup_cluster_keep_one",
-    "dedup_exact_stats",
+    "dedup_semantic",
     # skew handling: both the salted groupBy AND the salted replicate-
     # join (first driver slot; salt now content-derived — retry-stable)
     "skew_salted_groupby",
@@ -132,7 +138,10 @@ _PRIORITY: list[str] = [
     # path (sim_ann_int8 rested at 2 green rounds for the slot)
     "sim_ann_ivf_indexed",
     "sim_ann_lsh",
-    "sim_label_centroids",
+    # NEW r7 session 3: distributed PCA (decimal-exact total variance +
+    # capture/Schur-Horn gates) takes sim_label_centroids' slot (one
+    # green round; X3 keeps five in-window members)
+    "sim_embedding_pca",
     # NEW r7 session 2: product-quantization ANN — in-plan AND served
     # from the persisted codes+codebook tables (both recall-gated;
     # fn_map_suite rested at one green round for the second slot,
@@ -161,6 +170,12 @@ _PRIORITY: list[str] = [
     "text_unigram_logprob",
     "text_bigram_logprob",
     "text_mixture_sample",
+    # NEW r7 session 3: BM25 retrieval + cross-document boilerplate
+    # (first driver slots; with ref_analyze_stats these take the slots of
+    # win_moving_avg, fn_bitwise_suite, and stream_event_type_rates — all
+    # rested with green rounds and families still in-window)
+    "text_bm25_topk",
+    "text_boilerplate_ngrams",
     "mm_audio_stats",
     "mm_audio_chunks",
     "mm_audio_resample",
