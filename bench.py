@@ -54,6 +54,9 @@ EXTENDED = [
     "mm_audio_stats",
     "text_mixture_sample",
     "text_unigram_logprob",
+    "text_bm25_topk",
+    "text_boilerplate_ngrams",
+    "sim_embedding_pca",
 ]
 
 

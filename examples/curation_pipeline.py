@@ -6,9 +6,12 @@ the shared test corpus):
   1. quality + language profiling        functions/text.py
   2. PII scrubbing with residual audit   text_pii_scrub
   3. exact + cross-corpus dedup          operators/dedup.py, dedup_cross_corpus
-  4. mixture-weighted sampling           functions/mixing.py
-  5. sequence packing to a token budget  text_sequence_packing
-  6. multimodal sidecars                 PNG + WAV decode stats
+  4. boilerplate + near-dup removal      text_boilerplate_ngrams,
+                                         operators/semdedup.py
+  5. mixture-weighted sampling           functions/mixing.py
+  6. sequence packing to a token budget  text_sequence_packing
+  7. multimodal sidecars                 PNG + WAV decode stats
+  8. retrieval QA spot-check             text_bm25_topk
 
 Run:  python examples/curation_pipeline.py  [sf_dir]
 """
@@ -36,10 +39,13 @@ def main() -> None:
         ("3. PII scrub (residual_pii must be 0)", "text_pii_scrub"),
         ("4. exact dedup", "dedup_exact_stats"),
         ("5. cross-corpus decontamination", "dedup_cross_corpus"),
-        ("6. mixture sample (per-source permille)", "text_mixture_sample"),
-        ("7. sequence packing", "text_sequence_packing"),
-        ("8. image sidecar stats", "mm_blob_stats"),
-        ("9. audio sidecar stats", "mm_audio_stats"),
+        ("6. boilerplate share by source", "text_boilerplate_ngrams"),
+        ("7. semantic dedup (embedding clusters)", "dedup_semantic"),
+        ("8. mixture sample (per-source permille)", "text_mixture_sample"),
+        ("9. sequence packing", "text_sequence_packing"),
+        ("10. image sidecar stats", "mm_blob_stats"),
+        ("11. audio sidecar stats", "mm_audio_stats"),
+        ("12. retrieval spot-check (BM25 top-k)", "text_bm25_topk"),
     ]
     for title, name in stages:
         print(f"\n== {title} ({name}) ==")
