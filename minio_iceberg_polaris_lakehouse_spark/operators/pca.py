@@ -8,10 +8,12 @@ Algorithm (the covariance method, exactly what Spark MLlib's
 
 1. ONE Arrow-batched pass over the corpus computes per-partition partial
    moments — (count, sum-vector, sum-of-outer-products d×d) — via
-   `mapInPandas`; each partition emits ONE row of d + d² floats, so the
-   shuffle is O(partitions × d²) bytes regardless of corpus size. At
+   `mapInPandas`; each partition emits ONE row of d + d² floats, and a
+   depth-2 executor-side combine (`_merge_moments`, MLlib treeAggregate's
+   shape) reduces them to at most 32 rows before the driver sees any. At
    100 TB this is the only scalable shape: the d×d Gram accumulation must
-   ride the scan, never a d²-wide explode per row.
+   ride the scan — never a d²-wide explode per row, never an
+   O(partitions × d²) driver collect.
 2. The driver assembles the covariance matrix from the tiny partial set
    and takes the top-K eigenvectors (numpy.linalg.eigh on a d×d
    symmetric matrix — milliseconds, deterministic up to sign; signs are
@@ -73,16 +75,48 @@ def _partial_moments(df: DataFrame) -> DataFrame:
     return df.mapInPandas(kernel, _MOMENT_SCHEMA)
 
 
+_MERGE_GROUPS = 32
+
+
+def _merge_moments(parts: DataFrame) -> DataFrame:
+    """Executor-side depth-2 combine (MLlib treeAggregate's shape): the
+    per-partition partials group by a CONTENT-derived key and merge in a
+    deterministic within-group order, so the driver collects at most
+    _MERGE_GROUPS rows however many scan partitions the corpus has — at
+    100 TB the driver would otherwise hold O(partitions × d²) floats.
+    Content-derived grouping + sorted merging keep the fit bit-identical
+    under any task scheduling or input partitioning."""
+
+    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.assign(
+            _s0=pdf["s"].map(lambda a: a[0]), _s1=pdf["s"].map(lambda a: a[1])
+        ).sort_values(["n", "_s0", "_s1"], kind="mergesort")
+        n = int(pdf["n"].sum())
+        s = np.sum([np.array(x) for x in pdf["s"]], axis=0)
+        ss = np.sum([np.array(x) for x in pdf["ss"]], axis=0)
+        return pd.DataFrame({"n": [n], "s": [s.tolist()], "ss": [ss.tolist()]})
+
+    keyed = parts.withColumn(
+        "g",
+        F.pmod(F.xxhash64(F.col("n"), F.element_at("s", 1)), F.lit(_MERGE_GROUPS)),
+    )
+    return keyed.groupBy("g").applyInPandas(merge, _MOMENT_SCHEMA)
+
+
 def fit_pca(spark: SparkSession, sf_dir: str, k: int = PCA_K):
     """Covariance-method PCA fit. Returns (components k×d as lists,
-    eigvals desc, mean, n). Partials are combined in a deterministic
-    order (sorted by count then first sum entry) so the fit does not
-    depend on partition scheduling."""
+    eigvals desc, mean, n). Partials are tree-combined executor-side and
+    the surviving handful summed in a deterministic order (sorted by
+    count then leading sum entries) so the fit does not depend on
+    partition scheduling."""
     import numpy as np
 
     v = load_table(spark, sf_dir, "embeddings").select(as_double("embedding").alias("e"))
-    parts = _partial_moments(v).collect()
-    parts.sort(key=lambda r: (r.n, r.s[0]))
+    parts = _merge_moments(_partial_moments(v)).collect()
+    parts.sort(key=lambda r: (r.n, r.s[0], r.s[1]))
     n = sum(p.n for p in parts)
     s = np.sum([np.array(p.s) for p in parts], axis=0)
     ss = np.sum([np.array(p.ss).reshape(EMB_DIM, EMB_DIM) for p in parts], axis=0)
