@@ -207,3 +207,52 @@ def fn_coalesce_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.isnull("c_acctbal").alias("bal_is_null"),
         F.ifnull(F.lit(None).cast("long"), F.col("c_custkey")).alias("key_filled"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "fn_variant_suite",
+    oracle="""
+    WITH j AS (
+        SELECT doc_id,
+               '{"chars":' || n_chars || ',"lang":"' || lang ||
+               '","tags":["' || source || '"]}' AS js
+        FROM documents)
+    SELECT doc_id,
+           CAST(json_extract(js, '$.chars') AS INT) AS v_chars,
+           json_extract_string(js, '$.lang') AS v_lang,
+           json_extract_string(js, '$.tags[0]') AS first_tag,
+           CAST(NULL AS INT) AS missing_field,
+           js AS roundtrip
+    FROM j
+    ORDER BY doc_id
+    """,
+)
+def fn_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (Spark 4's native variant, the type
+    Iceberg v3 standardizes): parse_json into a variant column, typed
+    path extraction with variant_get, missing-path NULL semantics via
+    try_variant_get, and to_json round-trip. The JSON is constructed with
+    alphabetical keys so Spark's canonical (sorted-key) to_json output
+    is byte-identical to the oracle's source string. Variant's binary
+    encoding is columnar-friendly: at 100 TB, shredded access like
+    `$.chars` reads the encoded value without a string re-parse per row
+    — exactly why it replaces JSON-string columns in modern pipelines."""
+    d = load_table(spark, sf_dir, "documents")
+    js = F.concat(
+        F.lit('{"chars":'),
+        F.col("n_chars").cast("string"),
+        F.lit(',"lang":"'),
+        F.col("lang"),
+        F.lit('","tags":["'),
+        F.col("source"),
+        F.lit('"]}'),
+    )
+    v = d.select("doc_id", F.parse_json(js).alias("v"))
+    return v.selectExpr(
+        "doc_id",
+        "variant_get(v, '$.chars', 'int') AS v_chars",
+        "variant_get(v, '$.lang', 'string') AS v_lang",
+        "variant_get(v, '$.tags[0]', 'string') AS first_tag",
+        "try_variant_get(v, '$.missing', 'int') AS missing_field",
+        "to_json(v) AS roundtrip",
+    ).orderBy("doc_id")

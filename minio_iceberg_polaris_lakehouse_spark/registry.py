@@ -111,10 +111,11 @@ _PRIORITY: list[str] = [
     "win_lag_lead",
     # set operations (§2.7)
     "set_except",
-    # scalar-function suites (F5): fn_array_suite holds for round 2
-    # (fn_bitwise_suite rested; three more scalar suites stay green in
-    # the uncapped local replica)
-    "fn_array_suite",
+    # scalar-function suites (F5): the NEW Spark-4 VARIANT suite takes
+    # the slot (fn_array_suite rested at two green rounds,
+    # fn_bitwise_suite at one; all prior suites stay green in the
+    # uncapped local replica)
+    "fn_variant_suite",
     # streaming windows + event analytics (§2.12)
     # (stream_event_type_rates rested at one green round)
     "stream_sliding_window",
