@@ -924,3 +924,67 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+CHUNK_TOKENS = 64  # tokens per chunk window
+CHUNK_STRIDE = 48  # window start stride (16-token overlap)
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents),
+    chunks AS (
+        SELECT doc_id,
+               CAST(u.i AS INT) AS start_tok,
+               list_slice(t, u.i, u.i + {CHUNK_TOKENS} - 1) AS ct
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(1, greatest(len(t), 1),
+                                                    {CHUNK_STRIDE})) AS i) u)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_tok) AS INT)
+               AS chunk_idx,
+           start_tok,
+           CAST(len(ct) AS INT) AS n_chunk_tokens,
+           array_to_string(ct, ' ') AS chunk_text
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG / context-window chunking: split every document into
+    overlapping 64-token windows with a 48-token stride (16-token overlap
+    so no boundary sentence is lost) and keep
+    doc provenance + position — the retrieval-corpus preparation step
+    between curation and embedding. Pure JVM array slicing below one
+    explode: at 100 TB this is a narrow map over the scan, no shuffle
+    until a downstream groupBy; short docs still emit one (possibly
+    partial) chunk so every document stays retrievable."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens_expr().alias("t"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    chunk = lambda i: F.slice(F.col("t"), i, CHUNK_TOKENS)  # noqa: E731
+    exploded = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.cast("int").alias("start_tok"),
+                    F.size(chunk(i)).cast("int").alias("n_chunk_tokens"),
+                    F.concat_ws(" ", chunk(i)).alias("chunk_text"),
+                ),
+            )
+        ).alias("pos", "c"),
+    )
+    return exploded.select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("chunk_idx"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
