@@ -125,20 +125,47 @@ def _transform_name(transform: str) -> str:
     return transform
 
 
+def _default_json(lit: str, dtype: T.DataType):
+    """A column's DEFAULT SQL literal as the Iceberg v3 JSON
+    single-value form: numbers as numbers, strings unquoted, booleans as
+    booleans, decimals as their exact string form (JSON floats would
+    drop scale), date/timestamp literals as their ISO strings."""
+    s = lit.strip()
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+        s = s[1:-1]
+    if isinstance(dtype, T.BooleanType):
+        return s.lower() == "true"
+    if isinstance(dtype, T.DecimalType):
+        return s
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(s)
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(s)
+    return s
+
+
 def _schema_json(meta: dict, schema_id: int, schema: T.StructType) -> dict:
     ids = meta.get("column_ids", {})
+    defaults = meta.get("column_defaults", {})
     last = int(meta.get("last_column_id", len(schema.fields)))
     counter = [last]
     fields = []
     for i, f in enumerate(schema.fields):
-        fields.append(
-            {
-                "id": int(ids.get(f.name, i + 1)),
-                "name": f.name,
-                "required": not f.nullable,
-                "type": _iceberg_type(f.dataType, counter),
-            }
-        )
+        rec = {
+            "id": int(ids.get(f.name, i + 1)),
+            "name": f.name,
+            "required": not f.nullable,
+            "type": _iceberg_type(f.dataType, counter),
+        }
+        if f.name in defaults:
+            # Iceberg v3 default values: external readers backfill
+            # pre-evolution files with initial-default and writers fill
+            # omitted columns with write-default — the same contract the
+            # engine honors internally (warehouse.Table.add_column)
+            dv = _default_json(defaults[f.name], f.dataType)
+            rec["initial-default"] = dv
+            rec["write-default"] = dv
+        fields.append(rec)
     return {"type": "struct", "schema-id": schema_id, "fields": fields}
 
 

@@ -129,21 +129,39 @@ def _entry_seq(entry: dict, manifest_rec: dict) -> int:
 
 
 
+def _default_lit(f: dict, out_t):
+    """Iceberg v3 `initial-default` as a Spark literal: the JSON
+    single-value forms for primitives (numbers, strings, booleans; date/
+    timestamp as their ISO-string or epoch-unit encodings) cast to the
+    field's Spark type. Non-primitive defaults (struct/list/map) are not
+    produced by any writer we read; fall back to NULL rather than guess."""
+    v = f.get("initial-default")
+    if v is None or isinstance(v, (dict, list)):
+        return F.lit(None).cast(out_t)
+    t = f["type"]
+    if t == "date" and isinstance(v, int):
+        return F.date_add(F.lit("1970-01-01").cast("date"), v)
+    if isinstance(t, str) and t.startswith("timestamp") and isinstance(v, int):
+        return (F.lit(v) / F.lit(1_000_000)).cast("timestamp")  # micros
+    return F.lit(v).cast(out_t)
+
+
 def _align_cols(file_schema: dict, target: dict) -> list:
     """Field-id schema alignment, shared by every reader path: for each
     target field, the file's column with the SAME FIELD ID is renamed to
-    the target name; a missing id NULL-fills (column added after the
-    file was written); equal types pass through; legal promotions
-    (int→long, float→double, decimal precision growth) cast; anything
-    else is metadata corruption, not evolution — silently casting would
-    truncate/NULL data, so it raises."""
+    the target name; a missing id fills the field's v3 `initial-default`
+    when declared, else NULL (column added after the file was written);
+    equal types pass through; legal promotions (int→long, float→double,
+    decimal precision growth) cast; anything else is metadata
+    corruption, not evolution — silently casting would truncate/NULL
+    data, so it raises."""
     by_fid = {f["id"]: f for f in file_schema["fields"]}
     cols = []
     for f in target["fields"]:
         src = by_fid.get(f["id"])
         out_t = _spark_type(f["type"])
         if src is None:
-            cols.append(F.lit(None).cast(out_t).alias(f["name"]))
+            cols.append(_default_lit(f, out_t).alias(f["name"]))
         elif src["type"] == f["type"]:
             cols.append(F.col(src["name"]).alias(f["name"]))
         elif _legal_promotion(src["type"], f["type"]):

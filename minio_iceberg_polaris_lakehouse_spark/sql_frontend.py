@@ -978,13 +978,20 @@ class LakehouseSQL:
 
     # ------------------------------------------------------- ALTER handlers
     def _alter_add_column(self, m: re.Match) -> DataFrame:
+        """ALTER TABLE t ADD COLUMN[S] name TYPE [DEFAULT <literal>], ...
+        — DEFAULT adds Iceberg v3 default-value semantics (initial +
+        write defaults, metadata-only; warehouse.Table.add_column)."""
         tab = self._existing_table(m.group(1))
         cols_text = m.group(2).strip()
         if cols_text.startswith("("):
             cols_text = _balanced_paren_group(cols_text)[0]
         for col_def in _split_top_level(cols_text):
-            name, dtype = col_def.split(None, 1)
-            tab.add_column(name, dtype)
+            dm = re.match(
+                r"(?is)^(\S+)\s+(.+?)(?:\s+DEFAULT\s+(.+))?$", col_def.strip()
+            )
+            if dm is None:
+                raise WarehouseError(f"cannot parse column definition: {col_def!r}")
+            tab.add_column(dm.group(1), dm.group(2).strip(), default=dm.group(3))
         return self._empty()
 
     def _alter_drop_column(self, m: re.Match) -> DataFrame:

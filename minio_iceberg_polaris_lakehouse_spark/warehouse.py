@@ -1125,6 +1125,7 @@ class Table:
         if schema is None:
             schema = T.StructType.fromJson(json.loads(meta["schema"]))
         renames = meta.get("renames", [])
+        defaults = meta.get("column_defaults", {})
         target_names = set(schema.fieldNames())
 
         def map_name(written: str) -> str:
@@ -1176,6 +1177,32 @@ class Table:
                 )
             else:
                 df = read_dir(phys)
+            if defaults:
+                # Iceberg v3 initial-defaults: a column declared with a
+                # DEFAULT reads the default — not NULL — from dirs whose
+                # files were written before the column existed. Presence
+                # is judged on the dir's written columns mapped through
+                # the rename chain (the name-based absent-field-id rule);
+                # dirs that contain the column keep stored values,
+                # explicit NULLs included.
+                written = self._dir_columns(d, meta) or []
+                present = {map_name(wc) for wc in written}
+                missing = {
+                    f.name: F.expr(
+                        f"CAST({defaults[f.name]} AS {f.dataType.simpleString()})"
+                    )
+                    for f in phys.fields
+                    if f.name in defaults and f.name not in present
+                }
+                if missing:
+                    df = df.select(
+                        *[
+                            missing[f.name].alias(f.name)
+                            if f.name in missing
+                            else F.col(f.name)
+                            for f in phys.fields
+                        ]
+                    )
             out.append((spec, spec_id, df))
         return out
 
@@ -1801,8 +1828,17 @@ class Table:
         spec = self.partition_spec()
         cols = schema.fieldNames()
         missing = [c for c in cols if c not in df.columns]
+        defaults = meta.get("column_defaults", {})
         for c in missing:
-            df = df.withColumn(c, F.lit(None).cast(schema[c].dataType))
+            # Iceberg v3 write-default: an omitted column with a declared
+            # DEFAULT fills with it; otherwise NULL as before
+            if c in defaults:
+                df = df.withColumn(
+                    c,
+                    F.expr(f"CAST({defaults[c]} AS {schema[c].dataType.simpleString()})"),
+                )
+            else:
+                df = df.withColumn(c, F.lit(None).cast(schema[c].dataType))
         aligned = df.select(*[F.col(c).cast(schema[c].dataType).alias(c) for c in cols])
         # pre_clustered: the caller already arranged the partitioning/order
         # (e.g. a zorder rewrite) — re-shuffling by the table sort order
@@ -2326,15 +2362,34 @@ class Table:
         )
 
     # ---------------- schema evolution (D10) ----------------
-    def add_column(self, name: str, dtype: str) -> None:
+    def add_column(self, name: str, dtype: str, default: str | None = None) -> None:
         """Metadata-only ADD COLUMN with NULL backfill on read
-        (reference README.md:132-133) — no data files rewritten."""
+        (reference README.md:132-133) — no data files rewritten.
+
+        ``default`` (a SQL literal string) adds Iceberg v3's
+        default-value semantics, still metadata-only: files written
+        BEFORE the column existed read the default instead of NULL
+        (initial-default — the "backfill without rewrite" feature), and
+        appends that omit the column fill it at write time
+        (write-default). Files that HAVE the column keep their stored
+        values, including explicit NULLs — the default applies by the
+        column's absence from a file, the name-based analogue of
+        Iceberg's absent-field-id rule."""
         meta = self._meta()
         schema = T.StructType.fromJson(json.loads(meta["schema"]))
         if name in [f.name for f in schema.fields]:
             raise WarehouseError(f"column {name} exists")
         # fromDDL accepts any case and parameterized types (DECIMAL(10,2))
         schema = schema.add(T.StructType.fromDDL(f"{name} {dtype}").fields[0])
+        if default is not None:
+            lit = default.strip()
+            val = self.spark.sql(f"SELECT CAST({lit} AS {dtype}) AS v").collect()[0].v
+            if val is None and lit.upper() != "NULL":
+                raise WarehouseError(
+                    f"DEFAULT {default} is not a valid {dtype} literal"
+                )
+            if lit.upper() != "NULL":
+                meta.setdefault("column_defaults", {})[name] = lit
         meta["schema"] = schema.json()
         meta["last_column_id"] = int(meta.get("last_column_id", len(schema.fields) - 1)) + 1
         meta.setdefault("column_ids", {})[name] = meta["last_column_id"]
@@ -2351,6 +2406,7 @@ class Table:
         if meta["partition"].get("source") == name:
             raise WarehouseError(f"column {name} is the partition source")
         meta["schema"] = T.StructType([f for f in schema.fields if f.name != name]).json()
+        meta.get("column_defaults", {}).pop(name, None)
         self._write_meta(meta)
 
     def evolve_partition_spec(self, partition_by: str | None, transform: str = "identity") -> None:
@@ -2390,6 +2446,9 @@ class Table:
         ids = meta.setdefault("column_ids", {})
         if old in ids:
             ids[new] = ids.pop(old)  # rename keeps the field id (Iceberg)
+        defaults = meta.get("column_defaults", {})
+        if old in defaults:
+            defaults[new] = defaults.pop(old)  # the default follows the column
         self._write_meta(meta)
 
     @staticmethod
