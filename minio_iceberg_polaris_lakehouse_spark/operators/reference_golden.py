@@ -215,6 +215,18 @@ def _lake(spark: SparkSession):
         "(1, 'a', 10.50), (2, 'b', 20.00), (3, NULL, 10.50), (4, 'a', NULL)"
     )
     lake.sql("ANALYZE TABLE polaris.test_db.stats_demo COMPUTE STATISTICS FOR ALL COLUMNS")
+    # default-values fixture (Iceberg v3): two rows committed, THEN two
+    # defaulted columns added, THEN one row with stored values
+    lake.sql(
+        "CREATE TABLE IF NOT EXISTS polaris.test_db.defaults_demo "
+        "(id INT, v STRING) USING ICEBERG"
+    )
+    lake.sql("INSERT INTO polaris.test_db.defaults_demo VALUES (1, 'a'), (2, 'b')")
+    lake.sql("ALTER TABLE polaris.test_db.defaults_demo ADD COLUMN score INT DEFAULT 7")
+    lake.sql(
+        "ALTER TABLE polaris.test_db.defaults_demo ADD COLUMN tag STRING DEFAULT 'none'"
+    )
+    lake.sql("INSERT INTO polaris.test_db.defaults_demo VALUES (3, 'c', 30, 'real')")
     _LAKES[key] = lake
     return lake
 
@@ -724,3 +736,21 @@ def ref_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     landed after the ANALYZE). One distributed aggregate computed them;
     map-side partial sketches are what make the same plan hold at 100 TB."""
     return _lake(spark).wh.table("test_db", "stats_demo").column_stats().orderBy("column")
+
+
+@register(
+    "ref_default_values",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'a', 7, 'none'), (2, 'b', 7, 'none'), (3, 'c', 30, 'real'))
+        AS d(id, v, score, tag)
+    ORDER BY id
+    """,
+)
+def ref_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 default column values through the SQL path: the
+    defaults_demo fixture added `score INT DEFAULT 7` and `tag STRING
+    DEFAULT 'none'` AFTER its first two rows were committed — those
+    pre-evolution files read the defaults (metadata-only backfill, no
+    rewrite), while the post-evolution row keeps its stored values."""
+    return _lake(spark).sql("SELECT id, v, score, tag FROM polaris.test_db.defaults_demo ORDER BY id")

@@ -106,9 +106,12 @@ _PRIORITY: list[str] = [
     # path (win_moving_avg rested at two green rounds; win_rank_dense_rank
     # + win_lag_lead keep §2.5 in-window)
     "ref_analyze_stats",
-    # window functions (§2.5): two of the seven r6 first-timers hold
+    # NEW r7 session 3: Iceberg v3 default column values through the SQL
+    # path (win_lag_lead rested at one green round; win_rank_dense_rank
+    # keeps §2.5 in-window alongside win_top3 in the bench set)
+    "ref_default_values",
+    # window functions (§2.5)
     "win_rank_dense_rank",
-    "win_lag_lead",
     # set operations (§2.7)
     "set_except",
     # scalar-function suites (F5): the NEW Spark-4 VARIANT suite takes
