@@ -778,6 +778,40 @@ class LakehouseSQL:
             ns, t, src.toDF(*names)  # positional INSERT semantics
         )
 
+    def _insert_named(self, m: re.Match) -> DataFrame:
+        """INSERT INTO t (a, b) VALUES … | SELECT … — column-list INSERT:
+        listed columns bind by name, omitted columns fill with their
+        declared DEFAULT (Iceberg v3 write-defaults) or NULL."""
+        cols = [c.strip() for c in m.group(2).split(",") if c.strip()]
+        body = m.group(3).strip()
+        vm = re.match(r"(?is)^VALUES\s+(.*)$", body)
+        if vm:
+            src = self.spark.sql(f"SELECT * FROM (VALUES {vm.group(1)})")
+        elif re.match(r"(?is)^(SELECT|WITH)\b", body):
+            src = self.spark.sql(self._rewrite_query(body))
+        else:
+            raise WarehouseError(
+                f"column-list INSERT expects VALUES or SELECT, got: {body[:40]!r}"
+            )
+        tab = self._existing_table(m.group(1))
+        schema = tab.schema()
+        unknown = [c for c in cols if c not in schema.fieldNames()]
+        if unknown:
+            raise WarehouseError(f"INSERT column list names unknown columns: {unknown}")
+        if len(set(cols)) != len(cols):
+            raise WarehouseError("INSERT column list repeats a column")
+        if len(src.columns) != len(cols):
+            raise WarehouseError(
+                f"INSERT column count {len(src.columns)} != column list arity {len(cols)}"
+            )
+        from pyspark.sql import functions as F
+
+        named = src.toDF(*cols).select(
+            *[F.col(c).cast(schema[c].dataType).alias(c) for c in cols]
+        )
+        tab.append(named, branch=self._wap_branch)
+        return self._empty()
+
     def _insert_values(self, m: re.Match) -> DataFrame:
         values_sql = m.group(2)
         # Spark's own parser handles the literal rows (CAST literals,
@@ -1431,6 +1465,10 @@ class LakehouseSQL:
         ),
         (rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?((?:{_IDENT}\.)*{_IDENT})", _drop_table),
         (rf"DESCRIBE\s+(TABLE\s+|EXTENDED\s+)?((?:{_IDENT}\.)*{_IDENT})", _describe),
+        (
+            rf"INSERT\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})\s*\(([^)]+)\)\s*(.+)",
+            _insert_named,
+        ),
         (rf"INSERT\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})\s+VALUES\s+(.*)", _insert_values),
         (rf"INSERT\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})\s+(SELECT\s+.*|WITH\s+.*)", _insert_select),
         (

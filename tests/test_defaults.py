@@ -123,3 +123,30 @@ def test_defaults_roundtrip_through_open_metadata(lake, spark):
     }
     assert got[1] == (7, "none", "1.50")  # pre-evolution file: defaults
     assert got[3] == (30, "real", "9.99")  # stored values win
+
+
+def test_column_list_insert_fills_defaults(lake):
+    lake.sql("ALTER TABLE db.t ADD COLUMN score INT DEFAULT 7")
+    lake.sql("INSERT INTO db.t (id, v) VALUES (10, 'j'), (11, 'k')")
+    lake.sql("INSERT INTO db.t (score, id) VALUES (99, 12)")  # any order
+    rows = {r.id: (r.v, r.score) for r in lake.sql("SELECT * FROM db.t").collect()}
+    assert rows[10] == ("j", 7)
+    assert rows[11] == ("k", 7)
+    assert rows[12] == (None, 99)  # v has no default -> NULL
+
+
+def test_column_list_insert_select_and_guards(lake):
+    import pytest as _pytest
+
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import WarehouseError as WE
+
+    lake.sql("ALTER TABLE db.t ADD COLUMN score INT DEFAULT 7")
+    lake.sql("INSERT INTO db.t (id, v) SELECT id + 100, v FROM db.t WHERE id = 1")
+    got = lake.sql("SELECT v, score FROM db.t WHERE id = 101").collect()[0]
+    assert (got.v, got.score) == ("a", 7)
+    with _pytest.raises(WE, match="unknown columns"):
+        lake.sql("INSERT INTO db.t (nope) VALUES (1)")
+    with _pytest.raises(WE, match="repeats"):
+        lake.sql("INSERT INTO db.t (id, id) VALUES (1, 2)")
+    with _pytest.raises(WE, match="column count"):
+        lake.sql("INSERT INTO db.t (id, v) VALUES (1, 'x', 9)")
