@@ -147,6 +147,7 @@ def _default_json(lit: str, dtype: T.DataType):
 def _schema_json(meta: dict, schema_id: int, schema: T.StructType) -> dict:
     ids = meta.get("column_ids", {})
     defaults = meta.get("column_defaults", {})
+    write_defaults = meta.get("column_write_defaults", {})
     last = int(meta.get("last_column_id", len(schema.fields)))
     counter = [last]
     fields = []
@@ -162,9 +163,10 @@ def _schema_json(meta: dict, schema_id: int, schema: T.StructType) -> dict:
             # pre-evolution files with initial-default and writers fill
             # omitted columns with write-default — the same contract the
             # engine honors internally (warehouse.Table.add_column)
-            dv = _default_json(defaults[f.name], f.dataType)
-            rec["initial-default"] = dv
-            rec["write-default"] = dv
+            rec["initial-default"] = _default_json(defaults[f.name], f.dataType)
+        wd = write_defaults[f.name] if f.name in write_defaults else defaults.get(f.name)
+        if wd is not None:
+            rec["write-default"] = _default_json(wd, f.dataType)
         fields.append(rec)
     return {"type": "struct", "schema-id": schema_id, "fields": fields}
 

@@ -414,7 +414,7 @@ class LakehouseSQL:
         pattern = re.compile(
             rf"(?<![A-Za-z0-9_.'])"
             rf"(?:(?P<cat>{cat})\.)?(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
-            rf"(?P<meta>\.(?:history|snapshots|files|manifests|refs|partitions|entries|metadata_log_entries|all_data_files))?"
+            rf"(?P<meta>\.(?:history|snapshots|files|manifests|refs|partitions|entries|metadata_log_entries|all_data_files|position_deletes))?"
             rf"(?P<tt>\s+VERSION\s+AS\s+OF\s+(?:(?P<ver>\d+)|\x00L(?P<verref>\d+)\x00)"
             rf"|\s+TIMESTAMP\s+AS\s+OF\s+\x00L(?P<ts>\d+)\x00)?"
             rf"(?![A-Za-z0-9_.])",
@@ -1036,6 +1036,17 @@ class LakehouseSQL:
         self._existing_table(m.group(1)).rename_column(m.group(2), m.group(3))
         return self._empty()
 
+    def _alter_column_set_default(self, m: re.Match) -> DataFrame:
+        """ALTER TABLE t ALTER COLUMN c SET DEFAULT <lit> | DROP DEFAULT
+        — Iceberg v3 write-default change (initial-default stays fixed;
+        warehouse.Table.set_column_default)."""
+        tab = self._existing_table(m.group(1))
+        if m.group(3) is not None:
+            tab.set_column_default(m.group(2), m.group(3).strip())
+        else:
+            tab.set_column_default(m.group(2), None)
+        return self._empty()
+
     def _alter_column_type(self, m: re.Match) -> DataFrame:
         """ALTER TABLE t ALTER COLUMN c TYPE <dtype> — Iceberg type
         widening (metadata-only; warehouse validates the promotion)."""
@@ -1174,9 +1185,23 @@ class LakehouseSQL:
         )
 
     def _call_remove_orphan_files(self, m: re.Match) -> DataFrame:
-        """CALL c.system.remove_orphan_files(table => 't')"""
+        """CALL c.system.remove_orphan_files(table => 't'
+        [, older_than => TIMESTAMP '…']) — Iceberg's form: only dirs
+        last modified before the timestamp are candidates (default: the
+        3-day in-flight-write guard)."""
         tab = self._existing_table(m.group(1).strip("'\""))
-        removed = tab.remove_orphan_files()
+        if m.group(2):
+            lit = m.group(2).strip("'\"")
+            ts = datetime.datetime.fromisoformat(lit)
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=self._session_tzinfo())
+            import time as _time
+
+            removed = tab.remove_orphan_files(
+                older_than_s=max(0.0, _time.time() - ts.timestamp())
+            )
+        else:
+            removed = tab.remove_orphan_files()
         return self.spark.createDataFrame(
             [Row(orphan_file_location_count=removed)], "orphan_file_location_count int"
         )
@@ -1515,6 +1540,11 @@ class LakehouseSQL:
             _alter_column_type,
         ),
         (
+            rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})\s+"
+            r"(?:SET\s+DEFAULT\s+(.+)|DROP\s+DEFAULT)",
+            _alter_column_set_default,
+        ),
+        (
             rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+ADD\s+PARTITION\s+FIELD\s+(.*)",
             _alter_add_partition_field,
         ),
@@ -1571,7 +1601,8 @@ class LakehouseSQL:
         ),
         (
             rf"CALL\s+{_IDENT}\.system\.remove_orphan_files\s*\("
-            r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*\)",
+            r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*"
+            r"(?:,\s*older_than\s*=>\s*(?:TIMESTAMP\s*)?('[^']+'|\"[^\"]+\")\s*)?\)",
             _call_remove_orphan_files,
         ),
         (

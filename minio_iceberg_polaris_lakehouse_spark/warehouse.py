@@ -1352,6 +1352,22 @@ class Table:
         paths = [os.path.join(self.path, d) for d in delete_dirs]
         return self.spark.read.schema(self._DELETE_SCHEMA).parquet(*paths)
 
+    def position_deletes(self) -> DataFrame:
+        """<table>.position_deletes metadata table (Iceberg): the current
+        snapshot's positional tombstones exactly as stored — (file_path,
+        pos) plus the delete file that recorded each. Unlike the other
+        metadata tables this one reads data files (the delete parquets),
+        as Iceberg's does; the read is distributed and O(delete files)."""
+        snap = self._resolve()
+        dirs = snap.get("delete_dirs", [])
+        schema = "file_path string, pos bigint, delete_file_path string"
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, d) for d in dirs]
+        return self.spark.read.schema(self._DELETE_SCHEMA).parquet(*paths).select(
+            "file_path", "pos", F.col("_metadata.file_path").alias("delete_file_path")
+        )
+
     def _apply_deletes(self, df: DataFrame, delete_dirs: list[str], cols: list[str]) -> DataFrame:
         """Anti-join live rows against the tombstones on (_file, _pos).
         The tombstone side is broadcast: delete files are a tiny fraction
@@ -1829,13 +1845,16 @@ class Table:
         cols = schema.fieldNames()
         missing = [c for c in cols if c not in df.columns]
         defaults = meta.get("column_defaults", {})
+        write_defaults = meta.get("column_write_defaults", {})
         for c in missing:
-            # Iceberg v3 write-default: an omitted column with a declared
-            # DEFAULT fills with it; otherwise NULL as before
-            if c in defaults:
+            # Iceberg v3 write-default: an omitted column fills with its
+            # write-default (SET DEFAULT), falling back to the
+            # initial-default it was added with; DROP DEFAULT stores an
+            # explicit None -> NULL; otherwise NULL as before
+            lit = write_defaults[c] if c in write_defaults else defaults.get(c)
+            if lit is not None:
                 df = df.withColumn(
-                    c,
-                    F.expr(f"CAST({defaults[c]} AS {schema[c].dataType.simpleString()})"),
+                    c, F.expr(f"CAST({lit} AS {schema[c].dataType.simpleString()})")
                 )
             else:
                 df = df.withColumn(c, F.lit(None).cast(schema[c].dataType))
@@ -2407,6 +2426,31 @@ class Table:
             raise WarehouseError(f"column {name} is the partition source")
         meta["schema"] = T.StructType([f for f in schema.fields if f.name != name]).json()
         meta.get("column_defaults", {}).pop(name, None)
+        meta.get("column_write_defaults", {}).pop(name, None)
+        self._write_meta(meta)
+
+    def set_column_default(self, name: str, default: str | None) -> None:
+        """ALTER COLUMN … SET DEFAULT <literal> / DROP DEFAULT (Iceberg
+        v3): changes the WRITE-default only — what future writes fill
+        when the column is omitted. The initial-default (what
+        pre-evolution files read) is fixed when the column is added, so
+        changing the default never rewrites history. DROP DEFAULT is an
+        explicit 'fill NULL' marker that overrides an initial-default
+        for writes."""
+        meta = self._meta()
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        if name not in schema.fieldNames():
+            raise WarehouseError(f"column {name} does not exist")
+        wd = meta.setdefault("column_write_defaults", {})
+        if default is None:
+            wd[name] = None
+        else:
+            lit = default.strip()
+            dtype = schema[name].dataType.simpleString()
+            val = self.spark.sql(f"SELECT CAST({lit} AS {dtype}) AS v").collect()[0].v
+            if val is None and lit.upper() != "NULL":
+                raise WarehouseError(f"DEFAULT {default} is not a valid {dtype} literal")
+            wd[name] = lit
         self._write_meta(meta)
 
     def evolve_partition_spec(self, partition_by: str | None, transform: str = "identity") -> None:
@@ -2446,9 +2490,10 @@ class Table:
         ids = meta.setdefault("column_ids", {})
         if old in ids:
             ids[new] = ids.pop(old)  # rename keeps the field id (Iceberg)
-        defaults = meta.get("column_defaults", {})
-        if old in defaults:
-            defaults[new] = defaults.pop(old)  # the default follows the column
+        for key in ("column_defaults", "column_write_defaults"):
+            rec = meta.get(key, {})
+            if old in rec:
+                rec[new] = rec.pop(old)  # the default follows the column
         self._write_meta(meta)
 
     @staticmethod

@@ -150,3 +150,40 @@ def test_column_list_insert_select_and_guards(lake):
         lake.sql("INSERT INTO db.t (id, id) VALUES (1, 2)")
     with _pytest.raises(WE, match="column count"):
         lake.sql("INSERT INTO db.t (id, v) VALUES (1, 'x', 9)")
+
+
+def test_set_default_changes_writes_not_history(lake):
+    """SET DEFAULT is a write-default change only: pre-evolution files
+    keep reading the INITIAL default; DROP DEFAULT makes omitted columns
+    NULL again."""
+    lake.sql("ALTER TABLE db.t ADD COLUMN score INT DEFAULT 7")
+    lake.sql("ALTER TABLE db.t ALTER COLUMN score SET DEFAULT 42")
+    lake.sql("INSERT INTO db.t (id, v) VALUES (10, 'j')")
+    rows = {r.id: r.score for r in lake.sql("SELECT id, score FROM db.t").collect()}
+    assert rows[1] == 7  # initial-default: history unchanged
+    assert rows[10] == 42  # new write-default
+    lake.sql("ALTER TABLE db.t ALTER COLUMN score DROP DEFAULT")
+    lake.sql("INSERT INTO db.t (id, v) VALUES (11, 'k')")
+    rows = {r.id: r.score for r in lake.sql("SELECT id, score FROM db.t").collect()}
+    assert rows[11] is None
+    # SET DEFAULT works on columns that never had one
+    lake.sql("ALTER TABLE db.t ALTER COLUMN v SET DEFAULT 'dv'")
+    lake.sql("INSERT INTO db.t (id) VALUES (12)")
+    got = lake.sql("SELECT v FROM db.t WHERE id = 12").collect()[0]
+    assert got.v == "dv"
+
+
+def test_export_write_default_tracks_set_default(lake):
+    import json
+
+    lake.sql("ALTER TABLE db.t ADD COLUMN score INT DEFAULT 7")
+    lake.sql("ALTER TABLE db.t ALTER COLUMN score SET DEFAULT 42")
+    lake.sql("INSERT INTO db.t VALUES (3, 'c', 30)")  # triggers export
+    tab = lake.wh.table("db", "t")
+    with open(f"{tab.path}/metadata/version-hint.text") as f:
+        v = f.read().strip()
+    doc = json.load(open(f"{tab.path}/metadata/v{v}.metadata.json"))
+    cur = next(s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"])
+    fld = next(f for f in cur["fields"] if f["name"] == "score")
+    assert fld["initial-default"] == 7
+    assert fld["write-default"] == 42

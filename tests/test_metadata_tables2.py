@@ -121,3 +121,39 @@ def test_rewrite_manifests_file_skipping_still_prunes(lake):
     pruned_before = tab.scan(between={"id": (30, 1000)}).count()
     tab.rewrite_manifests()
     assert tab.scan(between={"id": (30, 1000)}).count() == pruned_before
+
+
+def test_position_deletes_metadata_table(lake):
+    lake.sql("CREATE NAMESPACE IF NOT EXISTS db2")
+    lake.sql(
+        "CREATE TABLE db2.m (id INT, v STRING) USING iceberg "
+        "TBLPROPERTIES ('write.delete.mode'='merge-on-read')"
+    )
+    lake.sql("INSERT INTO db2.m VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    rows = lake.sql("SELECT * FROM db2.m.position_deletes").collect()
+    assert rows == []  # no deletes yet
+    lake.sql("DELETE FROM db2.m WHERE id = 2")
+    rows = lake.sql("SELECT * FROM db2.m.position_deletes").collect()
+    assert len(rows) == 1
+    assert rows[0].pos >= 0 and rows[0].file_path
+    assert "delete-" in rows[0].delete_file_path
+
+
+def test_remove_orphan_files_older_than(lake, tmp_path):
+    import os as _os
+
+    tab = _mk_table(lake)
+    orphan = _os.path.join(tab.path, "data-deadbeefcafe")
+    _os.makedirs(orphan)
+    with open(_os.path.join(orphan, "junk.parquet"), "w") as f:
+        f.write("x")
+    # default 3-day guard: too young to delete
+    out = lake.sql("CALL lh.system.remove_orphan_files(table => 'db.t')").collect()[0]
+    assert out.orphan_file_location_count == 0
+    # explicit older_than in the FUTURE → age threshold 0 → removed
+    out = lake.sql(
+        "CALL lh.system.remove_orphan_files(table => 'db.t', "
+        "older_than => TIMESTAMP '2099-01-01 00:00:00')"
+    ).collect()[0]
+    assert out.orphan_file_location_count == 1
+    assert not _os.path.isdir(orphan)
