@@ -970,13 +970,19 @@ class LakehouseSQL:
 
     def _merge_into(self, m: re.Match) -> DataFrame:
         """MERGE INTO t [t_alias] USING src [s_alias] ON a.k = b.k
-        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * —
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+        [WHEN NOT MATCHED BY SOURCE THEN DELETE] —
         the upsert form the reference points at for dedup remediation
         (SETUP_GUIDE_WIN.md:368 'Use MERGE or DELETE + INSERT'). ``src``
         is a warehouse table name or a parenthesized SELECT; execution is
         the warehouse's copy-on-write merge (join + union plan)."""
         tab, src, key = self._merge_parts(m)
-        tab.merge_into(src, on=key, branch=self._wap_branch)
+        tab.merge_into(
+            src,
+            on=key,
+            not_matched_by_source_action="delete" if m.group(5) else None,
+            branch=self._wap_branch,
+        )
         return self._empty()
 
     def _merge_parts(self, m: re.Match):
@@ -1176,10 +1182,17 @@ class LakehouseSQL:
         )
 
     def _call_expire_snapshots(self, m: re.Match) -> DataFrame:
-        """CALL c.system.expire_snapshots(table => 't' [, retain_last => N])"""
+        """CALL c.system.expire_snapshots(table => 't'
+        [, older_than => TIMESTAMP '…'] [, retain_last => N])"""
         tab = self._existing_table(m.group(1).strip("'\""))
-        retain = int(m.group(2)) if m.group(2) else 1
-        removed = tab.expire_snapshots(keep_last=retain)
+        older_ms = None
+        if m.group(2):
+            ts = datetime.datetime.fromisoformat(m.group(2).strip("'\""))
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=self._session_tzinfo())
+            older_ms = int(ts.timestamp() * 1000)
+        retain = int(m.group(3)) if m.group(3) else 1
+        removed = tab.expire_snapshots(keep_last=retain, older_than_ms=older_ms)
         return self.spark.createDataFrame(
             [Row(deleted_data_files_count=removed)], "deleted_data_files_count int"
         )
@@ -1512,7 +1525,8 @@ class LakehouseSQL:
             rf"\s+USING\s+(\(.*\)|(?:{_IDENT}\.)*{_IDENT})(?:\s+(?:AS\s+)?{_IDENT})?"
             rf"\s+ON\s+({_IDENT}\.{_IDENT})\s*=\s*({_IDENT}\.{_IDENT})"
             rf"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
-            rf"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*",
+            rf"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*"
+            r"(\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE)?",
             _merge_into,
         ),
         (
@@ -1596,7 +1610,9 @@ class LakehouseSQL:
         ),
         (
             rf"CALL\s+{_IDENT}\.system\.expire_snapshots\s*\("
-            r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*(?:,\s*retain_last\s*=>\s*(\d+)\s*)?\)",
+            r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*"
+            r"(?:,\s*older_than\s*=>\s*(?:TIMESTAMP\s*)?('[^']+'|\"[^\"]+\")\s*)?"
+            r"(?:,\s*retain_last\s*=>\s*(\d+)\s*)?\)",
             _call_expire_snapshots,
         ),
         (

@@ -2319,6 +2319,7 @@ class Table:
         update_cols: list[str] | None = None,
         insert_missing: bool = True,
         matched_action: str = "update",
+        not_matched_by_source_action: str | None = None,
         branch: str | None = None,
     ) -> int:
         """MERGE INTO target USING source ON target.<on> = source.<on>
@@ -2332,6 +2333,11 @@ class Table:
         swap."""
         if matched_action not in ("update", "delete"):
             raise WarehouseError(f"matched_action must be update or delete, not {matched_action}")
+        if not_matched_by_source_action not in (None, "delete"):
+            raise WarehouseError(
+                "not_matched_by_source_action must be None or delete, "
+                f"not {not_matched_by_source_action}"
+            )
         parent = self._branch_head(branch) if branch else self.current_snapshot_id()
         cols = [f.name for f in self.schema().fields]
         update_cols = update_cols or [c for c in cols if c != on]
@@ -2361,6 +2367,11 @@ class Table:
         unmatched_tgt = tgt.join(src, F.col(f"t.{on}") == F.col(f"s.{on}"), "left_anti").select(
             *[F.col(c) for c in cols]
         )
+        # WHEN NOT MATCHED BY SOURCE THEN DELETE (Spark 3.5+/Iceberg's
+        # sync-deletion arm): target rows with no source match DROP
+        # instead of carrying over — MERGE becomes a full two-way sync
+        if not_matched_by_source_action == "delete":
+            unmatched_tgt = unmatched_tgt.limit(0)
         merged = unmatched_tgt
         if matched_action == "update":
             matched = tgt.join(src, F.col(f"t.{on}") == F.col(f"s.{on}"), "inner").select(
@@ -2376,9 +2387,10 @@ class Table:
             )
             merged = merged.unionByName(new_rows)
         p = self._write_data(merged)
-        return self._commit_replace(
-            "merge", [p], {"on": on, "matched-action": matched_action}, parent, branch=branch
-        )
+        summary = {"on": on, "matched-action": matched_action}
+        if not_matched_by_source_action:
+            summary["not-matched-by-source-action"] = not_matched_by_source_action
+        return self._commit_replace("merge", [p], summary, parent, branch=branch)
 
     # ---------------- schema evolution (D10) ----------------
     def add_column(self, name: str, dtype: str, default: str | None = None) -> None:
@@ -3401,9 +3413,12 @@ class Table:
             parent,
         )
 
-    def expire_snapshots(self, keep_last: int = 1) -> int:
+    def expire_snapshots(self, keep_last: int = 1, older_than_ms: int | None = None) -> int:
         """Iceberg expire_snapshots: drop history older than the last N
-        snapshots and garbage-collect unreferenced data directories."""
+        snapshots and garbage-collect unreferenced data directories.
+        ``older_than_ms`` is Iceberg's primary form: only snapshots
+        committed BEFORE the cutoff expire, still retaining at least
+        ``keep_last`` (and everything refs pin)."""
         lock, token = self._acquire_commit_lock()
         try:
             snaps = self._snaps()
@@ -3424,7 +3439,15 @@ class Table:
                     s = by_id.get(s.get("parent_id"))
             # the retention tail counts MAIN history; branch-staged
             # snapshots survive only while a ref pins them
-            tail = self._main_snaps(snaps)[-keep_last:]
+            mains = self._main_snaps(snaps)
+            tail = mains[-keep_last:]
+            if older_than_ms is not None:
+                tail_ids = {s["snapshot_id"] for s in tail} | {
+                    s["snapshot_id"]
+                    for s in mains
+                    if s["committed_at_ms"] >= older_than_ms
+                }
+                tail = [s for s in mains if s["snapshot_id"] in tail_ids]
             keep = [
                 s for s in snaps if s in tail or s["snapshot_id"] in pinned
             ]

@@ -157,3 +157,57 @@ def test_remove_orphan_files_older_than(lake, tmp_path):
     ).collect()[0]
     assert out.orphan_file_location_count == 1
     assert not _os.path.isdir(orphan)
+
+
+def test_merge_not_matched_by_source_delete(lake):
+    """MERGE ... WHEN NOT MATCHED BY SOURCE THEN DELETE turns MERGE into
+    a full two-way sync: unmatched target rows drop."""
+    lake.sql("CREATE NAMESPACE IF NOT EXISTS db3")
+    lake.sql("CREATE TABLE db3.sync (id INT, v STRING) USING iceberg")
+    lake.sql("INSERT INTO db3.sync VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    lake.sql(
+        "MERGE INTO db3.sync t "
+        "USING (SELECT * FROM VALUES (2, 'B'), (4, 'D') AS s(id, v)) s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    rows = sorted((r.id, r.v) for r in lake.sql("SELECT * FROM db3.sync").collect())
+    # 1 and 3 (unmatched by source) dropped; 2 updated; 4 inserted
+    assert rows == [(2, "B"), (4, "D")]
+    # without the BY SOURCE arm, unmatched target rows survive
+    lake.sql(
+        "MERGE INTO db3.sync t "
+        "USING (SELECT * FROM VALUES (9, 'x') AS s(id, v)) s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows = sorted((r.id, r.v) for r in lake.sql("SELECT * FROM db3.sync").collect())
+    assert rows == [(2, "B"), (4, "D"), (9, "x")]
+
+
+def test_expire_snapshots_older_than_timestamp(lake):
+    tab = _mk_table(lake, rows=((1, "a"), (2, "b"), (3, "c")))
+    snaps = tab.snapshots().collect()
+    assert len(snaps) == 3
+    # cutoff AFTER everything, retain_last 1 → only the head survives
+    lake.sql(
+        "CALL lh.system.expire_snapshots(table => 'db.t', "
+        "older_than => TIMESTAMP '2099-01-01 00:00:00', retain_last => 1)"
+    )
+    assert len(tab.snapshots().collect()) == 1
+    assert sorted(r.id for r in lake.sql("SELECT * FROM db.t").collect()) == [1, 2, 3]
+
+
+def test_expire_snapshots_older_than_keeps_recent(lake):
+    import datetime as _dt
+
+    tab = _mk_table(lake, rows=((1, "a"), (2, "b"), (3, "c")))
+    # cutoff BEFORE everything → nothing expires even with retain_last 1
+    lake.sql(
+        "CALL lh.system.expire_snapshots(table => 'db.t', "
+        "older_than => TIMESTAMP '2000-01-01 00:00:00', retain_last => 1)"
+    )
+    assert len(tab.snapshots().collect()) == 3
