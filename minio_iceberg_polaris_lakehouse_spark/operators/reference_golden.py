@@ -754,3 +754,57 @@ def ref_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-evolution files read the defaults (metadata-only backfill, no
     rewrite), while the post-evolution row keeps its stored values."""
     return _lake(spark).sql("SELECT id, v, score, tag FROM polaris.test_db.defaults_demo ORDER BY id")
+
+
+# Materialized-view golden: per-application mode cache so the fixture
+# builds (and its REFRESH runs) exactly once per Spark app — re-invoking
+# the query returns the identical stable result.
+_MV_MODE: dict[str, str] = {}
+
+
+@register(
+    "ref_matview_incremental",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('eu', CAST(16.50 AS DECIMAL(20,2)), CAST(3 AS BIGINT), 'incremental'),
+        ('us', CAST(7.25 AS DECIMAL(20,2)), CAST(1 AS BIGINT), 'incremental'))
+        AS m(region, total, n, mode)
+    ORDER BY region
+    """,
+)
+def ref_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized view maintained INCREMENTALLY from the Iceberg CDC
+    changelog (matview.py): a SUM/COUNT grouped aggregate over a sales
+    table is materialized, then the base takes two INSERTs and a DELETE
+    (the lone 'ap' row), and REFRESH folds the signed changelog deltas
+    into the stored groups — the 'ap' group disappears when its row
+    count hits zero, 'eu' absorbs its insert. The `mode` column is the
+    REAL refresh result: 'incremental' proves the changelog path ran
+    (O(changed data)), not a base rescan. The reference's Iceberg
+    snapshot/CDC machinery (README.md:119-142) is exactly the substrate
+    lakehouse MVs are built on."""
+    lake = _lake(spark)
+    key = spark.sparkContext.applicationId
+    if key not in _MV_MODE:
+        lake.sql(
+            "CREATE TABLE IF NOT EXISTS polaris.test_db.mv_sales "
+            "(region STRING, amount DECIMAL(10,2)) USING ICEBERG"
+        )
+        lake.sql(
+            "INSERT INTO test_db.mv_sales VALUES ('eu', 10.00), ('eu', 5.50), ('us', 7.25)"
+        )
+        lake.sql(
+            "CREATE MATERIALIZED VIEW test_db.sales_mv AS "
+            "SELECT region, SUM(amount) AS total, COUNT(*) AS n "
+            "FROM test_db.mv_sales GROUP BY region"
+        )
+        lake.sql("INSERT INTO test_db.mv_sales VALUES ('eu', 1.00), ('ap', 2.00)")
+        lake.sql("DELETE FROM test_db.mv_sales WHERE region = 'ap'")
+        _MV_MODE[key] = (
+            lake.sql("REFRESH MATERIALIZED VIEW test_db.sales_mv").collect()[0].mode
+        )
+    mode = _MV_MODE[key]
+    return lake.sql(
+        f"SELECT region, total, n, '{mode}' AS mode "
+        "FROM test_db.sales_mv ORDER BY region"
+    )

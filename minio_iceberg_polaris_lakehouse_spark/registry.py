@@ -84,8 +84,12 @@ _PRIORITY: list[str] = [
     # consumed from open metadata
     "ref_foreign_metadata",
     "ref_foreign_changes",
-    # row-level MERGE with matched-THEN-DELETE branch (M1) — 2nd round
-    "ref_merge_delete",
+    # NEW r7 session 4: materialized view maintained incrementally from
+    # the CDC changelog — the returned `mode` column proves the
+    # changelog path ran. Takes ref_merge_delete's slot (green r6 first
+    # driver hash; MERGE family stays covered by the local replica and
+    # the MERGE/CALL fuzz suite)
+    "ref_matview_incremental",
     # TPC-H shapes never driver-checked before r7 (q5/q9 veterans and
     # the rest of the sweep stay in the local replica)
     "rel_q12_priority_by_linestatus",

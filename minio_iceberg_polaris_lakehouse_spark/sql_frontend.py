@@ -204,7 +204,10 @@ class LakehouseSQL:
         tab = self.wh.table(ns, t)
         if not tab.exists() and f"{ns}.{t}" in self.wh.foreign_tables():
             return self.wh.read_foreign_table(ns, t)
-        return tab.read()
+        df = tab.read()
+        if f"{ns}.{t}" in self.wh.matviews() and "_lh_count" in df.columns:
+            df = df.drop("_lh_count")
+        return df
 
     # ------------------------------------------------------- name handling
     def _resolve_table_name(self, name: str) -> tuple[str, str]:
@@ -427,6 +430,7 @@ class LakehouseSQL:
         # the registry files
         foreign_regs = self.wh.foreign_tables()
         view_defs = self.wh.views()
+        matview_defs = self.wh.matviews()
 
         def repl(m: re.Match) -> str:
             ns, tbl = m.group("ns"), m.group("tbl")
@@ -555,6 +559,10 @@ class LakehouseSQL:
                     df = tab.read(metadata_columns=wants_metadata_cols)
                     if wants_metadata_cols:
                         view += "__meta"
+            if f"{ns}.{tbl}" in matview_defs and "_lh_count" in df.columns:
+                # materialized-view storage: the hidden per-group row
+                # count is maintenance state, never query-visible
+                df = df.drop("_lh_count")
             df.createOrReplaceTempView(view)
             return view
 
@@ -697,7 +705,13 @@ class LakehouseSQL:
                 rows, "col_name string, data_type string, comment string"
             )
         tab = self._existing_table(m.group(2))
-        rows = [Row(col_name=c, data_type=d, comment=None) for c, d in tab.describe()]
+        is_matview = f"{ns}.{t}" in self.wh.matviews()
+        rows = [
+            Row(col_name=c, data_type=d, comment=None)
+            for c, d in tab.describe()
+            # a materialized view's hidden maintenance column stays hidden
+            if not (is_matview and c == "_lh_count")
+        ]
         spec = tab.partition_spec()
         if spec.source is not None:
             rows += [
@@ -793,7 +807,7 @@ class LakehouseSQL:
             raise WarehouseError(
                 f"column-list INSERT expects VALUES or SELECT, got: {body[:40]!r}"
             )
-        tab = self._existing_table(m.group(1))
+        tab = self._dml_table(m.group(1))
         schema = tab.schema()
         unknown = [c for c in cols if c not in schema.fieldNames()]
         if unknown:
@@ -821,7 +835,7 @@ class LakehouseSQL:
         if foreign:
             self._append_foreign_positional(*foreign, src)
             return self._empty()
-        self._append_positional(self._existing_table(m.group(1)), src)
+        self._append_positional(self._dml_table(m.group(1)), src)
         return self._empty()
 
     def _insert_select(self, m: re.Match) -> DataFrame:
@@ -830,7 +844,7 @@ class LakehouseSQL:
         if foreign:
             self._append_foreign_positional(*foreign, src)
             return self._empty()
-        self._append_positional(self._existing_table(m.group(1)), src)
+        self._append_positional(self._dml_table(m.group(1)), src)
         return self._empty()
 
     @staticmethod
@@ -862,19 +876,19 @@ class LakehouseSQL:
         unpartitioned-spec write: full overwrite). Like every write
         statement, an active `SET spark.wap.branch` routes it to the
         branch (Iceberg's session-wide WAP write routing)."""
-        tab = self._existing_table(m.group(1))
+        tab = self._dml_table(m.group(1))
         src = self.spark.sql(f"SELECT * FROM (VALUES {m.group(2)})")
         tab.overwrite(self._align_positional(tab, src), branch=self._wap_branch)
         return self._empty()
 
     def _insert_overwrite_select(self, m: re.Match) -> DataFrame:
-        tab = self._existing_table(m.group(1))
+        tab = self._dml_table(m.group(1))
         src = self.spark.sql(self._rewrite_query(m.group(2)))
         tab.overwrite(self._align_positional(tab, src), branch=self._wap_branch)
         return self._empty()
 
     def _delete_from(self, m: re.Match) -> DataFrame:
-        tab = self._existing_table(m.group(1))
+        tab = self._dml_table(m.group(1))
         tab.delete_where(m.group(2), branch=self._wap_branch)
         return self._empty()
 
@@ -882,7 +896,7 @@ class LakehouseSQL:
         """UPDATE t SET col = expr [, ...] WHERE cond — copy-on-write
         rewrite of matching rows (Iceberg row-level UPDATE semantics).
         An active `SET spark.wap.branch` stages it on the branch."""
-        tab = self._existing_table(m.group(1))
+        tab = self._dml_table(m.group(1))
         split = _split_at_top_level_where(m.group(2))
         if split is None:
             raise WarehouseError("UPDATE requires a WHERE clause")
@@ -954,6 +968,163 @@ class LakehouseSQL:
             else self.spark.createDataFrame([], schema)
         )
 
+    # ------------------------------------------------ materialized views
+    def _dml_table(self, name: str) -> Table:
+        """DML target resolution: refuses materialized-view storage
+        (system-maintained — direct writes would silently desync it from
+        its definition) and otherwise behaves as _existing_table."""
+        ns, t = self._resolve_table_name(name)
+        if f"{ns}.{t}" in self.wh.matviews():
+            raise WarehouseError(
+                f"{ns}.{t} is a materialized view and cannot be written "
+                "directly (use REFRESH MATERIALIZED VIEW)"
+            )
+        return self._existing_table(name)
+
+    def _create_matview(self, m: re.Match) -> DataFrame:
+        """CREATE MATERIALIZED VIEW [IF NOT EXISTS] ns.mv AS <query> —
+        materializes the query into a real warehouse table and records
+        the definition. A single-table SUM/COUNT grouped aggregate is
+        registered incrementally-maintainable: its materialization is
+        pinned to the base snapshot read, so REFRESH can later apply the
+        changelog from exactly that point (no gap, no double count)."""
+        from minio_iceberg_polaris_lakehouse_spark import matview as MV
+
+        ine, name, query = bool(m.group(1)), m.group(2), m.group(3).strip()
+        ns, v = self._resolve_table_name(name)
+        key = f"{ns}.{v}"
+        if key in self.wh.matviews():
+            if ine:
+                return self._empty()
+            raise WarehouseError(f"materialized view {key} exists")
+        rec = {"sql": query, "incremental": False, "base": None, "synced": None}
+        spec = MV.parse_incremental(query)
+        df = None
+        if spec is not None:
+            try:
+                bns, bt = self._resolve_table_name(spec.table_text)
+            except WarehouseError:
+                spec = None
+            else:
+                base = self.wh.table(bns, bt)
+                if base.exists():
+                    sid = base.current_snapshot_id()
+                    df = MV.materialize(
+                        base.read(version=sid) if sid else base.read(), spec
+                    )
+                    rec.update(incremental=True, base=f"{bns}.{bt}", synced=sid)
+                else:
+                    spec = None  # base is a view/foreign name: full mode
+        if spec is None:
+            df = self.spark.sql(self._rewrite_query(query))
+            if MV.HIDDEN_COUNT in df.columns:
+                raise WarehouseError(
+                    f"materialized view query must not produce a {MV.HIDDEN_COUNT} column"
+                )
+        # storage first, record second: a crash in between leaves an
+        # ordinary droppable table, never a record pointing at nothing
+        tab = self.wh.create_table(ns, v, df.schema)
+        tab.append(df)
+        self.wh.put_matview(ns, v, rec)
+        return self._empty()
+
+    def _drop_matview(self, m: re.Match) -> DataFrame:
+        ns, v = self._resolve_table_name(m.group(2))
+        self.wh.drop_matview(ns, v, if_exists=bool(m.group(1)))
+        return self._empty()
+
+    def _refresh_matview(self, m: re.Match) -> DataFrame:
+        """REFRESH MATERIALIZED VIEW ns.mv — incremental when the
+        definition qualifies and the synced base snapshot is still
+        reachable (reads ONLY base.changes(synced→current), folds signed
+        deltas into the stored groups); otherwise a full recompute,
+        pinned to the base snapshot it records. Returns one row
+        (view, mode, synced_snapshot); mode ∈ noop|incremental|full."""
+        from minio_iceberg_polaris_lakehouse_spark import matview as MV
+
+        ns, v = self._resolve_table_name(m.group(1))
+        key = f"{ns}.{v}"
+        rec = self.wh.matviews().get(key)
+        if rec is None:
+            raise WarehouseError(f"materialized view {key} does not exist")
+        storage = self.wh.table(ns, v)
+
+        def result(mode: str, synced) -> DataFrame:
+            return self.spark.createDataFrame(
+                [Row(view=key, mode=mode, synced_snapshot=synced)],
+                "view string, mode string, synced_snapshot bigint",
+            )
+
+        if rec["incremental"]:
+            bns, bt = rec["base"].split(".", 1)
+            base = self.wh.table(bns, bt)
+            if not base.exists():
+                raise WarehouseError(
+                    f"base table {rec['base']} of materialized view {key} no longer exists"
+                )
+            spec = MV.parse_incremental(rec["sql"])
+            cur = base.current_snapshot_id()
+            if cur == rec["synced"]:
+                return result("noop", cur)
+            if rec["synced"] is not None and spec is not None:
+                try:
+                    chg = base.changes(from_version=rec["synced"], to_version=cur)
+                    new = MV.apply_delta(storage.read(), MV.delta(chg, spec), spec)
+                    storage.overwrite(new)
+                    rec["synced"] = cur
+                    self.wh.put_matview(ns, v, rec)
+                    return result("incremental", cur)
+                except Exception:
+                    # synced snapshot expired, base schema drift, … —
+                    # fall through to the always-correct full recompute
+                    pass
+            cur = base.current_snapshot_id()
+            df = MV.materialize(base.read(version=cur) if cur else base.read(), spec)
+            storage.overwrite(self._cast_to(storage, df))
+            rec["synced"] = cur
+            self.wh.put_matview(ns, v, rec)
+            return result("full", cur)
+        df = self.spark.sql(self._rewrite_query(rec["sql"]))
+        storage.overwrite(self._cast_to(storage, df))
+        return result("full", None)
+
+    @staticmethod
+    def _cast_to(storage: Table, df: DataFrame) -> DataFrame:
+        """Align a recompute to the storage schema (repeated refreshes
+        must not widen SUM types); unknown/missing columns fail loudly."""
+        from pyspark.sql import functions as F
+
+        return df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in storage.schema().fields
+            ]
+        )
+
+    def _show_matviews(self, m: re.Match) -> DataFrame:
+        ns = self._resolve_ns_name(m.group(1)) if m.group(1) else None
+        mvs = self.wh.matviews()
+        rows = [
+            Row(
+                namespace=k.split(".", 1)[0],
+                viewName=k.split(".", 1)[1],
+                incremental=bool(r["incremental"]),
+                base=r["base"],
+                synced_snapshot=r["synced"],
+            )
+            for k, r in sorted(mvs.items())
+            if ns is None or k.split(".", 1)[0] == ns
+        ]
+        schema = (
+            "namespace string, viewName string, incremental boolean, "
+            "base string, synced_snapshot bigint"
+        )
+        return (
+            self.spark.createDataFrame(rows, schema)
+            if rows
+            else self.spark.createDataFrame([], schema)
+        )
+
     def _create_table_as_select(self, m: re.Match) -> DataFrame:
         """CREATE TABLE t AS SELECT ... (CTAS): schema inferred from the
         query result, data landed as the first snapshot. CTAS IF NOT
@@ -988,7 +1159,7 @@ class LakehouseSQL:
     def _merge_parts(self, m: re.Match):
         """Shared target/source/key resolution for the MERGE forms."""
         target, src_text, on_l, on_r = m.group(1), m.group(2).strip(), m.group(3), m.group(4)
-        tab = self._existing_table(target)
+        tab = self._dml_table(target)
         if src_text.startswith("("):
             inner, _rest = _balanced_paren_group(src_text)
             src = self.spark.sql(self._rewrite_query(inner.strip()))
@@ -1421,7 +1592,7 @@ class LakehouseSQL:
     def _truncate_table(self, m: re.Match) -> DataFrame:
         # routes to the active WAP branch like every other write — a
         # session that staged its INSERTs must not empty main directly
-        self._existing_table(m.group(1)).truncate(branch=self._wap_branch)
+        self._dml_table(m.group(1)).truncate(branch=self._wap_branch)
         return self._empty()
 
     def _show_partitions(self, m: re.Match) -> DataFrame:
@@ -1492,6 +1663,20 @@ class LakehouseSQL:
             _alter_view_rename,
         ),
         (rf"SHOW\s+VIEWS(?:\s+IN\s+((?:{_IDENT}\.)?{_IDENT}))?", _show_views),
+        (
+            rf"CREATE\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?"
+            rf"((?:{_IDENT}\.)*{_IDENT})\s+AS\s+(SELECT\s+.*|WITH\s+.*)",
+            _create_matview,
+        ),
+        (
+            rf"DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?((?:{_IDENT}\.)*{_IDENT})",
+            _drop_matview,
+        ),
+        (rf"REFRESH\s+MATERIALIZED\s+VIEW\s+((?:{_IDENT}\.)*{_IDENT})", _refresh_matview),
+        (
+            rf"SHOW\s+MATERIALIZED\s+VIEWS(?:\s+IN\s+((?:{_IDENT}\.)?{_IDENT}))?",
+            _show_matviews,
+        ),
         (
             rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?((?:{_IDENT}\.)*{_IDENT})\s+AS\s+(SELECT\s+.*|WITH\s+.*)",
             _create_table_as_select,

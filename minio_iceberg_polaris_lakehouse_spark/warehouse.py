@@ -216,6 +216,12 @@ class Warehouse:
         return t
 
     def drop_table(self, ns: str, name: str, if_exists: bool = True) -> None:
+        if f"{ns}.{name}" in self.matviews():
+            # the storage table of a materialized view: dropping it alone
+            # would leave a registry entry pointing at nothing
+            raise WarehouseError(
+                f"{ns}.{name} is a materialized view (use DROP MATERIALIZED VIEW)"
+            )
         t = Table(self, ns, name)
         if not t.exists():
             if if_exists:
@@ -300,6 +306,42 @@ class Warehouse:
             raise WarehouseError(f"{new_key} is a registered foreign table")
         views[new_key] = views.pop(key)
         _atomic_write_json(self._views_path(), {"views": views})
+
+    # ---------------- materialized views ----------------
+    # A materialized view is a real warehouse table (the storage) plus a
+    # catalog record: the defining SQL, whether it is incrementally
+    # maintainable, its single base table (incremental mode), and the
+    # base snapshot the storage reflects. The SQL front-end owns
+    # create/refresh logic (matview.py); the warehouse owns the record.
+    def _matviews_path(self) -> str:
+        return os.path.join(self.root, "_matviews.json")
+
+    def matviews(self) -> dict[str, dict]:
+        """'ns.name' → {sql, incremental, base, synced}."""
+        try:
+            return json.loads(fsio.read_text(self._matviews_path()))["matviews"]
+        except FileNotFoundError:
+            return {}
+        # non-missing-file failures propagate (same rationale as views())
+
+    def put_matview(self, ns: str, name: str, record: dict) -> None:
+        mvs = self.matviews()
+        mvs[f"{ns}.{name}"] = record
+        _atomic_write_json(self._matviews_path(), {"matviews": mvs})
+
+    def drop_matview(self, ns: str, name: str, if_exists: bool = False) -> None:
+        """Remove the record AND the storage table (the entry goes first
+        so a crash between the two leaves an ordinary droppable table,
+        never a registry entry pointing at nothing)."""
+        mvs = self.matviews()
+        key = f"{ns}.{name}"
+        if key not in mvs:
+            if if_exists:
+                return
+            raise WarehouseError(f"materialized view {key} does not exist")
+        del mvs[key]
+        _atomic_write_json(self._matviews_path(), {"matviews": mvs})
+        self.drop_table(ns, name, if_exists=True)
 
     # -------- foreign (open-format Iceberg) table registrations ----------
     # The reference's `CALL system.register_table` ("re-register existing

@@ -1,0 +1,217 @@
+"""Materialized views: create/refresh/drop, incremental (changelog-
+driven) maintenance vs full recompute, guards, persistence.
+
+The invariant everything here checks: after REFRESH, the MV's contents
+equal re-running its defining query against the current base state —
+regardless of which maintenance path (incremental delta fold vs full
+recompute) produced them."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from minio_iceberg_polaris_lakehouse_spark.matview import parse_incremental
+from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+from minio_iceberg_polaris_lakehouse_spark.warehouse import WarehouseError
+
+
+@pytest.fixture()
+def lake(spark):
+    return LakehouseSQL(spark, tempfile.mkdtemp(prefix="lh_mv_"))
+
+
+def _mk_sales(lake):
+    lake.sql(
+        "CREATE TABLE polaris.db.sales (region STRING, amount DECIMAL(10,2), qty INT)"
+        " USING ICEBERG"
+    )
+    lake.sql(
+        "INSERT INTO db.sales VALUES ('eu', 10.00, 1), ('eu', 5.50, 2), ('us', 7.25, NULL)"
+    )
+
+
+def _key(row):
+    return tuple((x is None, str(x)) for x in row)
+
+
+def _rows(lake, sql):
+    return sorted((tuple(r) for r in lake.sql(sql).collect()), key=_key)
+
+
+def _recompute(lake, defn):
+    return _rows(lake, defn)
+
+
+MV_DEF = (
+    "SELECT region, SUM(amount) AS total, COUNT(*) AS n, COUNT(qty) AS n_qty "
+    "FROM db.sales GROUP BY region"
+)
+
+
+def _mv_state(lake):
+    return _rows(lake, "SELECT * FROM db.mv")
+
+
+def test_create_and_query(lake):
+    _mk_sales(lake)
+    lake.sql(f"CREATE MATERIALIZED VIEW db.mv AS {MV_DEF}")
+    assert _mv_state(lake) == _recompute(lake, MV_DEF)
+    # hidden maintenance column is invisible to SELECT * and DESCRIBE
+    assert "_lh_count" not in lake.sql("SELECT * FROM db.mv").columns
+    desc_cols = [r.col_name for r in lake.sql("DESCRIBE db.mv").collect()]
+    assert "_lh_count" not in desc_cols
+    assert lake.table("db.mv").columns == ["region", "total", "n", "n_qty"]
+    shown = lake.sql("SHOW MATERIALIZED VIEWS IN db").collect()
+    assert [(r.viewName, r.incremental, r.base) for r in shown] == [("mv", True, "db.sales")]
+
+
+def test_incremental_refresh_inserts_and_deletes(lake):
+    _mk_sales(lake)
+    lake.sql(f"CREATE MATERIALIZED VIEW db.mv AS {MV_DEF}")
+    lake.sql("INSERT INTO db.sales VALUES ('eu', 1.00, 9), ('ap', 2.00, NULL)")
+    r = lake.sql("REFRESH MATERIALIZED VIEW db.mv").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_state(lake) == _recompute(lake, MV_DEF)
+    # delete the only 'ap' row: the group must disappear entirely
+    lake.sql("DELETE FROM db.sales WHERE region = 'ap'")
+    r = lake.sql("REFRESH MATERIALIZED VIEW db.mv").collect()[0]
+    assert r.mode == "incremental"
+    state = _mv_state(lake)
+    assert state == _recompute(lake, MV_DEF)
+    assert not any(row[0] == "ap" for row in state)
+    # no base change since: refresh is a metadata-only noop
+    assert lake.sql("REFRESH MATERIALIZED VIEW db.mv").collect()[0].mode == "noop"
+
+
+def test_incremental_with_where_and_null_groups(lake):
+    lake.sql("CREATE TABLE polaris.db.ev (k STRING, x INT) USING ICEBERG")
+    lake.sql("INSERT INTO db.ev VALUES ('a', 1), (NULL, 2), ('a', NULL), (NULL, 4)")
+    defn = "SELECT k, SUM(x) AS sx, COUNT(*) AS n FROM db.ev WHERE x IS NULL OR x < 100 GROUP BY k"
+    lake.sql(f"CREATE MATERIALIZED VIEW db.mv2 AS {defn}")
+    lake.sql("INSERT INTO db.ev VALUES (NULL, 10), ('b', 500)")  # 500 filtered out
+    r = lake.sql("REFRESH MATERIALIZED VIEW db.mv2").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lake, "SELECT * FROM db.mv2") == _recompute(lake, defn)
+    # NULL-keyed group present and correctly maintained
+    nulls = [row for row in _rows(lake, "SELECT * FROM db.mv2") if row[0] is None]
+    assert nulls == [(None, 16, 3)]
+
+
+def test_update_flows_through_changelog(lake):
+    _mk_sales(lake)
+    lake.sql(f"CREATE MATERIALIZED VIEW db.mv AS {MV_DEF}")
+    lake.sql("UPDATE db.sales SET amount = 100.00 WHERE region = 'us'")
+    r = lake.sql("REFRESH MATERIALIZED VIEW db.mv").collect()[0]
+    assert r.mode == "incremental"
+    assert _mv_state(lake) == _recompute(lake, MV_DEF)
+
+
+def test_full_recompute_for_nonincremental_definition(lake):
+    _mk_sales(lake)
+    lake.sql("CREATE TABLE polaris.db.dim (region STRING, zone STRING) USING ICEBERG")
+    lake.sql("INSERT INTO db.dim VALUES ('eu', 'emea'), ('us', 'amer')")
+    defn = (
+        "SELECT d.zone AS zone, AVG(s.amount) AS avg_amount FROM db.sales s "
+        "JOIN db.dim d ON s.region = d.region GROUP BY d.zone"
+    )
+    lake.sql(f"CREATE MATERIALIZED VIEW db.mvj AS {defn}")
+    assert lake.sql("SHOW MATERIALIZED VIEWS").collect()[0].incremental is False
+    assert _rows(lake, "SELECT * FROM db.mvj") == _recompute(lake, defn)
+    lake.sql("INSERT INTO db.sales VALUES ('us', 2.75, 1)")
+    r = lake.sql("REFRESH MATERIALIZED VIEW db.mvj").collect()[0]
+    assert r.mode == "full"
+    assert _rows(lake, "SELECT * FROM db.mvj") == _recompute(lake, defn)
+
+
+def test_expired_base_snapshot_falls_back_to_full(lake):
+    _mk_sales(lake)
+    lake.sql(f"CREATE MATERIALIZED VIEW db.mv AS {MV_DEF}")
+    lake.sql("INSERT INTO db.sales VALUES ('eu', 1.00, 1)")
+    lake.sql("INSERT INTO db.sales VALUES ('ap', 3.00, 2)")
+    # expire everything but the latest snapshot: the synced one is gone
+    lake.sql("CALL polaris.system.expire_snapshots(table => 'db.sales', retain_last => 1)")
+    r = lake.sql("REFRESH MATERIALIZED VIEW db.mv").collect()[0]
+    assert r.mode == "full"
+    assert _mv_state(lake) == _recompute(lake, MV_DEF)
+    # and incremental maintenance resumes from the new synced point
+    lake.sql("INSERT INTO db.sales VALUES ('ap', 4.00, 2)")
+    assert lake.sql("REFRESH MATERIALIZED VIEW db.mv").collect()[0].mode == "incremental"
+    assert _mv_state(lake) == _recompute(lake, MV_DEF)
+
+
+def test_dml_and_drop_guards(lake):
+    _mk_sales(lake)
+    lake.sql(f"CREATE MATERIALIZED VIEW db.mv AS {MV_DEF}")
+    for stmt in [
+        "INSERT INTO db.mv VALUES ('xx', 1.00, 1, 1)",
+        "DELETE FROM db.mv WHERE region = 'eu'",
+        "UPDATE db.mv SET n = 0 WHERE region = 'eu'",
+        "TRUNCATE TABLE db.mv",
+        "MERGE INTO db.mv t USING db.sales s ON t.region = s.region "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    ]:
+        with pytest.raises(WarehouseError, match="materialized view"):
+            lake.sql(stmt)
+    with pytest.raises(WarehouseError, match="materialized view"):
+        lake.sql("DROP TABLE db.mv")
+    # duplicate name refused; IF NOT EXISTS is a no-op
+    with pytest.raises(WarehouseError, match="exists"):
+        lake.sql(f"CREATE MATERIALIZED VIEW db.mv AS {MV_DEF}")
+    lake.sql(f"CREATE MATERIALIZED VIEW IF NOT EXISTS db.mv AS {MV_DEF}")
+    lake.sql("DROP MATERIALIZED VIEW db.mv")
+    assert lake.sql("SHOW MATERIALIZED VIEWS").count() == 0
+    with pytest.raises(Exception, match="cannot be found|does not exist"):
+        lake.sql("SELECT * FROM db.mv").collect()
+    with pytest.raises(WarehouseError, match="does not exist"):
+        lake.sql("DROP MATERIALIZED VIEW db.mv")
+    lake.sql("DROP MATERIALIZED VIEW IF EXISTS db.mv")
+
+
+def test_registry_survives_session_reattach(lake, spark):
+    _mk_sales(lake)
+    lake.sql(f"CREATE MATERIALIZED VIEW db.mv AS {MV_DEF}")
+    lake.sql("INSERT INTO db.sales VALUES ('ap', 9.00, 1)")
+    lake2 = LakehouseSQL(spark, lake.wh.root)
+    r = lake2.sql("REFRESH MATERIALIZED VIEW db.mv").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lake2, "SELECT * FROM db.mv") == _recompute(lake2, MV_DEF)
+
+
+def test_view_over_matview_and_time_travel(lake):
+    _mk_sales(lake)
+    lake.sql(f"CREATE MATERIALIZED VIEW db.mv AS {MV_DEF}")
+    lake.sql("CREATE VIEW db.v AS SELECT region, total FROM db.mv WHERE total > 8")
+    assert _rows(lake, "SELECT * FROM db.v") == [("eu", 15.50)]
+    lake.sql("INSERT INTO db.sales VALUES ('eu', 1.00, 1)")
+    lake.sql("REFRESH MATERIALIZED VIEW db.mv")
+    # storage history is real table history: version 1 = the creation
+    v1 = _rows(lake, "SELECT * FROM db.mv VERSION AS OF 1")
+    assert sorted(v1) == sorted(
+        [("eu", 15.50, 2, 2), ("us", 7.25, 1, 0)]
+    )
+    assert all(len(t) == 4 for t in v1)  # hidden column stays hidden
+
+
+def test_parse_incremental_shapes():
+    ok = parse_incremental(
+        "SELECT a, b AS bb, SUM(x * (1 - y)) AS s, COUNT(*) AS n, COUNT(x) AS nx "
+        "FROM ns.t WHERE x > 0 GROUP BY a, b"
+    )
+    assert ok is not None
+    assert ok.group_aliases == ["a", "bb"]
+    assert [k for k, *_ in ok.aggs] == ["sum", "count_star", "count"]
+    # shapes that must fall back to full recompute
+    for bad in [
+        "SELECT a, MIN(x) AS m FROM ns.t GROUP BY a",
+        "SELECT a, AVG(x) AS m FROM ns.t GROUP BY a",
+        "SELECT a, SUM(DISTINCT x) AS s FROM ns.t GROUP BY a",
+        "SELECT a, SUM(x) AS s FROM ns.t JOIN ns.u ON t.a = u.a GROUP BY a",
+        "SELECT a, SUM(x) AS s FROM ns.t GROUP BY a HAVING SUM(x) > 1",
+        "SELECT upper(a) AS a, SUM(x) AS s FROM ns.t GROUP BY upper(a)",
+        "SELECT a, SUM(x) FROM ns.t GROUP BY a",  # unaliased aggregate
+        "SELECT SUM(x) AS s FROM ns.t",  # no GROUP BY
+        "WITH c AS (SELECT * FROM ns.t) SELECT a, SUM(x) AS s FROM c GROUP BY a",
+    ]:
+        assert parse_incremental(bad) is None, bad
