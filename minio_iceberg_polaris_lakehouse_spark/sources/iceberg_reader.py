@@ -180,6 +180,7 @@ def read_iceberg_table(
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
     ref: str | None = None,
+    _keep_lineage: bool = False,
 ) -> DataFrame:
     """Open the table at ``location`` (table dir / metadata dir /
     metadata file) as a DataFrame; optional time travel by snapshot id,
@@ -211,8 +212,17 @@ def read_iceberg_table(
 
     target_sid = snap.get("schema-id", md["current-schema-id"]) if snap else md["current-schema-id"]
     target = schemas[target_sid]
+
+    def _empty() -> DataFrame:
+        e = spark.createDataFrame([], _struct(target))
+        if _keep_lineage:
+            e = e.withColumn("__file", F.lit(None).cast("string")).withColumn(
+                "__pos", F.lit(None).cast("long")
+            )
+        return e
+
     if snap is None:  # table created but never committed to
-        return spark.createDataFrame([], _struct(target))
+        return _empty()
 
     # schema version each snapshot wrote under — manifests carry their
     # adding snapshot, which dates the physical column names in the files
@@ -273,7 +283,7 @@ def read_iceberg_table(
             )
 
     if not groups:
-        return spark.createDataFrame([], _struct(target))
+        return _empty()
 
     meta_cols = [
         F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "").alias("__file"),
@@ -287,7 +297,7 @@ def read_iceberg_table(
         cols = _align_cols(file_schema, target)
         parts.append(df.select(*cols, *meta_cols, F.lit(seq).alias("__seq")))
     if not parts:  # every entry was status=2 / groups held no files
-        return spark.createDataFrame([], _struct(target))
+        return _empty()
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -307,6 +317,10 @@ def read_iceberg_table(
         out = out.join(F.broadcast(tombs), ["__file", "__pos"], "left_anti")
     for rec in eq_deletes:
         out = _apply_eq_delete(spark, out, rec, target)
+    if _keep_lineage:
+        # internal (delete writer): live rows WITH their (file, position)
+        # identity — __file is URI-normalized like the delete files
+        return out.drop("__seq")
     return out.drop("__file", "__pos", "__seq")
 
 

@@ -236,22 +236,54 @@ def append_iceberg_table(
         },
     )
 
+    return _commit_metadata_doc(
+        md,
+        md_path,
+        mdir,
+        snapshot_id=snapshot_id,
+        parent=parent,
+        seq=seq,
+        now_ms=now_ms,
+        list_path=list_path,
+        summary={
+            "operation": "append",
+            "added-records": str(added_rows),
+            "added-data-files": str(len(files)),
+        },
+        update_hint=update_hint,
+        stage_id=stage_id,
+    )
+
+
+def _commit_metadata_doc(
+    md: dict,
+    md_path: str,
+    mdir: str,
+    *,
+    snapshot_id: int,
+    parent,
+    seq: int,
+    now_ms: int,
+    list_path: str,
+    summary: dict,
+    update_hint: bool,
+    stage_id: str,
+) -> str:
+    """Write the vN+1 metadata document for a staged snapshot (shared by
+    the append and delete commit paths) and advance the version hint in
+    single-writer mode; returns the new metadata path."""
     new_md = dict(md)
     new_md["last-sequence-number"] = seq
     new_md["last-updated-ms"] = now_ms
     new_md["current-snapshot-id"] = snapshot_id
-    new_md["snapshots"] = snaps + [
+    new_md["snapshots"] = md.get("snapshots", []) + [
         {
             "snapshot-id": snapshot_id,
             "parent-snapshot-id": parent,
             "sequence-number": seq,
             "timestamp-ms": now_ms,
             "manifest-list": list_path,
-            "summary": {
-                "operation": "append",
-                "added-records": str(added_rows),
-                "added-data-files": str(len(files)),
-            },
+            "summary": summary,
             "schema-id": md["current-schema-id"],
         }
     ]
@@ -287,3 +319,174 @@ def append_iceberg_table(
             uuid.uuid4().hex,
         )
     return new_path
+
+
+def delete_iceberg_table_where(
+    spark: SparkSession,
+    location: str,
+    predicate: str,
+    update_hint: bool = True,
+) -> str | None:
+    """Row-level DELETE on a FOREIGN Iceberg table through its open
+    metadata: write content=1 POSITION_DELETES files for the live rows
+    matching ``predicate`` (merge-on-read — no data file is rewritten),
+    a deletes manifest at the next sequence number, and a vN+1 metadata
+    document. Returns the new metadata path, or None when no row matched
+    (no empty delete snapshot is committed).
+
+    The matched set comes from the reader's own scan with (file, pos)
+    lineage (`read_iceberg_table(_keep_lineage=True)`) — existing
+    positional AND equality deletes are already applied, so re-deleting
+    an already-dead row never emits a duplicate tombstone, and the
+    written positions use the same URI normalization the reader applies
+    on both sides of its anti-join. Rows appended AFTER this commit live
+    in new files and are untouched (a positional tombstone names an
+    exact (file, pos)), matching Iceberg's delete semantics.
+
+    Same concurrency contract as append_iceberg_table: version-hint mode
+    for a single writer, `update_hint=False` under a REST catalog's
+    commitTable CAS for multi-writer arbitration.
+
+    Scale: the scan is the normal distributed read; the tombstone write
+    shuffles only matched (file, pos) pairs — O(deleted rows), not
+    O(table).
+    """
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        read_iceberg_table,
+    )
+
+    md_path = resolve_metadata_path(location)
+    md = json.loads(fsio.read_text(md_path))
+    mdir = os.path.dirname(md_path)
+    root = md.get("location") or os.path.dirname(mdir)
+
+    live = read_iceberg_table(spark, location, _keep_lineage=True)
+    matched = live.filter(predicate).select(
+        F.col("__file").alias("file_path"), F.col("__pos").cast("long").alias("pos")
+    )
+
+    dirname = f"delete-{uuid.uuid4().hex[:12]}"
+    out_dir = os.path.join(root, "data", dirname)
+    # sorted by (file_path, pos) — the spec's required delete-file order,
+    # and what lets a reader merge tombstones against a file in one pass
+    matched.sort("file_path", "pos").write.option("compression", "zstd").parquet(out_dir)
+    import pyarrow.parquet as pq
+
+    files = []
+    for name in sorted(fsio.listdir(out_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        p = os.path.join(out_dir, name)
+        pf = pq.ParquetFile(fsio.open_binary(p))
+        if pf.metadata.num_rows:
+            files.append((p, pf.metadata.num_rows, fsio.getsize(p)))
+    deleted_rows = sum(r for _, r, _ in files)
+    if deleted_rows == 0:
+        fsio.rmtree(out_dir)
+        return None
+
+    snaps = md.get("snapshots", [])
+    parent = md.get("current-snapshot-id")
+    parent_snap = next((s for s in snaps if s["snapshot-id"] == parent), None)
+    snapshot_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+    now_ms = int(time.time() * 1000)
+    prev_records: list[dict] = []
+    if parent_snap is not None:
+        _s, _m, prev = avro_io.read_container(parent_snap["manifest-list"])
+        prev_records = [_sanitize_list_record(r) for r in prev]
+    seq = (
+        max(
+            int(md.get("last-sequence-number", 0)),
+            max((int(r["sequence_number"] or 0) for r in prev_records), default=0),
+            max((int(s.get("sequence-number") or 0) for s in snaps), default=0),
+        )
+        + 1
+    )
+
+    from minio_iceberg_polaris_lakehouse_spark.iceberg_export import (
+        _MANIFEST_LIST_SCHEMA,
+        _manifest_entry_schema,
+    )
+
+    schemas = {s["schema-id"]: s for s in md.get("schemas", [])}
+    target = schemas[md["current-schema-id"]]
+    entry_schema = _manifest_entry_schema(None)
+    man_path = os.path.join(mdir, f"manifest-{dirname}.avro")
+    avro_io.write_container(
+        man_path,
+        entry_schema,
+        [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 1,  # POSITION_DELETES
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": rows,
+                    "file_size_in_bytes": size,
+                },
+            }
+            for p, rows, size in files
+        ],
+        metadata={
+            "schema": json.dumps(target),
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+
+    stage_id = uuid.uuid4().hex[:12]
+    list_path = os.path.join(mdir, f"snap-{snapshot_id}-{stage_id}-manifest-list.avro")
+    avro_io.write_container(
+        list_path,
+        _MANIFEST_LIST_SCHEMA,
+        prev_records
+        + [
+            {
+                "manifest_path": man_path,
+                "manifest_length": fsio.getsize(man_path),
+                "partition_spec_id": 0,
+                "content": 1,  # DELETES manifest
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(files),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": deleted_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+        metadata={
+            "snapshot-id": str(snapshot_id),
+            "parent-snapshot-id": str(parent),
+            "sequence-number": str(seq),
+            "format-version": "2",
+        },
+    )
+
+    return _commit_metadata_doc(
+        md,
+        md_path,
+        mdir,
+        snapshot_id=snapshot_id,
+        parent=parent,
+        seq=seq,
+        now_ms=now_ms,
+        list_path=list_path,
+        summary={
+            "operation": "delete",
+            "deleted-records": str(deleted_rows),
+            "added-delete-files": str(len(files)),
+            "added-position-deletes": str(deleted_rows),
+        },
+        update_hint=update_hint,
+        stage_id=stage_id,
+    )

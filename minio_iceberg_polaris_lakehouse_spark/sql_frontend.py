@@ -888,6 +888,15 @@ class LakehouseSQL:
         return self._empty()
 
     def _delete_from(self, m: re.Match) -> DataFrame:
+        foreign = self._foreign_for_write(m.group(1))
+        if foreign:
+            if self._wap_branch:
+                raise WarehouseError(
+                    "WAP branches are engine-log concepts; foreign table "
+                    f"{foreign[0]}.{foreign[1]} cannot stage branch writes"
+                )
+            self.wh.delete_foreign_table_where(*foreign, m.group(2))
+            return self._empty()
         tab = self._dml_table(m.group(1))
         tab.delete_where(m.group(2), branch=self._wap_branch)
         return self._empty()

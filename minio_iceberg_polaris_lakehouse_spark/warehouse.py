@@ -433,6 +433,27 @@ class Warehouse:
             )
         return append_iceberg_table(self.spark, loc, df)
 
+    def delete_foreign_table_where(self, ns: str, name: str, predicate: str) -> str | None:
+        """Row-level DELETE on a registered foreign table through its
+        open metadata (merge-on-read positional delete files +
+        content=1 manifest, sources/iceberg_writer.py); returns the new
+        metadata path, or None when nothing matched. Pinned
+        registrations refuse for the same reason appends do."""
+        from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+            delete_iceberg_table_where,
+        )
+
+        loc = self.foreign_tables().get(f"{ns}.{name}")
+        if loc is None:
+            raise WarehouseError(f"foreign table {ns}.{name} is not registered")
+        if loc.endswith(".metadata.json"):
+            raise WarehouseError(
+                f"foreign table {ns}.{name} is pinned to {loc}; a delete on a "
+                "pinned registration would be invisible — register the table "
+                "directory instead"
+            )
+        return delete_iceberg_table_where(self.spark, loc, predicate)
+
 
 def _tzinfo_of(tz: str):
     """tzinfo for a Spark timezone string — region ids via zoneinfo,

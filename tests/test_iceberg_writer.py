@@ -167,3 +167,111 @@ def test_fuzz_foreign_append_roundtrip(spark, tmp_path):
     # every recorded snapshot still serves its own prefix
     for sid, expect in snapshots:
         assert _rows(read_iceberg_table(spark, t.path, snapshot_id=sid)) == sorted(expect)
+
+
+# ---------------------------------------------------------------- DELETE
+
+
+def test_delete_on_hand_authored_foreign_table(spark, tmp_path):
+    """Row-level DELETE on the raw-equality-delete fixture: merge-on-read
+    positional tombstones layer on top of the fixture's own equality
+    deletes (already applied by the scan — no double tombstoning), old
+    snapshots keep time-traveling to the pre-delete state."""
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+        delete_iceberg_table_where,
+    )
+
+    root = _build_foreign_table(tmp_path)
+    new_path = delete_iceberg_table_where(spark, root, "id = 4")
+    assert new_path is not None and new_path.endswith("v2.metadata.json")
+    assert _rows(read_iceberg_table(spark, root)) == [(3, "reborn")]
+    md = json.loads(open(new_path).read())
+    prev = md["snapshots"][0]["snapshot-id"]
+    assert _rows(read_iceberg_table(spark, root, snapshot_id=prev)) == [
+        (3, "reborn"),
+        (4, "d"),
+    ]
+    assert md["snapshots"][-1]["summary"]["operation"] == "delete"
+
+
+def test_delete_noop_and_append_after_delete(spark, tmp_path):
+    """No match → no snapshot committed; rows appended AFTER a delete
+    live in new files and are never touched by the older tombstones."""
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+        delete_iceberg_table_where,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = wh.create_table("db", "src", "id int, v string")
+    t.insert_values([(1, "a"), (2, "b"), (3, "c")])
+    assert delete_iceberg_table_where(spark, t.path, "id = 99") is None
+    md = json.loads(open(resolve_metadata_path(t.path)).read())
+    n_snaps = len(md["snapshots"])
+
+    assert delete_iceberg_table_where(spark, t.path, "id = 2") is not None
+    # re-insert the same logical row: positional deletes name exact
+    # (file, pos) pairs, so the new file's row survives
+    append_iceberg_table(spark, t.path, spark.createDataFrame([(2, "b2")], "id int, v string"))
+    assert _rows(read_iceberg_table(spark, t.path)) == [(1, "a"), (2, "b2"), (3, "c")]
+    md = json.loads(open(resolve_metadata_path(t.path)).read())
+    assert len(md["snapshots"]) == n_snaps + 2  # delete + append only
+
+
+def test_sql_delete_from_registered_foreign_table(spark, tmp_path):
+    """DELETE FROM a `CALL system.register_table` name routes through
+    the open-metadata delete writer; SELECT re-resolves the hint and
+    serves the post-delete state; a WAP branch session refuses."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import WarehouseError
+
+    root = _build_foreign_table(tmp_path)
+    lake = LakehouseSQL(spark, str(tmp_path / "wh"))
+    lake.sql(
+        "CALL polaris.system.register_table(table => 'ext.ft', "
+        f"metadata_file => '{root}')"
+    )
+    lake.sql("DELETE FROM ext.ft WHERE name = 'd'")
+    got = sorted((r.id, r.name) for r in lake.sql("SELECT id, name FROM ext.ft").collect())
+    assert got == [(3, "reborn")]
+    lake.sql("SET spark.wap.branch = 'audit'")
+    try:
+        with pytest.raises(WarehouseError, match="WAP"):
+            lake.sql("DELETE FROM ext.ft WHERE id = 3")
+    finally:
+        lake.sql("RESET spark.wap.branch")
+
+
+def test_rest_arbitrated_foreign_delete(spark, tmp_path):
+    """update_hint=False delete under commitTable CAS: the catalog's
+    pointer serves the tombstoned state."""
+    from minio_iceberg_polaris_lakehouse_spark.rest_catalog import (
+        RestCatalogClient,
+        make_server,
+    )
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+        delete_iceberg_table_where,
+    )
+
+    srv, port = make_server(str(tmp_path), "cid", "sec")
+    try:
+        cli = RestCatalogClient(f"http://127.0.0.1:{port}", "cid", "sec")
+        cli.create_catalog("cat", str(tmp_path / "cat"))
+        cli.create_namespace("cat", "db")
+        cli.create_table("cat", "db", "t", "id int")
+        wh = Warehouse(spark, str(tmp_path / "cat"))
+        wh.table("db", "t").insert_values([(1,), (2,), (3,)])
+        cli.commit_with_retry(
+            "cat", "db", "t",
+            lambda cur: resolve_metadata_path(wh.table("db", "t").path),
+        )
+
+        def stage(cur):
+            return delete_iceberg_table_where(
+                spark, cur["metadata-location"], "id = 2", update_hint=False
+            )
+
+        cli.commit_with_retry("cat", "db", "t", stage)
+        loc = cli.load_table("cat", "db", "t")["metadata-location"]
+        assert _rows(read_iceberg_table(spark, loc)) == [(1,), (3,)]
+    finally:
+        srv.shutdown()
