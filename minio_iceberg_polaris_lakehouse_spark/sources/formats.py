@@ -67,3 +67,30 @@ def write_parquet(
     """zstd parquet, matching the reference table property
     (getting_started.ipynb:140)."""
     df.write.mode(mode).option("compression", compression).parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC (Spark's built-in vectorized reader — columnar like parquet,
+    self-describing footer schema, so no explicit schema required)."""
+    return spark.read.options(**options).orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", compression: str = "zstd"
+) -> None:
+    df.write.mode(mode).option("compression", compression).orc(path)
+
+
+def read_avro(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Avro via Spark's external spark-avro module when present; raises
+    a clear error when the package is not on the classpath (it is not
+    bundled with a stock PySpark install)."""
+    try:
+        return spark.read.options(**options).format("avro").load(path)
+    except Exception as e:  # AnalysisException: Failed to find data source
+        if "avro" in str(e).lower():
+            raise RuntimeError(
+                "spark-avro is not on the classpath (add "
+                "org.apache.spark:spark-avro_2.13 to spark.jars.packages)"
+            ) from e
+        raise
