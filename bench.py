@@ -57,6 +57,7 @@ EXTENDED = [
     "text_bm25_topk",
     "text_boilerplate_ngrams",
     "sim_embedding_pca",
+    "ml_linear_regression",
 ]
 
 

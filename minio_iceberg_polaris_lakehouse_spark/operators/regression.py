@@ -1,0 +1,197 @@
+"""Distributed linear / ridge regression via single-pass normal
+equations — the pattern a training-data pipeline uses to fit quality
+models (length predictors, heuristic-score calibrators) over corpus
+features WITHOUT an ML-library dependency and without ever iterating
+over the data.
+
+The whole fit is ONE distributed aggregation: accumulate the moment
+matrix X'X and vector X'y as map-side-combined SUMs (k features → a
+(k+1)×(k+1) symmetric system including the intercept), then solve the
+tiny system. At 100 TB the data pass stays a single whole-stage-codegen
+scan with partial aggregation (one row per partition crosses the
+exchange); only k² numbers ever reach the solve.
+
+Two solve paths:
+- `ml_linear_regression` (registered, oracle-checked): k=2, the
+  3×3 system solved IN-PLAN by Cramer's rule — zero driver-side
+  compute, and the DuckDB oracle replays the IDENTICAL moment sums and
+  determinant arithmetic, so the coefficients hash-match exactly.
+- `fit_linear_regression` (library API, any k): moments collect as ONE
+  row (metadata-sized, k² doubles) and the driver solves with a plain
+  Gaussian elimination; optional ridge λ adds to the normal-equation
+  diagonal (never the intercept). Cross-checked against the in-plan
+  Cramer path and against a NumPy lstsq in tests.
+
+Determinism for the oracle: features and target are integer counts, so
+the moment sums are EXACT (DECIMAL(38,0) accumulation — no float
+accumulation-order sensitivity); both engines then run the same
+double-precision determinant expressions and round to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minio_iceberg_polaris_lakehouse_spark.registry import register
+from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
+
+_DEC = "decimal(19,0)"
+
+
+def _moments(df: DataFrame, features: list[str], target: str) -> DataFrame:
+    """One-row exact moment frame for the normal equations: n, Σxi, Σy,
+    Σxi·xj (i≤j), Σxi·y — every sum a map-side-combined aggregate over
+    DECIMAL-cast integer features (exact, order-insensitive)."""
+    cols = {f"x{i}": F.col(c).cast(_DEC) for i, c in enumerate(features)}
+    cols["y"] = F.col(target).cast(_DEC)
+    base = df.select(*[v.alias(k) for k, v in cols.items()])
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    names = [f"x{i}" for i in range(len(features))] + ["y"]
+    for i, a in enumerate(names):
+        aggs.append(F.sum(F.col(a)).alias(f"s_{a}"))
+        for b in names[i:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"s_{a}{b}"))
+    return base.agg(*aggs)
+
+
+def fit_linear_regression(
+    df: DataFrame, features: list[str], target: str, ridge: float = 0.0
+) -> list[float]:
+    """Fit y ≈ β0 + Σ βi·xi over integer-valued columns; returns
+    [β0, β1, …, βk]. The data pass is the single `_moments` aggregation;
+    the driver solves the (k+1)×(k+1) system (k² numbers — metadata
+    sized) by Gaussian elimination with partial pivoting. ``ridge`` adds
+    λ to the non-intercept diagonal (standard ridge normalization-free
+    form)."""
+    k = len(features)
+    row = _moments(df, features, target).collect()[0].asDict()
+    names = [f"x{i}" for i in range(k)]
+    n = float(row["n"])
+
+    def s(a: str, b: str | None = None) -> float:
+        if b is None:
+            return float(row[f"s_{a}"])
+        key = f"s_{a}{b}" if f"s_{a}{b}" in row else f"s_{b}{a}"
+        return float(row[key])
+
+    # augmented normal-equation system over [1, x0..xk-1]
+    dim = k + 1
+    A = [[0.0] * dim for _ in range(dim)]
+    b = [0.0] * dim
+    A[0][0] = n
+    b[0] = s("y")
+    for i, ni in enumerate(names):
+        A[0][i + 1] = A[i + 1][0] = s(ni)
+        b[i + 1] = s(ni, "y")
+        for j, nj in enumerate(names):
+            A[i + 1][j + 1] = s(ni, nj)
+        A[i + 1][i + 1] += ridge
+    # Gaussian elimination with partial pivoting (dim is tiny)
+    for col in range(dim):
+        piv = max(range(col, dim), key=lambda r: abs(A[r][col]))
+        if abs(A[piv][col]) < 1e-12:
+            raise ValueError("singular normal equations (collinear features)")
+        A[col], A[piv] = A[piv], A[col]
+        b[col], b[piv] = b[piv], b[col]
+        for r in range(col + 1, dim):
+            f = A[r][col] / A[col][col]
+            for c in range(col, dim):
+                A[r][c] -= f * A[col][c]
+            b[r] -= f * b[col]
+    beta = [0.0] * dim
+    for r in range(dim - 1, -1, -1):
+        beta[r] = (b[r] - sum(A[r][c] * beta[c] for c in range(r + 1, dim))) / A[r][r]
+    return beta
+
+
+# ------------------------- registered in-plan query (k=2, Cramer) ----
+
+_FEAT_SQL = {
+    # pure built-ins both engines evaluate identically on any string:
+    # counts of spaces and of the letter 'e' (replace + length — no
+    # regex-dialect divergence; both vary across the corpus, so the
+    # normal equations stay non-singular)
+    "x1": "LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))",
+    "x2": "LENGTH(text) - LENGTH(REPLACE(text, 'e', ''))",
+    "y": "n_chars",
+}
+
+# shared double-precision Cramer solve over the exact moments — the
+# SAME expression text runs in Spark and DuckDB, so the IEEE operation
+# sequence (and thus the rounded result) matches bit-for-bit
+_SOLVE_SQL = """
+SELECT n,
+       ROUND(( sy*(sx1x1*sx2x2 - sx1x2*sx1x2)
+             - sx1*(sx1y*sx2x2 - sx1x2*sx2y)
+             + sx2*(sx1y*sx1x2 - sx1x1*sx2y)) / det, 6) AS b0,
+       ROUND(( n*(sx1y*sx2x2 - sx1x2*sx2y)
+             - sx1*(sy*sx2x2 - sx2*sx2y)
+             + sx2*(sy*sx1x2 - sx2*sx1y)) / det, 6) AS b1,
+       ROUND(( n*(sx1x1*sx2y - sx1y*sx1x2)
+             - sx1*(sx1*sx2y - sx2*sx1y)
+             + sy*(sx1*sx1x2 - sx2*sx1x1)) / det, 6) AS b2
+FROM (
+    SELECT CAST(n AS DOUBLE) AS n,
+           CAST(s_x1 AS DOUBLE) AS sx1, CAST(s_x2 AS DOUBLE) AS sx2,
+           CAST(s_y AS DOUBLE) AS sy,
+           CAST(s_x1x1 AS DOUBLE) AS sx1x1, CAST(s_x1x2 AS DOUBLE) AS sx1x2,
+           CAST(s_x2x2 AS DOUBLE) AS sx2x2,
+           CAST(s_x1y AS DOUBLE) AS sx1y, CAST(s_x2y AS DOUBLE) AS sx2y,
+           CAST(n AS DOUBLE) * (CAST(s_x1x1 AS DOUBLE) * CAST(s_x2x2 AS DOUBLE)
+                                - CAST(s_x1x2 AS DOUBLE) * CAST(s_x1x2 AS DOUBLE))
+           - CAST(s_x1 AS DOUBLE) * (CAST(s_x1 AS DOUBLE) * CAST(s_x2x2 AS DOUBLE)
+                                     - CAST(s_x1x2 AS DOUBLE) * CAST(s_x2 AS DOUBLE))
+           + CAST(s_x2 AS DOUBLE) * (CAST(s_x1 AS DOUBLE) * CAST(s_x1x2 AS DOUBLE)
+                                     - CAST(s_x1x1 AS DOUBLE) * CAST(s_x2 AS DOUBLE))
+               AS det
+    FROM moments
+) m
+"""
+
+_MOMENTS_SQL = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(x1) AS s_x1, SUM(x2) AS s_x2, SUM(y) AS s_y,
+           SUM(x1*x1) AS s_x1x1, SUM(x1*x2) AS s_x1x2, SUM(x2*x2) AS s_x2x2,
+           SUM(x1*y) AS s_x1y, SUM(x2*y) AS s_x2y
+    FROM (
+        SELECT CAST({_FEAT_SQL["x1"]} AS DECIMAL(19,0)) AS x1,
+               CAST({_FEAT_SQL["x2"]} AS DECIMAL(19,0)) AS x2,
+               CAST({_FEAT_SQL["y"]} AS DECIMAL(19,0)) AS y
+        FROM documents
+    ) f
+"""
+
+
+@register(
+    "ml_linear_regression",
+    oracle=f"WITH moments AS ({_MOMENTS_SQL}) {_SOLVE_SQL}",
+    doc="distributed OLS via one-pass normal equations, in-plan Cramer solve",
+)
+def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit n_chars ≈ b0 + b1·(spaces) + b2·(periods) over `documents` —
+    a quality-model fit as ONE aggregation: exact DECIMAL moment sums
+    (map-side partial agg; one row per partition crosses the exchange),
+    then the 3×3 normal-equation solve as plain column arithmetic on the
+    single moment row. No driver-side math, no iteration, no collect —
+    the whole fit is a Catalyst plan, and the identical SQL runs in
+    DuckDB for the hash check."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = d.selectExpr(
+        f"CAST({_FEAT_SQL['x1']} AS DECIMAL(19,0)) AS x1",
+        f"CAST({_FEAT_SQL['x2']} AS DECIMAL(19,0)) AS x2",
+        f"CAST({_FEAT_SQL['y']} AS DECIMAL(19,0)) AS y",
+    )
+    moments = feats.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").alias("s_x1"),
+        F.sum("x2").alias("s_x2"),
+        F.sum("y").alias("s_y"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s_x1x1"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s_x1x2"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s_x2x2"),
+        F.sum(F.col("x1") * F.col("y")).alias("s_x1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s_x2y"),
+    )
+    moments.createOrReplaceTempView("moments")
+    return spark.sql(_SOLVE_SQL)

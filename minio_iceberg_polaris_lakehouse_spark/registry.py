@@ -161,7 +161,11 @@ _PRIORITY: list[str] = [
     # (text_repetition_signals rested at 2 green rounds for the
     # register_table golden)
     "text_quality_score",
-    "text_fingerprint",
+    # NEW r7 session 4: distributed OLS via one-pass normal equations
+    # (in-plan Cramer solve, oracle replays identical arithmetic) —
+    # takes text_fingerprint's slot (one green round r6; X5 keeps seven
+    # in-window members)
+    "ml_linear_regression",
     # (text_langid_heuristic / text_token_stats rested at one green round
     # each for the two curation first-timers below; both stay green in
     # the uncapped local replica)
@@ -221,6 +225,7 @@ def all_queries() -> dict[str, Query]:
     import minio_iceberg_polaris_lakehouse_spark.operators.similarity_pq  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.semdedup  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.pca  # noqa: F401
+    import minio_iceberg_polaris_lakehouse_spark.operators.regression  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.functions.text  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.functions.bpe  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.functions.mixing  # noqa: F401

@@ -1,0 +1,73 @@
+"""Distributed linear/ridge regression (operators/regression.py): the
+one-pass normal-equation fit — in-plan Cramer solve vs driver Gaussian
+elimination vs NumPy lstsq, ridge shrinkage, singularity, and the
+map-side partial-aggregation plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from minio_iceberg_polaris_lakehouse_spark.operators.regression import (
+    fit_linear_regression,
+    ml_linear_regression,
+)
+
+
+def _feature_frame(spark, sf_dir):
+    from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents").selectExpr(
+        "LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS x1",
+        "LENGTH(text) - LENGTH(REPLACE(text, 'e', '')) AS x2",
+        "LENGTH(text) - LENGTH(REPLACE(text, 'a', '')) AS x3",
+        "n_chars AS y",
+    )
+
+
+def test_three_solvers_agree(spark, sf_dir):
+    """In-plan Cramer (k=2), driver elimination (k=2), and NumPy lstsq
+    produce the same coefficients to 6 decimals."""
+    row = ml_linear_regression(spark, sf_dir).collect()[0]
+    d = _feature_frame(spark, sf_dir)
+    beta = fit_linear_regression(d, ["x1", "x2"], "y")
+    assert [round(b, 6) for b in beta] == [row.b0, row.b1, row.b2]
+    pdf = d.toPandas()
+    A = np.column_stack([np.ones(len(pdf)), pdf.x1, pdf.x2])
+    ref = np.linalg.lstsq(A, pdf.y.to_numpy(), rcond=None)[0]
+    assert [round(float(b), 6) for b in ref] == [row.b0, row.b1, row.b2]
+
+
+def test_k3_matches_numpy(spark, sf_dir):
+    """The driver solve generalizes beyond the Cramer query: k=3
+    features match lstsq (the corpus features are non-collinear)."""
+    d = _feature_frame(spark, sf_dir)
+    beta = fit_linear_regression(d, ["x1", "x2", "x3"], "y")
+    pdf = d.toPandas()
+    A = np.column_stack([np.ones(len(pdf)), pdf.x1, pdf.x2, pdf.x3])
+    ref = np.linalg.lstsq(A, pdf.y.to_numpy(), rcond=None)[0]
+    assert np.allclose(beta, ref, atol=1e-6)
+
+
+def test_ridge_shrinks_and_singular_raises(spark, sf_dir):
+    d = _feature_frame(spark, sf_dir)
+    ols = fit_linear_regression(d, ["x1", "x2"], "y")
+    ridged = fit_linear_regression(d, ["x1", "x2"], "y", ridge=1e6)
+    # a large ridge penalty pulls the (non-intercept) weights toward 0
+    assert abs(ridged[1]) < abs(ols[1]) and abs(ridged[2]) < abs(ols[2])
+    # perfectly collinear features → loud failure, not garbage numbers
+    dup = d.selectExpr("x1", "x1 AS x2", "y")
+    with pytest.raises(ValueError, match="singular"):
+        fit_linear_regression(dup, ["x1", "x2"], "y")
+
+
+def test_moment_pass_is_partial_aggregated(spark, sf_dir):
+    """The single data pass must map-side combine: one scan, a
+    partial+final HashAggregate pair — the shape that holds at 100 TB
+    (one moment row per partition crosses the exchange)."""
+    from minio_iceberg_polaris_lakehouse_spark.plans.inspect import plan_string, scan_count
+
+    df = ml_linear_regression(spark, sf_dir)
+    plan = plan_string(df)
+    assert scan_count(df) == 1, plan
+    assert "partial_sum" in plan
