@@ -385,6 +385,55 @@ def delete_iceberg_table_where(
         fsio.rmtree(out_dir)
         return None
 
+    return _stage_row_level_commit(
+        md,
+        md_path,
+        mdir,
+        tag=dirname,
+        delete_files=files,
+        data_files=[],
+        summary={
+            "operation": "delete",
+            "deleted-records": str(deleted_rows),
+            "added-delete-files": str(len(files)),
+            "added-position-deletes": str(deleted_rows),
+        },
+        update_hint=update_hint,
+    )
+
+
+def _list_parquet(out_dir: str) -> list[tuple[str, int, int]]:
+    """(path, rows, size) of every non-empty parquet in a write dir —
+    footers through fsio so scheme:// roots work."""
+    import pyarrow.parquet as pq
+
+    files = []
+    for name in sorted(fsio.listdir(out_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        p = os.path.join(out_dir, name)
+        pf = pq.ParquetFile(fsio.open_binary(p))
+        if pf.metadata.num_rows:
+            files.append((p, pf.metadata.num_rows, fsio.getsize(p)))
+    return files
+
+
+def _stage_row_level_commit(
+    md: dict,
+    md_path: str,
+    mdir: str,
+    *,
+    tag: str,
+    delete_files: list[tuple[str, int, int]],
+    data_files: list[tuple[str, int, int]],
+    summary: dict,
+    update_hint: bool,
+) -> str:
+    """Stage ONE snapshot carrying a POSITION_DELETES manifest and/or a
+    data manifest (both at the same new sequence number — Iceberg's
+    overwrite shape: the tombstones name exact (file,pos) pairs of OLD
+    files, so the new data files they ride with are never affected),
+    then write the vN+1 metadata document."""
     snaps = md.get("snapshots", [])
     parent = md.get("current-snapshot-id")
     parent_snap = next((s for s in snaps if s["snapshot-id"] == parent), None)
@@ -411,59 +460,65 @@ def delete_iceberg_table_where(
     schemas = {s["schema-id"]: s for s in md.get("schemas", [])}
     target = schemas[md["current-schema-id"]]
     entry_schema = _manifest_entry_schema(None)
-    man_path = os.path.join(mdir, f"manifest-{dirname}.avro")
-    avro_io.write_container(
-        man_path,
-        entry_schema,
-        [
-            {
-                "status": 1,
-                "snapshot_id": snapshot_id,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
-                "data_file": {
-                    "content": 1,  # POSITION_DELETES
-                    "file_path": p,
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": rows,
-                    "file_size_in_bytes": size,
-                },
-            }
-            for p, rows, size in files
-        ],
-        metadata={
-            "schema": json.dumps(target),
-            "partition-spec": "[]",
-            "partition-spec-id": "0",
-            "format-version": "2",
-            "content": "deletes",
-        },
-    )
+
+    def _write_manifest(kind: str, content: int, files: list) -> dict:
+        man_path = os.path.join(mdir, f"manifest-{tag}-{kind}.avro")
+        avro_io.write_container(
+            man_path,
+            entry_schema,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": content,
+                        "file_path": p,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": rows,
+                        "file_size_in_bytes": size,
+                    },
+                }
+                for p, rows, size in files
+            ],
+            metadata={
+                "schema": json.dumps(target),
+                "partition-spec": "[]",
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "deletes" if content else "data",
+            },
+        )
+        return {
+            "manifest_path": man_path,
+            "manifest_length": fsio.getsize(man_path),
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(r for _, r, _ in files),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+
+    new_records = []
+    if delete_files:
+        new_records.append(_write_manifest("deletes", 1, delete_files))
+    if data_files:
+        new_records.append(_write_manifest("data", 0, data_files))
 
     stage_id = uuid.uuid4().hex[:12]
     list_path = os.path.join(mdir, f"snap-{snapshot_id}-{stage_id}-manifest-list.avro")
     avro_io.write_container(
         list_path,
         _MANIFEST_LIST_SCHEMA,
-        prev_records
-        + [
-            {
-                "manifest_path": man_path,
-                "manifest_length": fsio.getsize(man_path),
-                "partition_spec_id": 0,
-                "content": 1,  # DELETES manifest
-                "sequence_number": seq,
-                "min_sequence_number": seq,
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": len(files),
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": deleted_rows,
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-            }
-        ],
+        prev_records + new_records,
         metadata={
             "snapshot-id": str(snapshot_id),
             "parent-snapshot-id": str(parent),
@@ -481,12 +536,92 @@ def delete_iceberg_table_where(
         seq=seq,
         now_ms=now_ms,
         list_path=list_path,
-        summary={
-            "operation": "delete",
-            "deleted-records": str(deleted_rows),
-            "added-delete-files": str(len(files)),
-            "added-position-deletes": str(deleted_rows),
-        },
+        summary=summary,
         update_hint=update_hint,
         stage_id=stage_id,
+    )
+
+
+def update_iceberg_table_where(
+    spark: SparkSession,
+    location: str,
+    assignments: dict[str, str],
+    predicate: str,
+    update_hint: bool = True,
+) -> str | None:
+    """Row-level UPDATE on a FOREIGN Iceberg table through its open
+    metadata, as ONE snapshot (Iceberg's merge-on-read overwrite shape):
+    matched live rows are tombstoned by content=1 positional delete
+    files AND re-written to new data files with ``assignments`` applied
+    (`{column: SQL expression}`, expressions see the pre-update row).
+    Returns the new metadata path, or None when nothing matched.
+
+    Readers of the old snapshot see the pre-update rows; readers of the
+    new snapshot see exactly one copy of each matched row with the
+    assignments applied — never zero, never two, because the tombstone
+    and the rewrite commit atomically together.
+
+    Same scope (unpartitioned) and concurrency contract (version-hint /
+    REST CAS) as append/delete. Scale: one distributed scan per output
+    (tombstones, rewritten rows) — both O(matched), not O(table)."""
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        read_iceberg_table,
+    )
+
+    md_path = resolve_metadata_path(location)
+    md = json.loads(fsio.read_text(md_path))
+    mdir = os.path.dirname(md_path)
+    root = md.get("location") or os.path.dirname(mdir)
+
+    schemas = {s["schema-id"]: s for s in md.get("schemas", [])}
+    target = schemas[md["current-schema-id"]]
+    bad = [c for c in assignments if c not in {f["name"] for f in target["fields"]}]
+    if bad:
+        raise ValueError(f"UPDATE assigns unknown columns: {bad}")
+
+    live = read_iceberg_table(spark, location, _keep_lineage=True)
+    matched = live.filter(predicate)
+
+    tag = f"update-{uuid.uuid4().hex[:12]}"
+    del_dir = os.path.join(root, "data", f"{tag}-deletes")
+    matched.select(
+        F.col("__file").alias("file_path"), F.col("__pos").cast("long").alias("pos")
+    ).sort("file_path", "pos").write.option("compression", "zstd").parquet(del_dir)
+
+    # rewritten rows: assignments applied on the pre-update values, then
+    # cast back to the declared column types (Iceberg UPDATE semantics)
+    rewritten = matched.drop("__file", "__pos").select(
+        *[
+            (F.expr(assignments[f["name"]]) if f["name"] in assignments else F.col(f["name"]))
+            .cast(_spark_type(f["type"]))
+            .alias(f["name"])
+            for f in target["fields"]
+        ]
+    )
+    data_dir = os.path.join(root, "data", f"{tag}-rows")
+    rewritten.write.option("compression", "zstd").parquet(data_dir)
+
+    delete_files = _list_parquet(del_dir)
+    data_files = _list_parquet(data_dir)
+    updated_rows = sum(r for _, r, _ in delete_files)
+    if updated_rows == 0:
+        fsio.rmtree(del_dir)
+        fsio.rmtree(data_dir)
+        return None
+
+    return _stage_row_level_commit(
+        md,
+        md_path,
+        mdir,
+        tag=tag,
+        delete_files=delete_files,
+        data_files=data_files,
+        summary={
+            "operation": "overwrite",
+            "updated-records": str(updated_rows),
+            "added-delete-files": str(len(delete_files)),
+            "added-data-files": str(len(data_files)),
+            "added-records": str(sum(r for _, r, _ in data_files)),
+        },
+        update_hint=update_hint,
     )

@@ -905,7 +905,6 @@ class LakehouseSQL:
         """UPDATE t SET col = expr [, ...] WHERE cond — copy-on-write
         rewrite of matching rows (Iceberg row-level UPDATE semantics).
         An active `SET spark.wap.branch` stages it on the branch."""
-        tab = self._dml_table(m.group(1))
         split = _split_at_top_level_where(m.group(2))
         if split is None:
             raise WarehouseError("UPDATE requires a WHERE clause")
@@ -916,6 +915,16 @@ class LakehouseSQL:
                 raise WarehouseError(f"malformed SET assignment: {part!r}")
             col, expr = part.split("=", 1)
             assignments[col.strip()] = expr.strip()
+        foreign = self._foreign_for_write(m.group(1))
+        if foreign:
+            if self._wap_branch:
+                raise WarehouseError(
+                    "WAP branches are engine-log concepts; foreign table "
+                    f"{foreign[0]}.{foreign[1]} cannot stage branch writes"
+                )
+            self.wh.update_foreign_table_where(*foreign, assignments, cond)
+            return self._empty()
+        tab = self._dml_table(m.group(1))
         tab.update_where(assignments, cond, branch=self._wap_branch)
         return self._empty()
 

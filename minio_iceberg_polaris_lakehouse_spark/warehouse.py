@@ -454,6 +454,27 @@ class Warehouse:
             )
         return delete_iceberg_table_where(self.spark, loc, predicate)
 
+    def update_foreign_table_where(
+        self, ns: str, name: str, assignments: dict[str, str], predicate: str
+    ) -> str | None:
+        """Row-level UPDATE on a registered foreign table: ONE open-
+        metadata snapshot tombstoning the matched rows and re-writing
+        them with the assignments applied (sources/iceberg_writer.py)."""
+        from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+            update_iceberg_table_where,
+        )
+
+        loc = self.foreign_tables().get(f"{ns}.{name}")
+        if loc is None:
+            raise WarehouseError(f"foreign table {ns}.{name} is not registered")
+        if loc.endswith(".metadata.json"):
+            raise WarehouseError(
+                f"foreign table {ns}.{name} is pinned to {loc}; an update on a "
+                "pinned registration would be invisible — register the table "
+                "directory instead"
+            )
+        return update_iceberg_table_where(self.spark, loc, assignments, predicate)
+
 
 def _tzinfo_of(tz: str):
     """tzinfo for a Spark timezone string — region ids via zoneinfo,

@@ -275,3 +275,59 @@ def test_rest_arbitrated_foreign_delete(spark, tmp_path):
         assert _rows(read_iceberg_table(spark, loc)) == [(1,), (3,)]
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------- UPDATE
+
+
+def test_update_on_foreign_table_single_snapshot(spark, tmp_path):
+    """UPDATE = ONE open-metadata snapshot: matched rows tombstoned and
+    rewritten together (never zero copies, never two); expressions see
+    the pre-update values; unmatched rows untouched; prior snapshot
+    still time-travels."""
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+        update_iceberg_table_where,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = wh.create_table("db", "src", "id int, v string, amt double")
+    t.insert_values([(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)])
+    new_path = update_iceberg_table_where(
+        spark, t.path, {"amt": "amt * 2", "v": "upper(v)"}, "id >= 2"
+    )
+    assert new_path is not None
+    assert _rows(read_iceberg_table(spark, t.path)) == [
+        (1, "a", 10.0),
+        (2, "B", 40.0),
+        (3, "C", 60.0),
+    ]
+    md = json.loads(open(new_path).read())
+    assert [s["summary"]["operation"] for s in md["snapshots"]] == ["append", "overwrite"]
+    prev = md["snapshots"][0]["snapshot-id"]
+    assert _rows(read_iceberg_table(spark, t.path, snapshot_id=prev)) == [
+        (1, "a", 10.0),
+        (2, "b", 20.0),
+        (3, "c", 30.0),
+    ]
+    # no-match update commits nothing; unknown column fails loudly
+    assert update_iceberg_table_where(spark, t.path, {"amt": "0"}, "id = 99") is None
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_iceberg_table_where(spark, t.path, {"nope": "1"}, "id = 1")
+
+
+def test_sql_update_registered_foreign_table(spark, tmp_path):
+    """UPDATE a `CALL system.register_table` name routes through the
+    open-metadata writer; repeated updates stack correctly (each reads
+    the prior merge-on-read state)."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    root = _build_foreign_table(tmp_path)
+    lake = LakehouseSQL(spark, str(tmp_path / "wh"))
+    lake.sql(
+        "CALL polaris.system.register_table(table => 'ext.ft', "
+        f"metadata_file => '{root}')"
+    )
+    lake.sql("UPDATE ext.ft SET name = name || '!' WHERE id = 3")
+    lake.sql("UPDATE ext.ft SET name = name || '?' WHERE id = 3")
+    got = sorted((r.id, r.name) for r in lake.sql("SELECT id, name FROM ext.ft").collect())
+    assert got == [(3, "reborn!?"), (4, "d")]
