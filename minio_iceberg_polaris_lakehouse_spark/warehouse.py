@@ -1861,7 +1861,7 @@ class Table:
                 # by equality) were emitted as deletes by THOSE commits —
                 # don't emit them twice
                 df = self._read_dirs(dirs, schema, file_pos=True, seq_of=seqs)
-                keep = cols + (["_seq", "_file", "_pos"] if par_eq or new_eq else [])
+                keep = cols + ["_file", "_pos"] + (["_seq"] if par_eq or new_eq else [])
                 df = self._apply_deletes(df, par_dels, keep)
                 if par_eq:
                     df = self._apply_eq_deletes(df, par_eq, keep)
@@ -1873,7 +1873,12 @@ class Table:
                 )
                 emitted = True
             if new_dels:
-                df = self._read_dirs(parent["manifest"], schema, file_pos=True)
+                # semi-join the new tombstones against the parent's LIVE
+                # rows, not its raw files — a tombstone landing on a row
+                # an earlier commit already killed (e.g. an equality
+                # delete in a legacy/foreign layout) must not emit a
+                # second delete for a once-inserted row
+                df = parent_alive(parent["manifest"])
                 tomb = self._tombstones(new_dels)
                 cond = self._pos_delete_cond(df, tomb)
                 hit = df.join(F.broadcast(tomb), cond, "left_semi").select(*cols)
@@ -2146,6 +2151,26 @@ class Table:
             "delete", [p], {"predicate": condition}, parent, branch=branch
         )
 
+    def _live_with_pos(self, snap: dict) -> DataFrame:
+        """Live rows of a snapshot WITH `_file`/`_pos` lineage: data dirs
+        minus positional tombstones minus EQUALITY deletes. The row set a
+        new tombstone may legitimately target — a row already dead (by
+        either delete kind) must never be re-tombstoned, or the changelog
+        would emit a second delete for a row inserted once."""
+        eq_recs = snap.get("eq_deletes", [])
+        live = self._read_dirs(
+            snap["manifest"],
+            file_pos=True,
+            seq_of=self._dir_seqs() if eq_recs else None,
+        )
+        tomb = self._tombstones(snap.get("delete_dirs", []))
+        if tomb is not None:
+            live = live.join(F.broadcast(tomb), self._pos_delete_cond(live, tomb), "left_anti")
+        if eq_recs:
+            keep = [c for c in live.columns if c != "_seq"]
+            live = self._apply_eq_deletes(live, eq_recs, keep)
+        return live
+
     def _delete_where_mor(self, condition: str, branch: str | None = None) -> int:
         """Merge-on-read DELETE: compute matching LIVE row positions, land
         them as a zstd parquet delete file, commit a snapshot that keeps
@@ -2155,10 +2180,7 @@ class Table:
         parent = self._branch_head(branch) if branch else self.current_snapshot_id()
         snap = self._resolve(version=branch) if branch else self._resolve()
         existing = snap.get("delete_dirs", [])
-        live = self._read_dirs(snap["manifest"], file_pos=True)
-        tomb = self._tombstones(existing)
-        if tomb is not None:
-            live = live.join(F.broadcast(tomb), self._pos_delete_cond(live, tomb), "left_anti")
+        live = self._live_with_pos(snap)
         hits = live.filter(f"({condition})").select(
             self._plain_path(F.col("_file")).alias("file_path"), F.col("_pos").alias("pos")
         )
@@ -2329,10 +2351,7 @@ class Table:
         parent = self._branch_head(branch) if branch else self.current_snapshot_id()
         snap = self._resolve(version=branch) if branch else self._resolve()
         existing = snap.get("delete_dirs", [])
-        live = self._read_dirs(snap["manifest"], file_pos=True)
-        tomb = self._tombstones(existing)
-        if tomb is not None:
-            live = live.join(F.broadcast(tomb), self._pos_delete_cond(live, tomb), "left_anti")
+        live = self._live_with_pos(snap)
         # matched feeds TWO writes (tombstone positions + rewritten
         # rows); persist it so the full-table scan + predicate run once,
         # not once per write — the whole point of MOR UPDATE is

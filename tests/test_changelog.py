@@ -212,3 +212,38 @@ def test_changelog_replay_reconstructs_table(spark, tmp_path_factory, ops):
     replayed = sorted(state.elements())
     direct = sorted((r.id, r.v) for r in t.read().collect())
     assert replayed == direct
+
+
+def test_mor_delete_after_equality_delete_no_double_emit(spark, tmp_path):
+    """Pin of a hypothesis find: eq-delete id, then MOR-delete the same
+    id. The row is already dead at the second delete, so (a) the writer
+    must not tombstone it again and (b) the changelog must emit exactly
+    one insert and one delete for it — a replay consumer would otherwise
+    go negative."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = wh.create_table(
+        "db", "dd", "id int, v string",
+        properties={"write.delete.equality-columns": "id"},
+    )
+    t.insert_values([(0, "r1")])
+    t.delete_where("id = 0", mode="merge-on-read-equality")
+    t.delete_where("id = 0", mode="merge-on-read")  # row already dead
+    rows = sorted(
+        ((r.id, r.v, r._change_type) for r in t.changes().collect()),
+    )
+    assert rows == [(0, "r1", "delete"), (0, "r1", "insert")]
+    assert t.read().count() == 0
+    # same shape under MOR UPDATE: updating an eq-dead row touches nothing
+    t2 = wh.create_table(
+        "db", "dd2", "id int, v string",
+        properties={"write.delete.equality-columns": "id"},
+    )
+    t2.insert_values([(0, "a"), (1, "b")])
+    t2.delete_where("id = 0", mode="merge-on-read-equality")
+    t2.update_where({"v": "'x'"}, "id <= 1", mode="merge-on-read")
+    state: dict = {}
+    for r in sorted(t2.changes().collect(), key=lambda r: r._change_ordinal):
+        k = (r.id, r.v)
+        state[k] = state.get(k, 0) + (1 if r._change_type == "insert" else -1)
+        assert state[k] >= 0, f"negative count for {k}"
+    assert sorted(k for k, n in state.items() for _ in range(n)) == [(1, "x")]
