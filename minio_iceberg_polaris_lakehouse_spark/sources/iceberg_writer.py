@@ -625,3 +625,127 @@ def update_iceberg_table_where(
         },
         update_hint=update_hint,
     )
+
+
+def merge_iceberg_table(
+    spark: SparkSession,
+    location: str,
+    source: DataFrame,
+    on: str,
+    when_matched: str = "update",
+    insert_not_matched: bool = True,
+    not_matched_by_source_delete: bool = False,
+    update_hint: bool = True,
+) -> str | None:
+    """MERGE INTO a FOREIGN Iceberg table through its open metadata, as
+    ONE snapshot — the upsert form the reference points at for dedup
+    remediation (SETUP_GUIDE_WIN.md:368), now available on tables the
+    engine didn't create:
+
+    - ``when_matched='update'``: matched target rows are tombstoned and
+      the matching SOURCE rows land as new data files (UPDATE SET *);
+      ``'delete'`` tombstones without replacement (MATCHED THEN DELETE).
+    - ``insert_not_matched``: source rows with no target match insert.
+    - ``not_matched_by_source_delete``: target rows with no source match
+      are tombstoned too (full two-way sync).
+
+    Cardinality rule (Iceberg/Spark MERGE semantics): a target row
+    matching several source rows raises; duplicate source rows that
+    match nothing are legal inserts. Returns the new metadata path, or
+    None when the merge changes nothing.
+
+    Scale: key-only semi/anti joins decide row fates (the wide source
+    payload never enters the matching shuffle); tombstone and data
+    writes are O(affected rows)."""
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        read_iceberg_table,
+    )
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be 'update' or 'delete': {when_matched!r}")
+    md_path = resolve_metadata_path(location)
+    md = json.loads(fsio.read_text(md_path))
+    mdir = os.path.dirname(md_path)
+    root = md.get("location") or os.path.dirname(mdir)
+
+    schemas = {s["schema-id"]: s for s in md.get("schemas", [])}
+    target = schemas[md["current-schema-id"]]
+    names = [f["name"] for f in target["fields"]]
+    if on not in names:
+        raise ValueError(f"merge key {on!r} is not a column of the target")
+    aligned_src = source.select(
+        *[
+            (
+                F.col(f["name"]).cast(_spark_type(f["type"]))
+                if f["name"] in source.columns
+                else F.lit(None).cast(_spark_type(f["type"]))
+            ).alias(f["name"])
+            for f in target["fields"]
+        ]
+    )
+
+    live = read_iceberg_table(spark, location, _keep_lineage=True)
+    tgt_keys = live.select(on)
+
+    # cardinality: duplicated source keys that actually match the target
+    dup = (
+        aligned_src.join(tgt_keys, on, "left_semi")
+        .groupBy(on)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"MERGE cardinality violation: source key {dup[0][0]!r} matches "
+            "a target row more than once"
+        )
+
+    src_keys = aligned_src.select(on)
+    # target rows leaving the table: matched (update/delete rewrites or
+    # drops them) plus, optionally, rows no source key covers
+    doomed = live.join(src_keys, on, "left_semi")
+    if not_matched_by_source_delete:
+        doomed = doomed.unionByName(live.join(src_keys, on, "left_anti"))
+    tag = f"merge-{uuid.uuid4().hex[:12]}"
+    del_dir = os.path.join(root, "data", f"{tag}-deletes")
+    doomed.select(
+        F.col("__file").alias("file_path"), F.col("__pos").cast("long").alias("pos")
+    ).sort("file_path", "pos").write.option("compression", "zstd").parquet(del_dir)
+
+    incoming = []
+    if when_matched == "update":
+        incoming.append(aligned_src.join(tgt_keys, on, "left_semi"))
+    if insert_not_matched:
+        incoming.append(aligned_src.join(tgt_keys, on, "left_anti"))
+    data_dir = os.path.join(root, "data", f"{tag}-rows")
+    new_rows = incoming[0] if incoming else aligned_src.limit(0)
+    for part in incoming[1:]:
+        new_rows = new_rows.unionByName(part)
+    new_rows.write.option("compression", "zstd").parquet(data_dir)
+
+    delete_files = _list_parquet(del_dir)
+    data_files = _list_parquet(data_dir)
+    if not delete_files and not data_files:
+        fsio.rmtree(del_dir)
+        fsio.rmtree(data_dir)
+        return None
+
+    return _stage_row_level_commit(
+        md,
+        md_path,
+        mdir,
+        tag=tag,
+        delete_files=delete_files,
+        data_files=data_files,
+        summary={
+            "operation": "overwrite",
+            "merge-on": on,
+            "added-delete-files": str(len(delete_files)),
+            "deleted-records": str(sum(r for _, r, _ in delete_files)),
+            "added-data-files": str(len(data_files)),
+            "added-records": str(sum(r for _, r, _ in data_files)),
+        },
+        update_hint=update_hint,
+    )

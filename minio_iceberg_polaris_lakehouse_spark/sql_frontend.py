@@ -1165,6 +1165,18 @@ class LakehouseSQL:
         (SETUP_GUIDE_WIN.md:368 'Use MERGE or DELETE + INSERT'). ``src``
         is a warehouse table name or a parenthesized SELECT; execution is
         the warehouse's copy-on-write merge (join + union plan)."""
+        foreign = self._merge_foreign_target(m)
+        if foreign:
+            src, key = self._merge_src_key(m)
+            self.wh.merge_foreign_table(
+                *foreign,
+                src,
+                key,
+                when_matched="update",
+                insert_not_matched=True,
+                not_matched_by_source_delete=bool(m.group(5)),
+            )
+            return self._empty()
         tab, src, key = self._merge_parts(m)
         tab.merge_into(
             src,
@@ -1174,10 +1186,21 @@ class LakehouseSQL:
         )
         return self._empty()
 
-    def _merge_parts(self, m: re.Match):
-        """Shared target/source/key resolution for the MERGE forms."""
-        target, src_text, on_l, on_r = m.group(1), m.group(2).strip(), m.group(3), m.group(4)
-        tab = self._dml_table(target)
+    def _merge_foreign_target(self, m: re.Match) -> tuple[str, str] | None:
+        """(ns, table) when the MERGE target is a registered foreign
+        table — routed through the open-metadata merge writer (WAP
+        branch sessions refuse, as for every foreign write)."""
+        foreign = self._foreign_for_write(m.group(1))
+        if foreign and self._wap_branch:
+            raise WarehouseError(
+                "WAP branches are engine-log concepts; foreign table "
+                f"{foreign[0]}.{foreign[1]} cannot stage branch writes"
+            )
+        return foreign
+
+    def _merge_src_key(self, m: re.Match):
+        """Source frame + join key for the MERGE forms."""
+        src_text, on_l, on_r = m.group(2).strip(), m.group(3), m.group(4)
         if src_text.startswith("("):
             inner, _rest = _balanced_paren_group(src_text)
             src = self.spark.sql(self._rewrite_query(inner.strip()))
@@ -1187,7 +1210,13 @@ class LakehouseSQL:
         kl, kr = on_l.split(".")[-1], on_r.split(".")[-1]
         if kl != kr:
             raise WarehouseError(f"MERGE ON must equate the same column name: {on_l} = {on_r}")
-        return tab, src, kl
+        return src, kl
+
+    def _merge_parts(self, m: re.Match):
+        """Shared target/source/key resolution for the MERGE forms."""
+        tab = self._dml_table(m.group(1))
+        src, key = self._merge_src_key(m)
+        return tab, src, key
 
     def _merge_into_delete(self, m: re.Match) -> DataFrame:
         """MERGE INTO t USING src ON ... WHEN MATCHED THEN DELETE
@@ -1195,6 +1224,17 @@ class LakehouseSQL:
         reference's troubleshooting guide reaches for
         (SETUP_GUIDE_WIN.md:368 'Use MERGE or DELETE + INSERT'): matched
         target rows drop; source rows with no match optionally insert."""
+        foreign = self._merge_foreign_target(m)
+        if foreign:
+            src, key = self._merge_src_key(m)
+            self.wh.merge_foreign_table(
+                *foreign,
+                src,
+                key,
+                when_matched="delete",
+                insert_not_matched=bool(m.group(5)),
+            )
+            return self._empty()
         tab, src, key = self._merge_parts(m)
         tab.merge_into(
             src,

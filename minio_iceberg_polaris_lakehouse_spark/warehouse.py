@@ -475,6 +475,46 @@ class Warehouse:
             )
         return update_iceberg_table_where(self.spark, loc, assignments, predicate)
 
+    def merge_foreign_table(
+        self,
+        ns: str,
+        name: str,
+        source: DataFrame,
+        on: str,
+        when_matched: str = "update",
+        insert_not_matched: bool = True,
+        not_matched_by_source_delete: bool = False,
+    ) -> str | None:
+        """MERGE INTO a registered foreign table as ONE open-metadata
+        snapshot (sources/iceberg_writer.py merge_iceberg_table)."""
+        from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+            merge_iceberg_table,
+        )
+
+        loc = self.foreign_tables().get(f"{ns}.{name}")
+        if loc is None:
+            raise WarehouseError(f"foreign table {ns}.{name} is not registered")
+        if loc.endswith(".metadata.json"):
+            raise WarehouseError(
+                f"foreign table {ns}.{name} is pinned to {loc}; a merge into a "
+                "pinned registration would be invisible — register the table "
+                "directory instead"
+            )
+        try:
+            return merge_iceberg_table(
+                self.spark,
+                loc,
+                source,
+                on,
+                when_matched=when_matched,
+                insert_not_matched=insert_not_matched,
+                not_matched_by_source_delete=not_matched_by_source_delete,
+            )
+        except ValueError as e:
+            if "cardinality" in str(e):
+                raise WarehouseError(str(e)) from e
+            raise
+
 
 def _tzinfo_of(tz: str):
     """tzinfo for a Spark timezone string — region ids via zoneinfo,

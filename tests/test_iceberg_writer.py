@@ -331,3 +331,82 @@ def test_sql_update_registered_foreign_table(spark, tmp_path):
     lake.sql("UPDATE ext.ft SET name = name || '?' WHERE id = 3")
     got = sorted((r.id, r.name) for r in lake.sql("SELECT id, name FROM ext.ft").collect())
     assert got == [(3, "reborn!?"), (4, "d")]
+
+
+# ---------------------------------------------------------------- MERGE
+
+
+def test_merge_into_foreign_table_upsert(spark, tmp_path):
+    """MERGE USING src ON key UPDATE SET * / INSERT * on a registered
+    foreign table: ONE overwrite snapshot — matched rows replaced by
+    source versions, unmatched source rows inserted, unmatched target
+    rows untouched (then dropped under the BY SOURCE DELETE arm)."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    wh = Warehouse(spark, str(tmp_path / "src_wh"))
+    t = wh.create_table("db", "tgt", "id int, v string")
+    t.insert_values([(1, "a"), (2, "b"), (3, "c")])
+
+    lake = LakehouseSQL(spark, str(tmp_path / "wh"))
+    lake.sql(
+        "CALL polaris.system.register_table(table => 'ext.tgt', "
+        f"metadata_file => '{t.path}')"
+    )
+    lake.sql("CREATE TABLE polaris.db.src (id INT, v STRING) USING ICEBERG")
+    lake.sql("INSERT INTO db.src VALUES (2, 'B'), (4, 'D')")
+    lake.sql(
+        "MERGE INTO ext.tgt t USING db.src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert _rows(read_iceberg_table(spark, t.path)) == [
+        (1, "a"),
+        (2, "B"),
+        (3, "c"),
+        (4, "D"),
+    ]
+    md = json.loads(open(resolve_metadata_path(t.path)).read())
+    assert len(md["snapshots"]) == 2  # append + ONE merge snapshot
+    # full two-way sync: BY SOURCE DELETE drops ids the source lacks
+    lake.sql(
+        "MERGE INTO ext.tgt t USING db.src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    assert _rows(read_iceberg_table(spark, t.path)) == [(2, "B"), (4, "D")]
+
+
+def test_merge_foreign_delete_form_and_cardinality(spark, tmp_path):
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import WarehouseError
+
+    wh = Warehouse(spark, str(tmp_path / "src_wh"))
+    t = wh.create_table("db", "tgt", "id int, v string")
+    t.insert_values([(1, "a"), (2, "b")])
+    lake = LakehouseSQL(spark, str(tmp_path / "wh"))
+    lake.sql(
+        "CALL polaris.system.register_table(table => 'ext.tgt', "
+        f"metadata_file => '{t.path}')"
+    )
+    lake.sql("CREATE TABLE polaris.db.src (id INT, v STRING) USING ICEBERG")
+    lake.sql("INSERT INTO db.src VALUES (1, 'x'), (9, 'z')")
+    lake.sql(
+        "MERGE INTO ext.tgt t USING db.src s ON t.id = s.id "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert _rows(read_iceberg_table(spark, t.path)) == [(2, "b")]
+    # duplicated source key that matches the target → loud cardinality error
+    lake.sql("INSERT INTO db.src VALUES (2, 'dup1'), (2, 'dup2')")
+    with pytest.raises(WarehouseError, match="cardinality"):
+        lake.sql(
+            "MERGE INTO ext.tgt t USING db.src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+    # duplicate source keys that match NOTHING are legal inserts
+    lake.sql("DELETE FROM db.src WHERE id = 2")
+    lake.sql("INSERT INTO db.src VALUES (7, 'd1'), (7, 'd2')")
+    lake.sql(
+        "MERGE INTO ext.tgt t USING db.src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = _rows(read_iceberg_table(spark, t.path))
+    assert sorted(v for _i, v in got if _i == 7) == ["d1", "d2"]
