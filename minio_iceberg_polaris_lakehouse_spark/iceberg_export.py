@@ -289,13 +289,22 @@ def _partition_value(rel_path: str, field_name: str, avro_type) -> object:
     return None
 
 
-def _manifest_entry_schema(partition_field: tuple[str, object] | None) -> dict:
+def _manifest_entry_schema(partition_field) -> dict:
+    """Entry schema with the partition record's fields. Accepts the
+    engine's single ``(name, avro_type)`` tuple (field-id 1000, its own
+    spec convention) or a list of ``(name, avro_type, field_id)`` for
+    foreign specs with several fields / explicit ids."""
     part_fields = []
     if partition_field is not None:
-        name, avro_type = partition_field
-        part_fields.append(
-            {"name": name, "type": ["null", avro_type], "default": None, "field-id": 1000}
+        triples = (
+            partition_field
+            if isinstance(partition_field, list)
+            else [(partition_field[0], partition_field[1], 1000)]
         )
+        for name, avro_type, fid in triples:
+            part_fields.append(
+                {"name": name, "type": ["null", avro_type], "default": None, "field-id": fid}
+            )
     return {
         "type": "record",
         "name": "manifest_entry",

@@ -71,6 +71,99 @@ def _sanitize_list_record(rec: dict) -> dict:
     return out
 
 
+_AVRO_OF_ICEBERG = {
+    "int": "int",
+    "long": "long",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": {"type": "int", "logicalType": "date"},
+}
+
+
+def _identity_partition_triples(spec_fields: list[dict], target: dict):
+    """(spec_field_name, source_column_name, field_id, avro_type,
+    iceberg_type) per identity partition field of the default spec."""
+    by_id = {f["id"]: f for f in target["fields"]}
+    triples = []
+    for pf in spec_fields:
+        src = by_id.get(pf["source-id"])
+        if src is None:
+            raise ValueError(
+                f"partition field {pf['name']!r} sources dropped column id "
+                f"{pf['source-id']}"
+            )
+        avro = _AVRO_OF_ICEBERG.get(src["type"] if isinstance(src["type"], str) else "")
+        if avro is None:
+            raise ValueError(
+                f"unsupported identity partition source type {src['type']!r}"
+            )
+        triples.append((pf["name"], src["name"], int(pf["field-id"]), avro, src["type"]))
+    return triples
+
+
+def _walk_parquet(out_dir: str, part_triples) -> list[dict]:
+    """Every non-empty parquet under ``out_dir`` (recursing through the
+    hive-style partition dirs a partitioned write produces) with its
+    footer row count, size, and — for partitioned writes — the TYPED
+    partition values decoded from the directory names."""
+    import urllib.parse
+
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+
+    def visit(d: str, values: dict):
+        for name in sorted(fsio.listdir(d)):
+            p = os.path.join(d, name)
+            if fsio.isdir(p):
+                sub = dict(values)
+                if "=" in name:
+                    k, _, raw = name.partition("=")
+                    if k.startswith("_pv_"):
+                        sub[k[4:]] = urllib.parse.unquote(raw)
+                visit(p, sub)
+            elif name.endswith(".parquet"):
+                # footers through the fsio facade (same pattern as the
+                # engine's _parquet_footer_stats) so scheme:// roots work
+                pf = pq.ParquetFile(fsio.open_binary(p))
+                if not pf.metadata.num_rows:
+                    continue
+                partition = {}
+                for spec_name, _src, _fid, avro, _it in part_triples:
+                    partition[spec_name] = _typed_partition_value(
+                        values.get(spec_name), avro
+                    )
+                out.append(
+                    {
+                        "path": p,
+                        "rows": pf.metadata.num_rows,
+                        "size": fsio.getsize(p),
+                        "partition": partition,
+                    }
+                )
+
+    visit(out_dir, {})
+    return out
+
+
+def _typed_partition_value(raw: str | None, avro_type):
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if isinstance(avro_type, dict) and avro_type.get("logicalType") == "date":
+        import datetime
+
+        return (datetime.date.fromisoformat(raw) - datetime.date(1970, 1, 1)).days
+    if avro_type in ("int", "long"):
+        return int(raw)
+    if avro_type in ("double", "float"):
+        return float(raw)
+    if avro_type == "boolean":
+        return raw.lower() == "true"
+    return raw
+
+
 def append_iceberg_table(
     spark: SparkSession,
     location: str,
@@ -82,10 +175,13 @@ def append_iceberg_table(
     path. ``update_hint=False`` leaves version-hint.text alone so a REST
     catalog's commitTable CAS can arbitrate the pointer swap instead.
 
-    Scope: unpartitioned append (a non-empty default partition spec
-    raises — hidden-partition value derivation for arbitrary foreign
-    transforms is out of scope and writing unpartitioned files into a
-    partitioned table would corrupt pruning). Columns are matched by
+    Partitioning scope: unpartitioned tables and IDENTITY-transform
+    partition specs (any number of fields) — rows land grouped by
+    partition value (hive-style layout) and every manifest entry records
+    the typed partition values under the spec's own field ids, so real
+    readers keep pruning. Derived transforms (day/bucket/truncate/…)
+    raise: deriving them approximately would silently corrupt pruning
+    for every other engine reading the table. Columns are matched by
     NAME against the current schema and cast to its types; missing
     nullable columns NULL-fill, missing required columns raise.
     """
@@ -98,10 +194,12 @@ def append_iceberg_table(
     default_spec = next(
         (s for s in specs if s.get("spec-id") == md.get("default-spec-id", 0)), None
     )
-    if default_spec and default_spec.get("fields"):
+    spec_fields = (default_spec or {}).get("fields") or []
+    non_identity = [f for f in spec_fields if f.get("transform") != "identity"]
+    if non_identity:
         raise ValueError(
-            "append_iceberg_table supports unpartitioned tables only; "
-            f"default spec has fields {default_spec['fields']!r}"
+            "append_iceberg_table supports unpartitioned and identity-"
+            f"partitioned tables; derived transforms present: {non_identity!r}"
         )
 
     schemas = {s["schema-id"]: s for s in md.get("schemas", [])}
@@ -117,22 +215,25 @@ def append_iceberg_table(
             raise ValueError(f"required column {f['name']} missing from append data")
     aligned = df.select(*cols)
 
+    part_triples = _identity_partition_triples(spec_fields, target)
     dirname = f"append-{uuid.uuid4().hex[:12]}"
     out_dir = os.path.join(root, "data", dirname)
-    aligned.write.option("compression", "zstd").parquet(out_dir)
-    import pyarrow.parquet as pq
-
-    files = []
-    for name in sorted(fsio.listdir(out_dir)):
-        if not name.endswith(".parquet"):
-            continue
-        p = os.path.join(out_dir, name)
-        # footers through the fsio facade (same pattern as the engine's
-        # _parquet_footer_stats) so scheme:// table roots work — a raw
-        # local open would die AFTER the distributed write landed files
-        pf = pq.ParquetFile(fsio.open_binary(p))
-        files.append((p, pf.metadata.num_rows, fsio.getsize(p)))
-    added_rows = sum(r for _, r, _ in files)
+    if part_triples:
+        # duplicate each partition source into a _pv_* column and
+        # partitionBy THAT: the hive dirs get the values while the data
+        # files keep every real column (Iceberg files are full-width —
+        # hive-style column elision would NULL the column for readers
+        # that don't reconstruct from paths)
+        staged = aligned
+        for spec_name, src_name, *_rest in part_triples:
+            staged = staged.withColumn(f"_pv_{spec_name}", F.col(src_name))
+        staged.write.option("compression", "zstd").partitionBy(
+            *[f"_pv_{t[0]}" for t in part_triples]
+        ).parquet(out_dir)
+    else:
+        aligned.write.option("compression", "zstd").parquet(out_dir)
+    files = _walk_parquet(out_dir, part_triples)
+    added_rows = sum(f["rows"] for f in files)
 
     snaps = md.get("snapshots", [])
     parent = md.get("current-snapshot-id")
@@ -164,7 +265,10 @@ def append_iceberg_table(
         _manifest_entry_schema,
     )
 
-    entry_schema = _manifest_entry_schema(None)
+    entry_schema = _manifest_entry_schema(
+        [(n, t, fid) for n, _src, fid, t, _it in part_triples] or None
+    )
+    spec_id = md.get("default-spec-id", 0) if part_triples else 0
     man_path = os.path.join(mdir, f"manifest-{dirname}.avro")
     avro_io.write_container(
         man_path,
@@ -177,19 +281,19 @@ def append_iceberg_table(
                 "file_sequence_number": seq,
                 "data_file": {
                     "content": 0,
-                    "file_path": p,
+                    "file_path": f["path"],
                     "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": rows,
-                    "file_size_in_bytes": size,
+                    "partition": f["partition"],
+                    "record_count": f["rows"],
+                    "file_size_in_bytes": f["size"],
                 },
             }
-            for p, rows, size in files
+            for f in files
         ],
         metadata={
             "schema": json.dumps(target),
-            "partition-spec": "[]",
-            "partition-spec-id": "0",
+            "partition-spec": json.dumps(spec_fields),
+            "partition-spec-id": str(spec_id),
             "format-version": "2",
             "content": "data",
         },
@@ -215,7 +319,7 @@ def append_iceberg_table(
                 # newInputFile(path, length) — a fake value breaks any
                 # real reader's ranged manifest fetch
                 "manifest_length": fsio.getsize(man_path),
-                "partition_spec_id": 0,
+                "partition_spec_id": spec_id,
                 "content": 0,
                 "sequence_number": seq,
                 "min_sequence_number": seq,

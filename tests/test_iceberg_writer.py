@@ -60,13 +60,48 @@ def test_append_to_engine_exported_table(spark, tmp_path):
     assert resolve_metadata_path(t.path) == out  # hint advanced
 
 
-def test_append_refuses_partitioned_and_missing_required(spark, tmp_path):
+def test_append_identity_partitioned_foreign_table(spark, tmp_path):
+    """Identity-partitioned appends land grouped by partition value with
+    TYPED values in the manifest entries (date → epoch days, NULL →
+    null) under the spec's own field ids; derived transforms refuse —
+    deriving them approximately would corrupt other engines' pruning."""
+    import datetime
+
+    from minio_iceberg_polaris_lakehouse_spark import avro_io
+
     wh = Warehouse(spark, str(tmp_path / "wh"))
-    t = wh.create_table("db", "p", "id int, d date", partition_by="d")
-    t.insert_values([(1, __import__("datetime").date(2024, 1, 1))])
-    with pytest.raises(ValueError, match="unpartitioned"):
+    t = wh.create_table("db", "p", "id int, d date, v string", partition_by="d")
+    t.insert_values([(1, datetime.date(2024, 1, 1), "a")])
+    new = spark.createDataFrame(
+        [(2, datetime.date(2024, 1, 2), "b"), (3, None, "c")],
+        "id int, d date, v string",
+    )
+    new_path = append_iceberg_table(spark, t.path, new)
+    assert _rows(read_iceberg_table(spark, t.path)) == [
+        (1, datetime.date(2024, 1, 1), "a"),
+        (2, datetime.date(2024, 1, 2), "b"),
+        (3, None, "c"),
+    ]
+    md = json.loads(open(new_path).read())
+    snap = md["snapshots"][-1]
+    _s, _m, recs = avro_io.read_container(snap["manifest-list"])
+    mine = [r for r in recs if r["added_snapshot_id"] == snap["snapshot-id"]]
+    _s2, _m2, entries = avro_io.read_container(mine[0]["manifest_path"])
+    values = sorted(
+        (e["data_file"]["partition"]["_p_identity_d"] is None,
+         e["data_file"]["partition"]["_p_identity_d"] or 0)
+        for e in entries
+    )
+    epoch_days = (datetime.date(2024, 1, 2) - datetime.date(1970, 1, 1)).days
+    assert values == [(False, epoch_days), (True, 0)]
+
+    # derived transform: loud refusal
+    t2 = wh.create_table("db", "pd", "id int, ts timestamp", partition_by="ts", transform="day")
+    t2.insert_values([(1, datetime.datetime(2024, 1, 1, 12))])
+    with pytest.raises(ValueError, match="identity"):
         append_iceberg_table(
-            spark, t.path, spark.createDataFrame([(2,)], "id int")
+            spark, t2.path,
+            spark.createDataFrame([(2, datetime.datetime(2024, 1, 2, 1))], "id int, ts timestamp"),
         )
 
 
