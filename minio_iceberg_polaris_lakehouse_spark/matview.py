@@ -14,9 +14,11 @@ module adds that layer natively:
   :func:`parse_incremental`), refresh reads ONLY the base table's
   changelog since the last synced snapshot — O(changed data), never a
   rescan of the base — and folds signed deltas into the stored groups.
-  Anything else (joins, AVG/MIN/MAX, HAVING, expressions in GROUP BY)
-  falls back to a full recompute, honestly reported in the refresh
-  result.
+  MIN/MAX also maintain incrementally while the changelog window is
+  insert-only (the append-only common case); a delete in the window
+  forces their full recompute (a deleted extremum needs a rescan).
+  Anything else (joins, AVG, HAVING, expressions in GROUP BY) falls
+  back to a full recompute, honestly reported in the refresh result.
 - The storage table carries a hidden ``_lh_count`` row count per group
   so groups whose last row is deleted disappear, even when the user's
   select list has no COUNT(*). SELECT/DESCRIBE through the SQL front-end
@@ -24,9 +26,10 @@ module adds that layer natively:
 
 Scale: the incremental path shuffles the changelog (churned dirs only)
 plus the MV itself — an aggregate, orders of magnitude smaller than the
-base fact table. MIN/MAX are deliberately NOT maintained incrementally:
-they are not invertible under deletes (a deleted max forces a rescan),
-so they take the full-recompute path rather than a wrong answer.
+base fact table. MIN/MAX fold monotonically under
+inserts but are not invertible under deletes, so the refresh gate
+checks the window for deletes first and takes the full-recompute path
+rather than a wrong answer.
 
 Float caveat (documented, inherent to IVM everywhere): SUM over float
 columns accumulates in a different order under incremental maintenance
@@ -66,7 +69,7 @@ HIDDEN_COUNT = "_lh_count"
 # containing "JOIN" also falls back — to the SLOWER-but-correct path)
 _DISQUALIFY = re.compile(
     r"(?i)\b(JOIN|UNION|INTERSECT|EXCEPT|HAVING|ORDER\s+BY|LIMIT|"
-    r"DISTINCT|OVER|MIN|MAX|AVG|WITH)\b"
+    r"DISTINCT|OVER|AVG|WITH)\b"
 )
 
 
@@ -91,7 +94,9 @@ def _split_top_level(text: str) -> list[str]:
 def parse_incremental(sql_text: str) -> MatviewSpec | None:
     """Parse a definition into an incrementally-maintainable spec, or
     None if it needs full recompute. Deliberately conservative: only the
-    exact single-table SUM/COUNT grouped-aggregate shape qualifies."""
+    exact single-table SUM/COUNT/MIN/MAX grouped-aggregate shape
+    qualifies (MIN/MAX additionally need insert-only refresh windows,
+    gated at refresh time)."""
     s = sql_text.strip().rstrip(";")
     masked = re.sub(r"'(?:[^']|'')*'", "''", s)
     if _DISQUALIFY.search(masked):
@@ -114,12 +119,14 @@ def parse_incremental(sql_text: str) -> MatviewSpec | None:
     aggs: list[tuple[str, str, str]] = []
     for item in _split_top_level(m.group("items")):
         gm = re.fullmatch(rf"({_IDENT})(?:\s+AS\s+({_IDENT}))?", item, re.IGNORECASE)
-        if gm and gm.group(1).upper() not in ("SUM", "COUNT"):
+        if gm and gm.group(1).upper() not in ("SUM", "COUNT", "MIN", "MAX"):
             group_cols.append(gm.group(1))
             group_aliases.append(gm.group(2) or gm.group(1))
             continue
         am = re.fullmatch(
-            rf"(SUM|COUNT)\s*\((.+)\)\s+AS\s+({_IDENT})", item, re.IGNORECASE | re.DOTALL
+            rf"(SUM|COUNT|MIN|MAX)\s*\((.+)\)\s+AS\s+({_IDENT})",
+            item,
+            re.IGNORECASE | re.DOTALL,
         )
         if am is None:
             return None  # unaliased or unsupported aggregate
@@ -156,6 +163,10 @@ def materialize(base_df: DataFrame, spec: MatviewSpec) -> DataFrame:
     for kind, expr, alias in spec.aggs:
         if kind == "sum":
             aggs.append(F.sum(F.expr(expr)).alias(alias))
+        elif kind == "min":
+            aggs.append(F.min(F.expr(expr)).alias(alias))
+        elif kind == "max":
+            aggs.append(F.max(F.expr(expr)).alias(alias))
         elif kind == "count_star":
             aggs.append(F.count(F.lit(1)).alias(alias))
         else:
@@ -174,6 +185,13 @@ def delta(changes: DataFrame, spec: MatviewSpec) -> DataFrame:
     for kind, expr, alias in spec.aggs:
         if kind == "sum":
             aggs.append(F.sum(sign * F.expr(expr)).alias(alias))
+        elif kind == "min":
+            # inserts only: a delete row must never contribute a value
+            # (the refresh gate already forces full recompute when the
+            # window contains deletes — MIN/MAX are not invertible)
+            aggs.append(F.min(F.when(sign == 1, F.expr(expr))).alias(alias))
+        elif kind == "max":
+            aggs.append(F.max(F.when(sign == 1, F.expr(expr))).alias(alias))
         elif kind == "count_star":
             aggs.append(F.sum(sign).cast("long").alias(alias))
         else:
@@ -192,11 +210,15 @@ def apply_delta(stored: DataFrame, delta_df: DataFrame, spec: MatviewSpec) -> Da
     groups whose row count reaches zero, and cast back to the storage
     schema so repeated refreshes never widen types."""
     keys = spec.group_aliases
-    values = [alias for *_k, alias in spec.aggs] + [HIDDEN_COUNT]
+    folds = []
+    for kind, _expr, alias in spec.aggs:
+        fold = F.min if kind == "min" else F.max if kind == "max" else F.sum
+        folds.append(fold(alias).alias(alias))
+    folds.append(F.sum(HIDDEN_COUNT).alias(HIDDEN_COUNT))
     unioned = stored.select(*stored.columns).unionByName(delta_df.select(*stored.columns))
     out = (
         unioned.groupBy(*keys)
-        .agg(*[F.sum(c).alias(c) for c in values])
+        .agg(*folds)
         .filter(F.col(HIDDEN_COUNT) > 0)
     )
     return out.select(

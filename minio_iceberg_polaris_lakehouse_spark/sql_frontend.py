@@ -1085,8 +1085,18 @@ class LakehouseSQL:
             if cur == rec["synced"]:
                 return result("noop", cur)
             if rec["synced"] is not None and spec is not None:
+                from pyspark.sql import functions as F
+
                 try:
                     chg = base.changes(from_version=rec["synced"], to_version=cur)
+                    if any(k in ("min", "max") for k, *_r in spec.aggs) and (
+                        chg.filter(F.col("_change_type") == "delete").limit(1).count()
+                    ):
+                        # MIN/MAX are not invertible under deletes: a
+                        # deleted extremum forces a rescan. Insert-only
+                        # windows (the common append-only case) still
+                        # maintain incrementally.
+                        raise WarehouseError("delete in window of a MIN/MAX view")
                     new = MV.apply_delta(storage.read(), MV.delta(chg, spec), spec)
                     storage.overwrite(new)
                     rec["synced"] = cur

@@ -202,9 +202,10 @@ def test_parse_incremental_shapes():
     assert ok is not None
     assert ok.group_aliases == ["a", "bb"]
     assert [k for k, *_ in ok.aggs] == ["sum", "count_star", "count"]
+    mm = parse_incremental("SELECT a, MIN(x) AS lo, MAX(x) AS hi FROM ns.t GROUP BY a")
+    assert mm is not None and [k for k, *_ in mm.aggs] == ["min", "max"]
     # shapes that must fall back to full recompute
     for bad in [
-        "SELECT a, MIN(x) AS m FROM ns.t GROUP BY a",
         "SELECT a, AVG(x) AS m FROM ns.t GROUP BY a",
         "SELECT a, SUM(DISTINCT x) AS s FROM ns.t GROUP BY a",
         "SELECT a, SUM(x) AS s FROM ns.t JOIN ns.u ON t.a = u.a GROUP BY a",
@@ -215,3 +216,31 @@ def test_parse_incremental_shapes():
         "WITH c AS (SELECT * FROM ns.t) SELECT a, SUM(x) AS s FROM c GROUP BY a",
     ]:
         assert parse_incremental(bad) is None, bad
+
+
+def test_minmax_incremental_append_only_and_delete_fallback(lake):
+    """MIN/MAX maintain incrementally while the refresh window is
+    insert-only; a delete in the window forces a (correct) full
+    recompute, after which incremental maintenance resumes."""
+    lake.sql("CREATE TABLE polaris.db.mm (k STRING, x INT) USING ICEBERG")
+    lake.sql("INSERT INTO db.mm VALUES ('a', 5), ('a', 9), ('b', 3)")
+    defn = "SELECT k, MIN(x) AS lo, MAX(x) AS hi, COUNT(*) AS n FROM db.mm GROUP BY k"
+    lake.sql(f"CREATE MATERIALIZED VIEW db.mvm AS {defn}")
+    assert _rows(lake, "SELECT * FROM db.mvm") == _recompute(lake, defn)
+    # insert-only window: new global max, new group
+    lake.sql("INSERT INTO db.mm VALUES ('a', 100), ('c', 1)")
+    r = lake.sql("REFRESH MATERIALIZED VIEW db.mvm").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lake, "SELECT * FROM db.mvm") == _recompute(lake, defn)
+    # delete the current max: not invertible → full recompute, right answer
+    lake.sql("DELETE FROM db.mm WHERE x = 100")
+    r = lake.sql("REFRESH MATERIALIZED VIEW db.mvm").collect()[0]
+    assert r.mode == "full"
+    state = _rows(lake, "SELECT * FROM db.mvm")
+    assert state == _recompute(lake, defn)
+    assert ("a", 5, 9, 2) in state
+    # and incremental resumes on the next insert-only window
+    lake.sql("INSERT INTO db.mm VALUES ('b', -7)")
+    r = lake.sql("REFRESH MATERIALIZED VIEW db.mvm").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lake, "SELECT * FROM db.mvm") == _recompute(lake, defn)
