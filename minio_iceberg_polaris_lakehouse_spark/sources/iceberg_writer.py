@@ -169,6 +169,7 @@ def append_iceberg_table(
     location: str,
     df: DataFrame,
     update_hint: bool = True,
+    _replace_all: bool = False,
 ) -> str:
     """Append ``df`` to the Iceberg table at ``location`` (table dir /
     metadata dir / metadata file); returns the NEW vN+1.metadata.json
@@ -311,7 +312,10 @@ def append_iceberg_table(
     avro_io.write_container(
         list_path,
         _MANIFEST_LIST_SCHEMA,
-        prev_records
+        # replace mode (compaction): the new snapshot references ONLY the
+        # rewritten files; prior manifests stay reachable via prior
+        # snapshots for time travel (prev_records still floored the seq)
+        ([] if _replace_all else prev_records)
         + [
             {
                 "manifest_path": man_path,
@@ -349,11 +353,19 @@ def append_iceberg_table(
         seq=seq,
         now_ms=now_ms,
         list_path=list_path,
-        summary={
-            "operation": "append",
-            "added-records": str(added_rows),
-            "added-data-files": str(len(files)),
-        },
+        summary=(
+            {
+                "operation": "replace",
+                "added-records": str(added_rows),
+                "added-data-files": str(len(files)),
+            }
+            if _replace_all
+            else {
+                "operation": "append",
+                "added-records": str(added_rows),
+                "added-data-files": str(len(files)),
+            }
+        ),
         update_hint=update_hint,
         stage_id=stage_id,
     )
@@ -852,4 +864,31 @@ def merge_iceberg_table(
             "added-records": str(sum(r for _, r, _ in data_files)),
         },
         update_hint=update_hint,
+    )
+
+
+def rewrite_iceberg_table_files(
+    spark: SparkSession,
+    location: str,
+    update_hint: bool = True,
+) -> str:
+    """Compaction for a FOREIGN Iceberg table (`CALL
+    system.rewrite_data_files` on a registered name): read the LIVE rows
+    (positional and equality deletes applied), rewrite them as fresh
+    data files, and commit a `replace` snapshot that references ONLY the
+    rewritten files — tombstones are absorbed, small files fold
+    together, and prior snapshots keep time-traveling to the old layout.
+    A logical no-op by construction: readers before and after see the
+    same rows (the engine's incremental/CDC consumers skip `replace`
+    snapshots for exactly this reason).
+
+    Same scope and concurrency contract as append (identity partitioning
+    preserved via the same grouped write; version-hint / REST CAS)."""
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        read_iceberg_table,
+    )
+
+    live = read_iceberg_table(spark, location)
+    return append_iceberg_table(
+        spark, location, live, update_hint=update_hint, _replace_all=True
     )

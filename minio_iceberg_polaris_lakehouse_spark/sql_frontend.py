@@ -1368,7 +1368,28 @@ class LakehouseSQL:
         [, strategy => 'sort'] [, sort_order => 'zorder(a, b)' | 'a, b']
         [, target_partitions => N]) — plain compaction, sort-clustered
         rewrite, or multi-column z-order rewrite (Iceberg's procedure
-        shapes)."""
+        shapes). On a registered FOREIGN table (plain form only): the
+        open-metadata rewrite — live rows land as fresh files under a
+        `replace` snapshot, tombstones absorbed."""
+        foreign = self._foreign_for_write(m.group(1).strip("'\""))
+        if foreign:
+            if (m.group(3) or "").strip("'\"").strip() or m.group(4):
+                raise WarehouseError(
+                    "sort/zorder rewrite is not supported on foreign tables "
+                    "(plain rewrite_data_files only)"
+                )
+            from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+                rewrite_iceberg_table_files,
+            )
+
+            loc = self.wh.foreign_tables()[f"{foreign[0]}.{foreign[1]}"]
+            if loc.endswith(".metadata.json"):
+                raise WarehouseError(
+                    f"foreign table {foreign[0]}.{foreign[1]} is pinned; "
+                    "rewrites would be invisible"
+                )
+            rewrite_iceberg_table_files(self.spark, loc)
+            return self._empty()
         tab = self._existing_table(m.group(1).strip("'\""))
         sort_order = (m.group(3) or "").strip("'\"").strip()
         target = int(m.group(4)) if m.group(4) else 1

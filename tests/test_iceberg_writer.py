@@ -445,3 +445,46 @@ def test_merge_foreign_delete_form_and_cardinality(spark, tmp_path):
     )
     got = _rows(read_iceberg_table(spark, t.path))
     assert sorted(v for _i, v in got if _i == 7) == ["d1", "d2"]
+
+
+# ------------------------------------------------------------ COMPACTION
+
+
+def test_rewrite_foreign_table_files(spark, tmp_path):
+    """CALL system.rewrite_data_files on a registered foreign table:
+    live rows land as fresh files under a `replace` snapshot — the
+    tombstones are absorbed, the logical contents are identical, and
+    prior snapshots still time-travel to the old layout."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+    from minio_iceberg_polaris_lakehouse_spark import avro_io
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+        delete_iceberg_table_where,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "src_wh"))
+    t = wh.create_table("db", "c", "id int, v string")
+    t.insert_values([(1, "a"), (2, "b")])
+    # several appends + a MOR delete → small files + tombstones to absorb
+    append_iceberg_table(spark, t.path, spark.createDataFrame([(3, "c")], "id int, v string"))
+    append_iceberg_table(spark, t.path, spark.createDataFrame([(4, "d")], "id int, v string"))
+    delete_iceberg_table_where(spark, t.path, "id = 2")
+    before = _rows(read_iceberg_table(spark, t.path))
+
+    lake = LakehouseSQL(spark, str(tmp_path / "wh"))
+    lake.sql(
+        "CALL polaris.system.register_table(table => 'ext.c', "
+        f"metadata_file => '{t.path}')"
+    )
+    lake.sql("CALL polaris.system.rewrite_data_files(table => 'ext.c')")
+    assert _rows(read_iceberg_table(spark, t.path)) == before  # logical no-op
+    md = json.loads(open(resolve_metadata_path(t.path)).read())
+    snap = md["snapshots"][-1]
+    assert snap["summary"]["operation"] == "replace"
+    # the replace snapshot references ONLY the rewritten manifest(s) —
+    # no delete manifests survive (tombstones absorbed)
+    _s, _m, recs = avro_io.read_container(snap["manifest-list"])
+    assert all(r["added_snapshot_id"] == snap["snapshot-id"] for r in recs)
+    assert all(r["content"] == 0 for r in recs)
+    # prior snapshot still serves the pre-compaction state
+    prev = md["snapshots"][-2]["snapshot-id"]
+    assert _rows(read_iceberg_table(spark, t.path, snapshot_id=prev)) == before
