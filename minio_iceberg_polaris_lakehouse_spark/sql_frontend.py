@@ -1025,14 +1025,37 @@ class LakehouseSQL:
                 spec = None
             else:
                 base = self.wh.table(bns, bt)
+                floc = self.wh.foreign_tables().get(f"{bns}.{bt}")
                 if base.exists():
                     sid = base.current_snapshot_id()
                     df = MV.materialize(
                         base.read(version=sid) if sid else base.read(), spec
                     )
                     rec.update(incremental=True, base=f"{bns}.{bt}", synced=sid)
+                elif floc and not floc.endswith(".metadata.json"):
+                    # FOREIGN base (registered Iceberg table): pin the
+                    # materialization to its current snapshot; refresh
+                    # later reads only the incremental manifest diff
+                    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+                        read_iceberg_table,
+                        resolve_metadata_path,
+                    )
+
+                    import json as _json
+
+                    from minio_iceberg_polaris_lakehouse_spark import fsio
+
+                    fmd = _json.loads(fsio.read_text(resolve_metadata_path(floc)))
+                    sid = fmd.get("current-snapshot-id")
+                    base_df = read_iceberg_table(
+                        self.spark, floc, snapshot_id=sid if sid else None
+                    )
+                    df = MV.materialize(base_df, spec)
+                    rec.update(
+                        incremental=True, base=f"{bns}.{bt}", synced=sid, foreign=True
+                    )
                 else:
-                    spec = None  # base is a view/foreign name: full mode
+                    spec = None  # base is a view / pinned name: full mode
         if spec is None:
             df = self.spark.sql(self._rewrite_query(query))
             if MV.HIDDEN_COUNT in df.columns:
@@ -1073,6 +1096,8 @@ class LakehouseSQL:
                 "view string, mode string, synced_snapshot bigint",
             )
 
+        if rec["incremental"] and rec.get("foreign"):
+            return self._refresh_matview_foreign(key, rec, storage, result)
         if rec["incremental"]:
             bns, bt = rec["base"].split(".", 1)
             base = self.wh.table(bns, bt)
@@ -1115,6 +1140,55 @@ class LakehouseSQL:
         df = self.spark.sql(self._rewrite_query(rec["sql"]))
         storage.overwrite(self._cast_to(storage, df))
         return result("full", None)
+
+    def _refresh_matview_foreign(self, key: str, rec: dict, storage: Table, result):
+        """Refresh an MV whose base is a REGISTERED FOREIGN table: the
+        incremental path reads only the manifest DIFF (snapshots synced →
+        current) through the open metadata — pure appends, so the delta
+        is simply a materialization of the added rows (MIN/MAX need no
+        delete gate: the incremental reader raises on delete manifests in
+        the interval, which lands us on the full recompute)."""
+        import json as _json
+
+        from minio_iceberg_polaris_lakehouse_spark import fsio, matview as MV
+        from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+            incremental_read_iceberg_table,
+            read_iceberg_table,
+            resolve_metadata_path,
+        )
+
+        ns, v = key.split(".", 1)
+        floc = self.wh.foreign_tables().get(rec["base"])
+        if floc is None:
+            raise WarehouseError(
+                f"base table {rec['base']} of materialized view {key} is no "
+                "longer registered"
+            )
+        fmd = _json.loads(fsio.read_text(resolve_metadata_path(floc)))
+        cur = fmd.get("current-snapshot-id")
+        spec = MV.parse_incremental(rec["sql"])
+        if cur == rec["synced"]:
+            return result("noop", cur)
+        if rec["synced"] is not None and spec is not None:
+            try:
+                added = incremental_read_iceberg_table(
+                    self.spark, floc, rec["synced"], cur
+                )
+                new = MV.apply_delta(storage.read(), MV.materialize(added, spec), spec)
+                storage.overwrite(new)
+                rec["synced"] = cur
+                self.wh.put_matview(ns, v, rec)
+                return result("incremental", cur)
+            except Exception:
+                # interval contains rewrites/deletes, or the synced
+                # snapshot expired — full recompute is always correct
+                pass
+        base_df = read_iceberg_table(self.spark, floc, snapshot_id=cur if cur else None)
+        df = MV.materialize(base_df, spec)
+        storage.overwrite(self._cast_to(storage, df))
+        rec["synced"] = cur
+        self.wh.put_matview(ns, v, rec)
+        return result("full", cur)
 
     @staticmethod
     def _cast_to(storage: Table, df: DataFrame) -> DataFrame:

@@ -244,3 +244,47 @@ def test_minmax_incremental_append_only_and_delete_fallback(lake):
     r = lake.sql("REFRESH MATERIALIZED VIEW db.mvm").collect()[0]
     assert r.mode == "incremental"
     assert _rows(lake, "SELECT * FROM db.mvm") == _recompute(lake, defn)
+
+
+def test_matview_over_foreign_base_incremental(lake, spark, tmp_path):
+    """An MV whose base is a REGISTERED FOREIGN Iceberg table maintains
+    incrementally from the open-metadata manifest diff: foreign appends
+    fold in as pure-insert deltas (MIN/MAX included — the interval is
+    append-only by construction); a foreign row-level DELETE makes the
+    interval non-append and forces a correct full recompute."""
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+        append_iceberg_table,
+        delete_iceberg_table_where,
+    )
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import Warehouse
+
+    src_wh = Warehouse(spark, str(tmp_path / "src"))
+    t = src_wh.create_table("db", "ft", "k string, x int")
+    t.insert_values([("a", 1), ("a", 5), ("b", 2)])
+    lake.sql(
+        "CALL polaris.system.register_table(table => 'ext.ft', "
+        f"metadata_file => '{t.path}')"
+    )
+    defn = "SELECT k, SUM(x) AS sx, MAX(x) AS hi, COUNT(*) AS n FROM ext.ft GROUP BY k"
+    lake.sql(f"CREATE MATERIALIZED VIEW db.fmv AS {defn}")
+    assert lake.sql("SHOW MATERIALIZED VIEWS IN db").collect()[0].incremental is True
+    assert _rows(lake, "SELECT * FROM db.fmv") == _recompute(lake, defn)
+    # FOREIGN append (another engine wrote): incremental fold
+    append_iceberg_table(
+        spark, t.path, spark.createDataFrame([("a", 100), ("c", 7)], "k string, x int")
+    )
+    r = lake.sql("REFRESH MATERIALIZED VIEW db.fmv").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lake, "SELECT * FROM db.fmv") == _recompute(lake, defn)
+    assert ("a", 106, 100, 3) in _rows(lake, "SELECT * FROM db.fmv")
+    # noop when the foreign table hasn't moved
+    assert lake.sql("REFRESH MATERIALIZED VIEW db.fmv").collect()[0].mode == "noop"
+    # foreign DELETE: interval is not pure appends → full recompute
+    delete_iceberg_table_where(spark, t.path, "x = 100")
+    r = lake.sql("REFRESH MATERIALIZED VIEW db.fmv").collect()[0]
+    assert r.mode == "full"
+    assert _rows(lake, "SELECT * FROM db.fmv") == _recompute(lake, defn)
+    # and incremental resumes
+    append_iceberg_table(spark, t.path, spark.createDataFrame([("b", 9)], "k string, x int"))
+    assert lake.sql("REFRESH MATERIALIZED VIEW db.fmv").collect()[0].mode == "incremental"
+    assert _rows(lake, "SELECT * FROM db.fmv") == _recompute(lake, defn)
