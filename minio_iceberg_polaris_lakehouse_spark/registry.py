@@ -145,7 +145,13 @@ _PRIORITY: list[str] = [
     # in-plan). NEW r7: the persisted cell-partitioned IVF index serve
     # path (sim_ann_int8 rested at 2 green rounds for the slot)
     "sim_ann_ivf_indexed",
-    "sim_ann_lsh",
+    # NEW r7 session 5: fully-distributed Lloyd's k-means — the DuckDB
+    # oracle replays the complete iteration history (every assignment +
+    # every decimal-exact centroid update), so the hash proves the
+    # distributed iterative fit is engine-reproducible. Takes
+    # sim_ann_lsh's slot (2 green rounds r05/r06; X3 keeps five
+    # in-window members)
+    "ml_kmeans_clusters",
     # NEW r7 session 3: distributed PCA (decimal-exact total variance +
     # capture/Schur-Horn gates) takes sim_label_centroids' slot (one
     # green round; X3 keeps five in-window members)
@@ -160,7 +166,12 @@ _PRIORITY: list[str] = [
     # sample, top-bigrams, sequence packing, vocab build get FIRST slots
     # (text_repetition_signals rested at 2 green rounds for the
     # register_table golden)
-    "text_quality_score",
+    # NEW r7 session 5: Bloom-filter decontamination — exact per-doc
+    # eval-shingle hits behind a broadcastable bitset prefilter; the
+    # oracle is the NAIVE full join, so the hash proves the prefilter
+    # drops nothing. Takes text_quality_score's slot (green r6; X5
+    # keeps ten in-window members)
+    "text_bloom_decontaminate",
     # NEW r7 session 4: distributed OLS via one-pass normal equations
     # (in-plan Cramer solve, oracle replays identical arithmetic) —
     # takes text_fingerprint's slot (one green round r6; X5 keeps seven
