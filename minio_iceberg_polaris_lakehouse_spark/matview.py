@@ -151,6 +151,217 @@ def parse_incremental(sql_text: str) -> MatviewSpec | None:
     )
 
 
+@dataclass
+class JoinMatviewSpec:
+    """A parsed incrementally-maintainable TWO-TABLE JOIN definition:
+    ``SELECT <group cols + aggs> FROM t1 [AS] a [INNER] JOIN t2 [AS] b
+    ON a.x = b.y [AND ...] [WHERE pred] GROUP BY <group cols>`` with all
+    column references alias-qualified.  Maintained by the delta-join
+    rule (bilinearity of the join over signed multisets):
+
+        Δ(A ⋈ B) = ΔA ⋈ B_new  ∪  A_old ⋈ ΔB
+
+    which is EXACT for SUM/COUNT under arbitrary churn (each delta row
+    carries its changelog sign; B_new/A_old are snapshot-pinned reads),
+    and exact for MIN/MAX when both windows are insert-only (gated at
+    refresh).  Cost per refresh: two equi-joins of O(Δ) against one base
+    side each — never Δ×Δ of the bases, never a rescan of both."""
+
+    left_text: str
+    right_text: str
+    left_alias: str
+    right_alias: str
+    on: list[tuple[str, str]]  # (left col, right col) equality pairs
+    where: str | None
+    group_cols: list[str]  # alias-qualified "a.col" refs
+    group_aliases: list[str]
+    aggs: list[tuple[str, str, str]]  # like MatviewSpec.aggs; exprs qualified
+
+
+# join views additionally reject outer joins and comma cross joins;
+# a second JOIN keyword (3-way) also disqualifies (two JOIN tokens)
+_JOIN_DISQUALIFY = re.compile(
+    r"(?i)\b(LEFT|RIGHT|FULL|OUTER|CROSS|SEMI|ANTI|UNION|INTERSECT|EXCEPT|"
+    r"HAVING|ORDER\s+BY|LIMIT|DISTINCT|OVER|AVG|WITH)\b"
+)
+
+_TBL = rf"(?:{_IDENT}\.){{1,2}}{_IDENT}"
+_QREF = rf"{_IDENT}\.{_IDENT}"
+
+
+def parse_incremental_join(sql_text: str) -> JoinMatviewSpec | None:
+    """Parse a two-table inner-equi-join grouped aggregate, or None."""
+    s = sql_text.strip().rstrip(";")
+    masked = re.sub(r"'(?:[^']|'')*'", "''", s)
+    if _JOIN_DISQUALIFY.search(masked):
+        return None
+    if len(re.findall(r"(?i)\bJOIN\b", masked)) != 1:
+        return None
+    m = re.fullmatch(
+        rf"SELECT\s+(?P<items>.*?)\s+FROM\s+"
+        rf"(?P<lt>{_TBL})\s+(?:AS\s+)?(?P<la>{_IDENT})\s+"
+        rf"(?:INNER\s+)?JOIN\s+"
+        rf"(?P<rt>{_TBL})\s+(?:AS\s+)?(?P<ra>{_IDENT})\s+"
+        rf"ON\s+(?P<on>.*?)"
+        rf"(?:\s+WHERE\s+(?P<where>.*?))?"
+        rf"\s+GROUP\s+BY\s+(?P<keys>[^()]*)",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m is None:
+        return None
+    la, ra = m.group("la"), m.group("ra")
+    if la.upper() in ("INNER", "JOIN") or ra.upper() == "ON" or la == ra:
+        return None
+    on: list[tuple[str, str]] = []
+    for cond in re.split(r"(?i)\s+AND\s+", m.group("on").strip()):
+        cm = re.fullmatch(
+            rf"\(?\s*({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})\s*\)?",
+            cond.strip(),
+        )
+        if cm is None:
+            return None
+        a1, c1, a2, c2 = cm.groups()
+        if a1 == la and a2 == ra:
+            on.append((c1, c2))
+        elif a1 == ra and a2 == la:
+            on.append((c2, c1))
+        else:
+            return None
+    if not on:
+        return None
+    keys = [k.strip() for k in m.group("keys").split(",")]
+    if not all(re.fullmatch(_QREF, k) for k in keys):
+        return None  # every group key must be alias-qualified
+    group_cols: list[str] = []
+    group_aliases: list[str] = []
+    aggs: list[tuple[str, str, str]] = []
+    for item in _split_top_level(m.group("items")):
+        gm = re.fullmatch(rf"({_QREF})(?:\s+AS\s+({_IDENT}))?", item, re.IGNORECASE)
+        if gm:
+            group_cols.append(gm.group(1))
+            group_aliases.append(gm.group(2) or gm.group(1).split(".", 1)[1])
+            continue
+        am = re.fullmatch(
+            rf"(SUM|COUNT|MIN|MAX)\s*\((.+)\)\s+AS\s+({_IDENT})",
+            item,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if am is None:
+            return None
+        kind, inner, alias = am.group(1).lower(), am.group(2).strip(), am.group(3)
+        if inner == "*":
+            if kind != "count":
+                return None
+            aggs.append(("count_star", "*", alias))
+        else:
+            # every identifier inside the aggregate must be qualified by
+            # one of the two aliases (so the delta rewrite is total)
+            for ident in re.findall(rf"(?<![\w.]){_IDENT}(?:\.{_IDENT})?", inner):
+                if "." in ident:
+                    if ident.split(".", 1)[0] not in (la, ra):
+                        return None
+                elif not re.fullmatch(r"(?i)CAST|AS|DECIMAL|DOUBLE|BIGINT|INT|LONG|STRING", ident):
+                    return None
+            aggs.append((kind, inner, alias))
+    if sorted(keys) != sorted(group_cols) or not aggs:
+        return None
+    if len(set(group_aliases)) != len(group_aliases):
+        return None
+    if m.group("where"):
+        for ident in re.findall(rf"(?<![\w.]){_IDENT}\.{_IDENT}", m.group("where")):
+            if ident.split(".", 1)[0] not in (la, ra):
+                return None
+    return JoinMatviewSpec(
+        left_text=m.group("lt"),
+        right_text=m.group("rt"),
+        left_alias=la,
+        right_alias=ra,
+        on=on,
+        where=m.group("where"),
+        group_cols=group_cols,
+        group_aliases=group_aliases,
+        aggs=aggs,
+    )
+
+
+def _prefix(df: DataFrame, alias: str, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Rename every column to ``<alias>__<col>`` (flat names survive the
+    join without ambiguity); ``keep`` columns keep their name."""
+    return df.select(
+        *[F.col(c).alias(c if c in keep else f"{alias}__{c}") for c in df.columns]
+    )
+
+
+def _rewrite_refs(text: str, spec: JoinMatviewSpec) -> str:
+    """Rewrite ``a.col`` / ``b.col`` references to the flat prefixed
+    names used after :func:`_prefix`."""
+    for alias in (spec.left_alias, spec.right_alias):
+        text = re.sub(rf"(?<![\w.]){alias}\.({_IDENT})", rf"{alias}__\1", text)
+    return text
+
+
+def _join_spec_as_flat(spec: JoinMatviewSpec) -> MatviewSpec:
+    """The join spec with every expression rewritten to flat prefixed
+    column names — lets the single-table agg builders run unchanged."""
+    return MatviewSpec(
+        table_text="",
+        where=_rewrite_refs(spec.where, spec) if spec.where else None,
+        group_cols=[_rewrite_refs(c, spec) for c in spec.group_cols],
+        group_aliases=spec.group_aliases,
+        aggs=[
+            (k, e if e == "*" else _rewrite_refs(e, spec), a) for k, e, a in spec.aggs
+        ],
+    )
+
+
+def _join_cond(spec: JoinMatviewSpec):
+    conds = [
+        F.col(f"{spec.left_alias}__{lc}") == F.col(f"{spec.right_alias}__{rc}")
+        for lc, rc in spec.on
+    ]
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def materialize_join(left: DataFrame, right: DataFrame, spec: JoinMatviewSpec) -> DataFrame:
+    """Full materialization of a join spec over two (snapshot-pinned)
+    base reads."""
+    joined = _prefix(left, spec.left_alias).join(
+        _prefix(right, spec.right_alias), on=_join_cond(spec), how="inner"
+    )
+    return materialize(joined, _join_spec_as_flat(spec))
+
+
+def delta_join(
+    left_changes: DataFrame,
+    right_new: DataFrame,
+    left_old: DataFrame,
+    right_changes: DataFrame,
+    spec: JoinMatviewSpec,
+) -> DataFrame:
+    """Signed join deltas by the delta-join rule:
+    ``ΔA ⋈ B_new`` (sign from ΔA) unioned with ``A_old ⋈ ΔB`` (sign from
+    ΔB), aggregated with the same signed folds as the single-table path.
+    Each term is an equi-join of O(Δ) rows against ONE base side — at
+    scale the Δ side broadcasts when small, and neither base is rescanned
+    in full more than once."""
+    flat = _join_spec_as_flat(spec)
+    la, ra = spec.left_alias, spec.right_alias
+    d1 = (
+        _prefix(left_changes, la, keep=("_change_type",))
+        .join(_prefix(right_new, ra), on=_join_cond(spec), how="inner")
+    )
+    d2 = (
+        _prefix(left_old, la)
+        .join(_prefix(right_changes, ra, keep=("_change_type",)), on=_join_cond(spec), how="inner")
+    )
+    cols = sorted(set(d1.columns) & set(d2.columns))
+    return delta(d1.select(*cols).unionByName(d2.select(*cols)), flat)
+
+
 def _group_exprs(spec: MatviewSpec):
     return [F.col(c).alias(a) for c, a in zip(spec.group_cols, spec.group_aliases)]
 

@@ -808,3 +808,63 @@ def ref_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT region, total, n, '{mode}' AS mode "
         "FROM test_db.sales_mv ORDER BY region"
     )
+
+
+_MVJ_MODE: dict[str, str] = {}
+
+
+@register(
+    "ref_matview_join",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('gold', CAST(19.99 AS DECIMAL(20,2)), CAST(2 AS BIGINT), 'incremental'),
+        ('silver', CAST(10.00 AS DECIMAL(20,2)), CAST(2 AS BIGINT), 'incremental'))
+        AS m(segment, total, n, mode)
+    ORDER BY segment
+    """,
+)
+def ref_matview_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN materialized view maintained INCREMENTALLY by the delta-join
+    rule Δ(A⋈B) = ΔA⋈B_new ∪ A_old⋈ΔB (matview.py): a fact⋈dimension
+    grouped aggregate is materialized, then BOTH bases churn — fact
+    inserts (one referencing a customer that doesn't exist yet), a NEW
+    dimension row that retroactively matches it (the A_old⋈ΔB term),
+    and a fact DELETE (signed fold). REFRESH reads the two changelog
+    windows plus one pinned read per base — never a joint rescan — and
+    the `mode` column is the REAL refresh result proving the delta-join
+    path ran. Same Iceberg snapshot/CDC substrate as the reference's
+    README.md:119-142."""
+    lake = _lake(spark)
+    key = spark.sparkContext.applicationId
+    if key not in _MVJ_MODE:
+        lake.sql(
+            "CREATE TABLE IF NOT EXISTS polaris.test_db.jo_custs "
+            "(cust_id INT, segment STRING) USING ICEBERG"
+        )
+        lake.sql(
+            "CREATE TABLE IF NOT EXISTS polaris.test_db.jo_orders "
+            "(cust_id INT, amount DECIMAL(10,2)) USING ICEBERG"
+        )
+        lake.sql("INSERT INTO test_db.jo_custs VALUES (1, 'gold'), (2, 'silver')")
+        lake.sql(
+            "INSERT INTO test_db.jo_orders VALUES (1, 10.00), (1, 2.50), (2, 4.00)"
+        )
+        lake.sql(
+            "CREATE MATERIALIZED VIEW test_db.orders_by_segment AS "
+            "SELECT c.segment, SUM(o.amount) AS total, COUNT(*) AS n "
+            "FROM test_db.jo_orders o JOIN test_db.jo_custs c "
+            "ON o.cust_id = c.cust_id GROUP BY c.segment"
+        )
+        lake.sql("INSERT INTO test_db.jo_orders VALUES (2, 6.00), (3, 9.99)")
+        lake.sql("INSERT INTO test_db.jo_custs VALUES (3, 'gold')")
+        lake.sql("DELETE FROM test_db.jo_orders WHERE amount = 2.50")
+        _MVJ_MODE[key] = (
+            lake.sql("REFRESH MATERIALIZED VIEW test_db.orders_by_segment")
+            .collect()[0]
+            .mode
+        )
+    mode = _MVJ_MODE[key]
+    return lake.sql(
+        f"SELECT segment, total, n, '{mode}' AS mode "
+        "FROM test_db.orders_by_segment ORDER BY segment"
+    )

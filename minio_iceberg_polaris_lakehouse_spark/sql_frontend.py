@@ -1016,8 +1016,42 @@ class LakehouseSQL:
                 return self._empty()
             raise WarehouseError(f"materialized view {key} exists")
         rec = {"sql": query, "incremental": False, "base": None, "synced": None}
-        spec = MV.parse_incremental(query)
         df = None
+        jspec = MV.parse_incremental_join(query)
+        if jspec is not None:
+            try:
+                lns, lt = self._resolve_table_name(jspec.left_text)
+                rns, rt = self._resolve_table_name(jspec.right_text)
+            except WarehouseError:
+                jspec = None
+            else:
+                lbase, rbase = self.wh.table(lns, lt), self.wh.table(rns, rt)
+                if lbase.exists() and rbase.exists():
+                    # pin BOTH base snapshots so refresh's delta-join
+                    # window starts exactly where materialization read
+                    lsid, rsid = lbase.current_snapshot_id(), rbase.current_snapshot_id()
+                    try:
+                        df = MV.materialize_join(
+                            lbase.read(version=lsid) if lsid else lbase.read(),
+                            rbase.read(version=rsid) if rsid else rbase.read(),
+                            jspec,
+                        )
+                    except Exception:
+                        # e.g. an unqualified column the rewrite can't
+                        # bind — the generic full-recompute path below
+                        # still materializes the query correctly
+                        df, jspec = None, None
+                    else:
+                        rec.update(
+                            incremental=True,
+                            join=True,
+                            base=f"{lns}.{lt},{rns}.{rt}",
+                            bases=[f"{lns}.{lt}", f"{rns}.{rt}"],
+                            synced_join=[lsid, rsid],
+                        )
+                else:
+                    jspec = None
+        spec = None if df is not None else MV.parse_incremental(query)
         if spec is not None:
             try:
                 bns, bt = self._resolve_table_name(spec.table_text)
@@ -1056,7 +1090,7 @@ class LakehouseSQL:
                     )
                 else:
                     spec = None  # base is a view / pinned name: full mode
-        if spec is None:
+        if spec is None and df is None:
             df = self.spark.sql(self._rewrite_query(query))
             if MV.HIDDEN_COUNT in df.columns:
                 raise WarehouseError(
@@ -1098,6 +1132,8 @@ class LakehouseSQL:
 
         if rec["incremental"] and rec.get("foreign"):
             return self._refresh_matview_foreign(key, rec, storage, result)
+        if rec["incremental"] and rec.get("join"):
+            return self._refresh_matview_join(key, rec, storage, result)
         if rec["incremental"]:
             bns, bt = rec["base"].split(".", 1)
             base = self.wh.table(bns, bt)
@@ -1139,6 +1175,80 @@ class LakehouseSQL:
             return result("full", cur)
         df = self.spark.sql(self._rewrite_query(rec["sql"]))
         storage.overwrite(self._cast_to(storage, df))
+        return result("full", None)
+
+    def _refresh_matview_join(self, key: str, rec: dict, storage: Table, result):
+        """Refresh a TWO-TABLE JOIN MV by the delta-join rule:
+        ``Δ(A⋈B) = ΔA⋈B_new ∪ A_old⋈ΔB`` with each delta row carrying
+        its changelog sign — exact for SUM/COUNT under arbitrary churn
+        (inserts AND deletes on either base); MIN/MAX additionally
+        require both windows insert-only (a deleted extremum forces the
+        full recompute).  Reads: the two changelog windows (churned dirs
+        only), ONE pinned read of each base, and the MV itself — never a
+        joint rescan of both bases.  The result row's synced_snapshot is
+        NULL for join views (two bases, two snapshots — see SHOW
+        MATERIALIZED VIEWS' base column for the pair)."""
+        from pyspark.sql import functions as F
+
+        from minio_iceberg_polaris_lakehouse_spark import matview as MV
+
+        ns, v = key.split(".", 1)
+        lkey, rkey = rec["bases"]
+        lns, lt = lkey.split(".", 1)
+        rns, rt = rkey.split(".", 1)
+        lbase, rbase = self.wh.table(lns, lt), self.wh.table(rns, rt)
+        for bkey, b in ((lkey, lbase), (rkey, rbase)):
+            if not b.exists():
+                raise WarehouseError(
+                    f"base table {bkey} of materialized view {key} no longer exists"
+                )
+        jspec = MV.parse_incremental_join(rec["sql"])
+        lcur, rcur = lbase.current_snapshot_id(), rbase.current_snapshot_id()
+        ls, rs = rec["synced_join"]
+        if (lcur, rcur) == tuple(rec["synced_join"]):
+            return result("noop", None)
+        if ls is not None and rs is not None and jspec is not None:
+            try:
+                lchg = lbase.changes(from_version=ls, to_version=lcur)
+                rchg = rbase.changes(from_version=rs, to_version=rcur)
+                if any(k in ("min", "max") for k, *_r in jspec.aggs):
+                    deletes = lchg.filter(
+                        F.col("_change_type") == "delete"
+                    ).limit(1).count() or rchg.filter(
+                        F.col("_change_type") == "delete"
+                    ).limit(1).count()
+                    if deletes:
+                        raise WarehouseError(
+                            "delete in window of a MIN/MAX join view"
+                        )
+                d = MV.delta_join(
+                    lchg,
+                    rbase.read(version=rcur) if rcur else rbase.read(),
+                    lbase.read(version=ls) if ls else lbase.read(),
+                    rchg,
+                    jspec,
+                )
+                new = MV.apply_delta(storage.read(), d, jspec)
+                storage.overwrite(new)
+                rec["synced_join"] = [lcur, rcur]
+                self.wh.put_matview(ns, v, rec)
+                return result("incremental", None)
+            except Exception:
+                # a synced snapshot expired, base schema drift, … —
+                # fall through to the always-correct full recompute
+                pass
+        lcur, rcur = lbase.current_snapshot_id(), rbase.current_snapshot_id()
+        if jspec is not None:
+            df = MV.materialize_join(
+                lbase.read(version=lcur) if lcur else lbase.read(),
+                rbase.read(version=rcur) if rcur else rbase.read(),
+                jspec,
+            )
+        else:  # record says join but the stored SQL no longer parses
+            df = self.spark.sql(self._rewrite_query(rec["sql"]))
+        storage.overwrite(self._cast_to(storage, df))
+        rec["synced_join"] = [lcur, rcur]
+        self.wh.put_matview(ns, v, rec)
         return result("full", None)
 
     def _refresh_matview_foreign(self, key: str, rec: dict, storage: Table, result):
