@@ -10,19 +10,23 @@ module adds that layer natively:
   query into a real warehouse table and records the definition in the
   catalog (``_matviews.json``).
 - ``REFRESH MATERIALIZED VIEW ns.mv`` brings it up to date. When the
-  definition is a single-table grouped aggregate of SUM/COUNT (parsed by
-  :func:`parse_incremental`), refresh reads ONLY the base table's
-  changelog since the last synced snapshot — O(changed data), never a
-  rescan of the base — and folds signed deltas into the stored groups.
-  MIN/MAX also maintain incrementally while the changelog window is
-  insert-only (the append-only common case); a delete in the window
-  forces their full recompute (a deleted extremum needs a rescan).
-  Anything else (joins, AVG, HAVING, expressions in GROUP BY) falls
-  back to a full recompute, honestly reported in the refresh result.
-- The storage table carries a hidden ``_lh_count`` row count per group
-  so groups whose last row is deleted disappear, even when the user's
-  select list has no COUNT(*). SELECT/DESCRIBE through the SQL front-end
-  never surface it.
+  definition is a single-table grouped aggregate of SUM/COUNT/AVG
+  (parsed by :func:`parse_incremental`), refresh reads ONLY the base
+  table's changelog since the last synced snapshot — O(changed data),
+  never a rescan of the base — and folds signed deltas into the stored
+  groups (AVG via its hidden sum/count decomposition, re-derived after
+  each fold). MIN/MAX also maintain incrementally while the changelog
+  window is insert-only (the append-only common case); a delete in the
+  window forces their full recompute (a deleted extremum needs a
+  rescan). Two-table inner-equi-join definitions maintain by the
+  delta-join rule (:class:`JoinMatviewSpec`). Anything else (outer
+  joins, HAVING, expressions in GROUP BY) falls back to a full
+  recompute, honestly reported in the refresh result.
+- The storage table carries hidden ``_lh_``-prefixed maintenance
+  columns (per-group row count; per-AVG sum/count components) so groups
+  whose last row is deleted disappear and AVG can re-derive, even when
+  the user's select list has no COUNT(*). SELECT/DESCRIBE through the
+  SQL front-end never surface them.
 
 Scale: the incremental path shuffles the changelog (churned dirs only)
 plus the MV itself — an aggregate, orders of magnitude smaller than the
@@ -69,7 +73,7 @@ HIDDEN_COUNT = "_lh_count"
 # containing "JOIN" also falls back — to the SLOWER-but-correct path)
 _DISQUALIFY = re.compile(
     r"(?i)\b(JOIN|UNION|INTERSECT|EXCEPT|HAVING|ORDER\s+BY|LIMIT|"
-    r"DISTINCT|OVER|AVG|WITH)\b"
+    r"DISTINCT|OVER|WITH)\b"
 )
 
 
@@ -119,12 +123,12 @@ def parse_incremental(sql_text: str) -> MatviewSpec | None:
     aggs: list[tuple[str, str, str]] = []
     for item in _split_top_level(m.group("items")):
         gm = re.fullmatch(rf"({_IDENT})(?:\s+AS\s+({_IDENT}))?", item, re.IGNORECASE)
-        if gm and gm.group(1).upper() not in ("SUM", "COUNT", "MIN", "MAX"):
+        if gm and gm.group(1).upper() not in ("SUM", "COUNT", "MIN", "MAX", "AVG"):
             group_cols.append(gm.group(1))
             group_aliases.append(gm.group(2) or gm.group(1))
             continue
         am = re.fullmatch(
-            rf"(SUM|COUNT|MIN|MAX)\s*\((.+)\)\s+AS\s+({_IDENT})",
+            rf"(SUM|COUNT|MIN|MAX|AVG)\s*\((.+)\)\s+AS\s+({_IDENT})",
             item,
             re.IGNORECASE | re.DOTALL,
         )
@@ -182,7 +186,7 @@ class JoinMatviewSpec:
 # a second JOIN keyword (3-way) also disqualifies (two JOIN tokens)
 _JOIN_DISQUALIFY = re.compile(
     r"(?i)\b(LEFT|RIGHT|FULL|OUTER|CROSS|SEMI|ANTI|UNION|INTERSECT|EXCEPT|"
-    r"HAVING|ORDER\s+BY|LIMIT|DISTINCT|OVER|AVG|WITH)\b"
+    r"HAVING|ORDER\s+BY|LIMIT|DISTINCT|OVER|WITH)\b"
 )
 
 _TBL = rf"(?:{_IDENT}\.){{1,2}}{_IDENT}"
@@ -243,7 +247,7 @@ def parse_incremental_join(sql_text: str) -> JoinMatviewSpec | None:
             group_aliases.append(gm.group(2) or gm.group(1).split(".", 1)[1])
             continue
         am = re.fullmatch(
-            rf"(SUM|COUNT|MIN|MAX)\s*\((.+)\)\s+AS\s+({_IDENT})",
+            rf"(SUM|COUNT|MIN|MAX|AVG)\s*\((.+)\)\s+AS\s+({_IDENT})",
             item,
             re.IGNORECASE | re.DOTALL,
         )
@@ -366,9 +370,19 @@ def _group_exprs(spec: MatviewSpec):
     return [F.col(c).alias(a) for c, a in zip(spec.group_cols, spec.group_aliases)]
 
 
+def _avg_sum(alias: str) -> str:
+    return f"_lh_avg_sum_{alias}"
+
+
+def _avg_cnt(alias: str) -> str:
+    return f"_lh_avg_cnt_{alias}"
+
+
 def materialize(base_df: DataFrame, spec: MatviewSpec) -> DataFrame:
     """Full materialization of an incremental spec over a (snapshot-
-    pinned) base read, with the hidden per-group row count appended."""
+    pinned) base read, with the hidden maintenance columns appended
+    (per-group row count; per-AVG sum and non-null count components —
+    AVG itself is not self-maintainable, but its decomposition is)."""
     df = base_df.filter(spec.where) if spec.where else base_df
     aggs = []
     for kind, expr, alias in spec.aggs:
@@ -378,6 +392,10 @@ def materialize(base_df: DataFrame, spec: MatviewSpec) -> DataFrame:
             aggs.append(F.min(F.expr(expr)).alias(alias))
         elif kind == "max":
             aggs.append(F.max(F.expr(expr)).alias(alias))
+        elif kind == "avg":
+            aggs.append(F.avg(F.expr(expr)).alias(alias))
+            aggs.append(F.sum(F.expr(expr)).alias(_avg_sum(alias)))
+            aggs.append(F.count(F.expr(expr)).alias(_avg_cnt(alias)))
         elif kind == "count_star":
             aggs.append(F.count(F.lit(1)).alias(alias))
         else:
@@ -403,6 +421,17 @@ def delta(changes: DataFrame, spec: MatviewSpec) -> DataFrame:
             aggs.append(F.min(F.when(sign == 1, F.expr(expr))).alias(alias))
         elif kind == "max":
             aggs.append(F.max(F.when(sign == 1, F.expr(expr))).alias(alias))
+        elif kind == "avg":
+            # the AVG output column is derived after the fold from the
+            # signed sum/count components; emit a typed placeholder so
+            # the union schemas line up
+            aggs.append(F.first(F.lit(None).cast("double")).alias(alias))
+            aggs.append(F.sum(sign * F.expr(expr)).alias(_avg_sum(alias)))
+            aggs.append(
+                F.sum(F.when(F.expr(expr).isNotNull(), sign).otherwise(0))
+                .cast("long")
+                .alias(_avg_cnt(alias))
+            )
         elif kind == "count_star":
             aggs.append(F.sum(sign).cast("long").alias(alias))
         else:
@@ -422,7 +451,14 @@ def apply_delta(stored: DataFrame, delta_df: DataFrame, spec: MatviewSpec) -> Da
     schema so repeated refreshes never widen types."""
     keys = spec.group_aliases
     folds = []
+    avg_aliases = []
     for kind, _expr, alias in spec.aggs:
+        if kind == "avg":
+            # fold the components; the AVG value is re-derived below
+            folds.append(F.sum(_avg_sum(alias)).alias(_avg_sum(alias)))
+            folds.append(F.sum(_avg_cnt(alias)).alias(_avg_cnt(alias)))
+            avg_aliases.append(alias)
+            continue
         fold = F.min if kind == "min" else F.max if kind == "max" else F.sum
         folds.append(fold(alias).alias(alias))
     folds.append(F.sum(HIDDEN_COUNT).alias(HIDDEN_COUNT))
@@ -432,6 +468,13 @@ def apply_delta(stored: DataFrame, delta_df: DataFrame, spec: MatviewSpec) -> Da
         .agg(*folds)
         .filter(F.col(HIDDEN_COUNT) > 0)
     )
+    for alias in avg_aliases:
+        # all-NULL input folds to cnt 0 → NULL avg (division by zero is
+        # NULL under the engine's pinned non-ANSI semantics), exactly
+        # AVG-over-empty; the final cast restores the storage type
+        out = out.withColumn(
+            alias, F.col(_avg_sum(alias)) / F.col(_avg_cnt(alias))
+        )
     return out.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in stored.schema.fields]
     )

@@ -205,8 +205,8 @@ class LakehouseSQL:
         if not tab.exists() and f"{ns}.{t}" in self.wh.foreign_tables():
             return self.wh.read_foreign_table(ns, t)
         df = tab.read()
-        if f"{ns}.{t}" in self.wh.matviews() and "_lh_count" in df.columns:
-            df = df.drop("_lh_count")
+        if f"{ns}.{t}" in self.wh.matviews():
+            df = df.drop(*[c for c in df.columns if c.startswith("_lh_")])
         return df
 
     # ------------------------------------------------------- name handling
@@ -559,10 +559,11 @@ class LakehouseSQL:
                     df = tab.read(metadata_columns=wants_metadata_cols)
                     if wants_metadata_cols:
                         view += "__meta"
-            if f"{ns}.{tbl}" in matview_defs and "_lh_count" in df.columns:
-                # materialized-view storage: the hidden per-group row
-                # count is maintenance state, never query-visible
-                df = df.drop("_lh_count")
+            if f"{ns}.{tbl}" in matview_defs:
+                # materialized-view storage: the hidden maintenance
+                # columns (row count, AVG components) are never
+                # query-visible
+                df = df.drop(*[c for c in df.columns if c.startswith("_lh_")])
             df.createOrReplaceTempView(view)
             return view
 
@@ -709,8 +710,8 @@ class LakehouseSQL:
         rows = [
             Row(col_name=c, data_type=d, comment=None)
             for c, d in tab.describe()
-            # a materialized view's hidden maintenance column stays hidden
-            if not (is_matview and c == "_lh_count")
+            # a materialized view's hidden maintenance columns stay hidden
+            if not (is_matview and c.startswith("_lh_"))
         ]
         spec = tab.partition_spec()
         if spec.source is not None:
@@ -1092,9 +1093,10 @@ class LakehouseSQL:
                     spec = None  # base is a view / pinned name: full mode
         if spec is None and df is None:
             df = self.spark.sql(self._rewrite_query(query))
-            if MV.HIDDEN_COUNT in df.columns:
+            bad = [c for c in df.columns if c.startswith("_lh_")]
+            if bad:
                 raise WarehouseError(
-                    f"materialized view query must not produce a {MV.HIDDEN_COUNT} column"
+                    f"materialized view query must not produce reserved _lh_ columns: {bad}"
                 )
         # storage first, record second: a crash in between leaves an
         # ordinary droppable table, never a record pointing at nothing

@@ -112,9 +112,11 @@ def test_full_recompute_for_nonincremental_definition(lake):
     _mk_sales(lake)
     lake.sql("CREATE TABLE polaris.db.dim (region STRING, zone STRING) USING ICEBERG")
     lake.sql("INSERT INTO db.dim VALUES ('eu', 'emea'), ('us', 'amer')")
+    # LEFT JOIN is outside every incremental shape (unmatched-side NULL
+    # groups are not self-maintainable) — the honest full path runs
     defn = (
         "SELECT d.zone AS zone, AVG(s.amount) AS avg_amount FROM db.sales s "
-        "JOIN db.dim d ON s.region = d.region GROUP BY d.zone"
+        "LEFT JOIN db.dim d ON s.region = d.region GROUP BY d.zone"
     )
     lake.sql(f"CREATE MATERIALIZED VIEW db.mvj AS {defn}")
     assert lake.sql("SHOW MATERIALIZED VIEWS").collect()[0].incremental is False
@@ -204,9 +206,11 @@ def test_parse_incremental_shapes():
     assert [k for k, *_ in ok.aggs] == ["sum", "count_star", "count"]
     mm = parse_incremental("SELECT a, MIN(x) AS lo, MAX(x) AS hi FROM ns.t GROUP BY a")
     assert mm is not None and [k for k, *_ in mm.aggs] == ["min", "max"]
+    av = parse_incremental("SELECT a, AVG(x) AS m FROM ns.t GROUP BY a")
+    assert av is not None and [k for k, *_ in av.aggs] == ["avg"]
     # shapes that must fall back to full recompute
     for bad in [
-        "SELECT a, AVG(x) AS m FROM ns.t GROUP BY a",
+        "SELECT a, MEDIAN(x) AS m FROM ns.t GROUP BY a",
         "SELECT a, SUM(DISTINCT x) AS s FROM ns.t GROUP BY a",
         "SELECT a, SUM(x) AS s FROM ns.t JOIN ns.u ON t.a = u.a GROUP BY a",
         "SELECT a, SUM(x) AS s FROM ns.t GROUP BY a HAVING SUM(x) > 1",
@@ -288,3 +292,36 @@ def test_matview_over_foreign_base_incremental(lake, spark, tmp_path):
     append_iceberg_table(spark, t.path, spark.createDataFrame([("b", 9)], "k string, x int"))
     assert lake.sql("REFRESH MATERIALIZED VIEW db.fmv").collect()[0].mode == "incremental"
     assert _rows(lake, "SELECT * FROM db.fmv") == _recompute(lake, defn)
+
+
+def test_avg_mv_incremental_under_churn(lake):
+    _mk_sales(lake)
+    defn = (
+        "SELECT region, AVG(amount) AS avg_amt, SUM(qty) AS q "
+        "FROM db.sales GROUP BY region"
+    )
+    lake.sql(f"CREATE MATERIALIZED VIEW db.mva AS {defn}")
+    assert _rows(lake, "SELECT * FROM db.mva") == _recompute(lake, defn)
+    lake.sql("INSERT INTO db.sales VALUES ('eu', 100.00, 7), ('ap', 3.00, 1)")
+    lake.sql("DELETE FROM db.sales WHERE amount = 10.00")
+    res = lake.sql("REFRESH MATERIALIZED VIEW db.mva").collect()[0]
+    assert res.mode == "incremental"
+    assert _rows(lake, "SELECT * FROM db.mva") == _recompute(lake, defn)
+    # a group whose rows all die disappears; hidden columns stay hidden
+    lake.sql("DELETE FROM db.sales WHERE region = 'ap'")
+    assert lake.sql("REFRESH MATERIALIZED VIEW db.mva").collect()[0].mode == "incremental"
+    assert _rows(lake, "SELECT * FROM db.mva") == _recompute(lake, defn)
+    assert lake.sql("SELECT * FROM db.mva").columns == ["region", "avg_amt", "q"]
+    desc = {r.col_name for r in lake.sql("DESCRIBE TABLE db.mva").collect()}
+    assert not any(c.startswith("_lh_") for c in desc)
+
+
+def test_avg_all_null_group_stays_null(lake):
+    _mk_sales(lake)
+    defn = "SELECT region, AVG(qty) AS avg_qty FROM db.sales GROUP BY region"
+    lake.sql(f"CREATE MATERIALIZED VIEW db.mvn AS {defn}")
+    # 'us' has only NULL qty → avg NULL; insert another NULL-qty row and
+    # refresh: the folded count component stays 0 and avg stays NULL
+    lake.sql("INSERT INTO db.sales VALUES ('us', 1.00, NULL)")
+    assert lake.sql("REFRESH MATERIALIZED VIEW db.mvn").collect()[0].mode == "incremental"
+    assert _rows(lake, "SELECT * FROM db.mvn") == _recompute(lake, defn)

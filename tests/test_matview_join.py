@@ -71,11 +71,11 @@ def test_parse_join_spec_shapes():
     )  # unqualified group key
     assert (
         parse_incremental_join(
-            "SELECT c.segment, AVG(o.amount) AS a FROM db.ords o JOIN db.custs c "
+            "SELECT c.segment, MEDIAN(o.amount) AS a FROM db.ords o JOIN db.custs c "
             "ON o.cust_id = c.cust_id GROUP BY c.segment"
         )
         is None
-    )  # AVG is not self-maintainable
+    )  # holistic aggregates are not self-maintainable
 
 
 def test_create_join_mv_and_query(lake):
@@ -184,3 +184,19 @@ def test_repeated_refresh_schema_stable(lake):
              lake.sql("SELECT * FROM db.mv").schema.fields]
     assert before == after
     assert _rows(lake, "SELECT * FROM db.mv") == _rows(lake, MV_DEF)
+
+
+def test_avg_join_mv_incremental_under_churn(lake):
+    defn = (
+        "SELECT c.segment, AVG(o.amount) AS avg_amt, COUNT(*) AS n "
+        "FROM db.ords o JOIN db.custs c ON o.cust_id = c.cust_id GROUP BY c.segment"
+    )
+    lake.sql(f"CREATE MATERIALIZED VIEW db.mva AS {defn}")
+    assert _rows(lake, "SELECT * FROM db.mva") == _rows(lake, defn)
+    lake.sql("INSERT INTO db.ords VALUES (1, 40.00, 1), (3, 1.25, 2)")
+    lake.sql("DELETE FROM db.ords WHERE amount = 5.50")
+    assert _refresh_mode(lake, "db.mva") == "incremental"
+    assert _rows(lake, "SELECT * FROM db.mva") == _rows(lake, defn)
+    # hidden AVG components never surface
+    cols = lake.sql("SELECT * FROM db.mva").columns
+    assert cols == ["segment", "avg_amt", "n"]
