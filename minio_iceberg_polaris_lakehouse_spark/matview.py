@@ -19,9 +19,12 @@ module adds that layer natively:
   window is insert-only (the append-only common case); a delete in the
   window forces their full recompute (a deleted extremum needs a
   rescan). Two-table inner-equi-join definitions maintain by the
-  delta-join rule (:class:`JoinMatviewSpec`). Anything else (outer
-  joins, HAVING, expressions in GROUP BY) falls back to a full
-  recompute, honestly reported in the refresh result.
+  delta-join rule (:class:`JoinMatviewSpec`). GROUP BY keys may be
+  deterministic row-local expressions repeated verbatim in the select
+  list (``date_trunc('hour', ts) AS bucket`` — the time-bucket rollup /
+  continuous-aggregate shape). Anything else (outer joins, HAVING,
+  holistic aggregates) falls back to a full recompute, honestly
+  reported in the refresh result.
 - The storage table carries hidden ``_lh_``-prefixed maintenance
   columns (per-group row count; per-AVG sum/count components) so groups
   whose last row is deleted disappear and AVG can re-derive, even when
@@ -77,6 +80,12 @@ _DISQUALIFY = re.compile(
 )
 
 
+def _norm_expr(text: str) -> str:
+    """Whitespace-normalized expression text, for verbatim matching of a
+    select-list expression against its GROUP BY entry."""
+    return re.sub(r"\s+", " ", text.strip())
+
+
 def _split_top_level(text: str) -> list[str]:
     parts, depth, cur = [], 0, []
     for ch in text:
@@ -109,15 +118,19 @@ def parse_incremental(sql_text: str) -> MatviewSpec | None:
         rf"SELECT\s+(?P<items>.*?)\s+FROM\s+"
         rf"(?P<tbl>(?:{_IDENT}\.){{1,2}}{_IDENT})"
         rf"(?:\s+WHERE\s+(?P<where>.*?))?"
-        rf"\s+GROUP\s+BY\s+(?P<keys>[^()]*)",
+        rf"\s+GROUP\s+BY\s+(?P<keys>.*)",
         s,
         re.IGNORECASE | re.DOTALL,
     )
     if m is None:
         return None
-    keys = [k.strip() for k in m.group("keys").split(",")]
-    if not all(re.fullmatch(_IDENT, k) for k in keys):
-        return None  # expression GROUP BY: full recompute
+    # GROUP BY entries may be plain columns OR deterministic row-local
+    # expressions (e.g. date_trunc('hour', ts) — the time-bucket rollup
+    # shape): an expression key is functional per input row, so the
+    # signed delta fold is exactly as valid as for a plain column. Each
+    # expression key must appear verbatim in the select list (with an
+    # alias when it isn't a bare column).
+    keys = [_norm_expr(k) for k in _split_top_level(m.group("keys"))]
     group_cols: list[str] = []
     group_aliases: list[str] = []
     aggs: list[tuple[str, str, str]] = []
@@ -133,6 +146,13 @@ def parse_incremental(sql_text: str) -> MatviewSpec | None:
             re.IGNORECASE | re.DOTALL,
         )
         if am is None:
+            em = re.fullmatch(rf"(.+?)\s+AS\s+({_IDENT})", item, re.IGNORECASE | re.DOTALL)
+            if em and _norm_expr(em.group(1)) in keys and not re.search(
+                r"(?i)\b(SUM|COUNT|MIN|MAX|AVG)\s*\(", em.group(1)
+            ):
+                group_cols.append(_norm_expr(em.group(1)))
+                group_aliases.append(em.group(2))
+                continue
             return None  # unaliased or unsupported aggregate
         kind, inner, alias = am.group(1).lower(), am.group(2).strip(), am.group(3)
         if inner == "*":
@@ -208,7 +228,7 @@ def parse_incremental_join(sql_text: str) -> JoinMatviewSpec | None:
         rf"(?P<rt>{_TBL})\s+(?:AS\s+)?(?P<ra>{_IDENT})\s+"
         rf"ON\s+(?P<on>.*?)"
         rf"(?:\s+WHERE\s+(?P<where>.*?))?"
-        rf"\s+GROUP\s+BY\s+(?P<keys>[^()]*)",
+        rf"\s+GROUP\s+BY\s+(?P<keys>.*)",
         s,
         re.IGNORECASE | re.DOTALL,
     )
@@ -367,7 +387,8 @@ def delta_join(
 
 
 def _group_exprs(spec: MatviewSpec):
-    return [F.col(c).alias(a) for c, a in zip(spec.group_cols, spec.group_aliases)]
+    # F.expr covers both bare columns and expression keys (time buckets)
+    return [F.expr(c).alias(a) for c, a in zip(spec.group_cols, spec.group_aliases)]
 
 
 def _avg_sum(alias: str) -> str:

@@ -208,13 +208,20 @@ def test_parse_incremental_shapes():
     assert mm is not None and [k for k, *_ in mm.aggs] == ["min", "max"]
     av = parse_incremental("SELECT a, AVG(x) AS m FROM ns.t GROUP BY a")
     assert av is not None and [k for k, *_ in av.aggs] == ["avg"]
+    ex = parse_incremental(
+        "SELECT upper(a) AS ua, SUM(x) AS s FROM ns.t GROUP BY upper(a)"
+    )
+    assert ex is not None and ex.group_cols == ["upper(a)"]
     # shapes that must fall back to full recompute
     for bad in [
         "SELECT a, MEDIAN(x) AS m FROM ns.t GROUP BY a",
         "SELECT a, SUM(DISTINCT x) AS s FROM ns.t GROUP BY a",
         "SELECT a, SUM(x) AS s FROM ns.t JOIN ns.u ON t.a = u.a GROUP BY a",
         "SELECT a, SUM(x) AS s FROM ns.t GROUP BY a HAVING SUM(x) > 1",
-        "SELECT upper(a) AS a, SUM(x) AS s FROM ns.t GROUP BY upper(a)",
+        # expression key NOT repeated verbatim in the select list
+        "SELECT a, SUM(x) AS s FROM ns.t GROUP BY upper(a)",
+        # unaliased expression key
+        "SELECT upper(a), SUM(x) AS s FROM ns.t GROUP BY upper(a)",
         "SELECT a, SUM(x) FROM ns.t GROUP BY a",  # unaliased aggregate
         "SELECT SUM(x) AS s FROM ns.t",  # no GROUP BY
         "WITH c AS (SELECT * FROM ns.t) SELECT a, SUM(x) AS s FROM c GROUP BY a",
@@ -325,3 +332,35 @@ def test_avg_all_null_group_stays_null(lake):
     lake.sql("INSERT INTO db.sales VALUES ('us', 1.00, NULL)")
     assert lake.sql("REFRESH MATERIALIZED VIEW db.mvn").collect()[0].mode == "incremental"
     assert _rows(lake, "SELECT * FROM db.mvn") == _recompute(lake, defn)
+
+
+def test_time_bucket_rollup_mv_incremental(lake):
+    """The continuous-aggregate shape: GROUP BY a deterministic
+    expression key (hourly date_trunc bucket) maintains incrementally —
+    an expression key is functional per row, so the signed delta fold is
+    exactly as valid as for a plain column."""
+    lake.sql(
+        "CREATE TABLE polaris.db.evts (ts TIMESTAMP, kind STRING, v INT) USING ICEBERG"
+    )
+    lake.sql(
+        "INSERT INTO db.evts VALUES"
+        " (TIMESTAMP '2025-01-01 10:05:00', 'click', 1),"
+        " (TIMESTAMP '2025-01-01 10:55:00', 'click', 2),"
+        " (TIMESTAMP '2025-01-01 11:10:00', 'view', 3)"
+    )
+    defn = (
+        "SELECT date_trunc('hour', ts) AS bucket, kind, COUNT(*) AS n, "
+        "SUM(v) AS total FROM db.evts GROUP BY date_trunc('hour', ts), kind"
+    )
+    lake.sql(f"CREATE MATERIALIZED VIEW db.hourly AS {defn}")
+    assert lake.sql("SHOW MATERIALIZED VIEWS").collect()[0].incremental is True
+    assert _rows(lake, "SELECT * FROM db.hourly") == _recompute(lake, defn)
+    lake.sql(
+        "INSERT INTO db.evts VALUES"
+        " (TIMESTAMP '2025-01-01 11:30:00', 'click', 10),"
+        " (TIMESTAMP '2025-01-01 12:01:00', 'view', 20)"
+    )
+    lake.sql("DELETE FROM db.evts WHERE v = 2")
+    r = lake.sql("REFRESH MATERIALIZED VIEW db.hourly").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lake, "SELECT * FROM db.hourly") == _recompute(lake, defn)
