@@ -1722,6 +1722,20 @@ class LakehouseSQL:
             "rewritten_manifests_count int, added_manifests_count int",
         )
 
+    def _call_build_bloom_index(self, m: re.Match) -> DataFrame:
+        """CALL c.system.build_bloom_index(table => 't', column => 'c')
+        — one Bloom bitset per data file over the column's live values
+        (warehouse.Table.build_bloom_index): the secondary data-skipping
+        index equality scans consult at plan time, for point lookups on
+        high-cardinality columns where footer [min,max] bounds overlap."""
+        tab = self._existing_table(m.group(1).strip("'\""))
+        col = m.group(2).strip("'\"")
+        n = tab.build_bloom_index(col)
+        return self.spark.createDataFrame(
+            [Row(indexed_files_count=n, column=col)],
+            "indexed_files_count int, column string",
+        )
+
     def _call_ancestors_of(self, m: re.Match) -> DataFrame:
         """CALL c.system.ancestors_of(table => 't' [, snapshot_id => N])
         — the parent-chain lineage of a snapshot, newest first."""
@@ -2106,6 +2120,12 @@ class LakehouseSQL:
             rf"CALL\s+{_IDENT}\.system\.ancestors_of\s*\("
             r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*(?:,\s*snapshot_id\s*=>\s*(\d+)\s*)?\)",
             _call_ancestors_of,
+        ),
+        (
+            rf"CALL\s+{_IDENT}\.system\.build_bloom_index\s*\("
+            r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*,"
+            r"\s*column\s*=>\s*('[^']+'|\"[^\"]+\")\s*\)",
+            _call_build_bloom_index,
         ),
         (r"SET\s+spark\.wap\.branch\s*=\s*(.+)", _set_wap_branch),
         (r"RESET\s+spark\.wap\.branch", _reset_wap_branch),

@@ -742,6 +742,33 @@ def _bound_key(dtype: T.DataType, v: Any):
     return None
 
 
+BLOOM_IDX_BITS = 1 << 17  # 16 KiB of bits per file
+BLOOM_IDX_K = 4
+
+
+def _bloom_positions_py(h: int, bits: int, k: int) -> list[int]:
+    """Driver-side replay of the Kirsch-Mitzenmacher probe positions the
+    index build computes JVM-side (functions/bloom.py arithmetic): h is
+    the signed-64 xxhash64 of the probe literal."""
+    h1 = (h & 0xFFFFFFFFFFFFFFFF) >> 33
+    h2 = (h & 0x7FFFFFFF) | 1
+    return [(h1 + i * h2) % bits for i in range(k)]
+
+
+def _bloom_file_survives(idx_files: dict, key: str, positions: list[int]) -> bool:
+    """False only when the file's bitset PROVES the probed value absent.
+    Files without an index entry (written after the build) always
+    survive — the index can thin, never wrongly drop."""
+    entry = idx_files.get(key)
+    if entry is None:
+        return True
+    for pos in positions:
+        w = entry.get(str(pos >> 6), 0)
+        if not (w & (1 << (pos & 63))):
+            return False
+    return True
+
+
 def _file_survives(
     bounds: dict[str, list] | None,
     schema: T.StructType,
@@ -1666,6 +1693,14 @@ class Table:
         meta = self._meta()
         subsets: dict[str, list[str]] = {}
         if (eq or between) and not meta.get("renames"):
+            # per-file Bloom INDEX pruning for equality probes on
+            # high-cardinality columns whose [min,max] ranges overlap
+            # across files (where bounds alone can't skip anything):
+            # CALL system.build_bloom_index wrote one immutable bitset
+            # per data file (Iceberg stores the same kind of secondary
+            # stats as Puffin blobs); a probe costs k bit tests per file,
+            # all metadata-side.
+            bloom_probes = self._bloom_probes(eq, schema)
             kept_dirs = []
             for d in dirs:
                 fstats = _load_dir_stats(self.path, d, meta)
@@ -1677,6 +1712,12 @@ class Table:
                     for fs in fstats
                     if fs["rows"] > 0
                     and _file_survives(fs.get("bounds"), schema, eq, between)
+                    and all(
+                        _bloom_file_survives(
+                            fd, os.path.normpath(os.path.join(d, fs["path"])), ps
+                        )
+                        for fd, ps in bloom_probes
+                    )
                 ]
                 if not keep:
                     continue
@@ -2944,6 +2985,108 @@ class Table:
             cur = s["parent_id"] if s["parent_id"] in by_id else None
         schema = "snapshot_id bigint, timestamp timestamp"
         return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)
+
+    # ------------------------------------------------ bloom file index
+    def _bloom_index_path(self, column: str) -> str:
+        return os.path.join(self.path, "metadata", f"bloom_idx_{column}.json")
+
+    def build_bloom_index(
+        self, column: str, bits: int = BLOOM_IDX_BITS, k: int = BLOOM_IDX_K
+    ) -> int:
+        """CALL system.build_bloom_index: one Bloom bitset PER DATA FILE
+        over ``column``'s live values, persisted as a metadata sidecar —
+        the secondary data-skipping index for equality probes on
+        high-cardinality columns whose per-file [min,max] ranges overlap
+        (where footer-bounds skipping can't drop anything). The same role
+        Iceberg's Puffin stat blobs / parquet bloom filters play; here
+        the index is engine-readable at PLAN time, so files prune before
+        Spark schedules a single split.
+
+        Build cost: one distributed scan — xxhash64 + k probe positions
+        per value (JVM-side), folded into 64-bit words by a map-side
+        partially-aggregated `bit_or`, one output row per (file, word).
+        Parquet files are immutable, so per-file bitsets never go stale:
+        files written after the build simply have no entry and are never
+        pruned (rebuild to cover them). Returns the number of files
+        indexed."""
+        from minio_iceberg_polaris_lakehouse_spark.functions.bloom import _POW2
+
+        schema = self.schema()
+        if column not in schema.fieldNames():
+            raise WarehouseError(f"no such column: {column}")
+        sel = (
+            self.read(metadata_columns=True)
+            .filter(F.col(column).isNotNull())
+            .select(
+                F.regexp_replace(F.col("_file"), "^file:(//)?", "").alias("f"),
+                F.xxhash64(F.col(column)).alias("h"),
+            )
+        )
+        h1 = F.shiftrightunsigned(F.col("h"), 33)
+        h2 = F.col("h").bitwiseAND(F.lit(0x7FFFFFFF)).bitwiseOR(F.lit(1))
+        pos = F.explode(
+            F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(bits)) for i in range(k)])
+        ).alias("pos")
+        rows = (
+            sel.select("f", pos)
+            .select(
+                "f",
+                F.floor(F.col("pos") / 64).cast("int").alias("w"),
+                F.element_at(
+                    F.lit(_POW2).cast("array<long>"), F.pmod(F.col("pos"), 64).cast("int") + 1
+                ).alias("m"),
+            )
+            .groupBy("f", "w")
+            .agg(F.bit_or("m").alias("bits"))
+            .collect()
+        )
+        files: dict[str, dict[str, int]] = {}
+        root = fsio.strip_file_scheme(os.path.abspath(self.path))
+        for r in rows:
+            key = os.path.normpath(os.path.relpath(r["f"], root))
+            files.setdefault(key, {})[str(r["w"])] = r["bits"]
+        fsio.makedirs(os.path.join(self.path, "metadata"))
+        _atomic_write_json(
+            self._bloom_index_path(column),
+            {
+                "column": column,
+                "bits": bits,
+                "k": k,
+                "snapshot_id": self.current_snapshot_id(),
+                "files": files,
+            },
+        )
+        return len(files)
+
+    def _bloom_probes(
+        self, eq: dict[str, Any] | None, schema: T.StructType
+    ) -> list[tuple[dict, list[int]]]:
+        """(files-bitsets, probe-positions) per indexed equality column.
+        The probe literal is hashed by the SAME JVM xxhash64 the build
+        used (one 1-row job per probed column — metadata-scale), then the
+        k positions replay driver-side."""
+        probes: list[tuple[dict, list[int]]] = []
+        for col, v in (eq or {}).items():
+            if v is None or col not in schema.fieldNames():
+                continue
+            p = self._bloom_index_path(col)
+            if not fsio.exists(p):
+                continue
+            try:
+                payload = json.loads(fsio.read_text(p))
+            except Exception:
+                continue
+            if payload.get("column") != col:
+                continue
+            h = (
+                self.spark.range(1)
+                .select(F.xxhash64(F.lit(v).cast(schema[col].dataType)).alias("h"))
+                .collect()[0]["h"]
+            )
+            probes.append(
+                (payload["files"], _bloom_positions_py(h, payload["bits"], payload["k"]))
+            )
+        return probes
 
     BUNDLE_SIZE = 100  # dirs per consolidated manifest bundle
 
