@@ -868,3 +868,64 @@ def ref_matview_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT segment, total, n, '{mode}' AS mode "
         "FROM test_db.orders_by_segment ORDER BY segment"
     )
+
+
+_BLOOM_STATE: dict[str, tuple[int, int, int]] = {}
+
+
+@register(
+    "ref_bloom_index_lookup",
+    oracle="""
+    SELECT CAST(i AS INT) AS id, 'z3' AS k, CAST(1 AS INT) AS pruned
+    FROM generate_series(3, 48, 5) AS g(i)
+    ORDER BY id
+    """,
+)
+def ref_bloom_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom data-skipping index (CALL system.build_bloom_index,
+    warehouse.Table.build_bloom_index): the fixture holds two commits with
+    OVERLAPPING id ranges but disjoint key sets ('a*' vs 'z*'), so footer
+    [min,max] bounds cannot skip anything for a key probe — the Bloom
+    bitsets can. The `pruned` column is the REAL plan-time proof: 1 iff
+    the point-lookup scan planned strictly fewer files than the full
+    table read (Iceberg keeps the same kind of secondary stats as Puffin
+    blobs; reference README.md:138-139's statistics-driven skipping is
+    the bounds half, this is the equality half)."""
+    from pyspark.sql import functions as F
+
+    lake = _lake(spark)
+    key = spark.sparkContext.applicationId
+    if key not in _BLOOM_STATE:
+        lake.sql(
+            "CREATE TABLE IF NOT EXISTS polaris.test_db.bloom_demo "
+            "(id INT, k STRING) USING ICEBERG"
+        )
+        lake.sql(
+            "INSERT INTO test_db.bloom_demo VALUES "
+            + ", ".join(f"({i}, 'a{i % 5}')" for i in range(50))
+        )
+        lake.sql(
+            "INSERT INTO test_db.bloom_demo VALUES "
+            + ", ".join(f"({i}, 'z{i % 5}')" for i in range(50))
+        )
+        n = (
+            lake.sql(
+                "CALL polaris.system.build_bloom_index("
+                "table => 'test_db.bloom_demo', column => 'k')"
+            )
+            .collect()[0]
+            .indexed_files_count
+        )
+        tab = lake.wh.table("test_db", "bloom_demo")
+        full = len(tab.read().inputFiles())
+        planned = len(tab.scan(eq={"k": "z3"}).inputFiles())
+        _BLOOM_STATE[key] = (n, full, planned)
+    _n, full, planned = _BLOOM_STATE[key]
+    tab = lake.wh.table("test_db", "bloom_demo")
+    pruned = F.lit(1 if planned < full else 0)
+    return (
+        tab.scan(eq={"k": "z3"})
+        .filter(F.col("k") == "z3")
+        .select("id", "k", pruned.cast("int").alias("pruned"))
+        .orderBy("id")
+    )
