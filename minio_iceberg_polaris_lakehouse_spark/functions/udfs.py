@@ -192,3 +192,55 @@ def udf_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "udf_python_udtf",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders WHERE o_orderkey <= 300)
+    SELECT o_orderkey,
+           CAST(g.i AS INT) AS installment,
+           CAST(CASE WHEN g.i < 3 THEN (c // 3) / 100.0
+                     ELSE (c - 2 * (c // 3)) / 100.0
+                END AS DECIMAL(12,2)) AS amount
+    FROM cents CROSS JOIN generate_series(1, 3) AS g(i)
+    ORDER BY o_orderkey, installment
+    """,
+)
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF (table function) — the row-expanding member of
+    the §2.13 UDF surface: each order fans out to a 3-installment payment
+    schedule via a LATERAL table-function call in SQL. Integer-cent
+    arithmetic (floor cents / 3, remainder on the last installment) keeps
+    the values engine-exact for the DuckDB oracle. Row-at-a-time Python,
+    so — like `udf_row_python` — it is the API demo, capped by a
+    selective predicate, never a hot path (the set-based twin is the
+    oracle's own CROSS JOIN generate_series form, which Spark would run
+    JVM-side)."""
+    from decimal import Decimal
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="installment int, amount decimal(12,2)")
+    class Installments:
+        def eval(self, total):
+            if total is None:
+                return
+            cents = int(round(total * 100))
+            base_cents = cents // 3
+            yield 1, Decimal(base_cents) / Decimal(100)
+            yield 2, Decimal(base_cents) / Decimal(100)
+            yield 3, Decimal(cents - 2 * base_cents) / Decimal(100)
+
+    spark.udtf.register("installments", Installments)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("udtf_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, i.installment, i.amount
+        FROM udtf_orders o, LATERAL installments(o.o_totalprice) i
+        WHERE o.o_orderkey <= 300
+        ORDER BY o.o_orderkey, i.installment
+        """
+    )
