@@ -90,6 +90,18 @@ _PRIORITY: list[str] = [
     # driver hash; MERGE family stays covered by the local replica and
     # the MERGE/CALL fuzz suite)
     "ref_matview_incremental",
+    # NEW r7 session 5: JOIN MV maintained by the delta-join rule
+    # Δ(A⋈B)=ΔA⋈B_new ∪ A_old⋈ΔB over fact+dim churn incl. a delete and
+    # a retroactively-matching dimension row; mode column proves the
+    # incremental path. Takes evt_click_purchase_funnel's slot (green
+    # r6; §2.12 stays repped by stream_sliding_window).
+    "ref_matview_join",
+    # NEW r7 session 5: per-file Bloom data-skipping index — the
+    # equality half of statistics-driven file skipping; the `pruned`
+    # column is the in-result plan-time proof. Takes
+    # dedup_cluster_keep_one's slot (green r6; X1 keeps minhash +
+    # semantic + cross-corpus in-window).
+    "ref_bloom_index_lookup",
     # TPC-H shapes never driver-checked before r7 (q5/q9 veterans and
     # the rest of the sweep stay in the local replica)
     "rel_q12_priority_by_linestatus",
@@ -126,7 +138,6 @@ _PRIORITY: list[str] = [
     # streaming windows + event analytics (§2.12)
     # (stream_event_type_rates rested at one green round)
     "stream_sliding_window",
-    "evt_click_purchase_funnel",
     # UDF surface (§2.13): the row-at-a-time Python UDF demo gets its
     # first driver slot (grouped-agg veteran rotated out at 5 rounds)
     "udf_row_python",
@@ -135,7 +146,6 @@ _PRIORITY: list[str] = [
     # components hash-checked + in-plan candidate-capture gate) takes
     # dedup_exact_stats' slot (one green round, family stays covered)
     "dedup_minhash_lsh",
-    "dedup_cluster_keep_one",
     "dedup_semantic",
     # skew handling: both the salted groupBy AND the salted replicate-
     # join (first driver slot; salt now content-derived — retry-stable)
