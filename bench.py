@@ -58,6 +58,8 @@ EXTENDED = [
     "text_boilerplate_ngrams",
     "sim_embedding_pca",
     "ml_linear_regression",
+    "ml_kmeans_clusters",
+    "text_bloom_decontaminate",
 ]
 
 
