@@ -200,3 +200,36 @@ def test_avg_join_mv_incremental_under_churn(lake):
     # hidden AVG components never surface
     cols = lake.sql("SELECT * FROM db.mva").columns
     assert cols == ["segment", "avg_amt", "n"]
+
+
+def test_join_mv_randomized_churn(lake):
+    """Seeded random interleaving of inserts/deletes on BOTH bases with a
+    refresh after every step: the MV must equal a fresh recompute at
+    every point. Exercises ΔA⋈B_new, A_old⋈ΔB, ΔA⋈ΔB-in-one-window,
+    group death, and signed folds under arbitrary churn."""
+    import random
+
+    rng = random.Random(20260815)
+    lake.sql(f"CREATE MATERIALIZED VIEW db.mv AS {MV_DEF}")
+    next_cust = 10
+    next_amt = 1
+    for step in range(14):
+        op = rng.choice(["ins_ord", "ins_ord", "ins_cust", "del_ord", "del_cust"])
+        if op == "ins_ord":
+            cid = rng.randrange(1, next_cust)
+            qty = rng.choice(["NULL", str(rng.randrange(1, 9))])
+            lake.sql(
+                f"INSERT INTO db.ords VALUES ({cid}, {next_amt}.00, {qty})"
+            )
+            next_amt += 1
+        elif op == "ins_cust":
+            seg = rng.choice(["gold", "silver", "bronze"])
+            lake.sql(f"INSERT INTO db.custs VALUES ({next_cust}, '{seg}')")
+            next_cust += 1
+        elif op == "del_ord":
+            lake.sql(f"DELETE FROM db.ords WHERE cust_id = {rng.randrange(1, next_cust)}")
+        else:
+            lake.sql(f"DELETE FROM db.custs WHERE cust_id = {rng.randrange(1, next_cust)}")
+        mode = _refresh_mode(lake)
+        assert mode in ("incremental", "noop"), f"step {step}: {mode}"
+        assert _rows(lake, "SELECT * FROM db.mv") == _rows(lake, MV_DEF), f"step {step} ({op})"
