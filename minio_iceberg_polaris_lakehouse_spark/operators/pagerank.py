@@ -1,0 +1,147 @@
+"""Distributed PageRank over the nation-level trade graph.
+
+The third iterative distributed algorithm held to an exact cross-engine
+value check (after Lloyd's k-means in kmeans.py and min-label connected
+components in dedup.py): the DuckDB oracle unrolls the SAME iterations
+CTE-by-CTE, so the value hash proves every rank update — not just the
+final ordering — is engine-reproducible.
+
+Determinism playbook (shared with kmeans): per-edge contributions are
+ROUNDed to 12 decimals, summed EXACTLY in DECIMAL(38,18) (addition order
+varies with partitioning; decimal addition is associative), and each new
+rank is re-ROUNDed to 12 decimals before feeding the next iteration —
+identical IEEE inputs on both engines at every step.
+
+Scale design (100 TB of edges): each iteration is exactly GraphX /
+Pregel PageRank as DataFrame ops — join the rank vector to the edge
+list, one shuffle keyed by dst for the contribution aggregate (map-side
+partials absorb in-degree skew), then a left join back onto the node
+set for dangling nodes. The rank vector is broadcast when small (here:
+25 nations) and a shuffle-hash join at web scale; the edge list never
+moves between iterations, so a cluster run would bucket/cache it once.
+Three unrolled iterations keep the lineage shallow; a longer loop would
+localCheckpoint per round like dedup.min_label_components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minio_iceberg_polaris_lakehouse_spark.registry import register
+from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
+
+DAMPING = 0.85
+N_ITER = 3
+_SCALE = 12  # per-term IEEE rounding before exact decimal summation
+
+_EDGES_SQL = """
+    edges AS (
+        SELECT sn.n_name AS src, cn.n_name AS dst, CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        GROUP BY sn.n_name, cn.n_name),
+    outw AS (SELECT src, CAST(SUM(w) AS DOUBLE) AS ow FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nation),
+    nodes AS (SELECT n_name AS node FROM nation)
+"""
+
+
+def _iter_sql(prev: str, cur: str) -> str:
+    return f"""
+    , {cur} AS (
+        SELECT nodes.node,
+               ROUND(0.15 / (SELECT n FROM nn)
+                     + {DAMPING} * COALESCE(s.contrib, 0.0), {_SCALE}) AS r
+        FROM nodes
+        LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(CAST(ROUND(p.r * e.w / o.ow, {_SCALE})
+                                 AS DECIMAL(38,18))) AS DOUBLE) AS contrib
+            FROM edges e
+            JOIN {prev} p ON e.src = p.node
+            JOIN outw o ON e.src = o.src
+            GROUP BY e.dst) s ON nodes.node = s.node)
+    """
+
+
+_ORACLE = (
+    "WITH "
+    + _EDGES_SQL
+    + ", r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"
+    + "".join(_iter_sql(f"r{i}", f"r{i + 1}") for i in range(N_ITER))
+    + f"""
+    SELECT node AS nation, r AS pagerank
+    FROM r{N_ITER}
+    ORDER BY pagerank DESC, nation
+    """
+)
+
+
+@register(
+    "ml_pagerank_trade",
+    oracle=_ORACLE,
+)
+def ml_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 iterations) over the supplier-nation →
+    customer-nation trade graph: an edge (u, v) weighted by the number of
+    lineitems suppliers in u shipped to customers in v. Nodes are ALL
+    nations (dangling nodes keep the teleport term; their outflow leaks,
+    the standard simplified formulation). Returns every nation's rank,
+    highest first. The DuckDB oracle unrolls the identical three
+    iterations, so the hash check covers the full iteration history."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("src"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("dst"))
+    edges = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    ranks = pagerank(n.select(F.col("n_name").alias("node")), edges, N_ITER)
+    return ranks.select(F.col("node").alias("nation"), F.col("r").alias("pagerank")).orderBy(
+        F.desc("pagerank"), "nation"
+    )
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
+    """Core PageRank loop over arbitrary ``nodes(node)`` / ``edges(src,
+    dst, w)`` DataFrames; returns ``(node, r)``. One lazy plan — the node
+    count is a 1-row broadcast, nothing round-trips through the driver."""
+    outw = edges.groupBy("src").agg(F.sum("w").cast("double").alias("ow"))
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    nodes = nodes.crossJoin(F.broadcast(nn))
+    ranks = nodes.select("node", "n", (F.lit(1.0) / F.col("n")).alias("r"))
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks.select(F.col("node").alias("src"), "r"), "src")
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("r") * F.col("w") / F.col("ow"), _SCALE).alias("term"),
+            )
+            .groupBy("node")
+            .agg(F.sum(F.col("term").cast("decimal(38,18)")).cast("double").alias("contrib"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            "n",
+            F.round(
+                F.lit(0.15) / F.col("n")
+                + F.lit(DAMPING) * F.coalesce("contrib", F.lit(0.0)),
+                _SCALE,
+            ).alias("r"),
+        )
+    return ranks.select("node", "r")

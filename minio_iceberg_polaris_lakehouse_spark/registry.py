@@ -248,6 +248,7 @@ def all_queries() -> dict[str, Query]:
     import minio_iceberg_polaris_lakehouse_spark.operators.pca  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.regression  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.kmeans  # noqa: F401
+    import minio_iceberg_polaris_lakehouse_spark.operators.pagerank  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.functions.text  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.functions.bloom  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.functions.bpe  # noqa: F401

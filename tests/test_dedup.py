@@ -141,3 +141,47 @@ def test_repetition_signals_are_valid_fractions(spark, sf_dir):
         assert 0.0 < r.top_bigram_frac <= 1.0
         assert 0.0 <= r.rep_trigram_frac < 1.0
         assert r.repetitive == (r.top_bigram_frac >= 0.06)
+
+
+def test_substring_spans_semantics(spark, tmp_path):
+    """Hand-built corpus pins the ExactSubstr rules: cross-doc dup spans,
+    within-doc repeats, overlap/touch merging into maximal intervals, and
+    unique docs absent from the output."""
+    from minio_iceberg_polaris_lakehouse_spark.operators.dedup import (
+        dedup_substring_spans,
+    )
+
+    shared = "a b c d e f g h"  # one exact 8-token span
+    docs = [
+        # doc 0 and 1 share the 8-gram at different offsets
+        (0, f"x0 x1 {shared} y0 y1"),
+        (1, f"{shared} z0 z1 z2"),
+        # doc 2 repeats ITS OWN 8-gram twice (within-doc duplication) and
+        # the two hits [0,8) and [9,17) do not touch -> two spans
+        (2, "p q r s t u v w SEP p q r s t u v w"),
+        # doc 3: two dup grams at pos 0 and 1 overlap -> ONE merged span
+        # of 9 tokens ("a..h" at 0 and "b..h i" needs doc 4 to duplicate)
+        (3, f"{shared} i j k"),
+        (4, f"q4 {shared} i q5"),  # makes "b c d e f g h i" a dup too
+        # doc 5: all-unique tokens, shorter than 8 -> never emitted
+        (5, "u1 u2 u3"),
+        (6, "v1 v2 v3 v4 v5 v6 v7 v8 v9"),  # unique 8-grams -> absent
+    ]
+    sf = str(tmp_path / "corpus")
+    spark.createDataFrame(docs, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    out = {r.doc_id: r for r in dedup_substring_spans(spark, sf).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    # docs 0/1: exactly the shared 8-token window
+    assert out[0].n_spans == 1 and out[0].dup_tokens == 8
+    assert out[1].n_spans == 1 and out[1].dup_tokens == 8
+    # doc 2: within-doc repeat, separated by SEP -> two 8-token spans
+    assert out[2].n_spans == 2 and out[2].dup_tokens == 16
+    # doc 3: grams at pos 0 ("a..h") and pos 1 ("b..h i") overlap -> one
+    # merged 9-token span; doc 4 same shape shifted by its prefix token
+    assert out[3].n_spans == 1 and out[3].dup_tokens == 9
+    assert out[4].n_spans == 1 and out[4].dup_tokens == 9
