@@ -74,7 +74,6 @@ _PRIORITY: list[str] = [
     # over a fixture stacking schema evolution + compiled equality
     # deletes + key resurrection; r7 extends the reader to RAW foreign
     # equality-delete files (pytest-pinned)
-    "ref_external_reader",
     # NEW r7: CALL system.register_table through the SQL path — the
     # registered foreign name SELECTed and JOINed against a native table
     # (takes the slot of text_repetition_signals, 2 green rounds)
@@ -126,8 +125,26 @@ _PRIORITY: list[str] = [
     # path (win_lag_lead rested at one green round; win_rank_dense_rank
     # keeps §2.5 in-window alongside win_top3 in the bench set)
     "ref_default_values",
-    # window functions (§2.5)
-    "win_rank_dense_rank",
+    # Third r7 rotation (session 6): after this seating, EVERY
+    # oracle-backed query in the registry has either held a driver slot
+    # or holds one now — the only never-checked entries left are
+    # rows-only by declared design (hash/codec/iterative outputs,
+    # pytest-gated). Rested for it: win_rank_dense_rank (r06 green; all
+    # 9 §2.5 queries driver-evidenced in r06), dedup_minhash_lsh (5
+    # green rounds; X2 keeps semantic + cross-corpus + the new
+    # substring-span dedup in-window), skew_salted_groupby (r06 green;
+    # skew_salted_join stays), ref_external_reader (r06 green; the
+    # foreign-reader family keeps three first-timers in-window).
+    # RAG chunking — overlapping token windows (first driver slot)
+    "text_chunk_windows",
+    # Python UDTF lateral row expansion (first driver slot)
+    "udf_python_udtf",
+    # ExactSubstr dedup — corpus-wide duplicate token spans (NEW this
+    # session)
+    "dedup_substring_spans",
+    # iterative PageRank with full-history oracle replay (NEW this
+    # session)
+    "ml_pagerank_trade",
     # set operations (§2.7)
     "set_except",
     # scalar-function suites (F5): the NEW Spark-4 VARIANT suite takes
@@ -145,11 +162,9 @@ _PRIORITY: list[str] = [
     # NEW r7 session 3: SemDeDup-style semantic dedup (exact top-pair
     # components hash-checked + in-plan candidate-capture gate) takes
     # dedup_exact_stats' slot (one green round, family stays covered)
-    "dedup_minhash_lsh",
     "dedup_semantic",
     # skew handling: both the salted groupBy AND the salted replicate-
     # join (first driver slot; salt now content-derived — retry-stable)
-    "skew_salted_groupby",
     "skew_salted_join",
     # X3 similarity: recall-gated ANN variants (all oracle-backed
     # in-plan). NEW r7: the persisted cell-partitioned IVF index serve
