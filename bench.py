@@ -60,6 +60,8 @@ EXTENDED = [
     "ml_linear_regression",
     "ml_kmeans_clusters",
     "text_bloom_decontaminate",
+    "dedup_substring_spans",
+    "ml_pagerank_trade",
 ]
 
 
