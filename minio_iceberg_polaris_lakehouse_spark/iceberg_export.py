@@ -168,7 +168,15 @@ def _schema_json(meta: dict, schema_id: int, schema: T.StructType) -> dict:
         if wd is not None:
             rec["write-default"] = _default_json(wd, f.dataType)
         fields.append(rec)
-    return {"type": "struct", "schema-id": schema_id, "fields": fields}
+    out = {"type": "struct", "schema-id": schema_id, "fields": fields}
+    ident = meta.get("identifier_fields") or []
+    if ident:
+        # Iceberg schema identifier-field-ids: the declared row-identity
+        # key (what upsert()/CDC writers key equality deletes on)
+        out["identifier-field-ids"] = [
+            int(ids.get(c, schema.fieldNames().index(c) + 1)) for c in ident
+        ]
+    return out
 
 
 def _partition_specs(meta: dict, ids: dict) -> list[dict]:

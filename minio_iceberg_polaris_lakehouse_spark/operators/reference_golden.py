@@ -929,3 +929,55 @@ def ref_bloom_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "k", pruned.cast("int").alias("pruned"))
         .orderBy("id")
     )
+
+
+_UPSERT_DONE: dict[str, bool] = {}
+
+
+@register(
+    "ref_upsert_latest",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 10, 'A', 'overwrite'),
+        (2, 25, 'B2', 'overwrite'),
+        (3, 30, 'C', 'overwrite'),
+        (4, 40, 'D', 'overwrite'))
+        AS u(sku, qty, loc, last_op)
+    ORDER BY sku
+    """,
+)
+def ref_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink/CDC-style UPSERT through the SQL path: identifier fields
+    declared via `ALTER TABLE ... SET IDENTIFIER FIELDS`, the Iceberg
+    `write.upsert.enabled` property routes INSERT INTO through the
+    upsert shape (ONE snapshot = equality-delete over the batch's keys +
+    the new rows; v2 sequence rule kills old rows, spares the batch).
+    sku 2 is replaced, sku 4 is new, skus 1/3 pass through untouched.
+    `last_op` is read back from the .snapshots metadata table —
+    'overwrite' proves the commit really was the merge-on-read upsert
+    snapshot, not a read-modify-write MERGE."""
+    lake = _lake(spark)
+    key = spark.sparkContext.applicationId
+    if key not in _UPSERT_DONE:
+        lake.sql(
+            "CREATE TABLE IF NOT EXISTS polaris.test_db.inventory "
+            "(sku INT, qty INT, loc STRING) USING ICEBERG"
+        )
+        lake.sql("ALTER TABLE test_db.inventory SET IDENTIFIER FIELDS sku")
+        lake.sql(
+            "ALTER TABLE test_db.inventory SET TBLPROPERTIES "
+            "('write.upsert.enabled'='true')"
+        )
+        lake.sql(
+            "INSERT INTO test_db.inventory VALUES (1, 10, 'A'), (2, 20, 'B'), (3, 30, 'C')"
+        )
+        lake.sql("INSERT INTO test_db.inventory VALUES (2, 25, 'B2'), (4, 40, 'D')")
+        _UPSERT_DONE[key] = True
+    rows = lake.sql("SELECT sku, qty, loc FROM test_db.inventory")
+    last_op = lake.sql(
+        "SELECT operation AS last_op FROM test_db.inventory.snapshots "
+        "ORDER BY snapshot_id DESC LIMIT 1"
+    )
+    from pyspark.sql import functions as F
+
+    return rows.crossJoin(F.broadcast(last_op)).orderBy("sku")

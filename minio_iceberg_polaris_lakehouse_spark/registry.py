@@ -145,8 +145,12 @@ _PRIORITY: list[str] = [
     # iterative PageRank with full-history oracle replay (NEW this
     # session)
     "ml_pagerank_trade",
-    # set operations (§2.7)
-    "set_except",
+    # NEW r7 session 6: Flink/CDC-style UPSERT through the SQL path —
+    # identifier-fields DDL + write.upsert.enabled routing; last_op
+    # column read back from .snapshots proves the merge-on-read upsert
+    # snapshot shape. Takes set_except's slot (r06 green; §2.7 has both
+    # intersect and except r06-evidenced).
+    "ref_upsert_latest",
     # scalar-function suites (F5): the NEW Spark-4 VARIANT suite takes
     # the slot (fn_array_suite rested at two green rounds,
     # fn_bitwise_suite at one; all prior suites stay green in the

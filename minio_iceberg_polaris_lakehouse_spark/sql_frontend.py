@@ -1541,6 +1541,36 @@ class LakehouseSQL:
         tab.set_write_order(*cols)
         return self._empty()
 
+    def _alter_set_identifier_fields(self, m: re.Match) -> DataFrame:
+        """ALTER TABLE t SET IDENTIFIER FIELDS a, b — Iceberg's row-identity
+        DDL (identifier-field-ids): declares the key upsert()/CDC writers
+        key equality deletes on. Parenthesized column list accepted too."""
+        tab = self._existing_table(m.group(1))
+        cols_text = m.group(2).strip()
+        if cols_text.startswith("("):
+            cols_text = _balanced_paren_group(cols_text)[0]
+        cols = [c.strip() for c in cols_text.split(",") if c.strip()]
+        if not cols:
+            raise WarehouseError("SET IDENTIFIER FIELDS needs at least one column")
+        tab.set_identifier_fields(*cols)
+        return self._empty()
+
+    def _alter_drop_identifier_fields(self, m: re.Match) -> DataFrame:
+        """ALTER TABLE t DROP IDENTIFIER FIELDS a, b — removes the named
+        columns from the identity; dropping every declared field clears
+        the identity entirely (upserts then refuse until re-declared)."""
+        tab = self._existing_table(m.group(1))
+        cols_text = m.group(2).strip()
+        if cols_text.startswith("("):
+            cols_text = _balanced_paren_group(cols_text)[0]
+        drop = {c.strip() for c in cols_text.split(",") if c.strip()}
+        cur = tab.identifier_fields()
+        unknown = sorted(drop - set(cur))
+        if unknown:
+            raise WarehouseError(f"not identifier fields on {m.group(1)}: {unknown}")
+        tab.set_identifier_fields(*[c for c in cur if c not in drop])
+        return self._empty()
+
     def _alter_compact(self, m: re.Match) -> DataFrame:
         """The reference helper issues `ALTER TABLE t COMPACT`
         (warehouse_helpers.py:145) — not valid Spark/Iceberg SQL, but the
@@ -2061,6 +2091,14 @@ class LakehouseSQL:
         (
             rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+WRITE\s+ORDERED\s+BY\s+(.*)",
             _alter_write_ordered,
+        ),
+        (
+            rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+SET\s+IDENTIFIER\s+FIELDS\s+(.*)",
+            _alter_set_identifier_fields,
+        ),
+        (
+            rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+DROP\s+IDENTIFIER\s+FIELDS\s+(.*)",
+            _alter_drop_identifier_fields,
         ),
         (rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+COMPACT", _alter_compact),
         (

@@ -2077,13 +2077,141 @@ class Table:
         commutative — two concurrent appenders both survive (see
         _commit_add). ``branch`` stages the write on a named branch
         (write-audit-publish): main readers don't see it until
-        fast_forward/cherry_pick publishes it."""
+        fast_forward/cherry_pick publishes it. With the Flink-parity
+        table property ``write.upsert.enabled=true``, every append (and
+        therefore SQL INSERT INTO) routes through upsert() instead."""
+        if self._meta()["properties"].get("write.upsert.enabled", "").lower() == "true":
+            return self.upsert(df, branch=branch)
         p = self._write_data(df)
         return self._commit_add("append", [p], {"added-records": p.rows}, branch=branch)
 
     def insert_values(self, rows: list[tuple], branch: str | None = None) -> int:
         """INSERT INTO t VALUES ... (reference S7: getting_started.ipynb:96)."""
         return self.append(self.spark.createDataFrame(rows, self.schema()), branch=branch)
+
+    def set_identifier_fields(self, *columns: str) -> None:
+        """ALTER TABLE … SET IDENTIFIER FIELDS (Iceberg schema
+        identifier-field-ids): declares the row-identity key that
+        upsert() / CDC writers key equality deletes on. Metadata-only;
+        an empty list clears the identity. The open-metadata export
+        mirrors the declaration as identifier-field-ids in the schema
+        JSON so foreign engines see the same contract."""
+        meta = self._meta()
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        names = set(schema.fieldNames())
+        missing = [c for c in columns if c not in names]
+        if missing:
+            raise WarehouseError(f"identifier fields not in schema: {missing}")
+        meta["identifier_fields"] = list(columns)
+        self._write_meta(meta)
+        from minio_iceberg_polaris_lakehouse_spark.iceberg_export import write_iceberg_metadata
+
+        write_iceberg_metadata(self)
+
+    def identifier_fields(self) -> list[str]:
+        return list(self._meta().get("identifier_fields", []))
+
+    def upsert(self, df: DataFrame, branch: str | None = None) -> int:
+        """Flink/CDC-style UPSERT write (Iceberg's ``write.upsert.enabled``
+        shape): ONE snapshot carrying (a) the incoming rows as ordinary
+        data files and (b) an equality-delete file over the batch's
+        identifier-field keys. The v2 sequence rule (a delete kills rows
+        whose data sequence is STRICTLY below its own) makes the delete
+        apply to every pre-existing row with a matching key and to none
+        of the batch's own rows — delete-old + insert-new, atomically.
+
+        Scale: O(batch) compute and O(batch) bytes — the table is never
+        scanned or matched against, which is exactly why streaming CDC
+        writers commit this shape instead of MERGE. Concurrent upserts
+        both land (append-like fast path, no conflict check); on key
+        overlap the later COMMIT's row wins — the same last-writer-wins
+        contract Flink gives. Readers pay one broadcast anti-join per
+        live equality-delete file until compaction/
+        rewrite_position_delete_files folds tombstones down.
+
+        The batch must carry at most one row per identifier key: two
+        same-key rows would BOTH survive the equal-sequence rule, which
+        is never what an upsert means. The check runs on the files just
+        written (so the input plan still executes exactly once — the
+        §2.11 guarantee) and aborts the commit before any metadata
+        lands."""
+        cols = self.identifier_fields()
+        if not cols:
+            raise WarehouseError(
+                "upsert needs identifier fields: set_identifier_fields(...) or "
+                "ALTER TABLE ... SET IDENTIFIER FIELDS first"
+            )
+        p = self._write_data(df)
+        data_out = os.path.join(self.path, p.dirname)
+        written = self.spark.read.parquet(data_out)
+        dup = written.groupBy(*cols).count().filter(F.col("count") > 1).limit(1).collect()
+        if dup:
+            fsio.rmtree(data_out)
+            key = {c: dup[0][c] for c in cols}
+            raise WarehouseError(
+                f"upsert batch carries multiple rows for identifier key {key}; "
+                "dedup the batch first (both copies would survive the commit)"
+            )
+        keys = written.select(*cols).dropDuplicates(cols)
+        del_dir = f"delete-eq-{uuid.uuid4().hex[:12]}"
+        del_out = os.path.join(self.path, del_dir)
+        keys.write.option("compression", "zstd").parquet(del_out)
+        del_stats = _parquet_footer_stats(del_out)
+        k = sum(s["rows"] for s in del_stats)
+        pend_del = PendingData(
+            del_dir,
+            k,
+            {"source": None, "transform": "identity", "spec_id": 0, "content": "eq-deletes"},
+            del_stats,
+        )
+        summary = {
+            "added-records": p.rows,
+            "added-delete-files": 1,
+            "added-equality-deletes": k,
+            "upsert": "true",
+        }
+        new_eq = {"dir": del_dir, "cols": list(cols), "seq": None}  # seq = this commit
+        lock, token = self._acquire_commit_lock()
+        try:
+            self._record_pending([p, pend_del])
+            snaps = self._snaps()
+            if branch:
+                meta = self._meta()
+                rec = meta.get("refs", {}).get(branch)
+                if rec is None or rec.get("type") != "BRANCH":
+                    raise WarehouseError(
+                        f"unknown branch {branch!r} on {self.ns}.{self.name} "
+                        "(create it first: create_ref(name, 'branch'))"
+                    )
+                base = next(s for s in snaps if s["snapshot_id"] == int(rec["snapshot_id"]))
+                sid = self._append_snapshot(
+                    snaps,
+                    "overwrite",
+                    base["manifest"] + [p.dirname],
+                    summary,
+                    base.get("delete_dirs", []),
+                    branch=branch,
+                    eq_deletes=base.get("eq_deletes", []) + [new_eq],
+                    parent_id=base["snapshot_id"],
+                )
+                meta = self._meta()  # re-read: the commit re-exported metadata
+                meta["refs"][branch]["snapshot_id"] = sid
+                self._write_meta(meta)
+                return sid
+            mains = self._main_snaps(snaps)
+            live = (mains[-1]["manifest"] if mains else []) + [p.dirname]
+            inherited = mains[-1].get("delete_dirs", []) if mains else []
+            inherited_eq = mains[-1].get("eq_deletes", []) if mains else []
+            return self._append_snapshot(
+                snaps,
+                "overwrite",
+                live,
+                summary,
+                inherited,
+                eq_deletes=inherited_eq + [new_eq],
+            )
+        finally:
+            self._release_commit_lock(lock, token)
 
     def add_files(self, source_dir: str) -> tuple[int, int]:
         """Iceberg's `add_files` procedure: import an EXISTING parquet

@@ -1,0 +1,178 @@
+"""Flink/CDC-style UPSERT writes (Iceberg ``write.upsert.enabled`` shape):
+one snapshot = equality-delete over the batch's identifier keys + the new
+rows. Pins the sequence semantics (old rows die, batch rows survive),
+identity DDL, SQL routing, CDC/changelog output, time travel, WAP
+branches, export → foreign-reader parity, and the duplicate-key guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from minio_iceberg_polaris_lakehouse_spark.warehouse import Warehouse, WarehouseError
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "warehouse"))
+
+
+def _t(wh, name):
+    t = wh.create_table("db", name, "id int, v string")
+    t.set_identifier_fields("id")
+    return t
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_upsert_inserts_and_replaces(wh, spark):
+    t = _t(wh, "u1")
+    t.insert_values([(1, "a"), (2, "b"), (3, "c")])
+    t.upsert(spark.createDataFrame([(2, "B2"), (4, "d")], t.schema()))
+    assert _rows(t.read()) == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
+    snap = t._resolve()
+    assert snap["operation"] == "overwrite"
+    assert snap["summary"]["upsert"] == "true"
+    assert snap["summary"]["added-records"] == 2
+    assert snap["summary"]["added-equality-deletes"] == 2
+    # merge-on-read: the first snapshot's data files are untouched
+    assert set(t._resolve(version=1)["manifest"]) <= set(snap["manifest"])
+
+
+def test_upsert_needs_identifier_fields(wh, spark):
+    t = wh.create_table("db", "u2", "id int, v string")
+    with pytest.raises(WarehouseError, match="identifier fields"):
+        t.upsert(spark.createDataFrame([(1, "a")], t.schema()))
+
+
+def test_upsert_duplicate_key_batch_refused_and_nothing_commits(wh, spark):
+    t = _t(wh, "u3")
+    t.insert_values([(1, "a")])
+    before = t.current_snapshot_id()
+    with pytest.raises(WarehouseError, match="multiple rows for identifier key"):
+        t.upsert(spark.createDataFrame([(2, "x"), (2, "y")], t.schema()))
+    assert t.current_snapshot_id() == before
+    assert _rows(t.read()) == [(1, "a")]
+
+
+def test_upsert_twice_latest_wins_and_time_travel(wh, spark):
+    t = _t(wh, "u4")
+    t.insert_values([(1, "a")])
+    t.upsert(spark.createDataFrame([(1, "v2")], t.schema()))
+    t.upsert(spark.createDataFrame([(1, "v3")], t.schema()))
+    assert _rows(t.read()) == [(1, "v3")]
+    assert _rows(t.read(version=2)) == [(1, "v2")]
+    assert _rows(t.read(version=1)) == [(1, "a")]
+
+
+def test_upsert_composite_key(wh, spark):
+    t = wh.create_table("db", "u5", "a int, b string, v double")
+    t.set_identifier_fields("a", "b")
+    t.insert_values([(1, "x", 1.0), (1, "y", 2.0)])
+    t.upsert(spark.createDataFrame([(1, "x", 9.0), (2, "x", 3.0)], t.schema()))
+    assert _rows(t.read()) == [(1, "x", 9.0), (1, "y", 2.0), (2, "x", 3.0)]
+
+
+def test_write_upsert_enabled_routes_sql_insert(wh, spark):
+    t = _t(wh, "u6")
+    t.set_properties({"write.upsert.enabled": "true"})
+    t.insert_values([(1, "a"), (2, "b")])  # append() -> upsert()
+    t.insert_values([(2, "B2"), (3, "c")])
+    assert _rows(t.read()) == [(1, "a"), (2, "B2"), (3, "c")]
+    assert t._resolve()["summary"]["upsert"] == "true"
+
+
+def test_upsert_changelog_emits_delete_then_insert(wh, spark):
+    t = _t(wh, "u7")
+    t.insert_values([(1, "a"), (2, "b")])
+    sid = t.upsert(spark.createDataFrame([(2, "B2"), (3, "c")], t.schema()))
+    ch = t.changes(from_version=1, to_version=sid)
+    got = sorted(
+        (r.id, r.v, r._change_type) for r in ch.collect()
+    )
+    # key 2: old row deleted + new row inserted; key 3: insert only;
+    # key 1: untouched, no event
+    assert got == [
+        (2, "B2", "insert"),
+        (2, "b", "delete"),
+        (3, "c", "insert"),
+    ]
+
+
+def test_upsert_key_never_present_is_plain_insert(wh, spark):
+    t = _t(wh, "u8")
+    t.insert_values([(1, "a")])
+    t.upsert(spark.createDataFrame([(9, "z")], t.schema()))
+    assert _rows(t.read()) == [(1, "a"), (9, "z")]
+
+
+def test_upsert_on_wap_branch_invisible_until_publish(wh, spark):
+    t = _t(wh, "u9")
+    t.insert_values([(1, "a"), (2, "b")])
+    t.create_ref("audit", "branch")
+    t.upsert(spark.createDataFrame([(2, "staged")], t.schema()), branch="audit")
+    assert _rows(t.read()) == [(1, "a"), (2, "b")], "main unchanged"
+    assert _rows(t.read(version="audit")) == [(1, "a"), (2, "staged")]
+    t.fast_forward("audit")
+    assert _rows(t.read()) == [(1, "a"), (2, "staged")]
+
+
+def test_upsert_export_foreign_reader_parity(wh, spark):
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        read_iceberg_table,
+    )
+
+    t = _t(wh, "u10")
+    t.insert_values([(1, "a"), (2, "b"), (3, "c")])
+    t.upsert(spark.createDataFrame([(2, "B2"), (4, "d")], t.schema()))
+    got = read_iceberg_table(spark, t.path)
+    assert _rows(got.select("id", "v")) == _rows(t.read())
+
+
+def test_identifier_fields_sql_roundtrip(wh, spark, tmp_path):
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    lake = LakehouseSQL(spark, str(tmp_path / "lake"))
+    lake.sql("CREATE TABLE polaris.db.k (id INT, ver INT, v STRING) USING ICEBERG")
+    lake.sql("ALTER TABLE polaris.db.k SET IDENTIFIER FIELDS id, ver")
+    tab = lake.wh.table("db", "k")
+    assert tab.identifier_fields() == ["id", "ver"]
+    lake.sql("ALTER TABLE polaris.db.k DROP IDENTIFIER FIELDS ver")
+    assert tab.identifier_fields() == ["id"]
+    with pytest.raises(WarehouseError, match="not identifier fields"):
+        lake.sql("ALTER TABLE polaris.db.k DROP IDENTIFIER FIELDS nope")
+    with pytest.raises(WarehouseError, match="not in schema"):
+        lake.sql("ALTER TABLE polaris.db.k SET IDENTIFIER FIELDS missing_col")
+    # full SQL upsert flow: property routes INSERT INTO through upsert
+    lake.sql("ALTER TABLE polaris.db.k SET TBLPROPERTIES ('write.upsert.enabled'='true')")
+    lake.sql("INSERT INTO polaris.db.k VALUES (1, 1, 'a'), (2, 1, 'b')")
+    lake.sql("INSERT INTO polaris.db.k VALUES (1, 2, 'A2'), (3, 1, 'c')")
+    got = _rows(lake.sql("SELECT id, ver, v FROM polaris.db.k"))
+    assert got == [(1, 2, "A2"), (2, 1, "b"), (3, 1, "c")]
+
+
+def test_identifier_fields_in_open_metadata_export(wh, spark):
+    import json
+    import os
+
+    t = _t(wh, "u11")
+    t.insert_values([(1, "a")])
+    mdir = os.path.join(t.path, "metadata")
+    latest = sorted(f for f in os.listdir(mdir) if f.endswith(".metadata.json"))[-1]
+    doc = json.load(open(os.path.join(mdir, latest)))
+    schema = doc["schemas"][doc["current-schema-id"]] if isinstance(
+        doc.get("schemas"), dict
+    ) else next(s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"])
+    id_field = next(f for f in schema["fields"] if f["name"] == "id")
+    assert schema.get("identifier-field-ids") == [id_field["id"]]
+
+
+def test_upsert_then_eq_compaction_folds_tombstones(wh, spark):
+    t = _t(wh, "u12")
+    t.insert_values([(1, "a"), (2, "b")])
+    t.upsert(spark.createDataFrame([(2, "B2")], t.schema()))
+    t.compact()
+    assert _rows(t.read()) == [(1, "a"), (2, "B2")]
+    snap = t._resolve()
+    assert not snap.get("eq_deletes"), "compaction absorbs equality tombstones"
