@@ -50,9 +50,22 @@ class TableSink:
         table: Table,
         query_name: str = "stream",
         checkpoint_location: str | None = None,
+        mode: str = "append",
     ):
+        """``mode``: 'append' commits each micro-batch as an append
+        snapshot; 'upsert' commits it through Table.upsert() — the
+        Flink-on-Iceberg streaming-upsert shape (one snapshot =
+        equality-delete over the batch's identifier keys + the rows),
+        for streams keyed by identity (CDC feeds, update-mode aggregates
+        emitting one row per key per trigger). Exactly-once dedup is
+        identical in both modes: a replayed batch id is a no-op BEFORE
+        any write, so a replay can neither re-append rows nor re-kill a
+        newer upsert's rows."""
+        if mode not in ("append", "upsert"):
+            raise ValueError(f"unknown sink mode {mode!r}")
         self.table = table
         self.query_name = query_name
+        self.mode = mode
         self._ckpt_location = checkpoint_location
         self._ckpt_id: str | None = None
         self._ckpt_resolved = checkpoint_location is None
@@ -158,15 +171,16 @@ class TableSink:
             return None
         if int(batch_id) in self.committed_batch_ids():
             return None
-        p = self.table._write_data(batch_df)
-        summary = {
-            "added-records": p.rows,
-            _BATCH_KEY: int(batch_id),
-            _QUERY_KEY: self.query_name,
-        }
+        stamps = {_BATCH_KEY: int(batch_id), _QUERY_KEY: self.query_name}
         if cid is not None:
-            summary[_CKPT_KEY] = cid
-        sid = self.table._commit_add("append", [p], summary)
+            stamps[_CKPT_KEY] = cid
+        if self.mode == "upsert":
+            sid = self.table.upsert(batch_df, extra_summary=stamps)
+        else:
+            p = self.table._write_data(batch_df)
+            sid = self.table._commit_add(
+                "append", [p], {"added-records": p.rows, **stamps}
+            )
         # advance the persistent watermark under the commit lock (a crash
         # between commit and this write is still covered by the snapshot-
         # summary scan above); a new checkpoint lineage takes over the
@@ -198,12 +212,15 @@ def write_stream_to_table(
     table: Table,
     checkpoint_dir: str,
     query_name: str = "stream",
+    mode: str = "append",
 ) -> None:
-    """Run a Structured Streaming query that appends every micro-batch to
+    """Run a Structured Streaming query that commits every micro-batch to
     ``table`` exactly once (availableNow trigger: drain what's available,
     then stop — the batch-and-resume pattern; a production query would
-    use a processingTime trigger with the same sink)."""
-    sink = TableSink(table, query_name, checkpoint_location=checkpoint_dir)
+    use a processingTime trigger with the same sink). ``mode='upsert'``
+    commits each batch in the Flink streaming-upsert shape instead of an
+    append — see TableSink."""
+    sink = TableSink(table, query_name, checkpoint_location=checkpoint_dir, mode=mode)
     q = (
         stream_df.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)

@@ -2111,7 +2111,12 @@ class Table:
     def identifier_fields(self) -> list[str]:
         return list(self._meta().get("identifier_fields", []))
 
-    def upsert(self, df: DataFrame, branch: str | None = None) -> int:
+    def upsert(
+        self,
+        df: DataFrame,
+        branch: str | None = None,
+        extra_summary: dict[str, Any] | None = None,
+    ) -> int:
         """Flink/CDC-style UPSERT write (Iceberg's ``write.upsert.enabled``
         shape): ONE snapshot carrying (a) the incoming rows as ordinary
         data files and (b) an equality-delete file over the batch's
@@ -2170,6 +2175,7 @@ class Table:
             "added-equality-deletes": k,
             "upsert": "true",
         }
+        summary.update(extra_summary or {})  # e.g. streaming-sink batch stamps
         new_eq = {"dir": del_dir, "cols": list(cols), "seq": None}  # seq = this commit
         lock, token = self._acquire_commit_lock()
         try:

@@ -180,3 +180,60 @@ def test_pre_upgrade_records_still_dedup_replays(wh, spark, tmp_path):
     # a NEW batch from the new lineage still lands
     assert s2.write_batch(spark.createDataFrame([(2, "b")], t.schema()), 1) is not None
     assert t.read().count() == 2
+
+
+def test_upsert_mode_sink_replaces_keys(wh, spark):
+    """Upsert-mode micro-batches: each batch replaces rows by identifier
+    key (the Flink streaming-upsert shape) and replays are no-ops —
+    crucially a replayed OLD batch must not re-kill a newer batch's
+    rows."""
+    t = wh.create_table("db", "snk_ups", "id int, v string")
+    t.set_identifier_fields("id")
+    sink = TableSink(t, "cdc", mode="upsert")
+    sink.write_batch(spark.createDataFrame([(1, "a"), (2, "b")], t.schema()), 0)
+    sink.write_batch(spark.createDataFrame([(2, "b2"), (3, "c")], t.schema()), 1)
+    assert sorted(map(tuple, t.read().collect())) == [(1, "a"), (2, "b2"), (3, "c")]
+    assert t._resolve()["summary"]["upsert"] == "true"
+    # replay of batch 1 (crash between commit and checkpoint write):
+    # no new snapshot, no double-kill, rows unchanged
+    before = t.current_snapshot_id()
+    assert sink.write_batch(spark.createDataFrame([(2, "b2"), (3, "c")], t.schema()), 1) is None
+    assert t.current_snapshot_id() == before
+    # replay of the EARLIER batch 0 after batch 1: also a no-op — key 2
+    # keeps batch 1's value
+    assert sink.write_batch(spark.createDataFrame([(1, "a"), (2, "b")], t.schema()), 0) is None
+    assert sorted(map(tuple, t.read().collect())) == [(1, "a"), (2, "b2"), (3, "c")]
+
+
+def test_upsert_mode_structured_streaming_end_to_end(wh, spark, tmp_path):
+    """A real Structured Streaming query draining a file source into an
+    upsert-mode sink: the second drain carries updated values for
+    existing keys and the table converges to latest-per-key."""
+    import json as _json
+
+    from minio_iceberg_polaris_lakehouse_spark.streaming.table_sink import (
+        write_stream_to_table,
+    )
+
+    t = wh.create_table("db", "snk_ups_e2e", "id int, v string")
+    t.set_identifier_fields("id")
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("id int, v string").json(str(src))
+        )
+        write_stream_to_table(stream, t, ckpt, query_name="e2e", mode="upsert")
+
+    (src / "b0.json").write_text(
+        "\n".join(_json.dumps(r) for r in [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}])
+    )
+    drain()
+    assert sorted(map(tuple, t.read().collect())) == [(1, "a"), (2, "b")]
+    (src / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in [{"id": 2, "v": "b2"}, {"id": 3, "v": "c"}])
+    )
+    drain()
+    assert sorted(map(tuple, t.read().collect())) == [(1, "a"), (2, "b2"), (3, "c")]
