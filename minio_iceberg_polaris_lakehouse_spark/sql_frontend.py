@@ -417,7 +417,9 @@ class LakehouseSQL:
         pattern = re.compile(
             rf"(?<![A-Za-z0-9_.'])"
             rf"(?:(?P<cat>{cat})\.)?(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
-            rf"(?P<meta>\.(?:history|snapshots|files|manifests|refs|partitions|entries|metadata_log_entries|all_data_files|position_deletes))?"
+            rf"(?P<meta>\.(?:history|snapshots|files|manifests|refs|partitions|entries"
+            rf"|metadata_log_entries|all_data_files|all_manifests|delete_files"
+            rf"|position_deletes))?"
             rf"(?P<tt>\s+VERSION\s+AS\s+OF\s+(?:(?P<ver>\d+)|\x00L(?P<verref>\d+)\x00)"
             rf"|\s+TIMESTAMP\s+AS\s+OF\s+\x00L(?P<ts>\d+)\x00)?"
             rf"(?![A-Za-z0-9_.])",

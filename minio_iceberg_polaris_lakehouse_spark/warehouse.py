@@ -2993,6 +2993,46 @@ class Table:
         )
         return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)
 
+    def delete_files(self) -> DataFrame:
+        """<table>.delete_files metadata table (Iceberg): the current
+        snapshot's live DELETE files only — positional tombstones
+        (content 1) and equality deletes (content 2). The complement of
+        the data slice of .files; how operators see merge-on-read debt
+        before scheduling rewrite_position_delete_files."""
+        return self.files().filter(F.col("content") != 0)
+
+    def all_manifests(self) -> DataFrame:
+        """<table>.all_manifests metadata table (Iceberg): manifests
+        referenced by EVERY snapshot in the log — not just the current
+        one — deduplicated by path, each with the snapshot that first
+        added it (reachability across time travel, the input to
+        rewrite_manifests/expiry planning)."""
+        snaps = self._snaps()
+        meta = self._meta()
+        specs = meta.get("dir_specs", {})
+        added_in: dict[tuple[int, str], int] = {}
+        for s in snaps:
+            for content, dirs in ((0, s["manifest"]), (1, s.get("delete_dirs", []))):
+                for d in dirs:
+                    added_in.setdefault((content, d), s["snapshot_id"])
+        rows = []
+        for (content, d), sid in sorted(added_in.items(), key=lambda kv: (kv[1], kv[0])):
+            mpath = os.path.join(self.path, "metadata", f"manifest-{d}.avro")
+            rows.append(
+                Row(
+                    content=content,
+                    path=mpath,
+                    length=fsio.getsize(mpath) if fsio.isfile(mpath) else None,
+                    partition_spec_id=int(specs.get(d, {}).get("spec_id", 0)),
+                    added_snapshot_id=sid,
+                )
+            )
+        schema = (
+            "content int, path string, length bigint, partition_spec_id int, "
+            "added_snapshot_id bigint"
+        )
+        return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)
+
     def refs(self) -> DataFrame:
         """<table>.refs metadata table: the main branch pointer plus any
         user-created branches/tags (create_ref)."""

@@ -211,3 +211,51 @@ def test_expire_snapshots_older_than_keeps_recent(lake):
         "older_than => TIMESTAMP '2000-01-01 00:00:00', retain_last => 1)"
     )
     assert len(tab.snapshots().collect()) == 3
+
+
+def test_delete_files_and_all_manifests(lake, spark):
+    wh = lake.wh
+    t = wh.create_table(
+        "db",
+        "mdel",
+        "id int, v string",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert_values([(1, "a"), (2, "b"), (3, "c")])
+    assert t.delete_files().count() == 0
+    t.delete_where("id = 2")
+    df = t.delete_files()
+    assert df.count() >= 1
+    assert {r.content for r in df.collect()} == {1}
+    # .files carries data + delete entries; .delete_files is its content!=0 slice
+    assert t.files().count() == df.count() + t.files().filter("content = 0").count()
+    # equality deletes show as content 2
+    t.set_properties(
+        {
+            "write.delete.mode": "merge-on-read-equality",
+            "write.delete.equality-columns": "id",
+        }
+    )
+    t.delete_where("id = 3")
+    assert {r.content for r in t.delete_files().collect()} == {1, 2}
+
+    # all_manifests: every snapshot's dirs stay visible after an overwrite
+    # drops one from the CURRENT snapshot
+    pre = {r.path for r in t.all_manifests().collect()}
+    t.overwrite(spark.createDataFrame([(9, "z")], t.schema()))
+    post = {r.path for r in t.all_manifests().collect()}
+    assert pre <= post, "historic manifests remain reachable"
+    assert {r.path for r in t.manifests().collect()} < post
+
+
+def test_delete_files_sql_selectable(lake, spark):
+    lake.sql(
+        "CREATE TABLE polaris.db.m (id INT, v STRING) USING ICEBERG "
+        "TBLPROPERTIES ('write.delete.mode'='merge-on-read')"
+    )
+    lake.sql("INSERT INTO db.m VALUES (1, 'a'), (2, 'b')")
+    lake.sql("DELETE FROM db.m WHERE id = 1")
+    got = lake.sql("SELECT content, record_count FROM db.m.delete_files").collect()
+    assert len(got) == 1 and got[0].content == 1
+    n = lake.sql("SELECT COUNT(*) AS n FROM db.m.all_manifests").collect()[0].n
+    assert n >= 1
