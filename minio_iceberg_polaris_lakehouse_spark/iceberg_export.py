@@ -348,6 +348,21 @@ def _manifest_entry_schema(partition_field) -> dict:
                         },
                         {"name": "record_count", "type": "long", "field-id": 103},
                         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                        {
+                            # Iceberg v2 equality_ids (field-id 135): the
+                            # schema field ids an EQUALITY_DELETES file
+                            # (content=2) keys on; null for data and
+                            # positional-delete files. Absent from a
+                            # record dict → encodes the null branch, so
+                            # every existing write site is unaffected.
+                            "name": "equality_ids",
+                            "type": [
+                                "null",
+                                {"type": "array", "items": "int", "element-id": 136},
+                            ],
+                            "default": None,
+                            "field-id": 135,
+                        },
                     ],
                 },
             },

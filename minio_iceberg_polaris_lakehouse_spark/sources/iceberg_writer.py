@@ -544,12 +544,17 @@ def _stage_row_level_commit(
     data_files: list[tuple[str, int, int]],
     summary: dict,
     update_hint: bool,
+    eq_delete_files: list[tuple[str, int, int]] | None = None,
+    equality_ids: list[int] | None = None,
 ) -> str:
-    """Stage ONE snapshot carrying a POSITION_DELETES manifest and/or a
-    data manifest (both at the same new sequence number — Iceberg's
-    overwrite shape: the tombstones name exact (file,pos) pairs of OLD
-    files, so the new data files they ride with are never affected),
-    then write the vN+1 metadata document."""
+    """Stage ONE snapshot carrying a POSITION_DELETES manifest and/or an
+    EQUALITY_DELETES manifest and/or a data manifest (all at the same new
+    sequence number — Iceberg's overwrite shape: positional tombstones
+    name exact (file,pos) pairs of OLD files, and the strict
+    `data_seq < delete_seq` rule keeps same-snapshot data files out of
+    the equality deletes' reach), then write the vN+1 metadata
+    document. ``eq_delete_files`` are content=2 entries keyed on the
+    schema field ids in ``equality_ids``."""
     snaps = md.get("snapshots", [])
     parent = md.get("current-snapshot-id")
     parent_snap = next((s for s in snaps if s["snapshot-id"] == parent), None)
@@ -577,7 +582,17 @@ def _stage_row_level_commit(
     target = schemas[md["current-schema-id"]]
     entry_schema = _manifest_entry_schema(None)
 
-    def _write_manifest(kind: str, content: int, files: list) -> dict:
+    def _write_manifest(
+        kind: str,
+        list_content: int,
+        files: list,
+        entry_content: int | None = None,
+        eq_ids: list[int] | None = None,
+    ) -> dict:
+        """``list_content`` is the manifest-list record's content code
+        (0 data / 1 deletes); ``entry_content`` the per-file code inside
+        (1 POSITION_DELETES vs 2 EQUALITY_DELETES ride the same
+        list-level deletes code)."""
         man_path = os.path.join(mdir, f"manifest-{tag}-{kind}.avro")
         avro_io.write_container(
             man_path,
@@ -589,12 +604,13 @@ def _stage_row_level_commit(
                     "sequence_number": seq,
                     "file_sequence_number": seq,
                     "data_file": {
-                        "content": content,
+                        "content": entry_content if entry_content is not None else list_content,
                         "file_path": p,
                         "file_format": "PARQUET",
                         "partition": {},
                         "record_count": rows,
                         "file_size_in_bytes": size,
+                        **({"equality_ids": list(eq_ids)} if eq_ids else {}),
                     },
                 }
                 for p, rows, size in files
@@ -604,14 +620,14 @@ def _stage_row_level_commit(
                 "partition-spec": "[]",
                 "partition-spec-id": "0",
                 "format-version": "2",
-                "content": "deletes" if content else "data",
+                "content": "deletes" if list_content else "data",
             },
         )
         return {
             "manifest_path": man_path,
             "manifest_length": fsio.getsize(man_path),
             "partition_spec_id": 0,
-            "content": content,
+            "content": list_content,
             "sequence_number": seq,
             "min_sequence_number": seq,
             "added_snapshot_id": snapshot_id,
@@ -626,6 +642,10 @@ def _stage_row_level_commit(
     new_records = []
     if delete_files:
         new_records.append(_write_manifest("deletes", 1, delete_files))
+    if eq_delete_files:
+        new_records.append(
+            _write_manifest("eqdeletes", 1, eq_delete_files, entry_content=2, eq_ids=equality_ids)
+        )
     if data_files:
         new_records.append(_write_manifest("data", 0, data_files))
 
@@ -738,6 +758,110 @@ def update_iceberg_table_where(
             "added-delete-files": str(len(delete_files)),
             "added-data-files": str(len(data_files)),
             "added-records": str(sum(r for _, r, _ in data_files)),
+        },
+        update_hint=update_hint,
+    )
+
+
+def upsert_iceberg_table(
+    spark: SparkSession,
+    location: str,
+    df: DataFrame,
+    update_hint: bool = True,
+    keys: list[str] | None = None,
+) -> str:
+    """Flink/CDC-style UPSERT on a FOREIGN Iceberg table through its open
+    metadata: ONE snapshot carrying (a) the batch rows as data files and
+    (b) a raw content=2 EQUALITY_DELETES file (keyed by the schema's
+    identifier-field-ids, or explicit ``keys``) at the same sequence
+    number — the strict `data_seq < delete_seq` rule kills every
+    pre-existing row with a matching key and spares the batch. This is
+    byte-level what a Flink upsert sink commits; any spec-compliant
+    reader (including sources/iceberg_reader.py) applies it.
+
+    O(batch): the table is never scanned. Unpartitioned tables only
+    (the delete file is partition-independent, but the data entries of a
+    partitioned table must carry typed partition values — use
+    append+delete for those until partitioned upsert lands). The batch
+    must hold at most one row per key (checked on the written files;
+    both copies would survive the equal-sequence rule otherwise).
+    """
+    md_path = resolve_metadata_path(location)
+    md = json.loads(fsio.read_text(md_path))
+    mdir = os.path.dirname(md_path)
+    root = md.get("location") or os.path.dirname(mdir)
+
+    specs = md.get("partition-specs", [])
+    default_spec = next(
+        (s for s in specs if s.get("spec-id") == md.get("default-spec-id", 0)), None
+    )
+    if (default_spec or {}).get("fields"):
+        raise ValueError(
+            "upsert_iceberg_table supports unpartitioned tables; this table "
+            "has a partition spec — append + delete separately instead"
+        )
+
+    schemas = {s["schema-id"]: s for s in md.get("schemas", [])}
+    target = schemas[md["current-schema-id"]]
+    by_id = {f["id"]: f["name"] for f in target["fields"]}
+    by_name = {f["name"]: f["id"] for f in target["fields"]}
+    if keys is None:
+        ids = target.get("identifier-field-ids") or []
+        if not ids:
+            raise ValueError(
+                "upsert needs the schema's identifier-field-ids (or explicit keys=)"
+            )
+        keys = [by_id[i] for i in ids]
+    unknown = [k for k in keys if k not in by_name]
+    if unknown:
+        raise ValueError(f"upsert keys not in schema: {unknown}")
+    eq_ids = [by_name[k] for k in keys]
+
+    cols = []
+    for f in target["fields"]:
+        dt = _spark_type(f["type"])
+        if f["name"] in df.columns:
+            cols.append(F.col(f["name"]).cast(dt).alias(f["name"]))
+        elif not f.get("required"):
+            cols.append(F.lit(None).cast(dt).alias(f["name"]))
+        else:
+            raise ValueError(f"required column {f['name']} missing from upsert data")
+    aligned = df.select(*cols)
+
+    tag = f"upsert-{uuid.uuid4().hex[:12]}"
+    out_dir = os.path.join(root, "data", tag)
+    aligned.write.option("compression", "zstd").parquet(out_dir)
+    written = spark.read.parquet(out_dir)
+    dup = written.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+    if dup:
+        fsio.rmtree(out_dir)
+        raise ValueError(
+            f"upsert batch carries multiple rows for key {[dup[0][k] for k in keys]}; "
+            "dedup the batch first"
+        )
+    data_files = _list_parquet(out_dir)
+
+    eq_dir = os.path.join(root, "data", f"{tag}-eqdel")
+    written.select(*keys).dropDuplicates(keys).write.option("compression", "zstd").parquet(
+        eq_dir
+    )
+    eq_files = _list_parquet(eq_dir)
+
+    return _stage_row_level_commit(
+        md,
+        md_path,
+        mdir,
+        tag=tag,
+        delete_files=[],
+        data_files=data_files,
+        eq_delete_files=eq_files,
+        equality_ids=eq_ids,
+        summary={
+            "operation": "overwrite",
+            "upsert": "true",
+            "added-records": str(sum(r for _, r, _ in data_files)),
+            "added-delete-files": str(len(eq_files)),
+            "added-equality-deletes": str(sum(r for _, r, _ in eq_files)),
         },
         update_hint=update_hint,
     )

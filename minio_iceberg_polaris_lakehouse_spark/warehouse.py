@@ -431,7 +431,40 @@ class Warehouse:
                 "pinned registration would be invisible — register the table "
                 "directory instead"
             )
+        # honor the FOREIGN table's own write.upsert.enabled property
+        # (Flink parity): its appends — incl. SQL INSERT INTO — commit
+        # the upsert shape keyed on the schema's identifier-field-ids
+        from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+            resolve_metadata_path,
+        )
+
+        md = json.loads(fsio.read_text(resolve_metadata_path(loc)))
+        if str(md.get("properties", {}).get("write.upsert.enabled", "")).lower() == "true":
+            return self.upsert_foreign_table(ns, name, df)
         return append_iceberg_table(self.spark, loc, df)
+
+    def upsert_foreign_table(
+        self, ns: str, name: str, df: DataFrame, keys: list[str] | None = None
+    ) -> str:
+        """Flink/CDC-style UPSERT on a registered foreign table through
+        its open metadata (sources/iceberg_writer.upsert_iceberg_table):
+        ONE snapshot = raw content=2 equality-delete file over the
+        batch's identifier-field keys + the batch's data files. Pinned
+        registrations refuse, as for every foreign write."""
+        from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+            upsert_iceberg_table,
+        )
+
+        loc = self.foreign_tables().get(f"{ns}.{name}")
+        if loc is None:
+            raise WarehouseError(f"foreign table {ns}.{name} is not registered")
+        if loc.endswith(".metadata.json"):
+            raise WarehouseError(
+                f"foreign table {ns}.{name} is pinned to {loc}; writes to a "
+                "pinned registration would be invisible — register the table "
+                "directory instead"
+            )
+        return upsert_iceberg_table(self.spark, loc, df, keys=keys)
 
     def delete_foreign_table_where(self, ns: str, name: str, predicate: str) -> str | None:
         """Row-level DELETE on a registered foreign table through its

@@ -488,3 +488,111 @@ def test_rewrite_foreign_table_files(spark, tmp_path):
     # prior snapshot still serves the pre-compaction state
     prev = md["snapshots"][-2]["snapshot-id"]
     assert _rows(read_iceberg_table(spark, t.path, snapshot_id=prev)) == before
+
+
+# ---------------- foreign UPSERT (one snapshot: content=2 eq-delete + data) --
+
+
+def test_upsert_foreign_table_replaces_by_identifier_fields(spark, tmp_path):
+    from minio_iceberg_polaris_lakehouse_spark import avro_io
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+        upsert_iceberg_table,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh_u"))
+    t = wh.create_table("db", "src", "id int, v string")
+    t.set_identifier_fields("id")
+    t.insert_values([(1, "a"), (2, "b"), (3, "c")])
+
+    batch = spark.createDataFrame([(2, "B2"), (4, "d")], "id int, v string")
+    new_path = upsert_iceberg_table(spark, t.path, batch)
+    got = read_iceberg_table(spark, t.path)
+    assert _rows(got) == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
+
+    # the committed snapshot carries a RAW content=2 manifest with
+    # equality_ids — byte-level what a Flink upsert sink writes
+    md = json.loads(open(new_path).read())
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"])
+    assert snap["summary"]["upsert"] == "true"
+    _s, _m, mans = avro_io.read_container(snap["manifest-list"])
+    eq_mans = [m for m in mans if "eqdeletes" in m["manifest_path"]]
+    assert len(eq_mans) == 1
+    _s2, _m2, entries = avro_io.read_container(eq_mans[0]["manifest_path"])
+    assert entries[0]["data_file"]["content"] == 2
+    assert entries[0]["data_file"]["equality_ids"] == [1]  # id's field id
+
+    # time travel to before the upsert
+    prev = md["snapshots"][0]["snapshot-id"]
+    assert _rows(read_iceberg_table(spark, t.path, snapshot_id=prev)) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+
+    # re-upsert the same key: latest wins (strict seq rule each commit)
+    upsert_iceberg_table(spark, t.path, spark.createDataFrame([(2, "B3")], "id int, v string"))
+    assert _rows(read_iceberg_table(spark, t.path)) == [
+        (1, "a"),
+        (2, "B3"),
+        (3, "c"),
+        (4, "d"),
+    ]
+
+
+def test_upsert_foreign_requires_keys_and_unique_batch(spark, tmp_path):
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+        upsert_iceberg_table,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh_u2"))
+    t = wh.create_table("db", "nokeys", "id int, v string")
+    t.insert_values([(1, "a")])
+    with pytest.raises(ValueError, match="identifier-field-ids"):
+        upsert_iceberg_table(spark, t.path, spark.createDataFrame([(1, "x")], t.schema()))
+    # explicit keys= works without declared identity
+    upsert_iceberg_table(
+        spark, t.path, spark.createDataFrame([(1, "x")], t.schema()), keys=["id"]
+    )
+    assert _rows(read_iceberg_table(spark, t.path)) == [(1, "x")]
+    with pytest.raises(ValueError, match="multiple rows"):
+        upsert_iceberg_table(
+            spark,
+            t.path,
+            spark.createDataFrame([(5, "p"), (5, "q")], t.schema()),
+            keys=["id"],
+        )
+    assert _rows(read_iceberg_table(spark, t.path)) == [(1, "x")], "nothing committed"
+
+
+def test_upsert_foreign_partitioned_refused(spark, tmp_path):
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+        upsert_iceberg_table,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh_u3"))
+    t = wh.create_table("db", "p", "id int, lang string", partition_by="lang")
+    t.set_identifier_fields("id")
+    t.insert_values([(1, "en")])
+    with pytest.raises(ValueError, match="unpartitioned"):
+        upsert_iceberg_table(spark, t.path, spark.createDataFrame([(1, "fr")], t.schema()))
+
+
+def test_registered_foreign_upsert_property_routes_insert(spark, tmp_path):
+    """A foreign table whose OWN metadata declares write.upsert.enabled:
+    registered INSERT INTO routes through the upsert shape."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    wh_src = Warehouse(spark, str(tmp_path / "wh_src"))
+    t = wh_src.create_table("db", "inv", "sku int, qty int")
+    t.set_identifier_fields("sku")
+    t.set_properties({"write.upsert.enabled": "true"})
+    t.insert_values([(1, 10), (2, 20)])  # engine-side: already upserts
+
+    lake = LakehouseSQL(spark, str(tmp_path / "lake_f"))
+    lake.sql(
+        f"CALL polaris.system.register_table(table => 'ext.inv', "
+        f"metadata_file => '{t.path}')"
+    )
+    lake.sql("INSERT INTO ext.inv VALUES (2, 25), (3, 30)")
+    got = _rows(lake.sql("SELECT sku, qty FROM ext.inv"))
+    assert got == [(1, 10), (2, 25), (3, 30)]
