@@ -135,3 +135,91 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     table against an independent pure-Python reference implementation."""
     d = load_table(spark, sf_dir, "documents")
     return train_bpe(spark, d).orderBy("rank")
+
+
+def _encode_words(merge_ranks: dict[tuple[str, str], int]):
+    """Arrow-batched encode of DISTINCT words under a trained merge
+    table: repeatedly apply the lowest-rank merge present anywhere in
+    the word (left-to-right, non-overlapping — identical application to
+    training's _merge_pair, so an in-corpus word encodes to exactly its
+    final training-time state); returns the token count. The ranks dict
+    rides the closure — a broadcast variable in cluster terms, the same
+    way a shipped tokenizer file is distributed to workers."""
+
+    def enc(words: pd.Series) -> pd.Series:
+        out = []
+        for w in words:
+            seq = list(w) + [END_OF_WORD]
+            while len(seq) > 1:
+                best_rank, best_pair = None, None
+                for i in range(len(seq) - 1):
+                    r = merge_ranks.get((seq[i], seq[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_pair = r, (seq[i], seq[i + 1])
+                if best_pair is None:
+                    break
+                a, b = best_pair
+                merged, i = [], 0
+                while i < len(seq):
+                    if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(seq[i])
+                        i += 1
+                seq = merged
+            out.append(len(seq))
+        return pd.Series(out)
+
+    return F.pandas_udf(enc, "int")
+
+
+def encode_bpe(
+    spark: SparkSession, docs: DataFrame, merges: list[tuple[int, str, str]]
+) -> DataFrame:
+    """Tokenize documents with a TRAINED merge table — the encode half of
+    the tokenizer loop (train_bpe is the other). Returns per-doc
+    (doc_id, n_words, n_bpe_tokens), ordered by doc_id.
+
+    Scale shape: the Python merge loop runs once per DISTINCT word
+    (vocabulary-sized, Arrow-batched), never per occurrence — the
+    corpus-sized work is the word explode and one join of occurrences
+    against the word→token-count map (broadcastable for real
+    vocabularies: even 10M distinct words is a few hundred MB), then a
+    map-side-combined per-doc sum. This is how production pipelines
+    count training tokens over 100 TB without running the tokenizer on
+    every byte."""
+    ranks = {(left, right): rank for rank, left, right in merges}
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    )
+    toks = (
+        words.select("word")
+        .distinct()
+        .withColumn("n_toks", _encode_words(ranks)(F.col("word")))
+    )
+    return (
+        words.join(F.broadcast(toks), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register("text_bpe_apply", oracle=None)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode: the 30-merge table learned from the corpus
+    (text_bpe_train) applied back to tokenize it — per-doc word and BPE
+    token counts. Rows-only by declared design (the trained artifact is
+    the output of an iterative algorithm); tests/test_bpe.py pins the
+    encoder against an independent pure-Python replay and the
+    train→encode composition against the trainer's own final state."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.rank, r.left, r.right) for r in train_bpe(spark, d).orderBy("rank").collect()
+    ]
+    return encode_bpe(spark, d, merges)

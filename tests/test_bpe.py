@@ -74,3 +74,66 @@ def test_bpe_merges_compose(spark, sf_dir):
     assert any(len(s.replace(END_OF_WORD, "")) > 2 for s in joined)
     # ranks are dense from 0
     assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(range(len(rows)))
+
+
+def reference_encode(word: str, merges: list[tuple[int, str, str]]) -> list[str]:
+    """Textbook BPE encode: apply merges in rank order, each applied
+    left-to-right non-overlapping across the whole word."""
+    seq = list(word) + [END_OF_WORD]
+    for _rank, a, b in merges:
+        merged, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                merged.append(a + b)
+                i += 2
+            else:
+                merged.append(seq[i])
+                i += 1
+        seq = merged
+    return seq
+
+
+def test_encode_matches_reference_and_training_state(spark, sf_dir):
+    """encode_bpe's lowest-rank-present loop must equal the textbook
+    rank-order application for every corpus word, and the per-doc token
+    counts must follow."""
+    from minio_iceberg_polaris_lakehouse_spark.functions.bpe import encode_bpe
+
+    d = load_table(spark, sf_dir, "documents").limit(120)
+    merges = [
+        (r.rank, r.left, r.right)
+        for r in train_bpe(spark, d, n_merges=12).orderBy("rank").collect()
+    ]
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens) for r in encode_bpe(spark, d, merges).collect()}
+    import re as _re
+
+    for row in d.select("doc_id", "text").collect():
+        words = _re.split(r"\s+", row.text.strip().lower())
+        n_toks = sum(len(reference_encode(w, merges)) for w in words)
+        assert got[row.doc_id] == (len(words), n_toks), f"doc {row.doc_id}"
+
+
+def test_encode_unseen_words_fall_back_to_characters(spark):
+    from minio_iceberg_polaris_lakehouse_spark.functions.bpe import encode_bpe
+
+    docs = spark.createDataFrame(
+        [(0, "xyzzy"), (1, "ab ab")], "doc_id long, text string"
+    )
+    # merge table that only knows ('a','b')
+    merges = [(0, "a", "b")]
+    got = {r.doc_id: r.n_bpe_tokens for r in encode_bpe(spark, docs, merges).collect()}
+    assert got[0] == len("xyzzy") + 1  # chars + </w>, nothing merges
+    assert got[1] == 2 * 2  # each 'ab' -> ['ab', '</w>']
+
+
+def test_encode_partitioning_independent(spark, sf_dir):
+    from minio_iceberg_polaris_lakehouse_spark.functions.bpe import encode_bpe
+
+    d = load_table(spark, sf_dir, "documents").limit(60)
+    merges = [
+        (r.rank, r.left, r.right)
+        for r in train_bpe(spark, d, n_merges=8).orderBy("rank").collect()
+    ]
+    one = sorted(map(tuple, encode_bpe(spark, d, merges).collect()))
+    many = sorted(map(tuple, encode_bpe(spark, d.repartition(13), merges).collect()))
+    assert one == many
