@@ -546,6 +546,7 @@ def _stage_row_level_commit(
     update_hint: bool,
     eq_delete_files: list[tuple[str, int, int]] | None = None,
     equality_ids: list[int] | None = None,
+    data_partition: tuple | None = None,
 ) -> str:
     """Stage ONE snapshot carrying a POSITION_DELETES manifest and/or an
     EQUALITY_DELETES manifest and/or a data manifest (all at the same new
@@ -554,7 +555,13 @@ def _stage_row_level_commit(
     `data_seq < delete_seq` rule keeps same-snapshot data files out of
     the equality deletes' reach), then write the vN+1 metadata
     document. ``eq_delete_files`` are content=2 entries keyed on the
-    schema field ids in ``equality_ids``."""
+    schema field ids in ``equality_ids``. ``data_partition`` (optional)
+    is ``(part_triples, spec_fields, spec_id)`` for identity-partitioned
+    DATA entries: the data manifest then carries the spec's own entry
+    schema and each file's typed partition values (``data_files`` must
+    be _walk_parquet dicts); delete manifests stay partition-empty —
+    positional tombstones name exact (file,pos) pairs and equality
+    deletes apply table-wide."""
     snaps = md.get("snapshots", [])
     parent = md.get("current-snapshot-id")
     parent_snap = next((s for s in snaps if s["snapshot-id"] == parent), None)
@@ -588,15 +595,26 @@ def _stage_row_level_commit(
         files: list,
         entry_content: int | None = None,
         eq_ids: list[int] | None = None,
+        schema_override: dict | None = None,
+        spec_fields_json: str = "[]",
+        spec_id: int = 0,
     ) -> dict:
         """``list_content`` is the manifest-list record's content code
         (0 data / 1 deletes); ``entry_content`` the per-file code inside
         (1 POSITION_DELETES vs 2 EQUALITY_DELETES ride the same
-        list-level deletes code)."""
+        list-level deletes code). ``files`` entries are (path, rows,
+        size) tuples or _walk_parquet dicts with typed partition
+        values."""
+        norm = [
+            (f["path"], f["rows"], f["size"], f.get("partition", {}))
+            if isinstance(f, dict)
+            else (f[0], f[1], f[2], {})
+            for f in files
+        ]
         man_path = os.path.join(mdir, f"manifest-{tag}-{kind}.avro")
         avro_io.write_container(
             man_path,
-            entry_schema,
+            schema_override or entry_schema,
             [
                 {
                     "status": 1,
@@ -607,18 +625,18 @@ def _stage_row_level_commit(
                         "content": entry_content if entry_content is not None else list_content,
                         "file_path": p,
                         "file_format": "PARQUET",
-                        "partition": {},
+                        "partition": part,
                         "record_count": rows,
                         "file_size_in_bytes": size,
                         **({"equality_ids": list(eq_ids)} if eq_ids else {}),
                     },
                 }
-                for p, rows, size in files
+                for p, rows, size, part in norm
             ],
             metadata={
                 "schema": json.dumps(target),
-                "partition-spec": "[]",
-                "partition-spec-id": "0",
+                "partition-spec": spec_fields_json,
+                "partition-spec-id": str(spec_id),
                 "format-version": "2",
                 "content": "deletes" if list_content else "data",
             },
@@ -626,15 +644,15 @@ def _stage_row_level_commit(
         return {
             "manifest_path": man_path,
             "manifest_length": fsio.getsize(man_path),
-            "partition_spec_id": 0,
+            "partition_spec_id": spec_id,
             "content": list_content,
             "sequence_number": seq,
             "min_sequence_number": seq,
             "added_snapshot_id": snapshot_id,
-            "added_files_count": len(files),
+            "added_files_count": len(norm),
             "existing_files_count": 0,
             "deleted_files_count": 0,
-            "added_rows_count": sum(r for _, r, _ in files),
+            "added_rows_count": sum(r for _, r, _, _ in norm),
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
         }
@@ -647,7 +665,26 @@ def _stage_row_level_commit(
             _write_manifest("eqdeletes", 1, eq_delete_files, entry_content=2, eq_ids=equality_ids)
         )
     if data_files:
-        new_records.append(_write_manifest("data", 0, data_files))
+        if data_partition is not None:
+            part_triples, spec_fields, spec_id = data_partition
+            from minio_iceberg_polaris_lakehouse_spark.iceberg_export import (
+                _manifest_entry_schema as _entry_schema_fn,
+            )
+
+            new_records.append(
+                _write_manifest(
+                    "data",
+                    0,
+                    data_files,
+                    schema_override=_entry_schema_fn(
+                        [(n, t, fid) for n, _src, fid, t, _it in part_triples]
+                    ),
+                    spec_fields_json=json.dumps(spec_fields),
+                    spec_id=spec_id,
+                )
+            )
+        else:
+            new_records.append(_write_manifest("data", 0, data_files))
 
     stage_id = uuid.uuid4().hex[:12]
     list_path = os.path.join(mdir, f"snap-{snapshot_id}-{stage_id}-manifest-list.avro")
@@ -779,12 +816,14 @@ def upsert_iceberg_table(
     byte-level what a Flink upsert sink commits; any spec-compliant
     reader (including sources/iceberg_reader.py) applies it.
 
-    O(batch): the table is never scanned. Unpartitioned tables only
-    (the delete file is partition-independent, but the data entries of a
-    partitioned table must carry typed partition values — use
-    append+delete for those until partitioned upsert lands). The batch
-    must hold at most one row per key (checked on the written files;
-    both copies would survive the equal-sequence rule otherwise).
+    O(batch): the table is never scanned. Scope matches
+    append_iceberg_table: unpartitioned and IDENTITY-partitioned tables
+    (the data manifest carries typed partition values under the spec's
+    field ids; the equality-delete file is partition-independent and
+    kills matching keys in EVERY partition — a key may move partitions
+    between upserts); derived transforms refuse. The batch must hold at
+    most one row per key (checked on the written files; both copies
+    would survive the equal-sequence rule otherwise).
     """
     md_path = resolve_metadata_path(location)
     md = json.loads(fsio.read_text(md_path))
@@ -795,10 +834,12 @@ def upsert_iceberg_table(
     default_spec = next(
         (s for s in specs if s.get("spec-id") == md.get("default-spec-id", 0)), None
     )
-    if (default_spec or {}).get("fields"):
+    spec_fields = (default_spec or {}).get("fields") or []
+    non_identity = [f for f in spec_fields if f.get("transform") != "identity"]
+    if non_identity:
         raise ValueError(
-            "upsert_iceberg_table supports unpartitioned tables; this table "
-            "has a partition spec — append + delete separately instead"
+            "upsert_iceberg_table supports unpartitioned and identity-"
+            f"partitioned tables; derived transforms present: {non_identity!r}"
         )
 
     schemas = {s["schema-id"]: s for s in md.get("schemas", [])}
@@ -828,10 +869,21 @@ def upsert_iceberg_table(
             raise ValueError(f"required column {f['name']} missing from upsert data")
     aligned = df.select(*cols)
 
+    part_triples = _identity_partition_triples(spec_fields, target)
     tag = f"upsert-{uuid.uuid4().hex[:12]}"
     out_dir = os.path.join(root, "data", tag)
-    aligned.write.option("compression", "zstd").parquet(out_dir)
-    written = spark.read.parquet(out_dir)
+    if part_triples:
+        # same hive-style layout as append_iceberg_table: _pv_* dir keys
+        # carry the values, the data files keep every real column
+        staged = aligned
+        for spec_name, src_name, *_rest in part_triples:
+            staged = staged.withColumn(f"_pv_{spec_name}", F.col(src_name))
+        staged.write.option("compression", "zstd").partitionBy(
+            *[f"_pv_{t[0]}" for t in part_triples]
+        ).parquet(out_dir)
+    else:
+        aligned.write.option("compression", "zstd").parquet(out_dir)
+    written = spark.read.parquet(out_dir).select(*[f["name"] for f in target["fields"]])
     dup = written.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
     if dup:
         fsio.rmtree(out_dir)
@@ -839,7 +891,7 @@ def upsert_iceberg_table(
             f"upsert batch carries multiple rows for key {[dup[0][k] for k in keys]}; "
             "dedup the batch first"
         )
-    data_files = _list_parquet(out_dir)
+    data_files = _walk_parquet(out_dir, part_triples) if part_triples else _list_parquet(out_dir)
 
     eq_dir = os.path.join(root, "data", f"{tag}-eqdel")
     written.select(*keys).dropDuplicates(keys).write.option("compression", "zstd").parquet(
@@ -847,6 +899,9 @@ def upsert_iceberg_table(
     )
     eq_files = _list_parquet(eq_dir)
 
+    added_rows = sum(
+        f["rows"] if isinstance(f, dict) else f[1] for f in data_files
+    )
     return _stage_row_level_commit(
         md,
         md_path,
@@ -856,10 +911,15 @@ def upsert_iceberg_table(
         data_files=data_files,
         eq_delete_files=eq_files,
         equality_ids=eq_ids,
+        data_partition=(
+            (part_triples, spec_fields, md.get("default-spec-id", 0))
+            if part_triples
+            else None
+        ),
         summary={
             "operation": "overwrite",
             "upsert": "true",
-            "added-records": str(sum(r for _, r, _ in data_files)),
+            "added-records": str(added_rows),
             "added-delete-files": str(len(eq_files)),
             "added-equality-deletes": str(sum(r for _, r, _ in eq_files)),
         },

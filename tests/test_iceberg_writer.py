@@ -564,19 +564,6 @@ def test_upsert_foreign_requires_keys_and_unique_batch(spark, tmp_path):
     assert _rows(read_iceberg_table(spark, t.path)) == [(1, "x")], "nothing committed"
 
 
-def test_upsert_foreign_partitioned_refused(spark, tmp_path):
-    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
-        upsert_iceberg_table,
-    )
-
-    wh = Warehouse(spark, str(tmp_path / "wh_u3"))
-    t = wh.create_table("db", "p", "id int, lang string", partition_by="lang")
-    t.set_identifier_fields("id")
-    t.insert_values([(1, "en")])
-    with pytest.raises(ValueError, match="unpartitioned"):
-        upsert_iceberg_table(spark, t.path, spark.createDataFrame([(1, "fr")], t.schema()))
-
-
 def test_registered_foreign_upsert_property_routes_insert(spark, tmp_path):
     """A foreign table whose OWN metadata declares write.upsert.enabled:
     registered INSERT INTO routes through the upsert shape."""
@@ -596,3 +583,46 @@ def test_registered_foreign_upsert_property_routes_insert(spark, tmp_path):
     lake.sql("INSERT INTO ext.inv VALUES (2, 25), (3, 30)")
     got = _rows(lake.sql("SELECT sku, qty FROM ext.inv"))
     assert got == [(1, 10), (2, 25), (3, 30)]
+
+
+def test_upsert_foreign_identity_partitioned(spark, tmp_path):
+    """Identity-partitioned foreign upsert: the data manifest carries the
+    spec's typed partition values, the equality delete kills a key that
+    MOVED partitions, and readers see latest-per-key."""
+    from minio_iceberg_polaris_lakehouse_spark import avro_io
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+        upsert_iceberg_table,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh_up"))
+    t = wh.create_table("db", "pups", "id int, lang string, v string", partition_by="lang")
+    t.set_identifier_fields("id")
+    t.insert_values([(1, "en", "a"), (2, "fr", "b")])
+
+    # key 2 moves fr -> en; key 3 is new in de
+    batch = spark.createDataFrame(
+        [(2, "en", "B2"), (3, "de", "c")], "id int, lang string, v string"
+    )
+    new_path = upsert_iceberg_table(spark, t.path, batch)
+    got = read_iceberg_table(spark, t.path)
+    assert _rows(got.select("id", "lang", "v")) == [
+        (1, "en", "a"),
+        (2, "en", "B2"),
+        (3, "de", "c"),
+    ]
+    # the data manifest's entries carry typed partition values under the
+    # spec's own entry schema
+    md = json.loads(open(new_path).read())
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"])
+    _s, _m, mans = avro_io.read_container(snap["manifest-list"])
+    data_man = next(
+        m for m in mans if "upsert" in m["manifest_path"] and m["manifest_path"].endswith("-data.avro")
+    )
+    _s2, _m2, entries = avro_io.read_container(data_man["manifest_path"])
+    spec_field = md["partition-specs"][0]["fields"][0]["name"]
+    parts = {e["data_file"]["partition"][spec_field] for e in entries}
+    assert parts == {"en", "de"}
+    # the eq-delete manifest stays partition-empty (applies table-wide)
+    eq_man = next(m for m in mans if "eqdeletes" in m["manifest_path"])
+    _s3, _m3, eq_entries = avro_io.read_container(eq_man["manifest_path"])
+    assert eq_entries[0]["data_file"]["partition"] == {}

@@ -256,6 +256,9 @@ def test_delete_files_sql_selectable(lake, spark):
     lake.sql("INSERT INTO db.m VALUES (1, 'a'), (2, 'b')")
     lake.sql("DELETE FROM db.m WHERE id = 1")
     got = lake.sql("SELECT content, record_count FROM db.m.delete_files").collect()
-    assert len(got) == 1 and got[0].content == 1
+    # the tombstone dir may split into several part-files depending on
+    # the session's parallelism — pin the content code and total rows
+    assert got and {r.content for r in got} == {1}
+    assert sum(r.record_count for r in got) == 1
     n = lake.sql("SELECT COUNT(*) AS n FROM db.m.all_manifests").collect()[0].n
     assert n >= 1

@@ -176,3 +176,16 @@ def test_upsert_then_eq_compaction_folds_tombstones(wh, spark):
     assert _rows(t.read()) == [(1, "a"), (2, "B2")]
     snap = t._resolve()
     assert not snap.get("eq_deletes"), "compaction absorbs equality tombstones"
+
+
+def test_upsert_partitioned_table(wh, spark):
+    """Engine-side upsert on a hidden-partitioned table: the batch lands
+    partitioned as any write does; the equality delete applies
+    table-wide regardless of partition."""
+    t = wh.create_table("db", "u13", "id int, lang string, v string", partition_by="lang")
+    t.set_identifier_fields("id")
+    t.insert_values([(1, "en", "a"), (2, "fr", "b")])
+    # key 2 moves partitions (fr -> en) — the eq delete still kills the
+    # old row because identity is the key, not the partition
+    t.upsert(spark.createDataFrame([(2, "en", "B2"), (3, "de", "c")], t.schema()))
+    assert _rows(t.read()) == [(1, "en", "a"), (2, "en", "B2"), (3, "de", "c")]
