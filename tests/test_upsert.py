@@ -189,3 +189,57 @@ def test_upsert_partitioned_table(wh, spark):
     # old row because identity is the key, not the partition
     t.upsert(spark.createDataFrame([(2, "en", "B2"), (3, "de", "c")], t.schema()))
     assert _rows(t.read()) == [(1, "en", "a"), (2, "en", "B2"), (3, "de", "c")]
+
+
+def test_fuzz_upsert_model_check(wh, spark):
+    """Model check: a random interleaving of plain inserts, upserts, and
+    key deletes against a dict model — after every commit the table must
+    equal the model exactly, and every prior snapshot must still
+    time-travel to its own recorded state. Catches sequence-rule
+    regressions (an upsert's delete leaking onto its own batch, a
+    resurrected key staying dead) under arbitrary operation orders."""
+    import random
+
+    rng = random.Random(7_007)
+    t = _t(wh, "u_fuzz")
+    t.set_properties({"write.delete.mode": "merge-on-read-equality",
+                      "write.delete.equality-columns": "id"})
+    model: dict[int, str] = {}
+    history: list[tuple[int, dict[int, str]]] = []
+    next_val = 0
+
+    def fresh(k):
+        nonlocal next_val
+        next_val += 1
+        return f"v{next_val}"
+
+    for step in range(18):
+        op = rng.choice(["upsert", "upsert", "insert_new", "delete"])
+        if op == "upsert":
+            ks = rng.sample(range(8), rng.randint(1, 3))
+            rows = [(k, fresh(k)) for k in ks]
+            t.upsert(spark.createDataFrame(rows, t.schema()))
+            model.update(dict(rows))
+        elif op == "insert_new":
+            # plain append of keys NOT present (append would duplicate
+            # present keys — the model is a dict, so only new keys here)
+            ks = [k for k in rng.sample(range(8, 16), rng.randint(1, 2)) if k not in model]
+            if not ks:
+                continue
+            rows = [(k, fresh(k)) for k in ks]
+            t.append(spark.createDataFrame(rows, t.schema()))
+            model.update(dict(rows))
+        else:
+            if not model:
+                continue
+            k = rng.choice(sorted(model))
+            t.delete_where(f"id = {k}")
+            del model[k]
+        history.append((t.current_snapshot_id(), dict(model)))
+        got = {r.id: r.v for r in t.read().collect()}
+        assert got == model, f"step {step} ({op}): {got} != {model}"
+
+    # all snapshots time-travel to their recorded states
+    for sid, state in rng.sample(history, min(6, len(history))):
+        got = {r.id: r.v for r in t.read(version=sid).collect()}
+        assert got == state, f"snapshot {sid}"
