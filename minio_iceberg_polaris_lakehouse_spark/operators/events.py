@@ -109,3 +109,65 @@ def evt_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "events_per_session"
         ),
     ).orderBy("user_id")
+
+
+@register(
+    "evt_cohort_retention",
+    oracle="""
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    firsts AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id),
+    act AS (SELECT f.cohort_day, DATEDIFF('day', f.cohort_day, d.day) AS day_offset,
+                   d.user_id
+            FROM days d JOIN firsts f USING (user_id)
+            WHERE DATEDIFF('day', f.cohort_day, d.day) <= 7),
+    counts AS (SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+                      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+               FROM act GROUP BY cohort_day, day_offset),
+    sizes AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_cohort
+              FROM firsts GROUP BY cohort_day)
+    SELECT c.cohort_day, c.day_offset, c.n_active, s.n_cohort,
+           CAST(ROUND(CAST(c.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE), 6)
+                AS DOUBLE) AS retention
+    FROM counts c JOIN sizes s USING (cohort_day)
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def evt_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    cohorted by FIRST-active day, then for each day offset 0..7 the
+    fraction of the cohort active again that day. Offset 0 is 1.0 by
+    construction (a sanity anchor the oracle hash also pins).
+
+    Plan: one distinct (user, day) projection feeds BOTH the cohort
+    derivation (min-day per user) and the activity join — Spark reuses
+    the exchange; the join is user-keyed (no skew: one row per user per
+    active day), and the two final aggregates are map-side combined.
+    The single IEEE division happens once per output row on two exact
+    BIGINTs, rounded to 6 — deterministic cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).dropDuplicates(
+        ["user_id", "day"]
+    )
+    firsts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = (
+        days.join(firsts, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day").cast("int"))
+        .filter(F.col("day_offset") <= 7)
+    )
+    counts = act.groupBy("cohort_day", "day_offset").agg(
+        F.countDistinct("user_id").cast("long").alias("n_active")
+    )
+    sizes = firsts.groupBy("cohort_day").agg(F.count("*").cast("long").alias("n_cohort"))
+    return (
+        counts.join(sizes, "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "n_cohort",
+            F.round(
+                F.col("n_active").cast("double") / F.col("n_cohort").cast("double"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
