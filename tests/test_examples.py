@@ -31,3 +31,10 @@ def test_curation_pipeline_example():
     r = _run("curation_pipeline.py", "/root/testdata/sf0.001")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "residual_pii" in r.stdout and "audio sidecar" in r.stdout
+
+
+def test_cdc_upsert_pipeline_example(tmp_path):
+    r = _run("cdc_upsert_pipeline.py", str(tmp_path / "cdc"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "MV refreshed (incremental)" in r.stdout
+    assert "FOREIGN upsert" in r.stdout
