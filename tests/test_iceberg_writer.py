@@ -626,3 +626,44 @@ def test_upsert_foreign_identity_partitioned(spark, tmp_path):
     eq_man = next(m for m in mans if "eqdeletes" in m["manifest_path"])
     _s3, _m3, eq_entries = avro_io.read_container(eq_man["manifest_path"])
     assert eq_entries[0]["data_file"]["partition"] == {}
+
+
+def test_rest_arbitrated_foreign_upsert(spark, tmp_path):
+    """Multi-writer upsert: update_hint=False + commitTable CAS — the
+    catalog arbitrates the pointer swap; the committed location serves
+    latest-per-key."""
+    from minio_iceberg_polaris_lakehouse_spark.rest_catalog import (
+        RestCatalogClient,
+        make_server,
+    )
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+        upsert_iceberg_table,
+    )
+
+    srv, port = make_server(str(tmp_path), "cid", "sec")
+    try:
+        cli = RestCatalogClient(f"http://127.0.0.1:{port}", "cid", "sec")
+        cli.create_catalog("cat", str(tmp_path / "cat"))
+        cli.create_namespace("cat", "db")
+        cli.create_table("cat", "db", "t", "id int, v string")
+        wh = Warehouse(spark, str(tmp_path / "cat"))
+        t = wh.table("db", "t")
+        t.set_identifier_fields("id")
+        t.insert_values([(1, "a"), (2, "b")])
+        cli.commit_with_retry(
+            "cat", "db", "t", lambda cur: resolve_metadata_path(t.path)
+        )
+
+        def stage(cur):
+            return upsert_iceberg_table(
+                spark,
+                cur["metadata-location"],
+                spark.createDataFrame([(2, "B2"), (3, "c")], "id int, v string"),
+                update_hint=False,
+            )
+
+        cli.commit_with_retry("cat", "db", "t", stage)
+        loc = cli.load_table("cat", "db", "t")["metadata-location"]
+        assert _rows(read_iceberg_table(spark, loc)) == [(1, "a"), (2, "B2"), (3, "c")]
+    finally:
+        srv.shutdown()
