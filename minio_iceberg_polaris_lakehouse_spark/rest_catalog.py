@@ -37,6 +37,7 @@ import os
 import re
 import secrets
 import threading
+import time
 import urllib.error
 import urllib.parse
 import urllib.request
@@ -67,6 +68,8 @@ class _CatalogState:
         # (catalog, ns, table) -> current metadata location; the ONE piece
         # of state the catalog owns in the real architecture
         self.pointers: dict[tuple[str, str, str], str] = {}
+        # (catalog, ns, view) -> current view-metadata location
+        self.view_pointers: dict[tuple[str, str, str], str] = {}
         self.lock = threading.Lock()
 
     def warehouse_for(self, catalog: str, spark) -> Warehouse:
@@ -125,6 +128,12 @@ class _Handler(BaseHTTPRequestHandler):
         m = re.fullmatch(r"/api/catalog/v1/([^/]+)/namespaces/([^/]+)/tables/([^/]+)", path)
         if m:
             return self._commit_table(*m.groups())
+        m = re.fullmatch(r"/api/catalog/v1/([^/]+)/namespaces/([^/]+)/views", path)
+        if m:
+            return self._create_view(m.group(1), m.group(2))
+        m = re.fullmatch(r"/api/catalog/v1/([^/]+)/namespaces/([^/]+)/views/([^/]+)", path)
+        if m:
+            return self._replace_view(*m.groups())
         self._error(404, f"no route for POST {path}", "NoSuchResourceException")
 
     def do_GET(self):  # noqa: N802
@@ -151,6 +160,12 @@ class _Handler(BaseHTTPRequestHandler):
         m = re.fullmatch(r"/api/catalog/v1/([^/]+)/namespaces/([^/]+)/tables/([^/]+)", path)
         if m:
             return self._load_table(*m.groups())
+        m = re.fullmatch(r"/api/catalog/v1/([^/]+)/namespaces/([^/]+)/views", path)
+        if m:
+            return self._list_views(m.group(1), m.group(2))
+        m = re.fullmatch(r"/api/catalog/v1/([^/]+)/namespaces/([^/]+)/views/([^/]+)", path)
+        if m:
+            return self._load_view(*m.groups())
         self._error(404, f"no route for GET {path}", "NoSuchResourceException")
 
     def do_DELETE(self):  # noqa: N802
@@ -160,6 +175,9 @@ class _Handler(BaseHTTPRequestHandler):
         m = re.fullmatch(r"/api/catalog/v1/([^/]+)/namespaces/([^/]+)/tables/([^/]+)", path)
         if m:
             return self._drop_table(*m.groups())
+        m = re.fullmatch(r"/api/catalog/v1/([^/]+)/namespaces/([^/]+)/views/([^/]+)", path)
+        if m:
+            return self._drop_view(*m.groups())
         self._error(404, f"no route for DELETE {path}", "NoSuchResourceException")
 
     # -- handlers
@@ -324,6 +342,168 @@ class _Handler(BaseHTTPRequestHandler):
             self.state.pointers[key] = new_loc
         self._json(200, self._table_response(new_loc))
 
+    # -- views (Iceberg REST view spec, the surface Polaris exposes) ------
+    #
+    # View metadata lives as a spec-shaped JSON document under the
+    # warehouse (<ns>/<name>.view/metadata/vN.view-metadata.json); the
+    # SQL representation is ALSO registered in the warehouse's view
+    # registry, so a LakehouseSQL session bound to the same warehouse
+    # can SELECT the view the moment the REST call returns — the same
+    # division of labor as tables (catalog arbitrates metadata, engine
+    # executes).
+
+    def _view_dir(self, wh, ns: str, name: str) -> str:
+        return os.path.join(wh.root, ns, f"{name}.view")
+
+    @staticmethod
+    def _view_sql(doc: dict) -> tuple[str, str]:
+        """(sql, dialect) of the create/replace request body — accepts
+        both the flat {sql, dialect} convenience form and the spec's
+        {view-version: {representations: [{type: sql, ...}]}}."""
+        if "sql" in doc:
+            return doc["sql"], doc.get("dialect", "spark")
+        reps = (doc.get("view-version") or {}).get("representations") or []
+        for r in reps:
+            if r.get("type") == "sql":
+                return r["sql"], r.get("dialect", "spark")
+        return "", ""
+
+    def _write_view_metadata(
+        self, vdir: str, prev: dict | None, sql: str, dialect: str, ns: str, props: dict
+    ) -> str:
+        import uuid as _uuid
+
+        now = int(time.time() * 1000)
+        if prev is None:
+            vid, versions, log = 1, [], []
+            vuuid = str(_uuid.uuid4())
+        else:
+            vid = prev["current-version-id"] + 1
+            versions, log = prev["versions"], prev["version-log"]
+            vuuid = prev["view-uuid"]
+        versions = versions + [
+            {
+                "version-id": vid,
+                "timestamp-ms": now,
+                "schema-id": 0,
+                "summary": {"engine-name": "lakehouse", "operation": "create" if prev is None else "replace"},
+                "representations": [{"type": "sql", "sql": sql, "dialect": dialect}],
+                "default-namespace": [ns],
+            }
+        ]
+        doc = {
+            "view-uuid": vuuid,
+            "format-version": 1,
+            "location": vdir,
+            "current-version-id": vid,
+            "versions": versions,
+            "version-log": log + [{"timestamp-ms": now, "version-id": vid}],
+            "schemas": [],
+            "properties": props,
+        }
+        mdir = os.path.join(vdir, "metadata")
+        fsio.makedirs(mdir, exist_ok=True)
+        loc = os.path.join(mdir, f"v{vid}.view-metadata.json")
+        fsio.write_bytes(loc, json.dumps(doc, indent=1).encode())
+        fsio.write_bytes(os.path.join(mdir, "version-hint.text"), str(vid).encode())
+        return loc
+
+    def _view_response(self, loc: str) -> dict:
+        return {"metadata-location": loc, "metadata": json.loads(fsio.read_text(loc))}
+
+    def _create_view(self, catalog: str, ns: str):
+        wh = self._wh(catalog)
+        if wh is None:
+            return
+        doc = self._body()
+        name = doc.get("name")
+        sql, dialect = self._view_sql(doc)
+        if not name or not sql:
+            return self._error(400, "name and a sql representation required")
+        key = (catalog, ns, name)
+        with self.state.lock:
+            if key in self.state.view_pointers or f"{ns}.{name}" in wh.views():
+                return self._error(409, f"view {ns}.{name} exists", "AlreadyExistsException")
+            try:
+                wh.create_view(ns, name, sql)
+            except Exception as e:  # table/name collision etc.
+                return self._error(409, str(e), "AlreadyExistsException")
+            loc = self._write_view_metadata(
+                self._view_dir(wh, ns, name), None, sql, dialect, ns, doc.get("properties", {})
+            )
+            self.state.view_pointers[key] = loc
+        self._json(200, self._view_response(loc))
+
+    def _list_views(self, catalog: str, ns: str):
+        wh = self._wh(catalog)
+        if wh is None:
+            return
+        names = sorted(
+            v.split(".", 1)[1] for v in wh.views() if v.split(".", 1)[0] == ns
+        )
+        self._json(200, {"identifiers": [{"namespace": [ns], "name": n} for n in names]})
+
+    def _load_view(self, catalog: str, ns: str, name: str):
+        wh = self._wh(catalog)
+        if wh is None:
+            return
+        key = (catalog, ns, name)
+        with self.state.lock:
+            loc = self.state.view_pointers.get(key)
+            if loc is None:
+                sql = wh.views().get(f"{ns}.{name}")
+                if sql is None:
+                    return self._error(404, f"no view {ns}.{name}", "NoSuchViewException")
+                # engine-created view never loaded through REST: export
+                # spec metadata for it lazily, like tables do
+                loc = self._write_view_metadata(
+                    self._view_dir(wh, ns, name), None, sql, "spark", ns, {}
+                )
+                self.state.view_pointers[key] = loc
+        self._json(200, self._view_response(loc))
+
+    def _replace_view(self, catalog: str, ns: str, name: str):
+        """replaceView (the spec's commit on a view): append a new
+        version with the new SQL representation and advance
+        current-version-id; the engine registry updates in the same
+        critical section."""
+        wh = self._wh(catalog)
+        if wh is None:
+            return
+        doc = self._body()
+        sql, dialect = self._view_sql(doc)
+        if not sql:
+            return self._error(400, "a sql representation is required")
+        key = (catalog, ns, name)
+        with self.state.lock:
+            loc = self.state.view_pointers.get(key)
+            if loc is None and f"{ns}.{name}" not in wh.views():
+                return self._error(404, f"no view {ns}.{name}", "NoSuchViewException")
+            prev = json.loads(fsio.read_text(loc)) if loc else None
+            wh.create_view(ns, name, sql, replace=True)
+            loc = self._write_view_metadata(
+                self._view_dir(wh, ns, name), prev, sql, dialect, ns,
+                doc.get("properties", (prev or {}).get("properties", {})),
+            )
+            self.state.view_pointers[key] = loc
+        self._json(200, self._view_response(loc))
+
+    def _drop_view(self, catalog: str, ns: str, name: str):
+        wh = self._wh(catalog)
+        if wh is None:
+            return
+        if f"{ns}.{name}" not in wh.views():
+            return self._error(404, f"no view {ns}.{name}", "NoSuchViewException")
+        wh.drop_view(ns, name)
+        with self.state.lock:
+            self.state.view_pointers.pop((catalog, ns, name), None)
+        vdir = self._view_dir(wh, ns, name)
+        if fsio.isdir(vdir):
+            fsio.rmtree(vdir)
+        self.send_response(204)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
     def _drop_table(self, catalog: str, ns: str, name: str):
         wh = self._wh(catalog)
         if wh is None:
@@ -458,6 +638,43 @@ class RestCatalogClient:
 
     def drop_table(self, catalog: str, ns: str, name: str) -> None:
         self._request("DELETE", f"/api/catalog/v1/{catalog}/namespaces/{ns}/tables/{name}")
+
+    # -- views (Iceberg REST view spec) ----------------------------------
+
+    def create_view(
+        self, catalog: str, ns: str, name: str, sql: str, dialect: str = "spark"
+    ) -> dict:
+        return self._post_json(
+            f"/api/catalog/v1/{catalog}/namespaces/{ns}/views",
+            {
+                "name": name,
+                "view-version": {
+                    "representations": [{"type": "sql", "sql": sql, "dialect": dialect}]
+                },
+            },
+        )
+
+    def list_views(self, catalog: str, ns: str) -> list[str]:
+        out = self._request("GET", f"/api/catalog/v1/{catalog}/namespaces/{ns}/views")
+        return [i["name"] for i in out["identifiers"]]
+
+    def load_view(self, catalog: str, ns: str, name: str) -> dict:
+        return self._request("GET", f"/api/catalog/v1/{catalog}/namespaces/{ns}/views/{name}")
+
+    def replace_view(
+        self, catalog: str, ns: str, name: str, sql: str, dialect: str = "spark"
+    ) -> dict:
+        return self._post_json(
+            f"/api/catalog/v1/{catalog}/namespaces/{ns}/views/{name}",
+            {
+                "view-version": {
+                    "representations": [{"type": "sql", "sql": sql, "dialect": dialect}]
+                },
+            },
+        )
+
+    def drop_view(self, catalog: str, ns: str, name: str) -> None:
+        self._request("DELETE", f"/api/catalog/v1/{catalog}/namespaces/{ns}/views/{name}")
 
     def commit_table(
         self, catalog: str, ns: str, name: str, base_location: str, new_location: str

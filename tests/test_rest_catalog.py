@@ -269,3 +269,71 @@ def test_conflicting_delete_through_rest_catalog(server, spark):
         (r.id, r.v) for r in read_iceberg_table(spark, final).collect()
     )
     assert got == [(1, "a"), (3, "c")]
+
+
+def test_view_lifecycle_through_rest(spark, tmp_path):
+    """Iceberg REST view spec: create -> load (spec-shaped metadata with
+    versions/representations) -> SELECT through an engine session bound
+    to the same warehouse -> replace (version 2, version-log grows) ->
+    list -> drop."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    srv, port = make_server(str(tmp_path), "cid", "sec")
+    try:
+        cli = RestCatalogClient(f"http://127.0.0.1:{port}", "cid", "sec")
+        cli.create_catalog("cat", str(tmp_path / "cat"))
+        cli.create_namespace("cat", "db")
+        lake = LakehouseSQL(spark, str(tmp_path / "cat"))
+        lake.sql("CREATE TABLE polaris.db.base (id INT, v STRING) USING iceberg")
+        lake.sql("INSERT INTO db.base VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+
+        out = cli.create_view("cat", "db", "big_ids", "SELECT id FROM db.base WHERE id >= 2")
+        md = out["metadata"]
+        assert md["current-version-id"] == 1 and md["format-version"] == 1
+        rep = md["versions"][-1]["representations"][0]
+        assert rep["type"] == "sql" and "WHERE id >= 2" in rep["sql"]
+        assert out["metadata-location"].endswith("v1.view-metadata.json")
+
+        # the engine session SELECTs the catalog-created view immediately
+        got = sorted(r.id for r in lake.sql("SELECT id FROM db.big_ids").collect())
+        assert got == [2, 3]
+
+        # replace: new SQL, version 2, log grows, engine follows
+        out2 = cli.replace_view("cat", "db", "big_ids", "SELECT id FROM db.base WHERE id = 1")
+        assert out2["metadata"]["current-version-id"] == 2
+        assert [e["version-id"] for e in out2["metadata"]["version-log"]] == [1, 2]
+        assert [r.id for r in lake.sql("SELECT id FROM db.big_ids").collect()] == [1]
+
+        assert cli.list_views("cat", "db") == ["big_ids"]
+        # duplicate create -> 409
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="exists"):
+            cli.create_view("cat", "db", "big_ids", "SELECT 1 AS x")
+        cli.drop_view("cat", "db", "big_ids")
+        assert cli.list_views("cat", "db") == []
+        with _pytest.raises(RuntimeError, match="no view"):
+            cli.load_view("cat", "db", "big_ids")
+    finally:
+        srv.shutdown()
+
+
+def test_engine_created_view_loads_through_rest(spark, tmp_path):
+    """A view created by the ENGINE (CREATE VIEW in SQL) lazily exports
+    spec metadata on the first REST loadView — the same lazy-export
+    contract tables have."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    srv, port = make_server(str(tmp_path), "cid", "sec")
+    try:
+        cli = RestCatalogClient(f"http://127.0.0.1:{port}", "cid", "sec")
+        cli.create_catalog("cat", str(tmp_path / "cat"))
+        cli.create_namespace("cat", "db")
+        lake = LakehouseSQL(spark, str(tmp_path / "cat"))
+        lake.sql("CREATE TABLE polaris.db.t (id INT) USING iceberg")
+        lake.sql("CREATE VIEW db.v AS SELECT id FROM db.t")
+        md = cli.load_view("cat", "db", "v")["metadata"]
+        assert md["current-version-id"] == 1
+        assert "SELECT id FROM db.t" in md["versions"][-1]["representations"][0]["sql"]
+    finally:
+        srv.shutdown()
