@@ -597,9 +597,9 @@ def ref_external_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_foreign_changes",
     oracle="""
     SELECT * FROM (VALUES
-        (2, 'b', 'delete', CAST(3 AS BIGINT)),
-        (3, 'c', 'insert', CAST(2 AS BIGINT)))
-        AS c(id, v, _change_type, _commit_snapshot_id)
+        (2, 'b', 'delete', CAST(3 AS BIGINT), 1),
+        (3, 'c', 'insert', CAST(2 AS BIGINT), 0))
+        AS c(id, v, _change_type, _commit_snapshot_id, _change_ordinal)
     ORDER BY _commit_snapshot_id, id
     """,
 )

@@ -181,6 +181,7 @@ def read_iceberg_table(
     as_of_ms: int | None = None,
     ref: str | None = None,
     _keep_lineage: bool = False,
+    _keep_seq: bool = False,
 ) -> DataFrame:
     """Open the table at ``location`` (table dir / metadata dir /
     metadata file) as a DataFrame; optional time travel by snapshot id,
@@ -219,6 +220,8 @@ def read_iceberg_table(
             e = e.withColumn("__file", F.lit(None).cast("string")).withColumn(
                 "__pos", F.lit(None).cast("long")
             )
+            if _keep_seq:
+                e = e.withColumn("__seq", F.lit(None).cast("long"))
         return e
 
     if snap is None:  # table created but never committed to
@@ -318,9 +321,11 @@ def read_iceberg_table(
     for rec in eq_deletes:
         out = _apply_eq_delete(spark, out, rec, target)
     if _keep_lineage:
-        # internal (delete writer): live rows WITH their (file, position)
-        # identity — __file is URI-normalized like the delete files
-        return out.drop("__seq")
+        # internal (delete writer / changelog): live rows WITH their
+        # (file, position) identity — __file is URI-normalized like the
+        # delete files; _keep_seq additionally keeps the data sequence
+        # (the eq-delete changelog's `data_seq < delete_seq` gate)
+        return out if _keep_seq else out.drop("__seq")
     return out.drop("__file", "__pos", "__seq")
 
 
@@ -420,11 +425,20 @@ def changes_iceberg_table(
     - added POSITIONAL delete manifests → the deleted rows re-read from
       their data files and emitted as 'delete' (the tombstone side
       broadcast);
-    - an interval that REMOVES a manifest (rewrite/compaction) or adds
-      EQUALITY deletes raises — emitting those as row-level changes
-      needs the engine's private lineage, and guessing silently would
-      corrupt a downstream MERGE. The caller falls back to a full
-      re-sync."""
+    - added EQUALITY delete manifests (content=2 — what Flink upsert
+      sinks and this engine's upsert_iceberg_table commit) → the
+      parent-state rows matching the delete keys under the v2 sequence
+      rule, emitted as 'delete'; an upsert snapshot therefore reads as
+      delete(old image) + insert(new image), the exact feed a
+      downstream MERGE applies;
+    - an interval that REMOVES a manifest (rewrite/compaction) raises —
+      distinguishing a rewrite from a logical change needs the writer's
+      private lineage, and guessing silently would corrupt a downstream
+      MERGE. The caller falls back to a full re-sync.
+
+    Rows also carry `_change_ordinal`: the commit's 0-based position
+    within the interval (parent-chain order), so a consumer applies
+    multi-commit windows in commit order."""
     md = json.loads(fsio.read_text(resolve_metadata_path(location)))
     by_id = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
     # from=0 is the virtual before-first snapshot: the FULL changelog
@@ -442,6 +456,7 @@ def changes_iceberg_table(
         + [
             T.StructField("_change_type", T.StringType(), False),
             T.StructField("_commit_snapshot_id", T.LongType(), False),
+            T.StructField("_change_ordinal", T.IntegerType(), False),
         ]
     )
     # Commit order comes from the PARENT POINTERS, never from sorting
@@ -516,7 +531,7 @@ def changes_iceberg_table(
                     file_schema[_norm(e["data_file"]["file_path"])] = fs
 
     parts: list[DataFrame] = []
-    for snap in interval:
+    for ordinal, snap in enumerate(interval):
         sid = snap["snapshot-id"]
         cur = _mans(snap)
         removed = [p for p in prev if p not in cur]
@@ -549,16 +564,61 @@ def changes_iceberg_table(
                             "*",
                             F.lit("insert").alias("_change_type"),
                             F.lit(sid).cast("long").alias("_commit_snapshot_id"),
+                            F.lit(ordinal).cast("int").alias("_change_ordinal"),
                         )
                     )
             else:
                 eq = [e for e in live if e["data_file"].get("content") == 2]
                 if eq:
-                    raise ValueError(
-                        f"changelog crosses EQUALITY deletes in snapshot {sid} "
-                        "— not derivable from open metadata alone; full "
-                        "re-sync required"
+                    # equality deletes: the retired rows are the PARENT
+                    # state's rows matching the delete keys under the v2
+                    # sequence rule — all derivable from open metadata
+                    # (parent read applies every older delete, so a row
+                    # an earlier commit already killed never re-emits;
+                    # same-snapshot data files are absent from the
+                    # parent by construction). O(parent live data) per
+                    # eq-delete commit, like the engine's own changelog.
+                    parent_id = snap.get("parent-snapshot-id")
+                    if parent_id is None:
+                        prev = cur
+                        continue  # eq delete on an empty table: no rows die
+                    alive = read_iceberg_table(
+                        spark,
+                        location,
+                        snapshot_id=int(parent_id),
+                        _keep_lineage=True,
+                        _keep_seq=True,
                     )
+                    hits: DataFrame | None = None
+                    for e in eq:
+                        ids = e["data_file"].get("equality_ids")
+                        if not ids:
+                            raise ValueError(
+                                f"equality-delete file without equality_ids "
+                                f"in snapshot {sid}"
+                            )
+                        rec = {
+                            "path": e["data_file"]["file_path"],
+                            "ids": list(ids),
+                            "seq": _entry_seq(e, cur[p]),
+                            "schema": fs,
+                        }
+                        h = _eq_delete_hits(spark, alive, rec, target)
+                        hits = h if hits is None else hits.unionByName(h)
+                    if hits is not None:
+                        dead = hits.dropDuplicates(["__file", "__pos"]).drop(
+                            "__file", "__pos", "__seq"
+                        )
+                        parts.append(
+                            dead.select(
+                                "*",
+                                F.lit("delete").alias("_change_type"),
+                                F.lit(sid).cast("long").alias("_commit_snapshot_id"),
+                                F.lit(ordinal).cast("int").alias("_change_ordinal"),
+                            )
+                        )
+                    # positional entries may ride the same manifest
+                    live = [e for e in live if e["data_file"].get("content") != 2]
                 del_files = [e["data_file"]["file_path"] for e in live]
                 if not del_files:
                     continue
@@ -601,6 +661,7 @@ def changes_iceberg_table(
                             "*",
                             F.lit("delete").alias("_change_type"),
                             F.lit(sid).cast("long").alias("_commit_snapshot_id"),
+                            F.lit(ordinal).cast("int").alias("_change_ordinal"),
                         )
                     )
         prev = cur
@@ -612,23 +673,13 @@ def changes_iceberg_table(
     return out
 
 
-def _apply_eq_delete(
-    spark: SparkSession, out: DataFrame, rec: dict, target: dict
-) -> DataFrame:
-    """Anti-join the live rows against one equality-delete file.
-
-    Key columns are identified by FIELD ID (`equality_ids`): resolved to
-    their name in the delete file's own schema generation (the column
-    name physically in the delete parquet) and independently to their
-    name in the target schema (the column name in the aligned data rows
-    — a rename between the two is legal). Comparison is null-safe and
-    gated on the v2 sequence rule `data_seq < delete_seq`, so a key
-    re-inserted after the delete is NOT tombstoned. Mirrors
-    warehouse.Table._apply_eq_deletes / _eq_match_cond for the engine's
-    own tables; delete side broadcast (metadata-sized)."""
+def _eq_delete_keys_cond(spark, out: DataFrame, rec: dict, target: dict):
+    """(broadcastable keys frame, join condition) of one equality-delete
+    file against lineage-bearing rows ``out`` — the shared core of the
+    anti-join (read path) and semi-join (changelog) applications."""
     by_id_src = {f["id"]: f for f in rec["schema"]["fields"]}
     by_id_tgt = {f["id"]: f for f in target["fields"]}
-    pairs = []  # (name in delete file, field in target)
+    pairs = []
     for fid in rec["ids"]:
         src = by_id_src.get(fid)
         tgt = by_id_tgt.get(fid)
@@ -651,6 +702,33 @@ def _apply_eq_delete(
     cond = out["__seq"] < F.lit(int(rec["seq"]))
     for _, tgt in pairs:
         cond = cond & out[tgt["name"]].eqNullSafe(F.col(f"__eq_{tgt['name']}"))
+    return keys, cond
+
+
+def _eq_delete_hits(
+    spark: SparkSession, out: DataFrame, rec: dict, target: dict
+) -> DataFrame:
+    """Rows of ``out`` one equality-delete file RETIRES (semi-join form,
+    for the changelog's 'delete' emission)."""
+    keys, cond = _eq_delete_keys_cond(spark, out, rec, target)
+    return out.join(F.broadcast(keys), cond, "left_semi")
+
+
+def _apply_eq_delete(
+    spark: SparkSession, out: DataFrame, rec: dict, target: dict
+) -> DataFrame:
+    """Anti-join the live rows against one equality-delete file.
+
+    Key columns are identified by FIELD ID (`equality_ids`): resolved to
+    their name in the delete file's own schema generation (the column
+    name physically in the delete parquet) and independently to their
+    name in the target schema (the column name in the aligned data rows
+    — a rename between the two is legal). Comparison is null-safe and
+    gated on the v2 sequence rule `data_seq < delete_seq`, so a key
+    re-inserted after the delete is NOT tombstoned. Mirrors
+    warehouse.Table._apply_eq_deletes / _eq_match_cond for the engine's
+    own tables; delete side broadcast (metadata-sized)."""
+    keys, cond = _eq_delete_keys_cond(spark, out, rec, target)
     return out.join(F.broadcast(keys), cond, "left_anti")
 
 

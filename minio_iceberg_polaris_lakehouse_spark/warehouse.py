@@ -2144,6 +2144,84 @@ class Table:
     def identifier_fields(self) -> list[str]:
         return list(self._meta().get("identifier_fields", []))
 
+    def delete_keys(
+        self,
+        keys_df: DataFrame,
+        branch: str | None = None,
+        extra_summary: dict[str, Any] | None = None,
+    ) -> int:
+        """Row deletion BY KEY SET (the Flink DELETE row-kind / CDC
+        tombstone): land the given identifier-field key rows as ONE
+        equality-delete file — O(batch) like upsert(), the table is
+        never scanned or matched, and no predicate string is parsed.
+        Keys absent from the table delete nothing (a no-op per key, the
+        CDC contract); a later re-INSERT of a deleted key resurrects it
+        (v2 sequence rule). Complements upsert(): together they apply
+        any CDC feed."""
+        cols = self.identifier_fields()
+        if not cols:
+            raise WarehouseError(
+                "delete_keys needs identifier fields: set_identifier_fields(...) or "
+                "ALTER TABLE ... SET IDENTIFIER FIELDS first"
+            )
+        schema = self.schema()
+        aligned = keys_df.select(
+            *[F.col(c).cast(schema[c].dataType).alias(c) for c in cols]
+        ).dropDuplicates(cols)
+        del_dir = f"delete-eq-{uuid.uuid4().hex[:12]}"
+        del_out = os.path.join(self.path, del_dir)
+        aligned.write.option("compression", "zstd").parquet(del_out)
+        del_stats = _parquet_footer_stats(del_out)
+        k = sum(s["rows"] for s in del_stats)
+        if k == 0:
+            fsio.rmtree(del_out)
+            return self.current_snapshot_id()  # empty key set: no snapshot
+        pend = PendingData(
+            del_dir,
+            k,
+            {"source": None, "transform": "identity", "spec_id": 0, "content": "eq-deletes"},
+            del_stats,
+        )
+        summary = {"added-delete-files": 1, "added-equality-deletes": k}
+        summary.update(extra_summary or {})
+        new_eq = {"dir": del_dir, "cols": list(cols), "seq": None}
+        lock, token = self._acquire_commit_lock()
+        try:
+            self._record_pending([pend])
+            snaps = self._snaps()
+            if branch:
+                meta = self._meta()
+                rec = meta.get("refs", {}).get(branch)
+                if rec is None or rec.get("type") != "BRANCH":
+                    raise WarehouseError(
+                        f"unknown branch {branch!r} on {self.ns}.{self.name} "
+                        "(create it first: create_ref(name, 'branch'))"
+                    )
+                base = next(s for s in snaps if s["snapshot_id"] == int(rec["snapshot_id"]))
+                sid = self._append_snapshot(
+                    snaps,
+                    "delete",
+                    base["manifest"],
+                    summary,
+                    base.get("delete_dirs", []),
+                    branch=branch,
+                    eq_deletes=base.get("eq_deletes", []) + [new_eq],
+                    parent_id=base["snapshot_id"],
+                )
+                meta = self._meta()
+                meta["refs"][branch]["snapshot_id"] = sid
+                self._write_meta(meta)
+                return sid
+            mains = self._main_snaps(snaps)
+            live = mains[-1]["manifest"] if mains else []
+            inherited = mains[-1].get("delete_dirs", []) if mains else []
+            inherited_eq = mains[-1].get("eq_deletes", []) if mains else []
+            return self._append_snapshot(
+                snaps, "delete", live, summary, inherited, eq_deletes=inherited_eq + [new_eq]
+            )
+        finally:
+            self._release_commit_lock(lock, token)
+
     def upsert(
         self,
         df: DataFrame,

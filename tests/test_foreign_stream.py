@@ -249,9 +249,15 @@ def test_foreign_changes_refuses_rewrites_and_equality(spark, tmp_path):
     md["current-snapshot-id"] = 4
     with open(f"{mdir}/v1.metadata.json", "w") as f:
         _json.dump(md, f)
-    with pytest.raises(ValueError, match="(?i)equality"):
-        _changes(spark, root, 3).collect()
-    # the incremental APPEND scan refuses the same interval
+    # equality deletes are now DERIVED from open metadata: the changelog
+    # emits the parent-state row the delete key retires (id=4 was live
+    # as 'd' going into snapshot 4) — the Flink-upsert-feed consumption
+    # path
+    got = sorted(
+        (r.id, r.name, r._change_type) for r in _changes(spark, root, 3).collect()
+    )
+    assert got == [(4, "d", "delete")]
+    # the incremental APPEND scan still refuses a delete-carrying window
     with pytest.raises(ValueError, match="(?i)delete"):
         incremental_read_iceberg_table(spark, root, 3)
 
@@ -264,7 +270,7 @@ def test_foreign_changes_schema_evolution(spark, tmp_path):
     t.rename_column("email", "contact")
     t.insert_values([(2, "y", "y@e.com")])      # snap 2, new schema
     got = _changes(spark, t.path, 1)
-    assert got.columns == ["id", "name", "contact", "_change_type", "_commit_snapshot_id"]
+    assert got.columns == ["id", "name", "contact", "_change_type", "_commit_snapshot_id", "_change_ordinal"]
     assert [(r.id, r.name, r.contact, r._change_type) for r in got.collect()] == [
         (2, "y", "y@e.com", "insert")
     ]
