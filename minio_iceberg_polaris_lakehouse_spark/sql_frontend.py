@@ -1257,16 +1257,21 @@ class LakehouseSQL:
 
     def _refresh_matview_foreign(self, key: str, rec: dict, storage: Table, result):
         """Refresh an MV whose base is a REGISTERED FOREIGN table: the
-        incremental path reads only the manifest DIFF (snapshots synced →
-        current) through the open metadata — pure appends, so the delta
-        is simply a materialization of the added rows (MIN/MAX need no
-        delete gate: the incremental reader raises on delete manifests in
-        the interval, which lands us on the full recompute)."""
+        incremental path reads only the changelog of snapshots synced →
+        current through the open metadata (changes_iceberg_table) and
+        folds SIGNED deltas exactly like the native path — so windows
+        carrying positional deletes or Flink-style upsert commits
+        (equality delete + data in one snapshot) still maintain
+        incrementally. MIN/MAX gate to full recompute when the window
+        has deletes (not invertible); rewrites/compaction raise inside
+        the changelog and land on the always-correct full recompute."""
         import json as _json
+
+        from pyspark.sql import functions as F
 
         from minio_iceberg_polaris_lakehouse_spark import fsio, matview as MV
         from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
-            incremental_read_iceberg_table,
+            changes_iceberg_table,
             read_iceberg_table,
             resolve_metadata_path,
         )
@@ -1285,17 +1290,19 @@ class LakehouseSQL:
             return result("noop", cur)
         if rec["synced"] is not None and spec is not None:
             try:
-                added = incremental_read_iceberg_table(
-                    self.spark, floc, rec["synced"], cur
-                )
-                new = MV.apply_delta(storage.read(), MV.materialize(added, spec), spec)
+                chg = changes_iceberg_table(self.spark, floc, rec["synced"], cur)
+                if any(k in ("min", "max") for k, *_r in spec.aggs) and (
+                    chg.filter(F.col("_change_type") == "delete").limit(1).count()
+                ):
+                    raise WarehouseError("delete in window of a MIN/MAX view")
+                new = MV.apply_delta(storage.read(), MV.delta(chg, spec), spec)
                 storage.overwrite(new)
                 rec["synced"] = cur
                 self.wh.put_matview(ns, v, rec)
                 return result("incremental", cur)
             except Exception:
-                # interval contains rewrites/deletes, or the synced
-                # snapshot expired — full recompute is always correct
+                # interval contains rewrites, or the synced snapshot
+                # expired — full recompute is always correct
                 pass
         base_df = read_iceberg_table(self.spark, floc, snapshot_id=cur if cur else None)
         df = MV.materialize(base_df, spec)

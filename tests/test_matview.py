@@ -364,3 +364,46 @@ def test_time_bucket_rollup_mv_incremental(lake):
     r = lake.sql("REFRESH MATERIALIZED VIEW db.hourly").collect()[0]
     assert r.mode == "incremental"
     assert _rows(lake, "SELECT * FROM db.hourly") == _recompute(lake, defn)
+
+
+def test_foreign_sum_mv_incremental_through_deletes_and_upserts(lake, spark, tmp_path):
+    """SUM/COUNT foreign MVs now fold DELETE-carrying windows from the
+    open-metadata changelog: a positional delete and a Flink-style
+    upsert commit (equality delete + data in one snapshot) both refresh
+    INCREMENTALLY; only MIN/MAX views gate to full on deletes."""
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+        delete_iceberg_table_where,
+        upsert_iceberg_table,
+    )
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import Warehouse
+
+    src_wh = Warehouse(spark, str(tmp_path / "src2"))
+    t = src_wh.create_table("db", "ft2", "id int, k string, x int")
+    t.set_identifier_fields("id")
+    t.insert_values([(1, "a", 1), (2, "a", 5), (3, "b", 2)])
+    lake.sql(
+        "CALL polaris.system.register_table(table => 'ext.ft2', "
+        f"metadata_file => '{t.path}')"
+    )
+    defn = "SELECT k, SUM(x) AS sx, COUNT(*) AS n FROM ext.ft2 GROUP BY k"
+    lake.sql(f"CREATE MATERIALIZED VIEW db.fmv2 AS {defn}")
+    assert _rows(lake, "SELECT * FROM db.fmv2") == _recompute(lake, defn)
+
+    # foreign positional DELETE: signed fold, still incremental
+    delete_iceberg_table_where(spark, t.path, "id = 2")
+    r = lake.sql("REFRESH MATERIALIZED VIEW db.fmv2").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lake, "SELECT * FROM db.fmv2") == _recompute(lake, defn)
+
+    # foreign UPSERT (eq delete + data, one snapshot): key 3 moves group
+    # b -> a with a new value, key 4 is new — one incremental fold
+    upsert_iceberg_table(
+        spark,
+        t.path,
+        spark.createDataFrame([(3, "a", 30), (4, "b", 4)], "id int, k string, x int"),
+    )
+    r = lake.sql("REFRESH MATERIALIZED VIEW db.fmv2").collect()[0]
+    assert r.mode == "incremental"
+    got = _rows(lake, "SELECT * FROM db.fmv2")
+    assert got == _recompute(lake, defn)
+    assert ("a", 31, 2) in got and ("b", 4, 1) in got  # group move applied
