@@ -677,3 +677,49 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_fuzzy_names",
+    oracle="""
+    SELECT a.s_nationkey AS nation, a.s_suppkey AS k1, b.s_suppkey AS k2,
+           a.s_name AS n1, b.s_name AS n2,
+           CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    ORDER BY nation, k1, k2
+    """,
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching — the record-linkage primitive: supplier
+    names within one nation block whose edit distance is <= 1 (typo-level
+    variants). The quadratic term is BLOCKED (per-nation equality join,
+    like every near-dup operator here), and levenshtein runs JVM-side on
+    both engines — the same operator names in pyspark.sql.functions and
+    DuckDB, oracle-exact. At 100 TB the blocks come from a cheaper
+    canopy (phonetic key, name prefix, LSH over character n-grams) and
+    the same bounded pairwise verify runs inside each."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    dist = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .filter(dist <= 1)
+        .select(
+            F.col("a.s_nationkey").alias("nation"),
+            F.col("a.s_suppkey").alias("k1"),
+            F.col("b.s_suppkey").alias("k2"),
+            F.col("a.s_name").alias("n1"),
+            F.col("b.s_name").alias("n2"),
+            dist.cast("int").alias("dist"),
+        )
+        .orderBy("nation", "k1", "k2")
+    )
