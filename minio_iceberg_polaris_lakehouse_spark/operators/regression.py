@@ -195,3 +195,117 @@ def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     moments.createOrReplaceTempView("moments")
     return spark.sql(_SOLVE_SQL)
+
+
+_LR_ITERS = 3
+_LR = 0.5
+_RS = 12  # per-term IEEE rounding before exact decimal summation
+
+
+def _logreg_iter_sql(prev: str, cur: str, gtag: str) -> str:
+    sig = f"(1.0 / (1.0 + EXP(-(w.a + w.b * x1 + w.c * x2))))"
+
+    def grad(xj: str) -> str:
+        return (
+            f"CAST(SUM(CAST(ROUND(({sig} - y) * {xj}, {_RS}) AS DECIMAL(38,18)))"
+            f" AS DOUBLE) / (SELECT n FROM nn)"
+        )
+
+    return f"""
+    , {gtag} AS (
+        SELECT {grad("1.0")} AS ga, {grad("x1")} AS gb, {grad("x2")} AS gc
+        FROM pts, {prev} w)
+    , {cur} AS (
+        SELECT ROUND(w.a - {_LR} * g.ga, {_RS}) AS a,
+               ROUND(w.b - {_LR} * g.gb, {_RS}) AS b,
+               ROUND(w.c - {_LR} * g.gc, {_RS}) AS c
+        FROM {prev} w, {gtag} g)
+    """
+
+
+_LOGREG_ORACLE = (
+    """
+    WITH pts AS (
+        SELECT CAST(l_quantity AS DOUBLE) / 50.0 AS x1,
+               CAST(l_discount AS DOUBLE) AS x2,
+               CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+        FROM lineitem),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pts),
+    w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c)
+    """
+    + "".join(_logreg_iter_sql(f"w{i}", f"w{i + 1}", f"g{i + 1}") for i in range(_LR_ITERS))
+    + " SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT {i} AS iter, a AS w_bias, b AS w_qty, c AS w_disc FROM w{i}"
+        for i in range(1, _LR_ITERS + 1)
+    )
+    + ") t ORDER BY iter"
+)
+
+
+@register(
+    "ml_logistic_regression",
+    oracle=_LOGREG_ORACLE,
+)
+def ml_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed LOGISTIC regression by full-batch gradient descent —
+    the classification member of the ML suite (OLS/ridge, k-means, PCA,
+    PageRank are the others): predict `l_returnflag = 'R'` from scaled
+    quantity and discount; 3 iterations, learning rate 0.5, zero-init.
+
+    The entire fit is ONE lazy plan — the weight vector is a 1-row
+    broadcast DataFrame threaded through the iterations (no driver
+    round-trip at all, one step further than k-means' collected
+    centroids): each iteration crossJoins the weights into the point
+    scan, folds per-row gradient terms map-side (ROUND(12) then exact
+    DECIMAL summation — the unigram-logprob recipe that makes
+    transcendentals cross-engine stable), and derives the next weights
+    row. The DuckDB oracle unrolls the identical three iterations, so
+    the value hash covers the full optimization trajectory, sigmoid
+    included. 100 TB: per iteration exactly one map-side-combined
+    aggregate over the scan crosses the exchange (one row per
+    partition); weights are 3 doubles."""
+    l = load_table(spark, sf_dir, "lineitem")
+    pts = l.select(
+        (F.col("l_quantity").cast("double") / 50.0).alias("x1"),
+        F.col("l_discount").cast("double").alias("x2"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
+    )
+    nn = pts.agg(F.count("*").cast("double").alias("n"))
+    w = spark.createDataFrame([(0.0, 0.0, 0.0)], "a double, b double, c double")
+    sig = 1.0 / (1.0 + F.exp(-(F.col("a") + F.col("b") * F.col("x1") + F.col("c") * F.col("x2"))))
+
+    def gterm(xj):
+        return F.sum(F.round((sig - F.col("y")) * xj, _RS).cast("decimal(38,18)")).cast(
+            "double"
+        ) / F.col("n")
+
+    history = []
+    for it in range(1, _LR_ITERS + 1):
+        g = (
+            pts.crossJoin(F.broadcast(w))
+            .crossJoin(F.broadcast(nn))
+            .groupBy("n")
+            .agg(
+                gterm(F.lit(1.0)).alias("ga"),
+                gterm(F.col("x1")).alias("gb"),
+                gterm(F.col("x2")).alias("gc"),
+            )
+        )
+        w = w.crossJoin(F.broadcast(g)).select(
+            F.round(F.col("a") - _LR * F.col("ga"), _RS).alias("a"),
+            F.round(F.col("b") - _LR * F.col("gb"), _RS).alias("b"),
+            F.round(F.col("c") - _LR * F.col("gc"), _RS).alias("c"),
+        )
+        history.append(
+            w.select(
+                F.lit(it).alias("iter"),
+                F.col("a").alias("w_bias"),
+                F.col("b").alias("w_qty"),
+                F.col("c").alias("w_disc"),
+            )
+        )
+    out = history[0]
+    for h in history[1:]:
+        out = out.unionByName(h)
+    return out.orderBy("iter")
