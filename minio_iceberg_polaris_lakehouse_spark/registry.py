@@ -156,9 +156,12 @@ _PRIORITY: list[str] = [
     # fn_bitwise_suite at one; all prior suites stay green in the
     # uncapped local replica)
     "fn_variant_suite",
-    # streaming windows + event analytics (§2.12)
-    # (stream_event_type_rates rested at one green round)
-    "stream_sliding_window",
+    # NEW r7 session 6: distributed logistic regression — the whole GD
+    # trajectory (sigmoid included) hash-replayed by the oracle. Takes
+    # stream_sliding_window's slot (r06 green; §2.12 holds three r06
+    # driver hashes — sliding window, event rates, session window — and
+    # stream_tumbling/session run every bench round).
+    "ml_logistic_regression",
     # UDF surface (§2.13): the row-at-a-time Python UDF demo gets its
     # first driver slot (grouped-agg veteran rotated out at 5 rounds)
     "udf_row_python",
