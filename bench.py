@@ -62,6 +62,8 @@ EXTENDED = [
     "text_bloom_decontaminate",
     "dedup_substring_spans",
     "ml_pagerank_trade",
+    "ml_logistic_regression",
+    "evt_cohort_retention",
 ]
 
 
