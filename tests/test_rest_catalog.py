@@ -337,3 +337,38 @@ def test_engine_created_view_loads_through_rest(spark, tmp_path):
         assert "SELECT id FROM db.t" in md["versions"][-1]["representations"][0]["sql"]
     finally:
         srv.shutdown()
+
+
+def test_concurrent_view_creates_one_wins(spark, tmp_path):
+    """Two racing createView calls on one name: exactly one 200, one 409
+    (the same guarantee table creates have)."""
+    import threading
+
+    srv, port = make_server(str(tmp_path), "cid", "sec")
+    try:
+        cli = RestCatalogClient(f"http://127.0.0.1:{port}", "cid", "sec")
+        cli.create_catalog("cat", str(tmp_path / "cat"))
+        cli.create_namespace("cat", "db")
+        from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+        lake = LakehouseSQL(spark, str(tmp_path / "cat"))
+        lake.sql("CREATE TABLE polaris.db.t (id INT) USING iceberg")
+        results = []
+
+        def create(sql):
+            try:
+                cli.create_view("cat", "db", "race_v", sql)
+                results.append("ok")
+            except RuntimeError as e:
+                results.append("conflict" if "exists" in str(e) else f"other:{e}")
+
+        ts = [
+            threading.Thread(target=create, args=(f"SELECT id FROM db.t WHERE id > {i}",))
+            for i in range(2)
+        ]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert sorted(results) == ["conflict", "ok"]
+        assert cli.list_views("cat", "db") == ["race_v"]
+    finally:
+        srv.shutdown()

@@ -244,3 +244,33 @@ def test_stateful_session_closes_on_event_time_timeout(spark, tmp_path):
     # user 2's session is still open at stream end
     open_u2 = [r for r in rows if r.user_id == 2]
     assert open_u2 and not any(r.closed for r in open_u2)
+
+
+def test_stream_static_broadcast_join_matches_batch(spark, sf_dir):
+    """Stream-static join — the standard streaming enrichment: the events
+    stream joins a STATIC dimension (a per-user tier derived from the
+    batch corpus, broadcast into every micro-batch). Result rows equal
+    the identical batch join; the static side never holds state."""
+    from minio_iceberg_polaris_lakehouse_spark.streaming.engine import (
+        events_stream,
+        run_to_memory,
+    )
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_ev"))
+        .select("user_id", F.when(F.col("n_ev") >= 10, "heavy").otherwise("light").alias("tier"))
+    )
+    ev = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    enriched = ev.join(F.broadcast(dim), "user_id").select("user_id", "event_id", "tier")
+    got = sorted(map(tuple, run_to_memory(enriched, "ss_static_t").collect()))
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(dim), "user_id")
+        .select("user_id", "event_id", "tier")
+    )
+    assert got == sorted(map(tuple, batch.collect()))
+    assert got, "enrichment must be non-vacuous"
