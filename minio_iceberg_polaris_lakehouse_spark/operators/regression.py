@@ -309,3 +309,148 @@ def ml_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     for h in history[1:]:
         out = out.unionByName(h)
     return out.orderBy("iter")
+
+
+_QF_ITERS = 10
+_QF_LR = 4.0
+
+
+def _qf_iter_sql(prev: str, cur: str, gtag: str) -> str:
+    """The shared GD-iteration SQL at the quality filter's learning rate."""
+    return _logreg_iter_sql(prev, cur, gtag).replace(
+        f"- {_LR} *", f"- {_QF_LR} *"
+    )
+
+
+@register(
+    "text_model_quality_filter",
+    oracle=None,  # assigned below — built from the shared iteration SQL
+)
+def text_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the FineWeb/DCLM pipeline stage:
+    distill a cheap heuristic teacher (the text_quality_score pass rule)
+    into a logistic scorer trained IN-PLAN on two document features
+    (stopword ratio, lexical diversity), then keep documents the model
+    scores positive and report per-source retention. The entire
+    train-then-apply pipeline is one lazy plan (the trained weight row is
+    a broadcast), and the DuckDB oracle replays ALL of it — features,
+    the unrolled GD trajectory, scoring, and the per-source rollup — so
+    the hash certifies the trained filter end-to-end.
+
+    Determinism: features are exact IEEE divisions of identical integer
+    inputs; the decision threshold `sigmoid(z) >= 0.5` is evaluated as
+    `z >= 0` (algebraically equal, no transcendental at the boundary);
+    gradient folds use the ROUND(12) + DECIMAL summation recipe.
+
+    100 TB: one feature scan feeds training (3 map-side-combined
+    aggregates) and scoring (a broadcast-weight projection) — the
+    classifier never leaves the cluster, which is how model-based
+    filtering actually runs over a full crawl."""
+    from minio_iceberg_polaris_lakehouse_spark.functions.text import STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    lower_toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(lower_toks, lambda w: F.array_contains(F.lit(STOPWORDS), w)))
+    uniq = F.size(F.array_distinct(toks))
+    feats = d.select(
+        "doc_id",
+        "source",
+        (stop_hits.cast("double") / n_tokens).alias("x1"),
+        (uniq.cast("double") / n_tokens).alias("x2"),
+        F.when(uniq.cast("double") / n_tokens > 0.46, 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    # one feature extraction feeds all iterations AND the final scoring —
+    # localCheckpoint materializes it once (at cluster scale: persist the
+    # feature frame, the standard ML-training pattern; at test SF the
+    # wall clock is dominated by per-iteration scheduling either way)
+    feats = feats.localCheckpoint()
+    pts = feats.select("x1", "x2", "y")
+    nn = pts.agg(F.count("*").cast("double").alias("n"))
+    w = spark.createDataFrame([(0.0, 0.0, 0.0)], "a double, b double, c double")
+    sig = 1.0 / (
+        1.0 + F.exp(-(F.col("a") + F.col("b") * F.col("x1") + F.col("c") * F.col("x2")))
+    )
+
+    def gterm(xj):
+        return F.sum(F.round((sig - F.col("y")) * xj, _RS).cast("decimal(38,18)")).cast(
+            "double"
+        ) / F.col("n")
+
+    for _ in range(_QF_ITERS):
+        g = (
+            pts.crossJoin(F.broadcast(w))
+            .crossJoin(F.broadcast(nn))
+            .groupBy("n")
+            .agg(
+                gterm(F.lit(1.0)).alias("ga"),
+                gterm(F.col("x1")).alias("gb"),
+                gterm(F.col("x2")).alias("gc"),
+            )
+        )
+        w = w.crossJoin(F.broadcast(g)).select(
+            F.round(F.col("a") - _QF_LR * F.col("ga"), _RS).alias("a"),
+            F.round(F.col("b") - _QF_LR * F.col("gb"), _RS).alias("b"),
+            F.round(F.col("c") - _QF_LR * F.col("gc"), _RS).alias("c"),
+        ).localCheckpoint()  # 1 row; truncates the 10-deep iteration lineage
+    z = F.col("a") + F.col("b") * F.col("x1") + F.col("c") * F.col("x2")
+    scored = feats.crossJoin(F.broadcast(w)).select(
+        "source", F.when(z >= 0.0, 1).otherwise(0).alias("keep")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.round(F.sum("keep") * 1.0 / F.count("*"), 6).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _quality_filter_oracle() -> str:
+    from minio_iceberg_polaris_lakehouse_spark.functions.text import STOPWORDS
+
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    ltoks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    feats = f"""
+    feats AS (
+        SELECT source,
+               CAST(len(list_filter({ltoks}, w -> list_contains({STOPWORDS!r}, w)))
+                    AS DOUBLE) / len({toks}) AS x1,
+               CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks}) AS x2,
+               CASE WHEN CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks}) > 0.46
+                    THEN 1.0 ELSE 0.0 END AS y
+        FROM documents),
+    pts AS (SELECT x1, x2, y FROM feats),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pts),
+    w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c)
+    """
+    iters = "".join(
+        _qf_iter_sql(f"w{i}", f"w{i + 1}", f"qg{i + 1}") for i in range(_QF_ITERS)
+    )
+    return (
+        "WITH "
+        + feats
+        + iters
+        + f"""
+    , scored AS (
+        SELECT f.source,
+               CASE WHEN (w.a + w.b * f.x1 + w.c * f.x2) >= 0.0 THEN 1 ELSE 0 END AS keep
+        FROM feats f, w{_QF_ITERS} w)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           ROUND(SUM(keep) * 1.0 / COUNT(*), 6) AS keep_rate
+    FROM scored GROUP BY source ORDER BY source
+    """
+    )
+
+
+# the oracle needs STOPWORDS at import time; assign after definition to
+# keep the registration decorator literal-free
+from minio_iceberg_polaris_lakehouse_spark.registry import _REGISTRY  # noqa: E402
+
+_REGISTRY["text_model_quality_filter"].oracle = _quality_filter_oracle()

