@@ -407,3 +407,29 @@ def test_foreign_sum_mv_incremental_through_deletes_and_upserts(lake, spark, tmp
     got = _rows(lake, "SELECT * FROM db.fmv2")
     assert got == _recompute(lake, defn)
     assert ("a", 31, 2) in got and ("b", 4, 1) in got  # group move applied
+
+
+def test_continuous_aggregate_loop_over_streaming_commits(lake, spark):
+    """The continuous-aggregate composition: a stream of micro-batch
+    commits (exactly-once TableSink) interleaved with incremental MV
+    refreshes — after every trigger the MV equals a fresh recompute and
+    the refresh mode stays 'incremental' (never a base rescan)."""
+    from minio_iceberg_polaris_lakehouse_spark.streaming.table_sink import TableSink
+
+    lake.sql(
+        "CREATE TABLE polaris.db.clicks (user_id INT, n INT) USING ICEBERG"
+    )
+    lake.sql("INSERT INTO db.clicks VALUES (1, 1), (2, 1)")
+    defn = "SELECT user_id, SUM(n) AS total, COUNT(*) AS hits FROM db.clicks GROUP BY user_id"
+    lake.sql(f"CREATE MATERIALIZED VIEW db.click_agg AS {defn}")
+    sink = TableSink(lake.wh.table("db", "clicks"), "clickstream")
+    for batch_id, rows in enumerate(
+        [[(1, 2), (3, 1)], [(2, 5)], [(3, 1), (3, 1), (1, 1)]]
+    ):
+        sink.write_batch(spark.createDataFrame(rows, "user_id int, n int"), batch_id)
+        r = lake.sql("REFRESH MATERIALIZED VIEW db.click_agg").collect()[0]
+        assert r.mode == "incremental"
+        assert _rows(lake, "SELECT * FROM db.click_agg") == _recompute(lake, defn)
+    # replayed batch: sink dedups, refresh is a noop
+    sink.write_batch(spark.createDataFrame([(2, 5)], "user_id int, n int"), 1)
+    assert lake.sql("REFRESH MATERIALIZED VIEW db.click_agg").collect()[0].mode == "noop"
