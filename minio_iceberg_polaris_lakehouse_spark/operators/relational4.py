@@ -170,3 +170,40 @@ def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("shifted_r"),
         F.bit_count(k).cast("int").alias("n_bits"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "agg_approx_distinct_gate",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS exact_orders,
+           true AS hll_within_2pct
+    FROM orders
+    """,
+)
+def agg_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct counting with an IN-PLAN accuracy gate (the
+    recall-gate pattern the ANN queries use): HyperLogLog++
+    (approx_count_distinct, rsd 0.5%) runs next to the exact
+    count-distinct on two key columns, and the result row carries the
+    claim `|hll - exact| / exact < 0.02` — a sketch drifting out of its
+    bound flips the boolean and fails the oracle hash, so the driver
+    check certifies the sketch's accuracy, not just that it ran.
+
+    Scale: approx_count_distinct is the 100 TB tool here — a fixed-size
+    HLL register set per partition merges map-side (one small sketch
+    per partition crosses the exchange, vs count-distinct's shuffle of
+    every distinct value); the exact twin exists to gate it at test SF."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count_distinct("o_custkey").cast("long").alias("exact_customers"),
+        F.count_distinct("o_orderkey").cast("long").alias("exact_orders"),
+        F.approx_count_distinct("o_custkey", 0.005).alias("hc"),
+        F.approx_count_distinct("o_orderkey", 0.005).alias("ho"),
+    )
+    within = (
+        F.abs(F.col("hc") - F.col("exact_customers")) / F.col("exact_customers") < 0.02
+    ) & (F.abs(F.col("ho") - F.col("exact_orders")) / F.col("exact_orders") < 0.02)
+    return agg.select(
+        "exact_customers", "exact_orders", within.alias("hll_within_2pct")
+    )
