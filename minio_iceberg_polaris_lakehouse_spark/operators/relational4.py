@@ -195,12 +195,21 @@ def agg_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition crosses the exchange, vs count-distinct's shuffle of
     every distinct value); the exact twin exists to gate it at test SF."""
     o = load_table(spark, sf_dir, "orders")
-    agg = o.agg(
+    # exact and sketch run as SEPARATE 1-row aggregates joined after:
+    # mixing count_distinct with approx_count_distinct in one agg makes
+    # Catalyst plan the multi-distinct Expand strategy, whose
+    # intermediate groups carry the HLL register words as thousands of
+    # per-group columns (measured: OOMs a 1 GB driver on 15k rows);
+    # split, each side is its own partial-aggregated scan
+    exact = o.agg(
         F.count_distinct("o_custkey").cast("long").alias("exact_customers"),
         F.count_distinct("o_orderkey").cast("long").alias("exact_orders"),
+    )
+    approx = o.agg(
         F.approx_count_distinct("o_custkey", 0.005).alias("hc"),
         F.approx_count_distinct("o_orderkey", 0.005).alias("ho"),
     )
+    agg = exact.crossJoin(F.broadcast(approx))
     within = (
         F.abs(F.col("hc") - F.col("exact_customers")) / F.col("exact_customers") < 0.02
     ) & (F.abs(F.col("ho") - F.col("exact_orders")) / F.col("exact_orders") < 0.02)
