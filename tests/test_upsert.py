@@ -243,3 +243,22 @@ def test_fuzz_upsert_model_check(wh, spark):
     for sid, state in rng.sample(history, min(6, len(history))):
         got = {r.id: r.v for r in t.read(version=sid).collect()}
         assert got == state, f"snapshot {sid}"
+
+
+def test_upsert_survives_snapshot_expiry(wh, spark):
+    """Equality-delete applicability must survive expire_snapshots: the
+    sequence numbers live in persisted dir_seqs, not in the snapshot log
+    the expiry truncates."""
+    t = _t(wh, "u14")
+    t.insert_values([(1, "a"), (2, "b")])
+    t.upsert(spark.createDataFrame([(2, "B2"), (3, "c")], t.schema()))
+    t.upsert(spark.createDataFrame([(1, "A2")], t.schema()))
+    t.expire_snapshots(keep_last=1)
+    assert _rows(t.read()) == [(1, "A2"), (2, "B2"), (3, "c")]
+    # maintenance after expiry still folds the tombstones
+    t.compact()
+    assert _rows(t.read()) == [(1, "A2"), (2, "B2"), (3, "c")]
+    assert not t._resolve().get("eq_deletes")
+    # and new upserts keep working on the compacted table
+    t.upsert(spark.createDataFrame([(3, "C2")], t.schema()))
+    assert _rows(t.read()) == [(1, "A2"), (2, "B2"), (3, "C2")]
