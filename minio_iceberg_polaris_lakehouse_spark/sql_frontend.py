@@ -1364,14 +1364,26 @@ class LakehouseSQL:
 
     def _merge_into(self, m: re.Match) -> DataFrame:
         """MERGE INTO t [t_alias] USING src [s_alias] ON a.k = b.k
-        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+        WHEN MATCHED [AND <cond>] THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
         [WHEN NOT MATCHED BY SOURCE THEN DELETE] —
         the upsert form the reference points at for dedup remediation
         (SETUP_GUIDE_WIN.md:368 'Use MERGE or DELETE + INSERT'). ``src``
         is a warehouse table name or a parenthesized SELECT; execution is
-        the warehouse's copy-on-write merge (join + union plan)."""
+        the warehouse's copy-on-write merge (join + union plan). The
+        conditional arm references the two sides as t.<col> / s.<col>
+        (matched rows failing it carry over unchanged); it requires the
+        engine merge path — a FOREIGN target refuses rather than
+        silently updating every match."""
+        cond = m.group(5).strip() if m.group(5) else None
         foreign = self._merge_foreign_target(m)
         if foreign:
+            if cond:
+                raise WarehouseError(
+                    "WHEN MATCHED AND <cond> is not supported on a foreign "
+                    "MERGE target (key-only matching) — apply it via the "
+                    "engine table path"
+                )
             src, key = self._merge_src_key(m)
             self.wh.merge_foreign_table(
                 *foreign,
@@ -1379,15 +1391,16 @@ class LakehouseSQL:
                 key,
                 when_matched="update",
                 insert_not_matched=True,
-                not_matched_by_source_delete=bool(m.group(5)),
+                not_matched_by_source_delete=bool(m.group(6)),
             )
             return self._empty()
         tab, src, key = self._merge_parts(m)
         tab.merge_into(
             src,
             on=key,
-            not_matched_by_source_action="delete" if m.group(5) else None,
+            not_matched_by_source_action="delete" if m.group(6) else None,
             branch=self._wap_branch,
+            matched_condition=cond,
         )
         return self._empty()
 
@@ -1424,20 +1437,28 @@ class LakehouseSQL:
         return tab, src, key
 
     def _merge_into_delete(self, m: re.Match) -> DataFrame:
-        """MERGE INTO t USING src ON ... WHEN MATCHED THEN DELETE
-        [WHEN NOT MATCHED THEN INSERT *] — the dedup-remediation form the
-        reference's troubleshooting guide reaches for
+        """MERGE INTO t USING src ON ... WHEN MATCHED [AND <cond>] THEN
+        DELETE [WHEN NOT MATCHED THEN INSERT *] — the dedup-remediation
+        form the reference's troubleshooting guide reaches for
         (SETUP_GUIDE_WIN.md:368 'Use MERGE or DELETE + INSERT'): matched
-        target rows drop; source rows with no match optionally insert."""
+        target rows (passing the optional condition) drop; source rows
+        with no match optionally insert."""
+        cond = m.group(5).strip() if m.group(5) else None
         foreign = self._merge_foreign_target(m)
         if foreign:
+            if cond:
+                raise WarehouseError(
+                    "WHEN MATCHED AND <cond> is not supported on a foreign "
+                    "MERGE target (key-only matching) — apply it via the "
+                    "engine table path"
+                )
             src, key = self._merge_src_key(m)
             self.wh.merge_foreign_table(
                 *foreign,
                 src,
                 key,
                 when_matched="delete",
-                insert_not_matched=bool(m.group(5)),
+                insert_not_matched=bool(m.group(6)),
             )
             return self._empty()
         tab, src, key = self._merge_parts(m)
@@ -1445,8 +1466,9 @@ class LakehouseSQL:
             src,
             on=key,
             matched_action="delete",
-            insert_missing=bool(m.group(5)),
+            insert_missing=bool(m.group(6)),
             branch=self._wap_branch,
+            matched_condition=cond,
         )
         return self._empty()
 
@@ -2037,7 +2059,7 @@ class LakehouseSQL:
             rf"MERGE\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})(?:\s+(?:AS\s+)?{_IDENT})?"
             rf"\s+USING\s+(\(.*\)|(?:{_IDENT}\.)*{_IDENT})(?:\s+(?:AS\s+)?{_IDENT})?"
             rf"\s+ON\s+({_IDENT}\.{_IDENT})\s*=\s*({_IDENT}\.{_IDENT})"
-            rf"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
+            rf"\s+WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+\*"
             rf"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*"
             r"(\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE)?",
             _merge_into,
@@ -2046,7 +2068,7 @@ class LakehouseSQL:
             rf"MERGE\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})(?:\s+(?:AS\s+)?{_IDENT})?"
             rf"\s+USING\s+(\(.*\)|(?:{_IDENT}\.)*{_IDENT})(?:\s+(?:AS\s+)?{_IDENT})?"
             rf"\s+ON\s+({_IDENT}\.{_IDENT})\s*=\s*({_IDENT}\.{_IDENT})"
-            rf"\s+WHEN\s+MATCHED\s+THEN\s+DELETE"
+            rf"\s+WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE"
             rf"(\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?",
             _merge_into_delete,
         ),

@@ -2750,16 +2750,22 @@ class Table:
         matched_action: str = "update",
         not_matched_by_source_action: str | None = None,
         branch: str | None = None,
+        matched_condition: str | None = None,
     ) -> int:
         """MERGE INTO target USING source ON target.<on> = source.<on>
-        WHEN MATCHED THEN UPDATE SET <update_cols> (or all non-key
-        columns) | DELETE, WHEN NOT MATCHED THEN INSERT * — expressed as
-        a join + union, the exact relational algebra Iceberg's
-        copy-on-write MERGE plans. ``matched_action='delete'`` is the
-        dedup-remediation form (matched target rows drop instead of
-        updating). Read-modify-write: raises CommitConflictError if
-        another writer commits between our snapshot read and the pointer
-        swap."""
+        WHEN MATCHED [AND <matched_condition>] THEN UPDATE SET
+        <update_cols> (or all non-key columns) | DELETE, WHEN NOT
+        MATCHED THEN INSERT * — expressed as a join + union, the exact
+        relational algebra Iceberg's copy-on-write MERGE plans.
+        ``matched_action='delete'`` is the dedup-remediation form
+        (matched target rows drop instead of updating);
+        ``matched_condition`` is the conditional arm (Spark/Iceberg's
+        WHEN MATCHED AND …): matched rows failing it carry over
+        UNCHANGED (they are matched, so they never re-insert). The
+        condition may reference both sides as t.<col> / s.<col>, or
+        bare target columns. Read-modify-write: raises
+        CommitConflictError if another writer commits between our
+        snapshot read and the pointer swap."""
         if matched_action not in ("update", "delete"):
             raise WarehouseError(f"matched_action must be update or delete, not {matched_action}")
         if not_matched_by_source_action not in (None, "delete"):
@@ -2802,8 +2808,23 @@ class Table:
         if not_matched_by_source_action == "delete":
             unmatched_tgt = unmatched_tgt.limit(0)
         merged = unmatched_tgt
+        # NULL-safe arm condition: a NULL predicate means "arm does not
+        # fire" (SQL three-valued logic) — the row must carry over, not
+        # silently vanish from both branches
+        cond = (
+            F.coalesce(F.expr(matched_condition), F.lit(False))
+            if matched_condition
+            else F.lit(True)
+        )
+        matched_pairs = tgt.join(src, F.col(f"t.{on}") == F.col(f"s.{on}"), "inner")
+        if matched_condition:
+            # the conditional arm's complement: matched rows failing the
+            # condition pass through with their target values
+            merged = merged.unionByName(
+                matched_pairs.filter(~cond).select(*[F.col(f"t.{c}").alias(c) for c in cols])
+            )
         if matched_action == "update":
-            matched = tgt.join(src, F.col(f"t.{on}") == F.col(f"s.{on}"), "inner").select(
+            matched = matched_pairs.filter(cond).select(
                 *[
                     (F.col(f"s.{c}") if c in update_cols else F.col(f"t.{c}")).alias(c)
                     for c in cols
@@ -2817,6 +2838,8 @@ class Table:
             merged = merged.unionByName(new_rows)
         p = self._write_data(merged)
         summary = {"on": on, "matched-action": matched_action}
+        if matched_condition:
+            summary["matched-condition"] = matched_condition
         if not_matched_by_source_action:
             summary["not-matched-by-source-action"] = not_matched_by_source_action
         return self._commit_replace("merge", [p], summary, parent, branch=branch)

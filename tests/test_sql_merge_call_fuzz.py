@@ -197,3 +197,36 @@ def test_merge_rejects_mismatched_on_columns(spark, tmp_path_factory):
             "MERGE INTO polaris.p.t1 USING p.s1 ON t1.id = s1.v "
             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
         )
+
+
+def test_merge_conditional_matched_arms(spark, tmp_path):
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    lake = LakehouseSQL(spark, str(tmp_path / "mc_wh"))
+    """WHEN MATCHED AND <cond>: only matched rows passing the condition
+    take the arm; the rest carry over unchanged (incl. NULL-predicate
+    rows — SQL three-valued logic means the arm does not fire)."""
+    lake.sql("CREATE TABLE polaris.db.mc (id INT, v INT) USING ICEBERG")
+    lake.sql("INSERT INTO db.mc VALUES (1, 10), (2, 20), (3, NULL), (4, 40)")
+    lake.sql("CREATE TABLE polaris.db.mc_src (id INT, v INT) USING ICEBERG")
+    lake.sql("INSERT INTO db.mc_src VALUES (1, 11), (2, 5), (3, 33), (9, 99)")
+    # update only where the source value is HIGHER; NULL target compares
+    # NULL -> arm does not fire, row carries over
+    lake.sql(
+        "MERGE INTO db.mc t USING db.mc_src s ON t.id = s.id "
+        "WHEN MATCHED AND s.v > t.v THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = sorted((r.id, r.v) for r in lake.sql("SELECT id, v FROM db.mc").collect())
+    assert got == [(1, 11), (2, 20), (3, None), (4, 40), (9, 99)]
+    # conditional DELETE: drop matched rows whose source value < 50
+    lake.sql("CREATE TABLE polaris.db.mc_del (id INT, v INT) USING ICEBERG")
+    lake.sql("INSERT INTO db.mc_del VALUES (1, 11), (2, 20), (9, 99)")
+    lake.sql(
+        "MERGE INTO db.mc_del t USING db.mc_src s ON t.id = s.id "
+        "WHEN MATCHED AND s.v < 50 THEN DELETE"
+    )
+    got = sorted((r.id, r.v) for r in lake.sql("SELECT id, v FROM db.mc_del").collect())
+    # ids 1 (s.v=11) and 2 (s.v=5) match below 50 and drop; 9 (s.v=99)
+    # matches but fails the condition and carries over
+    assert got == [(9, 99)]
