@@ -594,11 +594,6 @@ class LakehouseSQL:
         schema = "namespace string, tableName string, isTemporary boolean"
         return self.spark.createDataFrame(rows, schema)
 
-    def _show_tblproperties(self, m: re.Match) -> DataFrame:
-        tab = self._existing_table(m.group(1))
-        rows = [Row(key=k, value=v) for k, v in sorted(tab.properties().items())]
-        return self.spark.createDataFrame(rows, "key string, value string")
-
     def _create_namespace(self, m: re.Match) -> DataFrame:
         self.wh.create_namespace(self._resolve_ns_name(m.group(1)))
         return self._empty()
@@ -988,6 +983,44 @@ class LakehouseSQL:
             if rows
             else self.spark.createDataFrame([], schema)
         )
+
+    def _show_tblproperties(self, m: re.Match) -> DataFrame:
+        """SHOW TBLPROPERTIES t [('key')] — all properties, or one key's
+        value (Spark's single-key form returns just the value column)."""
+        tab = self._existing_table(m.group(1))
+        props = tab.properties()
+        key = m.group(2)
+        if key is not None:
+            key = key.strip("'\"")
+            val = props.get(key)
+            if val is None:
+                raise WarehouseError(f"property {key!r} not set on {m.group(1)}")
+            return self.spark.createDataFrame([Row(value=str(val))], "value string")
+        rows = [Row(key=k, value=str(v)) for k, v in sorted(props.items())]
+        schema = "key string, value string"
+        return (
+            self.spark.createDataFrame(rows, schema)
+            if rows
+            else self.spark.createDataFrame([], schema)
+        )
+
+    def _create_table_like(self, m: re.Match) -> DataFrame:
+        """CREATE TABLE [IF NOT EXISTS] t2 LIKE t1 — schema, partition
+        spec (source + transform), and table properties copy; no data."""
+        src = self._existing_table(m.group(3))
+        ns, name = self._resolve_table_name(m.group(2))
+        meta = src._meta()
+        part = meta.get("partition", {})
+        self.wh.create_table(
+            ns,
+            name,
+            src.schema(),
+            partition_by=part.get("source"),
+            transform=part.get("transform", "identity"),
+            properties=dict(meta.get("properties", {})),
+            if_not_exists=bool(m.group(1)),
+        )
+        return self._empty()
 
     # ------------------------------------------------ materialized views
     def _dml_table(self, name: str) -> Table:
@@ -1995,7 +2028,6 @@ class LakehouseSQL:
         (r"SHOW\s+CATALOGS", _show_catalogs),
         (rf"SHOW\s+NAMESPACES(?:\s+IN\s+({_IDENT}))?", _show_namespaces),
         (rf"SHOW\s+TABLES\s+IN\s+((?:{_IDENT}\.)?{_IDENT})", _show_tables),
-        (rf"SHOW\s+TBLPROPERTIES\s+((?:{_IDENT}\.)*{_IDENT})", _show_tblproperties),
         (rf"CREATE\s+NAMESPACE\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:{_IDENT}\.)?{_IDENT})", _create_namespace),
         (rf"DROP\s+NAMESPACE\s+(IF\s+EXISTS\s+)?((?:{_IDENT}\.)?{_IDENT})(\s+CASCADE)?", _drop_namespace),
         (
@@ -2014,6 +2046,11 @@ class LakehouseSQL:
         ),
         (rf"SHOW\s+VIEWS(?:\s+IN\s+((?:{_IDENT}\.)?{_IDENT}))?", _show_views),
         (
+            rf"SHOW\s+TBLPROPERTIES\s+((?:{_IDENT}\.)*{_IDENT})"
+            r"(?:\s*\(\s*('[^']+'|\"[^\"]+\")\s*\))?",
+            _show_tblproperties,
+        ),
+        (
             rf"CREATE\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?"
             rf"((?:{_IDENT}\.)*{_IDENT})\s+AS\s+(SELECT\s+.*|WITH\s+.*)",
             _create_matview,
@@ -2026,6 +2063,11 @@ class LakehouseSQL:
         (
             rf"SHOW\s+MATERIALIZED\s+VIEWS(?:\s+IN\s+((?:{_IDENT}\.)?{_IDENT}))?",
             _show_matviews,
+        ),
+        (
+            rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?((?:{_IDENT}\.)*{_IDENT})"
+            rf"\s+LIKE\s+((?:{_IDENT}\.)*{_IDENT})",
+            _create_table_like,
         ),
         (
             rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?((?:{_IDENT}\.)*{_IDENT})\s+AS\s+(SELECT\s+.*|WITH\s+.*)",

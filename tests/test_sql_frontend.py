@@ -1021,3 +1021,36 @@ def test_view_time_travel_rejected_and_persistence(spark, tmp_path):
     # warehouse dir resolves them
     lake2 = LakehouseSQL(spark, wh_dir)
     assert lake2.sql("SELECT id FROM db.v").collect()[0].id == 1
+
+
+def test_show_tblproperties_and_create_table_like(lake):
+    lake.sql(
+        "CREATE TABLE polaris.db.src_like (id INT, d DATE, v STRING) USING ICEBERG "
+        "PARTITIONED BY (d) TBLPROPERTIES ('write.delete.mode'='merge-on-read', 'owner'='etl')"
+    )
+    # all-properties form
+    props = {r.key: r.value for r in lake.sql("SHOW TBLPROPERTIES db.src_like").collect()}
+    assert props["write.delete.mode"] == "merge-on-read" and props["owner"] == "etl"
+    # single-key form returns just the value
+    got = lake.sql("SHOW TBLPROPERTIES db.src_like ('owner')").collect()
+    assert [r.value for r in got] == ["etl"]
+    with pytest.raises(WarehouseError, match="not set"):
+        lake.sql("SHOW TBLPROPERTIES db.src_like ('nope')")
+
+    # LIKE: schema + partition spec + properties copy, no data
+    lake.sql("INSERT INTO db.src_like VALUES (1, DATE '2024-01-01', 'a')")
+    lake.sql("CREATE TABLE db.dst_like LIKE db.src_like")
+    dst = lake.wh.table("db", "dst_like")
+    src = lake.wh.table("db", "src_like")
+    assert dst.schema() == src.schema()
+    assert dst.properties()["write.delete.mode"] == "merge-on-read"
+    assert dst._meta()["partition"] == src._meta()["partition"]
+    assert lake.sql("SELECT * FROM db.dst_like").count() == 0
+    # duplicate refused; IF NOT EXISTS no-op
+    with pytest.raises(WarehouseError, match="exists"):
+        lake.sql("CREATE TABLE db.dst_like LIKE db.src_like")
+    lake.sql("CREATE TABLE IF NOT EXISTS db.dst_like LIKE db.src_like")
+    # the copy is a REAL table: partitioned writes land and MOR deletes work
+    lake.sql("INSERT INTO db.dst_like VALUES (2, DATE '2024-01-02', 'b')")
+    lake.sql("DELETE FROM db.dst_like WHERE id = 2")
+    assert lake.sql("SELECT * FROM db.dst_like").count() == 0
