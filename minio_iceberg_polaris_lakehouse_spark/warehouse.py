@@ -2413,7 +2413,16 @@ class Table:
         Replaces the whole table regardless of prior state — no read
         dependency, so it commits unconditionally (last overwrite wins,
         matching Iceberg's createOrReplace). ``branch`` stages the
-        replacement on the branch instead of main (WAP routing)."""
+        replacement on the branch instead of main (WAP routing). With
+        the table property ``write.overwrite-mode=dynamic`` on a
+        partitioned table, overwrites (and therefore SQL INSERT
+        OVERWRITE) replace only the TOUCHED partitions instead —
+        overwrite_partitions()."""
+        if (
+            self._meta()["properties"].get("write.overwrite-mode", "").lower() == "dynamic"
+            and self.partition_spec().column() is not None
+        ):
+            return self.overwrite_partitions(df, branch=branch)
         p = self._write_data(df)
         lock, token = self._acquire_commit_lock()
         try:
@@ -2476,6 +2485,101 @@ class Table:
         return self._commit_replace(
             "delete", [p], {"predicate": condition}, parent, branch=branch
         )
+
+    def overwrite_partitions(self, df: DataFrame, branch: str | None = None) -> int:
+        """Dynamic partition overwrite (Iceberg's dynamic INSERT
+        OVERWRITE / Spark's partitionOverwriteMode=dynamic): replace
+        ONLY the partitions the incoming rows touch; untouched
+        partitions carry over unchanged. Merge-on-read shape: the new
+        rows land as ordinary data files and every LIVE row of a touched
+        partition is positionally tombstoned, all in ONE snapshot —
+        O(new data + rows in touched partitions), never a table rewrite.
+        Touched values are recomputed from the files just written (input
+        plan executes once) under the spec's own transform, so hidden
+        partitioning (day/bucket/truncate) replaces by TRANSFORMED
+        value exactly like Iceberg. Read-modify-write: a concurrent
+        commit raises CommitConflictError."""
+        spec = self.partition_spec()
+        if spec.column() is None:
+            raise WarehouseError(
+                "dynamic overwrite needs a partitioned table; use overwrite()"
+            )
+        parent = self._branch_head(branch) if branch else self.current_snapshot_id()
+        snap = self._resolve(version=branch) if branch else self._resolve()
+        p = self._write_data(df)
+        schema = self.schema()
+        src_dt = schema[spec.source].dataType
+        written = self.spark.read.parquet(os.path.join(self.path, p.dirname))
+        touched = [
+            r.pv for r in written.select(spec.expr(src_dt).alias("pv")).distinct().collect()
+        ]
+        live = self._live_with_pos(snap)
+        pv = spec.expr(src_dt)
+        non_null = [v for v in touched if v is not None]
+        cond = F.lit(False)
+        if non_null:
+            cond = pv.isin(non_null)
+        if any(v is None for v in touched):
+            cond = cond | pv.isNull()
+        hits = live.filter(cond).select(
+            self._plain_path(F.col("_file")).alias("file_path"), F.col("_pos").alias("pos")
+        )
+        ddir = f"delete-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.path, ddir)
+        hits.write.option("compression", "zstd").parquet(out)
+        dstats = _parquet_footer_stats(out)
+        n_del = sum(s["rows"] for s in dstats)
+        pends: list[PendingData] = [p]
+        new_delete_dirs: list[str] = []
+        if n_del:
+            pends.append(
+                PendingData(
+                    ddir,
+                    n_del,
+                    {"source": None, "transform": "identity", "spec_id": 0, "content": "deletes"},
+                    dstats,
+                )
+            )
+            new_delete_dirs = [ddir]
+        else:
+            fsio.rmtree(out)  # first write into fresh partitions: no tombstones
+        summary = {
+            "overwrite-mode": "dynamic",
+            "replaced-partitions": len(touched),
+            "added-records": p.rows,
+            "added-position-deletes": n_del,
+        }
+        lock, token = self._acquire_commit_lock()
+        try:
+            snaps = self._snaps()
+            if branch:
+                current = self._branch_head(branch)
+            else:
+                mains = self._main_snaps(snaps)
+                current = mains[-1]["snapshot_id"] if mains else None
+            if current != parent:
+                raise CommitConflictError(
+                    f"{self.ns}.{self.name}: snapshot moved {parent} -> "
+                    f"{current} during dynamic overwrite; re-read and retry"
+                )
+            self._record_pending(pends)
+            sid = self._append_snapshot(
+                snaps,
+                "overwrite",
+                snap["manifest"] + [p.dirname],
+                summary,
+                snap.get("delete_dirs", []) + new_delete_dirs,
+                branch=branch,
+                eq_deletes=snap.get("eq_deletes", []),
+                parent_id=parent if branch else None,
+            )
+            if branch:
+                meta = self._meta()  # re-read: the commit re-exported metadata
+                meta["refs"][branch]["snapshot_id"] = sid
+                self._write_meta(meta)
+            return sid
+        finally:
+            self._release_commit_lock(lock, token)
 
     def _live_with_pos(self, snap: dict) -> DataFrame:
         """Live rows of a snapshot WITH `_file`/`_pos` lineage: data dirs
