@@ -927,6 +927,107 @@ def upsert_iceberg_table(
     )
 
 
+def overwrite_iceberg_table_partitions(
+    spark: SparkSession,
+    location: str,
+    df: DataFrame,
+    update_hint: bool = True,
+) -> str:
+    """Dynamic partition overwrite on a FOREIGN Iceberg table through its
+    open metadata: the incoming rows land as identity-partitioned data
+    files and every live row of a TOUCHED partition is positionally
+    tombstoned, in ONE snapshot (delete manifest + data manifest at one
+    sequence number — the engine-side overwrite_partitions contract,
+    open-format edition). Untouched partitions carry over; any
+    spec-compliant reader flips atomically. Identity specs only, like
+    every partitioned foreign write here; single-column specs (the
+    dominant case) — multi-field touched-set semantics are a follow-up."""
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        read_iceberg_table,
+    )
+
+    md_path = resolve_metadata_path(location)
+    md = json.loads(fsio.read_text(md_path))
+    mdir = os.path.dirname(md_path)
+    root = md.get("location") or os.path.dirname(mdir)
+
+    specs = md.get("partition-specs", [])
+    default_spec = next(
+        (s for s in specs if s.get("spec-id") == md.get("default-spec-id", 0)), None
+    )
+    spec_fields = (default_spec or {}).get("fields") or []
+    non_identity = [f for f in spec_fields if f.get("transform") != "identity"]
+    if non_identity or not spec_fields:
+        raise ValueError(
+            "dynamic foreign overwrite needs an identity-partitioned table; "
+            f"spec fields: {spec_fields!r}"
+        )
+    if len(spec_fields) != 1:
+        raise ValueError("dynamic foreign overwrite supports single-field specs")
+
+    schemas = {s["schema-id"]: s for s in md.get("schemas", [])}
+    target = schemas[md["current-schema-id"]]
+    cols = []
+    for f in target["fields"]:
+        dt = _spark_type(f["type"])
+        if f["name"] in df.columns:
+            cols.append(F.col(f["name"]).cast(dt).alias(f["name"]))
+        elif not f.get("required"):
+            cols.append(F.lit(None).cast(dt).alias(f["name"]))
+        else:
+            raise ValueError(f"required column {f['name']} missing from overwrite data")
+    aligned = df.select(*cols)
+
+    part_triples = _identity_partition_triples(spec_fields, target)
+    src_name = part_triples[0][1]
+    tag = f"dynover-{uuid.uuid4().hex[:12]}"
+    out_dir = os.path.join(root, "data", tag)
+    staged = aligned
+    for spec_name, sname, *_rest in part_triples:
+        staged = staged.withColumn(f"_pv_{spec_name}", F.col(sname))
+    staged.write.option("compression", "zstd").partitionBy(
+        *[f"_pv_{t[0]}" for t in part_triples]
+    ).parquet(out_dir)
+    data_files = _walk_parquet(out_dir, part_triples)
+
+    # touched SOURCE values, type-exact from the written files
+    written = spark.read.parquet(out_dir)
+    touched = [r[0] for r in written.select(src_name).distinct().collect()]
+    live = read_iceberg_table(spark, location, _keep_lineage=True)
+    non_null = [v for v in touched if v is not None]
+    cond = F.lit(False)
+    if non_null:
+        cond = live[src_name].isin(non_null)
+    if any(v is None for v in touched):
+        cond = cond | live[src_name].isNull()
+    matched = live.filter(cond).select(
+        F.col("__file").alias("file_path"), F.col("__pos").cast("long").alias("pos")
+    )
+    del_dir = os.path.join(root, "data", f"{tag}-del")
+    matched.sort("file_path", "pos").write.option("compression", "zstd").parquet(del_dir)
+    delete_files = _list_parquet(del_dir)
+    if not delete_files:
+        fsio.rmtree(del_dir)  # only fresh partitions: nothing to tombstone
+
+    return _stage_row_level_commit(
+        md,
+        md_path,
+        mdir,
+        tag=tag,
+        delete_files=delete_files,
+        data_files=data_files,
+        data_partition=(part_triples, spec_fields, md.get("default-spec-id", 0)),
+        summary={
+            "operation": "overwrite",
+            "overwrite-mode": "dynamic",
+            "replaced-partitions": str(len(touched)),
+            "added-records": str(sum(f["rows"] for f in data_files)),
+            "added-position-deletes": str(sum(r for _, r, _ in delete_files)),
+        },
+        update_hint=update_hint,
+    )
+
+
 def merge_iceberg_table(
     spark: SparkSession,
     location: str,

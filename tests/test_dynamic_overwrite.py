@@ -99,3 +99,51 @@ def test_dynamic_overwrite_guards_and_compaction(wh, spark):
     t2.compact()
     assert _rows(t2.read()) == [(2, "fr"), (9, "en")]
     assert not t2._resolve().get("delete_dirs")
+
+
+def test_foreign_dynamic_overwrite(wh, spark, tmp_path):
+    """The open-metadata twin: dynamic overwrite on a foreign table —
+    one snapshot of tombstones + partitioned data files; any reader
+    flips atomically; prior snapshot time-travels."""
+    import json as _json
+
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        read_iceberg_table,
+    )
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+        overwrite_iceberg_table_partitions,
+    )
+
+    src_wh = Warehouse(spark, str(tmp_path / "fsrc"))
+    t = src_wh.create_table("db", "fdy", "id int, lang string, v string", partition_by="lang")
+    t.insert_values([(1, "en", "a"), (2, "en", "b"), (3, "fr", "c")])
+
+    new_path = overwrite_iceberg_table_partitions(
+        spark,
+        t.path,
+        spark.createDataFrame([(9, "en", "A9"), (8, "es", "hola")], t.schema()),
+    )
+    got = read_iceberg_table(spark, t.path)
+    assert _rows(got.select("id", "lang", "v")) == [
+        (3, "fr", "c"),
+        (8, "es", "hola"),
+        (9, "en", "A9"),
+    ]
+    md = _json.loads(open(new_path).read())
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"])
+    assert snap["summary"]["overwrite-mode"] == "dynamic"
+    assert snap["summary"]["added-position-deletes"] == "2"
+    prev = md["snapshots"][0]["snapshot-id"]
+    assert _rows(read_iceberg_table(spark, t.path, snapshot_id=prev).select("id")) == [
+        (1,),
+        (2,),
+        (3,),
+    ]
+    # derived-transform specs refuse
+    t2 = src_wh.create_table("db", "fdy2", "id int, ts timestamp", partition_by="ts", transform="day")
+    t2.insert_values([(1, __import__("datetime").datetime(2024, 1, 1, 2))])
+    with pytest.raises(ValueError, match="identity"):
+        overwrite_iceberg_table_partitions(
+            spark, t2.path,
+            spark.createDataFrame([(2, __import__("datetime").datetime(2024, 1, 2, 2))], t2.schema()),
+        )
