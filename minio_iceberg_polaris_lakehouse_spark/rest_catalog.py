@@ -422,7 +422,12 @@ class _Handler(BaseHTTPRequestHandler):
             return self._error(400, "name and a sql representation required")
         key = (catalog, ns, name)
         with self.state.lock:
-            if key in self.state.view_pointers or f"{ns}.{name}" in wh.views():
+            # the warehouse registry is the source of truth: an engine
+            # session may have dropped the view since the pointer was
+            # cached — purge rather than 409 on a ghost
+            if f"{ns}.{name}" not in wh.views():
+                self.state.view_pointers.pop(key, None)
+            if f"{ns}.{name}" in wh.views():
                 return self._error(409, f"view {ns}.{name} exists", "AlreadyExistsException")
             try:
                 wh.create_view(ns, name, sql)
@@ -449,15 +454,29 @@ class _Handler(BaseHTTPRequestHandler):
             return
         key = (catalog, ns, name)
         with self.state.lock:
+            # warehouse registry is the source of truth: serve ITS sql.
+            # An engine-side CREATE OR REPLACE VIEW / DROP VIEW since the
+            # pointer was cached must surface here, not stale metadata.
+            sql = wh.views().get(f"{ns}.{name}")
+            if sql is None:
+                self.state.view_pointers.pop(key, None)
+                return self._error(404, f"no view {ns}.{name}", "NoSuchViewException")
             loc = self.state.view_pointers.get(key)
-            if loc is None:
-                sql = wh.views().get(f"{ns}.{name}")
-                if sql is None:
-                    return self._error(404, f"no view {ns}.{name}", "NoSuchViewException")
-                # engine-created view never loaded through REST: export
-                # spec metadata for it lazily, like tables do
+            prev = json.loads(fsio.read_text(loc)) if loc and fsio.isfile(loc) else None
+            cur_sql = None
+            if prev is not None:
+                cur_ver = next(
+                    v for v in prev["versions"] if v["version-id"] == prev["current-version-id"]
+                )
+                cur_sql = next(
+                    (r["sql"] for r in cur_ver["representations"] if r["type"] == "sql"), None
+                )
+            if prev is None or cur_sql != sql:
+                # never exported, or the engine replaced the definition:
+                # append/export a version reflecting the registry's sql
                 loc = self._write_view_metadata(
-                    self._view_dir(wh, ns, name), None, sql, "spark", ns, {}
+                    self._view_dir(wh, ns, name), prev, sql, "spark", ns,
+                    (prev or {}).get("properties", {}),
                 )
                 self.state.view_pointers[key] = loc
         self._json(200, self._view_response(loc))

@@ -1006,12 +1006,15 @@ class LakehouseSQL:
 
     def _create_table_like(self, m: re.Match) -> DataFrame:
         """CREATE TABLE [IF NOT EXISTS] t2 LIKE t1 — schema, partition
-        spec (source + transform), and table properties copy; no data."""
+        spec (source + transform), table properties, identifier fields,
+        and write order copy (everything declarative about the template,
+        Iceberg's LIKE contract); no data."""
         src = self._existing_table(m.group(3))
         ns, name = self._resolve_table_name(m.group(2))
         meta = src._meta()
         part = meta.get("partition", {})
-        self.wh.create_table(
+        existed = Table(self.wh, ns, name).exists()
+        new = self.wh.create_table(
             ns,
             name,
             src.schema(),
@@ -1020,6 +1023,13 @@ class LakehouseSQL:
             properties=dict(meta.get("properties", {})),
             if_not_exists=bool(m.group(1)),
         )
+        if not existed:
+            ident = meta.get("identifier_fields") or []
+            if ident:
+                new.set_identifier_fields(*ident)
+            order = meta.get("sort_order") or []
+            if order:
+                new.set_write_order(*order)
         return self._empty()
 
     # ------------------------------------------------ materialized views
@@ -1324,10 +1334,13 @@ class LakehouseSQL:
         if rec["synced"] is not None and spec is not None:
             try:
                 chg = changes_iceberg_table(self.spark, floc, rec["synced"], cur)
-                if any(k in ("min", "max") for k, *_r in spec.aggs) and (
-                    chg.filter(F.col("_change_type") == "delete").limit(1).count()
-                ):
-                    raise WarehouseError("delete in window of a MIN/MAX view")
+                if any(k in ("min", "max") for k, *_r in spec.aggs):
+                    # the gate + fold would otherwise evaluate the (possibly
+                    # expensive: eq-delete commits re-read parent state)
+                    # changelog plan twice — materialize the window once
+                    chg = chg.localCheckpoint()
+                    if chg.filter(F.col("_change_type") == "delete").limit(1).count():
+                        raise WarehouseError("delete in window of a MIN/MAX view")
                 new = MV.apply_delta(storage.read(), MV.delta(chg, spec), spec)
                 storage.overwrite(new)
                 rec["synced"] = cur
@@ -1404,11 +1417,12 @@ class LakehouseSQL:
         (SETUP_GUIDE_WIN.md:368 'Use MERGE or DELETE + INSERT'). ``src``
         is a warehouse table name or a parenthesized SELECT; execution is
         the warehouse's copy-on-write merge (join + union plan). The
-        conditional arm references the two sides as t.<col> / s.<col>
-        (matched rows failing it carry over unchanged); it requires the
-        engine merge path — a FOREIGN target refuses rather than
-        silently updating every match."""
-        cond = m.group(5).strip() if m.group(5) else None
+        conditional arm references the two sides by the statement's own
+        aliases (defaulting to t/s when none are written); matched rows
+        failing it carry over unchanged. It requires the engine merge
+        path — a FOREIGN target refuses rather than silently updating
+        every match."""
+        cond = m.group(7).strip() if m.group(7) else None
         foreign = self._merge_foreign_target(m)
         if foreign:
             if cond:
@@ -1424,16 +1438,18 @@ class LakehouseSQL:
                 key,
                 when_matched="update",
                 insert_not_matched=True,
-                not_matched_by_source_delete=bool(m.group(6)),
+                not_matched_by_source_delete=bool(m.group(8)),
             )
             return self._empty()
         tab, src, key = self._merge_parts(m)
         tab.merge_into(
             src,
             on=key,
-            not_matched_by_source_action="delete" if m.group(6) else None,
+            not_matched_by_source_action="delete" if m.group(8) else None,
             branch=self._wap_branch,
             matched_condition=cond,
+            target_alias=m.group(2) or "t",
+            source_alias=m.group(4) or "s",
         )
         return self._empty()
 
@@ -1450,8 +1466,10 @@ class LakehouseSQL:
         return foreign
 
     def _merge_src_key(self, m: re.Match):
-        """Source frame + join key for the MERGE forms."""
-        src_text, on_l, on_r = m.group(2).strip(), m.group(3), m.group(4)
+        """Source frame + join key for the MERGE forms (group layout:
+        1 target, 2 target alias?, 3 source, 4 source alias?, 5/6 ON
+        sides, 7 condition?, 8 trailing arm?)."""
+        src_text, on_l, on_r = m.group(3).strip(), m.group(5), m.group(6)
         if src_text.startswith("("):
             inner, _rest = _balanced_paren_group(src_text)
             src = self.spark.sql(self._rewrite_query(inner.strip()))
@@ -1476,7 +1494,7 @@ class LakehouseSQL:
         (SETUP_GUIDE_WIN.md:368 'Use MERGE or DELETE + INSERT'): matched
         target rows (passing the optional condition) drop; source rows
         with no match optionally insert."""
-        cond = m.group(5).strip() if m.group(5) else None
+        cond = m.group(7).strip() if m.group(7) else None
         foreign = self._merge_foreign_target(m)
         if foreign:
             if cond:
@@ -1491,7 +1509,7 @@ class LakehouseSQL:
                 src,
                 key,
                 when_matched="delete",
-                insert_not_matched=bool(m.group(6)),
+                insert_not_matched=bool(m.group(8)),
             )
             return self._empty()
         tab, src, key = self._merge_parts(m)
@@ -1499,9 +1517,11 @@ class LakehouseSQL:
             src,
             on=key,
             matched_action="delete",
-            insert_missing=bool(m.group(6)),
+            insert_missing=bool(m.group(8)),
             branch=self._wap_branch,
             matched_condition=cond,
+            target_alias=m.group(2) or "t",
+            source_alias=m.group(4) or "s",
         )
         return self._empty()
 
@@ -2098,8 +2118,8 @@ class LakehouseSQL:
         (r"EXPLAIN\s+(EXTENDED\s+|FORMATTED\s+|CODEGEN\s+|COST\s+)?(SELECT\s+.*|WITH\s+.*)", _explain),
         (rf"DELETE\s+FROM\s+((?:{_IDENT}\.)*{_IDENT})\s+WHERE\s+(.*)", _delete_from),
         (
-            rf"MERGE\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})(?:\s+(?:AS\s+)?{_IDENT})?"
-            rf"\s+USING\s+(\(.*\)|(?:{_IDENT}\.)*{_IDENT})(?:\s+(?:AS\s+)?{_IDENT})?"
+            rf"MERGE\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?"
+            rf"\s+USING\s+(\(.*\)|(?:{_IDENT}\.)*{_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?"
             rf"\s+ON\s+({_IDENT}\.{_IDENT})\s*=\s*({_IDENT}\.{_IDENT})"
             rf"\s+WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+\*"
             rf"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*"
@@ -2107,8 +2127,8 @@ class LakehouseSQL:
             _merge_into,
         ),
         (
-            rf"MERGE\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})(?:\s+(?:AS\s+)?{_IDENT})?"
-            rf"\s+USING\s+(\(.*\)|(?:{_IDENT}\.)*{_IDENT})(?:\s+(?:AS\s+)?{_IDENT})?"
+            rf"MERGE\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?"
+            rf"\s+USING\s+(\(.*\)|(?:{_IDENT}\.)*{_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?"
             rf"\s+ON\s+({_IDENT}\.{_IDENT})\s*=\s*({_IDENT}\.{_IDENT})"
             rf"\s+WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE"
             rf"(\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?",

@@ -43,6 +43,11 @@ def apply_cdc_batch(target: Table, batch: DataFrame) -> int:
         raise WarehouseError("replication target needs identifier fields")
     keys = target.identifier_fields()
     data_cols = [c for c in batch.columns if c not in _META_COLS]
+    # the changelog plan can be expensive (an equality-delete commit
+    # re-reads the parent state) and each ordinal consumes it several
+    # times (ordinal scan + delete write + upsert write) — materialize
+    # the window ONCE; it is changed-rows-sized by construction
+    batch = batch.localCheckpoint()
     ordinals = sorted(
         r[0] for r in batch.select("_change_ordinal").distinct().collect()
     )
@@ -57,7 +62,8 @@ def apply_cdc_batch(target: Table, batch: DataFrame) -> int:
             .select(*keys)
             .join(ins.select(*keys), keys, "left_anti")
         )
-        target.delete_keys(dels)
+        if dels.limit(1).collect():
+            target.delete_keys(dels)
         if ins.limit(1).collect():
             target.upsert(ins)
     return len(ordinals)

@@ -2855,6 +2855,8 @@ class Table:
         not_matched_by_source_action: str | None = None,
         branch: str | None = None,
         matched_condition: str | None = None,
+        target_alias: str = "t",
+        source_alias: str = "s",
     ) -> int:
         """MERGE INTO target USING source ON target.<on> = source.<on>
         WHEN MATCHED [AND <matched_condition>] THEN UPDATE SET
@@ -2901,9 +2903,12 @@ class Table:
                 f"MERGE: multiple source rows match target key {on}={dup[0][0]!r} "
                 "(ON clause must match at most one source row per target row)"
             )
-        tgt = tgt0.alias("t")
-        src = source.alias("s")
-        unmatched_tgt = tgt.join(src, F.col(f"t.{on}") == F.col(f"s.{on}"), "left_anti").select(
+        ta, sa = target_alias, source_alias
+        if ta == sa:
+            raise WarehouseError(f"MERGE aliases must differ: both {ta!r}")
+        tgt = tgt0.alias(ta)
+        src = source.alias(sa)
+        unmatched_tgt = tgt.join(src, F.col(f"{ta}.{on}") == F.col(f"{sa}.{on}"), "left_anti").select(
             *[F.col(c) for c in cols]
         )
         # WHEN NOT MATCHED BY SOURCE THEN DELETE (Spark 3.5+/Iceberg's
@@ -2920,23 +2925,23 @@ class Table:
             if matched_condition
             else F.lit(True)
         )
-        matched_pairs = tgt.join(src, F.col(f"t.{on}") == F.col(f"s.{on}"), "inner")
+        matched_pairs = tgt.join(src, F.col(f"{ta}.{on}") == F.col(f"{sa}.{on}"), "inner")
         if matched_condition:
             # the conditional arm's complement: matched rows failing the
             # condition pass through with their target values
             merged = merged.unionByName(
-                matched_pairs.filter(~cond).select(*[F.col(f"t.{c}").alias(c) for c in cols])
+                matched_pairs.filter(~cond).select(*[F.col(f"{ta}.{c}").alias(c) for c in cols])
             )
         if matched_action == "update":
             matched = matched_pairs.filter(cond).select(
                 *[
-                    (F.col(f"s.{c}") if c in update_cols else F.col(f"t.{c}")).alias(c)
+                    (F.col(f"{sa}.{c}") if c in update_cols else F.col(f"{ta}.{c}")).alias(c)
                     for c in cols
                 ]
             )
             merged = merged.unionByName(matched)
         if insert_missing:
-            new_rows = src.join(tgt, F.col(f"s.{on}") == F.col(f"t.{on}"), "left_anti").select(
+            new_rows = src.join(tgt, F.col(f"{sa}.{on}") == F.col(f"{ta}.{on}"), "left_anti").select(
                 *[F.col(c) for c in cols]
             )
             merged = merged.unionByName(new_rows)

@@ -372,3 +372,32 @@ def test_concurrent_view_creates_one_wins(spark, tmp_path):
         assert cli.list_views("cat", "db") == ["race_v"]
     finally:
         srv.shutdown()
+
+
+def test_load_view_tracks_engine_side_replace_and_drop(spark, tmp_path):
+    """The warehouse view registry is the source of truth: loadView must
+    reflect an ENGINE-side CREATE OR REPLACE (new version appended) and
+    404 after an engine-side DROP; createView on the freed name works."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    srv, port = make_server(str(tmp_path), "cid", "sec")
+    try:
+        cli = RestCatalogClient(f"http://127.0.0.1:{port}", "cid", "sec")
+        cli.create_catalog("cat", str(tmp_path / "cat"))
+        cli.create_namespace("cat", "db")
+        lake = LakehouseSQL(spark, str(tmp_path / "cat"))
+        lake.sql("CREATE TABLE polaris.db.t (id INT) USING iceberg")
+        cli.create_view("cat", "db", "v", "SELECT id FROM db.t")
+        lake.sql("CREATE OR REPLACE VIEW db.v AS SELECT id AS renamed FROM db.t")
+        md = cli.load_view("cat", "db", "v")["metadata"]
+        assert md["current-version-id"] == 2
+        assert "renamed" in md["versions"][-1]["representations"][0]["sql"]
+        lake.sql("DROP VIEW db.v")
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="no view"):
+            cli.load_view("cat", "db", "v")
+        cli.create_view("cat", "db", "v", "SELECT 1 AS x")  # name freed
+        assert cli.list_views("cat", "db") == ["v"]
+    finally:
+        srv.shutdown()

@@ -1037,14 +1037,16 @@ def test_show_tblproperties_and_create_table_like(lake):
     with pytest.raises(WarehouseError, match="not set"):
         lake.sql("SHOW TBLPROPERTIES db.src_like ('nope')")
 
-    # LIKE: schema + partition spec + properties copy, no data
+    # LIKE: schema + partition spec + properties + identity declarations
     lake.sql("INSERT INTO db.src_like VALUES (1, DATE '2024-01-01', 'a')")
+    lake.sql("ALTER TABLE db.src_like SET IDENTIFIER FIELDS id")
     lake.sql("CREATE TABLE db.dst_like LIKE db.src_like")
     dst = lake.wh.table("db", "dst_like")
     src = lake.wh.table("db", "src_like")
     assert dst.schema() == src.schema()
     assert dst.properties()["write.delete.mode"] == "merge-on-read"
     assert dst._meta()["partition"] == src._meta()["partition"]
+    assert dst.identifier_fields() == ["id"], "CDC-mirror templates keep identity"
     assert lake.sql("SELECT * FROM db.dst_like").count() == 0
     # duplicate refused; IF NOT EXISTS no-op
     with pytest.raises(WarehouseError, match="exists"):

@@ -230,3 +230,32 @@ def test_merge_conditional_matched_arms(spark, tmp_path):
     # ids 1 (s.v=11) and 2 (s.v=5) match below 50 and drop; 9 (s.v=99)
     # matches but fails the condition and carries over
     assert got == [(9, 99)]
+
+
+def test_merge_condition_uses_statement_aliases(spark, tmp_path):
+    """The conditional arm resolves against the STATEMENT's aliases —
+    including swapped s/t naming — not hardcoded internals."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    lake = LakehouseSQL(spark, str(tmp_path / "ma_wh"))
+    lake.sql("CREATE TABLE polaris.db.a1 (id INT, v INT) USING ICEBERG")
+    lake.sql("INSERT INTO db.a1 VALUES (1, 10), (2, 20)")
+    lake.sql("CREATE TABLE polaris.db.a2 (id INT, v INT) USING ICEBERG")
+    lake.sql("INSERT INTO db.a2 VALUES (1, 99), (2, 1)")
+    # adversarial: target aliased 's', source aliased 't' — the condition
+    # must still mean "source value greater than target value"
+    lake.sql(
+        "MERGE INTO db.a1 AS s USING db.a2 AS t ON s.id = t.id "
+        "WHEN MATCHED AND t.v > s.v THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = sorted((r.id, r.v) for r in lake.sql("SELECT id, v FROM db.a1").collect())
+    assert got == [(1, 99), (2, 20)]
+    # arbitrary aliases work too
+    lake.sql("CREATE TABLE polaris.db.a3 (id INT, v INT) USING ICEBERG")
+    lake.sql("INSERT INTO db.a3 VALUES (1, 5)")
+    lake.sql(
+        "MERGE INTO db.a3 tgt USING db.a2 src ON tgt.id = src.id "
+        "WHEN MATCHED AND src.v >= 99 THEN DELETE"
+    )
+    assert lake.sql("SELECT * FROM db.a3").count() == 0
