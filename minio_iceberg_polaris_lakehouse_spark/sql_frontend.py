@@ -1547,6 +1547,15 @@ class LakehouseSQL:
         self._existing_table(m.group(1)).drop_column(m.group(2))
         return self._empty()
 
+    def _alter_rename_table(self, m: re.Match) -> DataFrame:
+        """ALTER TABLE a.b RENAME TO c.d — Iceberg catalog rename:
+        metadata-pointer only, the table directory never moves (valid for
+        native tables and foreign registrations; cross-namespace OK)."""
+        ns, name = self._resolve_table_name(m.group(1))
+        new_ns, new_name = self._resolve_table_name(m.group(2))
+        self.wh.rename_table(ns, name, new_ns, new_name)
+        return self._empty()
+
     def _alter_rename_column(self, m: re.Match) -> DataFrame:
         self._existing_table(m.group(1)).rename_column(m.group(2), m.group(3))
         return self._empty()
@@ -2145,6 +2154,10 @@ class LakehouseSQL:
         (
             rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})",
             _alter_rename_column,
+        ),
+        (
+            rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+RENAME\s+TO\s+((?:{_IDENT}\.)*{_IDENT})",
+            _alter_rename_table,
         ),
         (
             rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})\s+TYPE\s+(.+)",

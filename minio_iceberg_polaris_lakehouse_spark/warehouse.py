@@ -143,10 +143,35 @@ class Warehouse:
 
     def drop_namespace(self, ns: str, cascade: bool = False) -> None:
         path = os.path.join(self.root, ns)
+        locs = self.table_locations()
+        # a dir under this namespace may hold the DATA of an identity
+        # renamed into another namespace — deleting it would destroy a
+        # live table, so refuse even under cascade
+        foreign_claims = [
+            key
+            for key, rel in locs.items()
+            if rel.split("/", 1)[0] == ns and not key.startswith(ns + ".")
+        ]
+        if foreign_claims:
+            raise WarehouseError(
+                f"namespace {ns} stores data of renamed table(s) "
+                f"{foreign_claims}; rename them back or drop them first"
+            )
         if not fsio.isdir(path):
             return
-        if fsio.listdir(path) and not cascade:
+        has_renamed_in = any(k.startswith(ns + ".") for k in locs)
+        if (fsio.listdir(path) or has_renamed_in) and not cascade:
             raise WarehouseError(f"namespace {ns} not empty (use cascade=True)")
+        if cascade:
+            # identities of this ns whose data lives OUTSIDE its dir
+            # (renamed in from elsewhere): rmtree(path) won't reach them
+            for key, rel in list(locs.items()):
+                if key.startswith(ns + "."):
+                    tdir = os.path.join(self.root, rel)
+                    if not tdir.startswith(path + os.sep):
+                        fsio.rmtree(tdir)
+                    locs.pop(key)
+            _atomic_write_json(self._locations_path(), {"locations": locs})
         fsio.rmtree(path)
 
     def list_namespaces(self) -> list[str]:
@@ -156,16 +181,96 @@ class Warehouse:
 
     def list_tables(self, ns: str) -> list[str]:
         path = os.path.join(self.root, ns)
-        if not fsio.isdir(path):
-            return []
-        return sorted(
-            d
-            for d in fsio.listdir(path)
-            if fsio.isfile(os.path.join(path, d, META_FILE))
-        )
+        locs = self.table_locations()
+        claimed = set(locs.values())  # dirs owned by renamed identities
+        names: set[str] = set()
+        if fsio.isdir(path):
+            names = {
+                d
+                for d in fsio.listdir(path)
+                if fsio.isfile(os.path.join(path, d, META_FILE))
+                and f"{ns}/{d}" not in claimed
+            }
+        for key, rel in locs.items():
+            kns, _, kname = key.partition(".")
+            if kns == ns and fsio.isfile(os.path.join(self.root, rel, META_FILE)):
+                names.add(kname)
+        return sorted(names)
 
     def table(self, ns: str, name: str) -> "Table":
         return Table(self, ns, name)
+
+    # -- table-location indirection (ALTER TABLE ... RENAME TO) -----------
+    # Iceberg semantics: RENAME changes only the catalog identifier; the
+    # table's physical location is untouched (HMS/REST catalogs do exactly
+    # this — a pointer update, O(1) regardless of table size). The mapping
+    # lives in one atomic JSON doc; absent file = no table was ever
+    # renamed, so the default <root>/<ns>/<name> layout resolves with a
+    # single failed stat and zero parsing on the hot path.
+    def _locations_path(self) -> str:
+        return os.path.join(self.root, "_locations.json")
+
+    def table_locations(self) -> dict[str, str]:
+        """'ns.name' → table dir RELATIVE to the warehouse root, only for
+        identities whose dir differs from the default layout (renames)."""
+        try:
+            return json.loads(fsio.read_text(self._locations_path()))["locations"]
+        except FileNotFoundError:
+            return {}
+        # other failures propagate (same rationale as views()/foreign_
+        # tables(): collapsing to {} would let the next rename erase the
+        # whole mapping and orphan every previously renamed table)
+
+    def _resolve_table_dir(self, ns: str, name: str) -> tuple[str, bool]:
+        """(absolute table dir, shadowed). Shadowed = the default dir
+        ns/name is the recorded location of a DIFFERENT renamed identity,
+        so the name ns.name itself does not exist."""
+        locs = self.table_locations()
+        key = f"{ns}.{name}"
+        if key in locs:
+            return os.path.join(self.root, locs[key]), False
+        if f"{ns}/{name}" in set(locs.values()):
+            return os.path.join(self.root, ns, name), True
+        return os.path.join(self.root, ns, name), False
+
+    def rename_table(self, ns: str, name: str, new_ns: str, new_name: str) -> None:
+        """ALTER TABLE ns.name RENAME TO new_ns.new_name — metadata-only
+        catalog-pointer update (works across namespaces, like Iceberg).
+        Data, snapshots, MOR delete files, branches, exports: all
+        untouched and all still valid, because the directory never moves.
+        Also renames FOREIGN registrations (a pure catalog-key change).
+        Views referencing the old name break at next resolution, exactly
+        as in Iceberg/Polaris (views store SQL text, not lineage)."""
+        key, new_key = f"{ns}.{name}", f"{new_ns}.{new_name}"
+        if key == new_key:
+            return
+        if key in self.matviews():
+            raise WarehouseError(
+                f"{key} is a materialized view storage table; rename would "
+                "orphan its registry entry"
+            )
+        # destination must be free across every catalog object kind
+        if Table(self, new_ns, new_name).exists():
+            raise WarehouseError(f"table {new_key} exists")
+        if new_key in self.views():
+            raise WarehouseError(f"{new_key} is a view")
+        if new_key in self.foreign_tables():
+            raise WarehouseError(f"{new_key} is a registered foreign table")
+        if new_key in self.matviews():
+            raise WarehouseError(f"{new_key} is a materialized view")
+        regs = self.foreign_tables()
+        if key in regs:  # foreign registration: move the catalog key
+            regs[new_key] = regs.pop(key)
+            self.create_namespace(new_ns)
+            _atomic_write_json(self._foreign_path(), {"tables": regs})
+            return
+        src = Table(self, ns, name)
+        if not src.exists():
+            raise WarehouseError(f"table {key} does not exist")
+        locs = self.table_locations()
+        locs[new_key] = locs.pop(key, f"{ns}/{name}")
+        self.create_namespace(new_ns)
+        _atomic_write_json(self._locations_path(), {"locations": locs})
 
     # -- table lifecycle (reference D7/D8: warehouse_helpers.py:40-49,101) -
     def create_table(
@@ -193,6 +298,15 @@ class Warehouse:
             raise WarehouseError(f"{ns}.{name} is a registered foreign table")
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
+        if t._shadowed:
+            # the default dir belongs to a renamed identity — allocate a
+            # fresh unique dir and record it (Iceberg catalogs likewise
+            # assign a new location when a name is reused after rename)
+            locs = self.table_locations()
+            rel = f"{ns}/{name}_{uuid.uuid4().hex[:8]}"
+            locs[f"{ns}.{name}"] = rel
+            _atomic_write_json(self._locations_path(), {"locations": locs})
+            t = Table(self, ns, name)
         fsio.makedirs(t.path, exist_ok=True)
         meta = {
             "schema": schema.json(),
@@ -228,6 +342,9 @@ class Warehouse:
                 return
             raise WarehouseError(f"table {ns}.{name} does not exist")
         fsio.rmtree(t.path)
+        locs = self.table_locations()
+        if locs.pop(f"{ns}.{name}", None) is not None:
+            _atomic_write_json(self._locations_path(), {"locations": locs})
 
     # ---------------- views (catalog-level SQL views) ----------------
     def _views_path(self) -> str:
@@ -884,10 +1001,19 @@ class Table:
         self.spark = wh.spark
         self.ns = ns
         self.name = name
-        self.path = os.path.join(wh.root, ns, name)
+        # Catalog indirection (ALTER TABLE ... RENAME TO): a renamed
+        # identity keeps its ORIGINAL directory — Iceberg rename is a
+        # catalog-pointer change, never a data move (at 100 TB moving
+        # files is a non-starter, and MOR tombstones record absolute
+        # data-file paths that must stay valid). `_shadowed` marks the
+        # default dir being claimed by some OTHER renamed identity, in
+        # which case this name does not exist even though the dir does.
+        self.path, self._shadowed = wh._resolve_table_dir(ns, name)
 
     # ---------------- metadata ----------------
     def exists(self) -> bool:
+        if self._shadowed:
+            return False
         return fsio.isfile(os.path.join(self.path, META_FILE))
 
     def _meta(self) -> dict:
