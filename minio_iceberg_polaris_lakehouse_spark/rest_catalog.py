@@ -44,7 +44,7 @@ import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from minio_iceberg_polaris_lakehouse_spark import fsio
-from minio_iceberg_polaris_lakehouse_spark.warehouse import Warehouse
+from minio_iceberg_polaris_lakehouse_spark.warehouse import Warehouse, WarehouseError
 
 
 class CommitConflict(Exception):
@@ -125,6 +125,9 @@ class _Handler(BaseHTTPRequestHandler):
         m = re.fullmatch(r"/api/catalog/v1/([^/]+)/namespaces/([^/]+)/tables", path)
         if m:
             return self._create_table(m.group(1), m.group(2))
+        m = re.fullmatch(r"/api/catalog/v1/([^/]+)/tables/rename", path)
+        if m:
+            return self._rename_table(m.group(1))
         m = re.fullmatch(r"/api/catalog/v1/([^/]+)/namespaces/([^/]+)/tables/([^/]+)", path)
         if m:
             return self._commit_table(*m.groups())
@@ -285,6 +288,40 @@ class _Handler(BaseHTTPRequestHandler):
             loc = self._metadata_location(tab)
             self.state.pointers[(catalog, ns, name)] = loc
         self._json(200, self._table_response(loc))
+
+    def _rename_table(self, catalog: str):
+        """POST /v1/{prefix}/tables/rename (Iceberg REST spec
+        renameTable): body {source: {namespace, name}, destination:
+        {namespace, name}}. A pure catalog-identifier move — the engine's
+        rename_table keeps the storage untouched — plus the CAS pointer
+        key follows the identity so in-flight commitTable retries against
+        the new name see the same pointer lineage. 204 on success."""
+        wh = self._wh(catalog)
+        if wh is None:
+            return
+        doc = self._body()
+        src, dst = doc.get("source") or {}, doc.get("destination") or {}
+        s_ns = ".".join(src.get("namespace") or [])
+        d_ns = ".".join(dst.get("namespace") or [])
+        s_name, d_name = src.get("name"), dst.get("name")
+        if not (s_ns and s_name and d_ns and d_name):
+            return self._error(400, "source and destination identifiers required")
+        with self.state.lock:
+            known = s_name in wh.list_tables(s_ns) or f"{s_ns}.{s_name}" in wh.foreign_tables()
+            if not known:
+                return self._error(
+                    404, f"table {s_ns}.{s_name} does not exist", "NoSuchTableException"
+                )
+            try:
+                wh.rename_table(s_ns, s_name, d_ns, d_name)
+            except WarehouseError as e:
+                return self._error(409, str(e), "AlreadyExistsException")
+            ptr = self.state.pointers.pop((catalog, s_ns, s_name), None)
+            if ptr is not None:
+                self.state.pointers[(catalog, d_ns, d_name)] = ptr
+        self.send_response(204)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
 
     def _table_response(self, loc: str) -> dict:
         return {
@@ -657,6 +694,18 @@ class RestCatalogClient:
 
     def drop_table(self, catalog: str, ns: str, name: str) -> None:
         self._request("DELETE", f"/api/catalog/v1/{catalog}/namespaces/{ns}/tables/{name}")
+
+    def rename_table(
+        self, catalog: str, ns: str, name: str, new_ns: str, new_name: str
+    ) -> None:
+        """renameTable (Iceberg REST spec POST /v1/{prefix}/tables/rename)."""
+        self._post_json(
+            f"/api/catalog/v1/{catalog}/tables/rename",
+            {
+                "source": {"namespace": [ns], "name": name},
+                "destination": {"namespace": [new_ns], "name": new_name},
+            },
+        )
 
     # -- views (Iceberg REST view spec) ----------------------------------
 

@@ -401,3 +401,33 @@ def test_load_view_tracks_engine_side_replace_and_drop(spark, tmp_path):
         assert cli.list_views("cat", "db") == ["v"]
     finally:
         srv.shutdown()
+
+
+def test_rename_table_through_rest(server, spark):
+    """renameTable (POST /v1/{prefix}/tables/rename): catalog-identifier
+    move — data/snapshots intact, CAS pointer follows the identity, the
+    old name 404s, destination collisions 409."""
+    url, root = server
+    cli = RestCatalogClient(url, CID, SECRET)
+    cli.create_catalog("cat", root + "/cat")
+    cli.create_namespace("cat", "db")
+    cli.create_table("cat", "db", "t", "id int, v string")
+    wh = Warehouse(spark, root + "/cat")
+    wh.table("db", "t").insert_values([(1, "a"), (2, "b")])
+
+    cli.rename_table("cat", "db", "t", "db", "t2")
+    assert cli.list_tables("cat", "db") == ["t2"]
+    md = cli.load_table("cat", "db", "t2")["metadata"]
+    assert md["current-snapshot-id"] is not None
+    with pytest.raises(RuntimeError, match="NoSuchTableException"):
+        cli.load_table("cat", "db", "t")
+    # engine reads under the new identity see the data
+    got = sorted(tuple(r) for r in wh.table("db", "t2").read().collect())
+    assert got == [(1, "a"), (2, "b")]
+    # destination taken → 409 AlreadyExists
+    cli.create_table("cat", "db", "t3", "id int")
+    with pytest.raises(RuntimeError, match="AlreadyExistsException"):
+        cli.rename_table("cat", "db", "t3", "db", "t2")
+    # unknown source → 404
+    with pytest.raises(RuntimeError, match="NoSuchTableException"):
+        cli.rename_table("cat", "db", "ghost", "db", "x")
