@@ -1,0 +1,118 @@
+"""Breadth batch 5: recursive CTEs and LATERAL correlated subqueries —
+the two big ANSI SELECT features Spark gained in 4.x that the reference's
+stack (stock Spark SQL, reference workspace/notebooks/
+iceberg_queries.ipynb:291-299) picks up by upgrading, so a user of the
+reference expects them from this engine's SQL surface too.
+
+Both are SQL-expressible → DuckDB oracles.
+
+Scale design: a bounded-depth recursive CTE executes as one frontier
+join + union per level — each level is an equi-join on the recursion
+key (shuffle on `src`), never a cartesian, and the depth bound keeps the
+plan finite and predictable at 100 TB (same shape as the pagerank loop,
+operators/pagerank.py). The LATERAL top-1 decorrelates into a window
+rank over the joined child — one exchange, no per-row re-execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minio_iceberg_polaris_lakehouse_spark.registry import register
+from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
+
+
+@register(
+    "rel_recursive_reachability",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE l.l_quantity >= 49 AND c.c_nationkey <> s.s_nationkey
+    ), hops AS (
+        SELECT CAST(0 AS INT) AS nation, 0 AS d
+        UNION ALL
+        SELECT e.dst AS nation, h.d + 1 AS d
+        FROM hops h JOIN edges e ON e.src = h.nation
+        WHERE h.d < 3
+    )
+    SELECT nation, CAST(MIN(d) AS INT) AS min_hops
+    FROM hops GROUP BY nation ORDER BY nation
+    """,
+)
+def rel_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE over the trade graph: min-hop distance from nation 0
+    through high-volume trade edges (distinct customer-nation →
+    supplier-nation pairs with l_quantity >= 49), depth-bounded at 3.
+    Each recursion level is one frontier⋈edges equi-join — the edges
+    relation is nation×nation (≤ 625 rows at any SF, broadcastable), so
+    the recursion cost is O(levels), independent of fact size; the fact
+    scan happens once to build the edge list."""
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"_rec_{t}")
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+            SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+            FROM _rec_lineitem l
+            JOIN _rec_orders o ON l.l_orderkey = o.o_orderkey
+            JOIN _rec_customer c ON o.o_custkey = c.c_custkey
+            JOIN _rec_supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE l.l_quantity >= 49 AND c.c_nationkey <> s.s_nationkey
+        ), hops AS (
+            SELECT CAST(0 AS INT) AS nation, 0 AS d
+            UNION ALL
+            SELECT e.dst AS nation, h.d + 1 AS d
+            FROM hops h JOIN edges e ON e.src = h.nation
+            WHERE h.d < 3
+        )
+        SELECT nation, CAST(MIN(d) AS INT) AS min_hops
+        FROM hops GROUP BY nation ORDER BY nation
+        """
+    )
+
+
+@register(
+    "rel_lateral_topk",
+    oracle="""
+    SELECT r.r_name, l.n_name, l.cust_cnt
+    FROM region r,
+    LATERAL (
+        SELECT n.n_name, CAST(COUNT(c.c_custkey) AS BIGINT) AS cust_cnt
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY cust_cnt DESC, n.n_name
+        LIMIT 1
+    ) l
+    ORDER BY r.r_name
+    """,
+)
+def rel_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY ... LIMIT 1: per region,
+    the nation with the most customers (ties broken by name). Catalyst
+    decorrelates the lateral into a join + per-group window limit — one
+    plan, no per-outer-row re-execution; the oracle states the identical
+    LATERAL form DuckDB executes natively."""
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("_lat_region")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    return spark.sql(
+        """
+        SELECT r.r_name, l.n_name, l.cust_cnt
+        FROM _lat_region r,
+        LATERAL (
+            SELECT n.n_name, COUNT(c.c_custkey) AS cust_cnt
+            FROM _lat_nation n JOIN _lat_customer c ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+            GROUP BY n.n_name
+            ORDER BY cust_cnt DESC, n.n_name
+            LIMIT 1
+        ) l
+        ORDER BY r.r_name
+        """
+    )

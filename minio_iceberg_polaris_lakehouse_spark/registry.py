@@ -258,6 +258,7 @@ def all_queries() -> dict[str, Query]:
     import minio_iceberg_polaris_lakehouse_spark.operators.tpch_extra  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.tpch_more  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.relational4  # noqa: F401
+    import minio_iceberg_polaris_lakehouse_spark.operators.relational5  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.events  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.reference_golden  # noqa: F401
     import minio_iceberg_polaris_lakehouse_spark.operators.windows  # noqa: F401
