@@ -1008,7 +1008,13 @@ class Table:
         # data-file paths that must stay valid). `_shadowed` marks the
         # default dir being claimed by some OTHER renamed identity, in
         # which case this name does not exist even though the dir does.
-        self.path, self._shadowed = wh._resolve_table_dir(ns, name)
+        # getattr: duck-typed warehouse stand-ins (raw commit-protocol
+        # tests, embeddings) resolve to the default layout.
+        resolve = getattr(wh, "_resolve_table_dir", None)
+        if resolve is None:
+            self.path, self._shadowed = os.path.join(wh.root, ns, name), False
+        else:
+            self.path, self._shadowed = resolve(ns, name)
 
     # ---------------- metadata ----------------
     def exists(self) -> bool:
