@@ -601,6 +601,16 @@ def write_iceberg_metadata(table: Table) -> str:
                     "deleted_rows_count": 0,
                 }
             )
+            # Iceberg v3 row lineage in the debuggable JSON mirror: each
+            # data file's first_row_id = the dir's commit-assigned base +
+            # its row-count offset in canonical path order (the same rule
+            # Table._lineage_cols derives `_row_id` with)
+            row_base = meta.get("dir_row_ids", {}).get(d)
+            first_ids: dict[str, int | None] = {}
+            off = 0
+            for f in sorted(files, key=lambda r: r["path"]):
+                first_ids[f["path"]] = (int(row_base) + off) if row_base is not None else None
+                off += int(f.get("rows", 0))
             manifests_json.append(
                 {
                     "manifest_path": mpath,
@@ -613,6 +623,7 @@ def write_iceberg_metadata(table: Table) -> str:
                             "file_format": "PARQUET",
                             "record_count": f["rows"],
                             "file_size_in_bytes": f["bytes"],
+                            "first_row_id": first_ids[f["path"]],
                         }
                         for f in files
                     ],
@@ -673,6 +684,14 @@ def write_iceberg_metadata(table: Table) -> str:
                     **{k: str(v) for k, v in s.get("summary", {}).items()},
                 },
                 "schema-id": schema_versions.index(schema_json),
+                # Iceberg v3 row lineage (readers of v2 ignore unknown
+                # fields): the first row id carved out for files this
+                # commit added; absent on commits that added no data
+                **(
+                    {"first-row-id": int(s["first_row_id"])}
+                    if s.get("first_row_id") is not None
+                    else {}
+                ),
             }
         )
 
@@ -696,6 +715,9 @@ def write_iceberg_metadata(table: Table) -> str:
         # main's head — branch-staged (write-audit-publish) snapshots are
         # present in "snapshots" but referenced only by their named ref
         "current-snapshot-id": mains[-1]["snapshot_id"] if mains else -1,
+        # v3 row-lineage counter (ignored by v2 readers): the next unused
+        # row id — every committed data dir advanced it by its row count
+        "next-row-id": int(meta.get("next_row_id", 0)),
         "snapshots": snapshot_entries,
         "snapshot-log": [
             {"timestamp-ms": s["committed_at_ms"], "snapshot-id": s["snapshot_id"]}

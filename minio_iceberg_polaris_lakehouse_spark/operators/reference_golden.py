@@ -227,6 +227,21 @@ def _lake(spark: SparkSession):
         "ALTER TABLE polaris.test_db.defaults_demo ADD COLUMN tag STRING DEFAULT 'none'"
     )
     lake.sql("INSERT INTO polaris.test_db.defaults_demo VALUES (3, 'c', 30, 'real')")
+    # row-lineage fixture (Iceberg v3): two appends carve ids 0..2 and 3,
+    # a copy-on-write UPDATE preserves identity while bumping the matched
+    # row's update sequence, compaction + a copy-on-write DELETE rewrite
+    # the data twice more WITHOUT changing any surviving row's id
+    lake.sql(
+        "CREATE TABLE IF NOT EXISTS polaris.test_db.lineage_demo "
+        "(id INT, v STRING) USING ICEBERG"
+    )
+    lake.sql("INSERT INTO polaris.test_db.lineage_demo VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    lake.sql("INSERT INTO polaris.test_db.lineage_demo VALUES (4, 'd')")
+    lake.sql("UPDATE polaris.test_db.lineage_demo SET v = 'B' WHERE id = 2")
+    lake.sql(
+        "CALL polaris.system.rewrite_data_files(table => 'test_db.lineage_demo')"
+    )
+    lake.sql("DELETE FROM polaris.test_db.lineage_demo WHERE id = 3")
     _LAKES[key] = lake
     return lake
 
@@ -754,6 +769,38 @@ def ref_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-evolution files read the defaults (metadata-only backfill, no
     rewrite), while the post-evolution row keeps its stored values."""
     return _lake(spark).sql("SELECT id, v, score, tag FROM polaris.test_db.defaults_demo ORDER BY id")
+
+
+@register(
+    "ref_row_lineage",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'a', CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+        (2, 'B', CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+        (4, 'd', CAST(3 AS BIGINT), CAST(2 AS BIGINT)))
+        AS l(id, v, row_id, last_upd_seq)
+    ORDER BY id
+    """,
+)
+def ref_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 ROW LINEAGE through the SQL path (warehouse.py
+    `_lineage_cols` / `_write_data(lineage_cols=True)`): the
+    lineage_demo fixture appended ids 1-3 (row ids 0-2, sequence 1) and
+    id 4 (row id 3, sequence 2), then a copy-on-write UPDATE of id 2
+    (sequence 3), a full compaction rewrite (sequence 4), and a
+    copy-on-write DELETE of id 3 (sequence 5). Row identity survives all
+    THREE rewrites — `_row_id` still tells which INSERT each row came
+    from — while `_last_updated_sequence_number` pins the UPDATE commit
+    on id 2 only (compaction/delete rewrites carry rows, they don't
+    update them). Appended rows' ids derive from commit-assigned
+    first-row-id + file offset + position (zero per-row storage);
+    rewrites materialize them (the spec's inheritance + preservation
+    rules)."""
+    return _lake(spark).sql(
+        "SELECT id, v, _row_id AS row_id, "
+        "_last_updated_sequence_number AS last_upd_seq "
+        "FROM polaris.test_db.lineage_demo ORDER BY id"
+    )
 
 
 # Materialized-view golden: per-application mode cache so the fixture

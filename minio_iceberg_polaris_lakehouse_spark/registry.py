@@ -69,7 +69,13 @@ _PRIORITY: list[str] = [
     # set_intersect (set_except remains). Incoming: the audio-codec
     # trio, PQ ANN, mixture sampling, the LM log-prob quality scores,
     # and both foreign-metadata goldens.
-    "flagship_revenue_by_nation",
+    # r7 session 8: the Iceberg v3 row-lineage golden takes the flagship's
+    # slot — the flagship is the ONLY remaining multi-round veteran in the
+    # window (6 green rounds r1-r6) and stays verified every round by the
+    # driver's entry() smoke check, the bench suite, and the uncapped
+    # local oracle replica; lineage identity across three rewrites has
+    # never had driver evidence
+    "ref_row_lineage",
     # open-format consumer side: the standalone Iceberg metadata reader
     # over a fixture stacking schema evolution + compiled equality
     # deletes + key resurrection; r7 extends the reader to RAW foreign

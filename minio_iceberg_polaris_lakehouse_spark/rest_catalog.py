@@ -131,6 +131,9 @@ class _Handler(BaseHTTPRequestHandler):
         m = re.fullmatch(r"/api/catalog/v1/([^/]+)/namespaces/([^/]+)/tables/([^/]+)", path)
         if m:
             return self._commit_table(*m.groups())
+        m = re.fullmatch(r"/api/catalog/v1/([^/]+)/transactions/commit", path)
+        if m:
+            return self._commit_transaction(m.group(1))
         m = re.fullmatch(r"/api/catalog/v1/([^/]+)/namespaces/([^/]+)/views", path)
         if m:
             return self._create_view(m.group(1), m.group(2))
@@ -378,6 +381,59 @@ class _Handler(BaseHTTPRequestHandler):
                     )
             self.state.pointers[key] = new_loc
         self._json(200, self._table_response(new_loc))
+
+    def _commit_transaction(self, catalog: str):
+        """commitTransaction (Iceberg REST spec POST
+        /v1/{prefix}/transactions/commit): ONE request carrying several
+        tables' pointer swaps, applied ALL-or-NOTHING under the catalog
+        mutex — validate every change's requirements first, then swap
+        every pointer; any failed requirement returns 409 with ZERO
+        tables moved. This is the atomicity a filesystem catalog cannot
+        give (transactions.py documents the read-skew window there):
+        readers that resolve tables through the catalog can never see a
+        half-committed transaction."""
+        doc = self._body()
+        changes = doc.get("table-changes", [])
+        if not changes:
+            return self._error(400, "table-changes required")
+        staged: list[tuple[tuple[str, str, str], str]] = []
+        for ch in changes:
+            ident = ch.get("identifier") or {}
+            ns = ident.get("namespace")
+            ns = ".".join(ns) if isinstance(ns, list) else ns
+            name = ident.get("name")
+            new_loc = ch.get("metadata-location")
+            if not (ns and name and new_loc):
+                return self._error(
+                    400, "each change needs identifier{namespace,name} + metadata-location"
+                )
+            if not fsio.isfile(new_loc):
+                return self._error(400, f"metadata file not found: {new_loc}")
+            staged.append(((catalog, ns, name), new_loc))
+        with self.state.lock:
+            # phase 1: validate EVERY requirement before touching anything
+            for ch, (key, _loc) in zip(changes, staged):
+                cur = self.state.pointers.get(key)
+                if cur is None:
+                    return self._error(
+                        404, f"no table {key[1]}.{key[2]}", "NoSuchTableException"
+                    )
+                for r in ch.get("requirements", []):
+                    if (
+                        r.get("type") == "assert-metadata-location"
+                        and r.get("metadata-location") != cur
+                    ):
+                        return self._error(
+                            409,
+                            f"requirement failed on {key[1]}.{key[2]}: "
+                            f"pointer moved to {cur}",
+                            "CommitFailedException",
+                        )
+            # phase 2: swap every pointer — still inside the mutex, so no
+            # reader ever resolves a mix of old and new
+            for key, new_loc in staged:
+                self.state.pointers[key] = new_loc
+        self._json(200, {"committed": len(staged)})
 
     # -- views (Iceberg REST view spec, the surface Polaris exposes) ------
     #
@@ -757,6 +813,33 @@ class RestCatalogClient:
                 ],
                 "updates": [],
                 "metadata-location": new_location,
+            },
+        )
+
+    def commit_transaction(
+        self, catalog: str, changes: list[tuple[str, str, str, str]]
+    ) -> dict:
+        """Atomic multi-table commit (Iceberg REST commitTransaction).
+        ``changes`` = [(ns, name, base_location, new_location), ...]; the
+        catalog swaps EVERY pointer or none — CommitConflict if any
+        table's pointer moved off its base."""
+        return self._post_json(
+            f"/api/catalog/v1/{catalog}/transactions/commit",
+            {
+                "table-changes": [
+                    {
+                        "identifier": {"namespace": [ns], "name": name},
+                        "requirements": [
+                            {
+                                "type": "assert-metadata-location",
+                                "metadata-location": base,
+                            }
+                        ],
+                        "updates": [],
+                        "metadata-location": new,
+                    }
+                    for ns, name, base, new in changes
+                ]
             },
         )
 

@@ -182,12 +182,24 @@ def read_iceberg_table(
     ref: str | None = None,
     _keep_lineage: bool = False,
     _keep_seq: bool = False,
+    row_lineage: bool = False,
 ) -> DataFrame:
     """Open the table at ``location`` (table dir / metadata dir /
     metadata file) as a DataFrame; optional time travel by snapshot id,
     timestamp (milliseconds), or a named branch/tag from the metadata
     document's ``refs`` map (Iceberg's ref time travel — VERSION AS OF
-    'audit-2024' works on a foreign table exactly as on a native one)."""
+    'audit-2024' works on a foreign table exactly as on a native one).
+
+    ``row_lineage=True`` adds Iceberg v3's `_row_id` /
+    `_last_updated_sequence_number` from the OPEN metadata alone:
+    per-file first-row-ids come from the exported manifest-list JSON
+    mirror (joined as a broadcast, not collected per row), materialized
+    lineage columns in rewritten files (detected from one parquet footer
+    per file group, metadata-only) win over derivation, and the update
+    sequence falls back to the file's data sequence — the same rules the
+    native reader applies, so engine and foreign reads agree bit-for-bit
+    across compaction/CoW rewrites. Tables whose metadata predates row
+    lineage yield NULL ids (the spec's 'not assigned')."""
     md = json.loads(fsio.read_text(resolve_metadata_path(location)))
     snaps = md.get("snapshots", [])
     schemas = {s["schema-id"]: s for s in md.get("schemas", [])}
@@ -214,6 +226,9 @@ def read_iceberg_table(
     target_sid = snap.get("schema-id", md["current-schema-id"]) if snap else md["current-schema-id"]
     target = schemas[target_sid]
 
+    if row_lineage and _keep_lineage:
+        raise ValueError("row_lineage is exclusive with the internal _keep_lineage")
+
     def _empty() -> DataFrame:
         e = spark.createDataFrame([], _struct(target))
         if _keep_lineage:
@@ -222,6 +237,10 @@ def read_iceberg_table(
             )
             if _keep_seq:
                 e = e.withColumn("__seq", F.lit(None).cast("long"))
+        if row_lineage:
+            e = e.withColumn("_row_id", F.lit(None).cast("long")).withColumn(
+                "_last_updated_sequence_number", F.lit(None).cast("long")
+            )
         return e
 
     if snap is None:  # table created but never committed to
@@ -296,9 +315,36 @@ def read_iceberg_table(
     for file_schema, seq, files in groups.values():
         if not files:
             continue
-        df = spark.read.schema(_struct(file_schema)).parquet(*files)
+        read_struct = _struct(file_schema)
+        lin_extra: list = []
+        if row_lineage:
+            # one footer open per FILE GROUP (metadata-only): rewritten
+            # files carry materialized _lin_* columns the schema JSON
+            # never lists — they win over derivation, exactly as in the
+            # native reader
+            import pyarrow.parquet as _pq
+
+            phys = _pq.ParquetFile(fsio.open_binary(files[0])).schema_arrow.names
+            if "_lin_row_id" in phys:
+                read_struct = T.StructType(
+                    list(read_struct.fields)
+                    + [
+                        T.StructField("_lin_row_id", T.LongType(), True),
+                        T.StructField("_lin_upd_seq", T.LongType(), True),
+                    ]
+                )
+                lin_extra = [
+                    F.col("_lin_row_id").alias("__lin_row_id"),
+                    F.col("_lin_upd_seq").alias("__lin_upd_seq"),
+                ]
+            else:
+                lin_extra = [
+                    F.lit(None).cast("long").alias("__lin_row_id"),
+                    F.lit(None).cast("long").alias("__lin_upd_seq"),
+                ]
+        df = spark.read.schema(read_struct).parquet(*files)
         cols = _align_cols(file_schema, target)
-        parts.append(df.select(*cols, *meta_cols, F.lit(seq).alias("__seq")))
+        parts.append(df.select(*cols, *meta_cols, F.lit(seq).alias("__seq"), *lin_extra))
     if not parts:  # every entry was status=2 / groups held no files
         return _empty()
     out = parts[0]
@@ -326,6 +372,44 @@ def read_iceberg_table(
         # delete files; _keep_seq additionally keeps the data sequence
         # (the eq-delete changelog's `data_seq < delete_seq` gate)
         return out if _keep_seq else out.drop("__seq")
+    if row_lineage:
+        # per-file first-row-ids from the export's manifest-list JSON
+        # mirror (the v3 fields a v2 Avro manifest cannot carry); the map
+        # is manifest-sized → broadcast join, never a collect per row
+        mlist_json = re.sub(
+            r"-manifest-list\.avro$", ".manifest-list.json", snap["manifest-list"]
+        )
+        first_rows: list[tuple[str, int]] = []
+        try:
+            mirror = json.loads(fsio.read_text(mlist_json))
+            for man in mirror.get("manifests", []):
+                for fe in man.get("data_files", []):
+                    if fe.get("first_row_id") is not None:
+                        first_rows.append(
+                            (
+                                re.sub(r"^file:(//)?", "", fe["file_path"]),
+                                int(fe["first_row_id"]),
+                            )
+                        )
+        except (OSError, ValueError):
+            pass  # pre-lineage metadata: ids stay NULL (spec: not assigned)
+        if first_rows:
+            firsts = spark.createDataFrame(
+                first_rows, "__file string, __first bigint"
+            ).dropDuplicates(["__file"])
+            out = out.join(F.broadcast(firsts), ["__file"], "left")
+        else:
+            out = out.withColumn("__first", F.lit(None).cast("long"))
+        out = out.select(
+            *[c for c in out.columns if not c.startswith("__")],
+            F.coalesce(
+                F.col("__lin_row_id"), (F.col("__first") + F.col("__pos")).cast("long")
+            ).alias("_row_id"),
+            F.coalesce(F.col("__lin_upd_seq"), F.col("__seq")).alias(
+                "_last_updated_sequence_number"
+            ),
+        )
+        return out
     return out.drop("__file", "__pos", "__seq")
 
 
@@ -756,7 +840,8 @@ def read_iceberg_snapshots(spark: SparkSession, location: str) -> DataFrame:
     md = json.loads(fsio.read_text(resolve_metadata_path(location)))
     schema = (
         "committed_at timestamp, snapshot_id bigint, parent_id bigint, "
-        "operation string, manifest_list string, summary map<string,string>"
+        "operation string, manifest_list string, summary map<string,string>, "
+        "first_row_id bigint"
     )
     rows = [
         (
@@ -766,6 +851,9 @@ def read_iceberg_snapshots(spark: SparkSession, location: str) -> DataFrame:
             (s.get("summary") or {}).get("operation"),
             s.get("manifest-list"),
             {k: str(v) for k, v in (s.get("summary") or {}).items() if k != "operation"},
+            # Iceberg v3 row lineage, round-tripped from the exported
+            # metadata document (absent on v2 writers' tables)
+            (int(s["first-row-id"]) if s.get("first-row-id") is not None else None),
         )
         for s in md.get("snapshots", [])
     ]

@@ -413,6 +413,13 @@ class LakehouseSQL:
         wants_metadata_cols = bool(
             re.search(r"(?<!\w)_(?:spec_id|partition|file|pos|deleted)(?!\w)", s)
         )
+        # Iceberg v3 row lineage: `SELECT _row_id, …` /
+        # `_last_updated_sequence_number` register the table view with the
+        # lineage read (derived ids for appended rows, materialized ids
+        # carried through rewrites)
+        wants_lineage = bool(
+            re.search(r"(?<!\w)_(?:row_id|last_updated_sequence_number)(?!\w)", s)
+        )
         cat = re.escape(self.catalog)
         pattern = re.compile(
             rf"(?<![A-Za-z0-9_.'])"
@@ -501,7 +508,14 @@ class LakehouseSQL:
                         df = read_iceberg_table(self.spark, floc, as_of_ms=ms)
                         view += f"__ts{ms}"
                     else:
-                        df = read_iceberg_table(self.spark, floc)
+                        # Iceberg v3 row-lineage columns work on the
+                        # registered foreign name too (derived from the
+                        # open metadata's first-row-ids)
+                        df = read_iceberg_table(
+                            self.spark, floc, row_lineage=wants_lineage
+                        )
+                        if wants_lineage:
+                            view += "__lin"
                     df.createOrReplaceTempView(view)
                     return view
                 vsql = view_defs.get(f"{ns}.{tbl}")
@@ -551,16 +565,20 @@ class LakehouseSQL:
                 view += f"__ts{ms}"
             else:
                 hint = (hints or {}).get((ns, tbl))
-                if hint and not wants_metadata_cols:
+                if hint and not wants_metadata_cols and not wants_lineage:
                     # single-table SELECT with provably-conjunct predicates
                     # (_scan_hints): back the view with the bounds-pruned
                     # scan so manifest file skipping fires for plain SQL;
                     # the statement still applies its full WHERE on top
                     df = tab.scan(eq=hint["eq"], between=hint["between"])
                 else:
-                    df = tab.read(metadata_columns=wants_metadata_cols)
+                    df = tab.read(
+                        metadata_columns=wants_metadata_cols, lineage=wants_lineage
+                    )
                     if wants_metadata_cols:
                         view += "__meta"
+                    if wants_lineage:
+                        view += "__lin"
             if f"{ns}.{tbl}" in matview_defs:
                 # materialized-view storage: the hidden maintenance
                 # columns (row count, AVG components) are never

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -55,6 +56,11 @@ from minio_iceberg_polaris_lakehouse_spark import fsio
 
 META_FILE = "_meta.json"
 SNAP_FILE = "_snapshots.json"
+# physical parquet column names rewrites use to materialize Iceberg v3 row
+# lineage (`_row_id` / `_last_updated_sequence_number`) for carried-over
+# rows; invisible to normal reads (explicit read schemas skip them)
+LIN_ROW_ID = "_lin_row_id"
+LIN_UPD_SEQ = "_lin_upd_seq"
 
 
 class WarehouseError(RuntimeError):
@@ -207,6 +213,16 @@ class Warehouse:
     # lives in one atomic JSON doc; absent file = no table was ever
     # renamed, so the default <root>/<ns>/<name> layout resolves with a
     # single failed stat and zero parsing on the hot path.
+    def transaction(self):
+        """Multi-table transaction (transactions.py): stage DML across
+        several tables invisibly (hidden write-audit-publish branch per
+        table), then commit all-or-nothing with snapshot-isolation
+        conflict detection — ``with wh.transaction() as txn:
+        txn.table('db', 'a').append(df)``."""
+        from minio_iceberg_polaris_lakehouse_spark.transactions import Transaction
+
+        return Transaction(self)
+
     def _locations_path(self) -> str:
         return os.path.join(self.root, "_locations.json")
 
@@ -1164,12 +1180,34 @@ class Table:
         meta = self._meta()
         seq_rec = meta.setdefault("dir_seqs", {})
         changed = False
+        # Iceberg v3 row lineage: every dir first committed here gets a
+        # first-row-id base carved out of the table's next-row-id counter,
+        # advanced by the dir's footer row count — `_row_id` then derives
+        # as base + file offset + row position with no per-row storage
+        # (rewrites that carry rows materialize their ids instead; see
+        # _write_data(lineage_cols=True)). Mirrors the spec's rule that
+        # next-row-id advances by record_count of every added file.
+        row_rec = meta.setdefault("dir_row_ids", {})
+        next_row = int(meta.get("next_row_id", 0))
+        first_row_id = None
         for d in dirs:
             if d not in seq_rec:
                 seq_rec[d] = sid
                 changed = True
+            if d not in row_rec:
+                rows = sum(
+                    int(f.get("rows", 0)) for f in _load_dir_stats(self.path, d, meta)
+                )
+                row_rec[d] = next_row
+                if first_row_id is None:
+                    first_row_id = next_row
+                next_row += rows
+                changed = True
         if changed:
+            meta["next_row_id"] = next_row
             self._write_meta(meta)
+        if first_row_id is not None:
+            entry["first_row_id"] = first_row_id
         _atomic_write_json(os.path.join(self.path, SNAP_FILE), {"snapshots": snaps})
         # mirror the commit as Iceberg-v2-shaped open metadata so readers
         # other than this engine can resolve schema + data files
@@ -1423,6 +1461,7 @@ class Table:
         dirs: list[str],
         schema: T.StructType | None = None,
         file_subsets: dict[str, list[str]] | None = None,
+        lineage: bool = False,
     ) -> list[tuple[PartitionSpec, int, DataFrame]]:
         """One scan per commit directory — commit dirs are each internally
         consistent hive layouts but differ across schema-evolution /
@@ -1459,6 +1498,22 @@ class Table:
         for d in dirs:
             spec, spec_id = self._dir_spec(d, meta)
             phys = self._physical_schema(spec, schema)
+            # lineage reads surface the materialized row-id columns that
+            # rewrites (compaction / copy-on-write DML) persisted into
+            # this dir's parquet files; dirs written by plain appends have
+            # none — their ids derive from first-row-id + position instead
+            # (`_lineage_cols` in read()/_read_dirs)
+            has_lin = bool(
+                lineage and meta.get("dir_specs", {}).get(d, {}).get("lineage")
+            )
+            if has_lin:
+                phys = T.StructType(
+                    list(phys.fields)
+                    + [
+                        T.StructField(LIN_ROW_ID, T.LongType(), True),
+                        T.StructField(LIN_UPD_SEQ, T.LongType(), True),
+                    ]
+                )
             path = os.path.join(self.path, d)
 
             def read_dir(read_schema: T.StructType, d=d, path=path) -> DataFrame:
@@ -1519,6 +1574,12 @@ class Table:
                             for f in phys.fields
                         ]
                     )
+            if lineage and not has_lin:
+                df = df.select(
+                    "*",
+                    F.lit(None).cast("long").alias(LIN_ROW_ID),
+                    F.lit(None).cast("long").alias(LIN_UPD_SEQ),
+                )
             out.append((spec, spec_id, df))
         return out
 
@@ -1531,12 +1592,53 @@ class Table:
             return T.StructType.fromJson(json.loads(snap["schema"]))
         return self.schema()
 
+    def _lineage_cols(self, d: str, meta: dict, seqs: dict[str, int]) -> list[Column]:
+        """Iceberg v3 row-lineage expressions for one data dir (must be
+        evaluated while `_metadata` and the `_lin_*` columns are in scope).
+
+        Derived rule (the spec's inheritance): `_row_id` = the dir's
+        first-row-id base (assigned at commit, `_append_snapshot`) + the
+        file's row-count offset within the dir (footer stats, canonical
+        path order) + the row's position in the file — zero per-row
+        storage for plain appends. A materialized `_lin_row_id` (written
+        by compaction / copy-on-write rewrites) wins, so carried-over rows
+        keep their identity across rewrites. `_last_updated_sequence_
+        number` defaults to the dir's data sequence; materialized values
+        carry the original update commit through compaction. Dirs with no
+        recorded stats (raw protocol commits) yield NULL ids — the spec's
+        'not yet assigned' state — rather than guessing."""
+        base = meta.get("dir_row_ids", {}).get(d)
+        stats = _load_dir_stats(self.path, d, meta)
+        derived = F.lit(None).cast("long")
+        if base is not None and stats:
+            pairs: list[Column] = []
+            off = 0
+            for f in sorted(stats, key=lambda r: r["path"]):
+                pairs += [F.lit(f["path"]), F.lit(int(base) + off)]
+                off += int(f.get("rows", 0))
+            # key the per-file base map by the path RELATIVE to the dir:
+            # dir names are unique uuid-suffixed tokens, so splitting on
+            # "/<dir>/" is scheme- and mount-independent (file:, viewfs:)
+            rel = F.regexp_replace(
+                F.col("_metadata.file_path"), "^.*?/" + re.escape(d) + "/", ""
+            )
+            derived = (
+                F.element_at(F.create_map(*pairs), rel) + F.col("_metadata.row_index")
+            ).cast("long")
+        return [
+            F.coalesce(F.col(LIN_ROW_ID), derived).alias("_row_id"),
+            F.coalesce(F.col(LIN_UPD_SEQ), F.lit(int(seqs.get(d, 0))).cast("long")).alias(
+                "_last_updated_sequence_number"
+            ),
+        ]
+
     def _read_dirs(
         self,
         dirs: list[str],
         schema: T.StructType | None = None,
         file_pos: bool = False,
         seq_of: dict[str, int] | None = None,
+        lineage: bool = False,
     ) -> DataFrame:
         """``file_pos=True`` appends `_file`/`_pos` (from Spark's native
         `_metadata` hidden column — JVM-side, no extra scan) for
@@ -1555,8 +1657,16 @@ class Table:
                 )
             if seq_of is not None:
                 df = df.select("*", F.lit(None).cast("long").alias("_seq"))
+            if lineage:
+                df = df.select(
+                    "*",
+                    F.lit(None).cast("long").alias("_row_id"),
+                    F.lit(None).cast("long").alias("_last_updated_sequence_number"),
+                )
             return df
-        frames = self._dir_frames(dirs, schema)
+        frames = self._dir_frames(dirs, schema, lineage=lineage)
+        lin_meta = self._meta() if lineage else None
+        lin_seqs = self._dir_seqs() if lineage else {}
         cols = schema.fieldNames()
         extra = (
             [
@@ -1571,6 +1681,8 @@ class Table:
             dir_extra = list(extra)
             if seq_of is not None:
                 dir_extra.append(F.lit(int(seq_of.get(d, 0))).cast("long").alias("_seq"))
+            if lineage:
+                dir_extra.extend(self._lineage_cols(d, lin_meta, lin_seqs))
             # identity transform: the hive partition column holds the
             # source value EXACTLY, so project it in the source's place —
             # a filter on the source column then becomes a Catalyst
@@ -1701,6 +1813,7 @@ class Table:
         version: int | str | None = None,
         as_of_ms: int | None = None,
         metadata_columns: bool = False,
+        lineage: bool = False,
     ) -> DataFrame:
         """Snapshot-isolated scan; `version`/`as_of_ms` give the reference's
         VERSION AS OF / TIMESTAMP AS OF (warehouse_helpers.py:134-136),
@@ -1714,11 +1827,20 @@ class Table:
         `_deleted=true` in metadata scans (the Iceberg debugging workflow
         of inspecting deleted rows) while normal reads exclude them.
         Copy-on-write deletes rewrite data instead, so their removed rows
-        leave the manifest entirely."""
+        leave the manifest entirely.
+
+        ``lineage=True`` adds Iceberg v3 ROW LINEAGE columns `_row_id` and
+        `_last_updated_sequence_number`: plain appends derive ids from the
+        dir's commit-assigned first-row-id + file offset + row position
+        (zero per-row storage), rewrites (compaction, copy-on-write DML)
+        materialize them so carried-over rows keep their identity, and
+        merge-on-read leaves surviving rows' files — and therefore ids —
+        untouched by construction."""
         time_travel = version is not None or as_of_ms is not None
         snap = self._resolve(version, as_of_ms)
         schema = self._snapshot_schema(snap) if time_travel else self.schema()
         cols = schema.fieldNames()
+        lin_cols = ["_row_id", "_last_updated_sequence_number"] if lineage else []
         del_dirs = snap.get("delete_dirs", [])
         eq_recs = snap.get("eq_deletes", [])
         if not metadata_columns:
@@ -1728,19 +1850,29 @@ class Table:
                     schema,
                     file_pos=bool(del_dirs),
                     seq_of=self._dir_seqs() if eq_recs else None,
+                    lineage=lineage,
                 )
                 if del_dirs:
-                    keep = cols + (["_seq"] if eq_recs else [])
+                    keep = cols + (["_seq"] if eq_recs else []) + lin_cols
                     df = self._apply_deletes(df, del_dirs, keep)
                 if eq_recs:
-                    df = self._apply_eq_deletes(df, eq_recs, cols)
+                    df = self._apply_eq_deletes(df, eq_recs, cols + lin_cols)
                 return df
-            return self._read_dirs(snap["manifest"], schema).select(*cols)
+            return self._read_dirs(snap["manifest"], schema, lineage=lineage).select(
+                *cols, *lin_cols
+            )
 
-        frames = self._dir_frames(snap["manifest"], schema)
+        frames = self._dir_frames(snap["manifest"], schema, lineage=lineage)
         if not frames:
             out = self.spark.createDataFrame([], schema)
-            return _with_null_metadata_columns(out, cols)
+            out = _with_null_metadata_columns(out, cols)
+            if lineage:
+                out = out.select(
+                    "*",
+                    F.lit(None).cast("long").alias("_row_id"),
+                    F.lit(None).cast("long").alias("_last_updated_sequence_number"),
+                )
+            return out
 
         # unified partition struct type: one field per distinct spec column
         cur_schema = self.schema()
@@ -1761,7 +1893,8 @@ class Table:
                 )
                 part_fields.append((spec.column(), dt))
 
-        seqs = self._dir_seqs() if eq_recs else {}
+        seqs = self._dir_seqs() if eq_recs or lineage else {}
+        lin_snapmeta = self._meta() if lineage else None
         parts = []
         for (spec, spec_id, df), d in zip(frames, snap["manifest"]):
             struct_cols = [
@@ -1780,6 +1913,8 @@ class Table:
             extra = (
                 [F.lit(int(seqs.get(d, 0))).cast("long").alias("_seq")] if eq_recs else []
             )
+            if lineage:
+                extra.extend(self._lineage_cols(d, lin_snapmeta, seqs))
             parts.append(
                 df.select(
                     *cols,
@@ -1794,7 +1929,9 @@ class Table:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        meta_cols = ["_file", "_pos", "_spec_id", "_partition"]
+        meta_cols = ["_file", "_pos", "_spec_id", "_partition"] + (
+            ["_row_id", "_last_updated_sequence_number"] if lineage else []
+        )
         if del_dirs:
             # live _deleted: tombstoned rows stay VISIBLE in metadata scans,
             # flagged true (Iceberg's inspect-deleted-rows workflow)
@@ -2162,7 +2299,9 @@ class Table:
         return self.read(**kw).toPandas()
 
     # ---------------- write path (S7/S8/M2) ----------------
-    def _write_data(self, df: DataFrame, pre_clustered: bool = False) -> PendingData:
+    def _write_data(
+        self, df: DataFrame, pre_clustered: bool = False, lineage_cols: bool = False
+    ) -> PendingData:
         """Write one immutable data directory for this commit (executors do
         all IO; zstd parquet as in the reference table properties). The row
         count comes from the written files' parquet FOOTERS, not a second
@@ -2193,7 +2332,21 @@ class Table:
                 )
             else:
                 df = df.withColumn(c, F.lit(None).cast(schema[c].dataType))
-        aligned = df.select(*[F.col(c).cast(schema[c].dataType).alias(c) for c in cols])
+        aligned = df.select(
+            *[F.col(c).cast(schema[c].dataType).alias(c) for c in cols],
+            # lineage_cols: rewrites (compaction / copy-on-write DML)
+            # materialize the rows' Iceberg v3 row ids into the files so
+            # carried-over rows keep their identity — read back by
+            # _dir_frames(lineage=True), invisible to normal reads
+            *(
+                [
+                    F.col("_row_id").cast("long").alias(LIN_ROW_ID),
+                    F.col("_last_updated_sequence_number").cast("long").alias(LIN_UPD_SEQ),
+                ]
+                if lineage_cols
+                else []
+            ),
+        )
         # pre_clustered: the caller already arranged the partitioning/order
         # (e.g. a zorder rewrite) — re-shuffling by the table sort order
         # here would destroy it
@@ -2222,6 +2375,8 @@ class Table:
             # rename chain so RENAME COLUMN preserves old files' values
             "columns": cols,
         }
+        if lineage_cols:
+            spec_rec["lineage"] = True
         return PendingData(dirname, sum(s["rows"] for s in stats), spec_rec, stats)
 
     def _current_spec_id(self, meta: dict) -> int:
@@ -2611,9 +2766,14 @@ class Table:
         if mode == "merge-on-read-equality":
             return self._delete_where_mor_eq(condition, branch=branch)
         parent = self._branch_head(branch) if branch else self.current_snapshot_id()
-        cur = self.read(version=branch) if branch else self.read()
+        # surviving rows keep their Iceberg v3 row ids through the rewrite
+        cur = (
+            self.read(version=branch, lineage=True)
+            if branch
+            else self.read(lineage=True)
+        )
         remaining = cur.filter(f"NOT ({condition})")
-        p = self._write_data(remaining)
+        p = self._write_data(remaining, lineage_cols=True)
         return self._commit_replace(
             "delete", [p], {"predicate": condition}, parent, branch=branch
         )
@@ -2887,7 +3047,16 @@ class Table:
         if mode == "merge-on-read":
             return self._update_where_mor(assignments, condition, branch=branch)
         parent = self._branch_head(branch) if branch else self.current_snapshot_id()
-        cur = self.read(version=branch) if branch else self.read()
+        # Iceberg v3 row lineage through copy-on-write UPDATE: every row
+        # keeps its _row_id (updates change values, not identity); rows the
+        # predicate matches get a NULL materialized update-sequence, which
+        # the read side resolves to THIS commit's data sequence — unmatched
+        # rows carry their original one
+        cur = (
+            self.read(version=branch, lineage=True)
+            if branch
+            else self.read(lineage=True)
+        )
         updated = cur.select(
             *[
                 (
@@ -2896,9 +3065,13 @@ class Table:
                     else F.col(c)
                 )
                 for c in cols
-            ]
+            ],
+            F.col("_row_id"),
+            F.when(F.expr(condition), F.lit(None).cast("long"))
+            .otherwise(F.col("_last_updated_sequence_number"))
+            .alias("_last_updated_sequence_number"),
         )
-        p = self._write_data(updated)
+        p = self._write_data(updated, lineage_cols=True)
         return self._commit_replace(
             "update", [p], {"predicate": condition}, parent, branch=branch
         )
@@ -3021,7 +3194,16 @@ class Table:
         # MATCHED — so the duplicate scan is semi-joined against the
         # target's keys first. One aggregation over the (typically
         # dimension-sized) source; first offender reported.
-        tgt0 = self.read(version=branch) if branch else self.read()
+        # lineage=True: copy-on-write MERGE preserves row identity
+        # (Iceberg v3) — carried/updated target rows keep their _row_id,
+        # updated rows' update-sequence resets to this commit (NULL
+        # materialization → read derives the new dir's data sequence),
+        # inserted source rows get fresh ids the same way
+        tgt0 = (
+            self.read(version=branch, lineage=True)
+            if branch
+            else self.read(lineage=True)
+        )
         dup = (
             source.join(tgt0.select(on), on, "left_semi")
             .groupBy(on)
@@ -3040,8 +3222,22 @@ class Table:
             raise WarehouseError(f"MERGE aliases must differ: both {ta!r}")
         tgt = tgt0.alias(ta)
         src = source.alias(sa)
+        _lin_keep = [
+            F.col(f"{ta}._row_id").alias("_row_id"),
+            F.col(f"{ta}._last_updated_sequence_number").alias(
+                "_last_updated_sequence_number"
+            ),
+        ]
+        _lin_touched = [
+            F.col(f"{ta}._row_id").alias("_row_id"),
+            F.lit(None).cast("long").alias("_last_updated_sequence_number"),
+        ]
+        _lin_fresh = [
+            F.lit(None).cast("long").alias("_row_id"),
+            F.lit(None).cast("long").alias("_last_updated_sequence_number"),
+        ]
         unmatched_tgt = tgt.join(src, F.col(f"{ta}.{on}") == F.col(f"{sa}.{on}"), "left_anti").select(
-            *[F.col(c) for c in cols]
+            *[F.col(c) for c in cols], *_lin_keep
         )
         # WHEN NOT MATCHED BY SOURCE THEN DELETE (Spark 3.5+/Iceberg's
         # sync-deletion arm): target rows with no source match DROP
@@ -3062,22 +3258,25 @@ class Table:
             # the conditional arm's complement: matched rows failing the
             # condition pass through with their target values
             merged = merged.unionByName(
-                matched_pairs.filter(~cond).select(*[F.col(f"{ta}.{c}").alias(c) for c in cols])
+                matched_pairs.filter(~cond).select(
+                    *[F.col(f"{ta}.{c}").alias(c) for c in cols], *_lin_keep
+                )
             )
         if matched_action == "update":
             matched = matched_pairs.filter(cond).select(
                 *[
                     (F.col(f"{sa}.{c}") if c in update_cols else F.col(f"{ta}.{c}")).alias(c)
                     for c in cols
-                ]
+                ],
+                *_lin_touched,
             )
             merged = merged.unionByName(matched)
         if insert_missing:
             new_rows = src.join(tgt, F.col(f"{sa}.{on}") == F.col(f"{ta}.{on}"), "left_anti").select(
-                *[F.col(c) for c in cols]
+                *[F.col(c) for c in cols], *_lin_fresh
             )
             merged = merged.unionByName(new_rows)
-        p = self._write_data(merged)
+        p = self._write_data(merged, lineage_cols=True)
         summary = {"on": on, "matched-action": matched_action}
         if matched_condition:
             summary["matched-condition"] = matched_condition
@@ -3281,7 +3480,9 @@ class Table:
 
     def snapshots(self) -> DataFrame:
         """<table>.snapshots (reference getting_started.ipynb:144-152,169):
-        committed_at, snapshot_id, parent_id, operation, manifest_list, summary."""
+        committed_at, snapshot_id, parent_id, operation, manifest_list, summary,
+        plus Iceberg v3's first_row_id (NULL for commits that added no
+        data — lineage bases are carved per added dir, _append_snapshot)."""
         snaps = self._snaps()
         rows = [
             Row(
@@ -3291,12 +3492,14 @@ class Table:
                 operation=s["operation"],
                 manifest_list=os.path.join(self.path, SNAP_FILE),
                 summary={k: str(v) for k, v in s["summary"].items()},
+                first_row_id=s.get("first_row_id"),
             )
             for s in snaps
         ]
         schema = (
             "committed_at timestamp, snapshot_id bigint, parent_id bigint, "
-            "operation string, manifest_list string, summary map<string,string>"
+            "operation string, manifest_list string, summary map<string,string>, "
+            "first_row_id bigint"
         )
         return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)
 
@@ -3309,14 +3512,23 @@ class Table:
         meta = self._meta()
         specs = meta.get("dir_specs", {})
         rows = []
-        for content, dirs in (
+        rows_src = (
             (0, snap["manifest"]),
             (1, snap.get("delete_dirs", [])),
             (2, [r["dir"] for r in snap.get("eq_deletes", [])]),  # EQUALITY_DELETES
-        ):
+        )
+        row_bases = meta.get("dir_row_ids", {})
+        for content, dirs in rows_src:
             for d in dirs:
                 sid = int(specs.get(d, {}).get("spec_id", 0))
-                for f in _load_dir_stats(self.path, d, meta):
+                # Iceberg v3 first_row_id per data file: the dir's commit-
+                # assigned base + the file's row-count offset (canonical
+                # path order) — delete files carry NULL like the spec
+                base = row_bases.get(d) if content == 0 else None
+                off = 0
+                for f in sorted(
+                    _load_dir_stats(self.path, d, meta), key=lambda r: r["path"]
+                ):
                     b = f.get("bounds") or {}
                     rows.append(
                         Row(
@@ -3328,12 +3540,15 @@ class Table:
                             file_size_in_bytes=f["bytes"],
                             lower_bounds={k: str(v[0]) for k, v in b.items()},
                             upper_bounds={k: str(v[1]) for k, v in b.items()},
+                            first_row_id=(int(base) + off) if base is not None else None,
                         )
                     )
+                    off += int(f.get("rows", 0))
         schema = (
             "content int, file_path string, file_format string, spec_id int, "
             "record_count bigint, file_size_in_bytes bigint, "
-            "lower_bounds map<string,string>, upper_bounds map<string,string>"
+            "lower_bounds map<string,string>, upper_bounds map<string,string>, "
+            "first_row_id bigint"
         )
         return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)
 
@@ -3722,58 +3937,69 @@ class Table:
         move, with lineage recorded in the summary)."""
         lock, token = self._acquire_commit_lock()
         try:
-            snaps = self._snaps()
-            meta = self._meta()
-            rec = meta.get("refs", {}).get(branch)
-            if rec is None or rec.get("type") != "BRANCH":
-                raise WarehouseError(f"unknown branch {branch!r} on {self.ns}.{self.name}")
-            by_id = {s["snapshot_id"]: s for s in snaps}
-            head = by_id[int(rec["snapshot_id"])]
-            mains = self._main_snaps(snaps)
-            main_head = mains[-1]["snapshot_id"] if mains else None
-            if not head.get("branch"):
-                return main_head  # branch never diverged — nothing to publish
-            # fork base: walk parents through the branch-staged snapshots
-            base = head
-            while base.get("branch"):
-                nxt = by_id.get(base.get("parent_id"))
-                if nxt is None:
-                    raise WarehouseError(
-                        f"{self.ns}.{self.name}: branch {branch!r} lost its fork "
-                        f"base (snapshot {base.get('parent_id')} was expired); "
-                        "cherry-pick the staged snapshots or re-stage on a fresh branch"
-                    )
-                base = nxt
-            if base["snapshot_id"] != main_head:
-                raise CommitConflictError(
-                    f"{self.ns}.{self.name}: main moved {base['snapshot_id']} -> "
-                    f"{main_head} since branch {branch!r} forked; not a fast-forward"
-                )
-            sid = self._append_snapshot(
-                snaps,
-                "append",
-                head["manifest"],
-                {"published-from-branch": branch, "published-snapshot-id": head["snapshot_id"]},
-                head.get("delete_dirs", []),
-                eq_deletes=head.get("eq_deletes", []),
-            )
-            # re-point the branch at the published main head (Iceberg's
-            # fast_forward leaves branch == main): the NEXT staged commit
-            # forks from the published state, so repeated stage+publish
-            # cycles on one branch — the normal WAP workflow — keep
-            # fast-forwarding instead of conflicting on a stale fork base
-            meta = self._meta()  # re-read: the commit re-exported metadata
-            meta["refs"][branch]["snapshot_id"] = sid
-            self._write_meta(meta)
-            # re-export so the open metadata's refs reflect the re-point
-            from minio_iceberg_polaris_lakehouse_spark.iceberg_export import (
-                write_iceberg_metadata,
-            )
-
-            write_iceberg_metadata(self)
-            return sid
+            return self._fast_forward_locked(branch)
         finally:
             self._release_commit_lock(lock, token)
+
+    def _fast_forward_locked(self, branch: str, check_only: bool = False) -> int | None:
+        """fast_forward body — caller MUST hold this table's commit lock.
+        ``check_only=True`` validates the fast-forward precondition (fork
+        base == main head) without committing — multi-table transactions
+        (transactions.py) run a validate-all phase across every touched
+        table before any table publishes, so a conflict on the last table
+        cannot leave the first ones already published."""
+        snaps = self._snaps()
+        meta = self._meta()
+        rec = meta.get("refs", {}).get(branch)
+        if rec is None or rec.get("type") != "BRANCH":
+            raise WarehouseError(f"unknown branch {branch!r} on {self.ns}.{self.name}")
+        by_id = {s["snapshot_id"]: s for s in snaps}
+        head = by_id[int(rec["snapshot_id"])]
+        mains = self._main_snaps(snaps)
+        main_head = mains[-1]["snapshot_id"] if mains else None
+        if not head.get("branch"):
+            return main_head  # branch never diverged — nothing to publish
+        # fork base: walk parents through the branch-staged snapshots
+        base = head
+        while base.get("branch"):
+            nxt = by_id.get(base.get("parent_id"))
+            if nxt is None:
+                raise WarehouseError(
+                    f"{self.ns}.{self.name}: branch {branch!r} lost its fork "
+                    f"base (snapshot {base.get('parent_id')} was expired); "
+                    "cherry-pick the staged snapshots or re-stage on a fresh branch"
+                )
+            base = nxt
+        if base["snapshot_id"] != main_head:
+            raise CommitConflictError(
+                f"{self.ns}.{self.name}: main moved {base['snapshot_id']} -> "
+                f"{main_head} since branch {branch!r} forked; not a fast-forward"
+            )
+        if check_only:
+            return None
+        sid = self._append_snapshot(
+            snaps,
+            "append",
+            head["manifest"],
+            {"published-from-branch": branch, "published-snapshot-id": head["snapshot_id"]},
+            head.get("delete_dirs", []),
+            eq_deletes=head.get("eq_deletes", []),
+        )
+        # re-point the branch at the published main head (Iceberg's
+        # fast_forward leaves branch == main): the NEXT staged commit
+        # forks from the published state, so repeated stage+publish
+        # cycles on one branch — the normal WAP workflow — keep
+        # fast-forwarding instead of conflicting on a stale fork base
+        meta = self._meta()  # re-read: the commit re-exported metadata
+        meta["refs"][branch]["snapshot_id"] = sid
+        self._write_meta(meta)
+        # re-export so the open metadata's refs reflect the re-point
+        from minio_iceberg_polaris_lakehouse_spark.iceberg_export import (
+            write_iceberg_metadata,
+        )
+
+        write_iceberg_metadata(self)
+        return sid
 
     def cherry_pick(self, snapshot_id: int) -> int:
         """CALL system.cherrypick_snapshot: apply ONE staged snapshot's
@@ -4159,7 +4385,10 @@ class Table:
         => 'sort'); ``zorder`` interleave-clusters on multiple columns so
         file skipping works on all of them (see _cluster_zorder)."""
         parent = self.current_snapshot_id()
-        cur = self.read()
+        # lineage=True: compaction must not change row identity (Iceberg
+        # v3) — carried rows' _row_id / _last_updated_sequence_number are
+        # materialized into the rewritten files
+        cur = self.read(lineage=True)
         if zorder:
             cur = self._cluster_zorder(cur, zorder, target_partitions)
         elif sort_by:
@@ -4173,7 +4402,9 @@ class Table:
             summary["zorder"] = ",".join(zorder)
         if sort_by:
             summary["sort"] = ",".join(sort_by)
-        p = self._write_data(cur, pre_clustered=bool(zorder or sort_by))
+        p = self._write_data(
+            cur, pre_clustered=bool(zorder or sort_by), lineage_cols=True
+        )
         return self._commit_replace("replace", [p], summary, parent)
 
     def row_count(self) -> int | None:
@@ -4213,8 +4444,8 @@ class Table:
             # equality deletes can hit rows in ANY dir whose sequence
             # predates them — fold everything in one full rewrite (the
             # positional-only path below stays O(affected dirs))
-            live = self.read()
-            p = self._write_data(live)
+            live = self.read(lineage=True)
+            p = self._write_data(live, lineage_cols=True)
             return self._commit_replace(
                 "replace",
                 [p],
@@ -4238,9 +4469,11 @@ class Table:
         untouched = [d for d in snap["manifest"] if d not in affected]
         schema = self.schema()
         cols = schema.fieldNames()
-        rewritten = self._read_dirs(affected, schema, file_pos=True)
-        live = self._apply_deletes(rewritten, del_dirs, cols)
-        p = self._write_data(live)
+        rewritten = self._read_dirs(affected, schema, file_pos=True, lineage=True)
+        live = self._apply_deletes(
+            rewritten, del_dirs, cols + ["_row_id", "_last_updated_sequence_number"]
+        )
+        p = self._write_data(live, lineage_cols=True)
         return self._commit_replace(
             "replace",
             untouched + [p],

@@ -33,6 +33,14 @@ def test_curation_pipeline_example():
     assert "residual_pii" in r.stdout and "audio sidecar" in r.stdout
 
 
+def test_multi_table_txn_example(tmp_path):
+    r = _run("multi_table_txn.py", str(tmp_path / "txn"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "committed atomically" in r.stdout
+    assert "zero tables published" in r.stdout
+    assert "swapped both pointers atomically" in r.stdout
+
+
 def test_cdc_upsert_pipeline_example(tmp_path):
     r = _run("cdc_upsert_pipeline.py", str(tmp_path / "cdc"))
     assert r.returncode == 0, r.stderr[-2000:]

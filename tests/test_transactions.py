@@ -1,0 +1,190 @@
+"""Multi-table transactions (transactions.py + the REST
+commitTransaction endpoint): atomic all-or-nothing commits across
+tables, snapshot-isolation conflict detection, zero partial publishes."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from minio_iceberg_polaris_lakehouse_spark.rest_catalog import (
+    CommitConflict,
+    RestCatalogClient,
+    make_server,
+)
+from minio_iceberg_polaris_lakehouse_spark.transactions import TransactionError
+from minio_iceberg_polaris_lakehouse_spark.warehouse import (
+    CommitConflictError,
+    Warehouse,
+)
+
+CID, SECRET = "30d861989a2b1605", "c93e64ae4132aba1"
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    w = Warehouse(spark, str(tmp_path / "wh"))
+    w.create_namespace("db")
+    a = w.create_table("db", "a", "id int, v string")
+    b = w.create_table("db", "b", "id int, v string")
+    a.insert_values([(1, "a1")])
+    b.insert_values([(1, "b1")])
+    return w
+
+
+def _vals(tab):
+    return sorted((r.id, r.v) for r in tab.read().collect())
+
+
+def test_two_table_commit_is_atomic_and_invisible_until_commit(wh, spark):
+    a, b = wh.table("db", "a"), wh.table("db", "b")
+    with wh.transaction() as txn:
+        txn.table("db", "a").insert_values([(2, "a2")])
+        txn.table("db", "b").delete_where("id = 1")
+        # staged state invisible to main readers mid-transaction
+        assert _vals(a) == [(1, "a1")]
+        assert _vals(b) == [(1, "b1")]
+        # ...but visible to the transaction itself (read-your-writes)
+        assert sorted(
+            (r.id, r.v) for r in txn.table("db", "a").read().collect()
+        ) == [(1, "a1"), (2, "a2")]
+    assert _vals(a) == [(1, "a1"), (2, "a2")]
+    assert _vals(b) == []
+    # transaction branches are gone from both tables
+    assert not [r for r in a._meta().get("refs", {}) if r.startswith("__txn_")]
+    assert not [r for r in b._meta().get("refs", {}) if r.startswith("__txn_")]
+
+
+def test_exception_aborts_everything(wh):
+    a, b = wh.table("db", "a"), wh.table("db", "b")
+    with pytest.raises(RuntimeError, match="boom"):
+        with wh.transaction() as txn:
+            txn.table("db", "a").insert_values([(2, "a2")])
+            txn.table("db", "b").insert_values([(2, "b2")])
+            raise RuntimeError("boom")
+    assert _vals(a) == [(1, "a1")]
+    assert _vals(b) == [(1, "b1")]
+    assert not [r for r in a._meta().get("refs", {}) if r.startswith("__txn_")]
+
+
+def test_conflict_on_any_table_publishes_nothing(wh, spark):
+    """The concurrent writer hits table 'b' — which sorts AFTER 'a' in
+    the canonical lock/publish order — so the conflict is discovered
+    after 'a' already validated: the validate-all phase must still leave
+    'a' unpublished."""
+    a, b = wh.table("db", "a"), wh.table("db", "b")
+    txn = wh.transaction()
+    txn.table("db", "a").insert_values([(2, "a2")])
+    txn.table("db", "b").insert_values([(2, "b2")])
+    b.insert_values([(9, "intruder")])  # concurrent main commit
+    with pytest.raises(CommitConflictError):
+        txn.commit()
+    assert _vals(a) == [(1, "a1")]  # nothing from the transaction landed
+    assert _vals(b) == [(1, "b1"), (9, "intruder")]
+    assert not [r for r in a._meta().get("refs", {}) if r.startswith("__txn_")]
+    assert not [r for r in b._meta().get("refs", {}) if r.startswith("__txn_")]
+
+
+def test_update_merge_overwrite_inside_transaction(wh, spark):
+    with wh.transaction() as txn:
+        txn.table("db", "a").update_where({"v": "'A1'"}, "id = 1")
+        src = spark.createDataFrame([(1, "B1"), (5, "b5")], "id int, v string")
+        txn.table("db", "b").merge_into(src, on="id")
+    assert _vals(wh.table("db", "a")) == [(1, "A1")]
+    assert _vals(wh.table("db", "b")) == [(1, "B1"), (5, "b5")]
+
+
+def test_multiple_ops_same_table_chain_on_branch(wh):
+    with wh.transaction() as txn:
+        t = txn.table("db", "a")
+        t.insert_values([(2, "a2")])
+        t.insert_values([(3, "a3")])
+        t.delete_where("id = 1")
+    assert _vals(wh.table("db", "a")) == [(2, "a2"), (3, "a3")]
+
+
+def test_empty_table_refused_loudly(wh):
+    wh.create_table("db", "empty", "id int, v string")
+    txn = wh.transaction()
+    with pytest.raises(TransactionError, match="no snapshots"):
+        txn.table("db", "empty")
+    txn.abort()
+
+
+def test_closed_transaction_rejects_further_use(wh, spark):
+    txn = wh.transaction()
+    txn.table("db", "a").insert_values([(2, "a2")])
+    txn.commit()
+    with pytest.raises(TransactionError, match="committed"):
+        txn.table("db", "b")
+    # commit is not repeatable either
+    with pytest.raises(TransactionError):
+        txn.commit()
+
+
+# ---------------------------------------------------------------- REST
+
+
+@pytest.fixture()
+def server(tmp_path):
+    srv, port = make_server(str(tmp_path), CID, SECRET)
+    yield f"http://127.0.0.1:{port}", str(tmp_path)
+    srv.shutdown()
+
+
+def _loc(tab):
+    hint = open(os.path.join(tab.path, "metadata", "version-hint.text")).read()
+    return os.path.join(tab.path, "metadata", f"v{hint}.metadata.json")
+
+
+def test_rest_commit_transaction_atomic(server, spark):
+    """Iceberg REST commitTransaction: one request swaps BOTH tables'
+    pointers under the catalog mutex."""
+    url, root = server
+    cli = RestCatalogClient(url, CID, SECRET)
+    cli.create_catalog("cat", root + "/cat")
+    cli.create_namespace("cat", "db")
+    cli.create_table("cat", "db", "x", "id int")
+    cli.create_table("cat", "db", "y", "id int")
+    wh = Warehouse(spark, root + "/cat")
+    tx, ty = wh.table("db", "x"), wh.table("db", "y")
+    base_x = cli.load_table("cat", "db", "x")["metadata-location"]
+    base_y = cli.load_table("cat", "db", "y")["metadata-location"]
+    tx.insert_values([(1,)])
+    ty.insert_values([(2,)])
+    cli.commit_transaction(
+        "cat",
+        [("db", "x", base_x, _loc(tx)), ("db", "y", base_y, _loc(ty))],
+    )
+    assert cli.load_table("cat", "db", "x")["metadata-location"] == _loc(tx)
+    assert cli.load_table("cat", "db", "y")["metadata-location"] == _loc(ty)
+
+
+def test_rest_commit_transaction_all_or_nothing_on_conflict(server, spark):
+    """A stale requirement on the SECOND table 409s the whole request —
+    the first table's pointer must not move either."""
+    url, root = server
+    cli = RestCatalogClient(url, CID, SECRET)
+    cli.create_catalog("cat", root + "/cat")
+    cli.create_namespace("cat", "db")
+    cli.create_table("cat", "db", "x", "id int")
+    cli.create_table("cat", "db", "y", "id int")
+    wh = Warehouse(spark, root + "/cat")
+    tx, ty = wh.table("db", "x"), wh.table("db", "y")
+    base_x = cli.load_table("cat", "db", "x")["metadata-location"]
+    base_y = cli.load_table("cat", "db", "y")["metadata-location"]
+    # a rival moves y's pointer first
+    ty.insert_values([(99,)])
+    cli.commit_table("cat", "db", "y", base_y, _loc(ty))
+    moved_y = cli.load_table("cat", "db", "y")["metadata-location"]
+    tx.insert_values([(1,)])
+    ty.insert_values([(2,)])
+    with pytest.raises(CommitConflict):
+        cli.commit_transaction(
+            "cat",
+            [("db", "x", base_x, _loc(tx)), ("db", "y", base_y, _loc(ty))],
+        )
+    # neither pointer moved: x still at base, y still at the rival's
+    assert cli.load_table("cat", "db", "x")["metadata-location"] == base_x
+    assert cli.load_table("cat", "db", "y")["metadata-location"] == moved_y
