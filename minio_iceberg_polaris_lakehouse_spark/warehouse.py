@@ -2167,7 +2167,12 @@ class Table:
         ("_change_ordinal", T.IntegerType()),
     ]
 
-    def changes(self, from_version: int | None = None, to_version: int | None = None) -> DataFrame:
+    def changes(
+        self,
+        from_version: int | None = None,
+        to_version: int | None = None,
+        lineage: bool = False,
+    ) -> DataFrame:
         """Iceberg changelog scan (`CALL system.create_changelog_view`):
         the row-level changes committed by snapshots in
         (``from_version``, ``to_version``], each tagged `_change_type`
@@ -2187,7 +2192,15 @@ class Table:
         Scale: the scan reads ONLY the churned dirs of each snapshot in
         the window (plus, for MOR delete commits, the parent manifest
         filtered by a broadcast semi-join on the tombstones) — O(changed
-        data), never a diff of two full table reads."""
+        data), never a diff of two full table reads.
+
+        ``lineage=True`` (opt-in; existing consumers fold the change
+        columns by prefix and must not see a new data column) adds
+        Iceberg v3's `_row_id` to every emitted row: a delete and a
+        later insert carrying the SAME `_row_id` are one logical row
+        moving (copy-on-write UPDATE under identity preservation) —
+        the correlation a CDC consumer cannot recover from values
+        alone."""
         snaps = self._main_snaps()
         by_id = {s["snapshot_id"]: s for s in snaps}
         if to_version is None:
@@ -2199,6 +2212,7 @@ class Table:
         start = from_version if from_version is not None else 0
         schema = self._snapshot_schema(by_id[to_version]) if snaps else self.schema()
         cols = schema.fieldNames()
+        lin = ["_row_id"] if lineage else []
 
         parts: list[DataFrame] = []
         ordinal = 0
@@ -2226,6 +2240,7 @@ class Table:
             def tag(df: DataFrame, change: str, sid=None, ord_=None) -> DataFrame:
                 return df.select(
                     *cols,
+                    *lin,
                     F.lit(change).alias("_change_type"),
                     F.lit(sid).cast("long").alias("_commit_snapshot_id"),
                     F.lit(ord_).cast("int").alias("_change_ordinal"),
@@ -2234,7 +2249,14 @@ class Table:
             sid, emitted = s["snapshot_id"], False
             if added:
                 parts.append(
-                    tag(self._read_dirs(added, schema).select(*cols), "insert", sid, ordinal)
+                    tag(
+                        self._read_dirs(added, schema, lineage=lineage).select(
+                            *cols, *lin
+                        ),
+                        "insert",
+                        sid,
+                        ordinal,
+                    )
                 )
                 emitted = True
             seqs = self._dir_seqs() if (par_eq or new_eq) else None
@@ -2243,8 +2265,12 @@ class Table:
                 # rows the parent had already tombstoned (positionally or
                 # by equality) were emitted as deletes by THOSE commits —
                 # don't emit them twice
-                df = self._read_dirs(dirs, schema, file_pos=True, seq_of=seqs)
-                keep = cols + ["_file", "_pos"] + (["_seq"] if par_eq or new_eq else [])
+                df = self._read_dirs(
+                    dirs, schema, file_pos=True, seq_of=seqs, lineage=lineage
+                )
+                keep = (
+                    cols + ["_file", "_pos"] + (["_seq"] if par_eq or new_eq else []) + lin
+                )
                 df = self._apply_deletes(df, par_dels, keep)
                 if par_eq:
                     df = self._apply_eq_deletes(df, par_eq, keep)
@@ -2252,7 +2278,7 @@ class Table:
 
             if removed:
                 parts.append(
-                    tag(parent_alive(removed).select(*cols), "delete", sid, ordinal)
+                    tag(parent_alive(removed).select(*cols, *lin), "delete", sid, ordinal)
                 )
                 emitted = True
             if new_dels:
@@ -2264,7 +2290,7 @@ class Table:
                 df = parent_alive(parent["manifest"])
                 tomb = self._tombstones(new_dels)
                 cond = self._pos_delete_cond(df, tomb)
-                hit = df.join(F.broadcast(tomb), cond, "left_semi").select(*cols)
+                hit = df.join(F.broadcast(tomb), cond, "left_semi").select(*cols, *lin)
                 parts.append(tag(hit, "delete", sid, ordinal))
                 emitted = True
             if new_eq:
@@ -2278,7 +2304,7 @@ class Table:
                     )
                     hits = h if hits is None else hits.unionByName(h)
                 # a row matching several delete files emits once
-                hit = hits.dropDuplicates(["_file", "_pos"]).select(*cols)
+                hit = hits.dropDuplicates(["_file", "_pos"]).select(*cols, *lin)
                 parts.append(tag(hit, "delete", sid, ordinal))
                 emitted = True
             if emitted:
@@ -2286,6 +2312,7 @@ class Table:
         if not parts:
             empty = T.StructType(
                 list(schema.fields)
+                + [T.StructField(c, T.LongType(), True) for c in lin]
                 + [T.StructField(n, t, True) for n, t in self._CHANGE_COLS]
             )
             return self.spark.createDataFrame([], empty)

@@ -267,6 +267,29 @@ def test_foreign_reader_pre_lineage_metadata_yields_nulls(wh, spark):
     assert rows[0]._row_id is None  # the spec's 'not assigned', not a guess
 
 
+def test_changelog_lineage_correlates_update_pairs(wh):
+    """changes(lineage=True): a copy-on-write UPDATE emits a delete and
+    an insert for the SAME `_row_id` — the correlation that tells a CDC
+    consumer 'this is one logical row moving', unrecoverable from
+    values alone. Default changes() stays lineage-free (downstream
+    folders treat every non-_change column as data)."""
+    tab = _make(wh)
+    tab.insert_values([(1, "a"), (2, "b"), (3, "c")])
+    v1 = tab.current_snapshot_id()
+    sid = tab.update_where({"v": "'B'"}, "id = 2", mode="copy-on-write")
+    ch = tab.changes(from_version=v1, lineage=True).collect()
+    # CoW update: every parent row deletes, every current row re-inserts;
+    # the _row_id pairs them off exactly
+    dels = {r._row_id: r.id for r in ch if r._change_type == "delete"}
+    ins = {r._row_id: (r.id, r.v) for r in ch if r._change_type == "insert"}
+    assert set(dels) == set(ins)  # identity preserved through the rewrite
+    rid2 = next(rid for rid, i in dels.items() if i == 2)
+    assert ins[rid2] == (2, "B")  # the updated row is the SAME logical row
+    assert all(r._commit_snapshot_id == sid for r in ch)
+    # opt-in: the default changelog schema is unchanged
+    assert "_row_id" not in tab.changes(from_version=v1).columns
+
+
 def test_foreign_sql_row_lineage(wh, spark, tmp_path):
     """`SELECT _row_id FROM <registered foreign name>` through the SQL
     front-end matches the native table's lineage read."""

@@ -123,6 +123,43 @@ def test_closed_transaction_rejects_further_use(wh, spark):
         txn.commit()
 
 
+def test_two_racing_transactions_one_wins_wholly(wh, spark):
+    """Two transactions stage conflicting row-level DML on the SAME two
+    tables and commit concurrently: exactly one commits (both its
+    tables), the other aborts (neither of its tables) — never a mix.
+    Appends alone are commutative, so the conflicting op here is an
+    UPDATE (a replace commit) on each table."""
+    import threading
+
+    results: dict[str, Exception | dict] = {}
+
+    def run(tag: str):
+        txn = wh.transaction()
+        try:
+            txn.table("db", "a").update_where({"v": f"'{tag}'"}, "id = 1")
+            txn.table("db", "b").update_where({"v": f"'{tag}'"}, "id = 1")
+            results[tag] = txn.commit()
+        except Exception as e:
+            results[tag] = e
+
+    t1 = threading.Thread(target=run, args=("T1",))
+    t2 = threading.Thread(target=run, args=("T2",))
+    t1.start(), t2.start()
+    t1.join(), t2.join()
+    committed = [k for k, v in results.items() if isinstance(v, dict)]
+    failed = [k for k, v in results.items() if isinstance(v, Exception)]
+    assert len(committed) == 1 and len(failed) == 1, results
+    # the failure is the documented conflict type
+    assert isinstance(results[failed[0]], CommitConflictError), results[failed[0]]
+    win = committed[0]
+    # BOTH tables carry the winner's value; the loser left no trace
+    assert _vals(wh.table("db", "a")) == [(1, win)]
+    assert _vals(wh.table("db", "b")) == [(1, win)]
+    for t in ("a", "b"):
+        refs = wh.table("db", t)._meta().get("refs", {})
+        assert not [r for r in refs if r.startswith("__txn_")]
+
+
 # ---------------------------------------------------------------- REST
 
 
