@@ -139,6 +139,9 @@ class LakehouseSQL:
         self.catalog = catalog
         # write-audit-publish session state (`SET spark.wap.branch = '...'`)
         self._wap_branch: str | None = None
+        # the wap.id variant: INSERTs stage on a hidden per-id branch,
+        # published by CALL system.publish_changes(wap_id => ...)
+        self._wap_id: str | None = None
         # view-expansion recursion guard (views over views; cycles raise)
         self._view_stack: set[str] = set()
         self.rest = None  # set by from_rest
@@ -839,7 +842,7 @@ class LakehouseSQL:
         named = src.toDF(*cols).select(
             *[F.col(c).cast(schema[c].dataType).alias(c) for c in cols]
         )
-        tab.append(named, branch=self._wap_branch)
+        tab.append(named, branch=self._stage_branch(tab))
         return self._empty()
 
     def _insert_values(self, m: re.Match) -> DataFrame:
@@ -879,12 +882,33 @@ class LakehouseSQL:
             ]
         )
 
+    def _stage_branch(self, tab: Table) -> str | None:
+        """Effective staging target for an INSERT: `spark.wap.branch` if
+        set, else — under `spark.wap.id` — a hidden per-id branch
+        (auto-created at the table's current head) that
+        CALL system.publish_changes(wap_id => ...) later cherry-picks to
+        main and drops. Both set at once is ambiguous, as in Iceberg."""
+        if self._wap_branch and self._wap_id:
+            raise WarehouseError(
+                "spark.wap.branch and spark.wap.id are both set — "
+                "RESET one (ambiguous WAP staging target)"
+            )
+        if self._wap_branch:
+            return self._wap_branch
+        if self._wap_id:
+            b = f"__wap_{self._wap_id}"
+            if b not in tab._meta().get("refs", {}):
+                tab.create_ref(b, "branch")
+            return b
+        return None
+
     def _append_positional(self, tab: Table, src: DataFrame) -> None:
         # an active `SET spark.wap.branch = '...'` routes INSERTs to that
         # branch (Iceberg's write-audit-publish session knob): staged,
         # auditable via VERSION AS OF 'branch', invisible to main until
-        # CALL system.fast_forward publishes
-        tab.append(self._align_positional(tab, src), branch=self._wap_branch)
+        # CALL system.fast_forward publishes; `SET spark.wap.id` stages
+        # on a hidden per-id branch for CALL system.publish_changes
+        tab.append(self._align_positional(tab, src), branch=self._stage_branch(tab))
 
     def _insert_overwrite_values(self, m: re.Match) -> DataFrame:
         """INSERT OVERWRITE TABLE t VALUES ... — replace-the-table
@@ -1895,6 +1919,49 @@ class LakehouseSQL:
         self._wap_branch = None
         return self._empty()
 
+    def _set_wap_id(self, m: re.Match) -> DataFrame:
+        """SET spark.wap.id = 'audit-1' — stage subsequent INSERTs for
+        CALL system.publish_changes (Iceberg's id-keyed WAP variant)."""
+        self._wap_id = m.group(1).strip().strip("'\"") or None
+        return self._empty()
+
+    def _reset_wap_id(self, m: re.Match) -> DataFrame:
+        self._wap_id = None
+        return self._empty()
+
+    def _call_publish_changes(self, m: re.Match) -> DataFrame:
+        """CALL c.system.publish_changes(table => 't', wap_id => 'x') —
+        publish every append staged under that wap id (cherry-picked
+        onto the CURRENT main in stage order, so publishes survive main
+        having moved — the difference from fast_forward), then drop the
+        staging branch."""
+        tab = self._existing_table(m.group(1).strip("'\""))
+        wap_id = m.group(2).strip("'\"")
+        branch = f"__wap_{wap_id}"
+        meta = tab._meta()
+        rec = meta.get("refs", {}).get(branch)
+        if rec is None:
+            raise WarehouseError(
+                f"no staged changes under wap id {wap_id!r} on "
+                f"{tab.ns}.{tab.name}"
+            )
+        # staged chain: branch-tagged snapshots from the head down to the
+        # main fork point, published oldest-first
+        snaps = {s["snapshot_id"]: s for s in tab._snaps()}
+        chain: list[int] = []
+        cur = snaps.get(int(rec["snapshot_id"]))
+        while cur is not None and cur.get("branch") == branch:
+            chain.append(cur["snapshot_id"])
+            cur = snaps.get(cur.get("parent_id"))
+        current = tab.current_snapshot_id()
+        for sid in reversed(chain):
+            current = tab.cherry_pick(sid)
+        tab.drop_ref(branch)
+        return self.spark.createDataFrame(
+            [Row(published=len(chain), current_snapshot_id=current)],
+            "published int, current_snapshot_id bigint",
+        )
+
     def _call_fast_forward(self, m: re.Match) -> DataFrame:
         """CALL c.system.fast_forward(table => 't', branch => 'main',
         to => 'audit') — publish the staged branch to main (the WAP
@@ -2291,6 +2358,14 @@ class LakehouseSQL:
         ),
         (r"SET\s+spark\.wap\.branch\s*=\s*(.+)", _set_wap_branch),
         (r"RESET\s+spark\.wap\.branch", _reset_wap_branch),
+        (r"SET\s+spark\.wap\.id\s*=\s*(.+)", _set_wap_id),
+        (r"RESET\s+spark\.wap\.id", _reset_wap_id),
+        (
+            rf"CALL\s+{_IDENT}\.system\.publish_changes\s*\("
+            r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*,"
+            r"\s*wap_id\s*=>\s*('[^']+'|\"[^\"]+\")\s*\)",
+            _call_publish_changes,
+        ),
         (
             rf"CALL\s+{_IDENT}\.system\.fast_forward\s*\("
             r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*,"

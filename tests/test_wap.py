@@ -243,3 +243,43 @@ def test_wap_sql_surface(spark, tmp_path):
     ).collect()[0]
     assert picked.source_snapshot_id == staged
     assert lake.sql("SELECT COUNT(*) AS n FROM polaris.db.wap").collect()[0].n == 3
+
+
+def test_wap_id_sql_surface(spark, tmp_path):
+    """`SET spark.wap.id` + CALL system.publish_changes — the id-keyed
+    WAP variant: INSERTs stage invisibly under the id, publish
+    cherry-picks onto CURRENT main (so it survives main moving, unlike
+    fast_forward), and the hidden staging branch is dropped."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import WarehouseError
+
+    lake = LakehouseSQL(spark, str(tmp_path / "wh"))
+    lake.sql("CREATE TABLE polaris.db.w (id INT, v STRING) USING ICEBERG")
+    lake.sql("INSERT INTO polaris.db.w VALUES (1, 'a')")
+    lake.sql("SET spark.wap.id = 'etl-42'")
+    lake.sql("INSERT INTO polaris.db.w VALUES (2, 'staged')")
+    lake.sql("INSERT INTO polaris.db.w VALUES (3, 'staged')")
+    assert lake.sql("SELECT COUNT(*) AS n FROM polaris.db.w").collect()[0].n == 1
+    lake.sql("RESET spark.wap.id")
+    # main MOVES between stage and publish — publish still lands (the
+    # cherry-pick property fast_forward lacks)
+    lake.sql("INSERT INTO polaris.db.w VALUES (9, 'rival')")
+    out = lake.sql(
+        "CALL polaris.system.publish_changes(table => 'db.w', wap_id => 'etl-42')"
+    ).collect()[0]
+    assert out.published == 2
+    got = sorted(r.id for r in lake.sql("SELECT id FROM polaris.db.w").collect())
+    assert got == [1, 2, 3, 9]
+    # staging branch dropped; unknown id is loud
+    assert "__wap_etl-42" not in lake.wh.table("db", "w")._meta().get("refs", {})
+    with pytest.raises(WarehouseError, match="no staged changes"):
+        lake.sql(
+            "CALL polaris.system.publish_changes(table => 'db.w', wap_id => 'etl-42')"
+        )
+    # both knobs set at once is ambiguous
+    lake.sql("SET spark.wap.branch = 'b'")
+    lake.sql("SET spark.wap.id = 'x'")
+    with pytest.raises(WarehouseError, match="both set"):
+        lake.sql("INSERT INTO polaris.db.w VALUES (4, 'd')")
+    lake.sql("RESET spark.wap.branch")
+    lake.sql("RESET spark.wap.id")
