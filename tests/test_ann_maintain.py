@@ -1,0 +1,128 @@
+"""Incremental IVF index maintenance (operators/ann_maintain.py): the
+refresh must equal a full rebuild with the same frozen centroids, cost
+O(churn), and survive resumption/no-op cases."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from minio_iceberg_polaris_lakehouse_spark.operators.ann_maintain import (
+    WATERMARK_PROP,
+    build_ivf_index_tables,
+    refresh_ivf_index,
+)
+from minio_iceberg_polaris_lakehouse_spark.warehouse import Warehouse
+
+
+def _vecs(rng, ids):
+    return [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in ids]
+
+
+@pytest.fixture()
+def setup(spark, tmp_path):
+    rng = random.Random(11)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    corpus = wh.create_table("ann", "corpus", "vec_id bigint, e array<double>")
+    corpus.append(
+        spark.createDataFrame(_vecs(rng, range(40)), "vec_id bigint, e array<double>")
+    )
+    idx, cent = build_ivf_index_tables(wh, corpus)
+    return rng, wh, corpus, idx, cent
+
+
+def _index_state(idx):
+    return {r.vec_id: r.cell for r in idx.read().collect()}
+
+
+def test_build_assigns_every_vector_once(setup):
+    _rng, _wh, corpus, idx, cent = setup
+    state = _index_state(idx)
+    assert len(state) == 40
+    assert set(state) == set(range(40))
+    k = cent.read().count()
+    assert 0 < k and set(state.values()) <= set(range(1, k + 1))
+    assert idx.identifier_fields() == ["vec_id"]
+
+
+def test_refresh_equals_full_rebuild(setup, spark, tmp_path):
+    """Append + delete churn, then refresh: the index must match a
+    from-scratch rebuild that uses the SAME centroids — assignment is a
+    pure function of (vector, centroids), so incremental == full."""
+    rng, wh, corpus, idx, cent = setup
+    corpus.append(
+        spark.createDataFrame(_vecs(rng, range(40, 55)), "vec_id bigint, e array<double>")
+    )
+    corpus.delete_where("vec_id IN (3, 17, 29)", mode="merge-on-read")
+    out = refresh_ivf_index(wh, corpus)
+    assert out["upserted"] == 15 and out["deleted"] == 3
+    got = _index_state(idx)
+    assert set(got) == set(range(55)) - {3, 17, 29}
+    # rebuild twin with the same centroids
+    from minio_iceberg_polaris_lakehouse_spark.operators.ann_maintain import (
+        assign_cells,
+    )
+    from minio_iceberg_polaris_lakehouse_spark.operators.similarity import as_double
+    from pyspark.sql import functions as F
+
+    full = assign_cells(
+        corpus.read().select("vec_id", as_double("e").alias("e")), cent.read()
+    )
+    want = {r.vec_id: r.cell for r in full.collect()}
+    assert got == want
+
+
+def test_refresh_is_o_churn_not_o_corpus(setup, spark):
+    """The index commits record O(delta) added rows, proving the corpus
+    was not re-indexed."""
+    rng, wh, corpus, idx, _cent = setup
+    corpus.append(
+        spark.createDataFrame(_vecs(rng, range(40, 44)), "vec_id bigint, e array<double>")
+    )
+    before = idx.current_snapshot_id()
+    refresh_ivf_index(wh, corpus)
+    snaps = [s for s in idx._snaps() if s["snapshot_id"] > before]
+    added = sum(int(s["summary"].get("added-records", 0)) for s in snaps)
+    assert added == 4  # only the delta crossed into the index
+
+
+def test_refresh_noop_and_resumable(setup, spark):
+    rng, wh, corpus, idx, _cent = setup
+    assert refresh_ivf_index(wh, corpus)["upserted"] == 0  # already current
+    corpus.append(
+        spark.createDataFrame(_vecs(rng, [100]), "vec_id bigint, e array<double>")
+    )
+    out1 = refresh_ivf_index(wh, corpus)
+    assert (out1["upserted"], out1["deleted"]) == (1, 0)
+    # idempotent: a second refresh sees no new snapshots
+    out2 = refresh_ivf_index(wh, corpus)
+    assert (out2["upserted"], out2["deleted"]) == (0, 0)
+    assert int(idx.properties()[WATERMARK_PROP]) == corpus.current_snapshot_id()
+
+
+def test_reembedded_vector_moves_cell(setup, spark):
+    """An upserted (re-embedded) vector re-assigns: delete+insert in the
+    corpus window resolves to the NEW embedding, and the index's upsert
+    replaces the old row — no duplicate vec_id."""
+    rng, wh, corpus, idx, cent = setup
+    corpus.set_identifier_fields("vec_id")
+    new_e = [10.0] + [0.0] * 7  # far from the old random vector
+    corpus.upsert(
+        spark.createDataFrame([(5, new_e)], "vec_id bigint, e array<double>")
+    )
+    refresh_ivf_index(wh, corpus)
+    rows = idx.read().filter("vec_id = 5").collect()
+    assert len(rows) == 1
+    assert rows[0].e == new_e
+    # and its cell is the argmax against the frozen centroids
+    from minio_iceberg_polaris_lakehouse_spark.operators.ann_maintain import (
+        assign_cells,
+    )
+
+    want = assign_cells(
+        spark.createDataFrame([(5, new_e)], "vec_id bigint, e array<double>"),
+        cent.read(),
+    ).collect()[0].cell
+    assert rows[0].cell == want
