@@ -102,6 +102,26 @@ def build_ivf_index_tables(
     return idx, cent
 
 
+def _final_changes(corpus: Table, last: int | None):
+    """(live, dead): each changed key's FINAL state in the changelog
+    window (last, current]. The HIGHEST ordinal wins; a delete and an
+    insert in the same commit (copy-on-write update, upsert) resolve to
+    the insert — row replaced, not removed."""
+    ch = corpus.changes(from_version=last)
+    rank = F.struct(
+        F.col("_change_ordinal"),
+        F.when(F.col("_change_type") == "insert", 1).otherwise(0).alias("ins"),
+    )
+    final = (
+        ch.groupBy("vec_id")
+        .agg(F.max_by(F.struct("_change_type", "e"), rank).alias("f"))
+        .select("vec_id", F.col("f._change_type").alias("op"), F.col("f.e").alias("e"))
+    )
+    live = final.filter("op = 'insert'").select("vec_id", as_double("e").alias("e"))
+    dead = final.filter("op = 'delete'").select("vec_id")
+    return live, dead
+
+
 def refresh_ivf_index(wh: Warehouse, corpus: Table, ns: str = "ann") -> dict:
     """Fold the corpus churn since the last indexed snapshot into the
     index: O(changed data) read, O(delta) writes, frozen centroids.
@@ -112,27 +132,107 @@ def refresh_ivf_index(wh: Warehouse, corpus: Table, ns: str = "ann") -> dict:
     cur = corpus.current_snapshot_id()
     if cur == last:
         return {"upserted": 0, "deleted": 0, "from": last, "to": cur}
-    ch = corpus.changes(from_version=last)
-    # final state per changed key: the HIGHEST ordinal wins; a delete and
-    # an insert in the same commit (copy-on-write update) resolve to the
-    # insert — row replaced, not removed
-    rank = F.struct(
-        F.col("_change_ordinal"),
-        F.when(F.col("_change_type") == "insert", 1).otherwise(0).alias("ins"),
-    )
-    final = (
-        ch.groupBy("vec_id")
-        .agg(F.max_by(F.struct("_change_type", "e"), rank).alias("f"))
-        .select("vec_id", F.col("f._change_type").alias("op"), F.col("f.e").alias("e"))
-    )
-    live = final.filter("op = 'insert'").select(
-        "vec_id", as_double("e").alias("e")
-    )
-    dead = final.filter("op = 'delete'").select("vec_id")
+    live, dead = _final_changes(corpus, last)
     n_up, n_del = live.count(), dead.count()
     if n_up:
         idx.upsert(assign_cells(live, cent.read()))
     if n_del:
         idx.delete_keys(dead)
     idx.set_properties({WATERMARK_PROP: str(cur)})
+    return {"upserted": n_up, "deleted": n_del, "from": last, "to": cur}
+
+
+# ---------------------------------------------------------------- PQ twin
+# The product-quantization index (similarity_pq: 64×-compressed codes +
+# a persisted codebook) maintains with the SAME changelog discipline —
+# frozen codebook between rebuilds, churn applied as keyed upsert /
+# delete_keys on the codes table, Arrow-batched encode of ONLY the delta.
+
+
+def _books_from_table(cent_rows) -> "object":
+    import numpy as np
+
+    from minio_iceberg_polaris_lakehouse_spark.operators.similarity_pq import (
+        K_CODES,
+        M_SUB,
+    )
+
+    sub = len(cent_rows[0].center)
+    books = np.empty((M_SUB, K_CODES, sub))
+    for r in cent_rows:
+        books[r.m][r.code] = r.center
+    return books
+
+
+def build_pq_index_tables(
+    wh: Warehouse, corpus: Table, ns: str = "ann"
+) -> tuple[Table, Table]:
+    """Full PQ build from a warehouse-table corpus: deterministic
+    xxhash64-ranked training sample (O(N_TRAIN) driver movement — the
+    faiss train step), codebook persisted as a table, corpus encoded by
+    the Arrow-batched kernel, codes keyed by `vec_id` for refresh."""
+    import numpy as np
+
+    from minio_iceberg_polaris_lakehouse_spark.operators.similarity_pq import (
+        K_CODES,
+        M_SUB,
+        N_TRAIN,
+        _encode_codes,
+        train_codebook,
+    )
+
+    v = corpus.read().select("vec_id", as_double("e").alias("e"))
+    sample = (
+        v.withColumn("h", F.xxhash64("vec_id", F.lit(11)))
+        .orderBy("h", "vec_id")
+        .limit(N_TRAIN)
+        .collect()
+    )
+    books = train_codebook(np.array([r.e for r in sample], dtype=np.float64))
+    book_t = wh.create_table(
+        ns, "pq_codebook", "m int, code int, center array<double>", if_not_exists=True
+    )
+    codes_t = wh.create_table(
+        ns, "pq_codes", "vec_id bigint, codes array<int>", if_not_exists=True
+    )
+    book_t.overwrite(
+        wh.spark.createDataFrame(
+            [
+                (m, k, [float(x) for x in books[m][k]])
+                for m in range(M_SUB)
+                for k in range(K_CODES)
+            ],
+            "m int, code int, center array<double>",
+        )
+    )
+    codes_t.overwrite(v.select("vec_id", _encode_codes(books)(F.col("e")).alias("codes")))
+    codes_t.set_identifier_fields("vec_id")
+    codes_t.set_properties({WATERMARK_PROP: str(corpus.current_snapshot_id() or 0)})
+    return codes_t, book_t
+
+
+def refresh_pq_index(wh: Warehouse, corpus: Table, ns: str = "ann") -> dict:
+    """O(churn) PQ refresh: encode ONLY the delta against the frozen
+    codebook (read back from the catalog — serving nodes never
+    retrain), apply as keyed upsert + delete_keys."""
+    from minio_iceberg_polaris_lakehouse_spark.operators.similarity_pq import (
+        _encode_codes,
+    )
+
+    codes_t = wh.table(ns, "pq_codes")
+    book_t = wh.table(ns, "pq_codebook")
+    last = int(codes_t.properties().get(WATERMARK_PROP, "0")) or None
+    cur = corpus.current_snapshot_id()
+    if cur == last:
+        return {"upserted": 0, "deleted": 0, "from": last, "to": cur}
+    live, dead = _final_changes(corpus, last)
+    n_up, n_del = live.count(), dead.count()
+    if n_up:
+        books = _books_from_table(book_t.read().collect())
+        codes_t.upsert(
+            live.select("vec_id", _encode_codes(books)(F.col("e")).alias("codes"))
+        )
+    if n_del:
+        codes_t.delete_keys(dead)
+    codes_t.set_properties({WATERMARK_PROP: str(cur)})
     return {"upserted": n_up, "deleted": n_del, "from": last, "to": cur}

@@ -4,7 +4,6 @@ O(churn), and survive resumption/no-op cases."""
 
 from __future__ import annotations
 
-import math
 import random
 
 import pytest
@@ -126,3 +125,40 @@ def test_reembedded_vector_moves_cell(setup, spark):
         cent.read(),
     ).collect()[0].cell
     assert rows[0].cell == want
+
+
+def test_pq_refresh_equals_full_reencode(setup, spark):
+    """PQ twin: build codes+codebook from the corpus table, churn, then
+    refresh — the codes table must equal re-encoding the whole corpus
+    with the SAME frozen codebook."""
+    from pyspark.sql import functions as F
+
+    from minio_iceberg_polaris_lakehouse_spark.operators.ann_maintain import (
+        _books_from_table,
+        build_pq_index_tables,
+        refresh_pq_index,
+    )
+    from minio_iceberg_polaris_lakehouse_spark.operators.similarity import as_double
+    from minio_iceberg_polaris_lakehouse_spark.operators.similarity_pq import (
+        _encode_codes,
+    )
+
+    rng, wh, corpus, _idx, _cent = setup
+    codes_t, book_t = build_pq_index_tables(wh, corpus)
+    assert codes_t.read().count() == 40
+    corpus.append(
+        spark.createDataFrame(_vecs(rng, range(40, 50)), "vec_id bigint, e array<double>")
+    )
+    corpus.delete_where("vec_id IN (1, 2)", mode="merge-on-read")
+    out = refresh_pq_index(wh, corpus)
+    assert (out["upserted"], out["deleted"]) == (10, 2)
+    got = {r.vec_id: tuple(r.codes) for r in codes_t.read().collect()}
+    books = _books_from_table(book_t.read().collect())
+    full = corpus.read().select(
+        "vec_id", _encode_codes(books)(as_double(F.col("e"))).alias("codes")
+    )
+    want = {r.vec_id: tuple(r.codes) for r in full.collect()}
+    assert got == want
+    # idempotent
+    out2 = refresh_pq_index(wh, corpus)
+    assert (out2["upserted"], out2["deleted"]) == (0, 0)

@@ -284,3 +284,23 @@ def test_mixture_sample_no_wide_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_row_lineage_read_is_shuffle_free(spark, tmp_path):
+    """Iceberg v3 lineage derivation must stay INSIDE the scan
+    projection: a per-dir literal map lookup + _metadata.row_index, no
+    Exchange, no join, no extra scan — at 100 TB the lineage read costs
+    the same as the plain read."""
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = wh.create_table("db", "linplan", "id bigint")
+    t.append(spark.range(5000))
+    t.append(spark.range(5000, 6000))
+    df = t.read(lineage=True)
+    s = plan_string(df)
+    assert "Exchange" not in s, s
+    assert "Join" not in s, s
+    # and the derivation is correct end to end
+    rows = df.selectExpr("id", "_row_id").collect()
+    assert len({r._row_id for r in rows}) == 6000
