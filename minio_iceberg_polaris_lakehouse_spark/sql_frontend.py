@@ -1495,6 +1495,102 @@ class LakehouseSQL:
         )
         return self._empty()
 
+    def _merge_general(self, m: re.Match) -> DataFrame:
+        """The full MERGE matrix (Spark 3.5 / Iceberg): any number of
+        ordered `WHEN MATCHED [AND c] THEN UPDATE SET (*|a=expr,…)|DELETE`
+        arms (first matching arm fires per row), a conditional
+        `WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT *`, and
+        `WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE|UPDATE SET …`.
+        Statements the two simpler patterns above already cover never
+        reach here (first-match dispatch); foreign targets support
+        key-only matching and refuse the rich forms."""
+        if self._merge_foreign_target(m):
+            raise WarehouseError(
+                "multi-arm / assignment MERGE is not supported on a foreign "
+                "target (key-only matching) — use the engine table path"
+            )
+        tab, src, key = self._merge_parts(m)
+        clauses = [
+            c.strip()
+            for c in re.split(
+                r"(?i)(?=WHEN\s+(?:MATCHED|NOT\s+MATCHED)\b)", m.group(7)
+            )
+            if c.strip()
+        ]
+        matched_arms: list[dict] = []
+        insert_arm = nbs_arm = None
+
+        def parse_assigns(text: str) -> dict[str, str]:
+            out: dict[str, str] = {}
+            for part in _split_top_level(text):
+                am = re.match(rf"(?is)^\s*(?:{_IDENT}\.)?({_IDENT})\s*=\s*(.+)$", part)
+                if am is None:
+                    raise WarehouseError(f"cannot parse MERGE assignment: {part!r}")
+                out[am.group(1)] = am.group(2).strip()
+            return out
+
+        for cl in clauses:
+            mm = re.fullmatch(
+                r"(?is)WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
+                r"(?:UPDATE\s+SET\s+(\*|.+)|(DELETE))",
+                cl,
+            )
+            if mm:
+                if insert_arm or nbs_arm:
+                    raise WarehouseError(
+                        "WHEN MATCHED arms must precede NOT MATCHED clauses"
+                    )
+                action = "delete" if mm.group(3) else "update"
+                set_map = None
+                if action == "update" and mm.group(2).strip() != "*":
+                    set_map = parse_assigns(mm.group(2))
+                matched_arms.append(
+                    {
+                        "cond": mm.group(1).strip() if mm.group(1) else None,
+                        "action": action,
+                        "set": set_map,
+                    }
+                )
+                continue
+            mi = re.fullmatch(
+                r"(?is)WHEN\s+NOT\s+MATCHED(?:\s+BY\s+TARGET)?(?:\s+AND\s+(.+?))?"
+                r"\s+THEN\s+INSERT\s+\*",
+                cl,
+            )
+            if mi:
+                if insert_arm is not None:
+                    raise WarehouseError("duplicate WHEN NOT MATCHED … INSERT arm")
+                insert_arm = {"cond": mi.group(1).strip() if mi.group(1) else None}
+                continue
+            ms = re.fullmatch(
+                r"(?is)WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+THEN\s+"
+                r"(?:UPDATE\s+SET\s+(.+)|(DELETE))",
+                cl,
+            )
+            if ms:
+                if nbs_arm is not None:
+                    raise WarehouseError("duplicate WHEN NOT MATCHED BY SOURCE arm")
+                nbs_arm = {
+                    "cond": ms.group(1).strip() if ms.group(1) else None,
+                    "action": "delete" if ms.group(3) else "update",
+                    "set": parse_assigns(ms.group(2)) if ms.group(2) else None,
+                }
+                continue
+            raise WarehouseError(f"cannot parse MERGE clause: {cl[:80]!r}")
+        if not (matched_arms or insert_arm or nbs_arm):
+            raise WarehouseError("MERGE needs at least one WHEN clause")
+        tab.merge_into_arms(
+            src,
+            on=key,
+            matched_arms=matched_arms,
+            insert_arm=insert_arm,
+            not_matched_by_source_arm=nbs_arm,
+            branch=self._wap_branch,
+            target_alias=m.group(2) or "t",
+            source_alias=m.group(4) or "s",
+        )
+        return self._empty()
+
     def _merge_foreign_target(self, m: re.Match) -> tuple[str, str] | None:
         """(ns, table) when the MERGE target is a registered foreign
         table — routed through the open-metadata merge writer (WAP
@@ -2227,6 +2323,15 @@ class LakehouseSQL:
             rf"\s+WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE"
             rf"(\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?",
             _merge_into_delete,
+        ),
+        (
+            # the FULL matrix: any WHEN-clause sequence the two simpler
+            # patterns above didn't already claim (first-match dispatch)
+            rf"MERGE\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?"
+            rf"\s+USING\s+(\(.*\)|(?:{_IDENT}\.)*{_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?"
+            rf"\s+ON\s+({_IDENT}\.{_IDENT})\s*=\s*({_IDENT}\.{_IDENT})"
+            r"\s+(WHEN\s+.*)",
+            _merge_general,
         ),
         (
             rf"ALTER\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+ADD\s+COLUMNS?\s+(.*)",

@@ -3311,6 +3311,167 @@ class Table:
             summary["not-matched-by-source-action"] = not_matched_by_source_action
         return self._commit_replace("merge", [p], summary, parent, branch=branch)
 
+    def merge_into_arms(
+        self,
+        source: DataFrame,
+        on: str,
+        matched_arms: list[dict] | None = None,
+        insert_arm: dict | None = None,
+        not_matched_by_source_arm: dict | None = None,
+        branch: str | None = None,
+        target_alias: str = "t",
+        source_alias: str = "s",
+    ) -> int:
+        """The FULL Spark 3.5 / Iceberg MERGE matrix — multiple ordered
+        WHEN MATCHED arms, a conditional INSERT arm, and a WHEN NOT
+        MATCHED BY SOURCE arm that can UPDATE as well as DELETE:
+
+          matched_arms: [{cond: str|None, action: 'update'|'delete',
+                          set: dict[col, expr]|None}, ...]
+              evaluated IN ORDER per matched (target, source) pair: the
+              FIRST arm whose condition holds fires (SQL three-valued
+              logic: NULL does not fire); no arm firing carries the
+              target row unchanged. ``set`` None means SET * (all
+              non-key columns from the source); expressions may
+              reference both sides via the statement aliases.
+          insert_arm: {cond: str|None} | None — WHEN NOT MATCHED [AND
+              cond] THEN INSERT *; None = no insert.
+          not_matched_by_source_arm: {cond: str|None, action: 'delete'|
+              'update', set: dict} | None — target rows with no source
+              match; condition-gated, non-firing rows carry over.
+
+        Same machinery as merge_into: copy-on-write join+union plan,
+        MERGE cardinality pre-check, Iceberg v3 row-identity
+        preservation (carried/updated rows keep `_row_id`; touched rows'
+        update sequence resets to this commit; inserts get fresh ids)."""
+        matched_arms = matched_arms or []
+        for arm in matched_arms:
+            if arm.get("action") not in ("update", "delete"):
+                raise WarehouseError(f"bad matched arm action: {arm.get('action')}")
+        nbs = not_matched_by_source_arm
+        if nbs and nbs.get("action") not in ("update", "delete"):
+            raise WarehouseError(f"bad NOT MATCHED BY SOURCE action: {nbs.get('action')}")
+        parent = self._branch_head(branch) if branch else self.current_snapshot_id()
+        cols = [f.name for f in self.schema().fields]
+        tgt0 = (
+            self.read(version=branch, lineage=True)
+            if branch
+            else self.read(lineage=True)
+        )
+        dup = (
+            source.join(tgt0.select(on), on, "left_semi")
+            .groupBy(on)
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise WarehouseError(
+                f"MERGE: multiple source rows match target key {on}={dup[0][0]!r} "
+                "(ON clause must match at most one source row per target row)"
+            )
+        ta, sa = target_alias, source_alias
+        if ta == sa:
+            raise WarehouseError(f"MERGE aliases must differ: both {ta!r}")
+        tgt = tgt0.alias(ta)
+        src = source.alias(sa)
+        _lin_keep = [
+            F.col(f"{ta}._row_id").alias("_row_id"),
+            F.col(f"{ta}._last_updated_sequence_number").alias(
+                "_last_updated_sequence_number"
+            ),
+        ]
+        _lin_touched = [
+            F.col(f"{ta}._row_id").alias("_row_id"),
+            F.lit(None).cast("long").alias("_last_updated_sequence_number"),
+        ]
+
+        def _cond(c: str | None):
+            return F.coalesce(F.expr(c), F.lit(False)) if c else F.lit(True)
+
+        def _set_exprs(set_map: dict | None):
+            if set_map is None:  # SET * — every non-key column from the source
+                set_map = {c: f"{sa}.{c}" for c in cols if c != on}
+            unknown = [c for c in set_map if c not in cols]
+            if unknown:
+                raise WarehouseError(f"MERGE SET of unknown column(s): {unknown}")
+            return [
+                (F.expr(set_map[c]) if c in set_map else F.col(f"{ta}.{c}")).alias(c)
+                for c in cols
+            ]
+
+        pairs = tgt.join(src, F.col(f"{ta}.{on}") == F.col(f"{sa}.{on}"), "inner")
+        merged = None
+
+        def _union(df: DataFrame):
+            nonlocal merged
+            merged = df if merged is None else merged.unionByName(df)
+
+        fired = F.lit(False)
+        for arm in matched_arms:
+            this = (~fired) & _cond(arm.get("cond"))
+            if arm["action"] == "update":
+                _union(pairs.filter(this).select(*_set_exprs(arm.get("set")), *_lin_touched))
+            # delete: the pair's rows simply do not re-emit
+            fired = fired | _cond(arm.get("cond"))
+        # matched rows no arm claimed carry over with target values
+        _union(
+            pairs.filter(~fired).select(
+                *[F.col(f"{ta}.{c}").alias(c) for c in cols], *_lin_keep
+            )
+        )
+        unmatched = tgt.join(src, F.col(f"{ta}.{on}") == F.col(f"{sa}.{on}"), "left_anti")
+        if nbs:
+            c = _cond(nbs.get("cond"))
+            if nbs["action"] == "update":
+                # t-only rows: expressions may reference the target alias
+                nbs_set = nbs.get("set") or {}
+                unknown = [col for col in nbs_set if col not in cols]
+                if unknown:
+                    raise WarehouseError(f"MERGE SET of unknown column(s): {unknown}")
+                _union(
+                    unmatched.filter(c).select(
+                        *[
+                            (
+                                F.expr(nbs_set[col])
+                                if col in nbs_set
+                                else F.col(f"{ta}.{col}")
+                            ).alias(col)
+                            for col in cols
+                        ],
+                        *_lin_touched,
+                    )
+                )
+            _union(
+                unmatched.filter(~c).select(
+                    *[F.col(f"{ta}.{c2}").alias(c2) for c2 in cols], *_lin_keep
+                )
+            )
+        else:
+            _union(
+                unmatched.select(
+                    *[F.col(f"{ta}.{c2}").alias(c2) for c2 in cols], *_lin_keep
+                )
+            )
+        if insert_arm is not None:
+            new_rows = src.join(
+                tgt, F.col(f"{sa}.{on}") == F.col(f"{ta}.{on}"), "left_anti"
+            ).filter(_cond(insert_arm.get("cond"))).select(
+                *[F.col(c) for c in cols],
+                F.lit(None).cast("long").alias("_row_id"),
+                F.lit(None).cast("long").alias("_last_updated_sequence_number"),
+            )
+            _union(new_rows)
+        p = self._write_data(merged, lineage_cols=True)
+        summary = {
+            "on": on,
+            "matched-arms": str(len(matched_arms)),
+            "insert": str(bool(insert_arm)),
+            "not-matched-by-source": (nbs or {}).get("action", ""),
+        }
+        return self._commit_replace("merge", [p], summary, parent, branch=branch)
+
     # ---------------- schema evolution (D10) ----------------
     def add_column(self, name: str, dtype: str, default: str | None = None) -> None:
         """Metadata-only ADD COLUMN with NULL backfill on read
