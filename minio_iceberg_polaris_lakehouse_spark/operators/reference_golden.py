@@ -242,6 +242,27 @@ def _lake(spark: SparkSession):
         "CALL polaris.system.rewrite_data_files(table => 'test_db.lineage_demo')"
     )
     lake.sql("DELETE FROM polaris.test_db.lineage_demo WHERE id = 3")
+    # full-matrix MERGE fixture: ordered matched arms (DELETE negatives,
+    # rewrite zeros), conditional INSERT, and the NOT MATCHED BY SOURCE
+    # UPDATE sync arm — one statement exercising every clause family
+    lake.sql(
+        "CREATE TABLE IF NOT EXISTS polaris.test_db.merge_matrix "
+        "(id INT, bal INT, status STRING) USING ICEBERG"
+    )
+    lake.sql(
+        "INSERT INTO polaris.test_db.merge_matrix VALUES "
+        "(1, 100, 'ok'), (2, -5, 'ok'), (3, 0, 'ok'), (4, 50, 'ok')"
+    )
+    lake.sql(
+        "MERGE INTO polaris.test_db.merge_matrix t USING (SELECT * FROM VALUES "
+        "(1, 7, 'x'), (2, 0, 'x'), (3, 0, 'x'), (8, 80, 'new'), (9, -1, 'new') "
+        "AS s(id, bal, status)) s ON t.id = s.id "
+        "WHEN MATCHED AND t.bal < 0 THEN DELETE "
+        "WHEN MATCHED AND t.bal = 0 THEN UPDATE SET status = 'zeroed' "
+        "WHEN MATCHED THEN UPDATE SET bal = t.bal + s.bal "
+        "WHEN NOT MATCHED AND s.bal > 0 THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'stale'"
+    )
     _LAKES[key] = lake
     return lake
 
@@ -769,6 +790,29 @@ def ref_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-evolution files read the defaults (metadata-only backfill, no
     rewrite), while the post-evolution row keeps its stored values."""
     return _lake(spark).sql("SELECT id, v, score, tag FROM polaris.test_db.defaults_demo ORDER BY id")
+
+
+@register(
+    "ref_merge_matrix",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 107, 'ok'), (3, 0, 'zeroed'), (4, 50, 'stale'), (8, 80, 'new'))
+        AS m(id, bal, status)
+    ORDER BY id
+    """,
+)
+def ref_merge_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MERGE clause matrix in one statement (warehouse.
+    merge_into_arms via the SQL general form): ordered matched arms —
+    negative balances DELETE (id 2 gone), zero balances rewrite status
+    (id 3), the catch-all arm adds balances (id 1: 100+7) — a
+    conditional INSERT admits only positive rows (id 8 in, id 9 out),
+    and the NOT MATCHED BY SOURCE UPDATE sync arm flags rows the source
+    no longer carries (id 4 'stale'). Spark 3.5 / Iceberg MERGE
+    semantics, first-matching-arm-fires."""
+    return _lake(spark).sql(
+        "SELECT id, bal, status FROM polaris.test_db.merge_matrix ORDER BY id"
+    )
 
 
 @register(

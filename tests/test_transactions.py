@@ -160,6 +160,80 @@ def test_two_racing_transactions_one_wins_wholly(wh, spark):
         assert not [r for r in refs if r.startswith("__txn_")]
 
 
+def test_fuzz_transactions_model_check(spark, tmp_path):
+    """Randomized multi-table transactions vs a dict model: random
+    insert/update/delete batches across 3 tables, a rival writer
+    interleaving 30% of the time between staging and commit. Committed
+    transactions apply their WHOLE op set to the model; conflicted ones
+    apply NOTHING (the rival's row alone lands). After every round, all
+    three tables equal the model and no transaction branch survives."""
+    import random
+
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import Warehouse
+
+    rng = random.Random(7)
+    wh = Warehouse(spark, str(tmp_path / "fuzzwh"))
+    names = ["a", "b", "c"]
+    model: dict[str, dict[int, int]] = {}
+    next_id = 1000
+    for n in names:
+        t = wh.create_table("db", n, "id int, v int")
+        seed = [(i, i * 10) for i in range(1, 4)]
+        t.insert_values(seed)
+        model[n] = dict(seed)
+
+    def check():
+        for n in names:
+            got = {r.id: r.v for r in wh.table("db", n).read().collect()}
+            assert got == model[n], (n, got, model[n])
+            refs = wh.table("db", n)._meta().get("refs", {})
+            assert not [r for r in refs if r.startswith("__txn_")]
+
+    for _round in range(10):
+        touched = rng.sample(names, rng.randint(1, 3))
+        txn = wh.transaction()
+        # the transaction's read-your-writes view, mirrored exactly: ops
+        # chain on the branch, so targets are chosen from (and applied
+        # to) the PENDING state — same-transaction inserts are fair game
+        pending = {n: dict(model[n]) for n in touched}
+        for n in touched:
+            h = txn.table("db", n)
+            for _ in range(rng.randint(1, 2)):
+                kind = rng.choice(["insert", "update", "delete"])
+                if kind == "insert" or not pending[n]:
+                    next_id += 1
+                    val = rng.randint(0, 99)
+                    h.insert_values([(next_id, val)])
+                    pending[n][next_id] = val
+                elif kind == "update":
+                    k = rng.choice(sorted(pending[n]))
+                    d = rng.randint(1, 9)
+                    h.update_where({"v": f"v + {d}"}, f"id = {k}")
+                    pending[n][k] += d
+                else:
+                    k = rng.choice(sorted(pending[n]))
+                    h.delete_where(f"id = {k}")
+                    pending[n].pop(k)
+        rival = None
+        if rng.random() < 0.3:
+            rn = rng.choice(touched)
+            next_id += 1
+            rival = (rn, next_id, rng.randint(0, 99))
+            wh.table("db", rn).insert_values([(next_id, rival[2])])
+        try:
+            txn.commit()
+            committed = True
+        except CommitConflictError:
+            committed = False
+        assert committed == (rival is None)  # rival ⇒ conflict, else clean
+        if rival is not None:
+            model[rival[0]][rival[1]] = rival[2]
+        if committed:
+            for n in touched:
+                model[n] = pending[n]
+        check()
+
+
 # ---------------------------------------------------------------- REST
 
 
