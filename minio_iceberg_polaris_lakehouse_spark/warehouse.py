@@ -3211,105 +3211,33 @@ class Table:
                 "not_matched_by_source_action must be None or delete, "
                 f"not {not_matched_by_source_action}"
             )
-        parent = self._branch_head(branch) if branch else self.current_snapshot_id()
+        # one MERGE engine: this classic two-arm form is the degenerate
+        # case of the full clause matrix (merge_into_arms) — same join +
+        # union algebra, cardinality check, and v3 identity preservation
         cols = [f.name for f in self.schema().fields]
         update_cols = update_cols or [c for c in cols if c != on]
-        # MERGE cardinality check (Iceberg/Spark semantics): a TARGET row
-        # matching several source rows is an error, not a silent row
-        # multiplication through the inner join. Duplicate source rows
-        # that match NOTHING are legal — they all insert via WHEN NOT
-        # MATCHED — so the duplicate scan is semi-joined against the
-        # target's keys first. One aggregation over the (typically
-        # dimension-sized) source; first offender reported.
-        # lineage=True: copy-on-write MERGE preserves row identity
-        # (Iceberg v3) — carried/updated target rows keep their _row_id,
-        # updated rows' update-sequence resets to this commit (NULL
-        # materialization → read derives the new dir's data sequence),
-        # inserted source rows get fresh ids the same way
-        tgt0 = (
-            self.read(version=branch, lineage=True)
-            if branch
-            else self.read(lineage=True)
+        sa = source_alias
+        set_map = (
+            {c: f"{sa}.{c}" for c in update_cols}
+            if matched_action == "update"
+            else None
         )
-        dup = (
-            source.join(tgt0.select(on), on, "left_semi")
-            .groupBy(on)
-            .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise WarehouseError(
-                f"MERGE: multiple source rows match target key {on}={dup[0][0]!r} "
-                "(ON clause must match at most one source row per target row)"
-            )
-        ta, sa = target_alias, source_alias
-        if ta == sa:
-            raise WarehouseError(f"MERGE aliases must differ: both {ta!r}")
-        tgt = tgt0.alias(ta)
-        src = source.alias(sa)
-        _lin_keep = [
-            F.col(f"{ta}._row_id").alias("_row_id"),
-            F.col(f"{ta}._last_updated_sequence_number").alias(
-                "_last_updated_sequence_number"
+        return self.merge_into_arms(
+            source,
+            on,
+            matched_arms=[
+                {"cond": matched_condition, "action": matched_action, "set": set_map}
+            ],
+            insert_arm={"cond": None} if insert_missing else None,
+            not_matched_by_source_arm=(
+                {"cond": None, "action": "delete"}
+                if not_matched_by_source_action == "delete"
+                else None
             ),
-        ]
-        _lin_touched = [
-            F.col(f"{ta}._row_id").alias("_row_id"),
-            F.lit(None).cast("long").alias("_last_updated_sequence_number"),
-        ]
-        _lin_fresh = [
-            F.lit(None).cast("long").alias("_row_id"),
-            F.lit(None).cast("long").alias("_last_updated_sequence_number"),
-        ]
-        unmatched_tgt = tgt.join(src, F.col(f"{ta}.{on}") == F.col(f"{sa}.{on}"), "left_anti").select(
-            *[F.col(c) for c in cols], *_lin_keep
+            branch=branch,
+            target_alias=target_alias,
+            source_alias=source_alias,
         )
-        # WHEN NOT MATCHED BY SOURCE THEN DELETE (Spark 3.5+/Iceberg's
-        # sync-deletion arm): target rows with no source match DROP
-        # instead of carrying over — MERGE becomes a full two-way sync
-        if not_matched_by_source_action == "delete":
-            unmatched_tgt = unmatched_tgt.limit(0)
-        merged = unmatched_tgt
-        # NULL-safe arm condition: a NULL predicate means "arm does not
-        # fire" (SQL three-valued logic) — the row must carry over, not
-        # silently vanish from both branches
-        cond = (
-            F.coalesce(F.expr(matched_condition), F.lit(False))
-            if matched_condition
-            else F.lit(True)
-        )
-        matched_pairs = tgt.join(src, F.col(f"{ta}.{on}") == F.col(f"{sa}.{on}"), "inner")
-        if matched_condition:
-            # the conditional arm's complement: matched rows failing the
-            # condition pass through with their target values
-            merged = merged.unionByName(
-                matched_pairs.filter(~cond).select(
-                    *[F.col(f"{ta}.{c}").alias(c) for c in cols], *_lin_keep
-                )
-            )
-        if matched_action == "update":
-            matched = matched_pairs.filter(cond).select(
-                *[
-                    (F.col(f"{sa}.{c}") if c in update_cols else F.col(f"{ta}.{c}")).alias(c)
-                    for c in cols
-                ],
-                *_lin_touched,
-            )
-            merged = merged.unionByName(matched)
-        if insert_missing:
-            new_rows = src.join(tgt, F.col(f"{sa}.{on}") == F.col(f"{ta}.{on}"), "left_anti").select(
-                *[F.col(c) for c in cols], *_lin_fresh
-            )
-            merged = merged.unionByName(new_rows)
-        p = self._write_data(merged, lineage_cols=True)
-        summary = {"on": on, "matched-action": matched_action}
-        if matched_condition:
-            summary["matched-condition"] = matched_condition
-        if not_matched_by_source_action:
-            summary["not-matched-by-source-action"] = not_matched_by_source_action
-        return self._commit_replace("merge", [p], summary, parent, branch=branch)
 
     def merge_into_arms(
         self,
