@@ -363,6 +363,33 @@ def _manifest_entry_schema(partition_field) -> dict:
                             "default": None,
                             "field-id": 135,
                         },
+                        {
+                            # Iceberg v3 deletion vectors (spec
+                            # §Deletion Vectors): a content=1 entry whose
+                            # file_path is a PUFFIN file carries the data
+                            # file its DV tombstones (field-id 143) and
+                            # the blob's byte range within the Puffin
+                            # container (144/145). Null for parquet
+                            # positional-delete files and data files —
+                            # absent keys encode the null branch, so v2
+                            # write sites are unaffected.
+                            "name": "referenced_data_file",
+                            "type": ["null", "string"],
+                            "default": None,
+                            "field-id": 143,
+                        },
+                        {
+                            "name": "content_offset",
+                            "type": ["null", "long"],
+                            "default": None,
+                            "field-id": 144,
+                        },
+                        {
+                            "name": "content_size_in_bytes",
+                            "type": ["null", "long"],
+                            "default": None,
+                            "field-id": 145,
+                        },
                     ],
                 },
             },

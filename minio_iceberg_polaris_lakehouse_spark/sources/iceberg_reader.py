@@ -59,6 +59,53 @@ _PRIM_TO_SPARK = {
 _WIDENS = {("int", "long"), ("float", "double")}
 
 
+def _is_dv_entry(data_file: dict) -> bool:
+    """True for an Iceberg v3 deletion-vector entry: content=1 with a
+    referenced_data_file + Puffin byte range (fields 143-145) instead of
+    a parquet (file_path, pos) tombstone file."""
+    return (
+        data_file.get("referenced_data_file") is not None
+        and data_file.get("content_offset") is not None
+    )
+
+
+def _dv_tombstones(spark: SparkSession, specs: list[dict]) -> DataFrame:
+    """Decode deletion-vector blobs into (__file, __pos) tombstone rows.
+
+    One executor task per blob (``mapInPandas`` over the blob index) —
+    the decoded positions never pass through the driver, and at cluster
+    scale each task range-reads only its own ``[offset, offset+length)``
+    slice of the Puffin container (a DV is bounded by its data file's
+    row count, so a task's output is at most one file's worth of
+    positions). ``referenced`` paths arrive URI-normalized so they join
+    ``_metadata.file_path`` exactly like parquet tombstones."""
+    import pandas as pd
+
+    spec_df = spark.createDataFrame(
+        [
+            (s["puffin"], int(s["offset"]), int(s["length"]), s["referenced"])
+            for s in specs
+        ],
+        "puffin string, offset long, length long, referenced string",
+    ).repartition(min(len(specs), 32))
+
+    def _decode(batches):
+        from minio_iceberg_polaris_lakehouse_spark import fsio as _fsio
+        from minio_iceberg_polaris_lakehouse_spark import puffin as _puffin
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                with _fsio.open_binary(row.puffin) as fh:
+                    fh.seek(int(row.offset))
+                    blob = fh.read(int(row.length))
+                positions = _puffin.decode_deletion_vector(blob)
+                yield pd.DataFrame(
+                    {"__file": row.referenced, "__pos": pd.Series(positions, dtype="int64")}
+                )
+
+    return spec_df.mapInPandas(_decode, "__file string, __pos long")
+
+
 def _legal_promotion(src, tgt) -> bool:
     """True iff src -> tgt is a promotion the spec allows: int→long,
     float→double, or decimal precision growth at the same scale. Nested
@@ -264,6 +311,7 @@ def read_iceberg_table(
     # sequence predates the delete file's.
     groups: dict[tuple[str, int], tuple[dict, int, list[str]]] = {}
     delete_paths: list[str] = []
+    dv_specs: list[dict] = []  # v3 deletion vectors: {puffin, offset, length, referenced}
     eq_deletes: list[dict] = []  # {path, ids, seq, schema}
     for m in manifests:
         _s2, m2, entries = avro_io.read_container(m["manifest_path"])
@@ -292,6 +340,19 @@ def read_iceberg_table(
                             "ids": list(ids),
                             "seq": _entry_seq(e, m),
                             "schema": fschema,
+                        }
+                    )
+                elif _is_dv_entry(e["data_file"]):
+                    dv_specs.append(
+                        {
+                            "puffin": e["data_file"]["file_path"],
+                            "offset": int(e["data_file"]["content_offset"]),
+                            "length": int(e["data_file"]["content_size_in_bytes"]),
+                            "referenced": re.sub(
+                                r"^file:(//)?",
+                                "",
+                                e["data_file"]["referenced_data_file"],
+                            ),
                         }
                     )
                 else:
@@ -351,18 +412,23 @@ def read_iceberg_table(
     for p in parts[1:]:
         out = out.unionByName(p)
 
-    if delete_paths:
-        # normalize the tombstone side too: legacy/foreign delete files may
-        # record file: URIs while _metadata.file_path was already stripped
-        # above — an unnormalized mismatch silently un-applies the delete
-        tombs = (
-            spark.read.parquet(*delete_paths)
-            .select(
+    if delete_paths or dv_specs:
+        tombs = None
+        if delete_paths:
+            # normalize the tombstone side too: legacy/foreign delete files
+            # may record file: URIs while _metadata.file_path was already
+            # stripped above — an unnormalized mismatch silently un-applies
+            # the delete
+            tombs = spark.read.parquet(*delete_paths).select(
                 F.regexp_replace(F.col("file_path"), "^file:(//)?", "").alias("__file"),
                 F.col("pos").alias("__pos"),
             )
-            .dropDuplicates(["__file", "__pos"])
-        )
+        if dv_specs:
+            # v3 deletion vectors decode executor-side to the same
+            # (__file, __pos) shape and ride the same anti-join
+            dvt = _dv_tombstones(spark, dv_specs)
+            tombs = dvt if tombs is None else tombs.unionByName(dvt)
+        tombs = tombs.dropDuplicates(["__file", "__pos"])
         out = out.join(F.broadcast(tombs), ["__file", "__pos"], "left_anti")
     for rec in eq_deletes:
         out = _apply_eq_delete(spark, out, rec, target)
@@ -703,19 +769,39 @@ def changes_iceberg_table(
                         )
                     # positional entries may ride the same manifest
                     live = [e for e in live if e["data_file"].get("content") != 2]
-                del_files = [e["data_file"]["file_path"] for e in live]
-                if not del_files:
+                dv_entries = [e for e in live if _is_dv_entry(e["data_file"])]
+                del_files = [
+                    e["data_file"]["file_path"]
+                    for e in live
+                    if not _is_dv_entry(e["data_file"])
+                ]
+                if not del_files and not dv_entries:
                     continue
-                tombs = (
-                    spark.read.parquet(*del_files)
-                    .select(
+                tombs = None
+                if del_files:
+                    tombs = spark.read.parquet(*del_files).select(
                         F.regexp_replace(
                             F.col("file_path"), "^file:(//)?", ""
                         ).alias("__file"),
                         F.col("pos").alias("__pos"),
                     )
-                    .dropDuplicates(["__file", "__pos"])
-                )
+                if dv_entries:
+                    dvt = _dv_tombstones(
+                        spark,
+                        [
+                            {
+                                "puffin": e["data_file"]["file_path"],
+                                "offset": int(e["data_file"]["content_offset"]),
+                                "length": int(e["data_file"]["content_size_in_bytes"]),
+                                "referenced": _norm(
+                                    e["data_file"]["referenced_data_file"]
+                                ),
+                            }
+                            for e in dv_entries
+                        ],
+                    )
+                    tombs = dvt if tombs is None else tombs.unionByName(dvt)
+                tombs = tombs.dropDuplicates(["__file", "__pos"])
                 # the tombstoned data files, re-read under their own
                 # schema generation; semi-join keeps only deleted rows
                 targets = sorted(

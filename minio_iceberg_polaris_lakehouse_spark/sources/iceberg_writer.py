@@ -442,6 +442,7 @@ def delete_iceberg_table_where(
     location: str,
     predicate: str,
     update_hint: bool = True,
+    dv: bool = False,
 ) -> str | None:
     """Row-level DELETE on a FOREIGN Iceberg table through its open
     metadata: write content=1 POSITION_DELETES files for the live rows
@@ -466,6 +467,19 @@ def delete_iceberg_table_where(
     Scale: the scan is the normal distributed read; the tombstone write
     shuffles only matched (file, pos) pairs — O(deleted rows), not
     O(table).
+
+    ``dv=True`` writes the deletes as Iceberg v3 DELETION VECTORS
+    instead of parquet tombstones: one roaring-bitmap blob per touched
+    data file inside a single Puffin container, manifest entries
+    carrying ``referenced_data_file`` / ``content_offset`` /
+    ``content_size_in_bytes`` (fields 143-145), and the metadata
+    document bumped to format-version 3. The spec's one-live-DV-per-file
+    invariant is kept: a file that already has a DV gets its old
+    positions MERGED into the new blob and the old entry marked DELETED
+    (status=2) in a rewritten manifest — readers see exactly one DV per
+    file. Bitmap encoding runs in executors (one ``applyInPandas`` group
+    per file); only the per-file blob bytes pass the driver for the
+    container assembly, never the positions.
     """
     from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
         read_iceberg_table,
@@ -480,6 +494,8 @@ def delete_iceberg_table_where(
     matched = live.filter(predicate).select(
         F.col("__file").alias("file_path"), F.col("__pos").cast("long").alias("pos")
     )
+    if dv:
+        return _commit_dv_delete(spark, md, md_path, mdir, root, matched, update_hint)
 
     dirname = f"delete-{uuid.uuid4().hex[:12]}"
     out_dir = os.path.join(root, "data", dirname)
@@ -518,6 +534,157 @@ def delete_iceberg_table_where(
     )
 
 
+def _commit_dv_delete(
+    spark: SparkSession,
+    md: dict,
+    md_path: str,
+    mdir: str,
+    root: str,
+    matched: "DataFrame",
+    update_hint: bool,
+) -> str | None:
+    """Commit ``matched`` (file_path, pos) as Iceberg v3 DELETION
+    VECTORS: one roaring-bitmap blob per touched data file in a single
+    Puffin container. Files that already carry a live DV get their old
+    positions merged in (the spec's one-live-DV-per-file invariant) and
+    the old entries superseded via ``supersede_refs``."""
+    from minio_iceberg_polaris_lakehouse_spark import puffin
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        _dv_tombstones,
+        _is_dv_entry,
+    )
+
+    def _norm(p: str) -> str:
+        return re.sub(r"^file:(//)?", "", p)
+
+    touched = {r["file_path"] for r in matched.select("file_path").distinct().collect()}
+    if not touched:
+        return None
+
+    # live DVs already covering touched files: merge their positions into
+    # the new blob and mark the old entries DELETED in a rewritten
+    # manifest — a reader must never see two live DVs for one file
+    old_specs: list[dict] = []
+    supersede_refs: set[str] = set()
+    snaps = md.get("snapshots", [])
+    cur_snap = next(
+        (s for s in snaps if s["snapshot-id"] == md.get("current-snapshot-id")), None
+    )
+    if cur_snap is not None:
+        _s, _m, recs = avro_io.read_container(cur_snap["manifest-list"])
+        for rec in recs:
+            if rec.get("content") != 1:
+                continue
+            _s2, _m2, entries = avro_io.read_container(rec["manifest_path"])
+            for e in entries:
+                dfe = e["data_file"]
+                if e.get("status") == 2 or not _is_dv_entry(dfe):
+                    continue
+                ref = _norm(dfe["referenced_data_file"])
+                if ref in touched:
+                    old_specs.append(
+                        {
+                            "puffin": dfe["file_path"],
+                            "offset": int(dfe["content_offset"]),
+                            "length": int(dfe["content_size_in_bytes"]),
+                            "referenced": ref,
+                        }
+                    )
+                    supersede_refs.add(ref)
+    if old_specs:
+        matched = matched.unionByName(
+            _dv_tombstones(spark, old_specs).select(
+                F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
+            )
+        )
+
+    # bitmap encoding runs in EXECUTORS, one group per data file; only
+    # the compressed blob bytes reach the driver for container assembly
+    import pandas as pd  # noqa: F401  (applyInPandas contract)
+
+    def _encode(pdf):
+        import pandas as _pd
+
+        from minio_iceberg_polaris_lakehouse_spark import puffin as _puffin
+
+        positions = sorted({int(p) for p in pdf["pos"]})
+        return _pd.DataFrame(
+            {
+                "file_path": [pdf["file_path"].iloc[0]],
+                "blob": [_puffin.encode_deletion_vector(positions)],
+                "cardinality": [len(positions)],
+            }
+        )
+
+    enc = (
+        matched.groupBy("file_path")
+        .applyInPandas(_encode, "file_path string, blob binary, cardinality long")
+        .collect()
+    )
+    if not enc:
+        return None
+
+    # snapshot id / sequence for the blob footer metadata (informational;
+    # the manifest entries written by _stage_row_level_commit carry the
+    # authoritative values, computed from the same metadata document)
+    next_snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+    next_seq = int(md.get("last-sequence-number", 0)) + 1
+    blobs = []
+    for row in sorted(enc, key=lambda r: r["file_path"]):
+        blobs.append(
+            (
+                bytes(row["blob"]),
+                {
+                    "type": "deletion-vector-v1",
+                    "fields": [],
+                    "snapshot-id": next_snap_id,
+                    "sequence-number": next_seq,
+                    "properties": {
+                        "referenced-data-file": row["file_path"],
+                        "cardinality": str(int(row["cardinality"])),
+                    },
+                },
+            )
+        )
+    buf = puffin.write_puffin(blobs)
+    footer = puffin.read_puffin_footer(buf)
+    tag = f"dv-{uuid.uuid4().hex[:12]}"
+    dv_path = os.path.join(root, "data", f"{tag}.puffin")
+    fsio.makedirs(os.path.dirname(dv_path))
+    fsio.write_bytes(dv_path, buf)
+    size = fsio.getsize(dv_path)
+    dv_files = [
+        {
+            "path": dv_path,
+            "size": size,
+            "referenced": bm["properties"]["referenced-data-file"],
+            "offset": int(bm["offset"]),
+            "length": int(bm["length"]),
+            "cardinality": int(bm["properties"]["cardinality"]),
+        }
+        for bm in footer["blobs"]
+    ]
+    total = sum(d["cardinality"] for d in dv_files)
+    md = dict(md)
+    md["format-version"] = 3  # deletion vectors are a v3 feature
+    return _stage_row_level_commit(
+        md,
+        md_path,
+        mdir,
+        tag=tag,
+        delete_files=[],
+        data_files=[],
+        summary={
+            "operation": "delete",
+            "added-dvs": str(len(dv_files)),
+            "added-position-deletes": str(total),
+        },
+        update_hint=update_hint,
+        dv_files=dv_files,
+        supersede_refs=supersede_refs,
+    )
+
+
 def _list_parquet(out_dir: str) -> list[tuple[str, int, int]]:
     """(path, rows, size) of every non-empty parquet in a write dir —
     footers through fsio so scheme:// roots work."""
@@ -547,6 +714,8 @@ def _stage_row_level_commit(
     eq_delete_files: list[tuple[str, int, int]] | None = None,
     equality_ids: list[int] | None = None,
     data_partition: tuple | None = None,
+    dv_files: list[dict] | None = None,
+    supersede_refs: set[str] | None = None,
 ) -> str:
     """Stage ONE snapshot carrying a POSITION_DELETES manifest and/or an
     EQUALITY_DELETES manifest and/or a data manifest (all at the same new
@@ -561,7 +730,15 @@ def _stage_row_level_commit(
     schema and each file's typed partition values (``data_files`` must
     be _walk_parquet dicts); delete manifests stay partition-empty —
     positional tombstones name exact (file,pos) pairs and equality
-    deletes apply table-wide."""
+    deletes apply table-wide.
+
+    ``dv_files`` are Iceberg v3 deletion-vector entries
+    ({path, size, referenced, offset, length, cardinality}) written as a
+    content=1 manifest of PUFFIN entries carrying fields 143-145;
+    ``supersede_refs`` (normalized data-file paths) marks any LIVE prior
+    DV on those files DELETED by rewriting its manifest — the rewritten
+    manifest keeps every other entry as EXISTING with its original
+    sequence numbers materialized."""
     snaps = md.get("snapshots", [])
     parent = md.get("current-snapshot-id")
     parent_snap = next((s for s in snaps if s["snapshot-id"] == parent), None)
@@ -657,7 +834,126 @@ def _stage_row_level_commit(
             "deleted_rows_count": 0,
         }
 
+    if supersede_refs:
+        # one live DV per data file (v3 invariant): rewrite any prior
+        # delete manifest whose live DV entries reference a superseded
+        # file, marking them status=2 (DELETED by this snapshot); kept
+        # entries become EXISTING with their sequence numbers
+        # materialized so inheritance from the old list record survives
+        def _norm(p: str) -> str:
+            return re.sub(r"^file:(//)?", "", p)
+
+        rewritten: list[dict] = []
+        for ridx, rec in enumerate(prev_records):
+            if rec.get("content") != 1:
+                rewritten.append(rec)
+                continue
+            _s2, man_meta, entries = avro_io.read_container(rec["manifest_path"])
+            hits = {
+                id(e)
+                for e in entries
+                if e.get("status") != 2
+                and e["data_file"].get("referenced_data_file") is not None
+                and _norm(e["data_file"]["referenced_data_file"]) in supersede_refs
+            }
+            if not hits:
+                rewritten.append(rec)
+                continue
+            new_entries = []
+            kept_files = kept_rows = dead_files = dead_rows = 0
+            for e in entries:
+                e2 = dict(e)
+                e2["data_file"] = dict(e["data_file"])
+                eseq = e.get("sequence_number")
+                if eseq is None:
+                    eseq = int(rec.get("sequence_number") or 0)
+                e2["sequence_number"] = int(eseq)
+                if e2.get("file_sequence_number") is None:
+                    e2["file_sequence_number"] = int(eseq)
+                if id(e) in hits:
+                    e2["status"] = 2
+                    e2["snapshot_id"] = snapshot_id
+                    dead_files += 1
+                    dead_rows += int(e["data_file"].get("record_count") or 0)
+                elif e.get("status") != 2:
+                    e2["status"] = 0  # EXISTING in the rewritten manifest
+                    kept_files += 1
+                    kept_rows += int(e["data_file"].get("record_count") or 0)
+                new_entries.append(e2)
+            man_path = os.path.join(mdir, f"manifest-{tag}-rewrite{ridx}.avro")
+            meta_out = {
+                k: (v.decode() if isinstance(v, bytes) else v)
+                for k, v in (man_meta or {}).items()
+                if k != "avro.schema"
+            }
+            avro_io.write_container(man_path, entry_schema, new_entries, metadata=meta_out)
+            rewritten.append(
+                {
+                    **rec,
+                    "manifest_path": man_path,
+                    "manifest_length": fsio.getsize(man_path),
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": 0,
+                    "existing_files_count": kept_files,
+                    "deleted_files_count": dead_files,
+                    "added_rows_count": 0,
+                    "existing_rows_count": kept_rows,
+                    "deleted_rows_count": dead_rows,
+                }
+            )
+        prev_records = rewritten
+
     new_records = []
+    if dv_files:
+        man_path = os.path.join(mdir, f"manifest-{tag}-dv.avro")
+        avro_io.write_container(
+            man_path,
+            entry_schema,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 1,  # POSITION_DELETES (DV flavor)
+                        "file_path": d["path"],
+                        "file_format": "PUFFIN",
+                        "partition": {},
+                        "record_count": d["cardinality"],
+                        "file_size_in_bytes": d["size"],
+                        "referenced_data_file": d["referenced"],
+                        "content_offset": d["offset"],
+                        "content_size_in_bytes": d["length"],
+                    },
+                }
+                for d in dv_files
+            ],
+            metadata={
+                "schema": json.dumps(target),
+                "partition-spec": "[]",
+                "partition-spec-id": "0",
+                "format-version": "3",
+                "content": "deletes",
+            },
+        )
+        new_records.append(
+            {
+                "manifest_path": man_path,
+                "manifest_length": fsio.getsize(man_path),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(dv_files),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(d["cardinality"] for d in dv_files),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
     if delete_files:
         new_records.append(_write_manifest("deletes", 1, delete_files))
     if eq_delete_files:

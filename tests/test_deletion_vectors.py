@@ -1,0 +1,159 @@
+"""Iceberg v3 deletion vectors end-to-end (puffin.py codec wired into
+the foreign writer + reader): `delete_iceberg_table_where(dv=True)`
+commits one roaring-bitmap blob per touched data file inside a single
+Puffin container (manifest fields 143-145, format-version 3), the
+reader decodes the blobs executor-side into the same (file, pos)
+anti-join as parquet tombstones, and a second DV on the same file
+MERGES the old positions and supersedes the old entry — the spec's
+one-live-DV-per-file invariant. The codec itself is byte-validated
+against org.roaringbitmap in tests/test_puffin.py."""
+
+from __future__ import annotations
+
+import json
+
+from minio_iceberg_polaris_lakehouse_spark import avro_io, puffin
+from minio_iceberg_polaris_lakehouse_spark.iceberg_export import write_iceberg_metadata
+from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+    changes_iceberg_table,
+    read_iceberg_table,
+    resolve_metadata_path,
+)
+from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+    append_iceberg_table,
+    delete_iceberg_table_where,
+)
+from minio_iceberg_polaris_lakehouse_spark.warehouse import Warehouse
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _one_file_table(spark, tmp_path, name="dvt", n=10):
+    """Engine-created table whose rows live in ONE data file (coalesce(1)
+    append through the open metadata), so multi-commit DV tests are
+    guaranteed to touch the same file."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = wh.create_table("db", name, "id int, v string")
+    write_iceberg_metadata(t)  # open metadata for the empty table
+    df = spark.createDataFrame(
+        [(i, chr(ord("a") + i)) for i in range(n)], "id int, v string"
+    ).coalesce(1)
+    append_iceberg_table(spark, t.path, df)
+    return t.path
+
+
+def _live_dv_entries(location):
+    """[(referenced_data_file, cardinality)] of LIVE DV entries in the
+    current snapshot's delete manifests."""
+    md = json.loads(open(resolve_metadata_path(location)).read())
+    snap = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    out = []
+    _s, _m, recs = avro_io.read_container(snap["manifest-list"])
+    for rec in recs:
+        if rec.get("content") != 1:
+            continue
+        _s2, _m2, entries = avro_io.read_container(rec["manifest_path"])
+        for e in entries:
+            if e.get("status") == 2:
+                continue
+            d = e["data_file"]
+            if d.get("referenced_data_file") is not None:
+                out.append((d["referenced_data_file"], int(d["record_count"])))
+    return out
+
+
+def test_dv_delete_roundtrip(spark, tmp_path):
+    """A DV delete removes exactly the matched rows; the metadata is
+    format-version 3 and the manifest entry carries a PUFFIN file with
+    referenced_data_file + blob byte range; the blob itself decodes with
+    the (Java-cross-validated) codec."""
+    root = _one_file_table(spark, tmp_path)
+    out = delete_iceberg_table_where(spark, root, "id % 2 = 0", dv=True)
+    assert out is not None
+    got = read_iceberg_table(spark, root)
+    assert [r[0] for r in _rows(got)] == [1, 3, 5, 7, 9]
+    md = json.loads(open(out).read())
+    assert md["format-version"] == 3
+    dvs = _live_dv_entries(root)
+    assert len(dvs) == 1 and dvs[0][1] == 5
+    # the puffin container parses and the blob holds the 5 even positions
+    snap = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    _s, _m, recs = avro_io.read_container(snap["manifest-list"])
+    dv_rec = next(r for r in recs if r.get("content") == 1)
+    _s2, _m2, entries = avro_io.read_container(dv_rec["manifest_path"])
+    d = next(e["data_file"] for e in entries if e.get("status") != 2)
+    assert d["file_format"] == "PUFFIN"
+    buf = open(d["file_path"], "rb").read()
+    blob = buf[d["content_offset"] : d["content_offset"] + d["content_size_in_bytes"]]
+    assert len(puffin.decode_deletion_vector(blob)) == 5
+
+
+def test_dv_matches_parquet_tombstone_path(spark, tmp_path):
+    """dv=True and dv=False commits of the same predicate read back
+    identically — DVs are a storage change, not a semantics change."""
+    a = _one_file_table(spark, tmp_path, "a")
+    b = _one_file_table(spark, tmp_path, "b")
+    delete_iceberg_table_where(spark, a, "id >= 7 OR id = 0", dv=True)
+    delete_iceberg_table_where(spark, b, "id >= 7 OR id = 0", dv=False)
+    assert _rows(read_iceberg_table(spark, a)) == _rows(read_iceberg_table(spark, b))
+
+
+def test_dv_second_delete_merges_and_supersedes(spark, tmp_path):
+    """A second DV on the same data file merges the first DV's positions
+    into ONE new blob and marks the old entry DELETED: exactly one live
+    DV per file afterwards (Iceberg v3 invariant), read still exact."""
+    root = _one_file_table(spark, tmp_path)
+    delete_iceberg_table_where(spark, root, "id = 1", dv=True)
+    assert _live_dv_entries(root) == [(_live_dv_entries(root)[0][0], 1)]
+    delete_iceberg_table_where(spark, root, "id = 2", dv=True)
+    got = read_iceberg_table(spark, root)
+    assert [r[0] for r in _rows(got)] == [0, 3, 4, 5, 6, 7, 8, 9]
+    dvs = _live_dv_entries(root)
+    assert len(dvs) == 1, f"expected one live DV, got {dvs}"
+    assert dvs[0][1] == 2  # merged cardinality: positions of id=1 AND id=2
+
+
+def test_dv_append_after_delete_untouched(spark, tmp_path):
+    """Rows appended after a DV commit live in new files the DV does not
+    reference — they survive; the deleted rows stay dead."""
+    root = _one_file_table(spark, tmp_path, n=4)
+    delete_iceberg_table_where(spark, root, "id < 2", dv=True)
+    append_iceberg_table(
+        spark,
+        root,
+        spark.createDataFrame([(0, "new-zero")], "id int, v string").coalesce(1),
+    )
+    assert _rows(read_iceberg_table(spark, root)) == [
+        (0, "new-zero"),
+        (2, "c"),
+        (3, "d"),
+    ]
+
+
+def test_dv_time_travel_and_changelog(spark, tmp_path):
+    """The pre-delete snapshot still reads complete, and the CDC
+    changelog emits the DV commit's rows as 'delete' — a DV is a
+    positional delete to every consumer surface."""
+    root = _one_file_table(spark, tmp_path, n=5)
+    md = json.loads(open(resolve_metadata_path(root)).read())
+    before = md["current-snapshot-id"]
+    delete_iceberg_table_where(spark, root, "id IN (1, 3)", dv=True)
+    assert len(_rows(read_iceberg_table(spark, root, snapshot_id=before))) == 5
+    ch = changes_iceberg_table(spark, root, from_snapshot_id=before)
+    dels = [
+        (r["id"], r["_change_type"]) for r in ch.collect()
+    ]
+    assert sorted(dels) == [(1, "delete"), (3, "delete")]
+
+
+def test_dv_no_match_no_commit(spark, tmp_path):
+    root = _one_file_table(spark, tmp_path, n=3)
+    v_before = resolve_metadata_path(root)
+    assert delete_iceberg_table_where(spark, root, "id > 99", dv=True) is None
+    assert resolve_metadata_path(root) == v_before
