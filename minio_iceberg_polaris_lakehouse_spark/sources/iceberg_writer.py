@@ -442,7 +442,7 @@ def delete_iceberg_table_where(
     location: str,
     predicate: str,
     update_hint: bool = True,
-    dv: bool = False,
+    dv: bool | None = None,
 ) -> str | None:
     """Row-level DELETE on a FOREIGN Iceberg table through its open
     metadata: write content=1 POSITION_DELETES files for the live rows
@@ -468,7 +468,12 @@ def delete_iceberg_table_where(
     shuffles only matched (file, pos) pairs — O(deleted rows), not
     O(table).
 
-    ``dv=True`` writes the deletes as Iceberg v3 DELETION VECTORS
+    ``dv=None`` (default) follows the table: a format-version 3
+    metadata document gets deletion vectors (the spec makes DVs v3's
+    positional-delete representation), v1/v2 get parquet tombstones —
+    so a plain SQL ``DELETE FROM`` on a registered v3 table writes DVs
+    with no caller opt-in. ``dv=True`` writes the deletes as Iceberg v3
+    DELETION VECTORS
     instead of parquet tombstones: one roaring-bitmap blob per touched
     data file inside a single Puffin container, manifest entries
     carrying ``referenced_data_file`` / ``content_offset`` /
@@ -494,6 +499,8 @@ def delete_iceberg_table_where(
     matched = live.filter(predicate).select(
         F.col("__file").alias("file_path"), F.col("__pos").cast("long").alias("pos")
     )
+    if dv is None:
+        dv = int(md.get("format-version", 2)) >= 3
     if dv:
         return _commit_dv_delete(spark, md, md_path, mdir, root, matched, update_hint)
 

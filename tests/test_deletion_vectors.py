@@ -152,6 +152,22 @@ def test_dv_time_travel_and_changelog(spark, tmp_path):
     assert sorted(dels) == [(1, "delete"), (3, "delete")]
 
 
+def test_dv_default_follows_format_version(spark, tmp_path):
+    """dv=None (the default, what SQL DELETE FROM routes through) writes
+    parquet tombstones on a v2 table, then — once the table is v3 —
+    deletion vectors with no caller opt-in, per the v3 spec."""
+    root = _one_file_table(spark, tmp_path)
+    delete_iceberg_table_where(spark, root, "id = 0")  # v2: parquet tombstone
+    assert _live_dv_entries(root) == []
+    delete_iceberg_table_where(spark, root, "id = 1", dv=True)  # bumps to v3
+    delete_iceberg_table_where(spark, root, "id = 2")  # default now writes a DV
+    dvs = _live_dv_entries(root)
+    assert len(dvs) == 1 and dvs[0][1] == 2  # ids 1+2 merged, id 0 stays parquet
+    assert [r[0] for r in _rows(read_iceberg_table(spark, root))] == [
+        3, 4, 5, 6, 7, 8, 9,
+    ]
+
+
 def test_dv_no_match_no_commit(spark, tmp_path):
     root = _one_file_table(spark, tmp_path, n=3)
     v_before = resolve_metadata_path(root)
