@@ -173,3 +173,32 @@ def test_dv_no_match_no_commit(spark, tmp_path):
     v_before = resolve_metadata_path(root)
     assert delete_iceberg_table_where(spark, root, "id > 99", dv=True) is None
     assert resolve_metadata_path(root) == v_before
+
+
+def test_dv_fuzz_against_parquet_twin_and_model(spark, tmp_path):
+    """Model-checked fuzz: a random sequence of overlapping deletes runs
+    on a DV table and a parquet-tombstone twin; after every commit both
+    tables must equal a Python set model, and the DV table must hold at
+    most one live DV per data file (the v3 invariant the merge+supersede
+    rewrite maintains under arbitrary overlap)."""
+    import random
+
+    rng = random.Random(47)
+    n = 12
+    dv_root = _one_file_table(spark, tmp_path, "fz_dv", n=n)
+    pq_root = _one_file_table(spark, tmp_path, "fz_pq", n=n)
+    alive = set(range(n))
+    for step in range(4):
+        ids = sorted(rng.sample(range(n), rng.randint(1, 5)))
+        pred = f"id IN ({', '.join(map(str, ids))})"
+        delete_iceberg_table_where(spark, dv_root, pred, dv=True)
+        delete_iceberg_table_where(spark, pq_root, pred, dv=False)
+        alive -= set(ids)
+        got_dv = sorted(r[0] for r in read_iceberg_table(spark, dv_root).collect())
+        got_pq = sorted(r[0] for r in read_iceberg_table(spark, pq_root).collect())
+        assert got_dv == sorted(alive), f"step {step}: DV read diverged"
+        assert got_pq == got_dv, f"step {step}: storage formats diverged"
+        per_file: dict[str, int] = {}
+        for ref, _card in _live_dv_entries(dv_root):
+            per_file[ref] = per_file.get(ref, 0) + 1
+        assert all(c == 1 for c in per_file.values()), per_file
