@@ -541,20 +541,21 @@ def delete_iceberg_table_where(
     )
 
 
-def _commit_dv_delete(
+def _encode_dv_files(
     spark: SparkSession,
     md: dict,
-    md_path: str,
-    mdir: str,
     root: str,
     matched: "DataFrame",
-    update_hint: bool,
-) -> str | None:
-    """Commit ``matched`` (file_path, pos) as Iceberg v3 DELETION
+    tag: str,
+) -> tuple[list[dict], set[str]] | None:
+    """Encode ``matched`` (file_path, pos) as Iceberg v3 DELETION
     VECTORS: one roaring-bitmap blob per touched data file in a single
-    Puffin container. Files that already carry a live DV get their old
-    positions merged in (the spec's one-live-DV-per-file invariant) and
-    the old entries superseded via ``supersede_refs``."""
+    Puffin container written under ``root``/data. Files that already
+    carry a live DV get their old positions merged in (the spec's
+    one-live-DV-per-file invariant); returns (dv_files entries for
+    _stage_row_level_commit, supersede_refs), or None when ``matched``
+    is empty. Shared by the DELETE, UPDATE and MERGE paths — any v3
+    positional tombstone is a DV."""
     from minio_iceberg_polaris_lakehouse_spark import puffin
     from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
         _dv_tombstones,
@@ -655,7 +656,6 @@ def _commit_dv_delete(
         )
     buf = puffin.write_puffin(blobs)
     footer = puffin.read_puffin_footer(buf)
-    tag = f"dv-{uuid.uuid4().hex[:12]}"
     dv_path = os.path.join(root, "data", f"{tag}.puffin")
     fsio.makedirs(os.path.dirname(dv_path))
     fsio.write_bytes(dv_path, buf)
@@ -671,6 +671,25 @@ def _commit_dv_delete(
         }
         for bm in footer["blobs"]
     ]
+    return dv_files, supersede_refs
+
+
+def _commit_dv_delete(
+    spark: SparkSession,
+    md: dict,
+    md_path: str,
+    mdir: str,
+    root: str,
+    matched: "DataFrame",
+    update_hint: bool,
+) -> str | None:
+    """Commit ``matched`` (file_path, pos) as a deletion-vector DELETE
+    snapshot and bump the table to format-version 3."""
+    tag = f"dv-{uuid.uuid4().hex[:12]}"
+    enc = _encode_dv_files(spark, md, root, matched, tag)
+    if enc is None:
+        return None
+    dv_files, supersede_refs = enc
     total = sum(d["cardinality"] for d in dv_files)
     md = dict(md)
     md["format-version"] = 3  # deletion vectors are a v3 feature
@@ -1059,10 +1078,17 @@ def update_iceberg_table_where(
     matched = live.filter(predicate)
 
     tag = f"update-{uuid.uuid4().hex[:12]}"
-    del_dir = os.path.join(root, "data", f"{tag}-deletes")
-    matched.select(
+    use_dv = int(md.get("format-version", 2)) >= 3
+    pos_df = matched.select(
         F.col("__file").alias("file_path"), F.col("__pos").cast("long").alias("pos")
-    ).sort("file_path", "pos").write.option("compression", "zstd").parquet(del_dir)
+    )
+    delete_files: list = []
+    dv_files: list[dict] = []
+    supersede_refs: set[str] = set()
+    if not use_dv:
+        del_dir = os.path.join(root, "data", f"{tag}-deletes")
+        pos_df.sort("file_path", "pos").write.option("compression", "zstd").parquet(del_dir)
+        delete_files = _list_parquet(del_dir)
 
     # rewritten rows: assignments applied on the pre-update values, then
     # cast back to the declared column types (Iceberg UPDATE semantics)
@@ -1077,11 +1103,18 @@ def update_iceberg_table_where(
     data_dir = os.path.join(root, "data", f"{tag}-rows")
     rewritten.write.option("compression", "zstd").parquet(data_dir)
 
-    delete_files = _list_parquet(del_dir)
     data_files = _list_parquet(data_dir)
-    updated_rows = sum(r for _, r, _ in delete_files)
+    updated_rows = sum(r for _, r, _ in data_files)
+    if use_dv and updated_rows:
+        # v3 tables tombstone with deletion vectors (the spec's only
+        # positional-delete form at format-version 3); same one-snapshot
+        # atomicity — DV manifest and data manifest commit together
+        enc = _encode_dv_files(spark, md, root, pos_df, tag)
+        if enc is not None:
+            dv_files, supersede_refs = enc
     if updated_rows == 0:
-        fsio.rmtree(del_dir)
+        if not use_dv:
+            fsio.rmtree(del_dir)
         fsio.rmtree(data_dir)
         return None
 
@@ -1095,11 +1128,13 @@ def update_iceberg_table_where(
         summary={
             "operation": "overwrite",
             "updated-records": str(updated_rows),
-            "added-delete-files": str(len(delete_files)),
+            "added-delete-files": str(len(delete_files) or len(dv_files)),
             "added-data-files": str(len(data_files)),
             "added-records": str(sum(r for _, r, _ in data_files)),
         },
         update_hint=update_hint,
+        dv_files=dv_files or None,
+        supersede_refs=supersede_refs or None,
     )
 
 
@@ -1413,10 +1448,30 @@ def merge_iceberg_table(
     if not_matched_by_source_delete:
         doomed = doomed.unionByName(live.join(src_keys, on, "left_anti"))
     tag = f"merge-{uuid.uuid4().hex[:12]}"
-    del_dir = os.path.join(root, "data", f"{tag}-deletes")
-    doomed.select(
+    use_dv = int(md.get("format-version", 2)) >= 3
+    doomed_pos = doomed.select(
         F.col("__file").alias("file_path"), F.col("__pos").cast("long").alias("pos")
-    ).sort("file_path", "pos").write.option("compression", "zstd").parquet(del_dir)
+    )
+    delete_files: list = []
+    dv_files: list[dict] = []
+    supersede_refs: set[str] = set()
+    deleted_records = 0
+    if use_dv:
+        # v3 tables tombstone with deletion vectors; deleted_records is
+        # the NEW tombstone count (the merged-forward old positions stay
+        # attributed to their original commits)
+        deleted_records = doomed_pos.count()
+        if deleted_records:
+            enc = _encode_dv_files(spark, md, root, doomed_pos, tag)
+            if enc is not None:
+                dv_files, supersede_refs = enc
+    else:
+        del_dir = os.path.join(root, "data", f"{tag}-deletes")
+        doomed_pos.sort("file_path", "pos").write.option("compression", "zstd").parquet(
+            del_dir
+        )
+        delete_files = _list_parquet(del_dir)
+        deleted_records = sum(r for _, r, _ in delete_files)
 
     incoming = []
     if when_matched == "update":
@@ -1429,10 +1484,10 @@ def merge_iceberg_table(
         new_rows = new_rows.unionByName(part)
     new_rows.write.option("compression", "zstd").parquet(data_dir)
 
-    delete_files = _list_parquet(del_dir)
     data_files = _list_parquet(data_dir)
-    if not delete_files and not data_files:
-        fsio.rmtree(del_dir)
+    if not delete_files and not dv_files and not data_files:
+        if not use_dv:
+            fsio.rmtree(del_dir)
         fsio.rmtree(data_dir)
         return None
 
@@ -1446,12 +1501,14 @@ def merge_iceberg_table(
         summary={
             "operation": "overwrite",
             "merge-on": on,
-            "added-delete-files": str(len(delete_files)),
-            "deleted-records": str(sum(r for _, r, _ in delete_files)),
+            "added-delete-files": str(len(delete_files) or len(dv_files)),
+            "deleted-records": str(deleted_records),
             "added-data-files": str(len(data_files)),
             "added-records": str(sum(r for _, r, _ in data_files)),
         },
         update_hint=update_hint,
+        dv_files=dv_files or None,
+        supersede_refs=supersede_refs or None,
     )
 
 

@@ -175,6 +175,51 @@ def test_dv_no_match_no_commit(spark, tmp_path):
     assert resolve_metadata_path(root) == v_before
 
 
+def test_dv_update_and_merge_on_v3_table(spark, tmp_path):
+    """On a format-version 3 table, UPDATE and MERGE tombstone through
+    deletion vectors too (the spec's only positional-delete form at v3):
+    one atomic snapshot carries the DV manifest AND the rewritten rows,
+    and overlapping DVs keep merging to one live blob per file."""
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+        merge_iceberg_table,
+        update_iceberg_table_where,
+    )
+
+    root = _one_file_table(spark, tmp_path)
+    delete_iceberg_table_where(spark, root, "id = 9", dv=True)  # → v3
+    update_iceberg_table_where(spark, root, {"v": "upper(v)"}, "id IN (0, 1)")
+    got = {r["id"]: r["v"] for r in read_iceberg_table(spark, root).collect()}
+    assert got[0] == "A" and got[1] == "B" and 9 not in got and got[2] == "c"
+    # the UPDATE's tombstones are DVs merged with the DELETE's: id 9 plus
+    # ids 0,1 all live in the original file → one blob, cardinality 3
+    dvs = [d for d in _live_dv_entries(root)]
+    assert sum(c for _, c in dvs) == 3 and len(dvs) == 1
+    src = spark.createDataFrame([(2, "TWO"), (77, "new")], "id int, v string")
+    merge_iceberg_table(spark, root, src, on="id")
+    got = {r["id"]: r["v"] for r in read_iceberg_table(spark, root).collect()}
+    assert got[2] == "TWO" and got[77] == "new" and got[3] == "d"
+    per_file: dict[str, int] = {}
+    for ref, _c in _live_dv_entries(root):
+        per_file[ref] = per_file.get(ref, 0) + 1
+    assert all(c == 1 for c in per_file.values()), per_file
+
+
+def test_dv_compaction_absorbs_vectors(spark, tmp_path):
+    """`rewrite_data_files` on a DV-carrying table reads live rows (DVs
+    applied) and replaces the layout — afterwards no live DV entries
+    remain and the rows are unchanged."""
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+        rewrite_iceberg_table_files,
+    )
+
+    root = _one_file_table(spark, tmp_path, n=6)
+    delete_iceberg_table_where(spark, root, "id IN (0, 5)", dv=True)
+    before = _rows(read_iceberg_table(spark, root))
+    rewrite_iceberg_table_files(spark, root)
+    assert _rows(read_iceberg_table(spark, root)) == before
+    assert _live_dv_entries(root) == []
+
+
 def test_dv_fuzz_against_parquet_twin_and_model(spark, tmp_path):
     """Model-checked fuzz: a random sequence of overlapping deletes runs
     on a DV table and a parquet-tombstone twin; after every commit both
