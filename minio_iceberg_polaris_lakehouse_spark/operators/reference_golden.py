@@ -190,6 +190,33 @@ def _lake(spark: SparkSession):
     lake.sql("INSERT INTO polaris.test_db.cdc_src VALUES (1, 'a'), (2, 'b')")
     lake.sql("INSERT INTO polaris.test_db.cdc_src VALUES (3, 'c')")
     lake.sql("DELETE FROM polaris.test_db.cdc_src WHERE id = 2")
+    # deletion-vector fixture (Iceberg v3): a single-file foreign table
+    # whose positional deletes commit as Puffin roaring-bitmap blobs —
+    # an explicit DV delete (bumps to format-version 3), a plain delete
+    # that auto-routes to a DV on the now-v3 table (merging + superseding
+    # the first blob), and an UPDATE whose tombstone rides the DV path in
+    # the same snapshot as its rewritten row
+    from minio_iceberg_polaris_lakehouse_spark.iceberg_export import (
+        write_iceberg_metadata,
+    )
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+        append_iceberg_table,
+        delete_iceberg_table_where,
+        update_iceberg_table_where,
+    )
+
+    dv_tab = lake.wh.create_table("test_db", "dv_demo", "id int, v string")
+    write_iceberg_metadata(dv_tab)
+    append_iceberg_table(
+        spark,
+        dv_tab.path,
+        spark.createDataFrame(
+            [(i, chr(ord("a") + i)) for i in range(6)], "id int, v string"
+        ).coalesce(1),
+    )
+    delete_iceberg_table_where(spark, dv_tab.path, "id IN (0, 4)", dv=True)
+    delete_iceberg_table_where(spark, dv_tab.path, "id = 2")  # auto-DV at v3
+    update_iceberg_table_where(spark, dv_tab.path, {"v": "upper(v)"}, "id = 1")
     # migrate-in-place fixture: a pre-lakehouse parquet directory brought
     # in by CALL system.snapshot (zero-copy add_files import), then
     # grown by a normal engine INSERT (ref_migrated_table)
@@ -626,6 +653,32 @@ def ref_external_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lake = _lake(spark)
     tab = lake.wh.table("test_db", "ext_read")
+    return read_iceberg_table(spark, tab.path).orderBy(F.col("id"))
+
+
+@register(
+    "ref_dv_roundtrip",
+    oracle="""
+    SELECT * FROM (VALUES (1, 'B'), (3, 'd'), (5, 'f')) AS d(id, v)
+    ORDER BY id
+    """,
+)
+def ref_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 deletion vectors end-to-end: the dv_demo fixture's
+    deletes live ONLY as Puffin roaring-bitmap blobs (an explicit DV
+    delete, an auto-routed one that merged + superseded it to a single
+    live blob, and an UPDATE tombstone sharing a snapshot with its
+    rewritten row). This read decodes the blobs executor-side
+    (sources/iceberg_reader._dv_tombstones) and must return exactly the
+    survivors — ids 0, 2, 4 dead, id 1 rewritten to 'B'."""
+    from pyspark.sql import functions as F
+
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        read_iceberg_table,
+    )
+
+    lake = _lake(spark)
+    tab = lake.wh.table("test_db", "dv_demo")
     return read_iceberg_table(spark, tab.path).orderBy(F.col("id"))
 
 
