@@ -220,6 +220,26 @@ def test_dv_compaction_absorbs_vectors(spark, tmp_path):
     assert _live_dv_entries(root) == []
 
 
+def test_dv_sql_delete_on_registered_v3_table(spark, tmp_path):
+    """A plain SQL `DELETE FROM` on a REGISTERED v3 foreign table writes
+    a deletion vector — the whole route (sql_frontend →
+    Warehouse.delete_foreign_table_where → dv auto-detect) with no DV
+    opt-in anywhere in the statement."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
+    root = _one_file_table(spark, tmp_path)
+    delete_iceberg_table_where(spark, root, "id = 0", dv=True)  # → v3
+    lake = LakehouseSQL(spark, str(tmp_path / "wh2"))
+    lake.sql(
+        f"CALL polaris.system.register_table(table => 'ext.dv', metadata_file => '{root}')"
+    )
+    lake.sql("DELETE FROM ext.dv WHERE id IN (1, 2)")
+    dvs = _live_dv_entries(root)
+    assert len(dvs) == 1 and dvs[0][1] == 3  # merged: ids 0,1,2
+    got = sorted(r[0] for r in lake.sql("SELECT id FROM ext.dv").collect())
+    assert got == [3, 4, 5, 6, 7, 8, 9]
+
+
 def test_dv_fuzz_against_parquet_twin_and_model(spark, tmp_path):
     """Model-checked fuzz: a random sequence of overlapping deletes runs
     on a DV table and a parquet-tombstone twin; after every commit both
