@@ -241,6 +241,12 @@ _PRIORITY: list[str] = [
     "mm_audio_chunks",
     "mm_audio_resample",
 ]
+# r8 rotation candidates (oracle-backed, never driver-windowed):
+# ref_dv_roundtrip (NEW r7 session 9 — Iceberg v3 deletion vectors read
+# back through the open metadata; green in the uncapped local replica
+# and the driver-sim). Every other oracle-backed query has held or holds
+# a slot; rows-only entries are barred from the window by the guard in
+# all_queries.
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
