@@ -547,15 +547,18 @@ def _encode_dv_files(
     root: str,
     matched: "DataFrame",
     tag: str,
-) -> tuple[list[dict], set[str]] | None:
+) -> tuple[list[dict], set[str], int] | None:
     """Encode ``matched`` (file_path, pos) as Iceberg v3 DELETION
     VECTORS: one roaring-bitmap blob per touched data file in a single
     Puffin container written under ``root``/data. Files that already
     carry a live DV get their old positions merged in (the spec's
     one-live-DV-per-file invariant); returns (dv_files entries for
-    _stage_row_level_commit, supersede_refs), or None when ``matched``
-    is empty. Shared by the DELETE, UPDATE and MERGE paths — any v3
-    positional tombstone is a DV."""
+    _stage_row_level_commit, supersede_refs, merged_old_count — the
+    positions carried forward from superseded DVs, so callers report
+    NEW tombstones as total cardinality minus it without re-counting
+    ``matched``), or None when ``matched`` is empty. Shared by the
+    DELETE, UPDATE and MERGE paths — any v3 positional tombstone is a
+    DV."""
     from minio_iceberg_polaris_lakehouse_spark import puffin
     from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
         _dv_tombstones,
@@ -574,6 +577,7 @@ def _encode_dv_files(
     # manifest — a reader must never see two live DVs for one file
     old_specs: list[dict] = []
     supersede_refs: set[str] = set()
+    merged_old = 0
     snaps = md.get("snapshots", [])
     cur_snap = next(
         (s for s in snaps if s["snapshot-id"] == md.get("current-snapshot-id")), None
@@ -599,6 +603,7 @@ def _encode_dv_files(
                         }
                     )
                     supersede_refs.add(ref)
+                    merged_old += int(dfe.get("record_count") or 0)
     if old_specs:
         matched = matched.unionByName(
             _dv_tombstones(spark, old_specs).select(
@@ -671,7 +676,7 @@ def _encode_dv_files(
         }
         for bm in footer["blobs"]
     ]
-    return dv_files, supersede_refs
+    return dv_files, supersede_refs, merged_old
 
 
 def _commit_dv_delete(
@@ -689,7 +694,7 @@ def _commit_dv_delete(
     enc = _encode_dv_files(spark, md, root, matched, tag)
     if enc is None:
         return None
-    dv_files, supersede_refs = enc
+    dv_files, supersede_refs, merged_old = enc
     total = sum(d["cardinality"] for d in dv_files)
     md = dict(md)
     md["format-version"] = 3  # deletion vectors are a v3 feature
@@ -703,7 +708,9 @@ def _commit_dv_delete(
         summary={
             "operation": "delete",
             "added-dvs": str(len(dv_files)),
-            "added-position-deletes": str(total),
+            # NEW tombstones only — positions merged forward from
+            # superseded DVs stay attributed to their original commits
+            "added-position-deletes": str(total - merged_old),
         },
         update_hint=update_hint,
         dv_files=dv_files,
@@ -1111,7 +1118,7 @@ def update_iceberg_table_where(
         # atomicity — DV manifest and data manifest commit together
         enc = _encode_dv_files(spark, md, root, pos_df, tag)
         if enc is not None:
-            dv_files, supersede_refs = enc
+            dv_files, supersede_refs, _ = enc
     if updated_rows == 0:
         if not use_dv:
             fsio.rmtree(del_dir)
@@ -1459,12 +1466,12 @@ def merge_iceberg_table(
     if use_dv:
         # v3 tables tombstone with deletion vectors; deleted_records is
         # the NEW tombstone count (the merged-forward old positions stay
-        # attributed to their original commits)
-        deleted_records = doomed_pos.count()
-        if deleted_records:
-            enc = _encode_dv_files(spark, md, root, doomed_pos, tag)
-            if enc is not None:
-                dv_files, supersede_refs = enc
+        # attributed to their original commits) — derived from the blob
+        # cardinalities, no extra count job over the join
+        enc = _encode_dv_files(spark, md, root, doomed_pos, tag)
+        if enc is not None:
+            dv_files, supersede_refs, merged_old = enc
+            deleted_records = sum(d["cardinality"] for d in dv_files) - merged_old
     else:
         del_dir = os.path.join(root, "data", f"{tag}-deletes")
         doomed_pos.sort("file_path", "pos").write.option("compression", "zstd").parquet(
