@@ -355,6 +355,15 @@ def read_iceberg_table(
                             ),
                         }
                     )
+                elif (e["data_file"].get("file_format") or "").upper() == "PUFFIN":
+                    # a Puffin delete entry MUST carry fields 143-145;
+                    # falling through to the parquet tombstone path would
+                    # fail confusingly (or worse, silently skip deletes)
+                    raise ValueError(
+                        f"PUFFIN delete entry without referenced_data_file/"
+                        f"content_offset in {m['manifest_path']} — cannot "
+                        "apply; silently ignoring it would return deleted rows"
+                    )
                 else:
                     delete_paths.append(e["data_file"]["file_path"])
             continue

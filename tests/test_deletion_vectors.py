@@ -168,6 +168,38 @@ def test_dv_default_follows_format_version(spark, tmp_path):
     ]
 
 
+def test_dv_malformed_puffin_entry_fails_loudly(spark, tmp_path):
+    """A PUFFIN delete entry missing its DV byte range must raise, not
+    fall through to the parquet tombstone path (which would error
+    confusingly or silently resurrect deleted rows)."""
+    import pytest
+
+    root = _one_file_table(spark, tmp_path, n=3)
+    out = delete_iceberg_table_where(spark, root, "id = 0", dv=True)
+    md = json.loads(open(out).read())
+    snap = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    _s, _m, recs = avro_io.read_container(snap["manifest-list"])
+    dv_rec = next(r for r in recs if r.get("content") == 1)
+    _s2, m2, entries = avro_io.read_container(dv_rec["manifest_path"])
+    for e in entries:
+        e["data_file"]["referenced_data_file"] = None
+        e["data_file"]["content_offset"] = None
+        e["data_file"]["content_size_in_bytes"] = None
+    meta = {
+        k: (v.decode() if isinstance(v, bytes) else v)
+        for k, v in (m2 or {}).items()
+        if k != "avro.schema"
+    }
+    schema = json.loads(
+        _s2.decode() if isinstance(_s2, bytes) else _s2
+    ) if isinstance(_s2, (bytes, str)) else _s2
+    avro_io.write_container(dv_rec["manifest_path"], schema, entries, metadata=meta)
+    with pytest.raises(ValueError, match="PUFFIN delete entry"):
+        read_iceberg_table(spark, root).collect()
+
+
 def test_dv_no_match_no_commit(spark, tmp_path):
     root = _one_file_table(spark, tmp_path, n=3)
     v_before = resolve_metadata_path(root)
