@@ -225,10 +225,14 @@ def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @udtf(returnType="installment int, amount decimal(12,2)")
     class Installments:
-        def eval(self, total):
-            if total is None:
+        def eval(self, cents):
+            # purely INTEGER arithmetic: the double→cents rounding runs
+            # IN-PLAN (JVM ROUND = half-up = DuckDB half-away for
+            # positive prices), never in Python — Python's round() is
+            # banker's rounding and diverges from the oracle by one
+            # cent on exact-.5 products (the r7 driver hash-fail)
+            if cents is None:
                 return
-            cents = int(round(total * 100))
             base_cents = cents // 3
             yield 1, Decimal(base_cents) / Decimal(100)
             yield 2, Decimal(base_cents) / Decimal(100)
@@ -239,7 +243,8 @@ def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o.o_orderkey, i.installment, i.amount
-        FROM udtf_orders o, LATERAL installments(o.o_totalprice) i
+        FROM udtf_orders o,
+             LATERAL installments(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) i
         WHERE o.o_orderkey <= 300
         ORDER BY o.o_orderkey, i.installment
         """

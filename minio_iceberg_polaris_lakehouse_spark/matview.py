@@ -55,6 +55,15 @@ from pyspark.sql import functions as F
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 
 
+class NotIncrementallyMaintainable(RuntimeError):
+    """The changelog window cannot be folded into the stored groups —
+    e.g. a delete inside the window of a MIN/MAX view (a deleted
+    extremum needs a rescan). REFRESH catches exactly this type (plus
+    snapshot expiry / schema drift) and downgrades to the
+    always-correct full recompute; any OTHER exception propagates so a
+    genuine bug in the delta path can never hide behind the fallback."""
+
+
 @dataclass
 class MatviewSpec:
     """A parsed incremental-maintainable definition:

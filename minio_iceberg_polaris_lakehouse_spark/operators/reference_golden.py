@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -45,6 +46,13 @@ _TEST_TABLE_DUCK = "(VALUES (1, 'Hello'), (2, 'World')) AS test_table(id, name)"
 
 # One fixture warehouse per Spark application, built by replaying the
 # reference notebooks' DDL/INSERT transcript through the SQL front-end.
+# _FIXTURE_LOCK serializes every check-then-build on the stateful
+# fixture caches (_LAKES and the mode caches below): if the driver ever
+# invokes queries() callables concurrently on one session, unlocked
+# builds would race (duplicate warehouses; interleaved CREATE/INSERT
+# sequences in the MV setups). RLock because the MV builders call
+# _lake() while holding it.
+_FIXTURE_LOCK = threading.RLock()
 _LAKES: dict[str, object] = {}
 
 
@@ -52,8 +60,15 @@ def _lake(spark: SparkSession):
     from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
 
     key = spark.sparkContext.applicationId
-    if key in _LAKES:
-        return _LAKES[key]
+    with _FIXTURE_LOCK:
+        if key in _LAKES:
+            return _LAKES[key]
+        return _build_lake(spark, key)
+
+
+def _build_lake(spark: SparkSession, key: str):
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+
     lake = LakehouseSQL(spark, tempfile.mkdtemp(prefix="lh_golden_"))
     # getting_started.ipynb:87-96
     lake.sql(
@@ -929,25 +944,26 @@ def ref_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     lakehouse MVs are built on."""
     lake = _lake(spark)
     key = spark.sparkContext.applicationId
-    if key not in _MV_MODE:
-        lake.sql(
-            "CREATE TABLE IF NOT EXISTS polaris.test_db.mv_sales "
-            "(region STRING, amount DECIMAL(10,2)) USING ICEBERG"
-        )
-        lake.sql(
-            "INSERT INTO test_db.mv_sales VALUES ('eu', 10.00), ('eu', 5.50), ('us', 7.25)"
-        )
-        lake.sql(
-            "CREATE MATERIALIZED VIEW test_db.sales_mv AS "
-            "SELECT region, SUM(amount) AS total, COUNT(*) AS n "
-            "FROM test_db.mv_sales GROUP BY region"
-        )
-        lake.sql("INSERT INTO test_db.mv_sales VALUES ('eu', 1.00), ('ap', 2.00)")
-        lake.sql("DELETE FROM test_db.mv_sales WHERE region = 'ap'")
-        _MV_MODE[key] = (
-            lake.sql("REFRESH MATERIALIZED VIEW test_db.sales_mv").collect()[0].mode
-        )
-    mode = _MV_MODE[key]
+    with _FIXTURE_LOCK:
+        if key not in _MV_MODE:
+            lake.sql(
+                "CREATE TABLE IF NOT EXISTS polaris.test_db.mv_sales "
+                "(region STRING, amount DECIMAL(10,2)) USING ICEBERG"
+            )
+            lake.sql(
+                "INSERT INTO test_db.mv_sales VALUES ('eu', 10.00), ('eu', 5.50), ('us', 7.25)"
+            )
+            lake.sql(
+                "CREATE MATERIALIZED VIEW test_db.sales_mv AS "
+                "SELECT region, SUM(amount) AS total, COUNT(*) AS n "
+                "FROM test_db.mv_sales GROUP BY region"
+            )
+            lake.sql("INSERT INTO test_db.mv_sales VALUES ('eu', 1.00), ('ap', 2.00)")
+            lake.sql("DELETE FROM test_db.mv_sales WHERE region = 'ap'")
+            _MV_MODE[key] = (
+                lake.sql("REFRESH MATERIALIZED VIEW test_db.sales_mv").collect()[0].mode
+            )
+        mode = _MV_MODE[key]
     return lake.sql(
         f"SELECT region, total, n, '{mode}' AS mode "
         "FROM test_db.sales_mv ORDER BY region"
@@ -980,34 +996,35 @@ def ref_matview_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     README.md:119-142."""
     lake = _lake(spark)
     key = spark.sparkContext.applicationId
-    if key not in _MVJ_MODE:
-        lake.sql(
-            "CREATE TABLE IF NOT EXISTS polaris.test_db.jo_custs "
-            "(cust_id INT, segment STRING) USING ICEBERG"
-        )
-        lake.sql(
-            "CREATE TABLE IF NOT EXISTS polaris.test_db.jo_orders "
-            "(cust_id INT, amount DECIMAL(10,2)) USING ICEBERG"
-        )
-        lake.sql("INSERT INTO test_db.jo_custs VALUES (1, 'gold'), (2, 'silver')")
-        lake.sql(
-            "INSERT INTO test_db.jo_orders VALUES (1, 10.00), (1, 2.50), (2, 4.00)"
-        )
-        lake.sql(
-            "CREATE MATERIALIZED VIEW test_db.orders_by_segment AS "
-            "SELECT c.segment, SUM(o.amount) AS total, COUNT(*) AS n "
-            "FROM test_db.jo_orders o JOIN test_db.jo_custs c "
-            "ON o.cust_id = c.cust_id GROUP BY c.segment"
-        )
-        lake.sql("INSERT INTO test_db.jo_orders VALUES (2, 6.00), (3, 9.99)")
-        lake.sql("INSERT INTO test_db.jo_custs VALUES (3, 'gold')")
-        lake.sql("DELETE FROM test_db.jo_orders WHERE amount = 2.50")
-        _MVJ_MODE[key] = (
-            lake.sql("REFRESH MATERIALIZED VIEW test_db.orders_by_segment")
-            .collect()[0]
-            .mode
-        )
-    mode = _MVJ_MODE[key]
+    with _FIXTURE_LOCK:
+        if key not in _MVJ_MODE:
+            lake.sql(
+                "CREATE TABLE IF NOT EXISTS polaris.test_db.jo_custs "
+                "(cust_id INT, segment STRING) USING ICEBERG"
+            )
+            lake.sql(
+                "CREATE TABLE IF NOT EXISTS polaris.test_db.jo_orders "
+                "(cust_id INT, amount DECIMAL(10,2)) USING ICEBERG"
+            )
+            lake.sql("INSERT INTO test_db.jo_custs VALUES (1, 'gold'), (2, 'silver')")
+            lake.sql(
+                "INSERT INTO test_db.jo_orders VALUES (1, 10.00), (1, 2.50), (2, 4.00)"
+            )
+            lake.sql(
+                "CREATE MATERIALIZED VIEW test_db.orders_by_segment AS "
+                "SELECT c.segment, SUM(o.amount) AS total, COUNT(*) AS n "
+                "FROM test_db.jo_orders o JOIN test_db.jo_custs c "
+                "ON o.cust_id = c.cust_id GROUP BY c.segment"
+            )
+            lake.sql("INSERT INTO test_db.jo_orders VALUES (2, 6.00), (3, 9.99)")
+            lake.sql("INSERT INTO test_db.jo_custs VALUES (3, 'gold')")
+            lake.sql("DELETE FROM test_db.jo_orders WHERE amount = 2.50")
+            _MVJ_MODE[key] = (
+                lake.sql("REFRESH MATERIALIZED VIEW test_db.orders_by_segment")
+                .collect()[0]
+                .mode
+            )
+        mode = _MVJ_MODE[key]
     return lake.sql(
         f"SELECT segment, total, n, '{mode}' AS mode "
         "FROM test_db.orders_by_segment ORDER BY segment"
@@ -1039,31 +1056,9 @@ def ref_bloom_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lake = _lake(spark)
     key = spark.sparkContext.applicationId
-    if key not in _BLOOM_STATE:
-        lake.sql(
-            "CREATE TABLE IF NOT EXISTS polaris.test_db.bloom_demo "
-            "(id INT, k STRING) USING ICEBERG"
-        )
-        lake.sql(
-            "INSERT INTO test_db.bloom_demo VALUES "
-            + ", ".join(f"({i}, 'a{i % 5}')" for i in range(50))
-        )
-        lake.sql(
-            "INSERT INTO test_db.bloom_demo VALUES "
-            + ", ".join(f"({i}, 'z{i % 5}')" for i in range(50))
-        )
-        n = (
-            lake.sql(
-                "CALL polaris.system.build_bloom_index("
-                "table => 'test_db.bloom_demo', column => 'k')"
-            )
-            .collect()[0]
-            .indexed_files_count
-        )
-        tab = lake.wh.table("test_db", "bloom_demo")
-        full = len(tab.read().inputFiles())
-        planned = len(tab.scan(eq={"k": "z3"}).inputFiles())
-        _BLOOM_STATE[key] = (n, full, planned)
+    with _FIXTURE_LOCK:
+        if key not in _BLOOM_STATE:
+            _build_bloom_state(lake, key)
     _n, full, planned = _BLOOM_STATE[key]
     tab = lake.wh.table("test_db", "bloom_demo")
     pruned = F.lit(1 if planned < full else 0)
@@ -1073,6 +1068,33 @@ def ref_bloom_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "k", pruned.cast("int").alias("pruned"))
         .orderBy("id")
     )
+
+
+def _build_bloom_state(lake, key: str) -> None:
+    lake.sql(
+        "CREATE TABLE IF NOT EXISTS polaris.test_db.bloom_demo "
+        "(id INT, k STRING) USING ICEBERG"
+    )
+    lake.sql(
+        "INSERT INTO test_db.bloom_demo VALUES "
+        + ", ".join(f"({i}, 'a{i % 5}')" for i in range(50))
+    )
+    lake.sql(
+        "INSERT INTO test_db.bloom_demo VALUES "
+        + ", ".join(f"({i}, 'z{i % 5}')" for i in range(50))
+    )
+    n = (
+        lake.sql(
+            "CALL polaris.system.build_bloom_index("
+            "table => 'test_db.bloom_demo', column => 'k')"
+        )
+        .collect()[0]
+        .indexed_files_count
+    )
+    tab = lake.wh.table("test_db", "bloom_demo")
+    full = len(tab.read().inputFiles())
+    planned = len(tab.scan(eq={"k": "z3"}).inputFiles())
+    _BLOOM_STATE[key] = (n, full, planned)
 
 
 _UPSERT_DONE: dict[str, bool] = {}
@@ -1102,21 +1124,22 @@ def ref_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot, not a read-modify-write MERGE."""
     lake = _lake(spark)
     key = spark.sparkContext.applicationId
-    if key not in _UPSERT_DONE:
-        lake.sql(
-            "CREATE TABLE IF NOT EXISTS polaris.test_db.inventory "
-            "(sku INT, qty INT, loc STRING) USING ICEBERG"
-        )
-        lake.sql("ALTER TABLE test_db.inventory SET IDENTIFIER FIELDS sku")
-        lake.sql(
-            "ALTER TABLE test_db.inventory SET TBLPROPERTIES "
-            "('write.upsert.enabled'='true')"
-        )
-        lake.sql(
-            "INSERT INTO test_db.inventory VALUES (1, 10, 'A'), (2, 20, 'B'), (3, 30, 'C')"
-        )
-        lake.sql("INSERT INTO test_db.inventory VALUES (2, 25, 'B2'), (4, 40, 'D')")
-        _UPSERT_DONE[key] = True
+    with _FIXTURE_LOCK:
+        if key not in _UPSERT_DONE:
+            lake.sql(
+                "CREATE TABLE IF NOT EXISTS polaris.test_db.inventory "
+                "(sku INT, qty INT, loc STRING) USING ICEBERG"
+            )
+            lake.sql("ALTER TABLE test_db.inventory SET IDENTIFIER FIELDS sku")
+            lake.sql(
+                "ALTER TABLE test_db.inventory SET TBLPROPERTIES "
+                "('write.upsert.enabled'='true')"
+            )
+            lake.sql(
+                "INSERT INTO test_db.inventory VALUES (1, 10, 'A'), (2, 20, 'B'), (3, 30, 'C')"
+            )
+            lake.sql("INSERT INTO test_db.inventory VALUES (2, 25, 'B2'), (4, 40, 'D')")
+            _UPSERT_DONE[key] = True
     rows = lake.sql("SELECT sku, qty, loc FROM test_db.inventory")
     last_op = lake.sql(
         "SELECT operation AS last_op FROM test_db.inventory.snapshots "

@@ -13,6 +13,8 @@ functions (zip_with/aggregate) — no Python, no UDF.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -391,6 +393,7 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------- persisted IVF index (cell-partitioned table) ----------
 _IVF_INDEX_CACHE: dict[tuple[str, str], str] = {}  # (appId, sf_dir) -> wh root
+_IVF_INDEX_LOCK = threading.Lock()  # serialize check-then-build
 
 
 def build_ivf_index(spark: SparkSession, sf_dir: str, wh_root: str):
@@ -439,9 +442,11 @@ def _ivf_index_wh(spark: SparkSession, sf_dir: str):
     import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _IVF_INDEX_CACHE:
-        _IVF_INDEX_CACHE[key] = tempfile.mkdtemp(prefix="lh_ivf_idx_")
-    return build_ivf_index(spark, sf_dir, _IVF_INDEX_CACHE[key])
+    with _IVF_INDEX_LOCK:
+        if key not in _IVF_INDEX_CACHE:
+            _IVF_INDEX_CACHE[key] = tempfile.mkdtemp(prefix="lh_ivf_idx_")
+        root = _IVF_INDEX_CACHE[key]
+    return build_ivf_index(spark, sf_dir, root)
 
 
 def ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,6 +28,8 @@ UDFs (Arrow-batched), never row-at-a-time Python.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -148,15 +150,20 @@ def _adc_scorer(books: np.ndarray, queries: dict[int, np.ndarray]):
 # driver-side jobs — same precedent as the _IVF_INDEX_CACHE. At 100 TB
 # the codebook is what you'd persist next to the index.
 _PQ_MODEL_CACHE: dict[tuple[str, str], tuple[np.ndarray, dict[int, np.ndarray]]] = {}
+_PQ_LOCK = threading.Lock()  # serialize check-then-build on both caches
 
 
 def _pq_model(spark: SparkSession, sf_dir: str, v: DataFrame):
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _PQ_MODEL_CACHE:
-        books = train_codebook(_train_sample(spark, sf_dir))
-        q_rows = v.filter(F.col("vec_id") < N_QUERIES).collect()  # metadata-sized
-        _PQ_MODEL_CACHE[key] = (books, {int(r.vec_id): np.array(r.e) for r in q_rows})
-    return _PQ_MODEL_CACHE[key]
+    with _PQ_LOCK:
+        if key not in _PQ_MODEL_CACHE:
+            books = train_codebook(_train_sample(spark, sf_dir))
+            q_rows = v.filter(F.col("vec_id") < N_QUERIES).collect()  # metadata-sized
+            _PQ_MODEL_CACHE[key] = (
+                books,
+                {int(r.vec_id): np.array(r.e) for r in q_rows},
+            )
+        return _PQ_MODEL_CACHE[key]
 
 
 def _pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,9 +298,11 @@ def _pq_index_wh(spark: SparkSession, sf_dir: str):
     import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _PQ_INDEX_CACHE:
-        _PQ_INDEX_CACHE[key] = tempfile.mkdtemp(prefix="lh_pq_idx_")
-    return build_pq_index(spark, sf_dir, _PQ_INDEX_CACHE[key])
+    with _PQ_LOCK:
+        if key not in _PQ_INDEX_CACHE:
+            _PQ_INDEX_CACHE[key] = tempfile.mkdtemp(prefix="lh_pq_idx_")
+        root = _PQ_INDEX_CACHE[key]
+    return build_pq_index(spark, sf_dir, root)
 
 
 def pq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -39,9 +39,35 @@ import re
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import types as T
 
-from minio_iceberg_polaris_lakehouse_spark.warehouse import Table, Warehouse, WarehouseError
+from minio_iceberg_polaris_lakehouse_spark.warehouse import (
+    SnapshotNotFoundError,
+    Table,
+    Warehouse,
+    WarehouseError,
+)
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+# The ONLY exception types REFRESH MATERIALIZED VIEW may downgrade to a
+# full recompute on (recorded in the result's downgrade_reason column):
+# - SnapshotNotFoundError: the synced base snapshot expired out of the
+#   changelog window;
+# - NotIncrementallyMaintainable: the window cannot be folded (delete in
+#   a MIN/MAX view's window);
+# - AnalysisException: base schema drift made the stored spec unbindable.
+# Everything else propagates — a blanket catch here would mask a genuine
+# bug in the delta path forever (the fallback is always "correct").
+def _mv_downgrade_types() -> tuple[type[BaseException], ...]:
+    from pyspark.errors import AnalysisException
+
+    from minio_iceberg_polaris_lakehouse_spark.matview import (
+        NotIncrementallyMaintainable,
+    )
+
+    return (SnapshotNotFoundError, NotIncrementallyMaintainable, AnalysisException)
+
+
+_MV_DOWNGRADE = _mv_downgrade_types()
 
 
 def _fullmatch(pattern: str, s: str) -> re.Match | None:
@@ -1118,16 +1144,19 @@ class LakehouseSQL:
                     # pin BOTH base snapshots so refresh's delta-join
                     # window starts exactly where materialization read
                     lsid, rsid = lbase.current_snapshot_id(), rbase.current_snapshot_id()
+                    from pyspark.errors import AnalysisException
+
                     try:
                         df = MV.materialize_join(
                             lbase.read(version=lsid) if lsid else lbase.read(),
                             rbase.read(version=rsid) if rsid else rbase.read(),
                             jspec,
                         )
-                    except Exception:
-                        # e.g. an unqualified column the rewrite can't
-                        # bind — the generic full-recompute path below
-                        # still materializes the query correctly
+                    except AnalysisException:
+                        # an unqualified column the rewrite can't bind —
+                        # the generic full-recompute path below still
+                        # materializes the query correctly; any other
+                        # failure is a real bug and propagates
                         df, jspec = None, None
                     else:
                         rec.update(
@@ -1213,10 +1242,18 @@ class LakehouseSQL:
             raise WarehouseError(f"materialized view {key} does not exist")
         storage = self.wh.table(ns, v)
 
-        def result(mode: str, synced) -> DataFrame:
+        def result(mode: str, synced, reason: str | None = None) -> DataFrame:
             return self.spark.createDataFrame(
-                [Row(view=key, mode=mode, synced_snapshot=synced)],
-                "view string, mode string, synced_snapshot bigint",
+                [
+                    Row(
+                        view=key,
+                        mode=mode,
+                        synced_snapshot=synced,
+                        downgrade_reason=reason,
+                    )
+                ],
+                "view string, mode string, synced_snapshot bigint, "
+                "downgrade_reason string",
             )
 
         if rec["incremental"] and rec.get("foreign"):
@@ -1234,6 +1271,7 @@ class LakehouseSQL:
             cur = base.current_snapshot_id()
             if cur == rec["synced"]:
                 return result("noop", cur)
+            downgrade: str | None = None
             if rec["synced"] is not None and spec is not None:
                 from pyspark.sql import functions as F
 
@@ -1246,22 +1284,28 @@ class LakehouseSQL:
                         # deleted extremum forces a rescan. Insert-only
                         # windows (the common append-only case) still
                         # maintain incrementally.
-                        raise WarehouseError("delete in window of a MIN/MAX view")
+                        raise MV.NotIncrementallyMaintainable(
+                            "delete in window of a MIN/MAX view"
+                        )
                     new = MV.apply_delta(storage.read(), MV.delta(chg, spec), spec)
                     storage.overwrite(new)
                     rec["synced"] = cur
                     self.wh.put_matview(ns, v, rec)
                     return result("incremental", cur)
-                except Exception:
-                    # synced snapshot expired, base schema drift, … —
-                    # fall through to the always-correct full recompute
-                    pass
+                except _MV_DOWNGRADE as e:
+                    # ONLY the expected recoverable causes (synced
+                    # snapshot expired; MIN/MAX window with a delete;
+                    # base schema drift) downgrade to the full
+                    # recompute — anything else raises so a genuine
+                    # bug in the delta path cannot hide behind the
+                    # always-correct fallback.
+                    downgrade = f"{type(e).__name__}: {e}"
             cur = base.current_snapshot_id()
             df = MV.materialize(base.read(version=cur) if cur else base.read(), spec)
             storage.overwrite(self._cast_to(storage, df))
             rec["synced"] = cur
             self.wh.put_matview(ns, v, rec)
-            return result("full", cur)
+            return result("full", cur, downgrade)
         df = self.spark.sql(self._rewrite_query(rec["sql"]))
         storage.overwrite(self._cast_to(storage, df))
         return result("full", None)
@@ -1296,6 +1340,7 @@ class LakehouseSQL:
         ls, rs = rec["synced_join"]
         if (lcur, rcur) == tuple(rec["synced_join"]):
             return result("noop", None)
+        downgrade: str | None = None
         if ls is not None and rs is not None and jspec is not None:
             try:
                 lchg = lbase.changes(from_version=ls, to_version=lcur)
@@ -1307,7 +1352,7 @@ class LakehouseSQL:
                         F.col("_change_type") == "delete"
                     ).limit(1).count()
                     if deletes:
-                        raise WarehouseError(
+                        raise MV.NotIncrementallyMaintainable(
                             "delete in window of a MIN/MAX join view"
                         )
                 d = MV.delta_join(
@@ -1322,10 +1367,10 @@ class LakehouseSQL:
                 rec["synced_join"] = [lcur, rcur]
                 self.wh.put_matview(ns, v, rec)
                 return result("incremental", None)
-            except Exception:
-                # a synced snapshot expired, base schema drift, … —
-                # fall through to the always-correct full recompute
-                pass
+            except _MV_DOWNGRADE as e:
+                # typed downgrade only (expired snapshot / MIN-MAX
+                # delete window / schema drift) — see _MV_DOWNGRADE
+                downgrade = f"{type(e).__name__}: {e}"
         lcur, rcur = lbase.current_snapshot_id(), rbase.current_snapshot_id()
         if jspec is not None:
             df = MV.materialize_join(
@@ -1338,7 +1383,7 @@ class LakehouseSQL:
         storage.overwrite(self._cast_to(storage, df))
         rec["synced_join"] = [lcur, rcur]
         self.wh.put_matview(ns, v, rec)
-        return result("full", None)
+        return result("full", None, downgrade)
 
     def _refresh_matview_foreign(self, key: str, rec: dict, storage: Table, result):
         """Refresh an MV whose base is a REGISTERED FOREIGN table: the
@@ -1373,6 +1418,7 @@ class LakehouseSQL:
         spec = MV.parse_incremental(rec["sql"])
         if cur == rec["synced"]:
             return result("noop", cur)
+        downgrade: str | None = None
         if rec["synced"] is not None and spec is not None:
             try:
                 chg = changes_iceberg_table(self.spark, floc, rec["synced"], cur)
@@ -1382,22 +1428,28 @@ class LakehouseSQL:
                     # changelog plan twice — materialize the window once
                     chg = chg.localCheckpoint()
                     if chg.filter(F.col("_change_type") == "delete").limit(1).count():
-                        raise WarehouseError("delete in window of a MIN/MAX view")
+                        raise MV.NotIncrementallyMaintainable(
+                            "delete in window of a MIN/MAX view"
+                        )
                 new = MV.apply_delta(storage.read(), MV.delta(chg, spec), spec)
                 storage.overwrite(new)
                 rec["synced"] = cur
                 self.wh.put_matview(ns, v, rec)
                 return result("incremental", cur)
-            except Exception:
-                # interval contains rewrites, or the synced snapshot
-                # expired — full recompute is always correct
-                pass
+            except (*_MV_DOWNGRADE, ValueError) as e:
+                # changes_iceberg_table raises ValueError for exactly
+                # the foreign recoverable causes: the synced snapshot
+                # expired out of the metadata, lineage diverged, or the
+                # interval contains a rewrite/compaction (not
+                # expressible as a changelog) — plus the shared typed
+                # causes in _MV_DOWNGRADE. Anything else propagates.
+                downgrade = f"{type(e).__name__}: {e}"
         base_df = read_iceberg_table(self.spark, floc, snapshot_id=cur if cur else None)
         df = MV.materialize(base_df, spec)
         storage.overwrite(self._cast_to(storage, df))
         rec["synced"] = cur
         self.wh.put_matview(ns, v, rec)
-        return result("full", cur)
+        return result("full", cur, downgrade)
 
     @staticmethod
     def _cast_to(storage: Table, df: DataFrame) -> DataFrame:

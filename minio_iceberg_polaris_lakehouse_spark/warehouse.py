@@ -2206,9 +2206,9 @@ class Table:
         if to_version is None:
             to_version = snaps[-1]["snapshot_id"] if snaps else 0
         elif to_version not in by_id:
-            raise WarehouseError(f"snapshot {to_version} not found")
+            raise SnapshotNotFoundError(f"snapshot {to_version} not found")
         if from_version is not None and from_version not in by_id:
-            raise WarehouseError(f"snapshot {from_version} not found")
+            raise SnapshotNotFoundError(f"snapshot {from_version} not found")
         start = from_version if from_version is not None else 0
         schema = self._snapshot_schema(by_id[to_version]) if snaps else self.schema()
         cols = schema.fieldNames()

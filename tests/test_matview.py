@@ -433,3 +433,48 @@ def test_continuous_aggregate_loop_over_streaming_commits(lake, spark):
     # replayed batch: sink dedups, refresh is a noop
     sink.write_batch(spark.createDataFrame([(2, 5)], "user_id int, n int"), 1)
     assert lake.sql("REFRESH MATERIALIZED VIEW db.click_agg").collect()[0].mode == "noop"
+
+
+def test_unexpected_delta_error_raises_not_downgrades(lake, monkeypatch):
+    """The r7 postmortem fix: REFRESH downgrades to full recompute ONLY
+    on the typed recoverable causes (expired snapshot, MIN/MAX delete
+    window, schema drift). An unexpected exception in the delta path is
+    a bug and must PROPAGATE — a blanket catch would mask it forever
+    behind the always-correct fallback (and hash-fail goldens that pin
+    mode='incremental')."""
+    import minio_iceberg_polaris_lakehouse_spark.matview as MV
+
+    _mk_sales(lake)
+    lake.sql(f"CREATE MATERIALIZED VIEW db.mv AS {MV_DEF}")
+    lake.sql("INSERT INTO db.sales VALUES ('eu', 1.00, 1)")
+
+    def boom(*a, **k):
+        raise RuntimeError("injected delta bug")
+
+    monkeypatch.setattr(MV, "apply_delta", boom)
+    with pytest.raises(RuntimeError, match="injected delta bug"):
+        lake.sql("REFRESH MATERIALIZED VIEW db.mv")
+
+
+def test_downgrade_reason_recorded_in_result_row(lake):
+    """A legitimate downgrade carries its cause in the result row's
+    downgrade_reason column; clean refreshes leave it NULL."""
+    _mk_sales(lake)
+    lake.sql(f"CREATE MATERIALIZED VIEW db.mv AS {MV_DEF}")
+    lake.sql("INSERT INTO db.sales VALUES ('eu', 1.00, 1)")
+    r = lake.sql("REFRESH MATERIALIZED VIEW db.mv").collect()[0]
+    assert r.mode == "incremental" and r.downgrade_reason is None
+    # expire the synced snapshot: typed SnapshotNotFoundError downgrade
+    lake.sql("INSERT INTO db.sales VALUES ('ap', 3.00, 2)")
+    lake.sql("CALL polaris.system.expire_snapshots(table => 'db.sales', retain_last => 1)")
+    r = lake.sql("REFRESH MATERIALIZED VIEW db.mv").collect()[0]
+    assert r.mode == "full"
+    assert "SnapshotNotFoundError" in r.downgrade_reason
+    # MIN/MAX delete-in-window: typed NotIncrementallyMaintainable
+    lake.sql("CREATE TABLE polaris.db.mm2 (k STRING, x INT) USING ICEBERG")
+    lake.sql("INSERT INTO db.mm2 VALUES ('a', 5), ('a', 9)")
+    lake.sql("CREATE MATERIALIZED VIEW db.mvm2 AS SELECT k, MAX(x) AS hi FROM db.mm2 GROUP BY k")
+    lake.sql("DELETE FROM db.mm2 WHERE x = 9")
+    r = lake.sql("REFRESH MATERIALIZED VIEW db.mvm2").collect()[0]
+    assert r.mode == "full"
+    assert "NotIncrementallyMaintainable" in r.downgrade_reason
