@@ -1,13 +1,15 @@
 """Benchmark runner: times the engine's headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line:
+and prints ONE composite JSON line — the LAST line of stdout:
 {"metric": "headline_queries_total_runtime", "value": N, "unit": "sec",
- "queries": {...}, "sf": ...}
-The headline line prints FIRST (a tail-truncated capture can't lose it);
-the supplementary 10× scale check follows as its own
-{"metric": "sf1_scale_check", ...} line. A contended host (CPU probe
-> 1 s) triggers bounded wait-and-retry before and re-runs after, so
-recorded numbers are machine-speed-clean or explicitly flagged.
+ "queries": {...}, "sf": ..., "sf1_scale_check": {...}}
+The driver keeps the TAIL of output (r6 lost a tail-truncated headline;
+r7's headline-first line was displaced by the sf1 line printing after
+it), so everything — headline, extended operators, the 10× scale
+section, probes — nests in that single final object. A contended host
+(CPU probe > 1 s) triggers bounded wait-and-retry before and re-runs
+after, so recorded numbers are machine-speed-clean or explicitly
+flagged.
 """
 
 from __future__ import annotations
@@ -259,56 +261,69 @@ def main() -> None:
         extended[name] = round(min(runs), 3)
         print(f"# extended {name}: min {extended[name]:.3f}s", file=sys.stderr)
     load_end = _machine_load()
-    # HEADLINE FIRST: the driver stores raw output and r6's artifact was
-    # tail-truncated, losing the JSON — everything after this line (the
-    # sf1 scale section) is supplementary and prints as its own line
     # loadavg_1m at start counts OTHER work only (Spark isn't running
     # yet); at end it includes the bench's own executors, so the start
     # value is the contamination signal
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extended": extended,
-                "stddev": stddevs,
-                "iters": iters,
-                "sf": sf,
-                "load_start": load_start,
-                "load_end": load_end,
-                "load_contaminated": load_start["loadavg_1m"] > 0.5 * (os.cpu_count() or 8),
-                # single-core machine-speed probe (seconds; ~0.5 s on a
-                # healthy box) — divide totals by probe ratio before
-                # comparing rounds
-                "cpu_probe_s": cpu_probe,
-                # probe measured right AFTER the kept suite — compare with
-                # cpu_probe_s to attribute drift to the reported timings
-                "cpu_probe_after_s": probe_mid,
-                "probe_degraded": probe_degraded
-                or probe_mid > max(PROBE_DEGRADED_S, 1.5 * cpu_probe),
-                "probe_retries": probe_retries,
-                "suite_retried": suite_retried,
-            }
-        ),
-        flush=True,
-    )
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extended": extended,
+        "stddev": stddevs,
+        "iters": iters,
+        "sf": sf,
+        "load_start": load_start,
+        "load_end": load_end,
+        "load_contaminated": load_start["loadavg_1m"] > 0.5 * (os.cpu_count() or 8),
+        # single-core machine-speed probe (seconds; ~0.5 s on a
+        # healthy box) — divide totals by probe ratio before
+        # comparing rounds
+        "cpu_probe_s": cpu_probe,
+        # probe measured right AFTER the kept suite — compare with
+        # cpu_probe_s to attribute drift to the reported timings
+        "cpu_probe_after_s": probe_mid,
+        "probe_degraded": probe_degraded
+        or probe_mid > max(PROBE_DEGRADED_S, 1.5 * cpu_probe),
+        "probe_retries": probe_retries,
+        "suite_retried": suite_retried,
+    }
 
     # scale-headroom section: the same suite on a 10× replica, so a
     # super-linear (hidden O(n²)) regression shows up as an artifact
     # diff, not only in SCALE.md prose. Runs by default only for the
     # canonical sf0.1 bench ("--sf1"/SPARK_GRAFT_BENCH_SF1=1 forces it,
     # =0 disables); fewer iters — the signal is the RATIO, not the ulp.
+    # Its result nests INSIDE the one composite JSON line below: the
+    # driver keeps the TAIL of output (r6 lost a tail-truncated
+    # headline; r7's headline-first fix was displaced by the sf1 line
+    # printing after it), so the LAST line must carry everything.
     sf1_flag = os.environ.get("SPARK_GRAFT_BENCH_SF1", "")
     run_sf1 = ("--sf1" in sys.argv[1:] or sf1_flag == "1") or (
         sf1_flag != "0" and abs(sf - 0.1) < 1e-9
     )
-    if not run_sf1:
-        return
+    if run_sf1:
+        try:
+            sf1_section = _sf1_pass(
+                spark, registry, sf_dir, sf, timings, cpu_probe, load_threshold
+            )
+        except Exception as e:  # the scale check is supplementary — a
+            # failure must never cost the headline record
+            sf1_section = {"error": f"{type(e).__name__}: {e}"}
+        if sf1_section is not None:
+            result["sf1_scale_check"] = sf1_section
+    print(json.dumps(result), flush=True)
+
+
+def _sf1_pass(
+    spark, registry, sf_dir: str, sf: float, timings: dict, cpu_probe: float,
+    load_threshold: float,
+) -> dict | None:
+    """Run the headline suite on the 10× replica and return the scale
+    section (None if the replica can't be built)."""
     d = _ensure_sf1_replica(sf_dir)
     if not d:
-        return
+        return None
     sf1_iters = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_ITERS", "3"))
     print(f"# sf1 pass ({sf1_iters} iters) at {d}", file=sys.stderr)
     probe_before = _cpu_calibration()
@@ -338,28 +353,23 @@ def main() -> None:
         n: round(t1[n] / timings[n], 2) if timings[n] > 0 else None for n in HEADLINE
     }
     worst = max(scaling, key=lambda n: scaling[n] or 0)
-    print(
-        json.dumps(
-            {
-                "metric": "sf1_scale_check",
-                "sf": round(sf * 10, 4),
-                "queries": t1,
-                "stddev": s1,
-                "iters": sf1_iters,
-                "total": round(sum(t1.values()), 3),
-                # per-query sf1/sf0.1 ratio; 10× data at <10× time = no
-                # super-linear term (fixed overheads make small queries
-                # land well under the line)
-                "scaling_vs_base": scaling,
-                "worst_query_scaling": {"query": worst, "ratio": scaling[worst]},
-                "cpu_probe_before_s": probe_before,
-                "cpu_probe_after_s": probe_after,
-                "probe_degraded": round(drift, 2) > 1.5,
-                "sf1_retried": sf1_retried,
-            }
-        ),
-        flush=True,
-    )
+    return {
+        "metric": "sf1_scale_check",
+        "sf": round(sf * 10, 4),
+        "queries": t1,
+        "stddev": s1,
+        "iters": sf1_iters,
+        "total": round(sum(t1.values()), 3),
+        # per-query sf1/sf0.1 ratio; 10× data at <10× time = no
+        # super-linear term (fixed overheads make small queries
+        # land well under the line)
+        "scaling_vs_base": scaling,
+        "worst_query_scaling": {"query": worst, "ratio": scaling[worst]},
+        "cpu_probe_before_s": probe_before,
+        "cpu_probe_after_s": probe_after,
+        "probe_degraded": round(drift, 2) > 1.5,
+        "sf1_retried": sf1_retried,
+    }
 
 
 if __name__ == "__main__":
