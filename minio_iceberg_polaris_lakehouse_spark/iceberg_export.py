@@ -753,6 +753,15 @@ def write_iceberg_metadata(table: Table) -> str:
         "metadata-log": [],
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
+        # Puffin statistics files (apache-datasketches-theta-v1 NDV
+        # sketches written by ANALYZE) — the Iceberg-spec `statistics`
+        # list, so foreign planners read this engine's stats the same
+        # way they read its deletes
+        "statistics": [
+            e
+            for e in meta.get("statistics_files", [])
+            if any(s["snapshot_id"] == e["snapshot-id"] for s in snaps)
+        ],
         "refs": {
             **(
                 {"main": {"snapshot-id": mains[-1]["snapshot_id"], "type": "branch"}}

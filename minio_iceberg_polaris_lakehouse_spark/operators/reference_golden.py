@@ -842,6 +842,50 @@ def ref_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lake(spark).wh.table("test_db", "stats_demo").column_stats().orderBy("column")
 
 
+_PSTATS_DONE: dict[str, bool] = {}
+
+
+@register(
+    "ref_puffin_stats",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('amt', CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
+        ('id',  CAST(4 AS BIGINT), CAST(4 AS BIGINT)),
+        ('v',   CAST(2 AS BIGINT), CAST(2 AS BIGINT)))
+        AS s("column", ndv, ndv_property)
+    ORDER BY "column"
+    """,
+)
+def ref_puffin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE statistics in the OPEN format: the stats_demo fixture's
+    ANALYZE wrote per-column apache-datasketches-theta-v1 sketches into
+    a Puffin statistics file referenced from the exported Iceberg
+    metadata's `statistics` list (theta.py — the compact-sketch codec is
+    byte-cross-validated against org.apache.datasketches both ways,
+    tests/test_theta.py). This golden re-REGISTERS the exported metadata
+    as a foreign table and reads `.statistics` from the open documents
+    alone: `ndv` is decoded from the sketch BYTES by the standalone
+    reader, `ndv_property` is the writer-stamped blob property — equal
+    columns prove the blob really is a DataSketches sketch (exact at
+    fixture NDV ≪ k=4096). Completes the reference's "any engine reads
+    the table" story (README.md:169-178) for statistics the way r7's
+    deletion vectors completed it for deletes."""
+    lake = _lake(spark)
+    key = spark.sparkContext.applicationId
+    with _FIXTURE_LOCK:
+        if key not in _PSTATS_DONE:
+            tab = lake.wh.table("test_db", "stats_demo")
+            lake.sql(
+                "CALL polaris.system.register_table("
+                f"table => 'ext.stats_demo', metadata_file => '{tab.path}')"
+            )
+            _PSTATS_DONE[key] = True
+    return lake.sql(
+        "SELECT column, ndv, ndv_property FROM ext.stats_demo.statistics "
+        "ORDER BY column"
+    )
+
+
 @register(
     "ref_default_values",
     oracle="""
@@ -1028,6 +1072,77 @@ def ref_matview_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lake.sql(
         f"SELECT segment, total, n, '{mode}' AS mode "
         "FROM test_db.orders_by_segment ORDER BY segment"
+    )
+
+
+_MVF_MODE: dict[str, str] = {}
+
+
+@register(
+    "ref_matview_foreign",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('a', CAST(31 AS BIGINT), CAST(2 AS BIGINT), 'incremental'),
+        ('b', CAST(4 AS BIGINT), CAST(1 AS BIGINT), 'incremental'))
+        AS m(k, sx, n, mode)
+    ORDER BY k
+    """,
+)
+def ref_matview_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized view over a REGISTERED FOREIGN Iceberg base,
+    maintained incrementally from the OPEN-metadata changelog
+    (sql_frontend._refresh_matview_foreign → changes_iceberg_table):
+    after materialization the base takes two foreign-writer commits —
+    a positional DELETE (id=2) and a Flink-style UPSERT (equality
+    delete + data in ONE snapshot: key 3 moves group b→a with a new
+    value, key 4 is new) — and a single REFRESH folds the whole
+    multi-commit window as signed deltas. The `mode` column is the real
+    refresh result: 'incremental' proves the open-metadata changelog
+    path ran (O(changed data), no base rescan), exactly the cross-engine
+    CDC story the reference's Iceberg+Polaris stack exists for
+    (README.md:119-142, 169-178)."""
+    import tempfile as _tf
+
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+        delete_iceberg_table_where,
+        upsert_iceberg_table,
+    )
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import Warehouse
+
+    lake = _lake(spark)
+    key = spark.sparkContext.applicationId
+    with _FIXTURE_LOCK:
+        if key not in _MVF_MODE:
+            src = Warehouse(spark, _tf.mkdtemp(prefix="lh_golden_fsrc_"))
+            t = src.create_table("srcdb", "mvf_src", "id int, k string, x int")
+            t.set_identifier_fields("id")
+            t.insert_values([(1, "a", 1), (2, "a", 5), (3, "b", 2)])
+            lake.sql(
+                "CALL polaris.system.register_table(table => 'ext.mvf_src', "
+                f"metadata_file => '{t.path}')"
+            )
+            lake.sql(
+                "CREATE MATERIALIZED VIEW test_db.fmv_golden AS "
+                "SELECT k, SUM(x) AS sx, COUNT(*) AS n "
+                "FROM ext.mvf_src GROUP BY k"
+            )
+            delete_iceberg_table_where(spark, t.path, "id = 2")
+            upsert_iceberg_table(
+                spark,
+                t.path,
+                spark.createDataFrame(
+                    [(3, "a", 30), (4, "b", 4)], "id int, k string, x int"
+                ),
+            )
+            _MVF_MODE[key] = (
+                lake.sql("REFRESH MATERIALIZED VIEW test_db.fmv_golden")
+                .collect()[0]
+                .mode
+            )
+        mode = _MVF_MODE[key]
+    return lake.sql(
+        f"SELECT k, sx, n, '{mode}' AS mode "
+        "FROM test_db.fmv_golden ORDER BY k"
     )
 
 

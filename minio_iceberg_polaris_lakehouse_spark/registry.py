@@ -107,12 +107,42 @@ _PRIORITY: list[str] = [
     # dedup_cluster_keep_one's slot (green r6; X1 keeps minhash +
     # semantic + cross-corpus in-window).
     "ref_bloom_index_lookup",
-    # TPC-H shapes never driver-checked before r7 (q5/q9 veterans and
-    # the rest of the sweep stay in the local replica)
-    "rel_q12_priority_by_linestatus",
-    "rel_q15_top_supplier",
-    "rel_q16_supplier_part_counts",
-    "rel_q17_small_quantity_revenue",
+    # r8 rotation: the 8 oracle-backed queries the driver has NEVER
+    # hash-checked take the slots of r07-green single-round veterans
+    # whose families keep other in-window members — rel_q12/15/16/17
+    # rested (q19/q21/q22 keep the TPC-H sweep in-window; q21 also runs
+    # every bench round), text_lang_profile/stratified_sample/
+    # top_bigrams/vocab_build/unigram_logprob rested (X5 keeps
+    # pii_scrub, chunk_windows, packing, bigram_logprob, mixture, bm25,
+    # boilerplate, bloom_decontaminate in-window), mm_audio_chunks
+    # rested (stats + resample keep the audio codec in-window). After
+    # this seating EVERY oracle-backed query in the registry has held a
+    # driver slot at least once.
+    # Iceberg v3 deletion vectors read back through the open metadata —
+    # r7's flagship feature, finally driver-evidenced
+    "ref_dv_roundtrip",
+    # the full ordered MERGE clause matrix incl. NOT MATCHED BY SOURCE
+    "ref_merge_matrix",
+    # NEW r8: ANALYZE statistics as Puffin theta sketches, read back
+    # through the open metadata + foreign registration (theta.py codec
+    # byte-cross-validated against org.apache.datasketches)
+    "ref_puffin_stats",
+    # NEW r8: foreign-base MV maintained incrementally from the
+    # open-metadata changelog across a positional-delete + upsert window
+    "ref_matview_foreign",
+    # HLL approx-distinct with an in-plan exactness gate
+    "agg_approx_distinct_gate",
+    # recursive CTE reachability + LATERAL top-k per group
+    "rel_recursive_reachability",
+    "rel_lateral_topk",
+    # event-funnel cohort retention matrix
+    "evt_cohort_retention",
+    # blocked fuzzy-name dedup (edit-distance inside blocks)
+    "dedup_fuzzy_names",
+    # model-based quality filtering (LM perplexity threshold)
+    "text_model_quality_filter",
+    # TPC-H shapes first driver-checked in r7 (q5/q9 veterans and the
+    # rest of the sweep stay in the local replica)
     "rel_q19_disjunctive_predicates",
     "rel_q21_waiting_supplier",
     "rel_q22_idle_customers",
@@ -220,15 +250,10 @@ _PRIORITY: list[str] = [
     # the uncapped local replica)
     "text_pii_scrub",
     "dedup_cross_corpus",
-    "text_lang_profile",
-    "text_stratified_sample",
-    "text_top_bigrams",
     "text_sequence_packing",
-    "text_vocab_build",
     # NEW r7 session 2: CCNet-style LM quality scores, mixture sampling,
     # and the real-WAV audio trio (decode stats / chunk fan-out /
     # resample) — all oracle-backed first-timers
-    "text_unigram_logprob",
     "text_bigram_logprob",
     "text_mixture_sample",
     # NEW r7 session 3: BM25 retrieval + cross-document boilerplate
@@ -238,15 +263,15 @@ _PRIORITY: list[str] = [
     "text_bm25_topk",
     "text_boilerplate_ngrams",
     "mm_audio_stats",
-    "mm_audio_chunks",
     "mm_audio_resample",
 ]
-# r8 rotation candidates (oracle-backed, never driver-windowed):
-# ref_dv_roundtrip (NEW r7 session 9 — Iceberg v3 deletion vectors read
-# back through the open metadata; green in the uncapped local replica
-# and the driver-sim). Every other oracle-backed query has held or holds
-# a slot; rows-only entries are barred from the window by the guard in
-# all_queries.
+# After the r8 seating, every oracle-backed query in the registry has
+# held (or holds) a driver slot; the only never-checked entries are
+# rows-only by declared design (hash/codec/iterative outputs,
+# pytest-gated) and are barred from the window by the guard in
+# all_queries. r9 rotation: rest multi-round veterans for whichever
+# r8-new goldens exist by then; tools/rotation_report.py is the
+# mechanical source of truth.
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):

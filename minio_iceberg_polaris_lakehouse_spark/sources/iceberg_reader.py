@@ -955,6 +955,54 @@ def read_iceberg_snapshots(spark: SparkSession, location: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def read_iceberg_statistics(spark: SparkSession, location: str) -> DataFrame:
+    """`.statistics` over open metadata: decode the table's Puffin
+    statistics files (the Iceberg `statistics` list ANALYZE publishes) —
+    one row per `apache-datasketches-theta-v1` blob with the column it
+    covers (field id resolved through the current schema), the sketch's
+    own NDV estimate (decoded from the compact theta bytes by the
+    pure-stdlib reader — proof the blob is really a DataSketches
+    sketch, not a number hiding in properties), the writer-stamped
+    `ndv` property, and the snapshot analyzed. Blob payloads are
+    O(k)-sized; this is driver-side metadata work like every other
+    metadata table."""
+    from minio_iceberg_polaris_lakehouse_spark import puffin as PUF
+    from minio_iceberg_polaris_lakehouse_spark import theta as TH
+
+    md = json.loads(fsio.read_text(resolve_metadata_path(location)))
+    schemas = {s["schema-id"]: s for s in md.get("schemas", [])}
+    cur_schema = schemas.get(md.get("current-schema-id"), {"fields": []})
+    by_id = {int(f["id"]): f["name"] for f in cur_schema.get("fields", [])}
+    rows = []
+    for entry in md.get("statistics", []):
+        buf = fsio.read_bytes(entry["statistics-path"])
+        footer = PUF.read_puffin_footer(buf)
+        for bm in footer["blobs"]:
+            if bm.get("type") != "apache-datasketches-theta-v1":
+                continue
+            payload = PUF.read_puffin_blob(buf, bm)
+            est = TH.sketch_estimate(payload)
+            fid = (bm.get("fields") or [None])[0]
+            rows.append(
+                (
+                    by_id.get(int(fid)) if fid is not None else None,
+                    int(round(est)),
+                    (
+                        int(bm.get("properties", {}).get("ndv"))
+                        if bm.get("properties", {}).get("ndv") is not None
+                        else None
+                    ),
+                    int(bm.get("snapshot-id", entry["snapshot-id"])),
+                    entry["statistics-path"],
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "column string, ndv bigint, ndv_property bigint, "
+        "snapshot_id bigint, statistics_path string",
+    )
+
+
 def read_iceberg_history(spark: SparkSession, location: str) -> DataFrame:
     """`.history` over open metadata: the snapshot-log (when each
     snapshot became current), flagged with main-lineage ancestry walked

@@ -455,7 +455,7 @@ class LakehouseSQL:
             rf"(?:(?P<cat>{cat})\.)?(?P<ns>{_IDENT})\.(?P<tbl>{_IDENT})"
             rf"(?P<meta>\.(?:history|snapshots|files|manifests|refs|partitions|entries"
             rf"|metadata_log_entries|all_data_files|all_manifests|delete_files"
-            rf"|position_deletes))?"
+            rf"|position_deletes|statistics))?"
             rf"(?P<tt>\s+VERSION\s+AS\s+OF\s+(?:(?P<ver>\d+)|\x00L(?P<verref>\d+)\x00)"
             rf"|\s+TIMESTAMP\s+AS\s+OF\s+\x00L(?P<ts>\d+)\x00)?"
             rf"(?![A-Za-z0-9_.])",
@@ -490,6 +490,7 @@ class LakehouseSQL:
                         read_iceberg_history,
                         read_iceberg_refs,
                         read_iceberg_snapshots,
+                        read_iceberg_statistics,
                         read_iceberg_table,
                     )
 
@@ -507,12 +508,13 @@ class LakehouseSQL:
                             "snapshots": read_iceberg_snapshots,
                             "files": read_iceberg_files,
                             "refs": read_iceberg_refs,
+                            "statistics": read_iceberg_statistics,
                         }
                         if fmeta not in readers:
                             raise WarehouseError(
                                 f".{fmeta} is not available on foreign table "
                                 f"{ns}.{tbl} (open metadata exposes "
-                                "history/snapshots/files/refs)"
+                                "history/snapshots/files/refs/statistics)"
                             )
                         df = readers[fmeta](self.spark, floc)
                         view += f"__{fmeta}"
@@ -571,8 +573,15 @@ class LakehouseSQL:
             if meta:
                 # history/snapshots/files/manifests/refs/partitions;
                 # .partitions is the stats-bearing Iceberg metadata table,
-                # not the SHOW PARTITIONS listing
-                df = tab.partitions_table() if meta == "partitions" else getattr(tab, meta)()
+                # not the SHOW PARTITIONS listing; .statistics decodes the
+                # Puffin theta-sketch stats (statistics_table — Table
+                # .statistics() is the engine-private dict)
+                if meta == "partitions":
+                    df = tab.partitions_table()
+                elif meta == "statistics":
+                    df = tab.statistics_table()
+                else:
+                    df = getattr(tab, meta)()
                 view += f"__{meta}"
             elif m.group("ver") is not None:
                 version = int(m.group("ver"))

@@ -4384,14 +4384,143 @@ class Table:
             "size_in_bytes": size,
             "columns": col_stats,
         }
+        # the OPEN half: per-column theta NDV sketches in a Puffin
+        # statistics file (apache-datasketches-theta-v1), referenced from
+        # the exported metadata's `statistics` list — what Trino/Spark+
+        # Iceberg planners read. The engine-private JSON above keeps
+        # null counts and bounds the open blob type doesn't carry.
+        stats_entry = self._write_theta_statistics(df, cols, fields)
         lock, token = self._acquire_commit_lock()
         try:
             meta = self._meta()
             meta["statistics"] = stats
+            if stats_entry is not None:
+                meta["statistics_files"] = [
+                    e
+                    for e in meta.get("statistics_files", [])
+                    if e["snapshot-id"] != stats_entry["snapshot-id"]
+                ] + [stats_entry]
             self._write_meta(meta)
         finally:
             self._release_commit_lock(lock, token)
+        if stats_entry is not None:
+            # a statistics update is a metadata update: re-export so the
+            # open metadata document advertises the new stats file
+            from minio_iceberg_polaris_lakehouse_spark.iceberg_export import (
+                write_iceberg_metadata,
+            )
+
+            write_iceberg_metadata(self)
         return stats
+
+    # nominal sketch size (DataSketches default): ANALYZE ships at most
+    # k+1 longs per column per partition to the driver, never values
+    _THETA_K = 4096
+
+    def _write_theta_statistics(
+        self, df: DataFrame, cols: list[str], fields: dict
+    ) -> dict | None:
+        """Compute per-column compact theta sketches DISTRIBUTED and
+        persist them as one Puffin statistics file.
+
+        Scale shape: one mapInPandas pass hashes each partition's
+        DISTINCT values (Iceberg single-value serialization → murmur3
+        seed 9001) and emits only the k+1 smallest per column — the
+        union of those per-partition minima provably contains the global
+        k+1 smallest, so a WindowGroupLimit top-(k+1) per column and a
+        cols×(k+1)-row collect finish the job. O(k·partitions·cols)
+        crosses the exchange regardless of table size. Python-side
+        hashing is acceptable here because ANALYZE is explicit
+        maintenance, not a query path."""
+        import pandas as pd
+        from pyspark.sql import Window
+
+        from minio_iceberg_polaris_lakehouse_spark import puffin as PUF
+        from minio_iceberg_polaris_lakehouse_spark import theta as TH
+        from minio_iceberg_polaris_lakehouse_spark.session import ship_package
+
+        # the hash kernel pickles by reference to this package — make it
+        # importable on executors regardless of the driver's cwd
+        ship_package(self.spark)
+
+        convs: dict[int, object] = {}
+        sketch_cols: list[str] = []
+        for c in cols:
+            conv = TH.single_value_converter(fields[c])
+            if conv is not None:
+                convs[len(sketch_cols)] = conv
+                sketch_cols.append(c)
+        snap_id = self.current_snapshot_id()
+        if not sketch_cols or snap_id is None:
+            return None
+        k1 = Table._THETA_K + 1
+        sel = df.select(*sketch_cols)
+
+        def part(batches):
+            best: list[set] = [set() for _ in sketch_cols]
+            for pdf in batches:
+                for i, c in enumerate(sketch_cols):
+                    conv, s = convs[i], best[i]
+                    for v in pd.unique(pdf[c].dropna()):
+                        s.add(TH.theta_hash(conv(v)))
+                    if len(s) > 4 * k1:  # bound executor memory
+                        best[i] = set(sorted(s)[:k1])
+            yield pd.DataFrame(
+                {
+                    "i": [i for i, s in enumerate(best) for _ in sorted(s)[:k1]],
+                    "h": [h for s in best for h in sorted(s)[:k1]],
+                }
+            )
+
+        w = Window.partitionBy("i").orderBy("h")
+        top = (
+            sel.mapInPandas(part, "i int, h long")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k1)
+            .select("i", "h")
+            .collect()  # ≤ cols×(k+1) longs — metadata-sized by design
+        )
+        by_col: dict[int, list[int]] = {}
+        for r in top:
+            by_col.setdefault(r.i, []).append(r.h)
+        meta = self._meta()
+        ids = meta.get("column_ids", {})
+        names = self.schema().fieldNames()
+        seq = len(self._snaps())
+        blobs: list[tuple[bytes, dict]] = []
+        for i, c in enumerate(sketch_cols):
+            payload = TH.sketch_from_hashes(by_col.get(i, []))
+            blobs.append(
+                (
+                    payload,
+                    {
+                        "type": "apache-datasketches-theta-v1",
+                        "fields": [int(ids.get(c, names.index(c) + 1))],
+                        "snapshot-id": int(snap_id),
+                        "sequence-number": seq,
+                        "properties": {
+                            "ndv": str(int(round(TH.sketch_estimate(payload))))
+                        },
+                    },
+                )
+            )
+        buf = PUF.write_puffin(
+            blobs, {"created-by": "minio-iceberg-polaris-lakehouse-spark"}
+        )
+        mdir = os.path.join(self.path, "metadata")
+        fsio.makedirs(mdir, exist_ok=True)
+        path = os.path.join(mdir, f"{snap_id}-stats.puffin")
+        fsio.write_bytes_atomic(path, buf, uuid.uuid4().hex)
+        footer = PUF.read_puffin_footer(buf)
+        return {
+            "snapshot-id": int(snap_id),
+            "statistics-path": path,
+            "file-size-in-bytes": len(buf),
+            "file-footer-size-in-bytes": len(buf)
+            - 4
+            - sum(len(p) for p, _ in blobs),
+            "blob-metadata": footer["blobs"],
+        }
 
     def statistics(self) -> dict | None:
         """The persisted ANALYZE result, or None if never analyzed.
@@ -4400,6 +4529,18 @@ class Table:
         if stats is None:
             return None
         return {**stats, "stale": stats.get("snapshot_id") != self.current_snapshot_id()}
+
+    def statistics_table(self) -> DataFrame:
+        """The `.statistics` metadata table: per-column NDV decoded from
+        the table's OWN exported Puffin statistics files — deliberately
+        routed through the same open-format reader foreign consumers
+        use, so a row here proves the stats round-trip the open format
+        (if the export is broken, this surface breaks with it)."""
+        from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+            read_iceberg_statistics,
+        )
+
+        return read_iceberg_statistics(self.spark, self.path)
 
     def column_stats(self) -> DataFrame:
         """Persisted per-column ANALYZE statistics as a DataFrame (the
