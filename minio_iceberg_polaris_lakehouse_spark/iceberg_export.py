@@ -390,6 +390,18 @@ def _manifest_entry_schema(partition_field) -> dict:
                             "default": None,
                             "field-id": 145,
                         },
+                        {
+                            # Iceberg v3 row lineage (field-id 142): the
+                            # first row id assigned to this data file —
+                            # genuine v3 readers take lineage from HERE;
+                            # the manifest-list JSON mirror is only this
+                            # engine's debuggable copy. Null for delete
+                            # files and pre-lineage commits.
+                            "name": "first_row_id",
+                            "type": ["null", "long"],
+                            "default": None,
+                            "field-id": 142,
+                        },
                     ],
                 },
             },
@@ -417,6 +429,17 @@ def _write_manifest_avro(
         return path
     part_field = _partition_avro_field(meta, spec_rec)
     schema = _manifest_entry_schema(part_field)
+    # v3 row lineage IN the Avro records (field-id 142): per data file,
+    # the dir's commit-assigned base + its row-count offset in canonical
+    # path order — identical to the JSON mirror's rule, so genuine v3
+    # consumers (which never read the mirror) see the same ids
+    first_ids: dict[str, int] = {}
+    row_base = meta.get("dir_row_ids", {}).get(dirname) if content == 0 else None
+    if row_base is not None:
+        off = 0
+        for f in sorted(files, key=lambda r: r["path"]):
+            first_ids[f["path"]] = int(row_base) + off
+            off += int(f.get("rows", 0))
     records = []
     for f in files:
         partition: dict[str, object] = {}
@@ -435,6 +458,11 @@ def _write_manifest_avro(
                     "partition": partition,
                     "record_count": f["rows"],
                     "file_size_in_bytes": f["bytes"],
+                    **(
+                        {"first_row_id": first_ids[f["path"]]}
+                        if f["path"] in first_ids
+                        else {}
+                    ),
                 },
             }
         )

@@ -397,6 +397,7 @@ class _Handler(BaseHTTPRequestHandler):
         if not changes:
             return self._error(400, "table-changes required")
         staged: list[tuple[tuple[str, str, str], str]] = []
+        seen_idents: set[tuple[str, str, str]] = set()
         for ch in changes:
             ident = ch.get("identifier") or {}
             ns = ident.get("namespace")
@@ -409,7 +410,16 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             if not fsio.isfile(new_loc):
                 return self._error(400, f"metadata file not found: {new_loc}")
-            staged.append(((catalog, ns, name), new_loc))
+            key = (catalog, ns, name)
+            if key in seen_idents:
+                # two changes to one table in a single transaction: last
+                # write would win silently, defeating the 409 contract —
+                # reject loudly instead
+                return self._error(
+                    400, f"duplicate table {ns}.{name} in one commitTransaction"
+                )
+            seen_idents.add(key)
+            staged.append((key, new_loc))
         with self.state.lock:
             # phase 1: validate EVERY requirement before touching anything
             for ch, (key, _loc) in zip(changes, staged):
@@ -419,15 +429,24 @@ class _Handler(BaseHTTPRequestHandler):
                         404, f"no table {key[1]}.{key[2]}", "NoSuchTableException"
                     )
                 for r in ch.get("requirements", []):
-                    if (
-                        r.get("type") == "assert-metadata-location"
-                        and r.get("metadata-location") != cur
-                    ):
+                    rtype = r.get("type")
+                    if rtype == "assert-metadata-location":
+                        if r.get("metadata-location") != cur:
+                            return self._error(
+                                409,
+                                f"requirement failed on {key[1]}.{key[2]}: "
+                                f"pointer moved to {cur}",
+                                "CommitFailedException",
+                            )
+                    else:
+                        # an unrecognized requirement SILENTLY accepted
+                        # would be a conflict check the client believes
+                        # ran and the server never did
                         return self._error(
-                            409,
-                            f"requirement failed on {key[1]}.{key[2]}: "
-                            f"pointer moved to {cur}",
-                            "CommitFailedException",
+                            400,
+                            f"unsupported requirement type {rtype!r} on "
+                            f"{key[1]}.{key[2]} (this catalog validates "
+                            "assert-metadata-location)",
                         )
             # phase 2: swap every pointer — still inside the mutex, so no
             # reader ever resolves a mix of old and new

@@ -313,6 +313,7 @@ def read_iceberg_table(
     delete_paths: list[str] = []
     dv_specs: list[dict] = []  # v3 deletion vectors: {puffin, offset, length, referenced}
     eq_deletes: list[dict] = []  # {path, ids, seq, schema}
+    avro_first_rows: dict[str, int] = {}  # v3 lineage read from the Avro records
     for m in manifests:
         _s2, m2, entries = avro_io.read_container(m["manifest_path"])
         # status 2 = DELETED: the entry records a file REMOVED by this
@@ -368,11 +369,29 @@ def read_iceberg_table(
                     delete_paths.append(e["data_file"]["file_path"])
             continue
         skey = json.dumps(fschema, sort_keys=True)
+        # Iceberg v3 row lineage from the AVRO records (what a real v3
+        # writer produces): explicit per-file first_row_id when present,
+        # else the spec's inheritance rule — manifest-list record's
+        # first_row_id plus the running record_count of prior entries in
+        # this manifest that also omitted it. The JSON mirror (this
+        # engine's own export) is only the fallback below.
+        man_base = m.get("first_row_id")
+        inherit_off = 0
         for e in live:
             seq = _entry_seq(e, m)
             groups.setdefault((skey, seq), (fschema, seq, []))[2].append(
                 e["data_file"]["file_path"]
             )
+            if row_lineage:
+                frid = e["data_file"].get("first_row_id")
+                if frid is None and e.get("first_row_id") is not None:
+                    frid = e["first_row_id"]  # entry-level placement
+                path_norm = re.sub(r"^file:(//)?", "", e["data_file"]["file_path"])
+                if frid is not None:
+                    avro_first_rows[path_norm] = int(frid)
+                elif man_base is not None:
+                    avro_first_rows[path_norm] = int(man_base) + inherit_off
+                    inherit_off += int(e["data_file"].get("record_count") or 0)
 
     if not groups:
         return _empty()
@@ -385,36 +404,55 @@ def read_iceberg_table(
     for file_schema, seq, files in groups.values():
         if not files:
             continue
-        read_struct = _struct(file_schema)
-        lin_extra: list = []
-        if row_lineage:
-            # one footer open per FILE GROUP (metadata-only): rewritten
-            # files carry materialized _lin_* columns the schema JSON
-            # never lists — they win over derivation, exactly as in the
-            # native reader
-            import pyarrow.parquet as _pq
+        base_struct = _struct(file_schema)
+        cols = _align_cols(file_schema, target)
+        if not row_lineage:
+            df = spark.read.schema(base_struct).parquet(*files)
+            parts.append(df.select(*cols, *meta_cols, F.lit(seq).alias("__seq")))
+            continue
+        # footer sniff per FILE (metadata-only, handle closed): rewritten
+        # files carry materialized _lin_* columns the schema JSON never
+        # lists — they win over derivation, exactly as in the native
+        # reader. Sniffing only one file per group would mis-resolve ids
+        # whenever foreign metadata mixes materialized and
+        # non-materialized files in one (schema, seq) group.
+        import pyarrow.parquet as _pq
 
-            phys = _pq.ParquetFile(fsio.open_binary(files[0])).schema_arrow.names
-            if "_lin_row_id" in phys:
-                read_struct = T.StructType(
-                    list(read_struct.fields)
-                    + [
-                        T.StructField("_lin_row_id", T.LongType(), True),
-                        T.StructField("_lin_upd_seq", T.LongType(), True),
-                    ]
-                )
-                lin_extra = [
+        def _has_lin(path: str) -> bool:
+            with fsio.open_binary(path) as fh:
+                return "_lin_row_id" in _pq.ParquetFile(fh).schema_arrow.names
+
+        with_lin = [f for f in files if _has_lin(f)]
+        without_lin = [f for f in files if f not in set(with_lin)]
+        if with_lin:
+            lin_struct = T.StructType(
+                list(base_struct.fields)
+                + [
+                    T.StructField("_lin_row_id", T.LongType(), True),
+                    T.StructField("_lin_upd_seq", T.LongType(), True),
+                ]
+            )
+            df = spark.read.schema(lin_struct).parquet(*with_lin)
+            parts.append(
+                df.select(
+                    *cols,
+                    *meta_cols,
+                    F.lit(seq).alias("__seq"),
                     F.col("_lin_row_id").alias("__lin_row_id"),
                     F.col("_lin_upd_seq").alias("__lin_upd_seq"),
-                ]
-            else:
-                lin_extra = [
+                )
+            )
+        if without_lin:
+            df = spark.read.schema(base_struct).parquet(*without_lin)
+            parts.append(
+                df.select(
+                    *cols,
+                    *meta_cols,
+                    F.lit(seq).alias("__seq"),
                     F.lit(None).cast("long").alias("__lin_row_id"),
                     F.lit(None).cast("long").alias("__lin_upd_seq"),
-                ]
-        df = spark.read.schema(read_struct).parquet(*files)
-        cols = _align_cols(file_schema, target)
-        parts.append(df.select(*cols, *meta_cols, F.lit(seq).alias("__seq"), *lin_extra))
+                )
+            )
     if not parts:  # every entry was status=2 / groups held no files
         return _empty()
     out = parts[0]
@@ -448,26 +486,28 @@ def read_iceberg_table(
         # (the eq-delete changelog's `data_seq < delete_seq` gate)
         return out if _keep_seq else out.drop("__seq")
     if row_lineage:
-        # per-file first-row-ids from the export's manifest-list JSON
-        # mirror (the v3 fields a v2 Avro manifest cannot carry); the map
-        # is manifest-sized → broadcast join, never a collect per row
+        # per-file first-row-ids, two sources merged (maps are
+        # manifest-sized → broadcast join, never a collect per row):
+        # the AVRO manifest records (what a genuine v3 writer carries —
+        # explicit or inherited, collected above) win; the export's
+        # manifest-list JSON mirror fills anything the Avro lacked
+        # (this engine's own pre-v3-avro exports).
         mlist_json = re.sub(
             r"-manifest-list\.avro$", ".manifest-list.json", snap["manifest-list"]
         )
-        first_rows: list[tuple[str, int]] = []
+        first_map: dict[str, int] = {}
         try:
             mirror = json.loads(fsio.read_text(mlist_json))
             for man in mirror.get("manifests", []):
                 for fe in man.get("data_files", []):
                     if fe.get("first_row_id") is not None:
-                        first_rows.append(
-                            (
-                                re.sub(r"^file:(//)?", "", fe["file_path"]),
-                                int(fe["first_row_id"]),
-                            )
+                        first_map[re.sub(r"^file:(//)?", "", fe["file_path"])] = int(
+                            fe["first_row_id"]
                         )
         except (OSError, ValueError):
-            pass  # pre-lineage metadata: ids stay NULL (spec: not assigned)
+            pass  # no mirror: Avro-only (or pre-lineage → ids stay NULL)
+        first_map.update(avro_first_rows)
+        first_rows = list(first_map.items())
         if first_rows:
             firsts = spark.createDataFrame(
                 first_rows, "__file string, __first bigint"

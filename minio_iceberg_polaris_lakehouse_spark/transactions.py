@@ -142,6 +142,7 @@ class Transaction:
         self._check_open()
         order = sorted(self._tables)  # canonical lock order — no deadlocks
         locks: list[tuple[Table, str, str]] = []
+        published: list[tuple[str, str]] = []
         try:
             for key in order:
                 tab = self._tables[key]
@@ -154,18 +155,37 @@ class Transaction:
             out: dict[tuple[str, str], int | None] = {}
             for key in order:
                 out[key] = self._tables[key]._fast_forward_locked(self._branch)
+                published.append(key)
             self._drop_branches_locked()
             self._state = "committed"
             return out
-        except BaseException:
+        except BaseException as e:
             self._state = "failed"
+            if published:
+                # an unexpected IO/export failure AFTER some tables
+                # fast-forwarded: dropping the remaining staged branches
+                # here would destroy the unpublished tables' work
+                # irrecoverably and silently break all-or-nothing.
+                # Keep every staged branch, name the torn state, and let
+                # the operator retry/repair from the branch.
+                remaining = [k for k in order if k not in published]
+                self._state = "torn"
+                raise TransactionError(
+                    "multi-table transaction failed MID-PUBLISH: tables "
+                    f"{['.'.join(k) for k in published]} are published on "
+                    f"main, tables {['.'.join(k) for k in remaining]} are "
+                    f"NOT; their staged work is preserved on branch "
+                    f"'{self._branch}' of each table for manual "
+                    "fast-forward or cleanup"
+                ) from e
             raise
         finally:
             for tab, lock, token in reversed(locks):
                 tab._release_commit_lock(lock, token)
             if self._state == "failed":
-                # conflict or error mid-commit: nothing published (phase 1
-                # barrier) — drop the staged branches like abort()
+                # conflict or error BEFORE any publish (phase 1 barrier
+                # held): nothing is visible — drop the staged branches
+                # like abort(). The torn state above keeps its branches.
                 self._drop_branches()
                 self._state = "aborted"
 
@@ -187,12 +207,21 @@ class Transaction:
 
     def _drop_branches_locked(self) -> None:
         """Drop the transaction branches while commit() still holds every
-        table's lock (drop_ref would re-acquire and self-deadlock)."""
+        table's lock (drop_ref would re-acquire and self-deadlock), and
+        re-export the open Iceberg metadata so the published document
+        stops advertising the dropped __txn_* ref (fast_forward likewise
+        re-exports after re-pointing; write_iceberg_metadata takes no
+        commit lock, so calling it under the held lock is safe)."""
+        from minio_iceberg_polaris_lakehouse_spark.iceberg_export import (
+            write_iceberg_metadata,
+        )
+
         for tab in self._tables.values():
             meta = tab._meta()
             if self._branch in meta.get("refs", {}):
                 meta["refs"].pop(self._branch)
                 tab._write_meta(meta)
+                write_iceberg_metadata(tab)
 
     # -------------------------------------------------------- context mgr
     def __enter__(self) -> "Transaction":

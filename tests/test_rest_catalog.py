@@ -431,3 +431,41 @@ def test_rename_table_through_rest(server, spark):
     # unknown source → 404
     with pytest.raises(RuntimeError, match="NoSuchTableException"):
         cli.rename_table("cat", "db", "ghost", "db", "x")
+
+
+def test_commit_transaction_rejects_unknown_requirement_and_duplicates(server, spark):
+    """The 409 contract holds only if unsupported requirement types are
+    refused (400), not silently 'validated'; duplicate identifiers in
+    one transaction (last write would win silently) are refused too."""
+    url, root = server
+    cli = RestCatalogClient(url, CID, SECRET)
+    cli.create_catalog("cat", root + "/cat")
+    cli.create_namespace("cat", "db")
+    cli.create_table("cat", "db", "a", "id int")
+    cur = cli.load_table("cat", "db", "a")["metadata-location"]
+
+    def post(changes):
+        return cli._post_json(
+            "/api/catalog/v1/cat/transactions/commit", {"table-changes": changes}
+        )
+
+    change = {
+        "identifier": {"namespace": ["db"], "name": "a"},
+        "metadata-location": cur,
+        "requirements": [
+            {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": 1}
+        ],
+    }
+    with pytest.raises(RuntimeError, match="unsupported requirement type"):
+        post([change])
+    ok = dict(
+        change,
+        requirements=[
+            {"type": "assert-metadata-location", "metadata-location": cur}
+        ],
+    )
+    with pytest.raises(RuntimeError, match="duplicate table"):
+        post([ok, dict(ok)])
+    assert post([ok])["committed"] == 1  # clean commit still works
+    # and nothing moved on the refused attempts
+    assert cli.load_table("cat", "db", "a")["metadata-location"] == cur

@@ -251,6 +251,48 @@ def test_foreign_reader_row_lineage_round_trip(wh, spark):
     assert got2 == native
 
 
+def _strip_avro_lineage(mdir: str) -> None:
+    """Rewrite every Avro manifest without the v3 first_row_id field —
+    a faithful simulation of a v2 writer's manifests."""
+    from minio_iceberg_polaris_lakehouse_spark import avro_io
+
+    for f in fsio.listdir(mdir):
+        if not (f.startswith("manifest-") and f.endswith(".avro")):
+            continue
+        p = os.path.join(mdir, f)
+        schema, meta, records = avro_io.read_container(p)
+        meta = {k: v for k, v in meta.items() if not k.startswith("avro.")}
+        df_schema = next(x for x in schema["fields"] if x["name"] == "data_file")
+        df_schema["type"]["fields"] = [
+            x for x in df_schema["type"]["fields"] if x["name"] != "first_row_id"
+        ]
+        for r in records:
+            r["data_file"].pop("first_row_id", None)
+        os.remove(p)
+        avro_io.write_container(p, schema, records, metadata=meta)
+
+
+def test_foreign_reader_lineage_from_avro_records_alone(wh, spark):
+    """A genuine v3 consumer never reads this engine's JSON mirror: with
+    the mirror DELETED, `_row_id` must still resolve from first_row_id
+    in the Avro manifest records (field-id 142)."""
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        read_iceberg_table,
+    )
+
+    tab = _make(wh)
+    tab.insert_values([(1, "a"), (2, "b")])
+    tab.insert_values([(3, "c")])
+    native = _ids(tab)
+    mdir = os.path.join(tab.path, "metadata")
+    for f in fsio.listdir(mdir):
+        if f.endswith(".manifest-list.json"):
+            os.remove(os.path.join(mdir, f))
+    rows = read_iceberg_table(spark, tab.path, row_lineage=True).collect()
+    got = {r.id: (r._row_id, r._last_updated_sequence_number) for r in rows}
+    assert got == native
+
+
 def test_foreign_reader_pre_lineage_metadata_yields_nulls(wh, spark):
     from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
         read_iceberg_table,
@@ -258,11 +300,13 @@ def test_foreign_reader_pre_lineage_metadata_yields_nulls(wh, spark):
 
     tab = _make(wh)
     tab.insert_values([(1, "a")])
-    # simulate a v2 writer's table: no manifest-list JSON mirror
+    # simulate a v2 writer's table: no JSON mirror AND no first_row_id
+    # in the Avro records
     mdir = os.path.join(tab.path, "metadata")
     for f in fsio.listdir(mdir):
         if f.endswith(".manifest-list.json"):
             os.remove(os.path.join(mdir, f))
+    _strip_avro_lineage(mdir)
     rows = read_iceberg_table(spark, tab.path, row_lineage=True).collect()
     assert rows[0]._row_id is None  # the spec's 'not assigned', not a guess
 

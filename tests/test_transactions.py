@@ -299,3 +299,56 @@ def test_rest_commit_transaction_all_or_nothing_on_conflict(server, spark):
     # neither pointer moved: x still at base, y still at the rival's
     assert cli.load_table("cat", "db", "x")["metadata-location"] == base_x
     assert cli.load_table("cat", "db", "y")["metadata-location"] == moved_y
+
+
+def test_mid_publish_failure_preserves_staged_branches(wh, monkeypatch):
+    """A failure AFTER phase 2 has begun (some tables fast-forwarded)
+    must NOT drop the unpublished tables' staged branches — that work
+    would be irrecoverable. The commit raises a torn-state error naming
+    the published tables and the surviving branch."""
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import Table
+
+    txn = wh.transaction()
+    txn.table("db", "a").insert_values([(2, "a2")])
+    txn.table("db", "b").insert_values([(2, "b2")])
+    real_ff = Table._fast_forward_locked
+    calls = {"publish": 0}
+
+    def flaky(self, branch, check_only=False):
+        if not check_only:
+            calls["publish"] += 1
+            if calls["publish"] == 2:  # second table's publish dies (IO)
+                raise OSError("disk gone")
+        return real_ff(self, branch, check_only=check_only)
+
+    monkeypatch.setattr(Table, "_fast_forward_locked", flaky)
+    with pytest.raises(TransactionError, match="MID-PUBLISH") as ei:
+        txn.commit()
+    assert "db.a" in str(ei.value) and "db.b" in str(ei.value)
+    monkeypatch.undo()
+    # table a published; table b did not, but its staged branch survives
+    assert (2, "a2") in _vals(wh.table("db", "a"))
+    b = wh.table("db", "b")
+    assert (2, "b2") not in _vals(b)
+    branch = str(ei.value).split("branch '")[1].split("'")[0]
+    staged = sorted((r.id, r.v) for r in b.read(version=branch).collect())
+    assert (2, "b2") in staged  # manual fast-forward/repair is possible
+    b.fast_forward(branch)
+    assert (2, "b2") in _vals(b)
+
+
+def test_committed_metadata_stops_advertising_txn_branch(wh):
+    """After a clean commit the exported open metadata must not keep the
+    dropped __txn_* ref (a stale advertised branch would dangle for any
+    foreign reader until some later commit rewrote the document)."""
+    import json
+
+    from minio_iceberg_polaris_lakehouse_spark import fsio
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        resolve_metadata_path,
+    )
+
+    with wh.transaction() as txn:
+        txn.table("db", "a").insert_values([(3, "a3")])
+    md = json.loads(fsio.read_text(resolve_metadata_path(wh.table("db", "a").path)))
+    assert not any(r.startswith("__txn_") for r in md.get("refs", {}))
