@@ -790,6 +790,13 @@ def write_iceberg_metadata(table: Table) -> str:
             for e in meta.get("statistics_files", [])
             if any(s["snapshot_id"] == e["snapshot-id"] for s in snaps)
         ],
+        # the spec's partition-statistics list (compute_partition_stats
+        # writes the referenced Parquet file)
+        "partition-statistics": [
+            e
+            for e in meta.get("partition_statistics_files", [])
+            if any(s["snapshot_id"] == e["snapshot-id"] for s in snaps)
+        ],
         "refs": {
             **(
                 {"main": {"snapshot-id": mains[-1]["snapshot_id"], "type": "branch"}}

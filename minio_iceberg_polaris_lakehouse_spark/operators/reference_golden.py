@@ -1075,6 +1075,50 @@ def ref_matview_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PARTSTATS_DONE: dict[str, bool] = {}
+
+
+@register(
+    "ref_partition_stats",
+    oracle="""
+    SELECT '_p_identity_created_date=2025-01-0' || CAST(i AS VARCHAR) AS partition,
+           CAST(1 AS BIGINT) AS record_count, CAST(1 AS INT) AS file_count,
+           CAST(0 AS BIGINT) AS position_delete_record_count
+    FROM generate_series(1, 4) AS g(i)
+    ORDER BY partition
+    """,
+)
+def ref_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg PARTITION STATISTICS in the open format: the users
+    fixture (PARTITIONED BY created_date, iceberg_queries.ipynb:93-129)
+    gets `CALL system.compute_partition_stats`, which writes the spec's
+    per-partition stats Parquet and references it from the exported
+    metadata's `partition-statistics` list; the result is read back
+    through a FOREIGN registration's `.partitions` — i.e. from the open
+    documents alone (reader raises rather than guessing when no stats
+    file is published). Four date partitions, one row and one file
+    each, zero delete rows."""
+    lake = _lake(spark)
+    key = spark.sparkContext.applicationId
+    with _FIXTURE_LOCK:
+        if key not in _PARTSTATS_DONE:
+            lake.sql(
+                "CALL polaris.system.compute_partition_stats("
+                "table => 'my_warehouse.users')"
+            )
+            tab = lake.wh.table("my_warehouse", "users")
+            lake.sql(
+                "CALL polaris.system.register_table("
+                f"table => 'ext.users_ps', metadata_file => '{tab.path}')"
+            )
+            _PARTSTATS_DONE[key] = True
+    return lake.sql(
+        "SELECT partition, record_count, file_count, "
+        "position_delete_record_count "
+        "FROM ext.users_ps.partitions ORDER BY partition"
+    )
+
+
 _MVF_MODE: dict[str, str] = {}
 
 

@@ -130,6 +130,10 @@ _PRIORITY: list[str] = [
     # NEW r8: foreign-base MV maintained incrementally from the
     # open-metadata changelog across a positional-delete + upsert window
     "ref_matview_foreign",
+    # NEW r8: the spec's partition-statistics Parquet file read back
+    # through foreign .partitions (text_bigram_logprob rested — X5 keeps
+    # seven in-window members)
+    "ref_partition_stats",
     # HLL approx-distinct with an in-plan exactness gate
     "agg_approx_distinct_gate",
     # recursive CTE reachability + LATERAL top-k per group
@@ -254,7 +258,6 @@ _PRIORITY: list[str] = [
     # NEW r7 session 2: CCNet-style LM quality scores, mixture sampling,
     # and the real-WAV audio trio (decode stats / chunk fan-out /
     # resample) — all oracle-backed first-timers
-    "text_bigram_logprob",
     "text_mixture_sample",
     # NEW r7 session 3: BM25 retrieval + cross-document boilerplate
     # (first driver slots; with ref_analyze_stats these take the slots of

@@ -1043,6 +1043,54 @@ def read_iceberg_statistics(spark: SparkSession, location: str) -> DataFrame:
     )
 
 
+def read_iceberg_partitions(spark: SparkSession, location: str) -> DataFrame:
+    """`.partitions` over open metadata: the spec's PARTITION STATISTICS
+    file (written by compute_partition_stats, referenced from the
+    metadata document's `partition-statistics` list), read back as a
+    DataFrame with the partition struct flattened to its path-encoded
+    string form — column-compatible with the native `.partitions`
+    metadata view plus the delete/byte/last-updated columns the stats
+    file carries. Raises if the table has never published partition
+    statistics (guessing from manifests here would silently diverge
+    from what a real stats-file consumer sees)."""
+    md = json.loads(fsio.read_text(resolve_metadata_path(location)))
+    entries = md.get("partition-statistics", [])
+    cur = md.get("current-snapshot-id")
+    entry = next((e for e in entries if e["snapshot-id"] == cur), None) or (
+        entries[-1] if entries else None
+    )
+    if entry is None:
+        raise ValueError(
+            f"{location} has no partition-statistics files — run "
+            "CALL system.compute_partition_stats on the owning engine"
+        )
+    df = spark.read.parquet(entry["statistics-path"])
+    part_fields = [f.name for f in df.schema["partition"].dataType.fields]
+    part_str = F.concat_ws(
+        "/",
+        *[
+            F.when(
+                F.col(f"partition.{n}").isNotNull(),
+                F.concat(F.lit(f"_p_{n}="), F.col(f"partition.{n}")),
+            )
+            for n in part_fields
+        ],
+    )
+    return df.select(
+        F.when(part_str == "", None).otherwise(part_str).alias("partition"),
+        F.col("data_record_count").alias("record_count"),
+        F.col("data_file_count").alias("file_count"),
+        "spec_id",
+        "total_data_file_size_in_bytes",
+        "position_delete_record_count",
+        "position_delete_file_count",
+        "equality_delete_record_count",
+        "equality_delete_file_count",
+        "last_updated_at",
+        "last_updated_snapshot_id",
+    ).orderBy("partition")
+
+
 def read_iceberg_history(spark: SparkSession, location: str) -> DataFrame:
     """`.history` over open metadata: the snapshot-log (when each
     snapshot became current), flagged with main-lineage ancestry walked

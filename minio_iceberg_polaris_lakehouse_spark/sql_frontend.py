@@ -488,6 +488,7 @@ class LakehouseSQL:
                     from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
                         read_iceberg_files,
                         read_iceberg_history,
+                        read_iceberg_partitions,
                         read_iceberg_refs,
                         read_iceberg_snapshots,
                         read_iceberg_statistics,
@@ -509,12 +510,13 @@ class LakehouseSQL:
                             "files": read_iceberg_files,
                             "refs": read_iceberg_refs,
                             "statistics": read_iceberg_statistics,
+                            "partitions": read_iceberg_partitions,
                         }
                         if fmeta not in readers:
                             raise WarehouseError(
                                 f".{fmeta} is not available on foreign table "
-                                f"{ns}.{tbl} (open metadata exposes "
-                                "history/snapshots/files/refs/statistics)"
+                                f"{ns}.{tbl} (open metadata exposes history/"
+                                "snapshots/files/refs/statistics/partitions)"
                             )
                         df = readers[fmeta](self.spark, floc)
                         view += f"__{fmeta}"
@@ -2032,6 +2034,24 @@ class LakehouseSQL:
             "statistics_file string, row_count bigint",
         )
 
+    def _call_compute_partition_stats(self, m: re.Match) -> DataFrame:
+        """CALL c.system.compute_partition_stats(table => 't') — write
+        the Iceberg-spec partition statistics Parquet file and reference
+        it from the exported metadata's `partition-statistics` list
+        (warehouse.Table.compute_partition_stats)."""
+        tab = self._existing_table(m.group(1).strip("'\""))
+        out = tab.compute_partition_stats()
+        return self.spark.createDataFrame(
+            [
+                Row(
+                    statistics_path=out["statistics-path"],
+                    snapshot_id=out["snapshot-id"],
+                    partitions_count=out["partitions"],
+                )
+            ],
+            "statistics_path string, snapshot_id bigint, partitions_count int",
+        )
+
     def _call_rewrite_manifests(self, m: re.Match) -> DataFrame:
         """CALL c.system.rewrite_manifests(table => 't') — consolidate
         per-dir manifest sidecars into a few bundle files so scan
@@ -2510,6 +2530,11 @@ class LakehouseSQL:
             r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*"
             r"(?:,\s*columns\s*=>\s*ARRAY\s*\(([^)]*)\)\s*)?\)",
             _call_compute_table_stats,
+        ),
+        (
+            rf"CALL\s+{_IDENT}\.system\.compute_partition_stats\s*\("
+            r"\s*table\s*=>\s*('[^']+'|\"[^\"]+\")\s*\)",
+            _call_compute_partition_stats,
         ),
         (
             rf"CALL\s+{_IDENT}\.system\.ancestors_of\s*\("

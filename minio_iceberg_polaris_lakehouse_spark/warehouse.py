@@ -4219,6 +4219,171 @@ class Table:
         schema = "partition string, record_count bigint, file_count int"
         return self.spark.createDataFrame(rows, schema) if rows else self.spark.createDataFrame([], schema)
 
+    def compute_partition_stats(self) -> dict:
+        """`CALL system.compute_partition_stats` — write the Iceberg-spec
+        PARTITION STATISTICS file: one Parquet file holding a row per
+        live partition (data/delete record+file counts, byte size,
+        last-updated snapshot), referenced from the exported table
+        metadata's `partition-statistics` list so any engine's planner
+        reads it. Derived entirely from commit-time footer stats +
+        snapshot history — metadata-only driver work, O(files), no data
+        scan (the same access pattern as `.partitions`). Partition
+        values are written as a struct of the table's partition field
+        names (path-encoded string form — this engine's single-transform
+        spec convention)."""
+        import io as _io
+
+        import pyarrow as pa
+        import pyarrow.parquet as _pq
+
+        snap = self._resolve() if self.current_snapshot_id() is not None else None
+        if snap is None:
+            raise WarehouseError(
+                f"{self.ns}.{self.name} has no snapshots to compute stats for"
+            )
+        meta = self._meta()
+        snaps = self._snaps()
+        added_in: dict[str, dict] = {}
+        for s in snaps:
+            for d in s["manifest"] + s.get("delete_dirs", []):
+                added_in.setdefault(d, s)
+
+        def part_of(path: str) -> str:
+            return "/".join(
+                seg
+                for seg in path.split(os.sep)[:-1]
+                if seg.startswith("_p_") and "=" in seg
+            )
+
+        agg: dict[str, dict] = {}
+
+        def rec_for(p: str) -> dict:
+            return agg.setdefault(
+                p,
+                {
+                    "data_record_count": 0,
+                    "data_file_count": 0,
+                    "total_data_file_size_in_bytes": 0,
+                    "position_delete_record_count": 0,
+                    "position_delete_file_count": 0,
+                    "equality_delete_record_count": 0,
+                    "equality_delete_file_count": 0,
+                    "last_updated_at": 0,
+                    "last_updated_snapshot_id": 0,
+                },
+            )
+
+        for d in snap["manifest"]:
+            s_add = added_in.get(d, snap)
+            for f in _load_dir_stats(self.path, d, meta):
+                r = rec_for(part_of(f["path"]))
+                r["data_record_count"] += int(f["rows"])
+                r["data_file_count"] += 1
+                r["total_data_file_size_in_bytes"] += int(f["bytes"])
+                if int(s_add["committed_at_ms"]) >= r["last_updated_at"]:
+                    r["last_updated_at"] = int(s_add["committed_at_ms"])
+                    r["last_updated_snapshot_id"] = int(s_add["snapshot_id"])
+        for d in snap.get("delete_dirs", []):
+            s_add = added_in.get(d, snap)
+            for f in _load_dir_stats(self.path, d, meta):
+                r = rec_for(part_of(f["path"]))
+                r["position_delete_record_count"] += int(f["rows"])
+                r["position_delete_file_count"] += 1
+        for rec in snap.get("eq_deletes", []):
+            r = rec_for("")  # eq deletes are table-wide in this engine
+            for f in _load_dir_stats(self.path, rec["dir"], meta):
+                r["equality_delete_record_count"] += int(f["rows"])
+                r["equality_delete_file_count"] += 1
+
+        # partition struct: one string field per partition field name
+        # seen across specs (path-encoded value form)
+        field_names = sorted(
+            {
+                seg.split("=", 1)[0][len("_p_") :]
+                for p in agg
+                for seg in p.split("/")
+                if seg.startswith("_p_")
+            }
+        )
+        spec_id = self._current_spec_id(meta)
+
+        def part_struct(p: str) -> dict | None:
+            if not p:
+                return None
+            vals = dict(
+                seg[len("_p_") :].split("=", 1) for seg in p.split("/") if "=" in seg
+            )
+            return {n: vals.get(n) for n in field_names}
+
+        part_type = pa.struct([(n, pa.string()) for n in field_names] or [("dummy", pa.string())])
+        rows = sorted(agg.items())
+        table = pa.table(
+            {
+                "partition": pa.array([part_struct(p) for p, _ in rows], part_type),
+                "spec_id": pa.array([spec_id] * len(rows), pa.int32()),
+                "data_record_count": pa.array(
+                    [r["data_record_count"] for _, r in rows], pa.int64()
+                ),
+                "data_file_count": pa.array(
+                    [r["data_file_count"] for _, r in rows], pa.int32()
+                ),
+                "total_data_file_size_in_bytes": pa.array(
+                    [r["total_data_file_size_in_bytes"] for _, r in rows], pa.int64()
+                ),
+                "position_delete_record_count": pa.array(
+                    [r["position_delete_record_count"] for _, r in rows], pa.int64()
+                ),
+                "position_delete_file_count": pa.array(
+                    [r["position_delete_file_count"] for _, r in rows], pa.int32()
+                ),
+                "equality_delete_record_count": pa.array(
+                    [r["equality_delete_record_count"] for _, r in rows], pa.int64()
+                ),
+                "equality_delete_file_count": pa.array(
+                    [r["equality_delete_file_count"] for _, r in rows], pa.int32()
+                ),
+                "total_record_count": pa.array(
+                    [r["data_record_count"] for _, r in rows], pa.int64()
+                ),
+                "last_updated_at": pa.array(
+                    [r["last_updated_at"] or None for _, r in rows], pa.int64()
+                ),
+                "last_updated_snapshot_id": pa.array(
+                    [r["last_updated_snapshot_id"] or None for _, r in rows], pa.int64()
+                ),
+            }
+        )
+        buf = _io.BytesIO()
+        _pq.write_table(table, buf)
+        data = buf.getvalue()
+        mdir = os.path.join(self.path, "metadata")
+        fsio.makedirs(mdir, exist_ok=True)
+        snap_id = int(snap["snapshot_id"])
+        path = os.path.join(mdir, f"partition-stats-{snap_id}.parquet")
+        fsio.write_bytes_atomic(path, data, uuid.uuid4().hex)
+        entry = {
+            "snapshot-id": snap_id,
+            "statistics-path": path,
+            "file-size-in-bytes": len(data),
+        }
+        lock, token = self._acquire_commit_lock()
+        try:
+            meta = self._meta()
+            meta["partition_statistics_files"] = [
+                e
+                for e in meta.get("partition_statistics_files", [])
+                if e["snapshot-id"] != snap_id
+            ] + [entry]
+            self._write_meta(meta)
+        finally:
+            self._release_commit_lock(lock, token)
+        from minio_iceberg_polaris_lakehouse_spark.iceberg_export import (
+            write_iceberg_metadata,
+        )
+
+        write_iceberg_metadata(self)
+        return {**entry, "partitions": len(rows)}
+
     def set_properties(self, props: dict[str, str]) -> None:
         """ALTER TABLE … SET TBLPROPERTIES — metadata-only; the Iceberg
         knobs this engine honors (write.delete.mode, write.update.mode,
