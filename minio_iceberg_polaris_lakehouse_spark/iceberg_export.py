@@ -779,8 +779,30 @@ def write_iceberg_metadata(table: Table) -> str:
             for s in mains
         ],
         "metadata-log": [],
-        "sort-orders": [{"order-id": 0, "fields": []}],
-        "default-sort-order-id": 0,
+        # the Iceberg sort-order list: order 0 is always the unsorted
+        # order; WRITE ORDERED BY publishes order 1 (identity transform,
+        # asc, nulls-first — matching this engine's sortWithinPartitions
+        # write clustering) and makes it the default
+        "sort-orders": [{"order-id": 0, "fields": []}]
+        + (
+            [
+                {
+                    "order-id": 1,
+                    "fields": [
+                        {
+                            "transform": "identity",
+                            "source-id": int(ids.get(c, 0)),
+                            "direction": "asc",
+                            "null-order": "nulls-first",
+                        }
+                        for c in meta["sort_order"]
+                    ],
+                }
+            ]
+            if meta.get("sort_order")
+            else []
+        ),
+        "default-sort-order-id": 1 if meta.get("sort_order") else 0,
         # Puffin statistics files (apache-datasketches-theta-v1 NDV
         # sketches written by ANALYZE) — the Iceberg-spec `statistics`
         # list, so foreign planners read this engine's stats the same

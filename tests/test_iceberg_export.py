@@ -437,3 +437,33 @@ def test_orphan_removal_sweeps_crashed_eqpos_tmp(wh, spark):
     assert not os.path.isdir(crashed)
     # the live compiled dir survived
     assert [d for d in os.listdir(t.path) if d.startswith("eqpos-")]
+
+
+def test_export_publishes_sort_order(spark, tmp_path):
+    """WRITE ORDERED BY surfaces in the exported metadata as a real
+    Iceberg sort order (order-id 1, identity/asc/nulls-first) and
+    becomes the default; order 0 stays the unsorted order."""
+    import json
+
+    from minio_iceberg_polaris_lakehouse_spark import fsio
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        resolve_metadata_path,
+    )
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = wh.create_table("db", "s", "a int, b string")
+    t.insert_values([(1, "x")])
+    md = json.loads(fsio.read_text(resolve_metadata_path(t.path)))
+    assert md["default-sort-order-id"] == 0
+    t.set_write_order("b", "a")
+    t.insert_values([(2, "y")])
+    md = json.loads(fsio.read_text(resolve_metadata_path(t.path)))
+    assert md["default-sort-order-id"] == 1
+    order = next(o for o in md["sort-orders"] if o["order-id"] == 1)
+    ids = {f["name"]: f["id"] for f in md["schemas"][-1]["fields"]}
+    assert [f["source-id"] for f in order["fields"]] == [ids["b"], ids["a"]]
+    assert all(
+        f["transform"] == "identity" and f["direction"] == "asc"
+        for f in order["fields"]
+    )
