@@ -1119,6 +1119,51 @@ def ref_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FPRUNE_STATE: dict[str, tuple[int, int]] = {}
+
+
+@register(
+    "ref_foreign_pruned_scan",
+    oracle="""
+    SELECT 2 AS id, 'Bob' AS name, CAST(1 AS INT) AS pruned
+    """,
+)
+def ref_foreign_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg scan planning on the CONSUMER side: a registered foreign
+    table's SELECT with a partition predicate plans only the files the
+    open metadata says can match (read_iceberg_table eq/between pruning
+    — identity partition values + column bounds from the manifests,
+    wired to plain SQL via the same provably-conjunct hint rules as
+    native scans). The users fixture has four single-row date
+    partitions; `pruned` is the REAL plan-time proof: 1 iff the
+    predicate scan planned strictly fewer files than the full foreign
+    read. Pruning may save IO, never rows — the returned row is the
+    query result itself."""
+    from pyspark.sql import functions as F
+
+    lake = _lake(spark)
+    key = spark.sparkContext.applicationId
+    with _FIXTURE_LOCK:
+        if key not in _FPRUNE_STATE:
+            tab = lake.wh.table("my_warehouse", "users")
+            lake.sql(
+                "CALL polaris.system.register_table("
+                f"table => 'ext.users_fp', metadata_file => '{tab.path}')"
+            )
+            full = len(lake.sql("SELECT id FROM ext.users_fp").inputFiles())
+            planned = len(
+                lake.sql(
+                    "SELECT id FROM ext.users_fp WHERE created_date = '2025-01-02'"
+                ).inputFiles()
+            )
+            _FPRUNE_STATE[key] = (full, planned)
+    full, planned = _FPRUNE_STATE[key]
+    pruned = F.lit(1 if planned < full else 0)
+    return lake.sql(
+        "SELECT id, name FROM ext.users_fp WHERE created_date = '2025-01-02'"
+    ).select("id", "name", pruned.cast("int").alias("pruned"))
+
+
 _MVF_MODE: dict[str, str] = {}
 
 

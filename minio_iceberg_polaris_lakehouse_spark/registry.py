@@ -134,6 +134,11 @@ _PRIORITY: list[str] = [
     # through foreign .partitions (text_bigram_logprob rested — X5 keeps
     # seven in-window members)
     "ref_partition_stats",
+    # NEW r8: consumer-side Iceberg scan planning — a foreign SELECT's
+    # partition predicate plans fewer files, proven by the in-result
+    # pruned column (mm_audio_resample rested — mm_audio_stats keeps
+    # the audio codec in-window)
+    "ref_foreign_pruned_scan",
     # HLL approx-distinct with an in-plan exactness gate
     "agg_approx_distinct_gate",
     # recursive CTE reachability + LATERAL top-k per group
@@ -266,7 +271,6 @@ _PRIORITY: list[str] = [
     "text_bm25_topk",
     "text_boilerplate_ngrams",
     "mm_audio_stats",
-    "mm_audio_resample",
 ]
 # After the r8 seating, every oracle-backed query in the registry has
 # held (or holds) a driver slot; the only never-checked entries are

@@ -221,6 +221,153 @@ def _align_cols(file_schema: dict, target: dict) -> list:
     return cols
 
 
+def _decode_bound(raw: bytes, type_str: str):
+    """Inverse of Iceberg's single-value binary serialization (spec
+    Appendix D) for the bound types manifests carry. Returns None for
+    types this pruner doesn't compare (conservative: no skip)."""
+    import struct as _st
+
+    if not isinstance(raw, (bytes, bytearray)):
+        return None
+    t = str(type_str)
+    try:
+        if t in ("int", "date") and len(raw) == 4:
+            return _st.unpack("<i", raw)[0]
+        if t in ("long", "time") or t.startswith("timestamp"):
+            return _st.unpack("<q", raw)[0] if len(raw) == 8 else None
+        if t == "float" and len(raw) == 4:
+            return _st.unpack("<f", raw)[0]
+        if t == "double" and len(raw) == 8:
+            return _st.unpack("<d", raw)[0]
+        if t == "string":
+            return raw.decode("utf-8")
+        if t.startswith("decimal"):
+            import decimal as _dec
+            import re as _re
+
+            m = _re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+            scale = int(m.group(2)) if m else 0
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            return _dec.Decimal(unscaled).scaleb(-scale)
+    except (ValueError, _st.error):
+        return None
+    return None
+
+
+def _file_pruner(md: dict, target: dict, eq: dict | None, between: dict | None):
+    """Build `keep(spec_id, data_file) -> bool` for manifest-level file
+    pruning over open metadata: identity-transform PARTITION VALUES and
+    (when the manifest carries them) per-column lower/upper BOUNDS.
+    Conservative everywhere — incomparable, absent, or null values keep
+    the file; only a provable exclusion skips. Returns None when there
+    is nothing to prune on."""
+    if not eq and not between:
+        return None
+    import datetime as _dt
+
+    specs = {s["spec-id"]: s.get("fields", []) for s in md.get("partition-specs", [])}
+    by_id = {int(f["id"]): f["name"] for f in target.get("fields", [])}
+    type_by_name = {f["name"]: f["type"] for f in target.get("fields", [])}
+    type_by_id = {int(f["id"]): f["type"] for f in target.get("fields", [])}
+
+    def coerce(pv, v, col_type) -> tuple | None:
+        """(a, b) made comparable, or None (no pruning on this pair)."""
+        if pv is None or v is None:
+            return None
+        if isinstance(pv, bool) or isinstance(v, bool):
+            return None
+        if isinstance(pv, (int, float)) and isinstance(v, (int, float)):
+            return (pv, v)
+        if isinstance(pv, str) and isinstance(v, str):
+            return (pv, v)
+        t = str(col_type)
+        if isinstance(pv, int) and isinstance(v, str) and t == "date":
+            try:
+                return (pv, (_dt.date.fromisoformat(v) - _dt.date(1970, 1, 1)).days)
+            except ValueError:
+                return None
+        if isinstance(pv, str) and isinstance(v, (int, float)):
+            try:  # path-encoded partition value vs numeric literal
+                return (type(v)(pv), v)
+            except (TypeError, ValueError):
+                return None
+        return None
+
+    def excl(pv, col, col_type) -> bool:
+        """True iff the predicate provably excludes value pv."""
+        if eq and col in eq:
+            c = coerce(pv, eq[col], col_type)
+            if c is not None and c[0] != c[1]:
+                return True
+        if between and col in between:
+            lo, hi = between[col]
+            if lo is not None:
+                c = coerce(pv, lo, col_type)
+                if c is not None and c[0] < c[1]:
+                    return True
+            if hi is not None:
+                c = coerce(pv, hi, col_type)
+                if c is not None and c[0] > c[1]:
+                    return True
+        return False
+
+    def bound_map(raw) -> dict[int, bytes]:
+        if isinstance(raw, dict):
+            return {int(k): v for k, v in raw.items()}
+        if isinstance(raw, list):  # avro k/v record array form
+            return {
+                int(r["key"]): r["value"]
+                for r in raw
+                if isinstance(r, dict) and "key" in r and "value" in r
+            }
+        return {}
+
+    pred_cols = set(eq or ()) | set(between or ())
+
+    def keep(spec_id: int, data_file: dict) -> bool:
+        part = data_file.get("partition")
+        if isinstance(part, dict):
+            for f in specs.get(spec_id, []):
+                if f.get("transform") != "identity":
+                    continue
+                col = by_id.get(int(f.get("source-id", -1)))
+                if col is None or col not in pred_cols:
+                    continue
+                pv = part.get(f["name"])
+                if pv is not None and excl(pv, col, type_by_name.get(col)):
+                    return False
+        lbs = bound_map(data_file.get("lower_bounds"))
+        ubs = bound_map(data_file.get("upper_bounds"))
+        for fid in set(lbs) | set(ubs):
+            col = by_id.get(fid)
+            if col is None or col not in pred_cols:
+                continue
+            t = type_by_id.get(fid)
+            lo_b = _decode_bound(lbs[fid], t) if fid in lbs else None
+            hi_b = _decode_bound(ubs[fid], t) if fid in ubs else None
+            if eq and col in eq:
+                v = eq[col]
+                c = coerce(hi_b, v, t)
+                if c is not None and c[0] < c[1]:
+                    return False  # file max < wanted value
+                c = coerce(lo_b, v, t)
+                if c is not None and c[0] > c[1]:
+                    return False  # file min > wanted value
+            if between and col in between:
+                lo, hi = between[col]
+                if hi is not None:
+                    c = coerce(lo_b, hi, t)
+                    if c is not None and c[0] > c[1]:
+                        return False  # file min > range hi
+                if lo is not None:
+                    c = coerce(hi_b, lo, t)
+                    if c is not None and c[0] < c[1]:
+                        return False  # file max < range lo
+        return True
+
+    return keep
+
+
 def read_iceberg_table(
     spark: SparkSession,
     location: str,
@@ -230,6 +377,8 @@ def read_iceberg_table(
     _keep_lineage: bool = False,
     _keep_seq: bool = False,
     row_lineage: bool = False,
+    eq: dict | None = None,
+    between: dict | None = None,
 ) -> DataFrame:
     """Open the table at ``location`` (table dir / metadata dir /
     metadata file) as a DataFrame; optional time travel by snapshot id,
@@ -246,7 +395,17 @@ def read_iceberg_table(
     sequence falls back to the file's data sequence — the same rules the
     native reader applies, so engine and foreign reads agree bit-for-bit
     across compaction/CoW rewrites. Tables whose metadata predates row
-    lineage yield NULL ids (the spec's 'not assigned')."""
+    lineage yield NULL ids (the spec's 'not assigned').
+
+    ``eq`` / ``between`` are OPTIONAL scan predicates (column →
+    value / (lo, hi)) used for manifest-level FILE PRUNING only —
+    Iceberg scan planning over the open metadata: data files whose
+    identity-transform partition value (and, when the manifest carries
+    them, column bounds) provably exclude the predicate never reach
+    Spark's planner. Pruning is conservative (incomparable or absent
+    values keep the file) and NEVER replaces the query's own filter —
+    the caller still applies its full WHERE on top, so a missed prune
+    costs IO, never correctness."""
     md = json.loads(fsio.read_text(resolve_metadata_path(location)))
     snaps = md.get("snapshots", [])
     schemas = {s["schema-id"]: s for s in md.get("schemas", [])}
@@ -314,6 +473,10 @@ def read_iceberg_table(
     dv_specs: list[dict] = []  # v3 deletion vectors: {puffin, offset, length, referenced}
     eq_deletes: list[dict] = []  # {path, ids, seq, schema}
     avro_first_rows: dict[str, int] = {}  # v3 lineage read from the Avro records
+    # manifest-level file pruning (partition values + bounds); delete
+    # manifests are NEVER pruned — a tombstone for a pruned file simply
+    # finds no rows in the anti-join
+    keep_file = _file_pruner(md, target, eq, between)
     for m in manifests:
         _s2, m2, entries = avro_io.read_container(m["manifest_path"])
         # status 2 = DELETED: the entry records a file REMOVED by this
@@ -379,9 +542,15 @@ def read_iceberg_table(
         inherit_off = 0
         for e in live:
             seq = _entry_seq(e, m)
-            groups.setdefault((skey, seq), (fschema, seq, []))[2].append(
-                e["data_file"]["file_path"]
-            )
+            # lineage bookkeeping runs for EVERY entry (the inheritance
+            # offset must not shift when a file is pruned); only the
+            # read list is pruned
+            if keep_file is None or keep_file(
+                int(m.get("partition_spec_id", 0)), e["data_file"]
+            ):
+                groups.setdefault((skey, seq), (fschema, seq, []))[2].append(
+                    e["data_file"]["file_path"]
+                )
             if row_lineage:
                 frid = e["data_file"].get("first_row_id")
                 if frid is None and e.get("first_row_id") is not None:

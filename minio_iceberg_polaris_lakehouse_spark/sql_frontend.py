@@ -336,14 +336,39 @@ class LakehouseSQL:
         if len(re.findall(rf"(?i)\b{re.escape(ns)}\s*\.\s*{re.escape(tbl)}\b", masked)) != 1:
             return None
         tab = self.wh.table(ns, tbl)
+        fields: set[str] | None = None
         if not tab.exists():
-            return None
+            # registered FOREIGN table: same hint soundness rules; the
+            # field set comes from the open metadata's current schema
+            # (driver-side metadata read), and the rewrite passes the
+            # hints to read_iceberg_table for manifest-level pruning
+            floc = self.wh.foreign_tables().get(f"{ns}.{tbl}")
+            if floc is None:
+                return None
+            try:
+                import json as _json
+
+                from minio_iceberg_polaris_lakehouse_spark import fsio
+                from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+                    resolve_metadata_path,
+                )
+
+                md = _json.loads(fsio.read_text(resolve_metadata_path(floc)))
+                cur = next(
+                    s
+                    for s in md.get("schemas", [])
+                    if s["schema-id"] == md.get("current-schema-id")
+                )
+                fields = {f["name"] for f in cur.get("fields", [])}
+            except (OSError, ValueError, StopIteration, KeyError):
+                return None
         rest = m.group("rest")
         tail = re.search(r"(?i)\b(GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING|WINDOW|UNION|EXCEPT|INTERSECT)\b", rest)
         pred = rest[: tail.start()] if tail else rest
         if "(" in pred or ")" in pred or re.search(r"(?i)\bor\b", pred):
             return None
-        fields = set(tab.schema().fieldNames())
+        if fields is None:
+            fields = set(tab.schema().fieldNames())
         prefixes = {p.lower() for p in (alias, tbl, f"{ns}.{tbl}") if p}
 
         def col_of(token: str) -> str | None:
@@ -544,9 +569,22 @@ class LakehouseSQL:
                         # Iceberg v3 row-lineage columns work on the
                         # registered foreign name too (derived from the
                         # open metadata's first-row-ids)
-                        df = read_iceberg_table(
-                            self.spark, floc, row_lineage=wants_lineage
-                        )
+                        hint = (hints or {}).get((ns, tbl))
+                        if hint and not wants_metadata_cols and not wants_lineage:
+                            # provably-conjunct predicates (_scan_hints):
+                            # manifest-level file pruning over the open
+                            # metadata — partition values + bounds; the
+                            # statement still applies its full WHERE
+                            df = read_iceberg_table(
+                                self.spark,
+                                floc,
+                                eq=hint["eq"],
+                                between=hint["between"],
+                            )
+                        else:
+                            df = read_iceberg_table(
+                                self.spark, floc, row_lineage=wants_lineage
+                            )
                         if wants_lineage:
                             view += "__lin"
                     df.createOrReplaceTempView(view)

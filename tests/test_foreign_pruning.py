@@ -1,0 +1,159 @@
+"""Manifest-level file pruning for FOREIGN Iceberg reads: scan planning
+over the open metadata (identity-partition values + column bounds) so a
+selective predicate on a registered foreign table plans only the files
+it can touch — the Iceberg value proposition, now on the consumer side.
+
+Every pruned read is also checked for EQUALITY against the unpruned
+read + filter: pruning may only save IO, never change rows."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from minio_iceberg_polaris_lakehouse_spark.sql_frontend import LakehouseSQL
+from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+    _decode_bound,
+    _file_pruner,
+    read_iceberg_table,
+)
+
+
+@pytest.fixture()
+def lake(spark):
+    return LakehouseSQL(spark, tempfile.mkdtemp(prefix="lh_fprune_"))
+
+
+def _mk(lake):
+    lake.sql(
+        "CREATE TABLE polaris.db.u (id INT, name STRING, d DATE) USING ICEBERG "
+        "PARTITIONED BY (d)"
+    )
+    lake.sql(
+        "INSERT INTO db.u VALUES (1,'a','2025-01-01'),(2,'b','2025-01-02'),"
+        "(3,'c','2025-01-03')"
+    )
+    lake.sql("INSERT INTO db.u VALUES (4,'d','2025-01-01'),(5,'e','2025-01-02')")
+    t = lake.wh.table("db", "u")
+    lake.sql(
+        f"CALL polaris.system.register_table(table => 'ext.u', metadata_file => '{t.path}')"
+    )
+    return t
+
+
+def test_foreign_eq_prunes_files_and_keeps_rows(lake):
+    t = _mk(lake)
+    full = lake.sql("SELECT id FROM ext.u ORDER BY id")
+    assert len(full.inputFiles()) == 5
+    pruned = lake.sql("SELECT id FROM ext.u WHERE d = '2025-01-01' ORDER BY id")
+    assert len(pruned.inputFiles()) == 2  # only the two 01-01 partition files
+    assert [r.id for r in pruned.collect()] == [1, 4]
+    # direct API form with the same guarantees
+    df = read_iceberg_table(lake.spark, t.path, eq={"d": "2025-01-01"})
+    assert len(df.inputFiles()) == 2
+    assert sorted(r.id for r in df.collect()) == [1, 4]
+
+
+def test_foreign_between_prunes_and_matches_unpruned(lake):
+    t = _mk(lake)
+    rng = lake.sql(
+        "SELECT id FROM ext.u WHERE d BETWEEN '2025-01-02' AND '2025-01-03' ORDER BY id"
+    )
+    assert len(rng.inputFiles()) == 3
+    assert [r.id for r in rng.collect()] == [2, 3, 5]
+    # equality vs the unpruned read + filter (pruning is IO-only)
+    unpruned = (
+        read_iceberg_table(lake.spark, t.path)
+        .filter("d BETWEEN '2025-01-02' AND '2025-01-03'")
+        .select("id")
+    )
+    assert sorted(r.id for r in rng.collect()) == sorted(
+        r.id for r in unpruned.collect()
+    )
+
+
+def test_pruned_read_respects_mor_deletes(lake, spark):
+    """Deletes are never pruned: a tombstone still applies to the kept
+    files (a tombstone for a pruned file just matches nothing)."""
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+        delete_iceberg_table_where,
+    )
+
+    t = _mk(lake)
+    delete_iceberg_table_where(spark, t.path, "id = 4")
+    pruned = lake.sql("SELECT id FROM ext.u WHERE d = '2025-01-01' ORDER BY id")
+    assert [r.id for r in pruned.collect()] == [1]
+
+
+def test_decode_bound_types():
+    import struct
+
+    assert _decode_bound(struct.pack("<i", 42), "int") == 42
+    assert _decode_bound(struct.pack("<i", 20089), "date") == 20089
+    assert _decode_bound(struct.pack("<q", 7), "long") == 7
+    assert _decode_bound(struct.pack("<d", 2.5), "double") == 2.5
+    assert _decode_bound(b"abc", "string") == "abc"
+    from decimal import Decimal
+
+    assert _decode_bound(
+        int(1050).to_bytes(2, "big", signed=True), "decimal(10, 2)"
+    ) == Decimal("10.50")
+    assert _decode_bound(b"\x01", "struct<...>") is None  # conservative
+
+
+def test_bounds_pruning_from_synthetic_manifest_record():
+    """Real foreign manifests carry lower/upper bounds per field id —
+    the pruner must use them (and stay conservative on unknowns)."""
+    import struct
+
+    md = {"partition-specs": [{"spec-id": 0, "fields": []}]}
+    target = {
+        "fields": [
+            {"id": 1, "name": "id", "type": "int"},
+            {"id": 2, "name": "v", "type": "string"},
+        ]
+    }
+    keep = _file_pruner(md, target, eq={"id": 100}, between=None)
+    f_lo = {  # file holds ids [1, 10] → 100 provably absent
+        "partition": {},
+        "lower_bounds": [{"key": 1, "value": struct.pack("<i", 1)}],
+        "upper_bounds": [{"key": 1, "value": struct.pack("<i", 10)}],
+    }
+    f_hit = {
+        "partition": {},
+        "lower_bounds": [{"key": 1, "value": struct.pack("<i", 50)}],
+        "upper_bounds": [{"key": 1, "value": struct.pack("<i", 150)}],
+    }
+    f_nobounds = {"partition": {}}
+    assert keep(0, f_lo) is False
+    assert keep(0, f_hit) is True
+    assert keep(0, f_nobounds) is True
+    # range form: file max < range lo
+    keep_rng = _file_pruner(md, target, eq=None, between={"id": (200, 300)})
+    assert keep_rng(0, f_hit) is False
+    assert keep_rng(0, f_nobounds) is True
+    # string bounds
+    keep_s = _file_pruner(md, target, eq={"v": "zz"}, between=None)
+    f_str = {
+        "partition": {},
+        "lower_bounds": [{"key": 2, "value": b"aa"}],
+        "upper_bounds": [{"key": 2, "value": b"mm"}],
+    }
+    assert keep_s(0, f_str) is False
+
+
+def test_row_lineage_unaffected_by_pruning(lake, spark):
+    """Pruning must not shift first_row_id inheritance for kept files:
+    ids of the surviving rows equal the unpruned read's ids."""
+    t = _mk(lake)
+    full = {
+        r.id: r._row_id
+        for r in read_iceberg_table(spark, t.path, row_lineage=True).collect()
+    }
+    pruned = read_iceberg_table(
+        spark, t.path, row_lineage=True, eq={"d": "2025-01-02"}
+    )
+    got = {r.id: r._row_id for r in pruned.collect()}
+    assert got == {i: full[i] for i in got}
+    assert set(got) == {2, 5}

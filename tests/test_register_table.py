@@ -156,11 +156,15 @@ def test_foreign_metadata_tables_on_fixture(lake, spark, tmp_path):
     # a fixture without a refs map still lists an empty .refs view
     assert lake.sql("SELECT * FROM ext.ft.refs").collect() == []
 
-    # metadata tables the open format can't provide fail loudly
+    # metadata tables the open format can't provide fail loudly:
+    # .partitions is served from the spec's partition-statistics file,
+    # so a table that never published one refuses rather than guessing
     import pytest as _pytest
 
-    with _pytest.raises(WarehouseError, match="partitions"):
+    with _pytest.raises(Exception, match="no partition-statistics"):
         lake.sql("SELECT * FROM ext.ft.partitions").collect()
+    with _pytest.raises(WarehouseError, match="not available"):
+        lake.sql("SELECT * FROM ext.ft.entries").collect()
 
 
 def test_foreign_metadata_tables_on_own_export(lake, spark, tmp_path):
