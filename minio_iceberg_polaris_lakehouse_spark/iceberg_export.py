@@ -39,6 +39,7 @@ import datetime
 import hashlib
 import json
 import os
+import struct
 import urllib.parse
 import uuid
 
@@ -220,6 +221,50 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "added_rows_count", "type": "long", "field-id": 512},
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            # spec field 507: per-partition-field value summaries — what
+            # lets a reader skip a WHOLE manifest (and its avro open)
+            # when the predicate provably excludes its value range
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "element-id": 508,
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {
+                                "name": "contains_null",
+                                "type": "boolean",
+                                "field-id": 509,
+                            },
+                            {
+                                "name": "contains_nan",
+                                "type": ["null", "boolean"],
+                                "default": None,
+                                "field-id": 518,
+                            },
+                            {
+                                "name": "lower_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 510,
+                            },
+                            {
+                                "name": "upper_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 511,
+                            },
+                        ],
+                    },
+                },
+            ],
+            "default": None,
+            "field-id": 507,
+        },
     ],
 }
 
@@ -250,6 +295,52 @@ def _avro_transform_type(transform: str, meta: dict, source: str) -> object:
         if source in schema.fieldNames():
             return _AVRO_IDENTITY.get(schema[source].dataType.typeName(), "string")
     return "string"
+
+
+def _bound_bytes(v, avro_type) -> bytes | None:
+    """Iceberg single-value serialization of a partition value for the
+    manifest-list field summary's lower/upper bound."""
+    if v is None:
+        return None
+    t = avro_type.get("type") if isinstance(avro_type, dict) else avro_type
+    try:
+        if t == "int":
+            return struct.pack("<i", int(v))
+        if t == "long":
+            return struct.pack("<q", int(v))
+        if t == "float":
+            return struct.pack("<f", float(v))
+        if t == "double":
+            return struct.pack("<d", float(v))
+        if t == "boolean":
+            return b"\x01" if v else b"\x00"
+        if t == "string":
+            return str(v).encode("utf-8")
+    except (ValueError, struct.error):
+        return None
+    return None
+
+
+def _partition_summary(files: list[dict], part_field) -> list[dict] | None:
+    """The manifest-list `partitions` field-summary list for one
+    manifest's files (this engine's one-partition-field specs)."""
+    if part_field is None:
+        return None
+    name, avro_type = part_field[0], part_field[1]
+    vals = [_partition_value(f["path"], name, avro_type) for f in files]
+    present = [v for v in vals if v is not None]
+    try:
+        lo, hi = (min(present), max(present)) if present else (None, None)
+    except TypeError:
+        lo = hi = None
+    return [
+        {
+            "contains_null": any(v is None for v in vals),
+            "contains_nan": None,
+            "lower_bound": _bound_bytes(lo, avro_type),
+            "upper_bound": _bound_bytes(hi, avro_type),
+        }
+    ]
 
 
 def _partition_avro_field(meta: dict, spec: dict) -> tuple[str, object] | None:
@@ -654,6 +745,12 @@ def write_iceberg_metadata(table: Table) -> str:
                     "added_rows_count": rows if added else 0,
                     "existing_rows_count": 0 if added else rows,
                     "deleted_rows_count": 0,
+                    # field 507: partition value summary — readers skip
+                    # this manifest (never opening its avro) when a
+                    # predicate provably excludes its value range
+                    "partitions": _partition_summary(
+                        files, _partition_avro_field(meta, spec_rec)
+                    ),
                 }
             )
             # Iceberg v3 row lineage in the debuggable JSON mirror: each

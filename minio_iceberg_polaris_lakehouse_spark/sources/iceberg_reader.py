@@ -254,6 +254,102 @@ def _decode_bound(raw: bytes, type_str: str):
     return None
 
 
+def _coerce_vals(pv, v, col_type) -> tuple | None:
+    """(a, b) made comparable for pruning, or None (no pruning on this
+    pair — conservative)."""
+    import datetime as _dt
+
+    if pv is None or v is None:
+        return None
+    if isinstance(pv, bool) or isinstance(v, bool):
+        return None
+    if isinstance(pv, (int, float)) and isinstance(v, (int, float)):
+        return (pv, v)
+    if isinstance(pv, str) and isinstance(v, str):
+        return (pv, v)
+    t = str(col_type)
+    if isinstance(pv, int) and isinstance(v, str) and t == "date":
+        try:
+            return (pv, (_dt.date.fromisoformat(v) - _dt.date(1970, 1, 1)).days)
+        except ValueError:
+            return None
+    if isinstance(pv, str) and isinstance(v, (int, float)):
+        try:  # path-encoded partition value vs numeric literal
+            return (type(v)(pv), v)
+        except (TypeError, ValueError):
+            return None
+    return None
+
+
+def _bounds_exclude(lo_b, hi_b, col, t, eq, between) -> bool:
+    """True iff a [lo_b, hi_b] value range provably excludes the
+    eq/between predicate on ``col`` (None bounds never exclude)."""
+    if eq and col in eq:
+        v = eq[col]
+        c = _coerce_vals(hi_b, v, t)
+        if c is not None and c[0] < c[1]:
+            return True  # range max < wanted value
+        c = _coerce_vals(lo_b, v, t)
+        if c is not None and c[0] > c[1]:
+            return True  # range min > wanted value
+    if between and col in between:
+        lo, hi = between[col]
+        if hi is not None:
+            c = _coerce_vals(lo_b, hi, t)
+            if c is not None and c[0] > c[1]:
+                return True  # range min > predicate hi
+        if lo is not None:
+            c = _coerce_vals(hi_b, lo, t)
+            if c is not None and c[0] < c[1]:
+                return True  # range max < predicate lo
+    return False
+
+
+def _manifest_pruner(md: dict, target: dict, eq: dict | None, between: dict | None):
+    """Build `keep(manifest_list_record) -> bool`: manifest-LIST level
+    pruning from the spec's field 507 `partitions` summaries — a DATA
+    manifest whose identity-partition value range provably excludes the
+    predicate is skipped WITHOUT opening its Avro (planning cost
+    O(matching manifests), the first level of Iceberg's two-level scan
+    planning). Delete manifests and manifests without summaries are
+    always kept."""
+    if not eq and not between:
+        return None
+    specs = {s["spec-id"]: s.get("fields", []) for s in md.get("partition-specs", [])}
+    by_id = {int(f["id"]): f["name"] for f in target.get("fields", [])}
+    type_by_name = {f["name"]: f["type"] for f in target.get("fields", [])}
+
+    def keep(m: dict) -> bool:
+        if m.get("content") == 1:
+            return True
+        summaries = m.get("partitions")
+        if not summaries:
+            return True
+        fields = specs.get(int(m.get("partition_spec_id", 0)), [])
+        for f, s in zip(fields, summaries):
+            if f.get("transform") != "identity" or not isinstance(s, dict):
+                continue
+            col = by_id.get(int(f.get("source-id", -1)))
+            if col is None:
+                continue
+            t = type_by_name.get(col)
+            lo_b = (
+                _decode_bound(s["lower_bound"], t)
+                if s.get("lower_bound") is not None
+                else None
+            )
+            hi_b = (
+                _decode_bound(s["upper_bound"], t)
+                if s.get("upper_bound") is not None
+                else None
+            )
+            if _bounds_exclude(lo_b, hi_b, col, t, eq, between):
+                return False
+        return True
+
+    return keep
+
+
 def _file_pruner(md: dict, target: dict, eq: dict | None, between: dict | None):
     """Build `keep(spec_id, data_file) -> bool` for manifest-level file
     pruning over open metadata: identity-transform PARTITION VALUES and
@@ -263,35 +359,12 @@ def _file_pruner(md: dict, target: dict, eq: dict | None, between: dict | None):
     is nothing to prune on."""
     if not eq and not between:
         return None
-    import datetime as _dt
 
     specs = {s["spec-id"]: s.get("fields", []) for s in md.get("partition-specs", [])}
     by_id = {int(f["id"]): f["name"] for f in target.get("fields", [])}
     type_by_name = {f["name"]: f["type"] for f in target.get("fields", [])}
     type_by_id = {int(f["id"]): f["type"] for f in target.get("fields", [])}
-
-    def coerce(pv, v, col_type) -> tuple | None:
-        """(a, b) made comparable, or None (no pruning on this pair)."""
-        if pv is None or v is None:
-            return None
-        if isinstance(pv, bool) or isinstance(v, bool):
-            return None
-        if isinstance(pv, (int, float)) and isinstance(v, (int, float)):
-            return (pv, v)
-        if isinstance(pv, str) and isinstance(v, str):
-            return (pv, v)
-        t = str(col_type)
-        if isinstance(pv, int) and isinstance(v, str) and t == "date":
-            try:
-                return (pv, (_dt.date.fromisoformat(v) - _dt.date(1970, 1, 1)).days)
-            except ValueError:
-                return None
-        if isinstance(pv, str) and isinstance(v, (int, float)):
-            try:  # path-encoded partition value vs numeric literal
-                return (type(v)(pv), v)
-            except (TypeError, ValueError):
-                return None
-        return None
+    coerce = _coerce_vals
 
     def excl(pv, col, col_type) -> bool:
         """True iff the predicate provably excludes value pv."""
@@ -345,24 +418,8 @@ def _file_pruner(md: dict, target: dict, eq: dict | None, between: dict | None):
             t = type_by_id.get(fid)
             lo_b = _decode_bound(lbs[fid], t) if fid in lbs else None
             hi_b = _decode_bound(ubs[fid], t) if fid in ubs else None
-            if eq and col in eq:
-                v = eq[col]
-                c = coerce(hi_b, v, t)
-                if c is not None and c[0] < c[1]:
-                    return False  # file max < wanted value
-                c = coerce(lo_b, v, t)
-                if c is not None and c[0] > c[1]:
-                    return False  # file min > wanted value
-            if between and col in between:
-                lo, hi = between[col]
-                if hi is not None:
-                    c = coerce(lo_b, hi, t)
-                    if c is not None and c[0] > c[1]:
-                        return False  # file min > range hi
-                if lo is not None:
-                    c = coerce(hi_b, lo, t)
-                    if c is not None and c[0] < c[1]:
-                        return False  # file max < range lo
+            if _bounds_exclude(lo_b, hi_b, col, t, eq, between):
+                return False
         return True
 
     return keep
@@ -473,11 +530,17 @@ def read_iceberg_table(
     dv_specs: list[dict] = []  # v3 deletion vectors: {puffin, offset, length, referenced}
     eq_deletes: list[dict] = []  # {path, ids, seq, schema}
     avro_first_rows: dict[str, int] = {}  # v3 lineage read from the Avro records
-    # manifest-level file pruning (partition values + bounds); delete
+    # two-level scan planning (Iceberg's): (1) manifest-LIST pruning —
+    # whole DATA manifests whose field-507 partition summaries exclude
+    # the predicate are skipped without opening their Avro; (2) file
+    # pruning inside kept manifests (partition values + bounds). Delete
     # manifests are NEVER pruned — a tombstone for a pruned file simply
-    # finds no rows in the anti-join
+    # finds no rows in the anti-join.
     keep_file = _file_pruner(md, target, eq, between)
+    keep_manifest = _manifest_pruner(md, target, eq, between)
     for m in manifests:
+        if keep_manifest is not None and not keep_manifest(m):
+            continue
         _s2, m2, entries = avro_io.read_container(m["manifest_path"])
         # status 2 = DELETED: the entry records a file REMOVED by this
         # snapshot lineage — reading it would resurrect deleted rows

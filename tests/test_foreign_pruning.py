@@ -157,3 +157,62 @@ def test_row_lineage_unaffected_by_pruning(lake, spark):
     got = {r.id: r._row_id for r in pruned.collect()}
     assert got == {i: full[i] for i in got}
     assert set(got) == {2, 5}
+
+
+def test_manifest_list_summaries_exported(lake, spark):
+    """The exported manifest-list records carry field-507 partition
+    summaries with single-value-serialized bounds."""
+    import json
+    import struct
+
+    from minio_iceberg_polaris_lakehouse_spark import avro_io, fsio
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        resolve_metadata_path,
+    )
+
+    t = _mk(lake)
+    md = json.loads(fsio.read_text(resolve_metadata_path(t.path)))
+    cur = next(s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"])
+    _s, _m, recs = avro_io.read_container(cur["manifest-list"])
+    data_recs = [r for r in recs if r["content"] == 0]
+    assert data_recs and all(r.get("partitions") for r in data_recs)
+    # first commit holds dates 01-01..01-03 → bounds = day ordinals
+    epoch_lo = (__import__("datetime").date(2025, 1, 1) - __import__("datetime").date(1970, 1, 1)).days
+    s0 = data_recs[0]["partitions"][0]
+    assert struct.unpack("<i", s0["lower_bound"])[0] == epoch_lo
+    assert struct.unpack("<i", s0["upper_bound"])[0] == epoch_lo + 2
+    assert s0["contains_null"] is False
+
+
+def test_manifest_list_pruning_skips_avro_opens(lake, spark, monkeypatch):
+    """A predicate excluding a whole commit's date range must skip that
+    manifest WITHOUT opening its Avro — planning reads O(matching
+    manifests), the first level of Iceberg's two-level scan planning."""
+    from minio_iceberg_polaris_lakehouse_spark import avro_io
+    from minio_iceberg_polaris_lakehouse_spark.sources import iceberg_reader as IR
+
+    lake.sql(
+        "CREATE TABLE polaris.db.w (id INT, d DATE) USING ICEBERG PARTITIONED BY (d)"
+    )
+    lake.sql("INSERT INTO db.w VALUES (1,'2025-01-01'),(2,'2025-01-02')")
+    lake.sql("INSERT INTO db.w VALUES (3,'2025-03-01'),(4,'2025-03-02')")
+    t = lake.wh.table("db", "w")
+
+    opened: list[str] = []
+    real = avro_io.read_container
+
+    def counting(path):
+        import os
+
+        if os.path.basename(path).startswith("manifest-") and path.endswith(".avro"):
+            opened.append(path)
+        return real(path)
+
+    monkeypatch.setattr(IR.avro_io, "read_container", counting)
+    df = IR.read_iceberg_table(
+        lake.spark, t.path, between={"d": ("2025-03-01", "2025-03-31")}
+    )
+    assert sorted(r.id for r in df.collect()) == [3, 4]
+    # only the March commit's manifest was opened (January's skipped at
+    # the manifest-list level)
+    assert len(opened) == 1
