@@ -863,7 +863,21 @@ def write_iceberg_metadata(table: Table) -> str:
         # spec_id new data files are stamped with (Table._current_spec_id)
         "default-spec-id": table._current_spec_id(meta),
         "last-partition-id": 1000 + len(meta.get("spec_history", [0])) - 1,
-        "properties": meta.get("properties", {}),
+        # the engine's bucket transform hashes with Spark's murmur3
+        # (seed 42), NOT the Iceberg-spec bucket hash — stamp that so a
+        # spec-aware consumer never derives bucket predicates against
+        # these partition values (read_iceberg_table's pruner checks it)
+        "properties": {
+            **meta.get("properties", {}),
+            **(
+                {"write.bucket-hash": "spark-murmur3-seed42"}
+                if any(
+                    str(s.get("transform", "")).startswith("bucket")
+                    for s in (meta.get("spec_history") or [meta["partition"]])
+                )
+                else {}
+            ),
+        },
         # main's head — branch-staged (write-audit-publish) snapshots are
         # present in "snapshots" but referenced only by their named ref
         "current-snapshot-id": mains[-1]["snapshot_id"] if mains else -1,

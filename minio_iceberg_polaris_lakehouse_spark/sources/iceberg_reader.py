@@ -281,6 +281,61 @@ def _coerce_vals(pv, v, col_type) -> tuple | None:
     return None
 
 
+def _transform_pred(transform: str, v, col_type) -> tuple[object, bool] | None:
+    """Map a PREDICATE value into partition space under an Iceberg
+    transform: returns (partition_value, monotonic) or None when the
+    derivation isn't possible (conservative — no pruning). Monotonic
+    transforms (day/month/year/hour/numeric truncate) also prune
+    ranges; bucket prunes equality only."""
+    import datetime as _dt
+
+    t = str(col_type)
+
+    def _as_dt(x) -> _dt.datetime | None:
+        try:
+            if isinstance(x, str):
+                d = _dt.datetime.fromisoformat(x)
+            elif isinstance(x, _dt.datetime):
+                d = x
+            elif isinstance(x, _dt.date):
+                d = _dt.datetime(x.year, x.month, x.day)
+            else:
+                return None
+            return d if d.tzinfo else d.replace(tzinfo=_dt.timezone.utc)
+        except ValueError:
+            return None
+
+    if transform == "identity":
+        return (v, True)
+    if transform in ("day", "month", "year", "hour"):
+        d = _as_dt(v)
+        if d is None:
+            return None
+        if transform == "day":
+            return ((d.date() - _dt.date(1970, 1, 1)).days, True)
+        if transform == "month":
+            return ((d.year - 1970) * 12 + d.month - 1, True)
+        if transform == "year":
+            return (d.year - 1970, True)
+        return (int(d.timestamp()) // 3600, True)
+    m = re.fullmatch(r"bucket\[(\d+)\]", transform)
+    if m:
+        from minio_iceberg_polaris_lakehouse_spark.theta import iceberg_bucket
+
+        b = iceberg_bucket(v, int(m.group(1)), t)
+        return None if b is None else (b, False)
+    m = re.fullmatch(r"truncate\[(\d+)\]", transform)
+    if m:
+        w = int(m.group(1))
+        if isinstance(v, int) and not isinstance(v, bool):
+            return (v - (v % w), True)
+        if isinstance(v, str):
+            # string truncate keeps the W-char prefix; prefix order is
+            # consistent with string order → monotonic for pruning
+            return (v[:w], True)
+    return None
+
+
 def _bounds_exclude(lo_b, hi_b, col, t, eq, between) -> bool:
     """True iff a [lo_b, hi_b] value range provably excludes the
     eq/between predicate on ``col`` (None bounds never exclude)."""
@@ -305,19 +360,79 @@ def _bounds_exclude(lo_b, hi_b, col, t, eq, between) -> bool:
     return False
 
 
+def _partition_space_type(transform: str, col_type) -> str:
+    """The type partition-space values (and summary bounds) carry under
+    a transform."""
+    if transform == "day":
+        return "date"
+    if transform in ("month", "year", "hour") or transform.startswith("bucket"):
+        return "int"
+    return str(col_type)  # identity / truncate keep the source type
+
+
+def _part_range_excl(
+    lo_b, hi_b, col, col_type, transform, eq, between, bucket_ok: bool = True
+) -> bool:
+    """True iff a partition-space value range [lo_b, hi_b] provably
+    excludes the predicate on the SOURCE column under ``transform`` —
+    predicate values are mapped into partition space first (hidden
+    partitioning on the consumer side); non-monotonic transforms
+    (bucket) prune equality only, and ONLY when ``bucket_ok`` says the
+    writer used the Iceberg-spec bucket hash (this engine's own exports
+    stamp write.bucket-hash=spark-murmur3-seed42 — deriving spec
+    buckets against those values would prune WRONG files)."""
+    if transform.startswith("bucket") and not bucket_ok:
+        return False
+    if eq and col in eq:
+        d = _transform_pred(transform, eq[col], col_type)
+        if d is not None:
+            c = _coerce_vals(hi_b, d[0], col_type)
+            if c is not None and c[0] < c[1]:
+                return True
+            c = _coerce_vals(lo_b, d[0], col_type)
+            if c is not None and c[0] > c[1]:
+                return True
+    if between and col in between:
+        lo, hi = between[col]
+        if hi is not None:
+            d = _transform_pred(transform, hi, col_type)
+            if d is not None and d[1]:
+                c = _coerce_vals(lo_b, d[0], col_type)
+                if c is not None and c[0] > c[1]:
+                    return True
+        if lo is not None:
+            d = _transform_pred(transform, lo, col_type)
+            if d is not None and d[1]:
+                c = _coerce_vals(hi_b, d[0], col_type)
+                if c is not None and c[0] < c[1]:
+                    return True
+    return False
+
+
+def _bucket_hash_ok(md: dict) -> bool:
+    """True iff bucket partition VALUES in this table follow the
+    Iceberg-spec bucket hash (the spec requires it; only this engine's
+    own exports stamp a different hash)."""
+    stamp = (md.get("properties") or {}).get("write.bucket-hash")
+    return stamp in (None, "iceberg-murmur3")
+
+
 def _manifest_pruner(md: dict, target: dict, eq: dict | None, between: dict | None):
     """Build `keep(manifest_list_record) -> bool`: manifest-LIST level
     pruning from the spec's field 507 `partitions` summaries — a DATA
-    manifest whose identity-partition value range provably excludes the
-    predicate is skipped WITHOUT opening its Avro (planning cost
-    O(matching manifests), the first level of Iceberg's two-level scan
-    planning). Delete manifests and manifests without summaries are
-    always kept."""
+    manifest whose partition value range provably excludes the
+    predicate (after mapping predicate values through the partition
+    TRANSFORM: identity/day/month/year/hour/bucket/truncate) is skipped
+    WITHOUT opening its Avro (planning cost O(matching manifests), the
+    first level of Iceberg's two-level scan planning). Delete manifests
+    and manifests without summaries are always kept."""
     if not eq and not between:
         return None
     specs = {s["spec-id"]: s.get("fields", []) for s in md.get("partition-specs", [])}
     by_id = {int(f["id"]): f["name"] for f in target.get("fields", [])}
     type_by_name = {f["name"]: f["type"] for f in target.get("fields", [])}
+    pred_cols = set(eq or ()) | set(between or ())
+    bucket_ok = _bucket_hash_ok(md)
 
     def keep(m: dict) -> bool:
         if m.get("content") == 1:
@@ -327,23 +442,25 @@ def _manifest_pruner(md: dict, target: dict, eq: dict | None, between: dict | No
             return True
         fields = specs.get(int(m.get("partition_spec_id", 0)), [])
         for f, s in zip(fields, summaries):
-            if f.get("transform") != "identity" or not isinstance(s, dict):
+            if not isinstance(s, dict):
                 continue
             col = by_id.get(int(f.get("source-id", -1)))
-            if col is None:
+            if col is None or col not in pred_cols:
                 continue
-            t = type_by_name.get(col)
+            tr = f.get("transform", "identity")
+            ct = type_by_name.get(col)
+            bt = _partition_space_type(tr, ct)
             lo_b = (
-                _decode_bound(s["lower_bound"], t)
+                _decode_bound(s["lower_bound"], bt)
                 if s.get("lower_bound") is not None
                 else None
             )
             hi_b = (
-                _decode_bound(s["upper_bound"], t)
+                _decode_bound(s["upper_bound"], bt)
                 if s.get("upper_bound") is not None
                 else None
             )
-            if _bounds_exclude(lo_b, hi_b, col, t, eq, between):
+            if _part_range_excl(lo_b, hi_b, col, ct, tr, eq, between, bucket_ok):
                 return False
         return True
 
@@ -352,8 +469,9 @@ def _manifest_pruner(md: dict, target: dict, eq: dict | None, between: dict | No
 
 def _file_pruner(md: dict, target: dict, eq: dict | None, between: dict | None):
     """Build `keep(spec_id, data_file) -> bool` for manifest-level file
-    pruning over open metadata: identity-transform PARTITION VALUES and
-    (when the manifest carries them) per-column lower/upper BOUNDS.
+    pruning over open metadata: PARTITION VALUES (predicates mapped
+    through the partition transform — hidden partitioning) and, when
+    the manifest carries them, per-column lower/upper BOUNDS.
     Conservative everywhere — incomparable, absent, or null values keep
     the file; only a provable exclusion skips. Returns None when there
     is nothing to prune on."""
@@ -364,25 +482,7 @@ def _file_pruner(md: dict, target: dict, eq: dict | None, between: dict | None):
     by_id = {int(f["id"]): f["name"] for f in target.get("fields", [])}
     type_by_name = {f["name"]: f["type"] for f in target.get("fields", [])}
     type_by_id = {int(f["id"]): f["type"] for f in target.get("fields", [])}
-    coerce = _coerce_vals
-
-    def excl(pv, col, col_type) -> bool:
-        """True iff the predicate provably excludes value pv."""
-        if eq and col in eq:
-            c = coerce(pv, eq[col], col_type)
-            if c is not None and c[0] != c[1]:
-                return True
-        if between and col in between:
-            lo, hi = between[col]
-            if lo is not None:
-                c = coerce(pv, lo, col_type)
-                if c is not None and c[0] < c[1]:
-                    return True
-            if hi is not None:
-                c = coerce(pv, hi, col_type)
-                if c is not None and c[0] > c[1]:
-                    return True
-        return False
+    bucket_ok = _bucket_hash_ok(md)
 
     def bound_map(raw) -> dict[int, bytes]:
         if isinstance(raw, dict):
@@ -401,13 +501,19 @@ def _file_pruner(md: dict, target: dict, eq: dict | None, between: dict | None):
         part = data_file.get("partition")
         if isinstance(part, dict):
             for f in specs.get(spec_id, []):
-                if f.get("transform") != "identity":
-                    continue
                 col = by_id.get(int(f.get("source-id", -1)))
                 if col is None or col not in pred_cols:
                     continue
                 pv = part.get(f["name"])
-                if pv is not None and excl(pv, col, type_by_name.get(col)):
+                if pv is None:
+                    continue
+                tr = f.get("transform", "identity")
+                # a single partition value is a degenerate [pv, pv]
+                # range — the transform-aware exclusion covers identity,
+                # day/month/year/hour, bucket (eq only), and truncate
+                if _part_range_excl(
+                    pv, pv, col, type_by_name.get(col), tr, eq, between, bucket_ok
+                ):
                     return False
         lbs = bound_map(data_file.get("lower_bounds"))
         ubs = bound_map(data_file.get("upper_bounds"))

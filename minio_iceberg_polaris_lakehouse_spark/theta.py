@@ -205,6 +205,84 @@ def sketch_estimate(buf: bytes) -> float:
     return estimate(len(ents), theta)
 
 
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit — the hash Iceberg's bucket transform is
+    specified over (spec Appendix B; cross-validated against Guava's
+    murmur3_32_fixed in tests). Returns the SIGNED 32-bit value, Java
+    parity."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    M = 0xFFFFFFFF
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & M
+
+    h = seed & M
+    n4 = len(data) // 4
+    for i in range(n4):
+        k = int.from_bytes(data[i * 4 : i * 4 + 4], "little")
+        k = (k * c1) & M
+        k = rotl(k, 15)
+        k = (k * c2) & M
+        h ^= k
+        h = rotl(h, 13)
+        h = (h * 5 + 0xE6546B64) & M
+    tail = data[n4 * 4 :]
+    if tail:
+        k = int.from_bytes(tail + b"\x00" * (4 - len(tail)), "little")
+        k = (k * c1) & M
+        k = rotl(k, 15)
+        k = (k * c2) & M
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & M
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & M
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def iceberg_bucket(value, n: int, type_str: str) -> int | None:
+    """Iceberg's bucket[N] transform of ``value`` (spec Appendix B:
+    int/long/date/time/timestamp hash as the 8-byte little-endian long,
+    strings as UTF-8, decimals as minimal big-endian unscaled). Returns
+    None for values/types the transform can't be derived for
+    (conservative: callers skip pruning)."""
+    import datetime
+    import decimal
+
+    t = str(type_str)
+    try:
+        if t in ("int", "long"):
+            data = struct.pack("<q", int(value))
+        elif t == "date":
+            if isinstance(value, str):
+                value = (
+                    datetime.date.fromisoformat(value) - datetime.date(1970, 1, 1)
+                ).days
+            data = struct.pack("<q", int(value))
+        elif t == "string":
+            data = str(value).encode("utf-8")
+        elif t.startswith("timestamp"):
+            if isinstance(value, str):
+                ts = datetime.datetime.fromisoformat(value)
+                if ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=datetime.timezone.utc)
+                value = int(ts.timestamp() * 1_000_000)
+            data = struct.pack("<q", int(value))
+        elif t.startswith("decimal"):
+            m = __import__("re").fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+            scale = int(m.group(2)) if m else 0
+            unscaled = int(decimal.Decimal(str(value)).scaleb(scale))
+            nb = unscaled.bit_length() // 8 + 1
+            data = unscaled.to_bytes(nb, "big", signed=True)
+        else:
+            return None
+    except (ValueError, TypeError, decimal.InvalidOperation):
+        return None
+    return (murmur3_x86_32(data) & 0x7FFFFFFF) % n
+
+
 def single_value_converter(spark_type):
     """Iceberg single-value binary serialization (spec Appendix D) for
     one atomic Spark type — the bytes a theta NDV sketch hashes, so two

@@ -216,3 +216,138 @@ def test_manifest_list_pruning_skips_avro_opens(lake, spark, monkeypatch):
     # only the March commit's manifest was opened (January's skipped at
     # the manifest-list level)
     assert len(opened) == 1
+
+
+def test_murmur3_x86_32_matches_guava_and_spec_vectors(spark):
+    """The bucket-transform hash, cross-validated against Guava's
+    murmur3_32_fixed (what Iceberg uses) plus the spec's own Appendix B
+    test vectors."""
+    import struct
+
+    from minio_iceberg_polaris_lakehouse_spark.theta import (
+        iceberg_bucket,
+        murmur3_x86_32,
+    )
+
+    # spec Appendix B vectors
+    assert murmur3_x86_32(b"iceberg") == 1210000089
+    assert murmur3_x86_32(struct.pack("<q", 34)) == 2017239379
+    g = spark._jvm.com.google.common.hash.Hashing.murmur3_32_fixed()
+    for payload in [b"", b"a", b"ab", b"abc", b"abcd", b"abcde", bytes(range(17))]:
+        assert murmur3_x86_32(payload) == g.hashBytes(bytearray(payload)).asInt()
+    # bucket semantics: int and long of the same value agree (spec rule)
+    assert iceberg_bucket(34, 16, "int") == iceberg_bucket(34, 16, "long")
+    assert iceberg_bucket("2017-11-16", 16, "date") == iceberg_bucket(
+        17486, 16, "date"
+    )
+
+
+def test_day_transform_pruning_end_to_end(lake, spark):
+    """Hidden partitioning on the consumer side: a timestamp-range
+    predicate on a day(ts)-partitioned table prunes files through the
+    transform."""
+    from minio_iceberg_polaris_lakehouse_spark.sources import iceberg_reader as IR
+
+    lake.sql(
+        "CREATE TABLE polaris.db.evd (id INT, ts TIMESTAMP) USING ICEBERG "
+        "PARTITIONED BY (days(ts))"
+    )
+    lake.sql(
+        "INSERT INTO db.evd VALUES (1, TIMESTAMP '2025-01-01 10:00:00'),"
+        "(2, TIMESTAMP '2025-01-02 11:00:00'), (3, TIMESTAMP '2025-01-03 12:00:00')"
+    )
+    t = lake.wh.table("db", "evd")
+    full = IR.read_iceberg_table(spark, t.path)
+    nfull = len(full.inputFiles())
+    pruned = IR.read_iceberg_table(
+        spark, t.path, between={"ts": ("2025-01-02 00:00:00", "2025-01-02 23:59:59")}
+    )
+    assert len(pruned.inputFiles()) < nfull
+    assert [r.id for r in pruned.collect()] == [2]
+    eqp = IR.read_iceberg_table(spark, t.path, eq={"ts": "2025-01-03 12:00:00"})
+    assert len(eqp.inputFiles()) == 1
+    assert [r.id for r in eqp.collect()] == [3]
+
+
+def test_bucket_pruning_gated_on_writer_hash(lake, spark):
+    """This engine's exports bucket with Spark's hash, NOT the spec
+    hash — they stamp write.bucket-hash and the pruner must NOT derive
+    spec buckets against them (it would prune wrong files). All rows
+    must come back for any bucket-column predicate."""
+    import json
+
+    from minio_iceberg_polaris_lakehouse_spark import fsio
+    from minio_iceberg_polaris_lakehouse_spark.sources import iceberg_reader as IR
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        resolve_metadata_path,
+    )
+
+    lake.sql(
+        "CREATE TABLE polaris.db.bk (id INT, v STRING) USING ICEBERG "
+        "PARTITIONED BY (bucket(4, id))"
+    )
+    lake.sql(
+        "INSERT INTO db.bk VALUES " + ", ".join(f"({i}, 'v{i}')" for i in range(20))
+    )
+    t = lake.wh.table("db", "bk")
+    md = json.loads(fsio.read_text(resolve_metadata_path(t.path)))
+    assert md["properties"]["write.bucket-hash"] == "spark-murmur3-seed42"
+    for probe in range(20):
+        got = IR.read_iceberg_table(spark, t.path, eq={"id": probe}).filter(
+            f"id = {probe}"
+        )
+        assert got.count() == 1, f"id={probe} lost to unsafe bucket pruning"
+
+
+def test_spec_bucket_pruning_on_synthetic_summaries():
+    """A spec-conformant table (no hash stamp) DOES prune bucket
+    equality at the manifest-list level."""
+    import struct
+
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        _manifest_pruner,
+    )
+    from minio_iceberg_polaris_lakehouse_spark.theta import iceberg_bucket
+
+    md = {
+        "properties": {},
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {"name": "id_bucket", "transform": "bucket[16]", "source-id": 1}
+                ],
+            }
+        ],
+    }
+    target = {"fields": [{"id": 1, "name": "id", "type": "long"}]}
+    keep = _manifest_pruner(md, target, eq={"id": 34}, between=None)
+    b = iceberg_bucket(34, 16, "long")
+    hit = {
+        "content": 0,
+        "partition_spec_id": 0,
+        "partitions": [
+            {
+                "contains_null": False,
+                "lower_bound": struct.pack("<i", b),
+                "upper_bound": struct.pack("<i", b),
+            }
+        ],
+    }
+    miss = {
+        "content": 0,
+        "partition_spec_id": 0,
+        "partitions": [
+            {
+                "contains_null": False,
+                "lower_bound": struct.pack("<i", (b + 1) % 16),
+                "upper_bound": struct.pack("<i", (b + 1) % 16),
+            }
+        ],
+    }
+    assert keep(hit) is True
+    assert keep(miss) is False
+    # the same summaries with this engine's stamp: no bucket pruning
+    md_stamped = dict(md, properties={"write.bucket-hash": "spark-murmur3-seed42"})
+    keep2 = _manifest_pruner(md_stamped, target, eq={"id": 34}, between=None)
+    assert keep2(miss) is True
