@@ -287,7 +287,10 @@ def _avro_transform_type(transform: str, meta: dict, source: str) -> object:
     if transform == "day":
         return {"type": "int", "logicalType": "date"}
     if transform in ("month", "hour"):
-        return "string"
+        # spec partition-space values: months / hours from epoch as int
+        # (the engine's hive paths encode yyyy-MM / yyyy-MM-dd-HH;
+        # _partition_value converts by field-name prefix)
+        return "int"
     if transform == "year" or transform.startswith("bucket"):
         return "int"
     if transform.startswith("truncate"):
@@ -376,6 +379,15 @@ def _partition_value(rel_path: str, field_name: str, avro_type) -> object:
         try:
             if isinstance(avro_type, dict) and avro_type.get("logicalType") == "date":
                 return (datetime.date.fromisoformat(val) - datetime.date(1970, 1, 1)).days
+            # spec partition-space conversions for the engine's
+            # string-encoded hive paths (field name carries the transform)
+            if field_name.startswith("_p_month_"):
+                y, m = val.split("-", 1)
+                return (int(y) - 1970) * 12 + int(m) - 1
+            if field_name.startswith("_p_hour_"):
+                y, m, d, h = val.split("-")
+                ts = datetime.datetime(int(y), int(m), int(d), int(h), tzinfo=datetime.timezone.utc)
+                return int(ts.timestamp()) // 3600
             if avro_type == "int" or avro_type == "long":
                 return int(val)
             if avro_type == "double" or avro_type == "float":

@@ -351,3 +351,40 @@ def test_spec_bucket_pruning_on_synthetic_summaries():
     md_stamped = dict(md, properties={"write.bucket-hash": "spark-murmur3-seed42"})
     keep2 = _manifest_pruner(md_stamped, target, eq={"id": 34}, between=None)
     assert keep2(miss) is True
+
+
+def test_month_hour_transforms_export_spec_ints_and_prune(lake, spark):
+    """month()/hour() partition values export as spec ints (months /
+    hours from epoch), so consumer-side hidden partitioning prunes them
+    too."""
+    from minio_iceberg_polaris_lakehouse_spark.sources import iceberg_reader as IR
+
+    lake.sql(
+        "CREATE TABLE polaris.db.mo (id INT, ts TIMESTAMP) USING ICEBERG "
+        "PARTITIONED BY (months(ts))"
+    )
+    lake.sql(
+        "INSERT INTO db.mo VALUES (1, TIMESTAMP '2025-01-15 10:00:00'),"
+        "(2, TIMESTAMP '2025-02-15 10:00:00'), (3, TIMESTAMP '2025-03-15 10:00:00')"
+    )
+    t = lake.wh.table("db", "mo")
+    pruned = IR.read_iceberg_table(
+        spark, t.path, between={"ts": ("2025-02-01 00:00:00", "2025-02-28 23:59:59")}
+    )
+    assert len(pruned.inputFiles()) == 1
+    assert [r.id for r in pruned.collect()] == [2]
+
+    lake.sql(
+        "CREATE TABLE polaris.db.ho (id INT, ts TIMESTAMP) USING ICEBERG "
+        "PARTITIONED BY (hours(ts))"
+    )
+    lake.sql(
+        "INSERT INTO db.ho VALUES (1, TIMESTAMP '2025-01-01 05:30:00'),"
+        "(2, TIMESTAMP '2025-01-01 06:30:00'), (3, TIMESTAMP '2025-01-01 07:30:00')"
+    )
+    th = lake.wh.table("db", "ho")
+    pr = IR.read_iceberg_table(
+        spark, th.path, eq={"ts": "2025-01-01 06:30:00"}
+    )
+    assert len(pr.inputFiles()) == 1
+    assert [r.id for r in pr.collect()] == [2]
