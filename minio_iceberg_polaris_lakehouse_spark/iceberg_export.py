@@ -875,17 +875,22 @@ def write_iceberg_metadata(table: Table) -> str:
         # spec_id new data files are stamped with (Table._current_spec_id)
         "default-spec-id": table._current_spec_id(meta),
         "last-partition-id": 1000 + len(meta.get("spec_history", [0])) - 1,
-        # the engine's bucket transform hashes with Spark's murmur3
-        # (seed 42), NOT the Iceberg-spec bucket hash — stamp that so a
-        # spec-aware consumer never derives bucket predicates against
-        # these partition values (read_iceberg_table's pruner checks it)
+        # the engine's DEFAULT bucket transform hashes with Spark's
+        # murmur3 (seed 42), NOT the Iceberg-spec bucket hash — stamp
+        # that so a spec-aware consumer never derives bucket predicates
+        # against these partition values (read_iceberg_table's pruner
+        # checks it). Tables that opted into the spec hash
+        # (write.bucket-hash=iceberg-murmur3) keep their own property.
         "properties": {
             **meta.get("properties", {}),
             **(
                 {"write.bucket-hash": "spark-murmur3-seed42"}
-                if any(
-                    str(s.get("transform", "")).startswith("bucket")
-                    for s in (meta.get("spec_history") or [meta["partition"]])
+                if (
+                    "write.bucket-hash" not in meta.get("properties", {})
+                    and any(
+                        str(s.get("transform", "")).startswith("bucket")
+                        for s in (meta.get("spec_history") or [meta["partition"]])
+                    )
                 )
                 else {}
             ),

@@ -242,6 +242,37 @@ def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
     return h - (1 << 32) if h >= (1 << 31) else h
 
 
+def murmur3_32_long_vec(vals):
+    """Vectorized murmur3_x86_32 over int64 values hashed as their
+    8-byte little-endian form (the Iceberg bucket input for every
+    integer/date/timestamp type) — numpy uint32 arithmetic wraps mod
+    2^32 exactly like the scalar form. Returns int32 hashes."""
+    import numpy as np
+
+    v = np.asarray(vals, dtype=np.int64).astype(np.uint64)
+    c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+
+    def rotl(x, r):
+        return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
+
+    h = np.zeros(len(v), dtype=np.uint32)  # seed 0
+    for k0 in ((v & np.uint64(0xFFFFFFFF)), (v >> np.uint64(32))):
+        k = k0.astype(np.uint32)
+        k = k * c1
+        k = rotl(k, 15)
+        k = k * c2
+        h ^= k
+        h = rotl(h, 13)
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    h ^= np.uint32(8)  # input length
+    h ^= h >> np.uint32(16)
+    h = h * np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h = h * np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return h.astype(np.int32)
+
+
 def iceberg_bucket(value, n: int, type_str: str) -> int | None:
     """Iceberg's bucket[N] transform of ``value`` (spec Appendix B:
     int/long/date/time/timestamp hash as the 8-byte little-endian long,
@@ -253,7 +284,7 @@ def iceberg_bucket(value, n: int, type_str: str) -> int | None:
 
     t = str(type_str)
     try:
-        if t in ("int", "long"):
+        if t in ("int", "long", "bigint", "smallint", "tinyint"):
             data = struct.pack("<q", int(value))
         elif t == "date":
             if isinstance(value, str):

@@ -84,6 +84,49 @@ class CommitConflictError(WarehouseError):
     README.md:124: "multiple writers ... optimistic concurrency")."""
 
 
+def _iceberg_bucket_col(src: Column, n: int, dtype: T.DataType | None) -> Column:
+    """Iceberg-SPEC bucket[N] of a source column as an Arrow-batched
+    pandas UDF (the hash is murmur3_x86_32 over single-value bytes —
+    not expressible with Spark builtins). Integer-family inputs
+    (int/long/date/timestamp) ride the numpy-vectorized long hash;
+    strings/decimals hash per distinct-ish value scalar-side. NULL
+    source → NULL bucket (Iceberg's rule)."""
+    from minio_iceberg_polaris_lakehouse_spark import theta as TH
+
+    type_str = dtype.simpleString() if dtype is not None else "string"
+    int_family = isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+    is_date = isinstance(dtype, T.DateType)
+    is_ts = isinstance(dtype, T.TimestampType) or (
+        hasattr(T, "TimestampNTZType") and isinstance(dtype, T.TimestampNTZType)
+    )
+
+    def bucket(s):
+        import numpy as np
+        import pandas as pd
+
+        mask = s.notna()
+        out = pd.Series([None] * len(s), dtype="object")
+        if not mask.any():
+            return out.astype("Int32")
+        vals = s[mask]
+        if int_family or is_date or is_ts:
+            if is_date:
+                longs = pd.to_datetime(vals).astype("datetime64[D]").astype("int64")
+            elif is_ts:
+                longs = vals.astype("datetime64[us]").astype("int64")
+            else:
+                longs = vals.astype("int64")
+            h = TH.murmur3_32_long_vec(np.asarray(longs))
+            out[mask] = (h.astype(np.int64) & 0x7FFFFFFF) % n
+        else:
+            out[mask] = [TH.iceberg_bucket(v, n, type_str) for v in vals]
+        return out.astype("Int32")
+
+    return F.pandas_udf(bucket, "int")(src)
+
+
 @dataclass
 class PartitionSpec:
     """Hidden-partitioning transform, Iceberg-style: the table partitions
@@ -107,11 +150,19 @@ class PartitionSpec:
                 return int(self.transform[len(prefix) :])
         return None
 
-    def expr(self, dtype: T.DataType | None = None):
+    def expr(self, dtype: T.DataType | None = None, spec_hash: bool = False):
         """Derived-partition expression. ``dtype`` (the source column's
         type) selects the truncate flavor: numeric → v - pmod(v, W)
         (Iceberg's floor semantics, negatives included), otherwise string
-        prefix. Validation callers may omit it."""
+        prefix. Validation callers may omit it.
+
+        ``spec_hash`` selects the bucket hash: False (default) is
+        Spark's murmur3(seed 42) — JVM-side, this engine's historical
+        convention; True is the ICEBERG-SPEC bucket hash
+        (murmur3_x86_32 over single-value bytes, Arrow-batched pandas
+        UDF, int64 inputs numpy-vectorized), opted into per table via
+        TBLPROPERTIES ('write.bucket-hash'='iceberg-murmur3') so any
+        compliant engine computes identical buckets."""
         if self.source is None:
             return None
         src = F.col(self.source)
@@ -127,6 +178,8 @@ class PartitionSpec:
             return F.date_format(src, "yyyy-MM-dd-HH")
         n = self.param()
         if n is not None and self.transform.startswith("bucket"):
+            if spec_hash:
+                return _iceberg_bucket_col(src, n, dtype)
             return F.pmod(F.hash(src), F.lit(n))
         if n is not None and self.transform.startswith("truncate"):
             if isinstance(dtype, T.NumericType):
@@ -2056,6 +2109,17 @@ class Table:
                 return None
             if n is not None and tr.startswith("bucket") and not monotone_only:
                 dt = schema[spec.source].dataType if spec.source in schema.fieldNames() else None
+                if self._bucket_spec_hash(meta):
+                    # spec-hash tables: the bucket of a LITERAL computes
+                    # driver-side (theta.iceberg_bucket), no UDF in the plan
+                    from minio_iceberg_polaris_lakehouse_spark.theta import (
+                        iceberg_bucket,
+                    )
+
+                    b = iceberg_bucket(
+                        lit_val, n, dt.simpleString() if dt is not None else "string"
+                    )
+                    return None if b is None else F.lit(b)
                 lit = F.lit(lit_val).cast(dt) if dt is not None else F.lit(lit_val)
                 # literal hashed exactly as the writer hashed the column —
                 # Catalyst folds this to a constant partition filter
@@ -2389,7 +2453,16 @@ class Table:
         writer = aligned
         if spec.column() is not None:
             src_dt = schema[spec.source].dataType if spec.source in cols else None
-            writer = aligned.withColumn(spec.column(), spec.expr(src_dt))
+            spec_hash = self._bucket_spec_hash(meta)
+            if spec_hash and spec.transform.startswith("bucket"):
+                # the spec-hash bucket column is a pandas UDF — make the
+                # package importable on executors
+                from minio_iceberg_polaris_lakehouse_spark.session import ship_package
+
+                ship_package(self.spark)
+            writer = aligned.withColumn(
+                spec.column(), spec.expr(src_dt, spec_hash=spec_hash)
+            )
             writer.write.option("compression", "zstd").partitionBy(spec.column()).parquet(out)
         else:
             writer.write.option("compression", "zstd").parquet(out)
@@ -2829,11 +2902,17 @@ class Table:
         schema = self.schema()
         src_dt = schema[spec.source].dataType
         written = self.spark.read.parquet(os.path.join(self.path, p.dirname))
+        spec_hash = self._bucket_spec_hash()
         touched = [
-            r.pv for r in written.select(spec.expr(src_dt).alias("pv")).distinct().collect()
+            r.pv
+            for r in written.select(
+                spec.expr(src_dt, spec_hash=spec_hash).alias("pv")
+            )
+            .distinct()
+            .collect()
         ]
         live = self._live_with_pos(snap)
-        pv = spec.expr(src_dt)
+        pv = spec.expr(src_dt, spec_hash=spec_hash)
         non_null = [v for v in touched if v is not None]
         cond = F.lit(False)
         if non_null:
@@ -4384,6 +4463,14 @@ class Table:
         write_iceberg_metadata(self)
         return {**entry, "partitions": len(rows)}
 
+    def _bucket_spec_hash(self, meta: dict | None = None) -> bool:
+        """True when this table buckets with the ICEBERG-SPEC hash
+        (TBLPROPERTIES write.bucket-hash=iceberg-murmur3) — writes AND
+        derived scan filters must agree, which is why changing the
+        property after data exists is refused (set_properties)."""
+        props = (meta if meta is not None else self._meta()).get("properties", {})
+        return props.get("write.bucket-hash") == "iceberg-murmur3"
+
     def set_properties(self, props: dict[str, str]) -> None:
         """ALTER TABLE … SET TBLPROPERTIES — metadata-only; the Iceberg
         knobs this engine honors (write.delete.mode, write.update.mode,
@@ -4391,6 +4478,23 @@ class Table:
         lock, token = self._acquire_commit_lock()
         try:
             meta = self._meta()
+            if "write.bucket-hash" in props:
+                new = str(props["write.bucket-hash"])
+                if new not in ("iceberg-murmur3", "spark-murmur3-seed42"):
+                    raise WarehouseError(
+                        f"unknown write.bucket-hash {new!r} (iceberg-murmur3 "
+                        "or spark-murmur3-seed42)"
+                    )
+                cur = meta.get("properties", {}).get("write.bucket-hash")
+                if cur != new and self._snaps():
+                    # existing bucket dirs were hashed under the old
+                    # function — scans deriving with the new one would
+                    # silently prune WRONG files
+                    raise WarehouseError(
+                        "write.bucket-hash cannot change after the table has "
+                        "snapshots (existing partition dirs were hashed with "
+                        f"{cur or 'spark-murmur3-seed42'})"
+                    )
             meta["properties"].update({str(k): str(v) for k, v in props.items()})
             self._write_meta(meta)
         finally:

@@ -388,3 +388,98 @@ def test_month_hour_transforms_export_spec_ints_and_prune(lake, spark):
     )
     assert len(pr.inputFiles()) == 1
     assert [r.id for r in pr.collect()] == [2]
+
+
+def test_spec_hash_bucket_tables_end_to_end(lake, spark):
+    """TBLPROPERTIES write.bucket-hash=iceberg-murmur3 makes the bucket
+    transform use the ICEBERG-SPEC hash: partition dirs equal
+    theta.iceberg_bucket, native scans prune with the same hash, the
+    exported property survives, and the foreign reader spec-bucket-
+    prunes with every row still retrievable."""
+    import json
+    import os
+
+    from minio_iceberg_polaris_lakehouse_spark import fsio
+    from minio_iceberg_polaris_lakehouse_spark.sources import iceberg_reader as IR
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        resolve_metadata_path,
+    )
+    from minio_iceberg_polaris_lakehouse_spark.theta import iceberg_bucket
+
+    lake.sql(
+        "CREATE TABLE polaris.db.sb (id INT, v STRING) USING ICEBERG "
+        "PARTITIONED BY (bucket(8, id)) "
+        "TBLPROPERTIES ('write.bucket-hash'='iceberg-murmur3')"
+    )
+    lake.sql(
+        "INSERT INTO db.sb VALUES " + ", ".join(f"({i}, 'v{i}')" for i in range(30))
+    )
+    t = lake.wh.table("db", "sb")
+    dirs = {
+        int(seg.split("=")[1])
+        for root, _, _files in os.walk(t.path)
+        for seg in root.split(os.sep)
+        if seg.startswith("_p_bucket8_id=")
+    }
+    assert dirs == {iceberg_bucket(i, 8, "int") for i in range(30)}
+    # native hidden-partition pruning derives with the SAME hash
+    sc = t.scan(eq={"id": 7})
+    assert len(sc.inputFiles()) < len(t.read().inputFiles())
+    assert sc.filter("id = 7").count() == 1
+    # export keeps the opted-in property (no spark stamp override)
+    md = json.loads(fsio.read_text(resolve_metadata_path(t.path)))
+    assert md["properties"]["write.bucket-hash"] == "iceberg-murmur3"
+    # foreign reader derives spec buckets and loses nothing
+    fr = IR.read_iceberg_table(spark, t.path, eq={"id": 7})
+    assert len(fr.inputFiles()) < len(t.read().inputFiles())
+    for i in range(30):
+        assert (
+            IR.read_iceberg_table(spark, t.path, eq={"id": i})
+            .filter(f"id = {i}")
+            .count()
+            == 1
+        )
+
+
+def test_spec_hash_string_bucket_and_vec_scalar_agreement(lake, spark):
+    from minio_iceberg_polaris_lakehouse_spark.theta import (
+        iceberg_bucket,
+        murmur3_32_long_vec,
+        murmur3_x86_32,
+    )
+
+    # vectorized long hash == scalar hash on a value sweep incl. negatives
+    import struct
+
+    vals = [0, 1, -1, 34, 10**12, -(10**12), 2**62, -(2**62)]
+    vec = murmur3_32_long_vec(vals)
+    for v, h in zip(vals, vec):
+        assert int(h) == murmur3_x86_32(struct.pack("<q", v))
+    # string buckets ride the scalar path end-to-end
+    lake.sql(
+        "CREATE TABLE polaris.db.sbs (k STRING, v INT) USING ICEBERG "
+        "PARTITIONED BY (bucket(4, k)) "
+        "TBLPROPERTIES ('write.bucket-hash'='iceberg-murmur3')"
+    )
+    lake.sql("INSERT INTO db.sbs VALUES ('iceberg', 1), ('apple', 2), ('banana', 3)")
+    t = lake.wh.table("db", "sbs")
+    sc = t.scan(eq={"k": "iceberg"})
+    assert sc.filter("k = 'iceberg'").count() == 1
+    b = iceberg_bucket("iceberg", 4, "string")
+    assert any(f"_p_bucket4_k={b}" in f for f in sc.inputFiles())
+
+
+def test_bucket_hash_property_frozen_after_snapshots(lake):
+    from minio_iceberg_polaris_lakehouse_spark.warehouse import WarehouseError
+
+    lake.sql(
+        "CREATE TABLE polaris.db.fz (id INT) USING ICEBERG "
+        "PARTITIONED BY (bucket(4, id))"
+    )
+    lake.sql("INSERT INTO db.fz VALUES (1), (2)")
+    with pytest.raises(WarehouseError, match="cannot change after"):
+        lake.wh.table("db", "fz").set_properties(
+            {"write.bucket-hash": "iceberg-murmur3"}
+        )
+    with pytest.raises(WarehouseError, match="unknown write.bucket-hash"):
+        lake.wh.table("db", "fz").set_properties({"write.bucket-hash": "md5"})
