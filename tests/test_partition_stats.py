@@ -105,7 +105,10 @@ def test_delete_counts_and_unpartitioned(lake, spark):
     assert r.partition is None  # unpartitioned: one null-partition row
     assert r.record_count == 3  # data-file rows (tombstones separate)
     assert r.position_delete_record_count == 1
-    assert r.position_delete_file_count == 1
+    # file count depends on write parallelism (an empty part file may
+    # accompany the tombstone under high local parallelism) — pin the
+    # record count above, only require at least one delete file here
+    assert r.position_delete_file_count >= 1
 
 
 def test_empty_table_refused(lake):
