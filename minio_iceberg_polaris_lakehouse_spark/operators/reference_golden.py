@@ -1119,6 +1119,50 @@ def ref_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPEC_BUCKET_DONE: dict[str, bool] = {}
+
+
+@register(
+    "ref_spec_bucket",
+    oracle="""
+    SELECT * FROM (VALUES
+        (0, 4), (1, 4), (2, 4), (3, 3), (4, 6),
+        (5, 7), (6, 1), (7, 3), (8, 7), (9, 7))
+        AS b(id, bucket)
+    ORDER BY id
+    """,
+)
+def ref_spec_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG-SPEC bucket partitioning end-to-end: a table created with
+    TBLPROPERTIES ('write.bucket-hash'='iceberg-murmur3') physically
+    places each row in the bucket the SPEC's murmur3_x86_32 hash
+    assigns (theta.murmur3_x86_32 — Guava-cross-validated, spec
+    Appendix B vectors pinned). The returned bucket is parsed from each
+    row's REAL file path (`_file` metadata column), and the oracle's
+    literals are the spec's own bucket values for ids 0..9 under
+    bucket[8] — a hash match proves any compliant engine would compute
+    identical buckets for this table's files."""
+    lake = _lake(spark)
+    key = spark.sparkContext.applicationId
+    with _FIXTURE_LOCK:
+        if key not in _SPEC_BUCKET_DONE:
+            lake.sql(
+                "CREATE TABLE IF NOT EXISTS polaris.test_db.spec_bucket "
+                "(id INT, v STRING) USING ICEBERG "
+                "PARTITIONED BY (bucket(8, id)) "
+                "TBLPROPERTIES ('write.bucket-hash'='iceberg-murmur3')"
+            )
+            lake.sql(
+                "INSERT INTO test_db.spec_bucket VALUES "
+                + ", ".join(f"({i}, 'v{i}')" for i in range(10))
+            )
+            _SPEC_BUCKET_DONE[key] = True
+    return lake.sql(
+        "SELECT id, CAST(regexp_extract(_file, '_p_bucket8_id=(\\\\d+)', 1) AS INT) "
+        "AS bucket FROM test_db.spec_bucket ORDER BY id"
+    )
+
+
 _FPRUNE_STATE: dict[str, tuple[int, int]] = {}
 
 

@@ -139,6 +139,11 @@ _PRIORITY: list[str] = [
     # pruned column (mm_audio_resample rested — mm_audio_stats keeps
     # the audio codec in-window)
     "ref_foreign_pruned_scan",
+    # NEW r8: Iceberg-SPEC bucket partitioning (write.bucket-hash=
+    # iceberg-murmur3) — per-row buckets parsed from the REAL file
+    # paths, oracle pins the spec hash values (rel_q22 rested — the
+    # TPC-H sweep keeps q19 + q21, q21 also benched every round)
+    "ref_spec_bucket",
     # HLL approx-distinct with an in-plan exactness gate
     "agg_approx_distinct_gate",
     # recursive CTE reachability + LATERAL top-k per group
@@ -154,7 +159,6 @@ _PRIORITY: list[str] = [
     # rest of the sweep stay in the local replica)
     "rel_q19_disjunctive_predicates",
     "rel_q21_waiting_supplier",
-    "rel_q22_idle_customers",
     # relational reshaping: UNPIVOT/stack — first driver slot
     "rel_unpivot",
     # NEW r7 session 2: migrate-in-place (CALL system.snapshot +
