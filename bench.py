@@ -206,6 +206,7 @@ def _ensure_sf1_replica(sf_dir: str) -> str | None:
 
 
 def main() -> None:
+    t_start = time.monotonic()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     # half the cores busy before we even start == contaminated timings
@@ -302,6 +303,20 @@ def main() -> None:
     run_sf1 = ("--sf1" in sys.argv[1:] or sf1_flag == "1") or (
         sf1_flag != "0" and abs(sf - 0.1) < 1e-9
     )
+    # the composite JSON prints LAST — if an external timeout killed the
+    # process mid-sf1, the WHOLE record would be lost. When the headline
+    # already burned most of the wall budget (contended host: settles,
+    # probe retries, suite re-runs), skip the supplementary scale pass
+    # and bank the headline.
+    budget_s = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_BUDGET", "900"))
+    if run_sf1 and time.monotonic() - t_start > budget_s:
+        print(
+            f"# headline took {time.monotonic() - t_start:.0f}s > {budget_s}s "
+            "budget; skipping the sf1 scale pass to protect the record",
+            file=sys.stderr,
+        )
+        result["sf1_skipped_over_budget"] = True
+        run_sf1 = False
     if run_sf1:
         try:
             sf1_section = _sf1_pass(
