@@ -113,11 +113,12 @@ _PRIORITY: list[str] = [
     # rested (q19/q21/q22 keep the TPC-H sweep in-window; q21 also runs
     # every bench round), text_lang_profile/stratified_sample/
     # top_bigrams/vocab_build/unigram_logprob rested (X5 keeps
-    # pii_scrub, chunk_windows, packing, bigram_logprob, mixture, bm25,
-    # boilerplate, bloom_decontaminate in-window), mm_audio_chunks
-    # rested (stats + resample keep the audio codec in-window). After
-    # this seating EVERY oracle-backed query in the registry has held a
-    # driver slot at least once.
+    # pii_scrub, chunk_windows, packing, mixture, bm25, boilerplate,
+    # bloom_decontaminate in-window; bigram_logprob later rested for
+    # ref_partition_stats), mm_audio_chunks rested (later also resample
+    # for ref_foreign_pruned_scan; mm_audio_stats keeps the audio codec
+    # in-window). After this seating EVERY oracle-backed query in the
+    # registry has held a driver slot at least once.
     # Iceberg v3 deletion vectors read back through the open metadata —
     # r7's flagship feature, finally driver-evidenced
     "ref_dv_roundtrip",
