@@ -5068,10 +5068,30 @@ class Table:
             # prune commit-time sequence records for dirs that no longer
             # exist anywhere (keeps meta O(live dirs))
             meta = self._meta()
+            meta_dirty = False
             if meta.get("dir_seqs"):
                 meta["dir_seqs"] = {
                     d: v for d, v in meta["dir_seqs"].items() if d in live_dirs
                 }
+                meta_dirty = True
+            # statistics files of EXPIRED snapshots are dead weight —
+            # Iceberg's expireSnapshots deletes them; prune the entries
+            # and the Puffin/Parquet files they reference
+            kept_ids = {s["snapshot_id"] for s in keep}
+            for stats_key in ("statistics_files", "partition_statistics_files"):
+                entries = meta.get(stats_key) or []
+                dead = [e for e in entries if e["snapshot-id"] not in kept_ids]
+                if dead:
+                    meta[stats_key] = [
+                        e for e in entries if e["snapshot-id"] in kept_ids
+                    ]
+                    meta_dirty = True
+                    for e in dead:
+                        try:
+                            fsio.remove(e["statistics-path"])
+                        except OSError:
+                            pass  # already gone
+            if meta_dirty:
                 self._write_meta(meta)
             # re-export open metadata so vN+1 reflects the pruned history
             from minio_iceberg_polaris_lakehouse_spark.iceberg_export import (

@@ -152,3 +152,28 @@ def test_statistics_pruned_after_snapshot_expiry(lake):
     # the analyzed snapshot expired: the exported statistics list must
     # not dangle a reference to it
     assert md["statistics"] == []
+
+
+def test_expire_snapshots_deletes_dead_stats_files(lake):
+    """Iceberg's expireSnapshots deletes statistics files of expired
+    snapshots — ours too: the meta entries AND the Puffin/Parquet files
+    go; the live snapshot's stats survive."""
+    _mk(lake)
+    lake.sql("ANALYZE TABLE db.t COMPUTE STATISTICS FOR COLUMNS id")
+    t = lake.wh.table("db", "t")
+    md1 = json.loads(fsio.read_text(resolve_metadata_path(t.path)))
+    old_path = md1["statistics"][0]["statistics-path"]
+    lake.sql("INSERT INTO db.t VALUES (9, 'z', 1.00, NULL)")
+    lake.sql("ANALYZE TABLE db.t COMPUTE STATISTICS FOR COLUMNS id")
+    t2 = lake.wh.table("db", "t")
+    md2 = json.loads(fsio.read_text(resolve_metadata_path(t2.path)))
+    new_path = next(
+        e["statistics-path"]
+        for e in md2["statistics"]
+        if e["snapshot-id"] == t2.current_snapshot_id()
+    )
+    lake.sql("CALL polaris.system.expire_snapshots(table => 'db.t', retain_last => 1)")
+    assert not fsio.exists(old_path)  # dead stats file deleted
+    assert fsio.exists(new_path)  # live snapshot's stats survive
+    md3 = json.loads(fsio.read_text(resolve_metadata_path(t2.path)))
+    assert [e["statistics-path"] for e in md3["statistics"]] == [new_path]
