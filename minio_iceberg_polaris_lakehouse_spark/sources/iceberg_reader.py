@@ -797,6 +797,18 @@ def read_iceberg_table(
     for p in parts[1:]:
         out = out.unionByName(p)
 
+    if dv_specs and keep_file is not None:
+        # a pruned scan never reads rows a DV for a PRUNED data file could
+        # tombstone — the manifest names each DV's referenced file, so
+        # skip decoding those blobs entirely (parquet positional-delete
+        # files name their targets only per ROW, so they still all load
+        # and simply match nothing)
+        kept = {
+            re.sub(r"^file:(//)?", "", f)
+            for _sch, _seq, fl in groups.values()
+            for f in fl
+        }
+        dv_specs = [d for d in dv_specs if d["referenced"] in kept]
     if delete_paths or dv_specs:
         tombs = None
         if delete_paths:

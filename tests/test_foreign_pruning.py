@@ -483,3 +483,33 @@ def test_bucket_hash_property_frozen_after_snapshots(lake):
         )
     with pytest.raises(WarehouseError, match="unknown write.bucket-hash"):
         lake.wh.table("db", "fz").set_properties({"write.bucket-hash": "md5"})
+
+
+def test_dv_blobs_pruned_with_their_data_files(lake, spark):
+    """A pruned scan skips decoding deletion-vector blobs whose
+    referenced data file was pruned, and still applies the surviving
+    files' DVs exactly."""
+    from minio_iceberg_polaris_lakehouse_spark.sources import iceberg_reader as IR
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_writer import (
+        delete_iceberg_table_where,
+    )
+
+    lake.sql(
+        "CREATE TABLE polaris.db.dvp (id INT, d DATE) USING ICEBERG "
+        "PARTITIONED BY (d) TBLPROPERTIES ('format-version'='3')"
+    )
+    lake.sql(
+        "INSERT INTO db.dvp VALUES (1,'2025-01-01'),(2,'2025-01-01'),"
+        "(3,'2025-01-02'),(4,'2025-01-02')"
+    )
+    t = lake.wh.table("db", "dvp")
+    # v3 DELETEs → deletion vectors, one per touched partition's file
+    delete_iceberg_table_where(spark, t.path, "id = 1", dv=True)
+    delete_iceberg_table_where(spark, t.path, "id = 3", dv=True)
+    # unpruned read applies both DVs
+    assert sorted(r.id for r in IR.read_iceberg_table(spark, t.path).collect()) == [2, 4]
+    # pruned to 01-02: id=3's DV still applies, id=1's blob never decodes
+    pruned = IR.read_iceberg_table(spark, t.path, eq={"d": "2025-01-02"})
+    assert sorted(r.id for r in pruned.collect()) == [4]
+    pruned1 = IR.read_iceberg_table(spark, t.path, eq={"d": "2025-01-01"})
+    assert sorted(r.id for r in pruned1.collect()) == [2]
