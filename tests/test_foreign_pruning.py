@@ -513,3 +513,67 @@ def test_dv_blobs_pruned_with_their_data_files(lake, spark):
     assert sorted(r.id for r in pruned.collect()) == [4]
     pruned1 = IR.read_iceberg_table(spark, t.path, eq={"d": "2025-01-01"})
     assert sorted(r.id for r in pruned1.collect()) == [2]
+
+
+# ---- property fuzz: pruning soundness ------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYP = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP = False
+
+if _HAS_HYP:
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        lo_b=st.integers(-1000, 1000),
+        width=st.integers(0, 200),
+        eq_v=st.integers(-1000, 1000),
+        r_lo=st.integers(-1000, 1000),
+        r_w=st.integers(0, 300),
+        use_eq=st.booleans(),
+    )
+    def test_fuzz_range_exclusion_is_sound(lo_b, width, eq_v, r_lo, r_w, use_eq):
+        """If _part_range_excl says a value range is excluded, then NO
+        value in [lo_b, hi_b] satisfies the predicate — a false
+        exclusion would silently drop rows; a false keep only costs IO
+        (allowed)."""
+        from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+            _part_range_excl,
+        )
+
+        hi_b = lo_b + width
+        eq = {"c": eq_v} if use_eq else None
+        between = None if use_eq else {"c": (r_lo, r_lo + r_w)}
+        excluded = _part_range_excl(lo_b, hi_b, "c", "int", "identity", eq, between)
+        if excluded:
+            for v in range(lo_b, hi_b + 1):
+                if use_eq:
+                    assert v != eq_v
+                else:
+                    assert not (r_lo <= v <= r_lo + r_w)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        vals=st.lists(st.integers(-500, 500), min_size=1, max_size=30),
+        eq_v=st.integers(-500, 500),
+        n=st.sampled_from([4, 8, 16]),
+    )
+    def test_fuzz_bucket_pruning_never_loses_the_probe(vals, eq_v, n):
+        """Spec-bucket equality pruning must never exclude a partition
+        that holds the probed value's bucket."""
+        from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+            _part_range_excl,
+        )
+        from minio_iceberg_polaris_lakehouse_spark.theta import iceberg_bucket
+
+        vals = vals + [eq_v]  # the probe is always present somewhere
+        tr = f"bucket[{n}]"
+        probe_bucket = iceberg_bucket(eq_v, n, "int")
+        for v in vals:
+            b = iceberg_bucket(v, n, "int")
+            excluded = _part_range_excl(b, b, "c", "int", tr, {"c": eq_v}, None)
+            if b == probe_bucket:
+                assert not excluded  # the probe's own bucket must survive
