@@ -198,13 +198,13 @@ def udf_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_python_udtf",
     oracle="""
     WITH cents AS (
-        SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+        SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c
         FROM orders WHERE o_orderkey <= 300)
     SELECT o_orderkey,
            CAST(g.i AS INT) AS installment,
-           CAST(CASE WHEN g.i < 3 THEN (c // 3) / 100.0
-                     ELSE (c - 2 * (c // 3)) / 100.0
-                END AS DECIMAL(12,2)) AS amount
+           CAST(CASE WHEN g.i < 3 THEN c // 3
+                     ELSE c - 2 * (c // 3)
+                END AS BIGINT) AS amount_cents
     FROM cents CROSS JOIN generate_series(1, 3) AS g(i)
     ORDER BY o_orderkey, installment
     """,
@@ -212,40 +212,68 @@ def udf_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 Python UDTF (table function) — the row-expanding member of
     the §2.13 UDF surface: each order fans out to a 3-installment payment
-    schedule via a LATERAL table-function call in SQL. Integer-cent
-    arithmetic (floor cents / 3, remainder on the last installment) keeps
-    the values engine-exact for the DuckDB oracle. Row-at-a-time Python,
-    so — like `udf_row_python` — it is the API demo, capped by a
-    selective predicate, never a hot path (the set-based twin is the
-    oracle's own CROSS JOIN generate_series form, which Spark would run
-    JVM-side)."""
-    from decimal import Decimal
-
+    schedule via a LATERAL table-function call in SQL. INTEGER-ONLY
+    end-to-end (r8 postmortem — the golden hash-failed twice in the
+    driver with ROUND-derived DECIMAL output while passing every local
+    replica): cents derive from FLOOR(o_totalprice * 100), which is
+    binary-exact on the identical IEEE double both engines read from the
+    same parquet — immune to half-up-on-repr vs half-away-on-binary
+    ROUND divergence and to oracle-side version drift — and the output
+    column is BIGINT cents, so no DECIMAL rendering is hashed at all.
+    Row-at-a-time Python, so — like `udf_row_python` — it is the API
+    demo, capped by a selective predicate, never a hot path (the
+    set-based twin is the oracle's own CROSS JOIN generate_series form,
+    which Spark would run JVM-side)."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="installment int, amount decimal(12,2)")
+    from minio_iceberg_polaris_lakehouse_spark import diag
+
+    @udtf(returnType="installment int, amount_cents bigint")
     class Installments:
         def eval(self, cents):
-            # purely INTEGER arithmetic: the double→cents rounding runs
-            # IN-PLAN (JVM ROUND = half-up = DuckDB half-away for
-            # positive prices), never in Python — Python's round() is
-            # banker's rounding and diverges from the oracle by one
-            # cent on exact-.5 products (the r7 driver hash-fail)
+            # purely INTEGER arithmetic in AND out: the double→cents
+            # FLOOR runs IN-PLAN, never in Python
             if cents is None:
                 return
             base_cents = cents // 3
-            yield 1, Decimal(base_cents) / Decimal(100)
-            yield 2, Decimal(base_cents) / Decimal(100)
-            yield 3, Decimal(cents - 2 * base_cents) / Decimal(100)
+            yield 1, base_cents
+            yield 2, base_cents
+            yield 3, cents - 2 * base_cents
 
     spark.udtf.register("installments", Installments)
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("udtf_orders")
-    return spark.sql(
+    out = spark.sql(
         """
-        SELECT o.o_orderkey, i.installment, i.amount
+        SELECT o.o_orderkey, i.installment, i.amount_cents
         FROM udtf_orders o,
-             LATERAL installments(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) i
+             LATERAL installments(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) i
         WHERE o.o_orderkey <= 300
         ORDER BY o.o_orderkey, i.installment
         """
     )
+    # in-driver telemetry (r8 verdict #1): record what the UDTF actually
+    # computed in THIS environment for the first few orders — raw double,
+    # floored cents, and the fanned-out values — plus the conf snapshot
+    diag.record(
+        "udf_python_udtf",
+        spark,
+        {
+            "sample": [
+                r.asDict()
+                for r in spark.sql(
+                    """
+                    SELECT o.o_orderkey,
+                           CAST(o.o_totalprice AS STRING) AS price_repr,
+                           CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents,
+                           i.installment, i.amount_cents
+                    FROM udtf_orders o,
+                         LATERAL installments(
+                             CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) i
+                    WHERE o.o_orderkey <= 7
+                    ORDER BY o.o_orderkey, i.installment
+                    """
+                ).collect()
+            ]
+        },
+    )
+    return out

@@ -318,6 +318,56 @@ def parse_incremental_join(sql_text: str) -> JoinMatviewSpec | None:
     )
 
 
+def probe_binds(df: DataFrame, spec: MatviewSpec) -> None:
+    """Raise :class:`NotIncrementallyMaintainable` iff the stored spec no
+    longer binds against ``df``'s schema (base schema drift) — the ONLY
+    analysis failure REFRESH may downgrade to a full recompute on.
+
+    Before round 9, REFRESH caught ``AnalysisException`` blanket-wise
+    anywhere in the delta path, so ANY Spark analysis error — an
+    empty-dir read inside ``changes()``, a bug in ``apply_delta`` —
+    silently produced ``mode='full'`` with the reason buried in a column
+    nobody hashes. Now drift is probed explicitly on a LIMIT-0 plan
+    (analysis only, no execution) and every other AnalysisException
+    propagates, surfacing as a diagnosable error instead of a silently
+    different result."""
+    from pyspark.errors import AnalysisException
+
+    exprs = list(spec.group_cols)
+    exprs += [e for _k, e, _a in spec.aggs if e != "*"]
+    if spec.where:
+        exprs.append(spec.where)
+    try:
+        df.limit(0).selectExpr(*exprs)
+    except AnalysisException as e:
+        raise NotIncrementallyMaintainable(
+            f"stored spec no longer binds against the base schema: {e}"
+        ) from e
+
+
+def probe_binds_join(ldf: DataFrame, rdf: DataFrame, spec: JoinMatviewSpec) -> None:
+    """Join-view twin of :func:`probe_binds`: verifies the ON columns and
+    every alias-qualified expression still bind against the two base
+    schemas, on a LIMIT-0 cross of the prefixed sides (analysis only)."""
+    from pyspark.errors import AnalysisException
+
+    flat = _join_spec_as_flat(spec)
+    exprs = [f"{spec.left_alias}__{lc}" for lc, _rc in spec.on]
+    exprs += [f"{spec.right_alias}__{rc}" for _lc, rc in spec.on]
+    exprs += list(flat.group_cols)
+    exprs += [e for _k, e, _a in flat.aggs if e != "*"]
+    if flat.where:
+        exprs.append(flat.where)
+    try:
+        _prefix(ldf.limit(0), spec.left_alias).crossJoin(
+            _prefix(rdf.limit(0), spec.right_alias)
+        ).selectExpr(*exprs)
+    except AnalysisException as e:
+        raise NotIncrementallyMaintainable(
+            f"stored join spec no longer binds against the base schemas: {e}"
+        ) from e
+
+
 def _prefix(df: DataFrame, alias: str, keep: tuple[str, ...] = ()) -> DataFrame:
     """Rename every column to ``<alias>__<col>`` (flat names survive the
     join without ambiguity); ``keep`` columns keep their name."""

@@ -961,8 +961,49 @@ def ref_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Materialized-view golden: per-application mode cache so the fixture
 # builds (and its REFRESH runs) exactly once per Spark app — re-invoking
-# the query returns the identical stable result.
+# the query returns the identical stable result. The build flag is
+# tracked SEPARATELY from the mode so a REFRESH that fails loud (below)
+# can never cause a retried invocation to re-run the INSERT transcript
+# (which would silently duplicate fixture rows).
 _MV_MODE: dict[str, str] = {}
+_MV_BUILT: dict[str, bool] = {}
+
+
+def _refresh_checked(lake, spark: SparkSession, golden: str, stmt: str) -> str:
+    """Run REFRESH MATERIALIZED VIEW, record telemetry, and FAIL LOUD if
+    the incremental path did not run.
+
+    Two driver rounds produced silent hash mismatches on the MV goldens
+    (mode interpolated into the result; rows+schema matched, values
+    didn't) while every local reproduction ran 'incremental'. A
+    downgrade ('full'), a 'noop' (refresh saw no new base snapshot), or
+    any other mode now raises with the full REFRESH result row, so the
+    driver records a *named cause* in its `err` column instead of an
+    undiagnosable wrong hash — and DIAG_GOLDENS.jsonl keeps the
+    environment snapshot either way."""
+    from minio_iceberg_polaris_lakehouse_spark import diag
+
+    row = lake.sql(stmt).collect()[0]
+    diag.record(
+        golden,
+        spark,
+        {
+            "refresh": {
+                "view": row.view,
+                "mode": row.mode,
+                "synced_snapshot": row.synced_snapshot,
+                "downgrade_reason": row.downgrade_reason,
+            }
+        },
+    )
+    if row.mode != "incremental":
+        raise RuntimeError(
+            f"{golden}: REFRESH ran mode={row.mode!r} instead of "
+            f"'incremental' (downgrade_reason={row.downgrade_reason!r}, "
+            f"synced_snapshot={row.synced_snapshot!r}) — see "
+            "DIAG_GOLDENS.jsonl for the environment snapshot"
+        )
+    return row.mode
 
 
 @register(
@@ -990,22 +1031,27 @@ def ref_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = spark.sparkContext.applicationId
     with _FIXTURE_LOCK:
         if key not in _MV_MODE:
-            lake.sql(
-                "CREATE TABLE IF NOT EXISTS polaris.test_db.mv_sales "
-                "(region STRING, amount DECIMAL(10,2)) USING ICEBERG"
-            )
-            lake.sql(
-                "INSERT INTO test_db.mv_sales VALUES ('eu', 10.00), ('eu', 5.50), ('us', 7.25)"
-            )
-            lake.sql(
-                "CREATE MATERIALIZED VIEW test_db.sales_mv AS "
-                "SELECT region, SUM(amount) AS total, COUNT(*) AS n "
-                "FROM test_db.mv_sales GROUP BY region"
-            )
-            lake.sql("INSERT INTO test_db.mv_sales VALUES ('eu', 1.00), ('ap', 2.00)")
-            lake.sql("DELETE FROM test_db.mv_sales WHERE region = 'ap'")
-            _MV_MODE[key] = (
-                lake.sql("REFRESH MATERIALIZED VIEW test_db.sales_mv").collect()[0].mode
+            if not _MV_BUILT.get(key):
+                lake.sql(
+                    "CREATE TABLE IF NOT EXISTS polaris.test_db.mv_sales "
+                    "(region STRING, amount DECIMAL(10,2)) USING ICEBERG"
+                )
+                lake.sql(
+                    "INSERT INTO test_db.mv_sales VALUES ('eu', 10.00), ('eu', 5.50), ('us', 7.25)"
+                )
+                lake.sql(
+                    "CREATE MATERIALIZED VIEW test_db.sales_mv AS "
+                    "SELECT region, SUM(amount) AS total, COUNT(*) AS n "
+                    "FROM test_db.mv_sales GROUP BY region"
+                )
+                lake.sql("INSERT INTO test_db.mv_sales VALUES ('eu', 1.00), ('ap', 2.00)")
+                lake.sql("DELETE FROM test_db.mv_sales WHERE region = 'ap'")
+                _MV_BUILT[key] = True
+            _MV_MODE[key] = _refresh_checked(
+                lake,
+                spark,
+                "ref_matview_incremental",
+                "REFRESH MATERIALIZED VIEW test_db.sales_mv",
             )
         mode = _MV_MODE[key]
     return lake.sql(
@@ -1015,6 +1061,7 @@ def ref_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MVJ_MODE: dict[str, str] = {}
+_MVJ_BUILT: dict[str, bool] = {}
 
 
 @register(
@@ -1042,31 +1089,34 @@ def ref_matview_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = spark.sparkContext.applicationId
     with _FIXTURE_LOCK:
         if key not in _MVJ_MODE:
-            lake.sql(
-                "CREATE TABLE IF NOT EXISTS polaris.test_db.jo_custs "
-                "(cust_id INT, segment STRING) USING ICEBERG"
-            )
-            lake.sql(
-                "CREATE TABLE IF NOT EXISTS polaris.test_db.jo_orders "
-                "(cust_id INT, amount DECIMAL(10,2)) USING ICEBERG"
-            )
-            lake.sql("INSERT INTO test_db.jo_custs VALUES (1, 'gold'), (2, 'silver')")
-            lake.sql(
-                "INSERT INTO test_db.jo_orders VALUES (1, 10.00), (1, 2.50), (2, 4.00)"
-            )
-            lake.sql(
-                "CREATE MATERIALIZED VIEW test_db.orders_by_segment AS "
-                "SELECT c.segment, SUM(o.amount) AS total, COUNT(*) AS n "
-                "FROM test_db.jo_orders o JOIN test_db.jo_custs c "
-                "ON o.cust_id = c.cust_id GROUP BY c.segment"
-            )
-            lake.sql("INSERT INTO test_db.jo_orders VALUES (2, 6.00), (3, 9.99)")
-            lake.sql("INSERT INTO test_db.jo_custs VALUES (3, 'gold')")
-            lake.sql("DELETE FROM test_db.jo_orders WHERE amount = 2.50")
-            _MVJ_MODE[key] = (
-                lake.sql("REFRESH MATERIALIZED VIEW test_db.orders_by_segment")
-                .collect()[0]
-                .mode
+            if not _MVJ_BUILT.get(key):
+                lake.sql(
+                    "CREATE TABLE IF NOT EXISTS polaris.test_db.jo_custs "
+                    "(cust_id INT, segment STRING) USING ICEBERG"
+                )
+                lake.sql(
+                    "CREATE TABLE IF NOT EXISTS polaris.test_db.jo_orders "
+                    "(cust_id INT, amount DECIMAL(10,2)) USING ICEBERG"
+                )
+                lake.sql("INSERT INTO test_db.jo_custs VALUES (1, 'gold'), (2, 'silver')")
+                lake.sql(
+                    "INSERT INTO test_db.jo_orders VALUES (1, 10.00), (1, 2.50), (2, 4.00)"
+                )
+                lake.sql(
+                    "CREATE MATERIALIZED VIEW test_db.orders_by_segment AS "
+                    "SELECT c.segment, SUM(o.amount) AS total, COUNT(*) AS n "
+                    "FROM test_db.jo_orders o JOIN test_db.jo_custs c "
+                    "ON o.cust_id = c.cust_id GROUP BY c.segment"
+                )
+                lake.sql("INSERT INTO test_db.jo_orders VALUES (2, 6.00), (3, 9.99)")
+                lake.sql("INSERT INTO test_db.jo_custs VALUES (3, 'gold')")
+                lake.sql("DELETE FROM test_db.jo_orders WHERE amount = 2.50")
+                _MVJ_BUILT[key] = True
+            _MVJ_MODE[key] = _refresh_checked(
+                lake,
+                spark,
+                "ref_matview_join",
+                "REFRESH MATERIALIZED VIEW test_db.orders_by_segment",
             )
         mode = _MVJ_MODE[key]
     return lake.sql(

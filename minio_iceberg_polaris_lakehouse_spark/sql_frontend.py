@@ -53,18 +53,20 @@ _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 # - SnapshotNotFoundError: the synced base snapshot expired out of the
 #   changelog window;
 # - NotIncrementallyMaintainable: the window cannot be folded (delete in
-#   a MIN/MAX view's window);
-# - AnalysisException: base schema drift made the stored spec unbindable.
+#   a MIN/MAX view's window), or base schema drift made the stored spec
+#   unbindable (probed EXPLICITLY via matview.probe_binds[_join] on a
+#   LIMIT-0 plan before the delta runs — r8 postmortem: a blanket
+#   AnalysisException catch turned ANY analysis error anywhere in the
+#   delta path into a silent mode='full', which hashes differently from
+#   'incremental' with err:null — undiagnosable).
 # Everything else propagates — a blanket catch here would mask a genuine
 # bug in the delta path forever (the fallback is always "correct").
 def _mv_downgrade_types() -> tuple[type[BaseException], ...]:
-    from pyspark.errors import AnalysisException
-
     from minio_iceberg_polaris_lakehouse_spark.matview import (
         NotIncrementallyMaintainable,
     )
 
-    return (SnapshotNotFoundError, NotIncrementallyMaintainable, AnalysisException)
+    return (SnapshotNotFoundError, NotIncrementallyMaintainable)
 
 
 _MV_DOWNGRADE = _mv_downgrade_types()
@@ -1325,6 +1327,10 @@ class LakehouseSQL:
                 from pyspark.sql import functions as F
 
                 try:
+                    # schema-drift is the one analysis failure that may
+                    # downgrade; probe it explicitly so any OTHER
+                    # AnalysisException in the delta path propagates
+                    MV.probe_binds(base.read(), spec)
                     chg = base.changes(from_version=rec["synced"], to_version=cur)
                     if any(k in ("min", "max") for k, *_r in spec.aggs) and (
                         chg.filter(F.col("_change_type") == "delete").limit(1).count()
@@ -1392,6 +1398,8 @@ class LakehouseSQL:
         downgrade: str | None = None
         if ls is not None and rs is not None and jspec is not None:
             try:
+                # explicit drift probe (see _mv_downgrade_types)
+                MV.probe_binds_join(lbase.read(), rbase.read(), jspec)
                 lchg = lbase.changes(from_version=ls, to_version=lcur)
                 rchg = rbase.changes(from_version=rs, to_version=rcur)
                 if any(k in ("min", "max") for k, *_r in jspec.aggs):
@@ -1470,6 +1478,14 @@ class LakehouseSQL:
         downgrade: str | None = None
         if rec["synced"] is not None and spec is not None:
             try:
+                # explicit drift probe against the pinned foreign schema
+                # (see _mv_downgrade_types)
+                MV.probe_binds(
+                    read_iceberg_table(
+                        self.spark, floc, snapshot_id=cur if cur else None
+                    ),
+                    spec,
+                )
                 chg = changes_iceberg_table(self.spark, floc, rec["synced"], cur)
                 if any(k in ("min", "max") for k, *_r in spec.aggs):
                     # the gate + fold would otherwise evaluate the (possibly
