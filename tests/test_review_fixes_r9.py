@@ -103,3 +103,38 @@ def test_diag_record_never_raises(spark, tmp_path, monkeypatch):
     # unwritable path: record must swallow the failure
     monkeypatch.setattr(diag, "DIAG_PATH", tmp_path / "no_dir" / "x" / "d.jsonl")
     diag.record("x", spark, {"k": object()})  # unserializable payload too
+
+
+def test_bench_summary_fits_driver_tail_window():
+    """The driver keeps only the last 2000 bytes of stdout; three rounds
+    of perf record were lost to a final JSON line that outgrew it. The
+    compact summary must fit with margin even with the sf1 section and
+    worst-case query timings present."""
+    import bench
+
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": 123.456789,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {name: 12345.6789 for name in bench.HEADLINE},
+        "extended": {name: 1.0 for name in bench.EXTENDED},
+        "stddev": {name: 0.123456 for name in bench.HEADLINE},
+        "iters": 5,
+        "probe_degraded": False,
+        "load_contaminated": False,
+        "cpu_probe_s": 0.987654,
+        "sf1_scale_check": {
+            "total": 9999.123,
+            "worst_query_scaling": {
+                "query": "rel_q9_profit_by_nation_year", "ratio": 3.56,
+            },
+        },
+    }
+    line = __import__("json").dumps(bench._summarize(result), separators=(",", ":"))
+    assert len(line.encode()) <= bench.SUMMARY_BUDGET_B
+    # and the summary still satisfies the driver contract fields
+    parsed = __import__("json").loads(line)
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in parsed
+    assert parsed["sf1_total"] == 9999.12
