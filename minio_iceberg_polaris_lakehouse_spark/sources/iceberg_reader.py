@@ -254,6 +254,21 @@ def _decode_bound(raw: bytes, type_str: str):
     return None
 
 
+def _ts_micros(s: str) -> int | None:
+    """Parse a timestamp string (path-encoded partition value or
+    predicate literal, ' ' or 'T' separator, optional offset) to UTC
+    epoch micros; None when unparsable (conservative: no pruning)."""
+    import datetime as _dt
+
+    try:
+        d = _dt.datetime.fromisoformat(s)
+    except ValueError:
+        return None
+    d = d.replace(tzinfo=_dt.timezone.utc) if d.tzinfo is None else d
+    delta = d - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    return (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+
+
 def _coerce_vals(pv, v, col_type) -> tuple | None:
     """(a, b) made comparable for pruning, or None (no pruning on this
     pair — conservative)."""
@@ -263,11 +278,30 @@ def _coerce_vals(pv, v, col_type) -> tuple | None:
         return None
     if isinstance(pv, bool) or isinstance(v, bool):
         return None
+    t = str(col_type)
     if isinstance(pv, (int, float)) and isinstance(v, (int, float)):
         return (pv, v)
     if isinstance(pv, str) and isinstance(v, str):
-        return (pv, v)
-    t = str(col_type)
+        # raw lexicographic comparison is only sound for STRING columns:
+        # identity-partitioned timestamps path-encode as
+        # '2024-01-01 10:00:00', and an equivalent literal in another
+        # format ('2024-01-01T10:00:00', no-seconds) compares unequal /
+        # mis-ordered AS TEXT — excluding the file that holds the
+        # matching instant. Parse typed columns to their numeric space.
+        if t == "string":
+            return (pv, v)
+        if t.startswith("timestamp"):
+            a, b = _ts_micros(pv), _ts_micros(v)
+            return None if a is None or b is None else (a, b)
+        if t == "date":
+            try:
+                return (
+                    _dt.date.fromisoformat(pv).toordinal(),
+                    _dt.date.fromisoformat(v).toordinal(),
+                )
+            except ValueError:
+                return None
+        return None
     if isinstance(pv, int) and isinstance(v, str) and t == "date":
         try:
             return (pv, (_dt.date.fromisoformat(v) - _dt.date(1970, 1, 1)).days)
@@ -301,7 +335,13 @@ def _transform_pred(transform: str, v, col_type) -> tuple[object, bool] | None:
                 d = _dt.datetime(x.year, x.month, x.day)
             else:
                 return None
-            return d if d.tzinfo else d.replace(tzinfo=_dt.timezone.utc)
+            # Iceberg temporal transforms are defined over UTC micros:
+            # an offset-bearing literal must be converted (not just
+            # tagged) before its calendar fields are read, or e.g.
+            # '2024-01-01T23:00:00-05:00' (UTC day 2024-01-02) maps to
+            # day 19723 and prunes files holding matching rows
+            d = d.replace(tzinfo=_dt.timezone.utc) if d.tzinfo is None else d
+            return d.astimezone(_dt.timezone.utc)
         except ValueError:
             return None
 
@@ -412,9 +452,36 @@ def _part_range_excl(
 def _bucket_hash_ok(md: dict) -> bool:
     """True iff bucket partition VALUES in this table follow the
     Iceberg-spec bucket hash (the spec requires it; only this engine's
-    own exports stamp a different hash)."""
+    own exports stamp a different hash).
+
+    An ABSENT stamp is trusted as spec-hashed only for genuinely
+    foreign metadata: exports this engine produced BEFORE the stamp
+    existed carry Spark murmur3(seed 42) bucket values with no
+    property, and deriving spec buckets against those would prune the
+    WRONG files. Our exporter is detectable without a property — it is
+    the only writer that mirrors each manifest list to a sibling
+    `snap-<id>.manifest-list.json` debug document — so unstamped
+    metadata whose current snapshot has that mirror is treated as
+    legacy-engine-hashed (no bucket pruning)."""
     stamp = (md.get("properties") or {}).get("write.bucket-hash")
-    return stamp in (None, "iceberg-murmur3")
+    if stamp == "iceberg-murmur3":
+        return True
+    if stamp is not None:
+        return False
+    # no stamp: version-gate against this engine's pre-stamp exports
+    cur = md.get("current-snapshot-id")
+    for s in md.get("snapshots", []):
+        if s.get("snapshot-id") == cur:
+            ml = s.get("manifest-list", "")
+            mirror = re.sub(r"-manifest-list\.avro$", ".manifest-list.json", ml)
+            if mirror != ml:
+                try:
+                    if fsio.exists(mirror):
+                        return False
+                except Exception:
+                    pass
+            break
+    return True
 
 
 def _manifest_pruner(md: dict, target: dict, eq: dict | None, between: dict | None):

@@ -205,6 +205,18 @@ def sketch_estimate(buf: bytes) -> float:
     return estimate(len(ents), theta)
 
 
+def _min_signed_len(v: int) -> int:
+    """Byte length of the MINIMAL two's-complement encoding of ``v`` —
+    exactly Java ``BigInteger.toByteArray()``'s length, which the
+    Iceberg spec's decimal single-value serialization requires. The
+    naive ``bit_length()//8 + 1`` over-pads exact negative powers of
+    2^(8k-1) (e.g. -128 → 2 bytes ff80 instead of the minimal 80),
+    diverging bucket hashes and theta sketches from spec-compliant
+    engines for those values (Java bitLength() of a negative is the
+    bit length of ~v)."""
+    return ((v if v >= 0 else ~v).bit_length() // 8) + 1
+
+
 def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
     """MurmurHash3 x86 32-bit — the hash Iceberg's bucket transform is
     specified over (spec Appendix B; cross-validated against Guava's
@@ -305,8 +317,7 @@ def iceberg_bucket(value, n: int, type_str: str) -> int | None:
             m = __import__("re").fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
             scale = int(m.group(2)) if m else 0
             unscaled = int(decimal.Decimal(str(value)).scaleb(scale))
-            nb = unscaled.bit_length() // 8 + 1
-            data = unscaled.to_bytes(nb, "big", signed=True)
+            data = unscaled.to_bytes(_min_signed_len(unscaled), "big", signed=True)
         else:
             return None
     except (ValueError, TypeError, decimal.InvalidOperation):
@@ -371,8 +382,7 @@ def single_value_converter(spark_type):
 
         def conv_dec(v):
             unscaled = int(decimal.Decimal(v).scaleb(spark_type.scale))
-            n = max(1, (unscaled.bit_length() + 8) // 8)
-            return unscaled.to_bytes(n, "big", signed=True)
+            return unscaled.to_bytes(_min_signed_len(unscaled), "big", signed=True)
 
         return conv_dec
     return None

@@ -4421,8 +4421,21 @@ class Table:
                 "equality_delete_file_count": pa.array(
                     [r["equality_delete_file_count"] for _, r in rows], pa.int32()
                 ),
+                # spec: record count AFTER applying delete files.
+                # Position deletes remove exactly one row each; an
+                # equality-delete ROW can match any number of data rows,
+                # so when a partition carries equality deletes the true
+                # total is unknowable from counts alone — publish null
+                # (optional field) rather than an inflated number.
                 "total_record_count": pa.array(
-                    [r["data_record_count"] for _, r in rows], pa.int64()
+                    [
+                        None
+                        if r["equality_delete_record_count"]
+                        else r["data_record_count"]
+                        - r["position_delete_record_count"]
+                        for _, r in rows
+                    ],
+                    pa.int64(),
                 ),
                 "last_updated_at": pa.array(
                     [r["last_updated_at"] or None for _, r in rows], pa.int64()

@@ -109,6 +109,17 @@ def test_delete_counts_and_unpartitioned(lake, spark):
     # accompany the tombstone under high local parallelism) — pin the
     # record count above, only require at least one delete file here
     assert r.position_delete_file_count >= 1
+    # spec: total_record_count is the count AFTER applying deletes —
+    # 3 data rows minus 1 position-delete tombstone (r8 advice: it was
+    # published equal to data_record_count, inflating totals)
+    import io
+
+    import pyarrow.parquet as pq
+
+    md = json.loads(fsio.read_text(resolve_metadata_path(t.path)))
+    stats_path = md["partition-statistics"][0]["statistics-path"]
+    tbl = pq.read_table(io.BytesIO(fsio.read_bytes(stats_path))).to_pylist()
+    assert tbl[0]["total_record_count"] == 2
 
 
 def test_empty_table_refused(lake):

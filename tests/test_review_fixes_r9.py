@@ -138,3 +138,109 @@ def test_bench_summary_fits_driver_tail_window():
     for k in ("metric", "value", "unit", "queries", "sf"):
         assert k in parsed
     assert parsed["sf1_total"] == 9999.12
+
+
+# --- r8 ADVICE.md pins ---------------------------------------------------
+
+
+def test_transform_pred_converts_offset_literals_to_utc():
+    """Iceberg temporal transforms are defined over UTC micros: an
+    offset-bearing literal on a day/month/year-partitioned column must
+    map through UTC, or pruning silently drops matching rows."""
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        _transform_pred,
+    )
+
+    # '2024-01-01T23:00:00-05:00' is 2024-01-02T04:00 UTC → day 19724
+    v = "2024-01-01T23:00:00-05:00"
+    assert _transform_pred("day", v, "timestamptz")[0] == 19724
+    # month: Dec 31 23:00 -05:00 is January UTC
+    assert _transform_pred("month", "2023-12-31T23:00:00-05:00", "timestamptz")[0] == (
+        2024 - 1970
+    ) * 12
+    assert _transform_pred("year", "2023-12-31T23:00:00-05:00", "timestamptz")[0] == 54
+    # naive literals are unchanged (treated as UTC)
+    assert _transform_pred("day", "2024-01-01T23:00:00", "timestamp")[0] == 19723
+
+
+def test_coerce_vals_typed_timestamp_comparison():
+    """(str, str) pairs compare lexicographically ONLY for string
+    columns; timestamp-typed partition values parse to epoch micros so
+    format variants ('T' separator, no-seconds, offsets) compare by
+    instant, not by text."""
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        _coerce_vals,
+    )
+
+    # same instant, different renderings: must compare EQUAL
+    a, b = _coerce_vals("2024-01-01 10:00:00", "2024-01-01T10:00:00", "timestamp")
+    assert a == b
+    a, b = _coerce_vals("2024-01-01 10:00", "2024-01-01T10:00:00", "timestamp")
+    assert a == b
+    # offset rendering of the same instant
+    a, b = _coerce_vals("2024-01-01 10:00:00", "2024-01-01T05:00:00-05:00", "timestamptz")
+    assert a == b
+    # ordering by instant, not text
+    a, b = _coerce_vals("2024-01-02 00:00:00", "2024-01-01T23:59:59", "timestamp")
+    assert a > b
+    # strings still compare raw
+    assert _coerce_vals("abc", "abd", "string") == ("abc", "abd")
+    # unparsable → conservative None (no pruning)
+    assert _coerce_vals("not-a-ts", "2024-01-01T00:00:00", "timestamp") is None
+
+
+def test_decimal_single_value_minimal_bytes():
+    """Unscaled values that are exact negative powers of 2^(8k-1) must
+    serialize to Java BigInteger.toByteArray's MINIMAL length (e.g.
+    -128 → one byte 0x80, not two bytes 0xff80), or bucket hashes and
+    theta sketches diverge from spec-compliant engines."""
+    from pyspark.sql import types as T
+
+    from minio_iceberg_polaris_lakehouse_spark.theta import (
+        _min_signed_len,
+        iceberg_bucket,
+        murmur3_x86_32,
+        single_value_converter,
+    )
+
+    assert _min_signed_len(-128) == 1
+    assert _min_signed_len(127) == 1
+    assert _min_signed_len(128) == 2
+    assert _min_signed_len(-129) == 2
+    assert _min_signed_len(0) == 1
+    assert _min_signed_len(-32768) == 2
+
+    conv = single_value_converter(T.DecimalType(10, 2))
+    import decimal
+
+    assert conv(decimal.Decimal("-1.28")) == bytes([0x80])
+    assert conv(decimal.Decimal("-327.68")) == bytes([0x80, 0x00])
+    assert conv(decimal.Decimal("1.27")) == bytes([0x7F])
+    # bucket hash of the same value agrees with hashing the minimal bytes
+    b = iceberg_bucket("-1.28", 16, "decimal(10,2)")
+    assert b == (murmur3_x86_32(bytes([0x80])) & 0x7FFFFFFF) % 16
+
+
+def test_unstamped_bucket_metadata_with_engine_mirror_not_trusted(tmp_path):
+    """Metadata with NO write.bucket-hash property is spec-hashed only
+    if it didn't come from this engine's exporter; the exporter's
+    manifest-list JSON mirror is the fingerprint of a legacy export
+    whose bucket values are Spark-hashed."""
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        _bucket_hash_ok,
+    )
+
+    ml_avro = str(tmp_path / "snap-77-manifest-list.avro")
+    md = {
+        "properties": {},
+        "current-snapshot-id": 77,
+        "snapshots": [{"snapshot-id": 77, "manifest-list": ml_avro}],
+    }
+    # genuinely foreign (no mirror): absence of stamp → spec hash trusted
+    assert _bucket_hash_ok(md) is True
+    # legacy export from this engine: mirror file exists → NOT trusted
+    (tmp_path / "snap-77.manifest-list.json").write_text("{}")
+    assert _bucket_hash_ok(md) is False
+    # explicit stamps still win either way
+    assert _bucket_hash_ok({**md, "properties": {"write.bucket-hash": "iceberg-murmur3"}}) is True
+    assert _bucket_hash_ok({**md, "properties": {"write.bucket-hash": "spark-murmur3-seed42"}}) is False
