@@ -1240,10 +1240,14 @@ def ref_foreign_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _FIXTURE_LOCK:
         if key not in _FPRUNE_STATE:
             tab = lake.wh.table("my_warehouse", "users")
-            lake.sql(
-                "CALL polaris.system.register_table("
-                f"table => 'ext.users_fp', metadata_file => '{tab.path}')"
-            )
+            # idempotent setup: a partially-failed earlier invocation may
+            # have registered ext.users_fp but died before the state
+            # cache was set — re-registration must reuse, not conflict
+            if "ext.users_fp" not in lake.wh.foreign_tables():
+                lake.sql(
+                    "CALL polaris.system.register_table("
+                    f"table => 'ext.users_fp', metadata_file => '{tab.path}')"
+                )
             full = len(lake.sql("SELECT id FROM ext.users_fp").inputFiles())
             planned = len(
                 lake.sql(

@@ -221,3 +221,18 @@ def test_foreign_ref_time_travel_and_refs_table(lake, spark, tmp_path):
 
     with pytest.raises(Exception, match="no branch or tag"):
         lake.sql("SELECT * FROM mirror.src VERSION AS OF 'nope'").collect()
+
+
+def test_foreign_pruned_scan_setup_idempotent(spark):
+    """Retry safety for the ref_foreign_pruned_scan golden: if an
+    earlier invocation registered ext.users_fp but died before caching
+    its state, a retried invocation must reuse the registration (no
+    name-conflict) and return the identical result."""
+    from minio_iceberg_polaris_lakehouse_spark.operators import reference_golden as RG
+
+    first = RG.ref_foreign_pruned_scan(spark, "/root/testdata/sf0.001").collect()
+    # simulate the torn state: registration exists, cache entry lost
+    RG._FPRUNE_STATE.clear()
+    second = RG.ref_foreign_pruned_scan(spark, "/root/testdata/sf0.001").collect()
+    assert [tuple(r) for r in first] == [tuple(r) for r in second]
+    assert first[0].pruned == 1
