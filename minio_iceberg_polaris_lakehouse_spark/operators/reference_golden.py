@@ -1183,15 +1183,18 @@ _SPEC_BUCKET_DONE: dict[str, bool] = {}
     """,
 )
 def ref_spec_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ICEBERG-SPEC bucket partitioning end-to-end: a table created with
-    TBLPROPERTIES ('write.bucket-hash'='iceberg-murmur3') physically
-    places each row in the bucket the SPEC's murmur3_x86_32 hash
-    assigns (theta.murmur3_x86_32 — Guava-cross-validated, spec
+    """ICEBERG-SPEC bucket partitioning end-to-end, BY DEFAULT (no
+    TBLPROPERTIES opt-in since r9): a freshly created bucketed table
+    physically places each row in the bucket the SPEC's murmur3_x86_32
+    hash assigns (theta.murmur3_x86_32 — Guava-cross-validated, spec
     Appendix B vectors pinned). The returned bucket is parsed from each
     row's REAL file path (`_file` metadata column), and the oracle's
     literals are the spec's own bucket values for ids 0..9 under
     bucket[8] — a hash match proves any compliant engine would compute
-    identical buckets for this table's files."""
+    identical buckets for this table's files without any per-table
+    configuration (write.bucket-hash='spark-murmur3-seed42' remains the
+    JVM-hash escape hatch; pre-default tables keep their stamped
+    hash)."""
     lake = _lake(spark)
     key = spark.sparkContext.applicationId
     with _FIXTURE_LOCK:
@@ -1199,8 +1202,7 @@ def ref_spec_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             lake.sql(
                 "CREATE TABLE IF NOT EXISTS polaris.test_db.spec_bucket "
                 "(id INT, v STRING) USING ICEBERG "
-                "PARTITIONED BY (bucket(8, id)) "
-                "TBLPROPERTIES ('write.bucket-hash'='iceberg-murmur3')"
+                "PARTITIONED BY (bucket(8, id))"
             )
             lake.sql(
                 "INSERT INTO test_db.spec_bucket VALUES "

@@ -390,6 +390,19 @@ class Warehouse:
                 "format": "parquet",
                 "write.parquet.compression-codec": "zstd",
                 "format-version": "2",
+                # NEW bucketed tables default to the ICEBERG-SPEC bucket
+                # hash, so every exported table is bucket-prunable by any
+                # compliant engine without a per-table opt-in; the
+                # property remains the escape hatch (spark-murmur3-seed42
+                # keeps the JVM-side F.hash write path). Existing tables
+                # are untouched — the stamp is fixed at CREATE and
+                # refused after snapshots exist (set_properties).
+                **(
+                    {"write.bucket-hash": "iceberg-murmur3"}
+                    if str(transform).startswith("bucket")
+                    and "write.bucket-hash" not in (properties or {})
+                    else {}
+                ),
                 **(properties or {}),
             },
             "created_at_ms": int(time.time() * 1000),

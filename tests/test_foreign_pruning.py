@@ -270,10 +270,11 @@ def test_day_transform_pruning_end_to_end(lake, spark):
 
 
 def test_bucket_pruning_gated_on_writer_hash(lake, spark):
-    """This engine's exports bucket with Spark's hash, NOT the spec
-    hash — they stamp write.bucket-hash and the pruner must NOT derive
-    spec buckets against them (it would prune wrong files). All rows
-    must come back for any bucket-column predicate."""
+    """Tables that opt into the LEGACY Spark bucket hash (the escape
+    hatch; also the implicit hash of every pre-r9 bucketed table) stamp
+    write.bucket-hash and the pruner must NOT derive spec buckets
+    against them (it would prune wrong files). All rows must come back
+    for any bucket-column predicate."""
     import json
 
     from minio_iceberg_polaris_lakehouse_spark import fsio
@@ -284,7 +285,8 @@ def test_bucket_pruning_gated_on_writer_hash(lake, spark):
 
     lake.sql(
         "CREATE TABLE polaris.db.bk (id INT, v STRING) USING ICEBERG "
-        "PARTITIONED BY (bucket(4, id))"
+        "PARTITIONED BY (bucket(4, id)) "
+        "TBLPROPERTIES ('write.bucket-hash'='spark-murmur3-seed42')"
     )
     lake.sql(
         "INSERT INTO db.bk VALUES " + ", ".join(f"({i}, 'v{i}')" for i in range(20))
@@ -476,10 +478,15 @@ def test_bucket_hash_property_frozen_after_snapshots(lake):
         "CREATE TABLE polaris.db.fz (id INT) USING ICEBERG "
         "PARTITIONED BY (bucket(4, id))"
     )
+    # r9 default: new bucketed tables stamp the spec hash at CREATE
+    assert (
+        lake.wh.table("db", "fz")._meta()["properties"]["write.bucket-hash"]
+        == "iceberg-murmur3"
+    )
     lake.sql("INSERT INTO db.fz VALUES (1), (2)")
     with pytest.raises(WarehouseError, match="cannot change after"):
         lake.wh.table("db", "fz").set_properties(
-            {"write.bucket-hash": "iceberg-murmur3"}
+            {"write.bucket-hash": "spark-murmur3-seed42"}
         )
     with pytest.raises(WarehouseError, match="unknown write.bucket-hash"):
         lake.wh.table("db", "fz").set_properties({"write.bucket-hash": "md5"})
