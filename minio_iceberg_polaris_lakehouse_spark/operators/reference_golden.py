@@ -1215,6 +1215,68 @@ def ref_spec_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TSPRUNE_STATE: dict[str, tuple[int, int]] = {}
+
+
+@register(
+    "ref_foreign_ts_pruned_scan",
+    oracle="""
+    SELECT 2 AS id, CAST('2024-01-02 04:00:00' AS TIMESTAMP) AS ts,
+           CAST(1 AS INT) AS pruned
+    """,
+)
+def ref_foreign_ts_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden-partition TEMPORAL pruning on the consumer side, with a
+    timezone-hostile literal: a day(ts)-partitioned table is exported
+    and registered foreign, then queried through plain SQL with an
+    OFFSET-BEARING timestamp equality ('2024-01-01T23:00:00-05:00' —
+    which is UTC day 2024-01-02). Iceberg's temporal transforms are
+    defined over UTC micros (spec §Partition Transforms), so the
+    pruner must map the literal through UTC before deriving the day
+    ordinal: the r8-advice bug mapped it to the literal's LOCAL
+    calendar day and pruned the one file that holds the matching row —
+    silent row loss, invisible to a rows-only check. `pruned`=1 is the
+    plan-time proof the predicate still planned strictly fewer files
+    than the full foreign read (pruning saves IO, never rows); the
+    returned (id, ts) row is the correctness proof."""
+    from pyspark.sql import functions as F
+
+    lake = _lake(spark)
+    key = spark.sparkContext.applicationId
+    with _FIXTURE_LOCK:
+        if key not in _TSPRUNE_STATE:
+            if not lake.wh.table("test_db", "ts_days").exists():
+                lake.sql(
+                    "CREATE TABLE IF NOT EXISTS polaris.test_db.ts_days "
+                    "(id INT, ts TIMESTAMP) USING ICEBERG "
+                    "PARTITIONED BY (days(ts))"
+                )
+                lake.sql(
+                    "INSERT INTO test_db.ts_days VALUES "
+                    "(1, '2024-01-01 04:00:00'), (2, '2024-01-02 04:00:00'), "
+                    "(3, '2024-01-03 04:00:00')"
+                )
+            tab = lake.wh.table("test_db", "ts_days")
+            if "ext.ts_days" not in lake.wh.foreign_tables():
+                lake.sql(
+                    "CALL polaris.system.register_table("
+                    f"table => 'ext.ts_days', metadata_file => '{tab.path}')"
+                )
+            full = len(lake.sql("SELECT id FROM ext.ts_days").inputFiles())
+            planned = len(
+                lake.sql(
+                    "SELECT id FROM ext.ts_days "
+                    "WHERE ts = '2024-01-01T23:00:00-05:00'"
+                ).inputFiles()
+            )
+            _TSPRUNE_STATE[key] = (full, planned)
+    full, planned = _TSPRUNE_STATE[key]
+    pruned = F.lit(1 if planned < full else 0)
+    return lake.sql(
+        "SELECT id, ts FROM ext.ts_days WHERE ts = '2024-01-01T23:00:00-05:00'"
+    ).select("id", "ts", pruned.cast("int").alias("pruned"))
+
+
 _FPRUNE_STATE: dict[str, tuple[int, int]] = {}
 
 

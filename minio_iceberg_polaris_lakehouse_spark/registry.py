@@ -140,6 +140,14 @@ _PRIORITY: list[str] = [
     # pruned column (mm_audio_resample rested — mm_audio_stats keeps
     # the audio codec in-window)
     "ref_foreign_pruned_scan",
+    # NEW r9: consumer-side TEMPORAL pruning with an offset-bearing
+    # timestamp literal — the r8-advice UTC-mapping fix, proven through
+    # plain SQL on a registered foreign day(ts) table (pruned-count
+    # column = plan proof, returned row = row-loss proof). Takes
+    # ref_migrated_table's slot (2 green rounds r07/r08; the
+    # foreign-reader family keeps register_foreign, foreign_metadata,
+    # foreign_changes, dv_roundtrip, foreign_pruned_scan in-window).
+    "ref_foreign_ts_pruned_scan",
     # NEW r8: Iceberg-SPEC bucket partitioning (write.bucket-hash=
     # iceberg-murmur3) — per-row buckets parsed from the REAL file
     # paths, oracle pins the spec hash values (rel_q22 rested — the
@@ -162,11 +170,9 @@ _PRIORITY: list[str] = [
     "rel_q21_waiting_supplier",
     # relational reshaping: UNPIVOT/stack — first driver slot
     "rel_unpivot",
-    # NEW r7 session 2: migrate-in-place (CALL system.snapshot +
-    # zero-copy add_files) read back with engine-written rows
-    # (win_running_sum rested at one green round for the slot; three
-    # window functions keep the §2.5 family in-window)
-    "ref_migrated_table",
+    # r9: ref_migrated_table rested (2 green rounds r07/r08) for the
+    # ref_foreign_ts_pruned_scan first-timer above; migrate-in-place
+    # stays green in the uncapped local replica + test_add_files.py
     # NEW r7 session 3: persisted ANALYZE/NDV statistics through the SQL
     # path (win_moving_avg rested at two green rounds; win_rank_dense_rank
     # + win_lag_lead keep §2.5 in-window)
