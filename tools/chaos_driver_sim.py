@@ -110,6 +110,10 @@ def main() -> int:
     )
     ap.add_argument("--repeat", type=int, default=1)
     ap.add_argument("--isolate", action="store_true")
+    ap.add_argument(
+        "--only", default=None,
+        help="comma-separated query names (subset of the window) to check",
+    )
     ap.add_argument("--_child", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
@@ -132,6 +136,13 @@ def main() -> int:
 
         qs = m.queries()
         window = list(qs)[: args.limit]
+        if args.only:
+            wanted = [n.strip() for n in args.only.split(",") if n.strip()]
+            missing = [n for n in wanted if n not in qs]
+            if missing:
+                print(f"# unknown queries: {missing}", file=sys.stderr)
+                return 2
+            window = wanted
         order_seed = None
         if args.shuffle is not None:
             order_seed = args.shuffle if args.shuffle >= 0 else random.randrange(1 << 30)
