@@ -584,3 +584,79 @@ if _HAS_HYP:
             excluded = _part_range_excl(b, b, "c", "int", tr, {"c": eq_v}, None)
             if b == probe_bucket:
                 assert not excluded  # the probe's own bucket must survive
+
+if _HAS_HYP:
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        day=st.integers(0, 25000),  # epoch days through ~2038
+        secs=st.integers(0, 86399),
+        off_min=st.sampled_from([-720, -300, -60, 0, 60, 330, 720]),
+        use_t_sep=st.booleans(),
+        transform=st.sampled_from(["day", "month", "year", "hour"]),
+    )
+    def test_fuzz_temporal_transform_never_excludes_matching_day(
+        day, secs, off_min, use_t_sep, transform
+    ):
+        """For ANY rendering of an instant (naive, 'T'/space separator,
+        arbitrary UTC offset), the partition holding that instant's UTC
+        day/month/year/hour must never be excluded by an equality
+        predicate in that rendering — the r8-advice row-loss class."""
+        import datetime as dt
+
+        from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+            _part_range_excl,
+        )
+
+        utc = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(
+            days=day, seconds=secs
+        )
+        # render the SAME instant shifted into a local offset
+        local = utc.astimezone(dt.timezone(dt.timedelta(minutes=off_min)))
+        lit = local.isoformat(sep="T" if use_t_sep else " ")
+        # the partition value the WRITER derives (from UTC micros, per spec)
+        if transform == "day":
+            pv = (utc.date() - dt.date(1970, 1, 1)).days
+        elif transform == "month":
+            pv = (utc.year - 1970) * 12 + utc.month - 1
+        elif transform == "year":
+            pv = utc.year - 1970
+        else:
+            pv = int(utc.timestamp()) // 3600
+        assert not _part_range_excl(
+            pv, pv, "ts", "timestamptz", transform, {"ts": lit}, None
+        ), f"instant {lit} lost from its own {transform} partition {pv}"
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        day=st.integers(0, 25000),
+        secs=st.integers(0, 86399),
+        off_min=st.sampled_from([-720, -300, 0, 60, 330, 720]),
+        use_t_sep=st.booleans(),
+        drop_secs=st.booleans(),
+    )
+    def test_fuzz_identity_ts_partition_never_excludes_equal_instant(
+        day, secs, off_min, use_t_sep, drop_secs
+    ):
+        """Identity-partitioned timestamps path-encode as strings; an
+        equality literal that denotes the SAME instant in any other
+        rendering must never exclude that partition (the lexicographic
+        comparison hole)."""
+        import datetime as dt
+
+        from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+            _part_range_excl,
+        )
+
+        utc = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(
+            days=day, seconds=secs
+        )
+        if drop_secs and utc.second == 0:
+            pv = utc.strftime("%Y-%m-%d %H:%M")  # no-seconds path encoding
+        else:
+            pv = utc.strftime("%Y-%m-%d %H:%M:%S")
+        local = utc.astimezone(dt.timezone(dt.timedelta(minutes=off_min)))
+        lit = local.isoformat(sep="T" if use_t_sep else " ")
+        assert not _part_range_excl(
+            pv, pv, "ts", "timestamp", "identity", {"ts": lit}, None
+        ), f"instant {lit} excluded from identity partition {pv!r}"
