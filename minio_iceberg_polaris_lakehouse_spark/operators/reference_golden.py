@@ -1006,6 +1006,20 @@ def _refresh_checked(lake, spark: SparkSession, golden: str, stmt: str) -> str:
     return row.mode
 
 
+def _diag_result(golden: str, spark: SparkSession, df) -> None:
+    """Record the golden's ACTUAL result rows (≤10) in the telemetry —
+    if a driver round ever hash-fails with mode='incremental', the
+    artifact shows the values this environment computed, not just its
+    confs. Tiny fixed-size collect, invisible to the comparison."""
+    from minio_iceberg_polaris_lakehouse_spark import diag
+
+    try:
+        rows = [[str(x) for x in r] for r in df.limit(10).collect()]
+    except Exception as e:  # telemetry must never break the golden
+        rows = [[f"<collect failed: {type(e).__name__}: {e}>"]]
+    diag.record(golden, spark, {"result_sample": rows})
+
+
 @register(
     "ref_matview_incremental",
     oracle="""
@@ -1054,10 +1068,12 @@ def ref_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "REFRESH MATERIALIZED VIEW test_db.sales_mv",
             )
         mode = _MV_MODE[key]
-    return lake.sql(
+    out = lake.sql(
         f"SELECT region, total, n, '{mode}' AS mode "
         "FROM test_db.sales_mv ORDER BY region"
     )
+    _diag_result("ref_matview_incremental", spark, out)
+    return out
 
 
 _MVJ_MODE: dict[str, str] = {}
@@ -1119,10 +1135,12 @@ def ref_matview_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "REFRESH MATERIALIZED VIEW test_db.orders_by_segment",
             )
         mode = _MVJ_MODE[key]
-    return lake.sql(
+    out = lake.sql(
         f"SELECT segment, total, n, '{mode}' AS mode "
         "FROM test_db.orders_by_segment ORDER BY segment"
     )
+    _diag_result("ref_matview_join", spark, out)
+    return out
 
 
 _PARTSTATS_DONE: dict[str, bool] = {}
