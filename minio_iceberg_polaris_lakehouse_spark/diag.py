@@ -51,6 +51,8 @@ _CONF_KEYS = (
 
 _LOCK = threading.Lock()
 _COUNTERS: dict[tuple[str, str], int] = {}
+# rotate the artifact once it exceeds this, keeping the newest lines
+_MAX_BYTES = 1_000_000
 
 
 def _conf_snapshot(spark: SparkSession) -> dict:
@@ -87,6 +89,14 @@ def record(name: str, spark: SparkSession, payload: dict) -> None:
             "payload": payload,
         }
         with _LOCK:
+            # bounded artifact: local suite/chaos runs also append here,
+            # and an unbounded log would bury the driver-run lines
+            try:
+                if DIAG_PATH.stat().st_size > _MAX_BYTES:
+                    keep = DIAG_PATH.read_text(encoding="utf-8").splitlines()[-200:]
+                    DIAG_PATH.write_text("\n".join(keep) + "\n", encoding="utf-8")
+            except FileNotFoundError:
+                pass
             with open(DIAG_PATH, "a", encoding="utf-8") as f:
                 f.write(json.dumps(line, default=str) + "\n")
     except Exception:

@@ -307,6 +307,17 @@ def _coerce_vals(pv, v, col_type) -> tuple | None:
             return (pv, (_dt.date.fromisoformat(v) - _dt.date(1970, 1, 1)).days)
         except ValueError:
             return None
+    if t.startswith("timestamp") and not isinstance(pv, float) and not isinstance(v, float):
+        # binary-decoded manifest bounds are epoch micros (int); literals
+        # and path-encoded partition values are strings — parse the
+        # string side so identity-timestamp summaries prune too
+        if isinstance(pv, int) and isinstance(v, str):
+            b = _ts_micros(v)
+            return None if b is None else (pv, b)
+        if isinstance(pv, str) and isinstance(v, int):
+            a = _ts_micros(pv)
+            return None if a is None else (a, v)
+        return None
     if isinstance(pv, str) and isinstance(v, (int, float)):
         try:  # path-encoded partition value vs numeric literal
             return (type(v)(pv), v)
@@ -357,7 +368,11 @@ def _transform_pred(transform: str, v, col_type) -> tuple[object, bool] | None:
             return ((d.year - 1970) * 12 + d.month - 1, True)
         if transform == "year":
             return (d.year - 1970, True)
-        return (int(d.timestamp()) // 3600, True)
+        # exact micros floor division: int(timestamp()) truncates toward
+        # zero, mapping pre-1970 fractional-second instants one hour high
+        delta = d - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        micros = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+        return (micros // 3_600_000_000, True)
     m = re.fullmatch(r"bucket\[(\d+)\]", transform)
     if m:
         from minio_iceberg_polaris_lakehouse_spark.theta import iceberg_bucket
@@ -479,7 +494,9 @@ def _bucket_hash_ok(md: dict) -> bool:
                     if fsio.exists(mirror):
                         return False
                 except Exception:
-                    pass
+                    # provenance undeterminable — fail CLOSED (skip
+                    # bucket pruning; costs IO, never rows)
+                    return False
             break
     return True
 

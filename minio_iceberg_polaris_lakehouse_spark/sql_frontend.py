@@ -1478,12 +1478,16 @@ class LakehouseSQL:
         downgrade: str | None = None
         if rec["synced"] is not None and spec is not None:
             try:
-                # explicit drift probe against the pinned foreign schema
-                # (see _mv_downgrade_types)
+                # explicit drift probe against the foreign schema
+                # DOCUMENT (see _mv_downgrade_types) — a zero-row frame
+                # from read_iceberg_schema, not a full scan plan, so the
+                # probe costs no second metadata walk
+                from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+                    read_iceberg_schema,
+                )
+
                 MV.probe_binds(
-                    read_iceberg_table(
-                        self.spark, floc, snapshot_id=cur if cur else None
-                    ),
+                    self.spark.createDataFrame([], read_iceberg_schema(floc)),
                     spec,
                 )
                 chg = changes_iceberg_table(self.spark, floc, rec["synced"], cur)

@@ -4409,6 +4409,16 @@ class Table:
 
         part_type = pa.struct([(n, pa.string()) for n in field_names] or [("dummy", pa.string())])
         rows = sorted(agg.items())
+        # delete rows recorded under a key holding no data files cannot
+        # be attributed to any partition (see total_record_count below)
+        orphan_deletes = any(
+            (
+                r["position_delete_record_count"]
+                or r["equality_delete_record_count"]
+            )
+            and not r["data_file_count"]
+            for r in agg.values()
+        )
         table = pa.table(
             {
                 "partition": pa.array([part_struct(p) for p, _ in rows], part_type),
@@ -4437,13 +4447,18 @@ class Table:
                 # spec: record count AFTER applying delete files.
                 # Position deletes remove exactly one row each; an
                 # equality-delete ROW can match any number of data rows,
-                # so when a partition carries equality deletes the true
-                # total is unknowable from counts alone — publish null
-                # (optional field) rather than an inflated number.
+                # so a partition carrying equality deletes has no exact
+                # total derivable from counts — publish null (optional
+                # field) rather than an inflated number. Delete files in
+                # this engine live in table-root dirs: when any delete
+                # rows aggregate under a key with NO data files (a
+                # partitioned table with table-wide deletes), their
+                # per-partition attribution is unknown and EVERY total
+                # goes null — counts may never silently overstate.
                 "total_record_count": pa.array(
                     [
                         None
-                        if r["equality_delete_record_count"]
+                        if orphan_deletes or r["equality_delete_record_count"]
                         else r["data_record_count"]
                         - r["position_delete_record_count"]
                         for _, r in rows

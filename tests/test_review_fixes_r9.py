@@ -244,3 +244,124 @@ def test_unstamped_bucket_metadata_with_engine_mirror_not_trusted(tmp_path):
     # explicit stamps still win either way
     assert _bucket_hash_ok({**md, "properties": {"write.bucket-hash": "iceberg-murmur3"}}) is True
     assert _bucket_hash_ok({**md, "properties": {"write.bucket-hash": "spark-murmur3-seed42"}}) is False
+
+
+# --- round-9 self-review fixes -------------------------------------------
+
+
+def test_partition_stats_totals_null_when_deletes_unattributable(lake, spark):
+    """Partitioned table + table-root MoR delete: the tombstones cannot
+    be attributed to a partition from counts, so EVERY total goes null
+    (counts may never overstate)."""
+    import io
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from minio_iceberg_polaris_lakehouse_spark import fsio
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        resolve_metadata_path,
+    )
+
+    lake.sql(
+        "CREATE TABLE polaris.db.pt (id INT, k STRING) USING ICEBERG "
+        "PARTITIONED BY (k) "
+        "TBLPROPERTIES ('write.delete.mode'='merge-on-read')"
+    )
+    lake.sql("INSERT INTO db.pt VALUES (1,'a'),(2,'a'),(3,'b')")
+    lake.sql("DELETE FROM db.pt WHERE id = 2")
+    lake.sql("CALL polaris.system.compute_partition_stats(table => 'db.pt')")
+    t = lake.wh.table("db", "pt")
+    md = _json.loads(fsio.read_text(resolve_metadata_path(t.path)))
+    stats = pq.read_table(
+        io.BytesIO(fsio.read_bytes(md["partition-statistics"][0]["statistics-path"]))
+    ).to_pylist()
+    assert all(r["total_record_count"] is None for r in stats)
+    # and the no-delete twin keeps exact totals
+    lake.sql(
+        "CREATE TABLE polaris.db.pt2 (id INT, k STRING) USING ICEBERG "
+        "PARTITIONED BY (k)"
+    )
+    lake.sql("INSERT INTO db.pt2 VALUES (1,'a'),(2,'b')")
+    lake.sql("CALL polaris.system.compute_partition_stats(table => 'db.pt2')")
+    t2 = lake.wh.table("db", "pt2")
+    md2 = _json.loads(fsio.read_text(resolve_metadata_path(t2.path)))
+    stats2 = pq.read_table(
+        io.BytesIO(fsio.read_bytes(md2["partition-statistics"][0]["statistics-path"]))
+    ).to_pylist()
+    assert [r["total_record_count"] for r in stats2] == [1, 1]
+
+
+def test_refresh_checked_retry_reraises_original_cause(spark, tmp_path, monkeypatch):
+    """A retried invocation after a failed REFRESH re-raises the FIRST
+    failure's cause, not a masking 'noop' from the already-synced view."""
+    from pyspark.sql import Row
+
+    from minio_iceberg_polaris_lakehouse_spark.operators import reference_golden as RG
+
+    monkeypatch.setattr(diag, "DIAG_PATH", tmp_path / "D.jsonl")
+    RG._REFRESH_FAILED.clear()
+
+    calls = {"n": 0}
+
+    class FakeLake:
+        def sql(self, stmt):
+            calls["n"] += 1
+            mode = "full" if calls["n"] == 1 else "noop"
+
+            class R:
+                def collect(self):
+                    return [
+                        Row(view="db.mv", mode=mode, synced_snapshot=1,
+                            downgrade_reason="SnapshotNotFoundError: gone")
+                    ]
+
+            return R()
+
+    with pytest.raises(RuntimeError, match="mode='full'.*gone"):
+        RG._refresh_checked(FakeLake(), spark, "g_retry", "REFRESH")
+    # retry: REFRESH is NOT re-run; the original cause comes back
+    with pytest.raises(RuntimeError, match="mode='full'.*gone"):
+        RG._refresh_checked(FakeLake(), spark, "g_retry", "REFRESH")
+    assert calls["n"] == 1
+    RG._REFRESH_FAILED.clear()
+
+
+def test_hour_transform_pre_epoch_fractional_floor():
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        _transform_pred,
+    )
+
+    assert _transform_pred("hour", "1969-12-31T23:59:59.5", "timestamptz")[0] == -1
+    assert _transform_pred("hour", "1970-01-01T00:59:59.5", "timestamptz")[0] == 0
+    assert _transform_pred("hour", "1969-12-31T23:00:00", "timestamptz")[0] == -1
+
+
+def test_coerce_vals_int_micros_vs_string_literal():
+    """Binary-decoded timestamp bounds (epoch micros) compare against
+    string literals by instant — identity-timestamp manifest summaries
+    prune instead of falling through to None."""
+    from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+        _coerce_vals,
+    )
+
+    us = 1704103200000000  # 2024-01-01T10:00:00Z
+    a, b = _coerce_vals(us, "2024-01-01T10:00:00", "timestamptz")
+    assert a == b == us
+    a, b = _coerce_vals("2024-01-01 10:00:00", us, "timestamp")
+    assert a == b
+    assert _coerce_vals(us, "garbage", "timestamp") is None
+
+
+def test_mv_golden_rebuild_after_lost_cache_is_stable(spark):
+    """Losing the in-process fixture caches (fresh worker process, same
+    app) must rebuild the MV fixture by RESET, not duplicate the INSERT
+    transcript into the surviving tables."""
+    from minio_iceberg_polaris_lakehouse_spark.operators import reference_golden as RG
+
+    first = RG.ref_matview_incremental(spark, "/root/testdata/sf0.001").collect()
+    key = spark.sparkContext.applicationId
+    RG._MV_MODE.pop(key, None)
+    RG._MV_BUILT.pop(key, None)
+    second = RG.ref_matview_incremental(spark, "/root/testdata/sf0.001").collect()
+    assert [tuple(r) for r in first] == [tuple(r) for r in second]
