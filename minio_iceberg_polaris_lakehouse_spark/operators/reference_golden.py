@@ -1255,6 +1255,58 @@ def ref_spec_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPEC_BUCKET_DEC_DONE: dict[str, bool] = {}
+
+
+@register(
+    "ref_spec_bucket_decimal",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, CAST(5 AS INT)), (2, CAST(3 AS INT)), (3, CAST(1 AS INT)),
+        (4, CAST(7 AS INT)), (5, CAST(6 AS INT)), (6, CAST(5 AS INT)),
+        (7, CAST(0 AS INT)), (8, CAST(2 AS INT)), (9, CAST(2 AS INT)),
+        (10, CAST(2 AS INT)))
+        AS b(id, bucket)
+    ORDER BY id
+    """,
+)
+def ref_spec_bucket_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG-SPEC bucket partitioning of a DECIMAL column — the
+    byte-encoding-sensitive case: the spec hashes the MINIMAL
+    two's-complement unscaled bytes (Java BigInteger.toByteArray), and
+    the fixture deliberately includes amounts whose unscaled values are
+    exact negative powers of 2^(8k-1) (-1.28 → one byte 0x80, -327.68 →
+    0x8000, ±655.36 → three bytes) where a padded encoding hashes into
+    a DIFFERENT bucket (verified: -1.28 padded lands in bucket 4, spec
+    bucket is 5). Buckets are parsed from each row's REAL file path;
+    the oracle literals are the spec hash values (theta.murmur3_x86_32,
+    Guava-cross-validated; decimal byte form pinned against
+    BigInteger.toByteArray semantics in tests/test_review_fixes_r9.py)
+    — a hash match proves any compliant engine computes identical
+    buckets for this table's decimal partition dirs."""
+    lake = _lake(spark)
+    key = spark.sparkContext.applicationId
+    with _FIXTURE_LOCK:
+        if key not in _SPEC_BUCKET_DEC_DONE:
+            lake.sql(
+                "CREATE TABLE IF NOT EXISTS polaris.test_db.spec_bucket_dec "
+                "(id INT, amt DECIMAL(10,2)) USING ICEBERG "
+                "PARTITIONED BY (bucket(8, amt))"
+            )
+            if lake.wh.table("test_db", "spec_bucket_dec").current_snapshot_id() is None:
+                lake.sql(
+                    "INSERT INTO test_db.spec_bucket_dec VALUES "
+                    "(1, -1.28), (2, -327.68), (3, 1.27), (4, 0.00), "
+                    "(5, 19.99), (6, -0.01), (7, 100.00), (8, 2.56), "
+                    "(9, 655.36), (10, -655.36)"
+                )
+            _SPEC_BUCKET_DEC_DONE[key] = True
+    return lake.sql(
+        "SELECT id, CAST(regexp_extract(_file, '_p_bucket8_amt=(\\\\d+)', 1) AS INT) "
+        "AS bucket FROM test_db.spec_bucket_dec ORDER BY id"
+    )
+
+
 _TSPRUNE_STATE: dict[str, tuple[int, int]] = {}
 
 

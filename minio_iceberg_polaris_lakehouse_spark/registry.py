@@ -153,6 +153,13 @@ _PRIORITY: list[str] = [
     # paths, oracle pins the spec hash values (rel_q22 rested — the
     # TPC-H sweep keeps q19 + q21, q21 also benched every round)
     "ref_spec_bucket",
+    # NEW r9: DECIMAL spec bucketing — the byte-encoding-sensitive case
+    # (minimal two's-complement unscaled bytes; padded encodings land in
+    # provably different buckets), by DEFAULT with no TBLPROPERTIES
+    # opt-in. Takes rel_unpivot's slot (2 green rounds r07/r08; the
+    # relational family keeps q19, q21, recursive CTE, and LATERAL
+    # in-window).
+    "ref_spec_bucket_decimal",
     # HLL approx-distinct with an in-plan exactness gate
     "agg_approx_distinct_gate",
     # recursive CTE reachability + LATERAL top-k per group
@@ -168,8 +175,9 @@ _PRIORITY: list[str] = [
     # rest of the sweep stay in the local replica)
     "rel_q19_disjunctive_predicates",
     "rel_q21_waiting_supplier",
-    # relational reshaping: UNPIVOT/stack — first driver slot
-    "rel_unpivot",
+    # r9: rel_unpivot rested (2 green rounds r07/r08) for the
+    # ref_spec_bucket_decimal first-timer; UNPIVOT stays green in the
+    # uncapped local replica
     # r9: ref_migrated_table rested (2 green rounds r07/r08) for the
     # ref_foreign_ts_pruned_scan first-timer above; migrate-in-place
     # stays green in the uncapped local replica + test_add_files.py
