@@ -182,6 +182,17 @@ class PartitionSpec:
                 return _iceberg_bucket_col(src, n, dtype)
             return F.pmod(F.hash(src), F.lit(n))
         if n is not None and self.transform.startswith("truncate"):
+            if isinstance(dtype, T.DecimalType):
+                # Iceberg spec: decimal truncate width W applies to the
+                # UNSCALED value (truncate[50] on 10.25 scale-2 →
+                # unscaled 1025→1000 → 10.00). Value-unit pmod would put
+                # rows in dirs no compliant engine derives. Decimal
+                # arithmetic keeps this exact; floor semantics for
+                # negatives ride on pmod's non-negative remainder.
+                import decimal as _decimal
+
+                w = F.lit(_decimal.Decimal(n).scaleb(-dtype.scale))
+                return (src - F.pmod(src, w)).cast(dtype)
             if isinstance(dtype, T.NumericType):
                 return src - F.pmod(src, F.lit(n))
             return F.substring(src, 1, n)
@@ -2119,6 +2130,23 @@ class Table:
                     return F.lit(lit_val[:n])
                 if isinstance(lit_val, int) and not isinstance(lit_val, bool):
                     return F.lit(lit_val - (lit_val % n))
+                import decimal as _decimal
+
+                if isinstance(lit_val, _decimal.Decimal):
+                    dt = (
+                        schema[spec.source].dataType
+                        if spec.source in schema.fieldNames()
+                        else None
+                    )
+                    if isinstance(dt, T.DecimalType):
+                        # spec: width applies to the UNSCALED value;
+                        # floor semantics (Python Decimal % keeps the
+                        # dividend's sign — normalize to pmod)
+                        w = _decimal.Decimal(n).scaleb(-dt.scale)
+                        r = lit_val % w
+                        if r < 0:
+                            r += w
+                        return F.lit(lit_val - r).cast(dt)
                 return None
             if n is not None and tr.startswith("bucket") and not monotone_only:
                 dt = schema[spec.source].dataType if spec.source in schema.fieldNames() else None

@@ -365,3 +365,40 @@ def test_mv_golden_rebuild_after_lost_cache_is_stable(spark):
     RG._MV_BUILT.pop(key, None)
     second = RG.ref_matview_incremental(spark, "/root/testdata/sf0.001").collect()
     assert [tuple(r) for r in first] == [tuple(r) for r in second]
+
+
+def test_decimal_truncate_uses_unscaled_width(lake, spark):
+    """Iceberg spec: truncate[W] on decimal applies W to the UNSCALED
+    value (truncate[50] on scale-2 → 0.50 value steps), with floor
+    semantics for negatives — value-unit pmod would place rows in dirs
+    no compliant engine derives."""
+    import os
+
+    lake.sql(
+        "CREATE TABLE polaris.db.tdec (id INT, amt DECIMAL(10,2)) USING ICEBERG "
+        "PARTITIONED BY (truncate(50, amt))"
+    )
+    lake.sql(
+        "INSERT INTO db.tdec VALUES (1, 10.25), (2, -10.25), (3, 10.75), (4, 0.49)"
+    )
+    t = lake.wh.table("db", "tdec")
+    dirs = {
+        seg.split("=", 1)[1]
+        for root, _, _f in os.walk(t.path)
+        for seg in root.split(os.sep)
+        if seg.startswith("_p_truncate50_amt=")
+    }
+    assert dirs == {"10.00", "-10.50", "10.50", "0.00"}
+    # scan derives the partition value from an eq literal: the plan
+    # carries a PartitionFilter on the derived dir value (Spark prunes
+    # the other hive partitions at planning; inputFiles() ignores
+    # partition filters, so pin the plan + the rows)
+    sc = t.scan(eq={"amt": __import__("decimal").Decimal("10.25")})
+    plan = sc._jdf.queryExecution().executedPlan().toString()
+    assert "_p_truncate50_amt" in plan and "10.00" in plan
+    assert sc.filter("amt = 10.25").count() == 1
+    # negative literal maps with floor, not toward-zero
+    sc2 = t.scan(eq={"amt": __import__("decimal").Decimal("-10.25")})
+    plan2 = sc2._jdf.queryExecution().executedPlan().toString()
+    assert "-10.50" in plan2
+    assert sc2.filter("amt = -10.25").count() == 1
