@@ -279,6 +279,18 @@ def _coerce_vals(pv, v, col_type) -> tuple | None:
     if isinstance(pv, bool) or isinstance(v, bool):
         return None
     t = str(col_type)
+    if t.startswith("decimal"):
+        # decimal partition values appear as path strings ('10.00'),
+        # Avro-decoded Decimals, or derived-literal Decimals — compare
+        # everything in exact Decimal space, never as text
+        import decimal as _dec
+
+        try:
+            a = pv if isinstance(pv, _dec.Decimal) else _dec.Decimal(str(pv))
+            b = v if isinstance(v, _dec.Decimal) else _dec.Decimal(str(v))
+            return (a, b)
+        except _dec.InvalidOperation:
+            return None
     if isinstance(pv, (int, float)) and isinstance(v, (int, float)):
         return (pv, v)
     if isinstance(pv, str) and isinstance(v, str):
@@ -384,6 +396,22 @@ def _transform_pred(transform: str, v, col_type) -> tuple[object, bool] | None:
         w = int(m.group(1))
         if isinstance(v, int) and not isinstance(v, bool):
             return (v - (v % w), True)
+        dm = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+        if dm is not None:
+            # spec: decimal truncate width applies to the UNSCALED value
+            # with floor semantics (Python Decimal % keeps the dividend's
+            # sign — normalize); monotone, so ranges map through
+            import decimal as _dec
+
+            try:
+                dv = v if isinstance(v, _dec.Decimal) else _dec.Decimal(str(v))
+            except _dec.InvalidOperation:
+                return None
+            step = _dec.Decimal(w).scaleb(-int(dm.group(2)))
+            r = dv % step
+            if r < 0:
+                r += step
+            return (dv - r, True)
         if isinstance(v, str):
             # string truncate keeps the W-char prefix; prefix order is
             # consistent with string order → monotonic for pruning
@@ -483,22 +511,29 @@ def _bucket_hash_ok(md: dict) -> bool:
         return True
     if stamp is not None:
         return False
-    # no stamp: version-gate against this engine's pre-stamp exports
+    # no stamp: version-gate against this engine's pre-stamp exports;
+    # undeterminable provenance (None) fails CLOSED — no bucket pruning
+    return _is_own_export(md) is False
+
+
+def _is_own_export(md: dict) -> bool | None:
+    """Whether this metadata tree was produced by THIS engine's exporter
+    — detectable without any property because only our exporter mirrors
+    each manifest list to a sibling `snap-<id>.manifest-list.json` debug
+    document. Returns None when provenance cannot be determined (treat
+    conservatively at the call site)."""
     cur = md.get("current-snapshot-id")
     for s in md.get("snapshots", []):
         if s.get("snapshot-id") == cur:
             ml = s.get("manifest-list", "")
             mirror = re.sub(r"-manifest-list\.avro$", ".manifest-list.json", ml)
-            if mirror != ml:
-                try:
-                    if fsio.exists(mirror):
-                        return False
-                except Exception:
-                    # provenance undeterminable — fail CLOSED (skip
-                    # bucket pruning; costs IO, never rows)
-                    return False
-            break
-    return True
+            if mirror == ml:
+                return False
+            try:
+                return bool(fsio.exists(mirror))
+            except Exception:
+                return None
+    return False
 
 
 def _manifest_pruner(md: dict, target: dict, eq: dict | None, between: dict | None):
@@ -517,6 +552,22 @@ def _manifest_pruner(md: dict, target: dict, eq: dict | None, between: dict | No
     type_by_name = {f["name"]: f["type"] for f in target.get("fields", [])}
     pred_cols = set(eq or ()) | set(between or ())
     bucket_ok = _bucket_hash_ok(md)
+    own_export = _is_own_export(md)
+
+    def dec_bound(raw: bytes, bt: str):
+        """Partition-space bound decode, provenance-aware for DECIMAL:
+        this engine's exporter string-encodes decimal partition values
+        (avro string fallback) and its summary min/max are therefore
+        STRING-ordered ('-0.50' < '-10.50' — not a decimal range at
+        all), while the spec encodes unscaled big-endian bytes whose
+        decode IS decimal-ordered. Own/unknown provenance → None (no
+        manifest-LIST pruning on decimal summaries; the manifest-level
+        FILE pruner still prunes exactly from typed partition values —
+        costs one Avro decode, never rows); genuinely foreign → spec
+        bytes."""
+        if str(bt).startswith("decimal") and own_export is not False:
+            return None
+        return _decode_bound(raw, bt)
 
     def keep(m: dict) -> bool:
         if m.get("content") == 1:
@@ -535,12 +586,12 @@ def _manifest_pruner(md: dict, target: dict, eq: dict | None, between: dict | No
             ct = type_by_name.get(col)
             bt = _partition_space_type(tr, ct)
             lo_b = (
-                _decode_bound(s["lower_bound"], bt)
+                dec_bound(s["lower_bound"], bt)
                 if s.get("lower_bound") is not None
                 else None
             )
             hi_b = (
-                _decode_bound(s["upper_bound"], bt)
+                dec_bound(s["upper_bound"], bt)
                 if s.get("upper_bound") is not None
                 else None
             )

@@ -660,3 +660,64 @@ if _HAS_HYP:
         assert not _part_range_excl(
             pv, pv, "ts", "timestamp", "identity", {"ts": lit}, None
         ), f"instant {lit} excluded from identity partition {pv!r}"
+
+
+def test_decimal_truncate_foreign_pruning_sound_and_effective(lake, spark):
+    """A decimal-truncate-partitioned export prunes foreign scans in
+    exact Decimal space (spec unscaled-width floor), and never loses a
+    row for any probed amount."""
+    import decimal
+
+    from minio_iceberg_polaris_lakehouse_spark.sources import iceberg_reader as IR
+
+    lake.sql(
+        "CREATE TABLE polaris.db.ftd (id INT, amt DECIMAL(10,2)) USING ICEBERG "
+        "PARTITIONED BY (truncate(50, amt))"
+    )
+    vals = ["10.25", "-10.25", "10.75", "0.49", "-0.01", "123.45"]
+    lake.sql(
+        "INSERT INTO db.ftd VALUES "
+        + ", ".join(f"({i}, {v})" for i, v in enumerate(vals, 1))
+    )
+    t = lake.wh.table("db", "ftd")
+    full = len(IR.read_iceberg_table(spark, t.path).inputFiles())
+    for i, v in enumerate(vals, 1):
+        fr = IR.read_iceberg_table(spark, t.path, eq={"amt": v})
+        got = fr.filter(f"amt = {v}").collect()
+        assert [r.id for r in got] == [i], f"amt={v} lost under pruning"
+    # effectiveness: a probe in one 0.50-step plans fewer files
+    pruned = len(IR.read_iceberg_table(spark, t.path, eq={"amt": "123.45"}).inputFiles())
+    assert pruned < full
+    # range predicate maps through the monotone transform
+    fr = IR.read_iceberg_table(
+        spark, t.path, between={"amt": (decimal.Decimal("10.00"), decimal.Decimal("11.00"))}
+    )
+    assert sorted(r.id for r in fr.filter("amt between 10.00 and 11.00").collect()) == [1, 3]
+
+if _HAS_HYP:
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        unscaled=st.integers(-10**6, 10**6),
+        w=st.sampled_from([1, 7, 50, 1000]),
+        scale=st.sampled_from([0, 2, 4]),
+    )
+    def test_fuzz_decimal_truncate_probe_never_excluded(unscaled, w, scale):
+        """A decimal equality probe must never be excluded by its OWN
+        partition value under truncate[W] (spec unscaled-width floor),
+        for any rendering of the partition value."""
+        import decimal
+
+        from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+            _part_range_excl,
+        )
+
+        v = decimal.Decimal(unscaled).scaleb(-scale)
+        t = f"decimal(18,{scale})"
+        floored = decimal.Decimal((unscaled // w) * w).scaleb(-scale)
+        # partition value as the engine path-encodes it (str) and as a
+        # Decimal (avro-typed) — neither may exclude the probe
+        for pv in (str(floored), floored):
+            assert not _part_range_excl(
+                pv, pv, "amt", t, f"truncate[{w}]", {"amt": str(v)}, None
+            ), f"{v} lost from its own truncate[{w}] partition {pv!r}"
