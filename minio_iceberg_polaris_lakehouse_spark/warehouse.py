@@ -2132,7 +2132,7 @@ class Table:
                     return F.lit(lit_val - (lit_val % n))
                 import decimal as _decimal
 
-                if isinstance(lit_val, _decimal.Decimal):
+                if isinstance(lit_val, (_decimal.Decimal, float)):
                     dt = (
                         schema[spec.source].dataType
                         if spec.source in schema.fieldNames()
@@ -2141,12 +2141,19 @@ class Table:
                     if isinstance(dt, T.DecimalType):
                         # spec: width applies to the UNSCALED value;
                         # floor semantics (Python Decimal % keeps the
-                        # dividend's sign — normalize to pmod)
+                        # dividend's sign — normalize to pmod). Floats
+                        # (SQL-hint literals) convert via str — exact
+                        # for literals that came from decimal text.
+                        dv = (
+                            lit_val
+                            if isinstance(lit_val, _decimal.Decimal)
+                            else _decimal.Decimal(str(lit_val))
+                        )
                         w = _decimal.Decimal(n).scaleb(-dt.scale)
-                        r = lit_val % w
+                        r = dv % w
                         if r < 0:
                             r += w
-                        return F.lit(lit_val - r).cast(dt)
+                        return F.lit(dv - r).cast(dt)
                 return None
             if n is not None and tr.startswith("bucket") and not monotone_only:
                 dt = schema[spec.source].dataType if spec.source in schema.fieldNames() else None

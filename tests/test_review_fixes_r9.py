@@ -402,3 +402,17 @@ def test_decimal_truncate_uses_unscaled_width(lake, spark):
     plan2 = sc2._jdf.queryExecution().executedPlan().toString()
     assert "-10.50" in plan2
     assert sc2.filter("amt = -10.25").count() == 1
+
+
+def test_decimal_truncate_sql_hint_literal_derives(lake):
+    """A plain-SQL equality on a decimal truncate column (float-parsed
+    hint literal) still derives the partition filter."""
+    lake.sql(
+        "CREATE TABLE polaris.db.tdec2 (id INT, amt DECIMAL(10,2)) USING ICEBERG "
+        "PARTITIONED BY (truncate(50, amt))"
+    )
+    lake.sql("INSERT INTO db.tdec2 VALUES (1, 10.25), (2, -10.25)")
+    df = lake.sql("SELECT id FROM db.tdec2 WHERE amt = 10.25")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_p_truncate50_amt" in plan and "10.00" in plan
+    assert [r.id for r in df.collect()] == [1]
