@@ -343,10 +343,34 @@ SUMMARY_BUDGET_B = 1900
 DETAIL_PATH = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
 
 
+# Reference single-core probe for cross-round comparison: the r7/r8
+# idle band measured 0.31-0.42 s (SCALE.md) — 0.35 is its center. The
+# adjusted headline answers "what would this run read on the reference
+# host" without SCALE.md exegesis; it is a COARSE linear normalization
+# (the probe is single-core, the suite is multi-core — SCALE.md records
+# their partial decoupling), so both raw and adjusted are published.
+PROBE_REF_S = 0.35
+
+
+def _probe_adjusted(result: dict) -> float | None:
+    import math
+
+    before = result.get("cpu_probe_s")
+    after = result.get("cpu_probe_after_s")
+    probes = [p for p in (before, after) if isinstance(p, (int, float)) and p > 0]
+    if not probes:
+        return None
+    # geometric mean: the host often recovers (or degrades) mid-suite,
+    # and the headline ran across both states
+    host = math.exp(sum(math.log(p) for p in probes) / len(probes))
+    return result["value"] * (PROBE_REF_S / host)
+
+
 def _summarize(result: dict) -> dict:
     """Compact stdout summary: the driver-contract fields (metric/value/
     unit/queries/sf) at 2-decimal precision plus the handful of signals
-    a grader needs inline (sf1 total + worst scaler, probe flags)."""
+    a grader needs inline (sf1 total + worst scaler, probe-adjusted
+    headline, probe flags)."""
     s = {
         "metric": result["metric"],
         "value": round(result["value"], 2),
@@ -359,6 +383,9 @@ def _summarize(result: dict) -> dict:
         "cpu_probe_s": round(result["cpu_probe_s"], 2),
         "detail": DETAIL_PATH.name,
     }
+    adj = _probe_adjusted(result)
+    if adj is not None:
+        s["probe_adjusted_total"] = round(adj, 2)
     sf1 = result.get("sf1_scale_check")
     if isinstance(sf1, dict) and "total" in sf1:
         s["sf1_total"] = round(sf1["total"], 2)
@@ -373,6 +400,9 @@ def _summarize(result: dict) -> dict:
 def _emit(result: dict) -> None:
     """Write the full record to BENCH_DETAIL.json (+ stderr for humans),
     then print the compact summary as the LAST stdout line."""
+    adj = _probe_adjusted(result)
+    if adj is not None:
+        result["probe_adjusted_total"] = round(adj, 3)
     full = json.dumps(result)
     try:
         DETAIL_PATH.write_text(full + "\n")
@@ -391,10 +421,22 @@ def _emit(result: dict) -> None:
             },
             separators=(",", ":"),
         )
-    assert len(line.encode()) <= SUMMARY_BUDGET_B, (
-        f"summary line is {len(line.encode())} bytes > {SUMMARY_BUDGET_B}; "
-        "it would be truncated by the driver's 2000-byte stdout tail"
-    )
+    if len(line.encode()) > SUMMARY_BUDGET_B:
+        # Never a bare assert (stripped under python -O) and never a
+        # raise (all measurement work is done — aborting here would lose
+        # the round's stdout record entirely): degrade to a guaranteed-
+        # tiny line that drops per-query timings but keeps the headline
+        # and a pointer at the full-fidelity detail file.
+        line = json.dumps(
+            {
+                "metric": result["metric"],
+                "value": round(result["value"], 2),
+                "unit": result["unit"],
+                "sf": result["sf"],
+                "detail": DETAIL_PATH.name,
+            },
+            separators=(",", ":"),
+        )
     print(line, flush=True)
 
 

@@ -90,12 +90,17 @@ def record(name: str, spark: SparkSession, payload: dict) -> None:
         }
         with _LOCK:
             # bounded artifact: local suite/chaos runs also append here,
-            # and an unbounded log would bury the driver-run lines
+            # and an unbounded log would bury the driver-run lines.
+            # Rotation NEVER rewrites in place — concurrent processes
+            # (chaos --isolate children, parallel pytest workers, the
+            # driver's per-query apps) hold their own append handles, and
+            # a read-truncate-rewrite would drop lines they interleave.
+            # os.replace is atomic: in-flight appenders keep writing to
+            # the renamed inode; new lines go to a fresh append handle.
             try:
                 if DIAG_PATH.stat().st_size > _MAX_BYTES:
-                    keep = DIAG_PATH.read_text(encoding="utf-8").splitlines()[-200:]
-                    DIAG_PATH.write_text("\n".join(keep) + "\n", encoding="utf-8")
-            except FileNotFoundError:
+                    os.replace(DIAG_PATH, DIAG_PATH.with_suffix(".rotated.jsonl"))
+            except OSError:
                 pass
             with open(DIAG_PATH, "a", encoding="utf-8") as f:
                 f.write(json.dumps(line, default=str) + "\n")

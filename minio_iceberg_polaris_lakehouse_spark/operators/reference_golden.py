@@ -972,7 +972,9 @@ _MV_BUILT: dict[str, bool] = {}
 _REFRESH_FAILED: dict[tuple[str, str], str] = {}
 
 
-def _refresh_checked(lake, spark: SparkSession, golden: str, stmt: str) -> str:
+def _refresh_checked(
+    lake, spark: SparkSession, golden: str, stmt: str, built: dict | None = None
+) -> str:
     """Run REFRESH MATERIALIZED VIEW, record telemetry, and FAIL LOUD if
     the incremental path did not run.
 
@@ -986,12 +988,20 @@ def _refresh_checked(lake, spark: SparkSession, golden: str, stmt: str) -> str:
     environment snapshot either way. The FIRST failure is cached per
     (app, golden): a retried invocation re-raises the original cause
     instead of a masking 'noop' (the failed refresh already advanced
-    the synced snapshot, so a re-run reports nothing to do)."""
+    the synced snapshot, so a re-run reports nothing to do). The cached
+    re-raise also CLEARS the failure and the golden's built flag
+    (``built``): a genuinely transient first failure gets one faithful
+    replay for the driver's `err` column, then the next invocation
+    drops and rebuilds the fixture from scratch instead of replaying
+    the stale error forever within one app."""
     from minio_iceberg_polaris_lakehouse_spark import diag
 
     fkey = (spark.sparkContext.applicationId, golden)
     if fkey in _REFRESH_FAILED:
-        raise RuntimeError(_REFRESH_FAILED[fkey])
+        msg = _REFRESH_FAILED.pop(fkey)
+        if built is not None:
+            built.pop(fkey[0], None)
+        raise RuntimeError(msg)
     row = lake.sql(stmt).collect()[0]
     diag.record(
         golden,
@@ -1002,6 +1012,9 @@ def _refresh_checked(lake, spark: SparkSession, golden: str, stmt: str) -> str:
                 "mode": row.mode,
                 "synced_snapshot": row.synced_snapshot,
                 "downgrade_reason": row.downgrade_reason,
+                # join views: per-base 'name=snapshot' pairs (their
+                # single synced_snapshot is necessarily NULL)
+                "synced_bases": getattr(row, "synced_bases", None),
             }
         },
     )
@@ -1035,8 +1048,8 @@ def _diag_result(golden: str, spark: SparkSession, df) -> None:
     "ref_matview_incremental",
     oracle="""
     SELECT * FROM (VALUES
-        ('eu', CAST(16.50 AS DECIMAL(20,2)), CAST(3 AS BIGINT), 'incremental'),
-        ('us', CAST(7.25 AS DECIMAL(20,2)), CAST(1 AS BIGINT), 'incremental'))
+        ('eu', CAST(16.50 AS DOUBLE), CAST(3 AS BIGINT), 'incremental'),
+        ('us', CAST(7.25 AS DOUBLE), CAST(1 AS BIGINT), 'incremental'))
         AS m(region, total, n, mode)
     ORDER BY region
     """,
@@ -1082,10 +1095,16 @@ def ref_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark,
                 "ref_matview_incremental",
                 "REFRESH MATERIALIZED VIEW test_db.sales_mv",
+                built=_MV_BUILT,
             )
         mode = _MV_MODE[key]
+    # CAST(total AS DOUBLE): presentation-only — the STORED MV column
+    # stays DECIMAL(20,2) (pinned by test_matview.py). The driver's
+    # hasher renders decimals differently per engine (see the rule at
+    # the top of this file), so compared output must not carry
+    # DecimalType; registry.py now enforces this at registration.
     out = lake.sql(
-        f"SELECT region, total, n, '{mode}' AS mode "
+        f"SELECT region, CAST(total AS DOUBLE) AS total, n, '{mode}' AS mode "
         "FROM test_db.sales_mv ORDER BY region"
     )
     _diag_result("ref_matview_incremental", spark, out)
@@ -1100,8 +1119,8 @@ _MVJ_BUILT: dict[str, bool] = {}
     "ref_matview_join",
     oracle="""
     SELECT * FROM (VALUES
-        ('gold', CAST(19.99 AS DECIMAL(20,2)), CAST(2 AS BIGINT), 'incremental'),
-        ('silver', CAST(10.00 AS DECIMAL(20,2)), CAST(2 AS BIGINT), 'incremental'))
+        ('gold', CAST(19.99 AS DOUBLE), CAST(2 AS BIGINT), 'incremental'),
+        ('silver', CAST(10.00 AS DOUBLE), CAST(2 AS BIGINT), 'incremental'))
         AS m(segment, total, n, mode)
     ORDER BY segment
     """,
@@ -1155,10 +1174,13 @@ def ref_matview_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark,
                 "ref_matview_join",
                 "REFRESH MATERIALIZED VIEW test_db.orders_by_segment",
+                built=_MVJ_BUILT,
             )
         mode = _MVJ_MODE[key]
+    # CAST(total AS DOUBLE): presentation-only, stored type unchanged
+    # (see ref_matview_incremental).
     out = lake.sql(
-        f"SELECT segment, total, n, '{mode}' AS mode "
+        f"SELECT segment, CAST(total AS DOUBLE) AS total, n, '{mode}' AS mode "
         "FROM test_db.orders_by_segment ORDER BY segment"
     )
     _diag_result("ref_matview_join", spark, out)
@@ -1495,6 +1517,7 @@ def ref_matview_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark,
                 "ref_matview_foreign",
                 "REFRESH MATERIALIZED VIEW test_db.fmv_golden",
+                built=_MVF_BUILT,
             )
         mode = _MVF_MODE[key]
     return lake.sql(

@@ -301,12 +301,46 @@ _PRIORITY: list[str] = [
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
-    """Decorator: register a Spark query builder under ``name``."""
+    """Decorator: register a Spark query builder under ``name``.
+
+    Oracle-backed queries get a result-schema guard: a DecimalType
+    column in the COMPARED output hash-mismatches in the driver even
+    when every value is identical (its hasher renders DuckDB decimals
+    as pandas float64, '16.5', and Spark decimals as Decimal, '16.50').
+    That rule lived only in a docstring and was violated three rounds
+    running by the two matview goldens — the guard turns it into a
+    loud, named failure at query time (an `err` row in the driver
+    window beats an undiagnosable wrong hash). Rows-only queries are
+    exempt: no cross-engine hash, decimals are fine."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = Query(name=name, spark=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        spark_fn = fn
+        if oracle is not None:
+            import functools
+
+            @functools.wraps(fn)
+            def checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+                df = fn(spark, sf_dir)
+                from pyspark.sql.types import DecimalType
+
+                bad = [
+                    f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)
+                ]
+                if bad:
+                    raise TypeError(
+                        f"{name}: oracle-compared output carries DecimalType "
+                        f"column(s) {bad} — the driver's hasher renders "
+                        "decimals differently per engine; CAST the final "
+                        "projection to DOUBLE/BIGINT on both sides"
+                    )
+                return df
+
+            spark_fn = checked
+        _REGISTRY[name] = Query(
+            name=name, spark=spark_fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
+        )
         return fn
 
     return deco

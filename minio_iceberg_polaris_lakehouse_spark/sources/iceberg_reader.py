@@ -254,17 +254,76 @@ def _decode_bound(raw: bytes, type_str: str):
     return None
 
 
-def _ts_micros(s: str) -> int | None:
+import contextvars as _contextvars
+
+# Session timezone the CURRENT scan's predicate literals were written
+# in. Spark evaluates a zone-less timestamp literal against a
+# timestamptz column in spark.sql.session.timeZone, NOT UTC — a pruner
+# that assumes UTC derives an instant offset from what Spark's row
+# filter matches and can exclude the file holding the matching row.
+# Entry points (read_iceberg_table & co) set this from the live session
+# conf; pure-function callers (tests) get the UTC default.
+_SESSION_TZ = _contextvars.ContextVar("iceberg_reader_session_tz", default="UTC")
+
+
+def _session_zone():
+    """tzinfo for _SESSION_TZ, or None when the zone name is unknown
+    (conservative: callers decline to prune naive literals)."""
+    import datetime as _dt
+
+    name = _SESSION_TZ.get()
+    if name in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00", "GMT+00:00", "UTC+00:00"):
+        return _dt.timezone.utc
+    m = re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2}):?(\d{2})?", name)
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        mins = int(m.group(2)) * 60 + int(m.group(3) or 0)
+        return _dt.timezone(sign * _dt.timedelta(minutes=mins))
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(name)
+    except Exception:
+        return None
+
+
+def _resolve_naive(d):
+    """Map a NAIVE wall-clock datetime (a predicate literal on a
+    timestamptz column) to the aware UTC instant Spark's row filter will
+    use — via the session zone. Returns None (no pruning) for unknown
+    zones and for DST-ambiguous/nonexistent wall times, where Python's
+    fold disambiguation need not match Spark's."""
+    import datetime as _dt
+
+    z = _session_zone()
+    if z is None:
+        return None
+    if z is _dt.timezone.utc:
+        return d.replace(tzinfo=_dt.timezone.utc)
+    a = d.replace(tzinfo=z)
+    b = d.replace(tzinfo=z, fold=1)
+    if a.utcoffset() != b.utcoffset():
+        return None
+    return a.astimezone(_dt.timezone.utc)
+
+
+def _ts_micros(s: str, session_naive: bool = False) -> int | None:
     """Parse a timestamp string (path-encoded partition value or
     predicate literal, ' ' or 'T' separator, optional offset) to UTC
-    epoch micros; None when unparsable (conservative: no pruning)."""
+    epoch micros; None when unparsable (conservative: no pruning).
+    ``session_naive`` marks a PREDICATE literal on a timestamptz
+    column, whose zone-less form Spark reads in the session zone —
+    partition-side values stay UTC (the spec path-encodes instants)."""
     import datetime as _dt
 
     try:
         d = _dt.datetime.fromisoformat(s)
     except ValueError:
         return None
-    d = d.replace(tzinfo=_dt.timezone.utc) if d.tzinfo is None else d
+    if d.tzinfo is None:
+        d = _resolve_naive(d) if session_naive else d.replace(tzinfo=_dt.timezone.utc)
+        if d is None:
+            return None
     delta = d - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
     return (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
 
@@ -303,7 +362,10 @@ def _coerce_vals(pv, v, col_type) -> tuple | None:
         if t == "string":
             return (pv, v)
         if t.startswith("timestamp"):
-            a, b = _ts_micros(pv), _ts_micros(v)
+            # pv is the partition/bound side (UTC-encoded per spec);
+            # v is the predicate literal (session-zone when naive + tz)
+            a = _ts_micros(pv)
+            b = _ts_micros(v, session_naive=(t == "timestamptz"))
             return None if a is None or b is None else (a, b)
         if t == "date":
             try:
@@ -324,7 +386,7 @@ def _coerce_vals(pv, v, col_type) -> tuple | None:
         # and path-encoded partition values are strings — parse the
         # string side so identity-timestamp summaries prune too
         if isinstance(pv, int) and isinstance(v, str):
-            b = _ts_micros(v)
+            b = _ts_micros(v, session_naive=(t == "timestamptz"))
             return None if b is None else (pv, b)
         if isinstance(pv, str) and isinstance(v, int):
             a = _ts_micros(pv)
@@ -362,8 +424,16 @@ def _transform_pred(transform: str, v, col_type) -> tuple[object, bool] | None:
             # an offset-bearing literal must be converted (not just
             # tagged) before its calendar fields are read, or e.g.
             # '2024-01-01T23:00:00-05:00' (UTC day 2024-01-02) maps to
-            # day 19723 and prunes files holding matching rows
-            d = d.replace(tzinfo=_dt.timezone.utc) if d.tzinfo is None else d
+            # day 19723 and prunes files holding matching rows. A NAIVE
+            # literal on a timestamptz column is read by Spark in the
+            # SESSION zone, not UTC — resolve it the same way (None on
+            # unknown zone / ambiguous wall time → no pruning).
+            if d.tzinfo is None:
+                d = _resolve_naive(d) if t == "timestamptz" else d.replace(
+                    tzinfo=_dt.timezone.utc
+                )
+                if d is None:
+                    return None
             return d.astimezone(_dt.timezone.utc)
         except ValueError:
             return None
@@ -394,9 +464,15 @@ def _transform_pred(transform: str, v, col_type) -> tuple[object, bool] | None:
     m = re.fullmatch(r"truncate\[(\d+)\]", transform)
     if m:
         w = int(m.group(1))
-        if isinstance(v, int) and not isinstance(v, bool):
-            return (v - (v % w), True)
+        # The COLUMN type decides the partition space, not the literal's
+        # Python type: an integer SQL literal on a DECIMAL column (WHERE
+        # amt = 10, parsed to int) must route through the unscaled-width
+        # floor branch below — the int fast path would derive
+        # 10 - 10 % 50 = 0 instead of 10.00, silently excluding the file
+        # that holds the matching row.
         dm = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+        if isinstance(v, int) and not isinstance(v, bool) and dm is None:
+            return (v - (v % w), True)
         if dm is not None:
             # spec: decimal truncate width applies to the UNSCALED value
             # with floor semantics (Python Decimal % keeps the dividend's
@@ -521,18 +597,41 @@ def _is_own_export(md: dict) -> bool | None:
     — detectable without any property because only our exporter mirrors
     each manifest list to a sibling `snap-<id>.manifest-list.json` debug
     document. Returns None when provenance cannot be determined (treat
-    conservatively at the call site)."""
-    cur = md.get("current-snapshot-id")
+    conservatively at the call site).
+
+    Checks EVERY snapshot's mirror, not just the current one, and the
+    metadata directory itself: a pre-stamp export whose current
+    snapshot's mirror was expired/cleaned would otherwise classify as
+    foreign and get spec-hash bucket pruning against Spark-hashed
+    values (wrong-file pruning, row loss). Any exists()/listdir error
+    is inconclusive → None (callers fail closed: no bucket pruning)."""
+    mirrors: list[str] = []
     for s in md.get("snapshots", []):
-        if s.get("snapshot-id") == cur:
-            ml = s.get("manifest-list", "")
-            mirror = re.sub(r"-manifest-list\.avro$", ".manifest-list.json", ml)
-            if mirror == ml:
-                return False
-            try:
-                return bool(fsio.exists(mirror))
-            except Exception:
-                return None
+        ml = s.get("manifest-list", "")
+        mirror = re.sub(r"-manifest-list\.avro$", ".manifest-list.json", ml)
+        if mirror != ml:
+            mirrors.append(mirror)
+    inconclusive = False
+    for mirror in mirrors:
+        try:
+            if fsio.exists(mirror):
+                return True
+        except Exception:
+            inconclusive = True
+    # snapshot entries may point at expired paths — also scan the live
+    # metadata directory for ANY of our mirror documents
+    for mirror in mirrors[:1]:
+        mdir = mirror.rsplit("/", 1)[0] if "/" in mirror else mirror
+        try:
+            if any(
+                n.startswith("snap-") and n.endswith(".manifest-list.json")
+                for n in fsio.listdir(mdir)
+            ):
+                return True
+        except Exception:
+            inconclusive = True
+    if inconclusive:
+        return None
     return False
 
 
@@ -777,6 +876,14 @@ def read_iceberg_table(
     # pruning inside kept manifests (partition values + bounds). Delete
     # manifests are NEVER pruned — a tombstone for a pruned file simply
     # finds no rows in the anti-join.
+    # naive predicate literals on timestamptz columns are read by Spark
+    # in the SESSION zone — thread it so the pruners derive the same
+    # instant the row filter will match (a UTC assumption under a
+    # non-UTC session excludes the file holding the matching row)
+    try:
+        _SESSION_TZ.set(spark.conf.get("spark.sql.session.timeZone") or "UTC")
+    except Exception:
+        _SESSION_TZ.set("UTC")
     keep_file = _file_pruner(md, target, eq, between)
     keep_manifest = _manifest_pruner(md, target, eq, between)
     for m in manifests:

@@ -1283,7 +1283,8 @@ class LakehouseSQL:
         reachable (reads ONLY base.changes(synced→current), folds signed
         deltas into the stored groups); otherwise a full recompute,
         pinned to the base snapshot it records. Returns one row
-        (view, mode, synced_snapshot); mode ∈ noop|incremental|full."""
+        (view, mode, synced_snapshot, downgrade_reason, synced_bases);
+        mode ∈ noop|incremental|full."""
         from minio_iceberg_polaris_lakehouse_spark import matview as MV
 
         ns, v = self._resolve_table_name(m.group(1))
@@ -1293,7 +1294,13 @@ class LakehouseSQL:
             raise WarehouseError(f"materialized view {key} does not exist")
         storage = self.wh.table(ns, v)
 
-        def result(mode: str, synced, reason: str | None = None) -> DataFrame:
+        def result(
+            mode: str, synced, reason: str | None = None, bases: str | None = None
+        ) -> DataFrame:
+            # synced_bases: per-base 'name=snapshot' pairs for MULTI-base
+            # (join) views, whose single synced_snapshot is necessarily
+            # NULL — without it the refresh telemetry cannot prove which
+            # changelog windows were folded (r9 driver-diagnosis gap)
             return self.spark.createDataFrame(
                 [
                     Row(
@@ -1301,10 +1308,11 @@ class LakehouseSQL:
                         mode=mode,
                         synced_snapshot=synced,
                         downgrade_reason=reason,
+                        synced_bases=bases,
                     )
                 ],
                 "view string, mode string, synced_snapshot bigint, "
-                "downgrade_reason string",
+                "downgrade_reason string, synced_bases string",
             )
 
         if rec["incremental"] and rec.get("foreign"):
@@ -1374,8 +1382,9 @@ class LakehouseSQL:
         full recompute).  Reads: the two changelog windows (churned dirs
         only), ONE pinned read of each base, and the MV itself — never a
         joint rescan of both bases.  The result row's synced_snapshot is
-        NULL for join views (two bases, two snapshots — see SHOW
-        MATERIALIZED VIEWS' base column for the pair)."""
+        NULL for join views (two bases, two snapshots); the per-base
+        pair is surfaced in synced_bases as 'lbase=snap,rbase=snap' so
+        telemetry can prove which changelog windows were folded."""
         from pyspark.sql import functions as F
 
         from minio_iceberg_polaris_lakehouse_spark import matview as MV
@@ -1392,9 +1401,13 @@ class LakehouseSQL:
                 )
         jspec = MV.parse_incremental_join(rec["sql"])
         lcur, rcur = lbase.current_snapshot_id(), rbase.current_snapshot_id()
+
+        def bases_str(lsnap, rsnap) -> str:
+            return f"{lkey}={lsnap},{rkey}={rsnap}"
+
         ls, rs = rec["synced_join"]
         if (lcur, rcur) == tuple(rec["synced_join"]):
-            return result("noop", None)
+            return result("noop", None, bases=bases_str(lcur, rcur))
         downgrade: str | None = None
         if ls is not None and rs is not None and jspec is not None:
             try:
@@ -1423,7 +1436,7 @@ class LakehouseSQL:
                 storage.overwrite(new)
                 rec["synced_join"] = [lcur, rcur]
                 self.wh.put_matview(ns, v, rec)
-                return result("incremental", None)
+                return result("incremental", None, bases=bases_str(lcur, rcur))
             except _MV_DOWNGRADE as e:
                 # typed downgrade only (expired snapshot / MIN-MAX
                 # delete window / schema drift) — see _MV_DOWNGRADE
@@ -1440,7 +1453,7 @@ class LakehouseSQL:
         storage.overwrite(self._cast_to(storage, df))
         rec["synced_join"] = [lcur, rcur]
         self.wh.put_matview(ns, v, rec)
-        return result("full", None, downgrade)
+        return result("full", None, downgrade, bases=bases_str(lcur, rcur))
 
     def _refresh_matview_foreign(self, key: str, rec: dict, storage: Table, result):
         """Refresh an MV whose base is a REGISTERED FOREIGN table: the

@@ -2128,16 +2128,30 @@ class Table:
             if n is not None and tr.startswith("truncate"):
                 if isinstance(lit_val, str):
                     return F.lit(lit_val[:n])
-                if isinstance(lit_val, int) and not isinstance(lit_val, bool):
-                    return F.lit(lit_val - (lit_val % n))
                 import decimal as _decimal
 
-                if isinstance(lit_val, (_decimal.Decimal, float)):
-                    dt = (
-                        schema[spec.source].dataType
-                        if spec.source in schema.fieldNames()
-                        else None
-                    )
+                # The COLUMN type decides the partition space: an integer
+                # SQL literal on a DECIMAL truncate column (WHERE amt = 10,
+                # parsed to int) must floor in UNSCALED-width space below —
+                # the int fast path would derive 10 - 10 % 50 = 0 and emit
+                # a partition filter matching no directory (silent row
+                # loss now that the write path uses unscaled-width dirs).
+                _src_dt = (
+                    schema[spec.source].dataType
+                    if spec.source in schema.fieldNames()
+                    else None
+                )
+                if (
+                    isinstance(lit_val, int)
+                    and not isinstance(lit_val, bool)
+                    and not isinstance(_src_dt, T.DecimalType)
+                ):
+                    return F.lit(lit_val - (lit_val % n))
+
+                if isinstance(lit_val, (_decimal.Decimal, float, int)) and not isinstance(
+                    lit_val, bool
+                ):
+                    dt = _src_dt
                     if isinstance(dt, T.DecimalType):
                         # spec: width applies to the UNSCALED value;
                         # floor semantics (Python Decimal % keeps the
