@@ -21,6 +21,7 @@ a DECIMAL(10,2) aggregate. Fixture rows come from:
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 import threading
 
@@ -1393,6 +1394,97 @@ def ref_foreign_ts_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lake.sql(
         "SELECT id, ts FROM ext.ts_days WHERE ts = '2024-01-01T23:00:00-05:00'"
     ).select("id", "ts", pruned.cast("int").alias("pruned"))
+
+
+_DTI_STATE: dict[str, tuple[int, int]] = {}
+
+
+@register(
+    "ref_decimal_truncate_int_literal",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('foreign_pos', CAST(1 AS INT), CAST(10.0 AS DOUBLE), CAST(1 AS INT)),
+        ('native_neg',  CAST(3 AS INT), CAST(-10.0 AS DOUBLE), CAST(1 AS INT)),
+        ('native_pos',  CAST(1 AS INT), CAST(10.0 AS DOUBLE), CAST(1 AS INT)))
+        AS m(src, id, amt, pruned)
+    ORDER BY src
+    """,
+)
+def ref_decimal_truncate_int_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTEGER SQL literals on a DECIMAL truncate-partitioned column —
+    the r9-advice row-loss class: `WHERE amt = 10` parses to Python int,
+    and an int fast path that floors in VALUE space derives partition
+    10 - 10 % 50 = 0 instead of the spec's UNSCALED-width floor 10.00
+    (truncate[50] on scale 2 = 0.50-value steps), silently excluding
+    the file/partition that holds the matching row on BOTH scan paths
+    (warehouse.derived partition filters and the foreign pruner's
+    _transform_pred). The table has four 0.50-step partitions; each
+    returned row is the row-loss proof, and `pruned` is the plan-time
+    proof: for the natives, the executed plan carries the correctly
+    derived partition-dir filter (10.00 / -10.00 — floor, not
+    toward-zero, for the negative); for the foreign read, the int-hint
+    equality planned strictly fewer files than the full scan. Spec
+    parity: Iceberg spec 'Truncate Transform Details' (decimal W is
+    applied to the unscaled value), same substrate as the reference's
+    partitioned Iceberg tables (README.md:108-118)."""
+    from pyspark.sql import functions as F
+
+    lake = _lake(spark)
+    key = spark.sparkContext.applicationId
+    with _FIXTURE_LOCK:
+        if key not in _DTI_STATE:
+            lake.sql(
+                "CREATE TABLE IF NOT EXISTS polaris.test_db.dec_trunc_int "
+                "(id INT, amt DECIMAL(10,2)) USING ICEBERG "
+                "PARTITIONED BY (truncate(50, amt))"
+            )
+            if lake.wh.table("test_db", "dec_trunc_int").current_snapshot_id() is None:
+                lake.sql(
+                    "INSERT INTO test_db.dec_trunc_int VALUES "
+                    "(1, 10.00), (2, 0.25), (3, -10.00), (4, 60.00)"
+                )
+            tab = lake.wh.table("test_db", "dec_trunc_int")
+            if "ext.dec_trunc_int" not in lake.wh.foreign_tables():
+                lake.sql(
+                    "CALL polaris.system.register_table("
+                    f"table => 'ext.dec_trunc_int', metadata_file => '{tab.path}')"
+                )
+            full = len(lake.sql("SELECT id FROM ext.dec_trunc_int").inputFiles())
+            planned = len(
+                lake.sql("SELECT id FROM ext.dec_trunc_int WHERE amt = 10").inputFiles()
+            )
+            _DTI_STATE[key] = (full, planned)
+    full, planned = _DTI_STATE[key]
+
+    def native(src: str, lit: str, dirval: str) -> DataFrame:
+        df = lake.sql(f"SELECT id, amt FROM test_db.dec_trunc_int WHERE amt = {lit}")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the scan line renders: PartitionFilters: [...,
+        # (_p_truncate50_amt#N = 10.00)] — pin the DERIVED dir value on
+        # the partition column specifically, not the row-filter literal
+        flag = 1 if re.search(rf"_p_truncate50_amt#\d+ = {re.escape(dirval)}\)", plan) else 0
+        return df.select(
+            F.lit(src).alias("src"),
+            F.col("id"),
+            F.col("amt").cast("double").alias("amt"),
+            F.lit(flag).cast("int").alias("pruned"),
+        )
+
+    foreign = (
+        lake.sql("SELECT id, amt FROM ext.dec_trunc_int WHERE amt = 10")
+        .select(
+            F.lit("foreign_pos").alias("src"),
+            F.col("id"),
+            F.col("amt").cast("double").alias("amt"),
+            F.lit(1 if planned < full else 0).cast("int").alias("pruned"),
+        )
+    )
+    return (
+        native("native_pos", "10", "10.00")
+        .unionByName(native("native_neg", "-10", "-10.00"))
+        .unionByName(foreign)
+        .orderBy("src")
+    )
 
 
 _FPRUNE_STATE: dict[str, tuple[int, int]] = {}

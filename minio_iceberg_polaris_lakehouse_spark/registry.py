@@ -226,9 +226,14 @@ _PRIORITY: list[str] = [
     # driver hashes — sliding window, event rates, session window — and
     # stream_tumbling/session run every bench round).
     "ml_logistic_regression",
-    # UDF surface (§2.13): the row-at-a-time Python UDF demo gets its
-    # first driver slot (grouped-agg veteran rotated out at 5 rounds)
-    "udf_row_python",
+    # NEW r10: integer SQL literals on a DECIMAL truncate-partitioned
+    # column — the r9-advice row-loss class, proven on BOTH scan paths
+    # (engine partition-filter derivation + foreign pruner) with
+    # plan-time pruned flags and the returned rows as the row-loss
+    # proof. Takes udf_row_python's slot (3 green rounds r07-r09;
+    # §2.13 keeps udf_python_udtf in-window, and the row-UDF surface
+    # stays green in the uncapped local replica).
+    "ref_decimal_truncate_int_literal",
     # X1/X2 dedup: minhash stays as the hardest-operator anchor;
     # NEW r7 session 3: SemDeDup-style semantic dedup (exact top-pair
     # components hash-checked + in-plan candidate-capture gate) takes
