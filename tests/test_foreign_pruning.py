@@ -721,3 +721,74 @@ if _HAS_HYP:
             assert not _part_range_excl(
                 pv, pv, "amt", t, f"truncate[{w}]", {"amt": str(v)}, None
             ), f"{v} lost from its own truncate[{w}] partition {pv!r}"
+
+if _HAS_HYP:
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        unscaled=st.integers(-10**6, 10**6),
+        w=st.sampled_from([1, 7, 50, 1000]),
+        scale=st.sampled_from([0, 2, 4]),
+    )
+    def test_fuzz_decimal_truncate_int_literal_never_excluded(unscaled, w, scale):
+        """r9-advice class: the probe arrives as a plain Python INT (the
+        SQL front-end parses WHERE amt = 10 to int) — the column type
+        must route it through the unscaled-width floor, never the int
+        value-space fast path (which derived partition 0 and excluded
+        the matching file)."""
+        import decimal
+
+        from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+            _part_range_excl,
+        )
+
+        whole = decimal.Decimal(unscaled)  # integral probe value
+        t = f"decimal(18,{scale})"
+        u = int(whole.scaleb(scale))  # unscaled units of the column
+        floored = decimal.Decimal((u // w) * w).scaleb(-scale)
+        for pv in (str(floored), floored):
+            assert not _part_range_excl(
+                pv, pv, "amt", t, f"truncate[{w}]", {"amt": int(whole)}, None
+            ), f"int literal {int(whole)} lost from its own partition {pv!r}"
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        day=st.integers(0, 25000),
+        secs=st.integers(0, 86399),
+        zone_off_min=st.sampled_from([-720, -540, -300, -60, 0, 60, 330, 540, 720]),
+        use_t_sep=st.booleans(),
+        transform=st.sampled_from(["day", "month", "year", "hour"]),
+    )
+    def test_fuzz_naive_literal_session_zone_never_excludes_matching_partition(
+        day, secs, zone_off_min, use_t_sep, transform
+    ):
+        """r9-advice class: a NAIVE literal on a timestamptz column is
+        read by Spark in the SESSION zone. Under any fixed-offset
+        session zone, the partition holding the instant Spark's row
+        filter will match must never be excluded — a UTC-only reading
+        was off by the session offset."""
+        import datetime as dt
+
+        from minio_iceberg_polaris_lakehouse_spark.sources import iceberg_reader as IR
+
+        zone = dt.timezone(dt.timedelta(minutes=zone_off_min))
+        naive_local = dt.datetime(1970, 1, 1) + dt.timedelta(days=day, seconds=secs)
+        utc = naive_local.replace(tzinfo=zone).astimezone(dt.timezone.utc)
+        lit = naive_local.isoformat(sep="T" if use_t_sep else " ")
+        if transform == "day":
+            pv = (utc.date() - dt.date(1970, 1, 1)).days
+        elif transform == "month":
+            pv = (utc.year - 1970) * 12 + utc.month - 1
+        elif transform == "year":
+            pv = utc.year - 1970
+        else:
+            pv = int(utc.timestamp()) // 3600
+        sign = "+" if zone_off_min >= 0 else "-"
+        name = f"GMT{sign}{abs(zone_off_min) // 60:02d}:{abs(zone_off_min) % 60:02d}"
+        tok = IR._SESSION_TZ.set(name)
+        try:
+            assert not IR._part_range_excl(
+                pv, pv, "ts", "timestamptz", transform, {"ts": lit}, None
+            ), f"naive {lit} in session {name} lost from its {transform} partition {pv}"
+        finally:
+            IR._SESSION_TZ.reset(tok)

@@ -317,6 +317,38 @@ def test_coerce_vals_timestamptz_literal_uses_session_zone():
         IR._SESSION_TZ.reset(tok)
 
 
+def test_foreign_scan_naive_literal_non_utc_session_keeps_matching_row(lake, spark):
+    """End-to-end: under a non-UTC session zone, a NAIVE equality
+    literal on a day(ts)-partitioned foreign table still returns its
+    row — the pruner derives the same instant Spark's row filter
+    matches (UTC-only derivation pruned the matching file)."""
+    from minio_iceberg_polaris_lakehouse_spark.sources import iceberg_reader as IR
+
+    lake.sql(
+        "CREATE TABLE polaris.db.tzp (id INT, ts TIMESTAMP) USING ICEBERG "
+        "PARTITIONED BY (days(ts))"
+    )
+    # offset-bearing inserts: fixture instants independent of session zone
+    lake.sql(
+        "INSERT INTO db.tzp VALUES "
+        "(1, '2024-01-01T04:00:00+00:00'), (2, '2024-01-01T19:00:00+00:00'), "
+        "(3, '2024-01-03T04:00:00+00:00')"
+    )
+    t = lake.wh.table("db", "tzp")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        # Tokyo 2024-01-02 04:00 IS 2024-01-01T19:00Z → row 2
+        fr = IR.read_iceberg_table(spark, t.path, eq={"ts": "2024-01-02 04:00:00"})
+        got = fr.filter("ts = '2024-01-02 04:00:00'").collect()
+        assert [r.id for r in got] == [2]
+        # and the predicate still planned fewer files than the full read
+        full = len(IR.read_iceberg_table(spark, t.path).inputFiles())
+        assert len(fr.inputFiles()) < full
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 # ------------------------------------------------------ provenance fail-closed
 
 
