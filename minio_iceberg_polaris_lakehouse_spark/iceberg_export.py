@@ -324,13 +324,19 @@ def _bound_bytes(v, avro_type) -> bytes | None:
     return None
 
 
-def _partition_summary(files: list[dict], part_field) -> list[dict] | None:
+def _is_utcish_tz(tz) -> bool:
+    """True when a dir's recorded write-session zone is UTC (or unset —
+    zone-free transforms / legacy dirs)."""
+    return tz in (None, "UTC", "Etc/UTC", "GMT", "Z", "+00:00", "GMT+00:00", "UTC+00:00")
+
+
+def _partition_summary(files: list[dict], part_field, tz=None) -> list[dict] | None:
     """The manifest-list `partitions` field-summary list for one
     manifest's files (this engine's one-partition-field specs)."""
     if part_field is None:
         return None
     name, avro_type = part_field[0], part_field[1]
-    vals = [_partition_value(f["path"], name, avro_type) for f in files]
+    vals = [_partition_value(f["path"], name, avro_type, tz=tz) for f in files]
     present = [v for v in vals if v is not None]
     try:
         lo, hi = (min(present), max(present)) if present else (None, None)
@@ -363,10 +369,23 @@ def _partition_avro_field(meta: dict, spec: dict) -> tuple[str, object] | None:
     return name, "string"
 
 
-def _partition_value(rel_path: str, field_name: str, avro_type) -> object:
+def _partition_value(rel_path: str, field_name: str, avro_type, tz=None) -> object:
     """Decode the hive-style partition value embedded in a data file's
     relative path (``_p_day_ts=2024-11-25/part-….parquet``) to the typed
-    Avro datum. Unparseable / __HIVE_DEFAULT_PARTITION__ → None."""
+    Avro datum. Unparseable / __HIVE_DEFAULT_PARTITION__ → None.
+
+    ``tz`` is the dir's recorded write-session zone (warehouse spec_rec
+    'tz'): the spec defines temporal transforms over UTC micros, but the
+    engine's hive dirs extract calendar fields in the write session's
+    zone. A non-UTC temporal dir genuinely straddles two UTC
+    day/hour/month buckets, so NO single spec value is correct for its
+    files — export NULL (spec 'unknown': consumers keep the file and
+    filter rows) instead of a shifted value a compliant reader would
+    prune wrongly on (row loss in ANY spec-following engine)."""
+    if not _is_utcish_tz(tz) and any(
+        field_name.startswith(p) for p in ("_p_day_", "_p_month_", "_p_year_", "_p_hour_")
+    ):
+        return None
     for part in rel_path.split(os.sep)[:-1]:
         if "=" not in part:
             continue
@@ -547,7 +566,9 @@ def _write_manifest_avro(
     for f in files:
         partition: dict[str, object] = {}
         if part_field is not None:
-            partition[part_field[0]] = _partition_value(f["path"], part_field[0], part_field[1])
+            partition[part_field[0]] = _partition_value(
+                f["path"], part_field[0], part_field[1], tz=spec_rec.get("tz")
+            )
         records.append(
             {
                 "status": 1,  # ADDED (in its adding snapshot)
@@ -761,7 +782,7 @@ def write_iceberg_metadata(table: Table) -> str:
                     # this manifest (never opening its avro) when a
                     # predicate provably excludes its value range
                     "partitions": _partition_summary(
-                        files, _partition_avro_field(meta, spec_rec)
+                        files, _partition_avro_field(meta, spec_rec), tz=spec_rec.get("tz")
                     ),
                 }
             )

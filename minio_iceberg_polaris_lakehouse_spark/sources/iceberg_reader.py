@@ -459,7 +459,16 @@ def _transform_pred(transform: str, v, col_type) -> tuple[object, bool] | None:
     if m:
         from minio_iceberg_polaris_lakehouse_spark.theta import iceberg_bucket
 
-        b = iceberg_bucket(v, int(m.group(1)), t)
+        vv = v
+        if t.startswith("timestamp") and isinstance(v, str):
+            # resolve the literal to the instant Spark's row filter will
+            # match BEFORE hashing (iceberg_bucket's own string fallback
+            # reads naive as UTC — wrong bucket under a non-UTC session
+            # on a timestamptz column → row loss)
+            vv = _ts_micros(v, session_naive=(t == "timestamptz"))
+            if vv is None:
+                return None
+        b = iceberg_bucket(vv, int(m.group(1)), t)
         return None if b is None else (b, False)
     m = re.fullmatch(r"truncate\[(\d+)\]", transform)
     if m:

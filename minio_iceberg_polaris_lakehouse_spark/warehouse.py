@@ -139,6 +139,14 @@ class PartitionSpec:
     # (parameterized transforms encode their width in the name, Iceberg's
     # bucket[N] / truncate[W])
     transform: str = "identity"
+    # session zone a TEMPORAL transform's hive dirs were derived in (the
+    # engine's day/month/hour dir values come from session-zone calendar
+    # extraction over timestamptz columns, unlike the UTC-defined open
+    # export) — recorded per written dir so scan-time partition-filter
+    # derivation can detect a zone change and decline to prune instead
+    # of excluding the dir that holds the matching row. None: zone-free
+    # (dates, non-temporal transforms) or legacy dirs (same-zone assumed)
+    tz: str | None = None
 
     def column(self) -> str | None:
         return None if self.source is None else f"_p_{self.transform}_{self.source}"
@@ -1488,7 +1496,9 @@ class Table:
             p = meta["partition"]
             return PartitionSpec(p.get("source"), p.get("transform", "identity")), 0
         return (
-            PartitionSpec(rec.get("source"), rec.get("transform", "identity")),
+            PartitionSpec(
+                rec.get("source"), rec.get("transform", "identity"), tz=rec.get("tz")
+            ),
             int(rec.get("spec_id", 0)),
         )
 
@@ -2116,6 +2126,24 @@ class Table:
             tr = spec.transform
             if tr == "identity":
                 return F.lit(lit_val)
+            if tr in ("day", "month", "year", "hour"):
+                src_dt = (
+                    schema[spec.source].dataType
+                    if spec.source in schema.fieldNames()
+                    else None
+                )
+                if isinstance(src_dt, T.TimestampType) and spec.tz is not None:
+                    # the dir's calendar values were extracted in the
+                    # WRITE session's zone; deriving the literal in a
+                    # DIFFERENT current zone lands on a different dir
+                    # value near day/hour boundaries — decline to prune
+                    # (the row filter still applies; costs IO, never rows)
+                    try:
+                        cur = self.spark.conf.get("spark.sql.session.timeZone") or "UTC"
+                    except Exception:
+                        cur = None
+                    if cur != spec.tz:
+                        return None
             if tr == "day":
                 return F.to_date(F.lit(lit_val))
             if tr == "month":
@@ -2178,8 +2206,33 @@ class Table:
                         iceberg_bucket,
                     )
 
+                    bucket_lit = lit_val
+                    if isinstance(dt, T.TimestampType) and isinstance(lit_val, str):
+                        # resolve the string to the instant Spark's row
+                        # filter will match: a naive literal reads in the
+                        # SESSION zone (iceberg_bucket's own fallback
+                        # assumes UTC → wrong bucket → row loss)
+                        from minio_iceberg_polaris_lakehouse_spark.sources.iceberg_reader import (
+                            _SESSION_TZ,
+                            _ts_micros,
+                        )
+
+                        try:
+                            tzname = (
+                                self.spark.conf.get("spark.sql.session.timeZone")
+                                or "UTC"
+                            )
+                        except Exception:
+                            tzname = "UTC"
+                        tok = _SESSION_TZ.set(tzname)
+                        try:
+                            bucket_lit = _ts_micros(lit_val, session_naive=True)
+                        finally:
+                            _SESSION_TZ.reset(tok)
+                        if bucket_lit is None:
+                            return None
                     b = iceberg_bucket(
-                        lit_val, n, dt.simpleString() if dt is not None else "string"
+                        bucket_lit, n, dt.simpleString() if dt is not None else "string"
                     )
                     return None if b is None else F.lit(b)
                 lit = F.lit(lit_val).cast(dt) if dt is not None else F.lit(lit_val)
@@ -2537,6 +2590,20 @@ class Table:
             # rename chain so RENAME COLUMN preserves old files' values
             "columns": cols,
         }
+        if (
+            spec.transform in ("day", "month", "year", "hour")
+            and spec.source in cols
+            and isinstance(schema[spec.source].dataType, T.TimestampType)
+        ):
+            # temporal dirs over timestamptz derive in the SESSION zone —
+            # record it so scans under a different zone decline to prune
+            # (PartitionSpec.tz) instead of silently losing rows
+            try:
+                spec_rec["tz"] = (
+                    self.spark.conf.get("spark.sql.session.timeZone") or "UTC"
+                )
+            except Exception:
+                pass
         if lineage_cols:
             spec_rec["lineage"] = True
         return PendingData(dirname, sum(s["rows"] for s in stats), spec_rec, stats)

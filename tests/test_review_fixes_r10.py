@@ -349,6 +349,119 @@ def test_foreign_scan_naive_literal_non_utc_session_keeps_matching_row(lake, spa
         spark.conf.set("spark.sql.session.timeZone", prev)
 
 
+def test_bucket_transform_naive_literal_resolves_session_zone():
+    """bucket[N] pruning of a naive timestamptz literal must hash the
+    instant the row filter matches (session zone), not the UTC reading
+    of the wall time — a wrong bucket silently drops the row."""
+    from minio_iceberg_polaris_lakehouse_spark.sources import iceberg_reader as IR
+    from minio_iceberg_polaris_lakehouse_spark.theta import iceberg_bucket
+
+    instant_us = 1704103200000000  # 2024-01-01T10:00:00Z
+    expect = iceberg_bucket(instant_us, 16, "timestamptz")
+    tok = IR._SESSION_TZ.set("Asia/Tokyo")
+    try:
+        got = IR._transform_pred("bucket[16]", "2024-01-01 19:00:00", "timestamptz")
+        assert got == (expect, False)
+        # unknown zone: decline to prune rather than hash a guess
+        tok2 = IR._SESSION_TZ.set("Not/AZone")
+        try:
+            assert IR._transform_pred("bucket[16]", "2024-01-01 19:00:00", "timestamptz") is None
+        finally:
+            IR._SESSION_TZ.reset(tok2)
+    finally:
+        IR._SESSION_TZ.reset(tok)
+
+
+def test_engine_bucket_scan_naive_literal_non_utc_session(lake, spark):
+    """End-to-end on the engine's spec-hash bucket path: a naive
+    timestamp equality under Asia/Tokyo still returns its row — the
+    driver-side literal bucket must be computed from the session-zone
+    instant."""
+    lake.sql(
+        "CREATE TABLE polaris.db.tzb (id INT, ts TIMESTAMP) USING ICEBERG "
+        "PARTITIONED BY (bucket(8, ts))"
+    )
+    lake.sql(
+        "INSERT INTO db.tzb VALUES "
+        "(1, '2024-01-01T04:00:00+00:00'), (2, '2024-01-01T10:00:00+00:00'), "
+        "(3, '2024-01-02T21:30:00+00:00')"
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        # Tokyo 19:00 IS 10:00Z → row 2
+        df = lake.sql("SELECT id FROM db.tzb WHERE ts = '2024-01-01 19:00:00'")
+        assert [r.id for r in df.collect()] == [2]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_temporal_hive_dirs_pin_write_zone_and_decline_cross_zone_pruning(lake, spark):
+    """The engine's day(ts) hive dirs extract calendar fields in the
+    WRITE session's zone; a scan under a DIFFERENT zone must not derive
+    a partition filter (it would land on a different dir value near day
+    boundaries and exclude the dir holding the matching row)."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        lake.sql(
+            "CREATE TABLE polaris.db.tzd (id INT, ts TIMESTAMP) USING ICEBERG "
+            "PARTITIONED BY (days(ts))"
+        )
+        # 2024-01-01T19:00Z = Tokyo 2024-01-02 04:00 → Tokyo-day dir
+        lake.sql(
+            "INSERT INTO db.tzd VALUES "
+            "(1, '2024-01-01T19:00:00+00:00'), (2, '2024-01-03T02:00:00+00:00')"
+        )
+        t = lake.wh.table("db", "tzd")
+        meta = t._meta()
+        recs = list(meta.get("dir_specs", {}).values())
+        assert recs and all(r.get("tz") == "Asia/Tokyo" for r in recs)
+        # same-zone scan still derives the partition filter (prunes)
+        sc = t.scan(eq={"ts": "2024-01-02 04:00:00"})
+        plan = sc._jdf.queryExecution().executedPlan().toString()
+        assert "_p_day_ts" in plan
+        assert [r.id for r in sc.filter("ts = '2024-01-02 04:00:00'").collect()] == [1]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # cross-zone (UTC) scan: the SAME instant is naive '2024-01-01 19:00'
+    # — the zone guard must decline the partition filter and keep the row
+    sc = t.scan(eq={"ts": "2024-01-01 19:00:00"})
+    assert [r.id for r in sc.filter("ts = '2024-01-01 19:00:00'").collect()] == [1]
+
+
+def test_export_non_utc_temporal_dirs_emit_null_partition_values(lake, spark):
+    """A Tokyo-written day(ts) dir straddles two UTC days, so NO single
+    spec partition value is correct for its files — the export must
+    emit NULL (spec 'unknown') and a foreign scan with a timestamp
+    equality must keep the matching row instead of pruning on a
+    shifted value."""
+    from minio_iceberg_polaris_lakehouse_spark.sources import iceberg_reader as IR
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        lake.sql(
+            "CREATE TABLE polaris.db.tze (id INT, ts TIMESTAMP) USING ICEBERG "
+            "PARTITIONED BY (days(ts))"
+        )
+        lake.sql(
+            "INSERT INTO db.tze VALUES "
+            "(1, '2024-01-01T19:00:00+00:00'), (2, '2024-01-03T02:00:00+00:00')"
+        )
+        t = lake.wh.table("db", "tze")
+        fr = IR.read_iceberg_table(
+            spark, t.path, eq={"ts": "2024-01-01T19:00:00+00:00"}
+        )
+        got = fr.filter("ts = '2024-01-01T19:00:00+00:00'").collect()
+        assert [r.id for r in got] == [1]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # and under UTC too (cross-zone foreign read)
+    fr = IR.read_iceberg_table(spark, t.path, eq={"ts": "2024-01-01 19:00:00"})
+    assert [r.id for r in fr.filter("ts = '2024-01-01 19:00:00'").collect()] == [1]
+
+
 # ------------------------------------------------------ provenance fail-closed
 
 
