@@ -116,3 +116,50 @@ def rel_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY r.r_name
         """
     )
+
+
+@register(
+    "rel_qualify_topn",
+    oracle="""
+    SELECT n.n_regionkey AS region, n.n_name AS nation,
+           CAST(COUNT(c.c_custkey) AS BIGINT) AS cust_cnt,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY n.n_regionkey
+               ORDER BY COUNT(c.c_custkey) DESC, n.n_name) AS INT) AS rn
+    FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_regionkey, n.n_name
+    QUALIFY rn <= 2
+    ORDER BY region, rn
+    """,
+)
+def rel_qualify_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY — the window-filter clause of DuckDB/Snowflake/BigQuery
+    that Spark SQL lacks: per-region top-2 nations by customer count,
+    written WITH the clause and rewritten by sql_frontend.qualify_sql
+    into standard SQL (inner projection of the predicate as a boolean
+    column + outer filter + `* EXCEPT`) that Catalyst runs unchanged.
+    The oracle is the IDENTICAL QUALIFY text DuckDB executes natively,
+    so the hash proves the rewrite's semantics match the dialect that
+    defines the clause — alias references included (`rn` is a
+    select-list alias over a window over a grouped aggregate). Plan
+    shape: one aggregate exchange + one window over it + a filter —
+    the same WindowGroupLimit-eligible top-k form as win_top3."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import qualify_sql
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_qf_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_qf_customer")
+    return spark.sql(
+        qualify_sql(
+            """
+            SELECT n.n_regionkey AS region, n.n_name AS nation,
+                   CAST(COUNT(c.c_custkey) AS BIGINT) AS cust_cnt,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY n.n_regionkey
+                       ORDER BY COUNT(c.c_custkey) DESC, n.n_name) AS INT) AS rn
+            FROM _qf_nation n JOIN _qf_customer c ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_regionkey, n.n_name
+            QUALIFY rn <= 2
+            ORDER BY region, rn
+            """
+        )
+    )

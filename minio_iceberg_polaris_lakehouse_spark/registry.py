@@ -206,9 +206,15 @@ _PRIORITY: list[str] = [
     # ExactSubstr dedup — corpus-wide duplicate token spans (NEW this
     # session)
     "dedup_substring_spans",
-    # iterative PageRank with full-history oracle replay (NEW this
-    # session)
-    "ml_pagerank_trade",
+    # NEW r10: QUALIFY — the window-filter clause Spark SQL lacks,
+    # rewritten by sql_frontend.qualify_sql into standard Catalyst SQL;
+    # the oracle is the IDENTICAL clause text DuckDB executes natively,
+    # so the hash proves dialect-matching semantics (alias reference
+    # over a window over a grouped aggregate). Takes ml_pagerank_trade's
+    # slot (3 green rounds r07-r09; ML keeps kmeans, pca, logistic, and
+    # linear regression in-window; pagerank stays green in the uncapped
+    # local replica).
+    "rel_qualify_topn",
     # NEW r7 session 6: Flink/CDC-style UPSERT through the SQL path —
     # identifier-fields DDL + write.upsert.enabled routing; last_op
     # column read back from .snapshots proves the merge-on-read upsert

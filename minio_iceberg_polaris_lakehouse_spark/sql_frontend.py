@@ -155,6 +155,76 @@ def _balanced_paren_group(text: str) -> tuple[str, str]:
     raise WarehouseError(f"unbalanced parentheses in: {text[:80]}")
 
 
+_QUALIFY_RE = re.compile(r"(?i)(?<![\w.])QUALIFY(?!\w)")
+_SETOP_RE = re.compile(r"(?i)(?<![\w.])(?:UNION|INTERSECT|EXCEPT|MINUS)(?!\w)")
+_QTAIL_RE = re.compile(r"(?i)(?<![\w.])(?:ORDER\s+BY|LIMIT|OFFSET)(?!\w)")
+
+
+def _depth0_positions(s: str, word_re: re.Pattern) -> list[re.Match]:
+    """Matches of ``word_re`` at parenthesis depth 0 (callers mask string
+    literals first, so literal text carries no parens/keywords)."""
+    return [
+        m
+        for m in word_re.finditer(s)
+        if s.count("(", 0, m.start()) == s.count(")", 0, m.start())
+    ]
+
+
+def _rewrite_qualify_masked(s: str) -> str:
+    """Rewrite a top-level QUALIFY clause (the window-filter sugar of
+    DuckDB/Snowflake/BigQuery that Spark SQL lacks) into standard SQL
+    Catalyst runs unchanged:
+
+        SELECT <list> FROM … [WHERE …] [GROUP BY …] QUALIFY <pred>
+            [ORDER BY …] [LIMIT …]
+    →   SELECT * EXCEPT (_lh_qualify) FROM (
+            SELECT __q.*, (<pred>) AS _lh_qualify FROM (<core>) AS __q
+        ) WHERE _lh_qualify [ORDER BY …] [LIMIT …]
+
+    Window functions in <pred> evaluate over the result of
+    FROM/WHERE/GROUP BY — QUALIFY's defined semantics — and may reference
+    select-list aliases (they are columns of __q). Predicates over base
+    columns NOT in the select list raise Catalyst's unresolved-column
+    error (project them, as in every QUALIFY dialect). Scope: one QUALIFY
+    per top-level SELECT; set-operation branches must wrap in subqueries.
+    Expects string literals already masked (no QUALIFY-in-literal traps)."""
+    hits = _depth0_positions(s, _QUALIFY_RE)
+    if not hits:
+        return s
+    if len(hits) > 1:
+        raise WarehouseError("multiple top-level QUALIFY clauses — wrap subqueries")
+    m = hits[0]
+    head, rest = s[: m.start()].rstrip(), s[m.end() :]
+    if _depth0_positions(head, _SETOP_RE):
+        raise WarehouseError(
+            "QUALIFY on a set-operation branch — wrap each branch in a subquery"
+        )
+    tails = _depth0_positions(rest, _QTAIL_RE)
+    cut = tails[0].start() if tails else len(rest)
+    pred, tail = rest[:cut].strip(), rest[cut:].strip()
+    if not pred:
+        raise WarehouseError("QUALIFY requires a predicate")
+    return (
+        f"SELECT * EXCEPT (_lh_qualify) FROM ("
+        f"SELECT __q.*, ({pred}) AS _lh_qualify FROM ({head}) AS __q"
+        f") WHERE _lh_qualify {tail}"
+    )
+
+
+def qualify_sql(statement: str) -> str:
+    """Standalone QUALIFY rewrite for plain spark.sql callers (masks and
+    restores string literals around the masked-level rewrite)."""
+    literals: list[str] = []
+
+    def mask(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00L{len(literals) - 1}\x00"
+
+    masked = re.sub(r"'(?:[^']|'')*'", mask, statement)
+    out = _rewrite_qualify_masked(masked)
+    return re.sub(r"\x00L(\d+)\x00", lambda m: literals[int(m.group(1))], out)
+
+
 class LakehouseSQL:
     """SQL entry point bound to one warehouse directory, mirroring the
     reference's ``spark.sql`` usage with catalog ``polaris`` and 2-part
@@ -440,6 +510,9 @@ class LakehouseSQL:
         return {(ns, tbl): {"eq": eq or None, "between": between or None}}
 
     # ------------------------------------------------------- SELECT rewrite
+    def _rewrite_qualify(self, s: str) -> str:
+        return _rewrite_qualify_masked(s)
+
     def _rewrite_query(self, s: str, hints: dict | None = None) -> str:
         """Replace warehouse table references (2/3-part names, optional
         .history/.snapshots metadata suffix, optional VERSION AS OF /
@@ -466,6 +539,7 @@ class LakehouseSQL:
             return f"\x00L{len(literals) - 1}\x00"
 
         s = re.sub(r"'(?:[^']|'')*'", mask, s)
+        s = self._rewrite_qualify(s)
         wants_metadata_cols = bool(
             re.search(r"(?<!\w)_(?:spec_id|partition|file|pos|deleted)(?!\w)", s)
         )

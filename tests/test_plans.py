@@ -304,3 +304,21 @@ def test_row_lineage_read_is_shuffle_free(spark, tmp_path):
     # and the derivation is correct end to end
     rows = df.selectExpr("id", "_row_id").collect()
     assert len({r._row_id for r in rows}) == 6000
+
+
+def test_qualify_rewrite_gets_window_group_limit(spark, sf_dir):
+    """The QUALIFY rewrite (sql_frontend.qualify_sql) must stay eligible
+    for Catalyst's rank-pruning: `QUALIFY row_number() <= k` plans a
+    WindowGroupLimit (Partial BEFORE the shuffle — each map task keeps
+    only k rows per group), the helper boolean folds away, and the dim
+    join broadcasts. At 100 TB this is the difference between shuffling
+    every group member and shuffling k per group."""
+    from minio_iceberg_polaris_lakehouse_spark.operators.relational5 import (
+        rel_qualify_topn,
+    )
+
+    df = rel_qualify_topn(spark, sf_dir)
+    s = plan_string(df)
+    assert count_nodes(df, "WindowGroupLimit") >= 1, s
+    assert "_lh_qualify" not in s, s  # helper column folded away
+    assert "BroadcastHashJoin" in s, s

@@ -505,6 +505,53 @@ def test_is_own_export_checks_all_snapshots_and_fails_closed(tmp_path):
         fsio.exists, fsio.listdir = orig_exists, orig_listdir
 
 
+# ------------------------------------------------------------------ QUALIFY
+
+
+def test_qualify_through_sql_frontend(lake):
+    """QUALIFY works on warehouse tables through LakehouseSQL.sql —
+    alias reference, window predicate, ORDER BY/LIMIT tail, and the
+    helper column never leaks into the result."""
+    lake.sql("CREATE TABLE polaris.db.qf (g STRING, v INT) USING ICEBERG")
+    lake.sql("INSERT INTO db.qf VALUES ('a', 3), ('a', 1), ('a', 2), ('b', 9), ('b', 8)")
+    df = lake.sql(
+        "SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) AS rn "
+        "FROM db.qf QUALIFY rn <= 2 ORDER BY g, rn"
+    )
+    assert df.columns == ["g", "v", "rn"]
+    assert [tuple(r) for r in df.collect()] == [
+        ("a", 3, 1), ("a", 2, 2), ("b", 9, 1), ("b", 8, 2)
+    ]
+    # raw window expression in the predicate (no alias), plus LIMIT
+    df2 = lake.sql(
+        "SELECT g, v FROM db.qf "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) = 1 "
+        "ORDER BY g LIMIT 1"
+    )
+    assert [tuple(r) for r in df2.collect()] == [("a", 3)]
+
+
+def test_qualify_rewrite_guards_and_masking():
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import (
+        WarehouseError,
+        qualify_sql,
+    )
+
+    # literal containing the keyword never triggers the rewrite
+    s = "SELECT * FROM t WHERE note = 'we QUALIFY for this'"
+    assert qualify_sql(s) == s
+    # nested-subquery QUALIFY (depth > 0) is left for that subquery's
+    # own rewrite pass — only depth-0 rewrites here
+    s2 = "SELECT * FROM (SELECT 1) x"
+    assert qualify_sql(s2) == s2
+    with pytest.raises(WarehouseError, match="set-operation"):
+        qualify_sql("SELECT 1 AS a UNION ALL SELECT 2 QUALIFY a = 1")
+    with pytest.raises(WarehouseError, match="predicate"):
+        qualify_sql("SELECT 1 AS a QUALIFY")
+    with pytest.raises(WarehouseError, match="multiple"):
+        qualify_sql("SELECT 1 AS a QUALIFY a = 1 QUALIFY a = 2")
+
+
 # ------------------------------------------------------------- telemetry/bench
 
 
