@@ -163,3 +163,35 @@ def rel_qualify_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         )
     )
+
+
+_ASOF_TEXT = """
+    SELECT p.event_id, p.user_id, c.ts AS click_ts
+    FROM (SELECT event_id, user_id, ts FROM {events} WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT user_id, ts FROM {events} WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+"""
+
+
+@register(
+    "rel_asof_join_sql",
+    oracle=_ASOF_TEXT.format(events="events"),
+)
+def rel_asof_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB-style ASOF JOIN through the SQL surface: for each
+    purchase, the single click row of the same user with the greatest
+    ts at-or-before it — INNER semantics (purchases with no prior click
+    drop). The statement is rewritten by sql_frontend.asof_sql into a
+    LATERAL top-1 Catalyst decorrelates (join + WindowGroupLimit); the
+    oracle is the IDENTICAL ASOF JOIN text DuckDB executes natively, so
+    the hash proves the rewrite matches the dialect that defines the
+    clause. Scale note (also in the rewriter's docstring): Catalyst's
+    decorrelation domain-joins DISTINCT left timestamps — exact, fine
+    for dimension-sized sides; the billion×billion as-of path is the
+    union+carry operator `rel_asof_join` (one shuffle, no inequality
+    join), which implements the same semantics LEFT-joined."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import asof_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_asql_events")
+    return spark.sql(asof_sql(_ASOF_TEXT.format(events="_asql_events")))

@@ -203,9 +203,13 @@ _PRIORITY: list[str] = [
     "text_chunk_windows",
     # Python UDTF lateral row expansion (first driver slot)
     "udf_python_udtf",
-    # ExactSubstr dedup — corpus-wide duplicate token spans (NEW this
-    # session)
-    "dedup_substring_spans",
+    # NEW r10: DuckDB-style ASOF JOIN through the SQL surface — the
+    # statement rewrites (sql_frontend.asof_sql) into a LATERAL top-1
+    # and the oracle is the IDENTICAL ASOF JOIN text DuckDB executes
+    # natively. Takes dedup_substring_spans' slot (3 green rounds
+    # r07-r09; X2 keeps semantic, cross-corpus, and fuzzy-name dedup
+    # in-window; substring spans stay green in the uncapped replica).
+    "rel_asof_join_sql",
     # NEW r10: QUALIFY — the window-filter clause Spark SQL lacks,
     # rewritten by sql_frontend.qualify_sql into standard Catalyst SQL;
     # the oracle is the IDENTICAL clause text DuckDB executes natively,

@@ -211,9 +211,104 @@ def _rewrite_qualify_masked(s: str) -> str:
     )
 
 
-def qualify_sql(statement: str) -> str:
-    """Standalone QUALIFY rewrite for plain spark.sql callers (masks and
-    restores string literals around the masked-level rewrite)."""
+_ASOF_RE = re.compile(r"(?i)(?<![\w.])ASOF\s+(?P<left>LEFT\s+)?JOIN(?!\w)")
+_FROM_RE = re.compile(r"(?i)(?<![\w.])FROM(?!\w)")
+_ASOF_RIGHT_RE = re.compile(
+    r"(?is)^\s*(?P<rel>[A-Za-z_][\w.]*|\((?:[^()]|\([^()]*\))*\))"
+    r"(?:\s+AS)?\s+(?P<alias>[A-Za-z_]\w*)?\s*ON(?!\w)\s*(?P<cond>.*)$"
+)
+_ASOF_INEQ_RE = re.compile(
+    r"^\s*(?P<lq>[A-Za-z_]\w*)\.(?P<lc>[A-Za-z_]\w*)\s*(?P<op>>=|<=|>|<)\s*"
+    r"(?P<rq>[A-Za-z_]\w*)\.(?P<rc>[A-Za-z_]\w*)\s*$"
+)
+_ASOF_END_RE = re.compile(
+    r"(?i)(?<![\w.])(?:WHERE|GROUP\s+BY|HAVING|WINDOW|QUALIFY|ORDER\s+BY|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT|MINUS)(?!\w)"
+)
+
+
+def _rewrite_asof_masked(s: str) -> str:
+    """Rewrite DuckDB-style ``A ASOF [LEFT] JOIN B [AS] b ON <conds>``
+    into a LATERAL top-1 Spark runs natively:
+
+        a , LATERAL (SELECT * FROM B AS b WHERE <conds>
+                     ORDER BY b.<ts> DESC|ASC LIMIT 1) AS b        -- inner
+        a LEFT JOIN LATERAL (…) AS b ON true                       -- left
+
+    Semantics match the dialect that defines the clause: per left row,
+    the single right row with the extreme timestamp satisfying the one
+    inequality conjunct (DESC for ``l.ts >= r.ts`` forms, ASC for
+    ``l.ts <= r.ts``), equality conjuncts applied inside. Catalyst
+    decorrelates into join + WindowGroupLimit; note its decorrelation
+    builds a domain join over DISTINCT left correlation values — exact,
+    but for billion-row-by-billion-row as-of at 100 TB use the engine's
+    union+carry operator (operators/relational2.rel_asof_join: one
+    shuffle, no inequality join). One ASOF per statement, right side a
+    named relation or aliased subquery; unsupported shapes raise."""
+    hits = _depth0_positions(s, _ASOF_RE)
+    if not hits:
+        return s
+    if len(hits) > 1:
+        raise WarehouseError("multiple ASOF JOINs — wrap subqueries")
+    m = hits[0]
+    is_left = bool(m.group("left"))
+    froms = [f for f in _depth0_positions(s[: m.start()], _FROM_RE)]
+    if not froms:
+        raise WarehouseError("ASOF JOIN without a FROM clause")
+    f = froms[-1]
+    left_term = s[f.end() : m.start()].strip()
+    rest = s[m.end() :]
+    # the right term + ON condition run to the next depth-0 clause keyword
+    ends = _depth0_positions(rest, _ASOF_END_RE)
+    cut = ends[0].start() if ends else len(rest)
+    join_part, tail = rest[:cut], rest[cut:]
+    rm = _ASOF_RIGHT_RE.match(join_part)
+    if rm is None:
+        raise WarehouseError(
+            f"unsupported ASOF JOIN right side: {join_part.strip()[:80]}"
+        )
+    rel, alias, cond = rm.group("rel"), rm.group("alias"), rm.group("cond").strip()
+    if alias is None:
+        if rel.startswith("("):
+            raise WarehouseError("ASOF JOIN subquery needs an alias")
+        alias = rel.split(".")[-1]
+    ineq = None
+    for conj in re.split(r"(?i)(?<!\w)AND(?!\w)", cond):
+        im = _ASOF_INEQ_RE.match(conj)
+        if im is None:
+            continue
+        on_right = (im.group("lq") == alias) != (im.group("rq") == alias)
+        if on_right and im.group("op") in (">=", "<=", ">", "<"):
+            if ineq is not None:
+                raise WarehouseError("ASOF JOIN needs exactly ONE inequality conjunct")
+            ineq = im
+    if ineq is None:
+        raise WarehouseError(
+            "ASOF JOIN requires one inequality conjunct comparing the two "
+            "sides' ordering columns (e.g. a.ts >= b.ts)"
+        )
+    # direction: keep the EXTREME right value satisfying the bound —
+    # right below left (r.ts <= l.ts forms) → latest (DESC), else ASC
+    rq_is_right = ineq.group("rq") == alias
+    op = ineq.group("op")
+    right_is_lower = (rq_is_right and op in (">=", ">")) or (
+        not rq_is_right and op in ("<=", "<")
+    )
+    ts_col = ineq.group("rc") if rq_is_right else ineq.group("lc")
+    order = "DESC" if right_is_lower else "ASC"
+    lateral = (
+        f"LATERAL (SELECT * FROM {rel} AS {alias} WHERE {cond} "
+        f"ORDER BY {alias}.{ts_col} {order} LIMIT 1) AS {alias}"
+    )
+    joined = (
+        f"{left_term} LEFT JOIN {lateral} ON true"
+        if is_left
+        else f"{left_term} , {lateral}"
+    )
+    return f"{s[: f.end()]} {joined} {tail}"
+
+
+def _masked_rewrite(statement: str, fn) -> str:
+    """Apply a masked-level rewrite with string literals protected."""
     literals: list[str] = []
 
     def mask(m: re.Match) -> str:
@@ -221,8 +316,18 @@ def qualify_sql(statement: str) -> str:
         return f"\x00L{len(literals) - 1}\x00"
 
     masked = re.sub(r"'(?:[^']|'')*'", mask, statement)
-    out = _rewrite_qualify_masked(masked)
+    out = fn(masked)
     return re.sub(r"\x00L(\d+)\x00", lambda m: literals[int(m.group(1))], out)
+
+
+def qualify_sql(statement: str) -> str:
+    """Standalone QUALIFY rewrite for plain spark.sql callers."""
+    return _masked_rewrite(statement, _rewrite_qualify_masked)
+
+
+def asof_sql(statement: str) -> str:
+    """Standalone ASOF JOIN rewrite for plain spark.sql callers."""
+    return _masked_rewrite(statement, _rewrite_asof_masked)
 
 
 class LakehouseSQL:
@@ -539,6 +644,9 @@ class LakehouseSQL:
             return f"\x00L{len(literals) - 1}\x00"
 
         s = re.sub(r"'(?:[^']|'')*'", mask, s)
+        # ASOF before QUALIFY: the QUALIFY rewrite wraps the statement in
+        # a subquery, which would hide a top-level ASOF at depth > 0
+        s = _rewrite_asof_masked(s)
         s = self._rewrite_qualify(s)
         wants_metadata_cols = bool(
             re.search(r"(?<!\w)_(?:spec_id|partition|file|pos|deleted)(?!\w)", s)

@@ -552,6 +552,54 @@ def test_qualify_rewrite_guards_and_masking():
         qualify_sql("SELECT 1 AS a QUALIFY a = 1 QUALIFY a = 2")
 
 
+def test_asof_join_through_sql_frontend(lake):
+    """ASOF JOIN works on warehouse tables through LakehouseSQL.sql —
+    inner drops unmatched, LEFT keeps with NULL, equality conjunct
+    applies, and the extreme-row choice follows the inequality
+    direction."""
+    lake.sql("CREATE TABLE polaris.db.aj_l (k INT, ts INT) USING ICEBERG")
+    lake.sql("CREATE TABLE polaris.db.aj_r (k INT, ts INT, v STRING) USING ICEBERG")
+    lake.sql("INSERT INTO db.aj_l VALUES (1, 10), (1, 20), (2, 5)")
+    lake.sql("INSERT INTO db.aj_r VALUES (1, 8, 'x'), (1, 15, 'y'), (2, 9, 'z')")
+    df = lake.sql(
+        "SELECT l.k, l.ts, r.ts AS rts, r.v FROM db.aj_l l "
+        "ASOF JOIN db.aj_r r ON l.k = r.k AND l.ts >= r.ts ORDER BY l.k, l.ts"
+    )
+    assert [tuple(x) for x in df.collect()] == [(1, 10, 8, "x"), (1, 20, 15, "y")]
+    df2 = lake.sql(
+        "SELECT l.k, l.ts, r.ts AS rts FROM db.aj_l l "
+        "ASOF LEFT JOIN db.aj_r r ON l.k = r.k AND l.ts >= r.ts ORDER BY l.k, l.ts"
+    )
+    assert [tuple(x) for x in df2.collect()] == [(1, 10, 8), (1, 20, 15), (2, 5, None)]
+    # at-or-AFTER direction: earliest r.ts >= l.ts
+    df3 = lake.sql(
+        "SELECT l.k, l.ts, r.ts AS rts FROM db.aj_l l "
+        "ASOF JOIN db.aj_r r ON l.k = r.k AND l.ts <= r.ts ORDER BY l.k, l.ts"
+    )
+    assert [tuple(x) for x in df3.collect()] == [(1, 10, 15), (2, 5, 9)]
+
+
+def test_asof_rewrite_guards():
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import (
+        WarehouseError,
+        asof_sql,
+    )
+
+    s = "SELECT * FROM t WHERE note = 'ASOF JOIN inside a literal'"
+    assert asof_sql(s) == s
+    with pytest.raises(WarehouseError, match="inequality"):
+        asof_sql("SELECT 1 FROM a ASOF JOIN b ON a.k = b.k")
+    with pytest.raises(WarehouseError, match="exactly ONE"):
+        asof_sql("SELECT 1 FROM a ASOF JOIN b ON a.t >= b.t AND a.u <= b.u")
+    with pytest.raises(WarehouseError, match="alias"):
+        asof_sql("SELECT 1 FROM a ASOF JOIN (SELECT 1) ON a.k = b.k")
+    with pytest.raises(WarehouseError, match="multiple"):
+        asof_sql(
+            "SELECT 1 FROM a ASOF JOIN b ON a.t >= b.t "
+            "ASOF JOIN c ON a.t >= c.t"
+        )
+
+
 # ------------------------------------------------------------- telemetry/bench
 
 
