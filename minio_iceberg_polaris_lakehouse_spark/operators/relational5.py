@@ -195,3 +195,28 @@ def rel_asof_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_table(spark, sf_dir, "events").createOrReplaceTempView("_asql_events")
     return spark.sql(asof_sql(_ASOF_TEXT.format(events="_asql_events")))
+
+
+_STAR_TEXT = """
+    SELECT * EXCLUDE (n_regionkey) REPLACE (UPPER(n_name) AS n_name)
+    FROM {nation} ORDER BY n_nationkey
+"""
+
+
+@register(
+    "rel_star_exclude_replace",
+    oracle=_STAR_TEXT.format(nation="nation"),
+)
+def rel_star_exclude_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB/Snowflake star modifiers through the SQL surface:
+    `* EXCLUDE (col) REPLACE (expr AS col)` rewrites
+    (sql_frontend.dialect_sql) into Spark's native `* EXCEPT` with the
+    two column lists merged and the replacement expressions appended.
+    The oracle is the IDENTICAL modifier text DuckDB executes natively;
+    the driver's column-name-sorted comparison makes the position
+    difference (replaced columns move to the end) invisible, exactly
+    as documented in the rewriter."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import dialect_sql
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_star_nation")
+    return spark.sql(dialect_sql(_STAR_TEXT.format(nation="_star_nation")))

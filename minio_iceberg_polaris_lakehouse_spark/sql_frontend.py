@@ -307,6 +307,53 @@ def _rewrite_asof_masked(s: str) -> str:
     return f"{s[: f.end()]} {joined} {tail}"
 
 
+_EXCLUDE_PAREN_RE = re.compile(r"(?is)(\*\s*)EXCLUDE(?=\s*\()")
+_EXCLUDE_BARE_RE = re.compile(r"(?is)(\*\s*)EXCLUDE\s+([A-Za-z_]\w*)(?!\s*\()")
+_REPLACE_RE = re.compile(
+    r"(?is)((?:[A-Za-z_]\w*\.)?\*\s*)(?:EXCEPT\s*\((?P<exc>[^()]*)\)\s*)?REPLACE(?=\s*\()"
+)
+_REPLACE_ITEM_RE = re.compile(r"(?is)^(?P<expr>.*\S)\s+AS\s+(?P<col>[A-Za-z_]\w*)\s*$")
+
+
+def _rewrite_star_sugar_masked(s: str) -> str:
+    """DuckDB/Snowflake star modifiers Spark lacks:
+
+    - ``* EXCLUDE (a, b)`` / ``* EXCLUDE a`` → Spark's native
+      ``* EXCEPT (a, b)``.
+    - ``* REPLACE (expr AS c, …)`` → ``* EXCEPT (c, …), expr AS c, …``
+      (replaced columns move to the end of the row — the driver's
+      column-name-sorted comparison and any name-based consumer are
+      unaffected; positional consumers should list columns). The
+      combined ``* EXCLUDE (a) REPLACE (…)`` form merges both column
+      lists into one EXCEPT.
+
+    Keyword REPLACE only rewrites when it directly follows a star, so
+    the REPLACE() string function is untouched."""
+    s = _EXCLUDE_PAREN_RE.sub(r"\1EXCEPT", s)
+    s = _EXCLUDE_BARE_RE.sub(r"\1EXCEPT (\2)", s)
+    while True:
+        m = _REPLACE_RE.search(s)
+        if m is None:
+            return s
+        inside, rest = _balanced_paren_group(s[m.end() :])
+        cols, exprs = [], []
+        for item in _split_top_level(inside):
+            im = _REPLACE_ITEM_RE.match(item.strip())
+            if im is None:
+                raise WarehouseError(
+                    f"* REPLACE items must be 'expr AS column': {item.strip()[:60]}"
+                )
+            cols.append(im.group("col"))
+            exprs.append(f"{im.group('expr')} AS {im.group('col')}")
+        if m.group("exc"):  # merge an EXCLUDE/EXCEPT list preceding REPLACE
+            cols = [c.strip() for c in m.group("exc").split(",") if c.strip()] + cols
+        s = (
+            s[: m.start()]
+            + f"{m.group(1)}EXCEPT ({', '.join(cols)}), {', '.join(exprs)}"
+            + rest
+        )
+
+
 def _masked_rewrite(statement: str, fn) -> str:
     """Apply a masked-level rewrite with string literals protected."""
     literals: list[str] = []
@@ -328,6 +375,18 @@ def qualify_sql(statement: str) -> str:
 def asof_sql(statement: str) -> str:
     """Standalone ASOF JOIN rewrite for plain spark.sql callers."""
     return _masked_rewrite(statement, _rewrite_asof_masked)
+
+
+def dialect_sql(statement: str) -> str:
+    """All dialect rewrites (star sugar + ASOF JOIN + QUALIFY) for plain
+    spark.sql callers — the same chain LakehouseSQL applies."""
+
+    def chain(s: str) -> str:
+        return _rewrite_qualify_masked(
+            _rewrite_asof_masked(_rewrite_star_sugar_masked(s))
+        )
+
+    return _masked_rewrite(statement, chain)
 
 
 class LakehouseSQL:
@@ -644,8 +703,10 @@ class LakehouseSQL:
             return f"\x00L{len(literals) - 1}\x00"
 
         s = re.sub(r"'(?:[^']|'')*'", mask, s)
-        # ASOF before QUALIFY: the QUALIFY rewrite wraps the statement in
-        # a subquery, which would hide a top-level ASOF at depth > 0
+        # star sugar first (EXCLUDE/REPLACE appear anywhere, incl. inside
+        # subqueries); ASOF before QUALIFY: the QUALIFY rewrite wraps the
+        # statement in a subquery, which would hide a top-level ASOF
+        s = _rewrite_star_sugar_masked(s)
         s = _rewrite_asof_masked(s)
         s = self._rewrite_qualify(s)
         wants_metadata_cols = bool(

@@ -600,6 +600,37 @@ def test_asof_rewrite_guards():
         )
 
 
+def test_star_exclude_replace_through_sql_frontend(lake):
+    """DuckDB/Snowflake star modifiers: * EXCLUDE rewrites to Spark's
+    * EXCEPT (paren and bare forms), * REPLACE substitutes expressions
+    while keeping the rest of the row; REPLACE() the string function is
+    untouched."""
+    lake.sql("CREATE TABLE polaris.db.sr (id INT, g STRING, v INT) USING ICEBERG")
+    lake.sql("INSERT INTO db.sr VALUES (1, 'a', 10), (2, 'b', 20)")
+    df = lake.sql("SELECT * EXCLUDE (v) FROM db.sr ORDER BY id")
+    assert df.columns == ["id", "g"]
+    df2 = lake.sql("SELECT * EXCLUDE g FROM db.sr ORDER BY id")
+    assert df2.columns == ["id", "v"]
+    df3 = lake.sql("SELECT * REPLACE (v * 2 AS v) FROM db.sr ORDER BY id")
+    assert sorted(df3.columns) == ["g", "id", "v"]
+    assert {r.id: r.v for r in df3.collect()} == {1: 20, 2: 40}
+    # multi-item REPLACE + string-function REPLACE untouched in one stmt
+    df4 = lake.sql(
+        "SELECT * REPLACE (v + 1 AS v, REPLACE(g, 'a', 'x') AS g) "
+        "FROM db.sr ORDER BY id"
+    )
+    assert {r.id: (r.g, r.v) for r in df4.collect()} == {1: ("x", 11), 2: ("b", 21)}
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import (
+        WarehouseError,
+        dialect_sql,
+    )
+
+    s = "SELECT REPLACE(g, 'a', 'b') FROM t"
+    assert dialect_sql(s) == s  # bare function form untouched
+    with pytest.raises(WarehouseError, match="REPLACE items"):
+        dialect_sql("SELECT * REPLACE (v + 1) FROM t")
+
+
 # ------------------------------------------------------------- telemetry/bench
 
 
