@@ -322,3 +322,20 @@ def test_qualify_rewrite_gets_window_group_limit(spark, sf_dir):
     assert count_nodes(df, "WindowGroupLimit") >= 1, s
     assert "_lh_qualify" not in s, s  # helper column folded away
     assert "BroadcastHashJoin" in s, s
+
+
+def test_asof_rewrite_plan_shape(spark, sf_dir):
+    """The ASOF JOIN rewrite's decorrelated plan must carry the top-1
+    WindowGroupLimit (never a per-row re-execution) and no
+    CartesianProduct — the nested-loop it does contain is over the
+    DISTINCT left correlation domain, which the operator's docstring
+    bounds to dimension-sized sides (the union+carry operator is the
+    unbounded path)."""
+    from minio_iceberg_polaris_lakehouse_spark.operators.relational5 import (
+        rel_asof_join_sql,
+    )
+
+    df = rel_asof_join_sql(spark, sf_dir)
+    s = plan_string(df)
+    assert count_nodes(df, "WindowGroupLimit") >= 1, s
+    assert_no_cartesian(df)
