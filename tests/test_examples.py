@@ -46,3 +46,10 @@ def test_cdc_upsert_pipeline_example(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "MV refreshed (incremental)" in r.stdout
     assert "FOREIGN upsert" in r.stdout
+
+
+def test_sql_dialect_tour_example(tmp_path):
+    r = _run("sql_dialect_tour.py", str(tmp_path / "tour"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dialect tour complete" in r.stdout
+    assert "rows at first snapshot: 6; rows now: 7" in r.stdout
