@@ -383,7 +383,12 @@ def _summarize(result: dict) -> dict:
         "cpu_probe_s": round(result["cpu_probe_s"], 2),
         "detail": DETAIL_PATH.name,
     }
-    adj = _probe_adjusted(result)
+    # one source of truth: _emit stamps probe_adjusted_total into the
+    # detail record before summarizing; fall back to computing for
+    # direct _summarize callers (tests)
+    adj = result.get("probe_adjusted_total")
+    if adj is None:
+        adj = _probe_adjusted(result)
     if adj is not None:
         s["probe_adjusted_total"] = round(adj, 2)
     sf1 = result.get("sf1_scale_check")

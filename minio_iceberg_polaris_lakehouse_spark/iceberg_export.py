@@ -326,8 +326,11 @@ def _bound_bytes(v, avro_type) -> bytes | None:
 
 def _is_utcish_tz(tz) -> bool:
     """True when a dir's recorded write-session zone is UTC (or unset —
-    zone-free transforms / legacy dirs)."""
-    return tz in (None, "UTC", "Etc/UTC", "GMT", "Z", "+00:00", "GMT+00:00", "UTC+00:00")
+    zone-free transforms / legacy dirs). Alias list shared with the
+    scan-side and reader-side guards (tzones.py)."""
+    from minio_iceberg_polaris_lakehouse_spark.tzones import is_utcish
+
+    return tz is None or is_utcish(tz)
 
 
 def _partition_summary(files: list[dict], part_field, tz=None) -> list[dict] | None:

@@ -271,8 +271,10 @@ def _session_zone():
     (conservative: callers decline to prune naive literals)."""
     import datetime as _dt
 
+    from minio_iceberg_polaris_lakehouse_spark.tzones import is_utcish
+
     name = _SESSION_TZ.get()
-    if name in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00", "GMT+00:00", "UTC+00:00"):
+    if is_utcish(name):
         return _dt.timezone.utc
     m = re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2}):?(\d{2})?", name)
     if m:

@@ -195,7 +195,18 @@ def _rewrite_qualify_masked(s: str) -> str:
         raise WarehouseError("multiple top-level QUALIFY clauses — wrap subqueries")
     m = hits[0]
     head, rest = s[: m.start()].rstrip(), s[m.end() :]
-    if _depth0_positions(head, _SETOP_RE):
+    setops = [
+        so
+        for so in _depth0_positions(head, _SETOP_RE)
+        # the star modifier '* EXCEPT (…)' (native, or emitted by this
+        # module's own EXCLUDE/REPLACE sugar) is a projection, not a
+        # set operation — don't reject QUALIFY over it
+        if not (
+            so.group(0).upper() == "EXCEPT"
+            and re.search(r"\*\s*$", head[: so.start()])
+        )
+    ]
+    if setops:
         raise WarehouseError(
             "QUALIFY on a set-operation branch — wrap each branch in a subquery"
         )
@@ -243,7 +254,11 @@ def _rewrite_asof_masked(s: str) -> str:
     but for billion-row-by-billion-row as-of at 100 TB use the engine's
     union+carry operator (operators/relational2.rel_asof_join: one
     shuffle, no inequality join). One ASOF per statement, right side a
-    named relation or aliased subquery; unsupported shapes raise."""
+    named relation or aliased subquery; unsupported shapes raise.
+
+    ASOF is contextually reserved before JOIN, exactly as in DuckDB: a
+    table ALIAS literally named ``asof`` directly before JOIN reads as
+    the clause in both engines (rename the alias to get a plain join)."""
     hits = _depth0_positions(s, _ASOF_RE)
     if not hits:
         return s
@@ -271,9 +286,36 @@ def _rewrite_asof_masked(s: str) -> str:
         if rel.startswith("("):
             raise WarehouseError("ASOF JOIN subquery needs an alias")
         alias = rel.split(".")[-1]
+    def unwrap(t: str) -> str:
+        """Strip whole-expression parentheses: 'ON (a AND b)' and
+        parenthesized conjuncts '(a.ts >= b.ts)' are common styles."""
+        t = t.strip()
+        while t.startswith("(") and t.endswith(")"):
+            depth, close = 0, -1
+            for i, ch in enumerate(t):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = i
+                        break
+            if close != len(t) - 1:
+                break
+            t = t[1:-1].strip()
+        return t
+
+    cond_inner = unwrap(cond)
+    and_re = re.compile(r"(?i)(?<!\w)AND(?!\w)")
+    cuts = [a.span() for a in _depth0_positions(cond_inner, and_re)]
+    conjuncts, prev = [], 0
+    for a, b in cuts:
+        conjuncts.append(cond_inner[prev:a])
+        prev = b
+    conjuncts.append(cond_inner[prev:])
     ineq = None
-    for conj in re.split(r"(?i)(?<!\w)AND(?!\w)", cond):
-        im = _ASOF_INEQ_RE.match(conj)
+    for conj in conjuncts:
+        im = _ASOF_INEQ_RE.match(unwrap(conj))
         if im is None:
             continue
         on_right = (im.group("lq") == alias) != (im.group("rq") == alias)
@@ -307,12 +349,28 @@ def _rewrite_asof_masked(s: str) -> str:
     return f"{s[: f.end()]} {joined} {tail}"
 
 
-_EXCLUDE_PAREN_RE = re.compile(r"(?is)(\*\s*)EXCLUDE(?=\s*\()")
-_EXCLUDE_BARE_RE = re.compile(r"(?is)(\*\s*)EXCLUDE\s+([A-Za-z_]\w*)(?!\s*\()")
+_EXCLUDE_PAREN_RE = re.compile(r"(?is)((?:[A-Za-z_]\w*\.)?\*\s*)EXCLUDE(?=\s*\()")
+_EXCLUDE_BARE_RE = re.compile(r"(?is)((?:[A-Za-z_]\w*\.)?\*\s*)EXCLUDE\s+([A-Za-z_]\w*)(?!\s*\()")
 _REPLACE_RE = re.compile(
     r"(?is)((?:[A-Za-z_]\w*\.)?\*\s*)(?:EXCEPT\s*\((?P<exc>[^()]*)\)\s*)?REPLACE(?=\s*\()"
 )
 _REPLACE_ITEM_RE = re.compile(r"(?is)^(?P<expr>.*\S)\s+AS\s+(?P<col>[A-Za-z_]\w*)\s*$")
+_STAR_PREFIX_RE = re.compile(
+    r"(?is)(?:^|[,(]|(?<![\w.])(?:SELECT|DISTINCT|ALL))\s*(?:[A-Za-z_]\w*\s*\.\s*)?$"
+)
+_SQL_KEYWORD_RE = re.compile(
+    r"(?i)^(?:FROM|WHERE|GROUP|HAVING|WINDOW|QUALIFY|ORDER|LIMIT|OFFSET|UNION"
+    r"|INTERSECT|EXCEPT|MINUS|JOIN|ON|AS|AND|OR)$"
+)
+
+
+def _is_projection_star(s: str, star_pos: int) -> bool:
+    """True iff the ``*`` at ``star_pos`` is a star PROJECTION (start of
+    select list, after a comma or '(', or after SELECT/DISTINCT/ALL —
+    optionally qualified ``alias.*``), NOT the multiplication operator.
+    Guards the EXCLUDE/REPLACE sugar from hijacking arithmetic like
+    ``price * REPLACE(sku, '-', '')``."""
+    return _STAR_PREFIX_RE.search(s, 0, star_pos) is not None
 
 
 def _rewrite_star_sugar_masked(s: str) -> str:
@@ -327,12 +385,32 @@ def _rewrite_star_sugar_masked(s: str) -> str:
       combined ``* EXCLUDE (a) REPLACE (…)`` form merges both column
       lists into one EXCEPT.
 
-    Keyword REPLACE only rewrites when it directly follows a star, so
-    the REPLACE() string function is untouched."""
-    s = _EXCLUDE_PAREN_RE.sub(r"\1EXCEPT", s)
-    s = _EXCLUDE_BARE_RE.sub(r"\1EXCEPT (\2)", s)
+    Keyword EXCLUDE/REPLACE only rewrites after a star PROJECTION
+    (_is_projection_star) — a multiplication star followed by the
+    REPLACE() string function or an identifier named exclude is
+    untouched."""
+
+    def sub_guarded(pattern: re.Pattern, repl, text: str, keyword_guard=None) -> str:
+        out, last = [], 0
+        for m in pattern.finditer(text):
+            if not _is_projection_star(text, m.start(1)):
+                continue
+            if keyword_guard is not None and _SQL_KEYWORD_RE.match(m.group(keyword_guard)):
+                continue  # '* EXCLUDE FROM t' etc: leave Spark's own parse error
+            out.append(text[last : m.start()])
+            out.append(m.expand(repl))
+            last = m.end()
+        out.append(text[last:])
+        return "".join(out)
+
+    s = sub_guarded(_EXCLUDE_PAREN_RE, r"\1EXCEPT", s)
+    s = sub_guarded(_EXCLUDE_BARE_RE, r"\1EXCEPT (\2)", s, keyword_guard=2)
     while True:
-        m = _REPLACE_RE.search(s)
+        m = None
+        for cand in _REPLACE_RE.finditer(s):
+            if _is_projection_star(s, cand.start(1)):
+                m = cand
+                break
         if m is None:
             return s
         inside, rest = _balanced_paren_group(s[m.end() :])

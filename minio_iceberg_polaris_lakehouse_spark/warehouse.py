@@ -2137,12 +2137,18 @@ class Table:
                     # WRITE session's zone; deriving the literal in a
                     # DIFFERENT current zone lands on a different dir
                     # value near day/hour boundaries — decline to prune
-                    # (the row filter still applies; costs IO, never rows)
+                    # (the row filter still applies; costs IO, never
+                    # rows). Name comparison goes through the shared
+                    # alias table so 'Etc/UTC' vs 'UTC' still prunes.
+                    from minio_iceberg_polaris_lakehouse_spark.tzones import (
+                        zones_equivalent,
+                    )
+
                     try:
                         cur = self.spark.conf.get("spark.sql.session.timeZone") or "UTC"
                     except Exception:
                         cur = None
-                    if cur != spec.tz:
+                    if not zones_equivalent(cur, spec.tz):
                         return None
             if tr == "day":
                 return F.to_date(F.lit(lit_val))

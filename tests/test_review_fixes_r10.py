@@ -631,6 +631,106 @@ def test_star_exclude_replace_through_sql_frontend(lake):
         dialect_sql("SELECT * REPLACE (v + 1) FROM t")
 
 
+def test_dialect_rewrites_leave_valid_spark_sql_alone():
+    """Round-10 review findings: the dialect layer runs on EVERY
+    front-end statement, so its false positives would regress
+    previously-working SQL. Multiplication stars, the REPLACE() string
+    function after an operator, identifiers named exclude, and the
+    native star EXCEPT modifier must all pass through / compose."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import dialect_sql
+
+    # multiplication star before the REPLACE() string function
+    s = "SELECT price * REPLACE(sku, '-', '') AS x FROM t"
+    assert dialect_sql(s) == s
+    # multiplication star before an identifier named exclude
+    s2 = "SELECT a * exclude FROM t"
+    assert dialect_sql(s2) == s2
+    # and one named replace (no parens → bare path)
+    s3 = "SELECT a * replace AS y FROM t"
+    assert dialect_sql(s3) == s3
+    # '* EXCLUDE FROM t' is invalid SQL — left for Spark's parse error,
+    # never mangled into '* EXCEPT (FROM) t'
+    s4 = "SELECT * EXCLUDE FROM t"
+    assert dialect_sql(s4) == s4
+    # QUALIFY composes with the star modifiers (EXCEPT-as-projection is
+    # not a set operation)
+    out = dialect_sql(
+        "SELECT * EXCLUDE (a), ROW_NUMBER() OVER (ORDER BY b) AS rn "
+        "FROM t QUALIFY rn <= 2"
+    )
+    assert "_lh_qualify" in out and "EXCEPT (a)" in out
+    out2 = dialect_sql(
+        "SELECT * EXCEPT (a), ROW_NUMBER() OVER (ORDER BY b) AS rn "
+        "FROM t QUALIFY rn = 1"
+    )
+    assert "_lh_qualify" in out2
+
+
+def test_dialect_star_sugar_composes_end_to_end(lake):
+    lake.sql("CREATE TABLE polaris.db.dr10 (g STRING, price INT, sku STRING) USING ICEBERG")
+    lake.sql("INSERT INTO db.dr10 VALUES ('a', 3, 'x-1'), ('a', 1, 'y-2'), ('b', 9, 'z-3')")
+    # arithmetic star + string REPLACE through the front end: untouched
+    df = lake.sql("SELECT price * 2 AS p2, REPLACE(sku, '-', '') AS s FROM db.dr10 ORDER BY p2")
+    assert [tuple(r) for r in df.collect()] == [(2, "y2"), (6, "x1"), (18, "z3")]
+    # EXCLUDE + QUALIFY combined
+    df2 = lake.sql(
+        "SELECT * EXCLUDE (sku), ROW_NUMBER() OVER (PARTITION BY g ORDER BY price DESC) AS rn "
+        "FROM db.dr10 QUALIFY rn = 1 ORDER BY g"
+    )
+    assert [tuple(r) for r in df2.collect()] == [("a", 3, 1), ("b", 9, 1)]
+
+
+def test_asof_parenthesized_on_condition(lake):
+    """Review finding: the common parenthesized-ON style must parse —
+    both a fully wrapped condition and a parenthesized conjunct."""
+    lake.sql("CREATE TABLE polaris.db.ap_l (k INT, ts INT) USING ICEBERG")
+    lake.sql("CREATE TABLE polaris.db.ap_r (k INT, ts INT) USING ICEBERG")
+    lake.sql("INSERT INTO db.ap_l VALUES (1, 10)")
+    lake.sql("INSERT INTO db.ap_r VALUES (1, 8), (1, 4)")
+    df = lake.sql(
+        "SELECT l.k, r.ts AS rts FROM db.ap_l l "
+        "ASOF JOIN db.ap_r r ON (l.k = r.k AND l.ts >= r.ts)"
+    )
+    assert [tuple(r) for r in df.collect()] == [(1, 8)]
+    df2 = lake.sql(
+        "SELECT l.k, r.ts AS rts FROM db.ap_l l "
+        "ASOF JOIN db.ap_r r ON l.k = r.k AND (l.ts >= r.ts)"
+    )
+    assert [tuple(r) for r in df2.collect()] == [(1, 8)]
+
+
+def test_zone_equivalence_shared_and_utc_aliases_prune(lake, spark):
+    """Review finding: 'Etc/UTC' written vs 'UTC' read are the same
+    zone — the temporal-dir guard must still derive the partition
+    filter through the shared alias table."""
+    from minio_iceberg_polaris_lakehouse_spark.tzones import is_utcish, zones_equivalent
+
+    assert zones_equivalent("Etc/UTC", "UTC") and zones_equivalent("GMT", "+00:00")
+    assert not zones_equivalent("Asia/Tokyo", "UTC")
+    assert not zones_equivalent(None, None)  # unknown is never equivalent
+    assert is_utcish("GMT+00:00") and not is_utcish("GMT+09:00")
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Etc/UTC")
+    try:
+        lake.sql(
+            "CREATE TABLE polaris.db.tzq (id INT, ts TIMESTAMP) USING ICEBERG "
+            "PARTITIONED BY (days(ts))"
+        )
+        lake.sql(
+            "INSERT INTO db.tzq VALUES (1, '2024-01-01T04:00:00+00:00'), "
+            "(2, '2024-01-03T04:00:00+00:00')"
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # read under plain 'UTC': equivalent zone → partition filter derived
+    t = lake.wh.table("db", "tzq")
+    sc = t.scan(eq={"ts": "2024-01-01 04:00:00"})
+    plan = sc._jdf.queryExecution().executedPlan().toString()
+    assert "_p_day_ts" in plan
+    assert [r.id for r in sc.filter("ts = '2024-01-01 04:00:00'").collect()] == [1]
+
+
 # ------------------------------------------------------------- telemetry/bench
 
 
