@@ -157,7 +157,129 @@ def _balanced_paren_group(text: str) -> tuple[str, str]:
 
 _QUALIFY_RE = re.compile(r"(?i)(?<![\w.])QUALIFY(?!\w)")
 _SETOP_RE = re.compile(r"(?i)(?<![\w.])(?:UNION|INTERSECT|EXCEPT|MINUS)(?!\w)")
-_QTAIL_RE = re.compile(r"(?i)(?<![\w.])(?:ORDER\s+BY|LIMIT|OFFSET)(?!\w)")
+_QTAIL_RE = re.compile(
+    r"(?i)(?<![\w.])(?:ORDER\s+BY|SORT\s+BY|DISTRIBUTE\s+BY|CLUSTER\s+BY"
+    r"|WINDOW|LIMIT|OFFSET)(?!\w)"
+)
+_SELECT_RE = re.compile(r"(?i)(?<![\w.])SELECT(?!\w)")
+
+# a QUALIFY token is only a CLAUSE when the text before it could be a
+# complete SELECT core: it must not end at a position that still expects
+# an expression or a name (r10 review: `SELECT qualify FROM t` and
+# `... WHERE qualify = 3` were hijacked into mangled SQL). These are the
+# tokens after which an identifier — not a clause keyword — must follow.
+_EXPR_EXPECTING_WORD_RE = re.compile(
+    r"(?i)(?<![\w.])(?:SELECT|DISTINCT|ALL|WHERE|AND|OR|NOT|ON|BY|AS|THEN"
+    r"|WHEN|ELSE|CASE|IN|LIKE|ILIKE|RLIKE|REGEXP|BETWEEN|IS|FROM|JOIN"
+    r"|HAVING|SET|ESCAPE|OVER|PARTITION|INTERVAL|EXISTS|UNION|INTERSECT"
+    r"|EXCEPT|MINUS|DIV)$"
+)
+_EXPR_EXPECTING_CHARS = set("+-*/%=<>|&^,(.")
+
+
+def _qualify_plausible(head: str) -> bool:
+    """True iff a depth-0 QUALIFY token after ``head`` reads as the
+    clause rather than an identifier named qualify: the head must
+    contain a depth-0 FROM (a select core to filter) and must not end
+    in an expression-expecting position (SELECT/WHERE/AND/operator/
+    comma…, where only an identifier can legally follow)."""
+    head = head.rstrip()
+    if not head or head[-1] in _EXPR_EXPECTING_CHARS:
+        return False
+    if _EXPR_EXPECTING_WORD_RE.search(head):
+        return False
+    return bool(_depth0_positions(head, _FROM_RE))
+
+
+# identifier-looking tokens inside a QUALIFY predicate that are SQL
+# syntax, not column references (window/frame/boolean/case keywords) —
+# the unprojected-column injection must never project these
+_QPRED_KEYWORDS = frozenset(
+    """AND OR NOT IN IS NULL TRUE FALSE LIKE ILIKE RLIKE REGEXP BETWEEN
+    CASE WHEN THEN ELSE END CAST TRY_CAST AS OVER PARTITION BY ORDER SORT
+    ASC DESC NULLS FIRST LAST ROWS RANGE GROUPS UNBOUNDED PRECEDING
+    FOLLOWING CURRENT ROW INTERVAL DISTINCT ALL EXISTS ANY SOME ESCAPE
+    DIV DATE TIMESTAMP FILTER IGNORE RESPECT CURRENT_DATE
+    CURRENT_TIMESTAMP""".split()
+)
+_QPRED_TOKEN_RE = re.compile(r"[A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)*")
+
+
+def _select_list_span(head: str) -> tuple[int, int] | None:
+    """(start, end) of the select list of ``head``'s MAIN select — the
+    last depth-0 SELECT (skips a WITH prologue) up to its depth-0 FROM."""
+    selects = _depth0_positions(head, _SELECT_RE)
+    if not selects:
+        return None
+    start = selects[-1].end()
+    froms = [f for f in _depth0_positions(head, _FROM_RE) if f.start() > start]
+    if not froms:
+        return None
+    return start, froms[0].start()
+
+
+def _select_output_names(select_list: str) -> set[str] | None:
+    """Output column names of a select list, or None when it contains a
+    star projection (every base column already visible to QUALIFY)."""
+    names: set[str] = set()
+    for item in _split_top_level(select_list):
+        if item == "*" or re.fullmatch(r"[A-Za-z_]\w*\s*\.\s*\*", item):
+            return None
+        if re.match(r"(?is)^\*\s*(?:EXCEPT|EXCLUDE|REPLACE)\b", item):
+            return None
+        m = re.search(r"(?is)\s+AS\s+([A-Za-z_]\w*)\s*$", item)
+        if m:
+            names.add(m.group(1))
+            continue
+        if re.fullmatch(r"[A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)*", item):
+            names.add(item.split(".")[-1].strip())
+            continue
+        m = re.search(r"(?s)\s([A-Za-z_]\w*)\s*$", item)
+        if m and not _EXPR_EXPECTING_WORD_RE.search(item[: m.start(1)].rstrip()):
+            prefix = item[: m.start(1)].rstrip()
+            if prefix and prefix[-1] not in _EXPR_EXPECTING_CHARS:
+                names.add(m.group(1))  # implicit alias: `expr name`
+    return names
+
+
+def _qualify_injections(pred: str, select_list: str) -> tuple[str, list[str], list[str]]:
+    """Support the standard dialect idiom of QUALIFY predicates over
+    base columns NOT in the select list (DuckDB docs' first example):
+    collect predicate identifiers that are neither SQL keywords, nor
+    function calls, nor select-list output names, project each into the
+    inner subquery under a fresh ``_lh_qc{i}`` alias, and rewrite the
+    predicate to reference the alias. Returns (new_pred,
+    projected_exprs, helper_names); all-empty when nothing to inject."""
+    outputs = _select_output_names(select_list)
+    if outputs is None:  # star projection: base columns already visible
+        return pred, [], []
+    candidates: list[str] = []
+    for m in _QPRED_TOKEN_RE.finditer(pred):
+        tok = re.sub(r"\s*\.\s*", ".", m.group(0))
+        before = pred[m.start() - 1] if m.start() > 0 else ""
+        after = pred[m.end() : m.end() + 2].lstrip()
+        if before == "\x00" or after.startswith("\x00"):
+            continue  # masked string literal marker
+        if after.startswith("("):
+            continue  # function call
+        if "." not in tok and (tok.upper() in _QPRED_KEYWORDS or tok in outputs):
+            continue
+        if "." in tok and tok.upper() in ("CURRENT_DATE", "CURRENT_TIMESTAMP"):
+            continue
+        if tok not in candidates:
+            candidates.append(tok)
+    if not candidates:
+        return pred, [], []
+    exprs, helpers = [], []
+    for i, tok in enumerate(sorted(candidates, key=len, reverse=True)):
+        helper = f"_lh_qc{i}"
+        pattern = re.compile(
+            r"(?<![\w.])" + r"\s*\.\s*".join(re.escape(p) for p in tok.split(".")) + r"(?![\w.(])"
+        )
+        pred = pattern.sub(helper, pred)
+        exprs.append(f"{tok} AS {helper}")
+        helpers.append(helper)
+    return pred, exprs, helpers
 
 
 def _depth0_positions(s: str, word_re: re.Pattern) -> list[re.Match]:
@@ -184,17 +306,40 @@ def _rewrite_qualify_masked(s: str) -> str:
     Window functions in <pred> evaluate over the result of
     FROM/WHERE/GROUP BY — QUALIFY's defined semantics — and may reference
     select-list aliases (they are columns of __q). Predicates over base
-    columns NOT in the select list raise Catalyst's unresolved-column
-    error (project them, as in every QUALIFY dialect). Scope: one QUALIFY
-    per top-level SELECT; set-operation branches must wrap in subqueries.
+    columns NOT in the select list — the standard dialect idiom — are
+    supported by projecting them into __q under _lh_qc{i} helper aliases
+    and folding the helpers into the outer EXCEPT (_qualify_injections).
+    Scope: one QUALIFY per top-level SELECT; set-operation branches must
+    wrap in subqueries. QUALIFY is contextually reserved exactly as far
+    as the guard (_qualify_plausible) requires: a token is only treated
+    as the clause when the text before it contains a depth-0 FROM and
+    does not end in an expression-expecting position, so identifiers
+    named qualify (`SELECT qualify FROM t`, `WHERE qualify = 3`,
+    `ORDER BY qualify`) pass through untouched. Top-level DISTINCT
+    combined with QUALIFY raises: the dialects defining the clause
+    evaluate QUALIFY BEFORE DISTINCT, which this subquery rewrite cannot
+    express — wrap the QUALIFY select in a subquery and DISTINCT over it.
     Expects string literals already masked (no QUALIFY-in-literal traps)."""
-    hits = _depth0_positions(s, _QUALIFY_RE)
+    hits = [
+        m
+        for m in _depth0_positions(s, _QUALIFY_RE)
+        if _qualify_plausible(s[: m.start()])
+    ]
     if not hits:
         return s
     if len(hits) > 1:
         raise WarehouseError("multiple top-level QUALIFY clauses — wrap subqueries")
     m = hits[0]
     head, rest = s[: m.start()].rstrip(), s[m.end() :]
+    sel_span = _select_list_span(head)
+    if sel_span is not None:
+        distinct = re.match(r"(?is)^\s*DISTINCT\b", head[sel_span[0] :])
+        if distinct:
+            raise WarehouseError(
+                "QUALIFY with top-level DISTINCT: the dialect defines QUALIFY "
+                "before DISTINCT, which this rewrite cannot express — wrap the "
+                "QUALIFY select in a subquery and apply DISTINCT outside"
+            )
     setops = [
         so
         for so in _depth0_positions(head, _SETOP_RE)
@@ -215,8 +360,21 @@ def _rewrite_qualify_masked(s: str) -> str:
     pred, tail = rest[:cut].strip(), rest[cut:].strip()
     if not pred:
         raise WarehouseError("QUALIFY requires a predicate")
+    helpers = ["_lh_qualify"]
+    if sel_span is not None:
+        select_list = head[sel_span[0] : sel_span[1]]
+        pred, exprs, qc_helpers = _qualify_injections(pred, select_list)
+        if exprs:
+            head = (
+                head[: sel_span[1]].rstrip()
+                + ", "
+                + ", ".join(exprs)
+                + " "
+                + head[sel_span[1] :]
+            )
+            helpers += qc_helpers
     return (
-        f"SELECT * EXCEPT (_lh_qualify) FROM ("
+        f"SELECT * EXCEPT ({', '.join(helpers)}) FROM ("
         f"SELECT __q.*, ({pred}) AS _lh_qualify FROM ({head}) AS __q"
         f") WHERE _lh_qualify {tail}"
     )
@@ -224,17 +382,42 @@ def _rewrite_qualify_masked(s: str) -> str:
 
 _ASOF_RE = re.compile(r"(?i)(?<![\w.])ASOF\s+(?P<left>LEFT\s+)?JOIN(?!\w)")
 _FROM_RE = re.compile(r"(?i)(?<![\w.])FROM(?!\w)")
-_ASOF_RIGHT_RE = re.compile(
-    r"(?is)^\s*(?P<rel>[A-Za-z_][\w.]*|\((?:[^()]|\([^()]*\))*\))"
-    r"(?:\s+AS)?\s+(?P<alias>[A-Za-z_]\w*)?\s*ON(?!\w)\s*(?P<cond>.*)$"
+_ASOF_TAIL_RE = re.compile(
+    r"(?is)^\s*(?:AS\s+)?(?P<alias>[A-Za-z_]\w*)?\s*ON(?!\w)\s*(?P<cond>.*)$"
 )
 _ASOF_INEQ_RE = re.compile(
     r"^\s*(?P<lq>[A-Za-z_]\w*)\.(?P<lc>[A-Za-z_]\w*)\s*(?P<op>>=|<=|>|<)\s*"
     r"(?P<rq>[A-Za-z_]\w*)\.(?P<rc>[A-Za-z_]\w*)\s*$"
 )
+# the right term + ON condition run to the next depth-0 clause keyword —
+# INCLUDING a chained join (r10 advice: without JOIN here, `ASOF JOIN B
+# ON … JOIN C ON …` swallowed the second join into the ON condition and
+# failed with a misleading inequality-conjunct error)
 _ASOF_END_RE = re.compile(
-    r"(?i)(?<![\w.])(?:WHERE|GROUP\s+BY|HAVING|WINDOW|QUALIFY|ORDER\s+BY|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT|MINUS)(?!\w)"
+    r"(?i)(?<![\w.])(?:WHERE|GROUP\s+BY|HAVING|WINDOW|QUALIFY|ORDER\s+BY"
+    r"|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT|MINUS"
+    r"|(?:(?:LEFT|RIGHT|FULL|INNER|CROSS|SEMI|ANTI)\s+(?:OUTER\s+)?)?JOIN)(?!\w)"
 )
+
+
+def _asof_right_side(join_part: str) -> tuple[str, str | None, str]:
+    """Parse ``B [AS] b ON cond`` — the ASOF right side. The relation is
+    a dotted name or an arbitrarily nested parenthesized subquery
+    (parsed with _balanced_paren_group; the old regex capped nesting at
+    two levels and rejected valid deeper subqueries)."""
+    jp = join_part.strip()
+    if jp.startswith("("):
+        inside, rem = _balanced_paren_group(jp)
+        rel = f"({inside})"
+    else:
+        nm = re.match(r"(?s)^([A-Za-z_][\w.]*)(.*)$", jp)
+        if nm is None:
+            raise WarehouseError(f"unsupported ASOF JOIN right side: {jp[:80]}")
+        rel, rem = nm.group(1), nm.group(2)
+    tm = _ASOF_TAIL_RE.match(rem)
+    if tm is None:
+        raise WarehouseError(f"unsupported ASOF JOIN right side: {jp[:80]}")
+    return rel, tm.group("alias"), tm.group("cond").strip()
 
 
 def _rewrite_asof_masked(s: str) -> str:
@@ -272,16 +455,10 @@ def _rewrite_asof_masked(s: str) -> str:
     f = froms[-1]
     left_term = s[f.end() : m.start()].strip()
     rest = s[m.end() :]
-    # the right term + ON condition run to the next depth-0 clause keyword
     ends = _depth0_positions(rest, _ASOF_END_RE)
     cut = ends[0].start() if ends else len(rest)
     join_part, tail = rest[:cut], rest[cut:]
-    rm = _ASOF_RIGHT_RE.match(join_part)
-    if rm is None:
-        raise WarehouseError(
-            f"unsupported ASOF JOIN right side: {join_part.strip()[:80]}"
-        )
-    rel, alias, cond = rm.group("rel"), rm.group("alias"), rm.group("cond").strip()
+    rel, alias, cond = _asof_right_side(join_part)
     if alias is None:
         if rel.startswith("("):
             raise WarehouseError("ASOF JOIN subquery needs an alias")
@@ -341,10 +518,12 @@ def _rewrite_asof_masked(s: str) -> str:
         f"LATERAL (SELECT * FROM {rel} AS {alias} WHERE {cond} "
         f"ORDER BY {alias}.{ts_col} {order} LIMIT 1) AS {alias}"
     )
+    # explicit JOIN … ON true (not the comma form) for BOTH variants so a
+    # chained join in the tail associates left-deep — `A ASOF JOIN B ON …
+    # JOIN C ON …` must group as (A⋈B)⋈C, and the comma operator's lower
+    # precedence would instead group (B⋈C) and break the correlation scope
     joined = (
-        f"{left_term} LEFT JOIN {lateral} ON true"
-        if is_left
-        else f"{left_term} , {lateral}"
+        f"{left_term} {'LEFT' if is_left else 'INNER'} JOIN {lateral} ON true"
     )
     return f"{s[: f.end()]} {joined} {tail}"
 

@@ -544,12 +544,15 @@ def test_qualify_rewrite_guards_and_masking():
     # own rewrite pass — only depth-0 rewrites here
     s2 = "SELECT * FROM (SELECT 1) x"
     assert qualify_sql(s2) == s2
+    # r11: the guard additionally requires a depth-0 FROM before the
+    # token reads as a clause (headless forms now defer to Spark's own
+    # parse error instead of raising here), so these raise-paths carry one
     with pytest.raises(WarehouseError, match="set-operation"):
-        qualify_sql("SELECT 1 AS a UNION ALL SELECT 2 QUALIFY a = 1")
+        qualify_sql("SELECT 1 AS a FROM t UNION ALL SELECT 2 FROM u QUALIFY a = 1")
     with pytest.raises(WarehouseError, match="predicate"):
-        qualify_sql("SELECT 1 AS a QUALIFY")
+        qualify_sql("SELECT 1 AS a FROM t QUALIFY")
     with pytest.raises(WarehouseError, match="multiple"):
-        qualify_sql("SELECT 1 AS a QUALIFY a = 1 QUALIFY a = 2")
+        qualify_sql("SELECT 1 AS a FROM t QUALIFY a = 1 QUALIFY a = 2")
 
 
 def test_asof_join_through_sql_frontend(lake):
