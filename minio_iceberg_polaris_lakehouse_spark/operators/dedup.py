@@ -723,3 +723,107 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "k1", "k2")
     )
+
+
+# ------- SimHash with an EXACT cross-engine oracle (r11) ----------------
+# dedup_simhash above votes with Spark's xxhash64, so its evidence is
+# rows-only by design. This variant swaps in a polynomial token hash both
+# engines compute bit-identically with INTEGER arithmetic —
+#   h(token) = fold over code points: (acc*31 + code) mod (2^31 - 1)
+# (31 usable vote bits; acc*31 + 0x10FFFF stays far under 2^63) — making
+# the whole pipeline (tokenize → token hash → per-bit votes → 31-bit
+# fingerprint → cluster) value-hash replayable by DuckDB. Same one-pass
+# vote fold as dedup_simhash; the per-character inner fold costs
+# O(total chars) once per document, which is the floor for any
+# content-defined fingerprint.
+
+SIMHASHX_BITS = 31
+SIMHASHX_MOD = 2147483647  # 2^31 - 1 (prime)
+
+
+def _poly_token_hash(t: Column) -> Column:
+    """(((0*31+c1)*31+c2)…) mod 2^31-1 over the token's code points —
+    identical in Spark and DuckDB (pure int64 ops, no float, no
+    engine hash function)."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, i: (acc * 31 + F.ascii(t.substr(i, F.lit(1))).cast("long"))
+        % SIMHASHX_MOD,
+    )
+
+
+_SIMHASHX_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+        FROM documents),
+    th AS (
+        SELECT doc_id,
+               list_transform(ts, t ->
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, length(t)+1),
+                               i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % {SIMHASHX_MOD})) AS hs
+        FROM toks),
+    votes AS (
+        SELECT doc_id,
+               list_transform(range({SIMHASHX_BITS}), b ->
+                   list_sum(list_transform(hs,
+                       h -> CASE WHEN (h // (1 << b)) % 2 = 1 THEN 1 ELSE -1 END))) AS vs
+        FROM th),
+    fp AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range({SIMHASHX_BITS}),
+                   b -> CASE WHEN vs[b+1] > 0 THEN (1 << b) ELSE 0 END)) AS BIGINT)
+                   AS simhash
+        FROM votes)
+    SELECT simhash, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM fp GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash
+"""
+
+
+@register("dedup_simhash_exact", oracle=_SIMHASHX_ORACLE)
+def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup clusters (Hamming-0 groups) under the
+    integer-exact polynomial hash family — the full fingerprint
+    trajectory value-hashed against DuckDB replaying identical
+    arithmetic (the same exactness upgrade sim_ann_lsh_indexed gives
+    LSH). One scan, one shuffle (the fingerprint groupBy); votes fold
+    in a single aggregate pass exactly like dedup_simhash."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    hashes = F.transform(toks, _poly_token_hash)
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASHX_BITS)])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASHX_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda v, m: v
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1).cast("long")).otherwise(
+                F.lit(-1).cast("long")
+            ),
+        ),
+    )
+    fingerprint = F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + b,
+    )
+    return (
+        d.select("doc_id", fingerprint.alias("simhash"))
+        .groupBy("simhash")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("cluster_size") > 1)
+        .orderBy("simhash")
+    )

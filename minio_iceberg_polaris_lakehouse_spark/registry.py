@@ -49,7 +49,7 @@ _REGISTRY: dict[str, Query] = {}
 # oracle-parity suite, which has no cap).
 _PRIORITY: list[str] = [
     # ================= r11 seating (see tools/rotation_report.py) =========
-    # Policy (r10 verdict #7): veterans rest on a schedule — 24 members
+    # Policy (r10 verdict #7): veterans rest on a schedule — 25 members
     # with 4 consecutive green rounds rotate out for 20 STALE ALUMNI whose
     # last driver check was r<=8 (oldest first, one+ per family), so every
     # oracle-backed query re-earns green on a recent tree within a few
@@ -83,6 +83,11 @@ _PRIORITY: list[str] = [
     # full trajectory (quantize->project->bucket->multiprobe->rescore)
     # DuckDB replays, served from the persisted signature index
     "sim_ann_lsh_indexed",
+    # SimHash's exact-oracle member — the same integer-exact upgrade
+    # (polynomial token hash, 31-bit votes) replayed end-to-end by
+    # DuckDB; takes dedup_fuzzy_names' slot (3 green rounds r08-r10;
+    # X1/X2 keep ngram_jaccard + minhash_lsh + this in-window)
+    "dedup_simhash_exact",
     # --- stale alumni re-seats (last driver check r<=8, oldest first) ----
     "rel_q9_profit_by_nation_year",  # r01; TPC-H sweep anchor
     "rel_pivot",  # r01
@@ -118,7 +123,6 @@ _PRIORITY: list[str] = [
     "rel_recursive_reachability",
     "rel_lateral_topk",
     "evt_cohort_retention",
-    "dedup_fuzzy_names",
     "text_model_quality_filter",
     # --- retained 4-round veterans (family-unique anchors) ---------------
     # the two MV goldens went green in r10 after three red rounds — one
@@ -132,9 +136,9 @@ _PRIORITY: list[str] = [
     "text_bloom_decontaminate",  # decontamination: only exact-gate member
     "udf_python_udtf",  # UDTF surface (distinct from applyInPandas)
 ]
-# Rested this round (24, all >=3 green rounds, families still covered):
+# Rested this round (25, all >=3 green rounds, families still covered):
 # ref_register_foreign, ref_foreign_metadata, ref_foreign_changes,
-# ref_bloom_index_lookup, rel_q19_disjunctive_predicates,
+# ref_bloom_index_lookup, dedup_fuzzy_names, rel_q19_disjunctive_predicates,
 # rel_q21_waiting_supplier (still benched every round), ref_analyze_stats,
 # ref_default_values, text_chunk_windows, fn_variant_suite,
 # ml_logistic_regression, dedup_semantic, sim_ann_ivf_indexed,
