@@ -339,3 +339,51 @@ def test_asof_rewrite_plan_shape(spark, sf_dir):
     s = plan_string(df)
     assert count_nodes(df, "WindowGroupLimit") >= 1, s
     assert_no_cartesian(df)
+
+
+def test_qualify_unprojected_plan_shape(spark, sf_dir):
+    """The unprojected-column QUALIFY rewrite must not cost the plan its
+    rank-pruning: `QUALIFY row_number() = 1` over injected helper
+    columns still plans WindowGroupLimit, and neither the predicate
+    helper nor the injected _lh_qc columns survive into the output."""
+    from minio_iceberg_polaris_lakehouse_spark.operators.relational5 import (
+        rel_qualify_unprojected,
+    )
+
+    df = rel_qualify_unprojected(spark, sf_dir)
+    s = plan_string(df)
+    assert count_nodes(df, "WindowGroupLimit") >= 1, s
+    assert df.columns == ["o_orderkey", "o_totalprice"]
+    assert not [c for c in df.columns if c.startswith("_lh_")]
+    assert_no_cartesian(df)
+
+
+def test_lsh_indexed_serve_plan_shape(spark, sf_dir):
+    """The persisted-LSH serve path: the 8-vector query side BROADCASTS
+    into the bucket equi-join (never a shuffle of the index on the
+    query's account, never a cartesian), and the final top-k carries
+    WindowGroupLimit."""
+    from minio_iceberg_polaris_lakehouse_spark.operators.similarity import (
+        lsh_indexed_topk,
+    )
+
+    df = lsh_indexed_topk(spark, sf_dir)
+    s = plan_string(df)
+    assert "BroadcastHashJoin" in s, s
+    assert count_nodes(df, "WindowGroupLimit") >= 1, s
+    assert_no_cartesian(df)
+
+
+def test_simhash_exact_single_data_shuffle(spark, sf_dir):
+    """dedup_simhash_exact is one scan + one aggregation shuffle (plus
+    the presentation sort): the per-character hash fold happens map-side
+    inside the projection, never via explode — the row count entering
+    the exchange is one per document, not one per token."""
+    from minio_iceberg_polaris_lakehouse_spark.operators.dedup import (
+        dedup_simhash_exact,
+    )
+
+    df = dedup_simhash_exact(spark, sf_dir)
+    s = plan_string(df)
+    assert "Generate" not in s, s  # no explode — array folds stay in-row
+    assert_no_cartesian(df)
