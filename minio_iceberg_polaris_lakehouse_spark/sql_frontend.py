@@ -29,6 +29,31 @@ Scale note: this layer only manipulates STRINGS and few-KB metadata; every
 data-moving operation is the same executor-side DataFrame plan the Python
 API produces. Time travel / metadata views resolve manifests driver-side
 in O(commits), as Iceberg does.
+
+DIALECT RESERVED-WORD CONTRACT — the dialect rewrites (QUALIFY, ASOF
+JOIN, star EXCLUDE/REPLACE) run on EVERY front-end statement, so each
+keyword is contextually reserved no wider than in the dialect that
+defines it, and every guard FAILS OPEN (the statement passes through to
+Spark's parser untouched) rather than mangling valid SQL:
+
+- ``QUALIFY`` reads as a clause only when the text before it contains a
+  depth-0 FROM and does not end in an expression-expecting position
+  (after SELECT/WHERE/AND/BY/AS/comma/operator an identifier must
+  follow) — `SELECT qualify FROM t`, `WHERE qualify = 3`,
+  `ORDER BY qualify` all keep the identifier meaning. Residual
+  reservation, same as DuckDB: an IMPLICIT alias named qualify directly
+  after a FROM-bearing head (`SELECT a, b qualify FROM …` ends in an
+  identifier) reads as the clause — use ``AS qualify``.
+- ``ASOF`` is reserved only directly before ``JOIN``; an alias literally
+  named asof just before JOIN reads as the clause in DuckDB too.
+- ``EXCLUDE`` / ``REPLACE`` are star modifiers only directly after a
+  star PROJECTION (``*`` / ``alias.*`` at a select-list position) —
+  never after a multiplication star, and REPLACE( the string function
+  is untouched.
+
+Regression pins: tests/test_review_fixes_r10.py (star/ASOF guards),
+tests/test_review_fixes_r11.py (QUALIFY guards, DISTINCT ordering,
+chained ASOF); runnable tour: examples/sql_dialect_tour.py.
 """
 
 from __future__ import annotations
@@ -200,7 +225,8 @@ _QPRED_KEYWORDS = frozenset(
     ASC DESC NULLS FIRST LAST ROWS RANGE GROUPS UNBOUNDED PRECEDING
     FOLLOWING CURRENT ROW INTERVAL DISTINCT ALL EXISTS ANY SOME ESCAPE
     DIV DATE TIMESTAMP FILTER IGNORE RESPECT CURRENT_DATE
-    CURRENT_TIMESTAMP""".split()
+    CURRENT_TIMESTAMP YEAR YEARS MONTH MONTHS WEEK WEEKS DAY DAYS HOUR
+    HOURS MINUTE MINUTES SECOND SECONDS MILLISECOND MICROSECOND""".split()
 )
 _QPRED_TOKEN_RE = re.compile(r"[A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)*")
 
@@ -257,7 +283,7 @@ def _qualify_injections(pred: str, select_list: str) -> tuple[str, list[str], li
     for m in _QPRED_TOKEN_RE.finditer(pred):
         tok = re.sub(r"\s*\.\s*", ".", m.group(0))
         before = pred[m.start() - 1] if m.start() > 0 else ""
-        after = pred[m.end() : m.end() + 2].lstrip()
+        after = pred[m.end() : m.end() + 8].lstrip()
         if before == "\x00" or after.startswith("\x00"):
             continue  # masked string literal marker
         if after.startswith("("):

@@ -230,3 +230,16 @@ def test_qualify_carries_spark_tail_clauses(lake):
         "DISTRIBUTE BY g"
     )
     assert sorted(tuple(r) for r in df.collect()) == [("a", 3), ("b", 9)]
+
+
+def test_qualify_injection_skips_syntax_tokens():
+    """INTERVAL unit keywords and function names with whitespace before
+    the paren must never be injected as helper projections."""
+    out = qualify_sql(
+        "SELECT g FROM t QUALIFY MAX(ts) OVER (PARTITION BY g) "
+        "> CURRENT_TIMESTAMP - INTERVAL 1 DAY"
+    )
+    assert "DAY AS" not in out and "INTERVAL AS" not in out, out
+    assert "ts AS _lh_qc0" in out  # the real base column IS injected
+    out2 = qualify_sql("SELECT g FROM t QUALIFY ROW_NUMBER  () OVER (ORDER BY g) = 1")
+    assert "ROW_NUMBER AS" not in out2, out2
