@@ -779,7 +779,7 @@ _SIMHASHX_ORACLE = f"""
                    AS simhash
         FROM votes)
     SELECT simhash, CAST(COUNT(*) AS BIGINT) AS cluster_size,
-           list_sort(list(doc_id)) AS doc_ids
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
     FROM fp GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash
 """
 
@@ -822,7 +822,15 @@ def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("simhash")
         .agg(
             F.count("*").alias("cluster_size"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            # comma-joined STRING, not an array: no array-typed column has
+            # ever held a driver window slot, and the driver's hasher
+            # renders Spark/DuckDB list cells through different pandas
+            # paths — the same per-engine-rendering hazard class as
+            # DecimalType (registry guard), avoided the same way
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("doc_id"))).cast("array<string>"),
+                ",",
+            ).alias("doc_ids"),
         )
         .filter(F.col("cluster_size") > 1)
         .orderBy("simhash")
