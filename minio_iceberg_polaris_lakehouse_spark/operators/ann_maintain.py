@@ -236,3 +236,63 @@ def refresh_pq_index(wh: Warehouse, corpus: Table, ns: str = "ann") -> dict:
         codes_t.delete_keys(dead)
     codes_t.set_properties({WATERMARK_PROP: str(cur)})
     return {"upserted": n_up, "deleted": n_del, "from": last, "to": cur}
+
+
+# ---------------------------------------------------------------- LSH twin
+# The r11 exact-oracle LSH index (similarity.build_lsh_index: persisted
+# integer-exact signatures, 8 rows per vector) maintains with the same
+# changelog discipline. The hash family is STATELESS (seeded arithmetic,
+# no trained model), so unlike IVF/PQ there is nothing frozen to drift:
+# a maintained index is bit-identical to a full rebuild FOREVER, not
+# just until the distribution moves.
+
+LSH_WATERMARK_PROP = "lsh.last-indexed-snapshot"
+
+
+def build_lsh_index_tables(wh: Warehouse, corpus: Table, ns: str = "ann") -> Table:
+    """Full signature build from a warehouse-table corpus, with
+    (vec_id, table_id) as the composite identifier the refresh applies
+    churn by — one vector owns exactly N_TABLES index rows, and an
+    upsert batch carrying all of them has unique keys."""
+    from minio_iceberg_polaris_lakehouse_spark.operators.similarity import (
+        lshx_signatures,
+    )
+
+    v = corpus.read().select("vec_id", as_double("e").alias("e"))
+    idx = wh.create_table(
+        ns,
+        "lsh_index",
+        "vec_id bigint, table_id int, bucket int, e array<double>",
+        partition_by="table_id",
+        if_not_exists=True,
+    )
+    idx.overwrite(lshx_signatures(v).repartitionByRange("table_id", "bucket"))
+    idx.set_identifier_fields("vec_id", "table_id")
+    idx.set_properties({LSH_WATERMARK_PROP: str(corpus.current_snapshot_id() or 0)})
+    return idx
+
+
+def refresh_lsh_index(wh: Warehouse, corpus: Table, ns: str = "ann") -> dict:
+    """O(churn) LSH refresh: re-signature ONLY the delta (48-projection
+    fold over changed vectors), apply as keyed upsert; removals expand
+    to their N_TABLES composite keys for delete_keys — the index is
+    never rescanned."""
+    from minio_iceberg_polaris_lakehouse_spark.operators.similarity import (
+        N_TABLES,
+        lshx_signatures,
+    )
+
+    idx = wh.table(ns, "lsh_index")
+    last = int(idx.properties().get(LSH_WATERMARK_PROP, "0")) or None
+    cur = corpus.current_snapshot_id()
+    if cur == last:
+        return {"upserted": 0, "deleted": 0, "from": last, "to": cur}
+    live, dead = _final_changes(corpus, last)
+    n_up, n_del = live.count(), dead.count()
+    if n_up:
+        idx.upsert(lshx_signatures(live))
+    if n_del:
+        tables = idx.spark.range(N_TABLES).select(F.col("id").cast("int").alias("table_id"))
+        idx.delete_keys(dead.crossJoin(tables))
+    idx.set_properties({LSH_WATERMARK_PROP: str(cur)})
+    return {"upserted": n_up, "deleted": n_del, "from": last, "to": cur}

@@ -707,15 +707,15 @@ def _lshx_sign(d: Column, g: Column) -> Column:
     )
 
 
-def _lshx_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """vec_id, table_id, bucket, e — the integer-exact signature of every
-    corpus vector, one row per hash table. All 48 projections fold in ONE
-    aggregate pass (the same CollapseProject-safe shape as
-    _all_projections), with int64 accumulators."""
+def lshx_signatures(v: DataFrame) -> DataFrame:
+    """(vec_id, e) → (vec_id, table_id, bucket, e): the integer-exact
+    signature of every vector, one row per hash table. All 48
+    projections fold in ONE aggregate pass (the same
+    CollapseProject-safe shape as _all_projections), with int64
+    accumulators. Shared by the query pipeline, the index build, and
+    the CDC-incremental index refresh (ann_maintain.refresh_lsh_index)
+    so a maintained index row is bit-identical to a rebuilt one."""
     nsig = N_TABLES * PLANES_PER_TABLE
-    v = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("e")
-    )
     zipped = F.zip_with(
         F.col("e"),
         F.sequence(F.lit(0), F.size(F.col("e")) - 1),
@@ -734,6 +734,15 @@ def _lshx_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sigs.select(
         "vec_id", "tb.table_id", F.col("tb.bucket").cast("int").alias("bucket"), "e"
+    )
+
+
+def _lshx_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lshx_signatures over the test corpus parquet."""
+    return lshx_signatures(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double("embedding").alias("e")
+        )
     )
 
 

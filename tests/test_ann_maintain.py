@@ -162,3 +162,71 @@ def test_pq_refresh_equals_full_reencode(setup, spark):
     # idempotent
     out2 = refresh_pq_index(wh, corpus)
     assert (out2["upserted"], out2["deleted"]) == (0, 0)
+
+
+# ---------------------------------------------------------------- LSH twin
+
+
+@pytest.fixture()
+def lsh_setup(spark, tmp_path):
+    from minio_iceberg_polaris_lakehouse_spark.operators.ann_maintain import (
+        build_lsh_index_tables,
+    )
+
+    rng = random.Random(23)
+    wh = Warehouse(spark, str(tmp_path / "whl"))
+    corpus = wh.create_table("ann", "corpus", "vec_id bigint, e array<double>")
+    corpus.append(
+        spark.createDataFrame(_vecs(rng, range(30)), "vec_id bigint, e array<double>")
+    )
+    idx = build_lsh_index_tables(wh, corpus)
+    return rng, wh, corpus, idx
+
+
+def _lsh_state(idx):
+    return {(r.vec_id, r.table_id): r.bucket for r in idx.read().collect()}
+
+
+def test_lsh_build_shape(lsh_setup):
+    from minio_iceberg_polaris_lakehouse_spark.operators.similarity import N_TABLES
+
+    _rng, _wh, _corpus, idx = lsh_setup
+    state = _lsh_state(idx)
+    assert len(state) == 30 * N_TABLES
+    assert idx.identifier_fields() == ["vec_id", "table_id"]
+
+
+def test_lsh_refresh_equals_full_rebuild(lsh_setup, spark, tmp_path):
+    """Append + delete + re-embed churn, then refresh: the maintained
+    index must be row-identical to a from-scratch rebuild — the hash
+    family is stateless (no trained model), so unlike IVF the equality
+    holds forever, not just until distribution drift."""
+    from minio_iceberg_polaris_lakehouse_spark.operators.ann_maintain import (
+        build_lsh_index_tables,
+        refresh_lsh_index,
+    )
+    from minio_iceberg_polaris_lakehouse_spark.operators.similarity import N_TABLES
+
+    rng, wh, corpus, idx = lsh_setup
+    corpus.append(
+        spark.createDataFrame(_vecs(rng, range(30, 42)), "vec_id bigint, e array<double>")
+    )
+    corpus.delete_where("vec_id IN (2, 11)", mode="merge-on-read")
+    corpus.set_identifier_fields("vec_id")
+    corpus.upsert(  # re-embed vector 5: its 8 signature rows must move
+        spark.createDataFrame(_vecs(rng, [5]), "vec_id bigint, e array<double>")
+    )
+    out = refresh_lsh_index(wh, corpus)
+    assert out["upserted"] == 13 and out["deleted"] == 2  # 12 new + 1 re-embed
+    got = _lsh_state(idx)
+    wh2 = Warehouse(idx.spark, str(tmp_path / "wh2"))
+    corpus2 = wh2.create_table("ann", "corpus", "vec_id bigint, e array<double>")
+    corpus2.append(corpus.read())
+    want = _lsh_state(build_lsh_index_tables(wh2, corpus2))
+    assert got == want
+    assert len(got) == 40 * N_TABLES
+    # no-op refresh is cheap and resumable
+    out2 = refresh_lsh_index(wh, corpus)
+    assert out2 == {"upserted": 0, "deleted": 0,
+                    "from": corpus.current_snapshot_id(),
+                    "to": corpus.current_snapshot_id()}
