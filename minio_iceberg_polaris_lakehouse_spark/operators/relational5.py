@@ -276,3 +276,30 @@ def rel_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     same partial-agg + exchange + final-agg as an explicit GROUP BY."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_gba_lineitem")
     return spark.sql(_GBALL_TEXT.format(lineitem="_gba_lineitem"))
+
+
+_QWIN_TEXT = """
+    SELECT o_orderkey, o_totalprice
+    FROM {orders}
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    QUALIFY ROW_NUMBER() OVER w = 1
+    ORDER BY o_orderkey
+"""
+
+
+@register(
+    "rel_qualify_named_window",
+    oracle=_QWIN_TEXT.format(orders="orders"),
+)
+def rel_qualify_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY referencing a named WINDOW clause — standard clause order
+    puts WINDOW between HAVING and QUALIFY, so the rewrite RELOCATES the
+    definition to the subquery wrapper where the predicate's `OVER w`
+    resolves (sql_frontend: _WINDOW_CLAUSE_RE extraction), composing
+    with unprojected-column injection (o_custkey/o_totalprice inside the
+    relocated definition rewrite to the same _lh_qc helpers). The oracle
+    is the IDENTICAL text DuckDB executes natively."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import qualify_sql
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_qw_orders")
+    return spark.sql(qualify_sql(_QWIN_TEXT.format(orders="_qw_orders")))

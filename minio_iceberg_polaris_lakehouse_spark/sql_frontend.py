@@ -225,10 +225,15 @@ _QPRED_KEYWORDS = frozenset(
     ASC DESC NULLS FIRST LAST ROWS RANGE GROUPS UNBOUNDED PRECEDING
     FOLLOWING CURRENT ROW INTERVAL DISTINCT ALL EXISTS ANY SOME ESCAPE
     DIV DATE TIMESTAMP FILTER IGNORE RESPECT CURRENT_DATE
-    CURRENT_TIMESTAMP YEAR YEARS MONTH MONTHS WEEK WEEKS DAY DAYS HOUR
-    HOURS MINUTE MINUTES SECOND SECONDS MILLISECOND MICROSECOND""".split()
+    CURRENT_TIMESTAMP WINDOW YEAR YEARS MONTH MONTHS WEEK WEEKS DAY DAYS
+    HOUR HOURS MINUTE MINUTES SECOND SECONDS MILLISECOND MICROSECOND""".split()
 )
 _QPRED_TOKEN_RE = re.compile(r"[A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)*")
+
+# a depth-0 `WINDOW name AS (` in the head is the named-window clause
+# (standard clause order puts it between HAVING and QUALIFY); the
+# `name AS (` tail keeps identifiers named window out of this
+_WINDOW_CLAUSE_RE = re.compile(r"(?i)(?<![\w.])WINDOW(?=\s+[A-Za-z_]\w*\s+AS\s*\()")
 
 
 def _select_list_span(head: str) -> tuple[int, int] | None:
@@ -268,22 +273,26 @@ def _select_output_names(select_list: str) -> set[str] | None:
     return names
 
 
-def _qualify_injections(pred: str, select_list: str) -> tuple[str, list[str], list[str]]:
+def _qualify_injections(
+    pred: str, select_list: str, wclause: str = ""
+) -> tuple[str, str, list[str], list[str]]:
     """Support the standard dialect idiom of QUALIFY predicates over
     base columns NOT in the select list (DuckDB docs' first example):
-    collect predicate identifiers that are neither SQL keywords, nor
-    function calls, nor select-list output names, project each into the
-    inner subquery under a fresh ``_lh_qc{i}`` alias, and rewrite the
-    predicate to reference the alias. Returns (new_pred,
-    projected_exprs, helper_names); all-empty when nothing to inject."""
+    collect identifiers from the predicate AND any relocated named-WINDOW
+    clause that are neither SQL keywords, nor function calls, nor
+    select-list output names, project each into the inner subquery under
+    a fresh ``_lh_qc{i}`` alias, and rewrite both texts to reference the
+    alias. Returns (new_pred, new_wclause, projected_exprs,
+    helper_names); unchanged/empty when nothing to inject."""
     outputs = _select_output_names(select_list)
     if outputs is None:  # star projection: base columns already visible
-        return pred, [], []
+        return pred, wclause, [], []
     candidates: list[str] = []
-    for m in _QPRED_TOKEN_RE.finditer(pred):
+    scan = pred + " " + wclause
+    for m in _QPRED_TOKEN_RE.finditer(scan):
         tok = re.sub(r"\s*\.\s*", ".", m.group(0))
-        before = pred[m.start() - 1] if m.start() > 0 else ""
-        after = pred[m.end() : m.end() + 8].lstrip()
+        before = scan[m.start() - 1] if m.start() > 0 else ""
+        after = scan[m.end() : m.end() + 8].lstrip()
         if before == "\x00" or after.startswith("\x00"):
             continue  # masked string literal marker
         if after.startswith("("):
@@ -292,10 +301,17 @@ def _qualify_injections(pred: str, select_list: str) -> tuple[str, list[str], li
             continue
         if "." in tok and tok.upper() in ("CURRENT_DATE", "CURRENT_TIMESTAMP"):
             continue
+        if re.search(r"(?i)(?<![\w.])OVER\s*$", scan[: m.start()]):
+            continue  # `OVER w`: a named-window reference, never a column
         if tok not in candidates:
             candidates.append(tok)
+    if wclause:
+        # names DEFINED by the window clause (`WINDOW w AS (...)`) are
+        # not column references — nor are `OVER w` uses in the predicate
+        defined = set(re.findall(r"(?i)(?:WINDOW|,)\s*([A-Za-z_]\w*)\s+AS\s*\(", wclause))
+        candidates = [c for c in candidates if c not in defined]
     if not candidates:
-        return pred, [], []
+        return pred, wclause, [], []
     exprs, helpers = [], []
     for i, tok in enumerate(sorted(candidates, key=len, reverse=True)):
         helper = f"_lh_qc{i}"
@@ -303,9 +319,10 @@ def _qualify_injections(pred: str, select_list: str) -> tuple[str, list[str], li
             r"(?<![\w.])" + r"\s*\.\s*".join(re.escape(p) for p in tok.split(".")) + r"(?![\w.(])"
         )
         pred = pattern.sub(helper, pred)
+        wclause = pattern.sub(helper, wclause)
         exprs.append(f"{tok} AS {helper}")
         helpers.append(helper)
-    return pred, exprs, helpers
+    return pred, wclause, exprs, helpers
 
 
 def _depth0_positions(s: str, word_re: re.Pattern) -> list[re.Match]:
@@ -386,10 +403,25 @@ def _rewrite_qualify_masked(s: str) -> str:
     pred, tail = rest[:cut].strip(), rest[cut:].strip()
     if not pred:
         raise WarehouseError("QUALIFY requires a predicate")
+    # standard clause order puts a named-WINDOW clause between HAVING and
+    # QUALIFY, i.e. at the head's tail — relocate it to the middle select
+    # so `OVER w` in the predicate resolves (inside the subquery the
+    # definition would be out of the predicate's scope)
+    wclause = ""
+    if sel_span is not None:
+        wins = [
+            w
+            for w in _depth0_positions(head, _WINDOW_CLAUSE_RE)
+            if w.start() > sel_span[1]
+        ]
+        if wins:
+            head, wclause = head[: wins[0].start()].rstrip(), head[wins[0].start() :]
     helpers = ["_lh_qualify"]
     if sel_span is not None:
         select_list = head[sel_span[0] : sel_span[1]]
-        pred, exprs, qc_helpers = _qualify_injections(pred, select_list)
+        pred, wclause, exprs, qc_helpers = _qualify_injections(
+            pred, select_list, wclause
+        )
         if exprs:
             head = (
                 head[: sel_span[1]].rstrip()
@@ -401,7 +433,7 @@ def _rewrite_qualify_masked(s: str) -> str:
             helpers += qc_helpers
     return (
         f"SELECT * EXCEPT ({', '.join(helpers)}) FROM ("
-        f"SELECT __q.*, ({pred}) AS _lh_qualify FROM ({head}) AS __q"
+        f"SELECT __q.*, ({pred}) AS _lh_qualify FROM ({head}) AS __q {wclause}"
         f") WHERE _lh_qualify {tail}"
     )
 

@@ -243,3 +243,27 @@ def test_qualify_injection_skips_syntax_tokens():
     assert "ts AS _lh_qc0" in out  # the real base column IS injected
     out2 = qualify_sql("SELECT g FROM t QUALIFY ROW_NUMBER  () OVER (ORDER BY g) = 1")
     assert "ROW_NUMBER AS" not in out2, out2
+
+
+def test_qualify_named_window_clause(lake):
+    """WINDOW … QUALIFY: the named-window definition relocates to the
+    predicate's scope, composes with injection, and identifiers named
+    window stay untouched."""
+    lake.sql("CREATE TABLE polaris.db.qw (g STRING, v INT, ts INT) USING ICEBERG")
+    lake.sql("INSERT INTO db.qw VALUES ('a', 1, 100), ('a', 2, 200), ('b', 3, 50)")
+    df = lake.sql(
+        "SELECT v FROM db.qw WINDOW w AS (PARTITION BY g ORDER BY ts DESC) "
+        "QUALIFY ROW_NUMBER() OVER w = 1 ORDER BY v"
+    )
+    assert df.columns == ["v"]
+    assert [r[0] for r in df.collect()] == [2, 3]
+    # multiple named windows in one clause
+    df2 = lake.sql(
+        "SELECT v FROM db.qw WINDOW w AS (PARTITION BY g ORDER BY ts DESC), "
+        "w2 AS (ORDER BY ts) "
+        "QUALIFY ROW_NUMBER() OVER w = 1 AND ROW_NUMBER() OVER w2 >= 1 ORDER BY v"
+    )
+    assert [r[0] for r in df2.collect()] == [2, 3]
+    # an identifier named window is not a clause
+    s = "SELECT window FROM t2 WHERE window = 3"
+    assert qualify_sql(s) == s
