@@ -70,6 +70,9 @@ EXTENDED = [
     "ml_pagerank_trade",
     "ml_logistic_regression",
     "evt_cohort_retention",
+    # r11-new exact-oracle operators
+    "sim_ann_lsh_indexed",
+    "dedup_simhash_exact",
 ]
 
 
