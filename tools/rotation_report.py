@@ -47,6 +47,20 @@ def main() -> None:
     print(f"\n-- in-window veterans with >=3 green rounds (rotation candidates: {len(vets)}) --")
     for n, k in vets:
         print(f"  {k}  {n}")
+    # the other half of the rotation trade: oracle-backed alumni whose
+    # LAST driver check is oldest (stalest first) — the incoming pool
+    # matching the r10-verdict policy (re-earn green on a recent tree)
+    stale = sorted(
+        (
+            (n, max(int(t.rstrip("+!").lstrip("r")) for t in rounds[n]))
+            for n in rounds
+            if n in qs and n not in window and qs[n].oracle is not None
+        ),
+        key=lambda kv: kv[1],
+    )
+    print(f"\n-- stalest oracle-backed alumni outside the window ({len(stale)}; seat the oldest) --")
+    for n, r in stale[:25]:
+        print(f"  r{r:02d}  {n}")
 
 
 if __name__ == "__main__":
