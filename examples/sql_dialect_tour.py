@@ -74,6 +74,13 @@ def main() -> None:
     lake.sql("INSERT INTO shop.audit VALUES (1, 'ok'), (2, 'check')")
     lake.sql("SELECT qualify, note FROM shop.audit WHERE qualify = 2").show()
 
+    print("== 1d. QUALIFY with a named WINDOW clause ==")
+    lake.sql(
+        "SELECT rep FROM shop.sales "
+        "WINDOW w AS (PARTITION BY region ORDER BY amt DESC) "
+        "QUALIFY ROW_NUMBER() OVER w = 1 ORDER BY rep"
+    ).show()
+
     print("== 2. ASOF JOIN: each trade priced at the latest prior fx rate ==")
     lake.sql(
         "SELECT t.ccy, t.ts, t.qty, f.ts AS rate_ts, f.rate "
