@@ -753,7 +753,9 @@ def _poly_token_hash(t: Column) -> Column:
     )
 
 
-_SIMHASHX_ORACLE = f"""
+# shared fingerprint CTE prefix (toks -> token hashes -> votes -> fp):
+# both exact-SimHash oracles replay the identical arithmetic from here
+_SIMHASHX_FP_CTES = f"""
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
         FROM documents),
@@ -778,20 +780,25 @@ _SIMHASHX_ORACLE = f"""
                    b -> CASE WHEN vs[b+1] > 0 THEN (1 << b) ELSE 0 END)) AS BIGINT)
                    AS simhash
         FROM votes)
+"""
+
+_SIMHASHX_ORACLE = (
+    _SIMHASHX_FP_CTES
+    + """
     SELECT simhash, CAST(COUNT(*) AS BIGINT) AS cluster_size,
            string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
     FROM fp GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash
 """
+)
 
 
-@register("dedup_simhash_exact", oracle=_SIMHASHX_ORACLE)
-def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup clusters (Hamming-0 groups) under the
-    integer-exact polynomial hash family — the full fingerprint
-    trajectory value-hashed against DuckDB replaying identical
-    arithmetic (the same exactness upgrade sim_ann_lsh_indexed gives
-    LSH). One scan, one shuffle (the fingerprint groupBy); votes fold
-    in a single aggregate pass exactly like dedup_simhash."""
+def _simhashx_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): the integer-exact SimHash fingerprint of every
+    document — one scan, votes folded in a single aggregate pass exactly
+    like dedup_simhash. Shared by the Hamming-0 cluster query and the
+    banded Hamming<=3 pair query so the fingerprint definition cannot
+    drift between them (or their oracles, which share _SIMHASHX_FP_CTES
+    the same way)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     hashes = F.transform(toks, _poly_token_hash)
@@ -817,8 +824,18 @@ def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, b: acc + b,
     )
+    return d.select("doc_id", fingerprint.alias("simhash"))
+
+
+@register("dedup_simhash_exact", oracle=_SIMHASHX_ORACLE)
+def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup clusters (Hamming-0 groups) under the
+    integer-exact polynomial hash family — the full fingerprint
+    trajectory value-hashed against DuckDB replaying identical
+    arithmetic (the same exactness upgrade sim_ann_lsh_indexed gives
+    LSH)."""
     return (
-        d.select("doc_id", fingerprint.alias("simhash"))
+        _simhashx_fingerprints(spark, sf_dir)
         .groupBy("simhash")
         .agg(
             F.count("*").alias("cluster_size"),
@@ -834,4 +851,108 @@ def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cluster_size") > 1)
         .orderBy("simhash")
+    )
+
+
+# Hamming-distance near-dup: the canonical SimHash dedup semantics
+# (Manku/Jain/Das Sarma, WWW'07 — "Detecting Near-Duplicates for Web
+# Crawling"): two documents are near-dups when their fingerprints differ
+# in at most SIMHASHX_HAMMING_K bits. The quadratic pair space is cut by
+# the paper's pigeonhole blocking: split the fingerprint into
+# SIMHASHX_HAMMING_K + 1 bands — any pair within Hamming K agrees
+# EXACTLY on at least one whole band — so candidates come from an
+# equality join on (band, band_value) and only candidates pay the
+# bit_count verify. No false negatives by construction; false positives
+# are filtered by the exact Hamming check.
+#
+# The OUTPUT is suppression, not pair enumeration: doc b is suppressed
+# when some a < b sits within Hamming K, and its representative is the
+# MINIMUM such a. On this corpus pair enumeration would be the wrong
+# operator — the synthetic documents are near-dup DENSE (sf0.1: 1.36 M
+# qualifying pairs from 5 k docs, one band bucket holding 84% of the
+# corpus), and a real 100 TB dedup never lists pairs either; it picks
+# survivors. Suppression bounds the output by n_docs and lets the
+# verify+argmin fold into ONE partially-aggregated groupBy after the
+# banded self-join (AQE splits the skewed band keys; no bucket
+# collect_list ever materializes a mega-array).
+SIMHASHX_HAMMING_K = 3
+SIMHASHX_BANDS = SIMHASHX_HAMMING_K + 1  # 4 bands of 8 bits over 31 bits
+SIMHASHX_BAND_BITS = 8
+
+_SIMHASHX_HAMMING_ORACLE = (
+    _SIMHASHX_FP_CTES
+    + f"""
+    , bands AS (
+        SELECT doc_id, simhash, b.b AS band,
+               (simhash // (1 << ({SIMHASHX_BAND_BITS} * b.b))) % {1 << SIMHASHX_BAND_BITS} AS band_val
+        FROM fp CROSS JOIN
+             (SELECT CAST(gs AS BIGINT) AS b FROM range({SIMHASHX_BANDS}) t(gs)) b),
+    hits AS (
+        SELECT c.doc_id AS doc_id, a.doc_id AS rep,
+               CAST(bit_count(xor(a.simhash, c.simhash)) AS INT) AS hamming
+        FROM bands a
+        JOIN bands c ON a.band = c.band AND a.band_val = c.band_val
+                     AND a.doc_id < c.doc_id
+        WHERE bit_count(xor(a.simhash, c.simhash)) <= {SIMHASHX_HAMMING_K})
+    SELECT doc_id, MIN(rep) AS rep_id,
+           CAST(MIN_BY(hamming, rep) AS INT) AS hamming
+    FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+)
+
+
+@register("dedup_simhash_hamming", oracle=_SIMHASHX_HAMMING_ORACLE)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup SUPPRESSION at Hamming distance <= 3 (the WWW'07
+    semantics): every document that has a lower-id neighbor within
+    Hamming 3 reports its minimum such representative. Banded pigeonhole
+    blocking (4 bands over the 31-bit integer-exact fingerprint; a pair
+    within Hamming 3 shares a whole band) feeds an equality self-join —
+    AQE-splittable on skewed band keys, unlike a per-bucket collect_list
+    which would materialize one 4k-member array on this corpus — and the
+    exact bit_count verify + MIN-representative argmin fold into one
+    partially-aggregated groupBy. Cross-band duplicate candidates
+    collapse in the same aggregate (no DISTINCT). Output is bounded by
+    n_docs; at 100 TB widen the bands (more bits per band = fewer
+    collisions), same plan."""
+    fp = _simhashx_fingerprints(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), SIMHASHX_BAND_BITS * b)
+                .bitwiseAND(F.lit((1 << SIMHASHX_BAND_BITS) - 1))
+                .alias("band_val"),
+            )
+            for b in range(SIMHASHX_BANDS)
+        ]
+    )
+    banded = fp.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("bv")
+    ).select("doc_id", "simhash", "bv.band", "bv.band_val")
+    a, c = banded.alias("a"), banded.alias("c")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("c.simhash"))
+    ).cast("int")
+    hits = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.band_val") == F.col("c.band_val"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("c.doc_id").alias("doc_id"),
+            F.col("a.doc_id").alias("rep"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASHX_HAMMING_K)
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.min("rep").alias("rep_id"),
+            F.min_by("hamming", "rep").cast("int").alias("hamming"),
+        )
+        .orderBy("doc_id")
     )

@@ -88,6 +88,15 @@ _PRIORITY: list[str] = [
     # DuckDB; takes dedup_fuzzy_names' slot (3 green rounds r08-r10;
     # X1/X2 keep ngram_jaccard + minhash_lsh + this in-window)
     "dedup_simhash_exact",
+    # the WWW'07 Hamming<=3 suppression semantics over the same exact
+    # fingerprints — banded pigeonhole blocking, AQE-splittable self-join,
+    # output bounded by n_docs; takes ref_spec_bucket's slot (3 green
+    # rounds; spec bucketing keeps ref_spec_bucket_decimal in-window)
+    "dedup_simhash_hamming",
+    # QUALIFY + named WINDOW clause relocation — identical text both
+    # engines; takes evt_cohort_retention's slot (3 green rounds; the
+    # events family stays green in the uncapped replica)
+    "rel_qualify_named_window",
     # --- stale alumni re-seats (last driver check r<=8, oldest first) ----
     "rel_q9_profit_by_nation_year",  # r01; TPC-H sweep anchor
     "rel_pivot",  # r01
@@ -118,11 +127,9 @@ _PRIORITY: list[str] = [
     "ref_matview_foreign",
     "ref_partition_stats",
     "ref_foreign_pruned_scan",
-    "ref_spec_bucket",
     "agg_approx_distinct_gate",
     "rel_recursive_reachability",
     "rel_lateral_topk",
-    "evt_cohort_retention",
     "text_model_quality_filter",
     # --- retained 4-round veterans (family-unique anchors) ---------------
     # the two MV goldens went green in r10 after three red rounds — one
@@ -136,7 +143,7 @@ _PRIORITY: list[str] = [
     "text_bloom_decontaminate",  # decontamination: only exact-gate member
     "udf_python_udtf",  # UDTF surface (distinct from applyInPandas)
 ]
-# Rested this round (25, all >=3 green rounds, families still covered):
+# Rested this round (27, all >=3 green rounds, families still covered):
 # ref_register_foreign, ref_foreign_metadata, ref_foreign_changes,
 # ref_bloom_index_lookup, dedup_fuzzy_names, rel_q19_disjunctive_predicates,
 # rel_q21_waiting_supplier (still benched every round), ref_analyze_stats,
@@ -145,7 +152,7 @@ _PRIORITY: list[str] = [
 # sim_embedding_pca, sim_ann_pq, sim_ann_pq_indexed, ml_linear_regression,
 # text_pii_scrub, dedup_cross_corpus, text_sequence_packing,
 # text_mixture_sample, text_bm25_topk, text_boilerplate_ngrams,
-# mm_audio_stats
+# mm_audio_stats, ref_spec_bucket, evt_cohort_retention
 
 # After the r8 seating, every oracle-backed query in the registry has
 # held (or holds) a driver slot; the only never-checked entries are

@@ -185,3 +185,31 @@ def test_substring_spans_semantics(spark, tmp_path):
     # merged 9-token span; doc 4 same shape shifted by its prefix token
     assert out[3].n_spans == 1 and out[3].dup_tokens == 9
     assert out[4].n_spans == 1 and out[4].dup_tokens == 9
+
+
+def test_simhash_hamming_suppression_properties(spark, sf_dir):
+    """Suppression is sound: every reported representative is a real
+    lower-id document within Hamming<=3 of the suppressed doc's exact
+    fingerprint, and every exact-duplicate pair (Hamming 0 via identical
+    text) is suppressed."""
+    from minio_iceberg_polaris_lakehouse_spark.operators.dedup import (
+        SIMHASHX_HAMMING_K,
+        _simhashx_fingerprints,
+        dedup_simhash_hamming,
+    )
+
+    sup = {r.doc_id: (r.rep_id, r.hamming) for r in dedup_simhash_hamming(spark, sf_dir).collect()}
+    fp = {r.doc_id: r.simhash for r in _simhashx_fingerprints(spark, sf_dir).collect()}
+    for doc, (rep, ham) in list(sup.items())[:200]:
+        assert rep < doc
+        assert bin(fp[doc] ^ fp[rep]).count("1") == ham <= SIMHASHX_HAMMING_K
+    # identical fingerprints (the Hamming-0 clusters) must all be suppressed
+    from collections import defaultdict
+
+    clusters = defaultdict(list)
+    for doc, h in fp.items():
+        clusters[h].append(doc)
+    for h, docs in clusters.items():
+        if len(docs) > 1:
+            for doc in sorted(docs)[1:]:
+                assert doc in sup and sup[doc][1] <= 0 or sup[doc][0] <= min(docs)

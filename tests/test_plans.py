@@ -387,3 +387,19 @@ def test_simhash_exact_single_data_shuffle(spark, sf_dir):
     s = plan_string(df)
     assert "Generate" not in s, s  # no explode — array folds stay in-row
     assert_no_cartesian(df)
+
+
+def test_simhash_hamming_plan_shape(spark, sf_dir):
+    """The Hamming<=3 suppression runs as a banded equality SELF-JOIN
+    (AQE-splittable on skewed band keys) + one partially-aggregated
+    groupBy — never a cartesian, and never the per-bucket collect_list
+    shape that would materialize a mega-array on a near-dup-dense
+    corpus (sf0.1: one band bucket holds 84% of the docs)."""
+    from minio_iceberg_polaris_lakehouse_spark.operators.dedup import (
+        dedup_simhash_hamming,
+    )
+
+    df = dedup_simhash_hamming(spark, sf_dir)
+    s = plan_string(df)
+    assert "collect_list" not in s, s
+    assert_no_cartesian(df)
