@@ -843,7 +843,7 @@ _LSHX_ORACLE = f"""
           FROM range({N_TABLES * PLANES_PER_TABLE}) t(gs)),
     proj AS (
         SELECT v.vec_id, g.table_id, g.plane,
-               CAST(list_sum(list_transform(range(64),
+               CAST(list_sum(list_transform(range({EMB_DIM}),
                    d -> q[d+1] * {_LSHX_SIGN_SQL.format(g="g.g")})) AS BIGINT) AS s
         FROM v CROSS JOIN g),
     sig AS (

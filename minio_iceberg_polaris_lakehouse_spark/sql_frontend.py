@@ -211,7 +211,12 @@ def _qualify_plausible(head: str) -> bool:
     head = head.rstrip()
     if not head or head[-1] in _EXPR_EXPECTING_CHARS:
         return False
-    if _EXPR_EXPECTING_WORD_RE.search(head):
+    # a head ending in `BY ALL` (GROUP BY ALL) is a complete core — the
+    # ALL is the grouping shorthand, not a quantifier awaiting an
+    # expression (r11 advice: `GROUP BY ALL … QUALIFY` never rewrote)
+    if _EXPR_EXPECTING_WORD_RE.search(head) and not re.search(
+        r"(?i)(?<![\w.])BY\s+ALL$", head
+    ):
         return False
     return bool(_depth0_positions(head, _FROM_RE))
 
@@ -229,6 +234,8 @@ _QPRED_KEYWORDS = frozenset(
     HOUR HOURS MINUTE MINUTES SECOND SECONDS MILLISECOND MICROSECOND""".split()
 )
 _QPRED_TOKEN_RE = re.compile(r"[A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)*")
+
+_GROUPBY_ALL_RE = re.compile(r"(?i)(?<![\w.])GROUP\s+BY\s+ALL(?!\w)")
 
 # a depth-0 `WINDOW name AS (` in the head is the named-window clause
 # (standard clause order puts it between HAVING and QUALIFY); the
@@ -250,8 +257,11 @@ def _select_list_span(head: str) -> tuple[int, int] | None:
 
 
 def _select_output_names(select_list: str) -> set[str] | None:
-    """Output column names of a select list, or None when it contains a
-    star projection (every base column already visible to QUALIFY)."""
+    """Output column names of a select list (casefolded — Spark resolves
+    identifiers case-insensitively under the default
+    spark.sql.caseSensitive=false, so the injection check must too), or
+    None when it contains a star projection (every base column already
+    visible to QUALIFY)."""
     names: set[str] = set()
     for item in _split_top_level(select_list):
         if item == "*" or re.fullmatch(r"[A-Za-z_]\w*\s*\.\s*\*", item):
@@ -260,16 +270,16 @@ def _select_output_names(select_list: str) -> set[str] | None:
             return None
         m = re.search(r"(?is)\s+AS\s+([A-Za-z_]\w*)\s*$", item)
         if m:
-            names.add(m.group(1))
+            names.add(m.group(1).casefold())
             continue
         if re.fullmatch(r"[A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)*", item):
-            names.add(item.split(".")[-1].strip())
+            names.add(item.split(".")[-1].strip().casefold())
             continue
         m = re.search(r"(?s)\s([A-Za-z_]\w*)\s*$", item)
         if m and not _EXPR_EXPECTING_WORD_RE.search(item[: m.start(1)].rstrip()):
             prefix = item[: m.start(1)].rstrip()
             if prefix and prefix[-1] not in _EXPR_EXPECTING_CHARS:
-                names.add(m.group(1))  # implicit alias: `expr name`
+                names.add(m.group(1).casefold())  # implicit alias: `expr name`
     return names
 
 
@@ -297,7 +307,9 @@ def _qualify_injections(
             continue  # masked string literal marker
         if after.startswith("("):
             continue  # function call
-        if "." not in tok and (tok.upper() in _QPRED_KEYWORDS or tok in outputs):
+        if "." not in tok and (
+            tok.upper() in _QPRED_KEYWORDS or tok.casefold() in outputs
+        ):
             continue
         if "." in tok and tok.upper() in ("CURRENT_DATE", "CURRENT_TIMESTAMP"):
             continue
@@ -308,8 +320,11 @@ def _qualify_injections(
     if wclause:
         # names DEFINED by the window clause (`WINDOW w AS (...)`) are
         # not column references — nor are `OVER w` uses in the predicate
-        defined = set(re.findall(r"(?i)(?:WINDOW|,)\s*([A-Za-z_]\w*)\s+AS\s*\(", wclause))
-        candidates = [c for c in candidates if c not in defined]
+        defined = {
+            d.casefold()
+            for d in re.findall(r"(?i)(?:WINDOW|,)\s*([A-Za-z_]\w*)\s+AS\s*\(", wclause)
+        }
+        candidates = [c for c in candidates if c.casefold() not in defined]
     if not candidates:
         return pred, wclause, [], []
     exprs, helpers = [], []
@@ -359,9 +374,11 @@ def _rewrite_qualify_masked(s: str) -> str:
     does not end in an expression-expecting position, so identifiers
     named qualify (`SELECT qualify FROM t`, `WHERE qualify = 3`,
     `ORDER BY qualify`) pass through untouched. Top-level DISTINCT
-    combined with QUALIFY raises: the dialects defining the clause
-    evaluate QUALIFY BEFORE DISTINCT, which this subquery rewrite cannot
-    express — wrap the QUALIFY select in a subquery and DISTINCT over it.
+    composes with the dialect's defined order (QUALIFY BEFORE DISTINCT):
+    the DISTINCT keyword is stripped from the inner core — window
+    functions in the predicate evaluate over the pre-DISTINCT rows — and
+    re-applied on the OUTER projection, after the helper columns fold
+    away, so duplicates are collapsed only among qualify-surviving rows.
     Expects string literals already masked (no QUALIFY-in-literal traps)."""
     hits = [
         m
@@ -375,14 +392,16 @@ def _rewrite_qualify_masked(s: str) -> str:
     m = hits[0]
     head, rest = s[: m.start()].rstrip(), s[m.end() :]
     sel_span = _select_list_span(head)
+    # dialect order is QUALIFY BEFORE DISTINCT: strip the keyword from the
+    # inner core (windows see pre-DISTINCT rows) and re-apply it on the
+    # outer projection, where the helpers have already folded away
+    outer_distinct = ""
     if sel_span is not None:
-        distinct = re.match(r"(?is)^\s*DISTINCT\b", head[sel_span[0] :])
-        if distinct:
-            raise WarehouseError(
-                "QUALIFY with top-level DISTINCT: the dialect defines QUALIFY "
-                "before DISTINCT, which this rewrite cannot express — wrap the "
-                "QUALIFY select in a subquery and apply DISTINCT outside"
-            )
+        dm = re.match(r"(?is)^\s*DISTINCT(?!\w)", head[sel_span[0] :])
+        if dm:
+            outer_distinct = "DISTINCT "
+            head = head[: sel_span[0]] + head[sel_span[0] + dm.end() :]
+            sel_span = (sel_span[0], sel_span[1] - dm.end())
     setops = [
         so
         for so in _depth0_positions(head, _SETOP_RE)
@@ -417,7 +436,10 @@ def _rewrite_qualify_masked(s: str) -> str:
         if wins:
             head, wclause = head[: wins[0].start()].rstrip(), head[wins[0].start() :]
     helpers = ["_lh_qualify"]
-    if sel_span is not None:
+    # under GROUP BY ALL the grouping IS the select list — injecting a
+    # helper projection would silently add a grouping key, so predicates
+    # there may only reference output columns (as in the source dialect)
+    if sel_span is not None and not _depth0_positions(head, _GROUPBY_ALL_RE):
         select_list = head[sel_span[0] : sel_span[1]]
         pred, wclause, exprs, qc_helpers = _qualify_injections(
             pred, select_list, wclause
@@ -432,7 +454,7 @@ def _rewrite_qualify_masked(s: str) -> str:
             )
             helpers += qc_helpers
     return (
-        f"SELECT * EXCEPT ({', '.join(helpers)}) FROM ("
+        f"SELECT {outer_distinct}* EXCEPT ({', '.join(helpers)}) FROM ("
         f"SELECT __q.*, ({pred}) AS _lh_qualify FROM ({head}) AS __q {wclause}"
         f") WHERE _lh_qualify {tail}"
     )
@@ -478,6 +500,54 @@ def _asof_right_side(join_part: str) -> tuple[str, str | None, str]:
     return rel, tm.group("alias"), tm.group("cond").strip()
 
 
+_MATCH_COND_RE = re.compile(r"(?i)(?<![\w.])MATCH_CONDITION(?=\s*\()")
+
+
+def _desugar_asof_match_condition(join_part: str) -> str:
+    """Snowflake's other as-of spelling desugars to the ON form the
+    rewriter already handles:
+
+        B [AS] b MATCH_CONDITION (l.ts >= b.ts) USING (k1, k2)
+            → B [AS] b ON l.k1 = b.k1 AND l.k2 = b.k2 AND l.ts >= b.ts
+        B [AS] b MATCH_CONDITION (cond) ON eqs
+            → B [AS] b ON (eqs) AND (cond)
+
+    The USING variant derives the two qualifiers from the match
+    condition's inequality (it must be the single `a.ts >= b.ts` shape
+    the ON form requires anyway). Divergence from Snowflake, documented:
+    USING here does NOT coalesce the key columns into one — both sides
+    keep theirs, so use explicit select lists (`SELECT *` would carry
+    both). Identifiers named match_condition never trigger (the token
+    must be directly followed by a parenthesized condition in relation
+    position, which is not valid SQL for an alias reference)."""
+    m = _MATCH_COND_RE.search(join_part)
+    if m is None:
+        return join_part
+    prefix = join_part[: m.start()].rstrip()  # "B [AS] b"
+    cond, rest = _balanced_paren_group(join_part[m.end() :])
+    cond, rest = cond.strip(), rest.strip()
+    um = re.match(r"(?is)^USING\s*\(", rest)
+    if um:
+        cols_text, tail = _balanced_paren_group(rest)
+        im = _ASOF_INEQ_RE.match(cond)
+        if im is None:
+            raise WarehouseError(
+                "ASOF MATCH_CONDITION with USING must be a single "
+                "inequality comparing the two sides' ordering columns "
+                "(e.g. a.ts >= b.ts) so the key equalities can qualify"
+            )
+        lq, rq = im.group("lq"), im.group("rq")
+        cols = [c.strip() for c in cols_text.split(",") if c.strip()]
+        if not cols:
+            raise WarehouseError("ASOF JOIN USING () requires column names")
+        eqs = [f"{lq}.{c} = {rq}.{c}" for c in cols]
+        return f"{prefix} ON {' AND '.join(eqs)} AND {cond} {tail}"
+    om = re.match(r"(?is)^ON(?!\w)(?P<eqs>.*)$", rest)
+    if om:
+        return f"{prefix} ON ({om.group('eqs').strip()}) AND ({cond})"
+    return f"{prefix} ON {cond} {rest}".rstrip()
+
+
 def _rewrite_asof_masked(s: str) -> str:
     """Rewrite DuckDB-style ``A ASOF [LEFT] JOIN B [AS] b ON <conds>``
     into a LATERAL top-1 Spark runs natively:
@@ -516,6 +586,7 @@ def _rewrite_asof_masked(s: str) -> str:
     ends = _depth0_positions(rest, _ASOF_END_RE)
     cut = ends[0].start() if ends else len(rest)
     join_part, tail = rest[:cut], rest[cut:]
+    join_part = _desugar_asof_match_condition(join_part)
     rel, alias, cond = _asof_right_side(join_part)
     if alias is None:
         if rel.startswith("("):
@@ -669,6 +740,39 @@ def _rewrite_star_sugar_masked(s: str) -> str:
         )
 
 
+def _recurse_parens(s: str, fn) -> str:
+    """Apply a masked-level rewrite ``fn`` at EVERY subquery depth,
+    innermost-first: each parenthesized group's contents rewrite
+    recursively, then the reassembled text's own depth-0 clauses rewrite.
+    The depth-sensitive rewrites (QUALIFY, ASOF JOIN) previously only
+    fired at depth 0, so the clause inside a derived table or CTE body
+    passed through unrewritten and died at Spark's parser (r11 advice) —
+    recursion makes `WITH c AS (… QUALIFY …)` and `FROM (… QUALIFY …)`
+    first-class. Non-subquery paren groups (function args, IN lists,
+    window specs) contain no depth-0 clause token with a FROM-bearing
+    head, so ``fn`` leaves them byte-identical."""
+    out: list[str] = []
+    rest = s
+    while "(" in rest:
+        idx = rest.index("(")
+        out.append(rest[:idx])
+        inside, rest = _balanced_paren_group(rest[idx:])
+        out.append("(")
+        out.append(_recurse_parens(inside, fn))
+        out.append(")")
+    out.append(rest)
+    return fn("".join(out))
+
+
+def _rewrite_dialect_joins_masked(s: str) -> str:
+    """ASOF JOIN + QUALIFY at every subquery depth (ASOF first at each
+    level: the QUALIFY rewrite wraps the statement in a subquery, which
+    would hide a same-level ASOF from its depth-0 scan)."""
+    return _recurse_parens(
+        s, lambda t: _rewrite_qualify_masked(_rewrite_asof_masked(t))
+    )
+
+
 def _masked_rewrite(statement: str, fn) -> str:
     """Apply a masked-level rewrite with string literals protected."""
     literals: list[str] = []
@@ -683,23 +787,28 @@ def _masked_rewrite(statement: str, fn) -> str:
 
 
 def qualify_sql(statement: str) -> str:
-    """Standalone QUALIFY rewrite for plain spark.sql callers."""
-    return _masked_rewrite(statement, _rewrite_qualify_masked)
+    """Standalone QUALIFY rewrite (all subquery depths) for plain
+    spark.sql callers."""
+    return _masked_rewrite(
+        statement, lambda s: _recurse_parens(s, _rewrite_qualify_masked)
+    )
 
 
 def asof_sql(statement: str) -> str:
-    """Standalone ASOF JOIN rewrite for plain spark.sql callers."""
-    return _masked_rewrite(statement, _rewrite_asof_masked)
+    """Standalone ASOF JOIN rewrite (all subquery depths) for plain
+    spark.sql callers."""
+    return _masked_rewrite(
+        statement, lambda s: _recurse_parens(s, _rewrite_asof_masked)
+    )
 
 
 def dialect_sql(statement: str) -> str:
-    """All dialect rewrites (star sugar + ASOF JOIN + QUALIFY) for plain
-    spark.sql callers — the same chain LakehouseSQL applies."""
+    """All dialect rewrites (star sugar + ASOF JOIN + QUALIFY, the joins
+    at every subquery depth) for plain spark.sql callers — the same chain
+    LakehouseSQL applies."""
 
     def chain(s: str) -> str:
-        return _rewrite_qualify_masked(
-            _rewrite_asof_masked(_rewrite_star_sugar_masked(s))
-        )
+        return _rewrite_dialect_joins_masked(_rewrite_star_sugar_masked(s))
 
     return _masked_rewrite(statement, chain)
 
@@ -989,9 +1098,6 @@ class LakehouseSQL:
         return {(ns, tbl): {"eq": eq or None, "between": between or None}}
 
     # ------------------------------------------------------- SELECT rewrite
-    def _rewrite_qualify(self, s: str) -> str:
-        return _rewrite_qualify_masked(s)
-
     def _rewrite_query(self, s: str, hints: dict | None = None) -> str:
         """Replace warehouse table references (2/3-part names, optional
         .history/.snapshots metadata suffix, optional VERSION AS OF /
@@ -1019,11 +1125,9 @@ class LakehouseSQL:
 
         s = re.sub(r"'(?:[^']|'')*'", mask, s)
         # star sugar first (EXCLUDE/REPLACE appear anywhere, incl. inside
-        # subqueries); ASOF before QUALIFY: the QUALIFY rewrite wraps the
-        # statement in a subquery, which would hide a top-level ASOF
+        # subqueries); then ASOF + QUALIFY at every subquery depth
         s = _rewrite_star_sugar_masked(s)
-        s = _rewrite_asof_masked(s)
-        s = self._rewrite_qualify(s)
+        s = _rewrite_dialect_joins_masked(s)
         wants_metadata_cols = bool(
             re.search(r"(?<!\w)_(?:spec_id|partition|file|pos|deleted)(?!\w)", s)
         )

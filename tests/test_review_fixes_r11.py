@@ -8,7 +8,8 @@ are dialect-layer false-positive / misparse classes:
    expression-expecting position.
 2. QUALIFY + top-level DISTINCT silently evaluated DISTINCT FIRST,
    diverging from the dialects that define the clause (QUALIFY before
-   DISTINCT). Now a named WarehouseError.
+   DISTINCT). r11 made it a named WarehouseError; r12 supports the
+   combination directly (DISTINCT moves to the outer projection).
 3. ``A ASOF JOIN B ON … JOIN C ON …`` swallowed the chained join into
    the ON condition (misleading inequality-conjunct error), and the
    right-side regex capped subquery paren nesting at two levels. Fixed:
@@ -100,20 +101,26 @@ def test_qualify_clause_still_fires_after_guard(lake):
 # --------------------------------------------- 2. QUALIFY before DISTINCT
 
 
-def test_qualify_distinct_raises_named_error():
-    with pytest.raises(WarehouseError, match="DISTINCT"):
-        qualify_sql(
-            "SELECT DISTINCT g FROM t "
-            "QUALIFY ROW_NUMBER() OVER (ORDER BY g) = 1"
-        )
-    # the documented workaround composes: DISTINCT outside a subquery
+def test_qualify_distinct_rewrites():
+    """r12: QUALIFY + top-level DISTINCT is supported directly — the
+    DISTINCT strips from the inner core (windows see pre-DISTINCT rows)
+    and re-applies on the outer projection, matching the dialect's
+    QUALIFY-before-DISTINCT order. (Until r11 this raised a named error.)"""
+    out = qualify_sql(
+        "SELECT DISTINCT g FROM t "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY g) = 1"
+    )
+    assert out.startswith("SELECT DISTINCT * EXCEPT"), out
+    assert "FROM (SELECT g FROM t)" in out  # inner core lost the keyword
+    # the manual workaround ALSO composes now: the inner QUALIFY at
+    # depth>0 rewrites recursively (r11 advice — it used to pass through
+    # unrewritten and die at Spark's parser)
     s = (
         "SELECT DISTINCT g FROM (SELECT g, v FROM t "
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) = 1) q"
     )
-    # inner QUALIFY is depth>0 — untouched here, rewritten when that
-    # subquery runs through its own pass; the statement must not raise
-    assert qualify_sql(s) == s
+    out2 = qualify_sql(s)
+    assert "_lh_qualify" in out2 and out2.startswith("SELECT DISTINCT g FROM (")
 
 
 # --------------------------------------- unprojected base columns (idiom)
