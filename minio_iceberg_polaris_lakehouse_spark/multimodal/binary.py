@@ -276,3 +276,53 @@ def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("width")
     )
+
+
+# Fixed corpus for the PNG-path driver golden: deterministic texts whose
+# encode→decode roundtrip output is pinned as a literal-VALUES oracle
+# (the ref_table_history trick — the sf tables can't serve here because
+# the PNG byte stream is engine-rendered, and document text differs per
+# scale factor). Varied lengths/content exercise width derivation, the
+# tiling remainder path, and low/high-luma payloads.
+_PNG_GOLDEN_DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "pack my box with five dozen liquor jugs, then pack twelve more"),
+    (2, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+    (3, "Sphinx of black quartz, judge my vow. Sphinx of black quartz, judge my vow."),
+    (4, "0123456789" * 13),
+    (5, "mixed CASE with   spaces\tand\nnewlines plus punctuation!!! ???"),
+]
+
+# expected (doc_id, width, height, mean_luma) — recompute with
+# tools/mm_golden_expect.py if _doc_pixels or the corpus changes
+_PNG_GOLDEN_ROWS = [
+    (0, 75, 24, 95),
+    (1, 46, 25, 94),
+    (2, 72, 26, 97),
+    (3, 59, 27, 91),
+    (4, 66, 28, 52),
+    (5, 45, 29, 86),
+]
+
+_PNG_GOLDEN_ORACLE = "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height, CAST(mean_luma AS INT) AS mean_luma FROM (VALUES {vals}) AS t(doc_id, width, height, mean_luma) ORDER BY doc_id".format(
+    vals=", ".join(f"({d}, {w}, {h}, {l})" for d, w, h, l in _PNG_GOLDEN_ROWS)
+)
+
+
+@register("mm_png_decode_roundtrip", oracle=_PNG_GOLDEN_ORACLE)
+def mm_png_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG path with a DRIVER-CHECKABLE exact oracle (r11 verdict "Next
+    round" #6 — the other mm_* kernels are rows-only by declared design):
+    a fixed six-document corpus renders to deterministic pixel grids,
+    PNG-encodes through the engine codec (multimodal/png.py), and decodes
+    back through the same Arrow-batched mapInPandas kernel every real
+    asset takes (decode_assets: signature check, CRC-verified chunks,
+    zlib inflate, scanline unfilter). The oracle pins the roundtripped
+    (width, height, mean_luma) per document as literal VALUES, so the
+    driver hash proves the full encode→decode chain bit-reproduces the
+    recorded truth — any codec, tiling, or luma regression flips the
+    hash. sf_dir is unused by design: the PNG byte stream is
+    engine-rendered and document text differs per scale factor."""
+    docs = spark.createDataFrame(_PNG_GOLDEN_DOCS, "doc_id long, text string")
+    decoded = decode_assets(png_assets_from_documents(docs))
+    return decoded.select("doc_id", "width", "height", "mean_luma").orderBy("doc_id")

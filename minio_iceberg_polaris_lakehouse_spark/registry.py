@@ -48,119 +48,106 @@ _REGISTRY: dict[str, Query] = {}
 # not listed follows in registration order (and still runs in the local
 # oracle-parity suite, which has no cap).
 _PRIORITY: list[str] = [
-    # ================= r11 seating (see tools/rotation_report.py) =========
-    # Policy (r10 verdict #7): veterans rest on a schedule — 25 members
-    # with 4 consecutive green rounds rotate out for 20 STALE ALUMNI whose
-    # last driver check was r<=8 (oldest first, one+ per family), so every
-    # oracle-backed query re-earns green on a recent tree within a few
-    # rounds. Every rested veteran stays green in the uncapped local
-    # replica (tests/test_oracle_parity.py runs the identical comparison).
-    # Historical seatings r7-r10 are in git history (this block, commits
-    # 76ca59b..e21f327); the running invariants they established:
-    #   - every oracle-backed query has held a driver slot at least once;
-    #   - rows-only (oracle=None) queries are barred from the window
-    #     (guard in all_queries — a slot spent on one records err:no_oracle);
-    #   - each SS2/SS2.14 family keeps at least one in-window member.
+    # ================= r12 seating (see tools/rotation_report.py) =========
+    # Policy (r10 verdict #7, continued): veterans with >=3 green rounds
+    # rest; the freed slots re-seat the STALEST alumni (oldest last driver
+    # check first — this round reaches back to the r01 cohort) while every
+    # SS2/SS2.14 family keeps at least one in-window member. 35 of the 50
+    # seats are stale re-seats with last driver check r<=9. Every rested
+    # veteran stays green in the uncapped local replica
+    # (tests/test_oracle_parity.py runs the identical DuckDB comparison).
     #
-    # --- r10 first-timers, seated for a second green round ---------------
-    "rel_qualify_topn",
-    "rel_asof_join_sql",
-    "ref_decimal_truncate_int_literal",
-    # --- 2-green-round members (r09+r10), third round -------------------
-    "ref_foreign_ts_pruned_scan",
-    "ref_spec_bucket_decimal",
-    # --- NEW r11: first driver slots -------------------------------------
-    # the only oracle-backed query never driver-checked (judge-sim green
-    # in the r10 session; this seat makes the evidence official)
+    # --- NEW r12: first driver slots --------------------------------------
+    # QUALIFY + top-level DISTINCT (verdict #1: keyword strips from the
+    # inner core, re-applies on the outer projection; count windows see
+    # pre-DISTINCT rows — the oracle discriminates exactly that order)
+    "rel_qualify_distinct",
+    # QUALIFY inside a derived table — the rewrites now recurse into every
+    # subquery depth (r11 advice medium); identical text both engines
+    "rel_qualify_subquery",
+    # GROUP BY ALL composed with QUALIFY (r11 advice low: never rewrote);
+    # oracle spells the grouping explicitly (DuckDB rejects the combo)
+    "rel_groupby_all_qualify",
+    # Snowflake ASOF JOIN MATCH_CONDITION/USING spelling, desugared to the
+    # ON form (verdict stretch #8); oracle is DuckDB's ASOF ON equivalent
+    "rel_asof_match_condition",
+    # PNG encode→decode roundtrip pinned as a literal-VALUES oracle — the
+    # multimodal family's first exact-oracle driver golden (verdict #6)
+    "mm_png_decode_roundtrip",
+    # --- r11 first-timers, seated for a second green round ---------------
     "rel_star_exclude_replace",
-    # QUALIFY over base columns absent from the select list — the standard
-    # dialect idiom, supported by this round's _qualify_injections rewrite
     "rel_qualify_unprojected",
-    # GROUP BY ALL / ORDER BY ALL (native Spark 4.x; SURVEY SS2.15 Q5) —
-    # identical statement text on both engines
     "rel_groupby_all",
-    # LSH ANN's exact-oracle member: integer-exact seeded hash family whose
-    # full trajectory (quantize->project->bucket->multiprobe->rescore)
-    # DuckDB replays, served from the persisted signature index
     "sim_ann_lsh_indexed",
-    # SimHash's exact-oracle member — the same integer-exact upgrade
-    # (polynomial token hash, 31-bit votes) replayed end-to-end by
-    # DuckDB; takes dedup_fuzzy_names' slot (3 green rounds r08-r10;
-    # X1/X2 keep ngram_jaccard + minhash_lsh + this in-window)
     "dedup_simhash_exact",
-    # the WWW'07 Hamming<=3 suppression semantics over the same exact
-    # fingerprints — banded pigeonhole blocking, AQE-splittable self-join,
-    # output bounded by n_docs; takes ref_spec_bucket's slot (3 green
-    # rounds; spec bucketing keeps ref_spec_bucket_decimal in-window)
     "dedup_simhash_hamming",
-    # QUALIFY + named WINDOW clause relocation — identical text both
-    # engines; takes evt_cohort_retention's slot (3 green rounds; the
-    # events family stays green in the uncapped replica)
     "rel_qualify_named_window",
-    # --- stale alumni re-seats (last driver check r<=8, oldest first) ----
-    "rel_q9_profit_by_nation_year",  # r01; TPC-H sweep anchor
-    "rel_pivot",  # r01
-    "rel_scalar_subquery",  # r01
-    "rel_explode_lateral",  # r01
-    "text_bpe_tokens",  # r01; X5
-    "set_union_distinct",  # r02; SS2.7
-    "win_range_frame",  # r04; SS2.5
-    "fn_string_suite",  # r04; F5
-    "rel_asof_join",  # r05; the union+carry as-of OPERATOR (pairs with
-    # rel_asof_join_sql — same semantics, the scale-path plan)
-    "stream_tumbling_window",  # r05; SS2.12
-    "udf_grouped_stats",  # r05; SS2.13 applyInPandas
-    "dedup_ngram_jaccard",  # r05; X1
-    "sim_topk_bruteforce",  # r05; X3 exact baseline (benched every round)
-    "fn_json_extract",  # r06; F5
-    "win_rank_dense_rank",  # r06; SS2.5
-    "dedup_minhash_lsh",  # r06; ALSO the r10 bench watch item — a fresh
-    # driver correctness row while BENCH_r11 re-earns the timing
-    "text_lang_profile",  # r07; X5
-    "mm_audio_chunks",  # r07; multimodal
-    "rel_unpivot",  # r08
-    "ref_migrated_table",  # r08; migrate-in-place
-    # --- retained veterans (3 green rounds r08-r10) ----------------------
-    "ref_dv_roundtrip",
-    "ref_merge_matrix",
-    "ref_puffin_stats",
-    "ref_matview_foreign",
-    "ref_partition_stats",
-    "ref_foreign_pruned_scan",
-    "agg_approx_distinct_gate",
-    "rel_recursive_reachability",
-    "rel_lateral_topk",
-    "text_model_quality_filter",
-    # --- retained 4-round veterans (family-unique anchors) ---------------
-    # the two MV goldens went green in r10 after three red rounds — one
-    # more driver round before they rest
-    "ref_matview_incremental",
-    "ref_matview_join",
-    "ref_row_lineage",  # v3 row lineage: only transactions-family member
-    "ref_upsert_latest",  # CDC upsert: only member
-    "ml_kmeans_clusters",  # ML anchor (logistic/linear/pca/pagerank rest)
-    "skew_salted_join",  # skew family: only member
-    "text_bloom_decontaminate",  # decontamination: only exact-gate member
-    "udf_python_udtf",  # UDTF surface (distinct from applyInPandas)
+    # --- family-unique keepers (no alternative oracle-backed member) -----
+    "ref_row_lineage",  # v3 row lineage / transactions
+    "ref_upsert_latest",  # CDC upsert
+    "ref_matview_incremental",  # incremental MVs (join/foreign variants rest)
+    # --- stale family anchors (re-seats that also keep a family covered) -
+    "ref_table_history",  # r05; metadata tables
+    "ref_time_travel_counts",  # r05; time travel
+    "ref_duplicate_append",  # r05; INSERT append
+    "ref_schema_evolution",  # r05; D10
+    "ref_mor_delete",  # r06; M1 merge-on-read
+    "ref_external_reader",  # r06; foreign Iceberg reader
+    "stream_sliding_window",  # r06; SS2.12
+    "udf_vector_norm",  # r05; SS2.13
+    "win_top3_per_segment",  # r05; SS2.5 (benched every round too)
+    "text_curation_pipeline",  # r05; X5
+    "evt_sessionization",  # r05; events
+    "ml_pagerank_trade",  # r09; ML
+    "skew_salted_groupby",  # r06; skew (salted_join rests)
+    "dedup_embedding_cosine",  # r05; X1 embedding near-dup
+    "fn_date_suite",  # r05; F5
+    # --- stalest alumni block (last driver check r01) ---------------------
+    "rel_distinct",
+    "rel_join_multiway",
+    "rel_correlated_subquery",
+    "rel_conditional_agg",
+    "rel_latest_per_key",
+    "rel_q10_returned_items",
+    "rel_q11_important_parts",
+    "rel_q18_large_orders",
+    "rel_q20_supplier_chain",
+    "rel_q2_min_cost_supplier",
+    "rel_q3_shipping_priority",
+    "rel_q4_order_priority",
+    "rel_q5_local_supplier_volume",
+    "rel_q6_forecast_revenue",
+    "rel_q7_volume_shipping",
+    "rel_q8_market_share",
+    "rel_regexp_extract",
+    "fn_datediff",
+    "fn_array_suite2",
+    "set_intersect_all",  # SS2.7 (set_union_distinct rests)
 ]
-# Rested this round (27, all >=3 green rounds, families still covered):
-# ref_register_foreign, ref_foreign_metadata, ref_foreign_changes,
-# ref_bloom_index_lookup, dedup_fuzzy_names, rel_q19_disjunctive_predicates,
-# rel_q21_waiting_supplier (still benched every round), ref_analyze_stats,
-# ref_default_values, text_chunk_windows, fn_variant_suite,
-# ml_logistic_regression, dedup_semantic, sim_ann_ivf_indexed,
-# sim_embedding_pca, sim_ann_pq, sim_ann_pq_indexed, ml_linear_regression,
-# text_pii_scrub, dedup_cross_corpus, text_sequence_packing,
-# text_mixture_sample, text_bm25_topk, text_boilerplate_ngrams,
-# mm_audio_stats, ref_spec_bucket, evt_cohort_retention
+# Rested this round (r11 window members with >=2 green rounds, families
+# still covered): rel_qualify_topn, rel_asof_join_sql,
+# ref_decimal_truncate_int_literal, ref_foreign_ts_pruned_scan,
+# ref_spec_bucket_decimal, rel_q9_profit_by_nation_year, rel_pivot,
+# rel_scalar_subquery, rel_explode_lateral, text_bpe_tokens,
+# set_union_distinct, win_range_frame, fn_string_suite, rel_asof_join,
+# stream_tumbling_window, udf_grouped_stats, dedup_ngram_jaccard,
+# sim_topk_bruteforce, fn_json_extract, win_rank_dense_rank,
+# dedup_minhash_lsh, text_lang_profile, mm_audio_chunks, rel_unpivot,
+# ref_migrated_table, ref_dv_roundtrip, ref_merge_matrix, ref_puffin_stats,
+# ref_matview_foreign, ref_matview_join, ref_partition_stats,
+# ref_foreign_pruned_scan, agg_approx_distinct_gate,
+# rel_recursive_reachability, rel_lateral_topk, text_model_quality_filter,
+# ml_kmeans_clusters, skew_salted_join, text_bloom_decontaminate,
+# udf_python_udtf
 
-# After the r8 seating, every oracle-backed query in the registry has
-# held (or holds) a driver slot; the only never-checked entries are
-# rows-only by declared design (hash/codec/iterative outputs,
-# pytest-gated) and are barred from the window by the guard in
-# all_queries. r9 rotation: rest multi-round veterans for whichever
-# r8-new goldens exist by then; tools/rotation_report.py is the
-# mechanical source of truth.
+# Historical seatings r7-r11 live in git history (this block); the running
+# invariants they established:
+#   - every oracle-backed query has held a driver slot at least once
+#     (195/195 ever-green through r11);
+#   - rows-only (oracle=None) queries are barred from the window
+#     (guard in all_queries — a slot spent on one records err:no_oracle);
+#   - each SS2/SS2.14 family keeps at least one in-window member;
+#   - tools/rotation_report.py is the mechanical source of truth.
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
