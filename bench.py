@@ -268,6 +268,14 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         extended[name] = round(min(runs), 3)
         print(f"# extended {name}: min {extended[name]:.3f}s", file=sys.stderr)
+    probe_ext_after = _cpu_calibration()
+    # envelope gate (r11 verdict #3): only meaningful at the canonical
+    # sf0.1 the envelope was recorded at
+    ext_drift = (
+        _extended_drift(extended, probe_mid, probe_ext_after)
+        if abs(sf - 0.1) < 1e-9
+        else {}
+    )
     load_end = _machine_load()
     # loadavg_1m at start counts OTHER work only (Spark isn't running
     # yet); at end it includes the bench's own executors, so the start
@@ -295,6 +303,11 @@ def main() -> None:
         or probe_mid > max(PROBE_DEGRADED_S, 1.5 * cpu_probe),
         "probe_retries": probe_retries,
         "suite_retried": suite_retried,
+        # extended operators whose timing sits >EXT_DRIFT_RATIO× above
+        # the committed idle envelope even after probe normalization —
+        # empty on a healthy run (see _extended_drift)
+        "extended_drift": ext_drift,
+        "cpu_probe_ext_after_s": probe_ext_after,
     }
 
     # scale-headroom section: the same suite on a 10× replica, so a
@@ -355,6 +368,61 @@ DETAIL_PATH = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
 PROBE_REF_S = 0.35
 
 
+# An extended operator reading above this multiple of its cross-round
+# idle-envelope median — on BOTH the raw and the probe-normalized
+# scale — is flagged as drift (r11 verdict #3: these are the costliest
+# operators in the repo, but they sat outside every gate, so a plan
+# regression only showed up as silent extended-number drift).
+EXT_DRIFT_RATIO = 1.5
+ENVELOPE_PATH = Path(__file__).resolve().parent / "BENCH_ENVELOPE.json"
+
+
+def _extended_drift(
+    extended: dict, probe_before: float, probe_after: float
+) -> dict:
+    """Compare each extended timing against the committed idle envelope
+    (BENCH_ENVELOPE.json, built by tools/extended_envelope.py from the
+    BENCH_idle_r*.json records). The measured second is also normalized
+    to the idle reference probe so a contended host doesn't read as a
+    plan regression: a query flags only when BOTH the raw and the
+    adjusted ratio exceed EXT_DRIFT_RATIO. Returns {} on a healthy run
+    or when no envelope is committed."""
+    import math
+
+    try:
+        env = json.loads(ENVELOPE_PATH.read_text()).get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        return {}
+    probes = [
+        p for p in (probe_before, probe_after) if isinstance(p, (int, float)) and p > 0
+    ]
+    host = (
+        math.exp(sum(math.log(p) for p in probes) / len(probes))
+        if probes
+        else PROBE_REF_S
+    )
+    flags: dict[str, dict] = {}
+    for name, sec in extended.items():
+        e = env.get(name)
+        if not e or e.get("median", 0) <= 0:
+            continue
+        raw = sec / e["median"]
+        adj = sec * (PROBE_REF_S / host) / e["median"]
+        if min(raw, adj) > EXT_DRIFT_RATIO:
+            flags[name] = {
+                "sec": sec,
+                "envelope_median": e["median"],
+                "ratio": round(raw, 2),
+                "adjusted_ratio": round(adj, 2),
+            }
+            print(
+                f"# extended drift {name}: {sec:.2f}s vs envelope median "
+                f"{e['median']:.2f}s ({raw:.2f}x raw, {adj:.2f}x adjusted)",
+                file=sys.stderr,
+            )
+    return flags
+
+
 def _probe_adjusted(result: dict) -> float | None:
     import math
 
@@ -394,6 +462,9 @@ def _summarize(result: dict) -> dict:
         adj = _probe_adjusted(result)
     if adj is not None:
         s["probe_adjusted_total"] = round(adj, 2)
+    drift = result.get("extended_drift")
+    if drift:  # empty on a healthy run — costs summary bytes only when red
+        s["ext_drift"] = {k: v["ratio"] for k, v in drift.items()}
     sf1 = result.get("sf1_scale_check")
     if isinstance(sf1, dict) and "total" in sf1:
         s["sf1_total"] = round(sf1["total"], 2)

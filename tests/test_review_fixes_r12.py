@@ -237,3 +237,88 @@ def test_asof_match_condition_guards():
     # identifier named match_condition in expression position: untouched
     s = "SELECT match_condition FROM t"
     assert asof_sql(s) == s
+
+
+# --------------------------- 6. extended-section bench envelope gate
+
+
+def test_extended_envelope_committed_and_fresh():
+    """BENCH_ENVELOPE.json exists, was built by tools/extended_envelope.py
+    from the idle records, and covers every EXTENDED bench operator that
+    has at least one idle sample."""
+    import json
+    from pathlib import Path
+
+    import bench
+
+    env = json.loads(Path(bench.ENVELOPE_PATH).read_text())
+    assert env["metric"] == "extended_envelope"
+    assert env["sources"], "envelope built from no idle records"
+    for name, e in env["queries"].items():
+        assert e["lo"] <= e["median"] <= e["hi"], name
+        assert e["n"] >= 1, name
+    # rebuilding from the same committed records is a fixed point
+    import sys
+
+    sys.path.insert(0, str(Path(bench.ENVELOPE_PATH).parent / "tools"))
+    from extended_envelope import build
+
+    assert build()["queries"] == env["queries"]
+
+
+def test_extended_drift_gate_flags_both_scales_only():
+    """A query flags only when BOTH the raw and probe-adjusted ratios
+    exceed EXT_DRIFT_RATIO: genuine plan regressions flag, contended-host
+    inflation does not."""
+    import bench
+
+    ref = bench.PROBE_REF_S
+    # genuine regression on an idle host: flags
+    flags = bench._extended_drift({"ml_kmeans_clusters": 99.0}, ref, ref)
+    assert set(flags) == {"ml_kmeans_clusters"}
+    f = flags["ml_kmeans_clusters"]
+    assert f["ratio"] > bench.EXT_DRIFT_RATIO < f["adjusted_ratio"]
+    # same seconds on a 3x-slow host: adjusted ratio clears it
+    assert bench._extended_drift({"ml_kmeans_clusters": 5.0}, 3 * ref, 3 * ref) == {}
+    # healthy reading: no flag
+    assert bench._extended_drift({"ml_kmeans_clusters": 2.7}, ref, ref) == {}
+    # unknown query (no envelope row): skipped, not flagged
+    assert bench._extended_drift({"brand_new_operator": 50.0}, ref, ref) == {}
+
+
+def test_extended_drift_in_summary_fits_budget():
+    """The summary stays inside the driver's stdout tail window even with
+    every extended operator flagged (worst case)."""
+    import json
+
+    import bench
+
+    drift = {
+        n: {"sec": 12345.678, "envelope_median": 1.0, "ratio": 12345.68,
+            "adjusted_ratio": 12345.68}
+        for n in bench.EXTENDED
+    }
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": 12345.678,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {name: 12345.6789 for name in bench.HEADLINE},
+        "iters": 5,
+        "probe_degraded": True,
+        "load_contaminated": True,
+        "cpu_probe_s": 0.42,
+        "cpu_probe_after_s": 0.42,
+        "extended_drift": drift,
+        "sf1_scale_check": {
+            "total": 123.456,
+            "worst_query_scaling": {"query": "rel_q9_profit_by_nation_year", "ratio": 12.34},
+        },
+    }
+    s = bench._summarize(result)
+    assert s["ext_drift"] == {n: 12345.68 for n in bench.EXTENDED}
+    line = json.dumps(s, separators=(",", ":"))
+    assert len(line.encode()) <= bench.SUMMARY_BUDGET_B
+    # and a healthy run carries no ext_drift key at all
+    result["extended_drift"] = {}
+    assert "ext_drift" not in bench._summarize(result)
