@@ -322,3 +322,104 @@ def test_extended_drift_in_summary_fits_budget():
     # and a healthy run carries no ext_drift key at all
     result["extended_drift"] = {}
     assert "ext_drift" not in bench._summarize(result)
+
+
+# ------------------- 7. data-driven SimHash band widening (WWW'07)
+
+
+def _fp_df(spark, fps):
+    return spark.createDataFrame(
+        [(i, f) for i, f in enumerate(fps)], "doc_id long, simhash long"
+    )
+
+
+def _suppress(spark, fp, wide):
+    from pyspark.sql import functions as F
+
+    from minio_iceberg_polaris_lakehouse_spark.operators.dedup import (
+        SIMHASHX_HAMMING_K,
+        _simhashx_candidates,
+    )
+
+    hits = _simhashx_candidates(fp, wide).filter(
+        F.col("hamming") <= SIMHASHX_HAMMING_K
+    )
+    return sorted(
+        tuple(r)
+        for r in hits.groupBy("doc_id")
+        .agg(
+            F.min("rep").alias("rep_id"),
+            F.min_by("hamming", "rep").cast("int").alias("hamming"),
+        )
+        .collect()
+    )
+
+
+def test_simhash_wide_blocking_cuts_candidates_same_output(spark):
+    """Skew-dense fixture: 200 fingerprints share band 0 (low 8 bits)
+    byte-for-byte but are far apart in the high bits, plus a few genuine
+    near-dup pairs. Plain 8-bit blocking pays a ~200² false-candidate
+    bucket; C(6,3) combination blocking verifies far fewer pairs and the
+    suppression output is IDENTICAL (pigeonhole guarantee: no false
+    negatives at Hamming <= 3)."""
+    import random
+
+    from minio_iceberg_polaris_lakehouse_spark.operators.dedup import (
+        _simhashx_candidates,
+    )
+
+    rng = random.Random(7)
+    fps = []
+    # one mega-bucket in band 0: identical low byte, scattered high bits
+    for _ in range(200):
+        fps.append((rng.getrandbits(23) << 8) | 0xAB)
+    # genuine near-dups: pairs at Hamming 1-3 of scattered bases
+    for _ in range(20):
+        base = rng.getrandbits(31)
+        fps.append(base)
+        flipped = base
+        for b in rng.sample(range(31), rng.randint(1, 3)):
+            flipped ^= 1 << b
+        fps.append(flipped)
+    fp = _fp_df(spark, fps)
+    narrow_cand = _simhashx_candidates(fp, wide=False).count()
+    wide_cand = _simhashx_candidates(fp, wide=True).count()
+    assert wide_cand < narrow_cand / 4, (narrow_cand, wide_cand)
+    assert _suppress(spark, fp, wide=True) == _suppress(spark, fp, wide=False)
+
+
+def test_simhash_bucket_guard_measures_fraction(spark):
+    from minio_iceberg_polaris_lakehouse_spark.operators.dedup import (
+        _simhashx_max_bucket_frac,
+    )
+
+    # 90 of 100 docs share band 0 (low byte); all other bands scattered
+    import random as _random
+
+    r = _random.Random(11)
+    fps = [(r.getrandbits(23) << 8) | 0x11 for _ in range(90)] + [
+        r.getrandbits(31) & ~0xFF | ((i * 37) % 251) for i in range(1, 11)
+    ]
+    frac = _simhashx_max_bucket_frac(_fp_df(spark, fps))
+    assert 0.85 <= frac <= 0.95, frac
+    # uniform fingerprints -> tiny max bucket
+    import random
+
+    rng = random.Random(3)
+    uni = [rng.getrandbits(31) for _ in range(400)]
+    assert _simhashx_max_bucket_frac(_fp_df(spark, uni)) < 0.2
+
+
+def test_simhash_hamming_operator_still_oracle_green(spark, sf_dir):
+    """The public operator (now guard-driven — this corpus trips the wide
+    path) still hash-matches the DuckDB oracle."""
+    from minio_iceberg_polaris_lakehouse_spark.registry import all_queries
+
+    from tests.oracle_harness import compare, duck_connection
+
+    q = all_queries()["dedup_simhash_hamming"]
+    con = duck_connection(sf_dir)
+    try:
+        assert not compare(spark, con, q.spark, q.oracle, sf_dir, require_rows=True)
+    finally:
+        con.close()
