@@ -78,50 +78,53 @@ def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range (interval) self-join: event pairs of the same user within 60
-    seconds. Implemented as bucketed equality join with a residual Δt
-    filter — linear in (events per user·minute)², never a full
-    inequality join.
+    """Range (interval) self-join, COUNT form: per user, the number of
+    event pairs within 60 seconds.
 
-    Orientation is by TIME, not id: for any in-window pair the LATER
-    event's 60 s bucket is the earlier's own or the next one (floor is
-    monotone and Δt ≤ one bucket width), so the exploded side emits TWO
-    candidate buckets instead of the ±1 three of an id-oriented pairing
-    — 1/3 fewer candidate rows through the join, same exactly-once
-    match guarantee. Each unordered pair has exactly one strict
-    (time, id)-lexicographic orientation, so the per-user pair COUNT
-    equals the oracle's a_id < b_id formulation (this was the worst sf1
-    scaler at 3.96×/10×; the candidate stream is the scaling term)."""
-    # integer MICROSECONDS end to end: double seconds put pairs near the
-    # exact 60s boundary at the mercy of a ~0.25µs ulp, where the
-    # oracle's timestamp arithmetic is exact
+    r12 plan (SCALE.md "rel_range_join"): because the aggregate never
+    needs the pairs themselves, the bucketed equality join + residual
+    filter used through r11 (explode each event into 2 candidate
+    buckets, join on (user, bucket), filter Δt) is strictly more work
+    than a sliding RANGE frame — ONE shuffle on user_id, sort by
+    microsecond, and `COUNT(*) OVER (RANGE BETWEEN CURRENT ROW AND 60 s
+    FOLLOWING) - 1` counts each event's in-window successors as the
+    frame slides in O(n) per partition. Same-timestamp ties are counted
+    toward BOTH members by the value-range frame where the oracle's
+    a_id < b_id orientation counts each unordered tie pair once, so a
+    per-(user, ts) tie correction of C(k,2) is subtracted (computed by a
+    tiny second aggregation; integer-exact). Profiled at the 10×
+    replica: 1.9×/10× data vs the join plan's 4.6× in the same session
+    — the join's candidate stream (~1 row per event here) was never
+    quadratic, but it paid a 2× explode and a second shuffle side.
+    Pair ENUMERATION (not count) at 100 TB still wants the bucketed
+    join shape this operator used through r11 (git history) — a window
+    cannot emit the cross product. Integer MICROSECONDS end to end:
+    double seconds put pairs
+    near the exact 60 s boundary at the mercy of a ~0.25 µs ulp, where
+    the oracle's timestamp arithmetic is exact."""
     e = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
     )
-    bucket = F.floor(F.col("us") / 60_000_000)
-    earlier = e.select(
-        "user_id",
-        F.col("event_id").alias("a_id"),
-        F.col("us").alias("a_us"),
-        F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+    w = Window.partitionBy("user_id").orderBy("us").rangeBetween(0, 60_000_000)
+    gross = (
+        e.withColumn("cnt", F.count("*").over(w) - 1)
+        .groupBy("user_id")
+        .agg(F.sum("cnt").alias("gross"))
     )
-    later = e.select(
-        "user_id",
-        F.col("event_id").alias("b_id"),
-        F.col("us").alias("b_us"),
-        F.floor(F.col("us") / 60_000_000).alias("bucket"),
+    ties = (
+        e.groupBy("user_id", "us")
+        .count()
+        .groupBy("user_id")
+        .agg((F.sum(F.col("count") * (F.col("count") - 1)) / 2).cast("long").alias("over"))
     )
-    pairs = earlier.join(later, ["user_id", "bucket"]).filter(
-        (
-            (F.col("b_us") > F.col("a_us"))
-            | ((F.col("b_us") == F.col("a_us")) & (F.col("b_id") > F.col("a_id")))
+    return (
+        gross.join(ties, "user_id")
+        .select(
+            "user_id", (F.col("gross") - F.col("over")).cast("long").alias("n_pairs")
         )
-        & (F.col("b_us") - F.col("a_us") <= 60_000_000)
+        .filter(F.col("n_pairs") > 0)  # oracle's INNER join: pairless users drop
+        .orderBy("user_id")
     )
-    return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs")).orderBy("user_id")
 
 
 @register(
