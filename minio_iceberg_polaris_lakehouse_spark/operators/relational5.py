@@ -448,3 +448,32 @@ def rel_asof_match_condition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_table(spark, sf_dir, "events").createOrReplaceTempView("_am_events")
     return spark.sql(asof_sql(_AMATCH_SPARK.format(events="_am_events")))
+
+
+_DON_TEXT = """
+    SELECT DISTINCT ON (user_id) user_id, event_id AS last_event, ts AS last_ts
+    FROM {events}
+    ORDER BY user_id, ts DESC, event_id
+"""
+
+
+@register(
+    "rel_distinct_on",
+    oracle=_DON_TEXT.format(events="events"),
+)
+def rel_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB/Postgres ``SELECT DISTINCT ON (keys)`` — first row per key
+    group in ORDER BY order (here: each user's latest event, event_id
+    tiebreak): desugared by sql_frontend into the QUALIFY clause the
+    frontend already rewrites (`ROW_NUMBER() OVER (PARTITION BY keys
+    ORDER BY ord) = 1`), inheriting its scoping machinery — unprojected
+    key/order columns inject as helper projections and the outer ORDER BY
+    follows them through `* EXCEPT` (Spark resolves sort references
+    against the subquery child). The oracle is the IDENTICAL text DuckDB
+    executes natively. Plan: one exchange on the scan, WindowGroupLimit-
+    eligible rank filter — the keep-first shape of rel_latest_per_key,
+    but reached from dialect SQL."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import dialect_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_don_events")
+    return spark.sql(dialect_sql(_DON_TEXT.format(events="_don_events")))

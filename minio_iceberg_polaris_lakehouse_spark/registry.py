@@ -74,6 +74,10 @@ _PRIORITY: list[str] = [
     # PNG encode→decode roundtrip pinned as a literal-VALUES oracle — the
     # multimodal family's first exact-oracle driver golden (verdict #6)
     "mm_png_decode_roundtrip",
+    # DuckDB/Postgres DISTINCT ON, desugared into the QUALIFY machinery;
+    # identical text both engines (takes rel_q8's slot — the TPC-H sweep
+    # keeps ten other members in-window)
+    "rel_distinct_on",
     # --- r11 first-timers, seated for a second green round ---------------
     "rel_star_exclude_replace",
     "rel_qualify_unprojected",
@@ -118,7 +122,6 @@ _PRIORITY: list[str] = [
     "rel_q5_local_supplier_volume",
     "rel_q6_forecast_revenue",
     "rel_q7_volume_shipping",
-    "rel_q8_market_share",
     "rel_regexp_extract",
     "fn_datediff",
     "fn_array_suite2",

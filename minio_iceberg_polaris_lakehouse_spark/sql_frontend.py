@@ -229,6 +229,7 @@ _QPRED_KEYWORDS = frozenset(
     CASE WHEN THEN ELSE END CAST TRY_CAST AS OVER PARTITION BY ORDER SORT
     ASC DESC NULLS FIRST LAST ROWS RANGE GROUPS UNBOUNDED PRECEDING
     FOLLOWING CURRENT ROW INTERVAL DISTINCT ALL EXISTS ANY SOME ESCAPE
+    LIMIT OFFSET DISTRIBUTE CLUSTER
     DIV DATE TIMESTAMP FILTER IGNORE RESPECT CURRENT_DATE
     CURRENT_TIMESTAMP WINDOW YEAR YEARS MONTH MONTHS WEEK WEEKS DAY DAYS
     HOUR HOURS MINUTE MINUTES SECOND SECONDS MILLISECOND MICROSECOND""".split()
@@ -284,21 +285,24 @@ def _select_output_names(select_list: str) -> set[str] | None:
 
 
 def _qualify_injections(
-    pred: str, select_list: str, wclause: str = ""
-) -> tuple[str, str, list[str], list[str]]:
+    pred: str, select_list: str, wclause: str = "", tail: str = ""
+) -> tuple[str, str, str, list[str], list[str]]:
     """Support the standard dialect idiom of QUALIFY predicates over
     base columns NOT in the select list (DuckDB docs' first example):
-    collect identifiers from the predicate AND any relocated named-WINDOW
-    clause that are neither SQL keywords, nor function calls, nor
-    select-list output names, project each into the inner subquery under
-    a fresh ``_lh_qc{i}`` alias, and rewrite both texts to reference the
-    alias. Returns (new_pred, new_wclause, projected_exprs,
+    collect identifiers from the predicate, any relocated named-WINDOW
+    clause, AND the trailing clauses (r12: `… QUALIFY p ORDER BY ts`
+    with ts unprojected is valid dialect — Spark resolves the rewritten
+    sort reference against the subquery child even through `* EXCEPT`)
+    that are neither SQL keywords, nor function calls, nor select-list
+    output names, project each into the inner subquery under a fresh
+    ``_lh_qc{i}`` alias, and rewrite all three texts to reference the
+    alias. Returns (new_pred, new_wclause, new_tail, projected_exprs,
     helper_names); unchanged/empty when nothing to inject."""
     outputs = _select_output_names(select_list)
     if outputs is None:  # star projection: base columns already visible
-        return pred, wclause, [], []
+        return pred, wclause, tail, [], []
     candidates: list[str] = []
-    scan = pred + " " + wclause
+    scan = pred + " " + wclause + " " + tail
     for m in _QPRED_TOKEN_RE.finditer(scan):
         tok = re.sub(r"\s*\.\s*", ".", m.group(0))
         before = scan[m.start() - 1] if m.start() > 0 else ""
@@ -326,7 +330,7 @@ def _qualify_injections(
         }
         candidates = [c for c in candidates if c.casefold() not in defined]
     if not candidates:
-        return pred, wclause, [], []
+        return pred, wclause, tail, [], []
     exprs, helpers = [], []
     for i, tok in enumerate(sorted(candidates, key=len, reverse=True)):
         helper = f"_lh_qc{i}"
@@ -335,9 +339,10 @@ def _qualify_injections(
         )
         pred = pattern.sub(helper, pred)
         wclause = pattern.sub(helper, wclause)
+        tail = pattern.sub(helper, tail)
         exprs.append(f"{tok} AS {helper}")
         helpers.append(helper)
-    return pred, wclause, exprs, helpers
+    return pred, wclause, tail, exprs, helpers
 
 
 def _depth0_positions(s: str, word_re: re.Pattern) -> list[re.Match]:
@@ -441,8 +446,8 @@ def _rewrite_qualify_masked(s: str) -> str:
     # there may only reference output columns (as in the source dialect)
     if sel_span is not None and not _depth0_positions(head, _GROUPBY_ALL_RE):
         select_list = head[sel_span[0] : sel_span[1]]
-        pred, wclause, exprs, qc_helpers = _qualify_injections(
-            pred, select_list, wclause
+        pred, wclause, tail, exprs, qc_helpers = _qualify_injections(
+            pred, select_list, wclause, tail
         )
         if exprs:
             head = (
@@ -740,6 +745,59 @@ def _rewrite_star_sugar_masked(s: str) -> str:
         )
 
 
+_DISTINCT_ON_RE = re.compile(r"(?is)(?<![\w.])SELECT\s+DISTINCT\s+ON\s*(?=\()")
+_DON_TAIL_RE = re.compile(
+    r"(?i)(?<![\w.])(?:ORDER\s+BY|SORT\s+BY|DISTRIBUTE\s+BY|CLUSTER\s+BY"
+    r"|LIMIT|OFFSET)(?!\w)"
+)
+_DON_LIMIT_RE = re.compile(r"(?i)(?<![\w.])(?:LIMIT|OFFSET)(?!\w)")
+
+
+def _rewrite_distinct_on_masked(s: str) -> str:
+    """DuckDB/Postgres ``SELECT DISTINCT ON (keys) list … ORDER BY ord``
+    — keep the first row per key group in ORDER BY order — desugars to
+    the QUALIFY clause this module already rewrites:
+
+        SELECT list … QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY keys ORDER BY ord) = 1 ORDER BY ord
+
+    Reusing QUALIFY buys its scoping machinery for free: ord/keys over
+    base columns absent from the select list inject as helper
+    projections, select aliases resolve, and the tail carries through.
+    Without an ORDER BY the window orders by the keys alone — any row of
+    the group may win, exactly the dialect's documented
+    arbitrary-row-without-ORDER-BY semantics. A statement that also
+    spells its own QUALIFY fails loudly downstream (two QUALIFYs at one
+    level); identifiers named ``on`` never trigger (the token must be
+    DISTINCT ON directly followed by a parenthesized list)."""
+    hits = _depth0_positions(s, _DISTINCT_ON_RE)
+    if not hits:
+        return s
+    if len(hits) > 1:
+        raise WarehouseError("multiple DISTINCT ON at one level — wrap subqueries")
+    m = hits[0]
+    keys, rest = _balanced_paren_group(s[m.end() :])
+    keys = keys.strip()
+    if not keys:
+        raise WarehouseError("DISTINCT ON () requires at least one expression")
+    tails = _depth0_positions(rest, _DON_TAIL_RE)
+    cut = tails[0].start() if tails else len(rest)
+    core, tail = rest[:cut].rstrip(), rest[cut:].strip()
+    ob = re.match(r"(?is)^ORDER\s+BY(?!\w)(?P<rest>.*)$", tail)
+    if ob:
+        lims = _depth0_positions(ob.group("rest"), _DON_LIMIT_RE)
+        ord_txt = (
+            ob.group("rest")[: lims[0].start()] if lims else ob.group("rest")
+        ).strip()
+    else:
+        ord_txt = keys
+    return (
+        f"{s[: m.start()]}SELECT {core} "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY {keys} ORDER BY {ord_txt}) = 1 "
+        f"{tail}"
+    ).rstrip()
+
+
 def _recurse_parens(s: str, fn) -> str:
     """Apply a masked-level rewrite ``fn`` at EVERY subquery depth,
     innermost-first: each parenthesized group's contents rewrite
@@ -765,11 +823,17 @@ def _recurse_parens(s: str, fn) -> str:
 
 
 def _rewrite_dialect_joins_masked(s: str) -> str:
-    """ASOF JOIN + QUALIFY at every subquery depth (ASOF first at each
-    level: the QUALIFY rewrite wraps the statement in a subquery, which
-    would hide a same-level ASOF from its depth-0 scan)."""
+    """DISTINCT ON + ASOF JOIN + QUALIFY at every subquery depth.
+    Per-level order matters: DISTINCT ON desugars INTO a QUALIFY clause
+    so it must run before the QUALIFY rewrite, and ASOF runs before
+    QUALIFY because the QUALIFY rewrite wraps the statement in a
+    subquery, which would hide a same-level ASOF from its depth-0
+    scan."""
     return _recurse_parens(
-        s, lambda t: _rewrite_qualify_masked(_rewrite_asof_masked(t))
+        s,
+        lambda t: _rewrite_qualify_masked(
+            _rewrite_asof_masked(_rewrite_distinct_on_masked(t))
+        ),
     )
 
 

@@ -423,3 +423,59 @@ def test_simhash_hamming_operator_still_oracle_green(spark, sf_dir):
         assert not compare(spark, con, q.spark, q.oracle, sf_dir, require_rows=True)
     finally:
         con.close()
+
+
+# ----------------------------------- 8. DISTINCT ON dialect feature
+
+
+def test_distinct_on_end_to_end(lake):
+    lake.sql("CREATE TABLE polaris.db.don (k STRING, v INT, ts INT) USING ICEBERG")
+    lake.sql(
+        "INSERT INTO db.don VALUES ('a', 1, 10), ('a', 2, 30), ('a', 3, 20), "
+        "('b', 4, 5)"
+    )
+    # keep the latest row per key; order/key columns projected
+    df = lake.sql(
+        "SELECT DISTINCT ON (k) k, v FROM db.don ORDER BY k, ts DESC"
+    )
+    assert df.columns == ["k", "v"]
+    assert [tuple(r) for r in df.collect()] == [("a", 2), ("b", 4)]
+    # unprojected key + order columns: injection carries the outer sort
+    df2 = lake.sql("SELECT DISTINCT ON (k) v FROM db.don ORDER BY k, ts DESC")
+    assert df2.columns == ["v"]
+    assert [r[0] for r in df2.collect()] == [2, 4]
+    # LIMIT tail, no ORDER BY (dialect: arbitrary row per group)
+    df3 = lake.sql("SELECT DISTINCT ON (k) k FROM db.don LIMIT 1")
+    assert df3.count() == 1
+
+
+def test_distinct_on_guards():
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import dialect_sql
+
+    with pytest.raises(WarehouseError, match="DISTINCT ON"):
+        dialect_sql("SELECT DISTINCT ON () v FROM t")
+    # plain DISTINCT and identifiers never trigger
+    for s in [
+        "SELECT DISTINCT x FROM t",
+        "SELECT DISTINCT on_hand FROM t",
+    ]:
+        assert dialect_sql(s) == s, s
+
+
+def test_qualify_tail_over_unprojected_columns(lake):
+    """r12: `QUALIFY … ORDER BY <unprojected base column>` — valid in the
+    source dialect — now injects the sort column and resolves through
+    the outer `* EXCEPT` (previously died unresolvable at Spark)."""
+    lake.sql("CREATE TABLE polaris.db.qtail (g STRING, v INT, ts INT) USING ICEBERG")
+    lake.sql(
+        "INSERT INTO db.qtail VALUES ('a', 1, 300), ('a', 2, 100), ('b', 3, 200)"
+    )
+    df = lake.sql(
+        "SELECT v FROM db.qtail "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) = 1 "
+        "ORDER BY ts"
+    )
+    assert df.columns == ["v"]
+    # rows kept: ('a', v=1, ts=300) and ('b', v=3, ts=200);
+    # ORDER BY ts ascending puts ts=200 first
+    assert [r[0] for r in df.collect()] == [3, 1]
