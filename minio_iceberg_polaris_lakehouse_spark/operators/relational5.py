@@ -477,3 +477,34 @@ def rel_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_table(spark, sf_dir, "events").createOrReplaceTempView("_don_events")
     return spark.sql(dialect_sql(_DON_TEXT.format(events="_don_events")))
+
+
+_FF_TEXT = """
+    FROM {lineitem}
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "rel_from_first",
+    oracle=_FF_TEXT.format(lineitem="lineitem"),
+)
+def rel_from_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's FROM-first syntax (`FROM t SELECT … WHERE … GROUP BY …`)
+    — desugared by sql_frontend into the canonical SELECT-first statement
+    before the other dialect rewrites run, so FROM-first composes with
+    star sugar, DISTINCT ON, ASOF JOIN, and QUALIFY. The oracle is the
+    IDENTICAL text DuckDB parses natively, so the hash proves the
+    desugaring preserves the dialect's semantics (clause reordering only
+    — the planned query is the same filtered partial-agg + exchange +
+    final-agg as its SELECT-first spelling; the shipdate filter still
+    reaches the parquet scan)."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import dialect_sql
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_ff_lineitem")
+    return spark.sql(dialect_sql(_FF_TEXT.format(lineitem="_ff_lineitem")))

@@ -52,7 +52,7 @@ _PRIORITY: list[str] = [
     # Policy (r10 verdict #7, continued): veterans with >=3 green rounds
     # rest; the freed slots re-seat the STALEST alumni (oldest last driver
     # check first — this round reaches back to the r01 cohort) while every
-    # SS2/SS2.14 family keeps at least one in-window member. 35 of the 50
+    # SS2/SS2.14 family keeps at least one in-window member. 33 of the 50
     # seats are stale re-seats with last driver check r<=9. Every rested
     # veteran stays green in the uncapped local replica
     # (tests/test_oracle_parity.py runs the identical DuckDB comparison).
@@ -78,6 +78,10 @@ _PRIORITY: list[str] = [
     # identical text both engines (takes rel_q8's slot — the TPC-H sweep
     # keeps ten other members in-window)
     "rel_distinct_on",
+    # DuckDB FROM-first syntax, desugared to canonical SELECT-first form;
+    # identical text both engines (takes rel_q7's slot — the sweep keeps
+    # nine other members; q7/q8 rotate back next round)
+    "rel_from_first",
     # --- r11 first-timers, seated for a second green round ---------------
     "rel_star_exclude_replace",
     "rel_qualify_unprojected",
@@ -121,7 +125,6 @@ _PRIORITY: list[str] = [
     "rel_q4_order_priority",
     "rel_q5_local_supplier_volume",
     "rel_q6_forecast_revenue",
-    "rel_q7_volume_shipping",
     "rel_regexp_extract",
     "fn_datediff",
     "fn_array_suite2",

@@ -798,6 +798,137 @@ def _rewrite_distinct_on_masked(s: str) -> str:
     ).rstrip()
 
 
+_FROM_FIRST_HEAD_RE = re.compile(r"(?is)^\s*(?:WITH|FROM)(?![\w.])")
+_FROM_BODY_RE = re.compile(r"(?is)^\s*FROM(?![\w.])")
+_WITH_HEAD_RE = re.compile(r"(?is)^\s*WITH\s+(?:RECURSIVE\s+)?")
+_CTE_ITEM_RE = re.compile(r"(?is)^\s*[A-Za-z_]\w*\s*(?:\([^()]*\)\s*)?AS\s*(?=\()")
+# End of a SELECT list in FROM-first form: the clause keywords that may
+# follow it. GROUP/ORDER/… require their BY so identifiers named `group`
+# in the list never cut; WINDOW requires its `name AS (` head.
+_FF_CLAUSE_RE = re.compile(
+    r"(?i)(?<![\w.])(?:WHERE|HAVING|QUALIFY|GROUP\s+BY|ORDER\s+BY|SORT\s+BY"
+    r"|DISTRIBUTE\s+BY|CLUSTER\s+BY|LIMIT|OFFSET|WINDOW(?=\s+[A-Za-z_]\w*\s+AS\s*\())(?!\w)"
+)
+# Tokens that may legally precede a parenthesized SUBQUERY; a trailing
+# identifier outside this set marks a function call (`trim(FROM x)` must
+# not be mistaken for a FROM-first query level).
+_SUBQUERY_PREV = frozenset(
+    """FROM JOIN IN EXISTS AS ON AND OR NOT WHERE HAVING THEN ELSE WHEN
+    SELECT UNION ALL DISTINCT INTERSECT EXCEPT MINUS USING LATERAL BY
+    VALUES ANY SOME CROSS INNER LEFT RIGHT FULL OUTER SEMI ANTI ASOF
+    QUALIFY LIKE RETURNING""".split()
+)
+
+
+def _from_first_body(body: str) -> str:
+    """Rewrite ONE set-operation branch: ``FROM x … [SELECT list …]`` →
+    ``SELECT list FROM x … …`` (``SELECT *`` when the clause is absent).
+    Clauses written before the SELECT stay attached to the FROM segment,
+    clauses after it re-attach behind, so both documented orderings
+    (`FROM t SELECT x WHERE p` and `FROM t WHERE p SELECT x`) land on
+    the identical canonical statement."""
+    if not _FROM_BODY_RE.match(body):
+        return body
+    sel = _depth0_positions(body, _SELECT_RE)
+    if not sel:
+        return f"SELECT * {body.strip()}"
+    before = body[: sel[0].start()].strip()
+    selpart = body[sel[0].end() :]
+    cuts = _depth0_positions(selpart, _FF_CLAUSE_RE)
+    cut = cuts[0].start() if cuts else len(selpart)
+    sel_list, sel_tail = selpart[:cut].strip(), selpart[cut:].strip()
+    if not sel_list:
+        raise WarehouseError("FROM-first SELECT clause requires a select list")
+    return f"SELECT {sel_list} {before} {sel_tail}".rstrip()
+
+
+def _rewrite_from_first_masked(s: str) -> str:
+    """DuckDB's FROM-first syntax at one query level: ``FROM tbl`` runs
+    as ``SELECT * FROM tbl`` and an optional ``SELECT`` clause may follow
+    the FROM clause. Set-operation branches rewrite independently
+    (``FROM a UNION FROM b``), skipping `* EXCEPT` star sugar when
+    locating branch splits; a leading WITH prefix is walked item-by-item
+    (CTE bodies were already rewritten by the recursion) so
+    ``WITH c AS (FROM t) FROM c`` composes."""
+    if not _FROM_FIRST_HEAD_RE.match(s):
+        has_setop = any(
+            s[: m.start()].rstrip()[-1:] != "*"
+            for m in _depth0_positions(s, _SETOP_RE)
+        )
+        if not has_setop:
+            return s
+    prefix = ""
+    wm = _WITH_HEAD_RE.match(s)
+    if wm:
+        pos = wm.end()
+        while True:
+            im = _CTE_ITEM_RE.match(s[pos:])
+            if not im:
+                return s  # not a CTE list this rewrite understands
+            _, rest = _balanced_paren_group(s[pos + im.end() :])
+            pos = len(s) - len(rest)
+            cm = re.match(r"\s*,", s[pos:])
+            if cm:
+                pos += cm.end()
+            else:
+                break
+        prefix, s = s[:pos], s[pos:]
+    splits = [
+        m
+        for m in _depth0_positions(s, _SETOP_RE)
+        if s[: m.start()].rstrip()[-1:] != "*"  # `* EXCEPT (…)` is star sugar
+    ]
+    out, start, changed = [], 0, False
+    for m in splits:
+        branch = s[start : m.start()]
+        new = _from_first_body(branch)
+        changed = changed or new != branch
+        out.append(new)
+        out.append(" " + m.group(0))
+        tail_m = re.match(r"\s*(?:ALL|DISTINCT)(?!\w)", s[m.end() :], re.I)
+        end = m.end() + (tail_m.end() if tail_m else 0)
+        out.append(s[m.end() : end] + " ")
+        start = end
+    branch = s[start:]
+    new = _from_first_body(branch)
+    changed = changed or new != branch
+    if not changed:
+        return prefix + s
+    out.append(new)
+    return prefix + (" " if prefix and not prefix[-1].isspace() else "") + "".join(out)
+
+
+def _recurse_query_parens(s: str, fn, is_query: bool = True) -> str:
+    """Like ``_recurse_parens`` but context-aware: ``fn`` applies to a
+    level's own text only when that level can BE a query — the top level,
+    or a paren group whose preceding token legally introduces a subquery.
+    Function-call argument lists (`trim(FROM x)`, `extract(… FROM ts)`)
+    recurse INTO (their args may hold genuine subqueries one level down)
+    but never rewrite at their own level, so a leading FROM there is
+    argument syntax, not FROM-first SQL."""
+    out: list[str] = []
+    rest = s
+    while "(" in rest:
+        idx = rest.index("(")
+        out.append(rest[:idx])
+        prev = "".join(out).rstrip()
+        tw = re.search(r"([A-Za-z_]\w*)$", prev)
+        child_is_query = (
+            not prev
+            or not tw
+            and prev[-1] not in ")]"
+            or bool(tw)
+            and tw.group(1).upper() in _SUBQUERY_PREV
+        )
+        inside, rest = _balanced_paren_group(rest[idx:])
+        out.append("(")
+        out.append(_recurse_query_parens(inside, fn, child_is_query))
+        out.append(")")
+    out.append(rest)
+    text = "".join(out)
+    return fn(text) if is_query else text
+
+
 def _recurse_parens(s: str, fn) -> str:
     """Apply a masked-level rewrite ``fn`` at EVERY subquery depth,
     innermost-first: each parenthesized group's contents rewrite
@@ -872,6 +1003,7 @@ def dialect_sql(statement: str) -> str:
     LakehouseSQL applies."""
 
     def chain(s: str) -> str:
+        s = _recurse_query_parens(s, _rewrite_from_first_masked)
         return _rewrite_dialect_joins_masked(_rewrite_star_sugar_masked(s))
 
     return _masked_rewrite(statement, chain)
@@ -937,7 +1069,9 @@ class LakehouseSQL:
     def sql(self, statement: str) -> DataFrame:
         s = statement.strip().rstrip(";").strip()
         head = s.split(None, 1)[0].upper() if s else ""
-        if head in ("SELECT", "WITH", "VALUES", "TABLE"):
+        # FROM-first statements (Q8) are queries; `FROM` can't open any
+        # DDL/DML statement so the head token alone is unambiguous
+        if head in ("SELECT", "WITH", "VALUES", "TABLE", "FROM"):
             fast = self._metadata_count(s) if head == "SELECT" else None
             if fast is not None:
                 return fast
@@ -1188,8 +1322,10 @@ class LakehouseSQL:
             return f"\x00L{len(literals) - 1}\x00"
 
         s = re.sub(r"'(?:[^']|'')*'", mask, s)
-        # star sugar first (EXCLUDE/REPLACE appear anywhere, incl. inside
-        # subqueries); then ASOF + QUALIFY at every subquery depth
+        # FROM-first desugars to canonical SELECT-first form, then star
+        # sugar (EXCLUDE/REPLACE appear anywhere, incl. inside
+        # subqueries), then ASOF + QUALIFY at every subquery depth
+        s = _recurse_query_parens(s, _rewrite_from_first_masked)
         s = _rewrite_star_sugar_masked(s)
         s = _rewrite_dialect_joins_masked(s)
         wants_metadata_cols = bool(

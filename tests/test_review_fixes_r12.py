@@ -479,3 +479,123 @@ def test_qualify_tail_over_unprojected_columns(lake):
     # rows kept: ('a', v=1, ts=300) and ('b', v=3, ts=200);
     # ORDER BY ts ascending puts ts=200 first
     assert [r[0] for r in df.collect()] == [3, 1]
+
+
+# ------------------------------ 9. DISTINCT ON probe classes (misparse)
+
+
+DON_PASSTHROUGH = [
+    "SELECT DISTINCT x FROM t",
+    "SELECT DISTINCT on_hand FROM t",
+    "SELECT DISTINCT ON FROM t",  # no paren list -> identifier, not the clause
+    "SELECT 'DISTINCT ON (x)' AS s FROM t",
+    "SELECT count(DISTINCT x) FROM t",
+    "SELECT /* DISTINCT ON (k) */ x FROM t",
+    "SELECT x FROM t WHERE y IN (SELECT DISTINCT z FROM u)",
+]
+
+
+@pytest.mark.parametrize("stmt", DON_PASSTHROUGH)
+def test_distinct_on_passthrough(stmt):
+    assert dialect_sql(stmt) == stmt
+
+
+def test_distinct_on_expression_keys(lake):
+    """Expression keys (`DISTINCT ON (upper(k))`) inject the base column
+    and the outer sort carries the expression over the helper — Spark
+    resolves it through `* EXCEPT` against the subquery child."""
+    lake.sql("CREATE TABLE polaris.db.donx (k STRING, v INT, ts INT) USING ICEBERG")
+    lake.sql(
+        "INSERT INTO db.donx VALUES ('Aa',1,10), ('aB',2,30), ('AC',3,20), "
+        "('b',4,5), ('B',5,7)"
+    )
+    df = lake.sql(
+        "SELECT DISTINCT ON (upper(substr(k,1,1))) v FROM db.donx "
+        "ORDER BY upper(substr(k,1,1)), ts DESC"
+    )
+    assert sorted(r[0] for r in df.collect()) == [2, 5]
+
+
+# -------------------------------------- 10. FROM-first syntax (Q8)
+
+
+FF_PASSTHROUGH = [
+    "SELECT x FROM t",
+    "SELECT trim(BOTH ' ' FROM x) FROM t",
+    "SELECT substring('abcdef' FROM 2 FOR 3) AS s FROM t",
+    "SELECT extract(YEAR FROM ts) FROM t",
+    "SELECT * EXCEPT (a) FROM t",
+    "SELECT 'FROM t' AS s FROM u",
+    "INSERT INTO x SELECT * FROM t",
+    "SELECT x FROM t UNION ALL SELECT y FROM u",
+    "SELECT * EXCEPT (a) FROM t UNION SELECT * FROM u",
+    "SELECT x FROM t\nUNION\nSELECT y FROM u\nEXCEPT\nSELECT z FROM v",
+    "WITH c AS (SELECT 1 AS x) SELECT * FROM c",
+]
+
+
+@pytest.mark.parametrize("stmt", FF_PASSTHROUGH)
+def test_from_first_passthrough(stmt):
+    assert dialect_sql(stmt) == stmt
+
+
+FF_REWRITES = [
+    ("FROM t", "SELECT * FROM t"),
+    ("FROM t SELECT x", "SELECT x FROM t"),
+    ("FROM t WHERE x > 1", "SELECT * FROM t WHERE x > 1"),
+    (
+        "FROM t SELECT x WHERE p ORDER BY x LIMIT 3",
+        "SELECT x FROM t WHERE p ORDER BY x LIMIT 3",
+    ),
+    (
+        "FROM t SELECT count(*) AS n GROUP BY k",
+        "SELECT count(*) AS n FROM t GROUP BY k",
+    ),
+    ("FROM t SELECT DISTINCT x", "SELECT DISTINCT x FROM t"),
+    (
+        "FROM a JOIN b ON a.k = b.k SELECT a.x, b.y",
+        "SELECT a.x, b.y FROM a JOIN b ON a.k = b.k",
+    ),
+    ("FROM a UNION FROM b", "SELECT * FROM a UNION SELECT * FROM b"),
+    (
+        "SELECT * FROM (FROM t SELECT x WHERE x > 1) q",
+        "SELECT * FROM (SELECT x FROM t WHERE x > 1) q",
+    ),
+    (
+        "WITH c AS (FROM t) FROM c",
+        "WITH c AS (SELECT * FROM t) SELECT * FROM c",
+    ),
+]
+
+
+@pytest.mark.parametrize("stmt,expect", FF_REWRITES)
+def test_from_first_rewrites(stmt, expect):
+    assert dialect_sql(stmt) == expect
+
+
+def test_from_first_composes_with_other_rewrites():
+    # star sugar after desugaring
+    assert dialect_sql("FROM t SELECT * EXCLUDE (a)") == "SELECT * EXCEPT (a) FROM t"
+    # QUALIFY after desugaring: fires the qualify rewrite
+    out = dialect_sql("FROM t SELECT x QUALIFY ROW_NUMBER() OVER (ORDER BY x) = 1")
+    assert "_lh_qualify" in out and out.startswith("SELECT * EXCEPT")
+    # DISTINCT ON after desugaring
+    out = dialect_sql("FROM t SELECT DISTINCT ON (k) k, v ORDER BY k, ts DESC")
+    assert "ROW_NUMBER() OVER (PARTITION BY k" in out
+
+
+def test_from_first_end_to_end(lake):
+    lake.sql("CREATE TABLE polaris.db.ff (k STRING, v INT) USING ICEBERG")
+    lake.sql("INSERT INTO db.ff VALUES ('a', 1), ('a', 2), ('b', 3)")
+    assert lake.sql("FROM db.ff").count() == 3
+    df = lake.sql(
+        "FROM db.ff SELECT k, CAST(SUM(v) AS BIGINT) AS s "
+        "WHERE v > 1 GROUP BY k ORDER BY k"
+    )
+    assert [tuple(r) for r in df.collect()] == [("a", 2), ("b", 3)]
+    assert lake.sql("FROM db.ff UNION ALL FROM db.ff").count() == 6
+
+
+def test_from_first_guard():
+    with pytest.raises(WarehouseError, match="select list"):
+        dialect_sql("FROM t SELECT WHERE x > 1")
