@@ -1070,8 +1070,16 @@ class LakehouseSQL:
         s = statement.strip().rstrip(";").strip()
         head = s.split(None, 1)[0].upper() if s else ""
         # FROM-first statements (Q8) are queries; `FROM` can't open any
-        # DDL/DML statement so the head token alone is unambiguous
-        if head in ("SELECT", "WITH", "VALUES", "TABLE", "FROM"):
+        # DDL/DML statement so the head token alone is unambiguous.
+        # Desugar HERE so the metadata fast path and scan-hint pruning
+        # below see the canonical SELECT-first text (idempotent — the
+        # rewrite inside _rewrite_query then passes through unchanged).
+        if head == "FROM":
+            s = _masked_rewrite(
+                s, lambda t: _recurse_query_parens(t, _rewrite_from_first_masked)
+            )
+            head = s.split(None, 1)[0].upper()
+        if head in ("SELECT", "WITH", "VALUES", "TABLE"):
             fast = self._metadata_count(s) if head == "SELECT" else None
             if fast is not None:
                 return fast
@@ -1759,7 +1767,7 @@ class LakehouseSQL:
         vm = re.match(r"(?is)^VALUES\s+(.*)$", body)
         if vm:
             src = self.spark.sql(f"SELECT * FROM (VALUES {vm.group(1)})")
-        elif re.match(r"(?is)^(SELECT|WITH)\b", body):
+        elif re.match(r"(?is)^(SELECT|WITH|FROM)\b", body):
             src = self.spark.sql(self._rewrite_query(body))
         else:
             raise WarehouseError(
@@ -3309,13 +3317,13 @@ class LakehouseSQL:
             _insert_named,
         ),
         (rf"INSERT\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})\s+VALUES\s+(.*)", _insert_values),
-        (rf"INSERT\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})\s+(SELECT\s+.*|WITH\s+.*)", _insert_select),
+        (rf"INSERT\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})\s+(SELECT\s+.*|WITH\s+.*|FROM\s+.*)", _insert_select),
         (
             rf"INSERT\s+OVERWRITE\s+(?:TABLE\s+)?((?:{_IDENT}\.)*{_IDENT})\s+VALUES\s+(.*)",
             _insert_overwrite_values,
         ),
         (
-            rf"INSERT\s+OVERWRITE\s+(?:TABLE\s+)?((?:{_IDENT}\.)*{_IDENT})\s+(SELECT\s+.*|WITH\s+.*)",
+            rf"INSERT\s+OVERWRITE\s+(?:TABLE\s+)?((?:{_IDENT}\.)*{_IDENT})\s+(SELECT\s+.*|WITH\s+.*|FROM\s+.*)",
             _insert_overwrite_select,
         ),
         (rf"SHOW\s+CREATE\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})", _show_create_table),

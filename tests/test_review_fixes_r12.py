@@ -599,3 +599,27 @@ def test_from_first_end_to_end(lake):
 def test_from_first_guard():
     with pytest.raises(WarehouseError, match="select list"):
         dialect_sql("FROM t SELECT WHERE x > 1")
+
+
+def test_from_first_insert_source(lake):
+    """INSERT INTO … FROM t (the dialect's FROM-first source query) and
+    INSERT OVERWRITE … FROM t both route the body through the query
+    rewriter."""
+    lake.sql("CREATE TABLE polaris.db.ffsrc (k STRING, v INT) USING ICEBERG")
+    lake.sql("INSERT INTO db.ffsrc VALUES ('a', 1), ('b', 2)")
+    lake.sql("CREATE TABLE polaris.db.ffdst (k STRING, v INT) USING ICEBERG")
+    lake.sql("INSERT INTO db.ffdst FROM db.ffsrc")
+    assert lake.sql("SELECT count(*) AS n FROM db.ffdst").collect()[0][0] == 2
+    lake.sql("INSERT OVERWRITE db.ffdst FROM db.ffsrc SELECT k, v WHERE v > 1")
+    assert [tuple(r) for r in lake.sql("FROM db.ffdst").collect()] == [("b", 2)]
+    # column-list INSERT with FROM-first body
+    lake.sql("INSERT INTO db.ffdst (v, k) FROM db.ffsrc SELECT v, k")
+    assert lake.sql("SELECT count(*) AS n FROM db.ffdst").collect()[0][0] == 3
+
+
+def test_from_first_metadata_fastpath(lake):
+    """The head-desugar at dispatch lets FROM-first statements reach the
+    metadata fast path and scan hints as canonical SELECTs."""
+    lake.sql("CREATE TABLE polaris.db.ffmeta (k STRING) USING ICEBERG")
+    lake.sql("INSERT INTO db.ffmeta VALUES ('x'), ('y')")
+    assert lake.sql("FROM db.ffmeta SELECT count(*) AS n").collect()[0][0] == 2
