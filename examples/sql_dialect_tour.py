@@ -15,6 +15,11 @@ running the identical clause text natively:
   5. WITH RECURSIVE          bounded-depth graph walk (native Spark 4)
   6. LATERAL                 correlated top-1 per outer row (native)
   7. VERSION AS OF           time travel over the same tables
+  8. SELECT DISTINCT ON      first row per key group in ORDER BY order
+                             (rel_distinct_on; desugars into QUALIFY)
+  9. FROM-first syntax       `FROM t SELECT x`; bare `FROM t` = SELECT *
+                             (rel_from_first; composes with every other
+                             clause above, and as an INSERT source)
 
 The keywords are contextually reserved exactly as in DuckDB — the full
 contract is in sql_frontend.py's module docstring.
@@ -138,6 +143,20 @@ def main() -> None:
     n_then = lake.sql(f"SELECT COUNT(*) AS n FROM shop.sales VERSION AS OF {first}").collect()[0].n
     n_now = lake.sql("SELECT COUNT(*) AS n FROM shop.sales").collect()[0].n
     print(f"   rows at first snapshot: {n_then}; rows now: {n_now}")
+
+    print("== 8. DISTINCT ON: each region's top sale ==")
+    lake.sql(
+        "SELECT DISTINCT ON (region) region, rep, amt "
+        "FROM shop.sales ORDER BY region, amt DESC"
+    ).show()
+
+    print("== 9. FROM-first: the FROM clause leads, SELECT optional ==")
+    lake.sql("FROM shop.sales WHERE amt >= 200").show()
+    lake.sql(
+        "FROM shop.sales SELECT region, COUNT(*) AS reps GROUP BY region "
+        "ORDER BY region"
+    ).show()
+    print("   (also as an INSERT source: INSERT INTO t FROM s)")
     print("dialect tour complete")
 
 
