@@ -50,10 +50,21 @@ Spark's parser untouched) rather than mangling valid SQL:
   star PROJECTION (``*`` / ``alias.*`` at a select-list position) —
   never after a multiplication star, and REPLACE( the string function
   is untouched.
+- ``DISTINCT ON`` triggers only as the exact sequence ``SELECT DISTINCT
+  ON (`` — a column named on (`SELECT DISTINCT on_hand`, `SELECT
+  DISTINCT ON FROM t`) keeps the identifier meaning, as does the text
+  inside strings and comments.
+- FROM-first applies only where a QUERY can start: the statement head
+  (after a WITH prefix), a set-operation branch, or a paren group whose
+  preceding token legally introduces a subquery — a function-argument
+  FROM (``trim(BOTH ' ' FROM x)``, ``extract(YEAR FROM ts)``,
+  ``substring(s FROM 2)``) passes through byte-identical
+  (_recurse_query_parens classifies the paren by its preceding token).
 
 Regression pins: tests/test_review_fixes_r10.py (star/ASOF guards),
 tests/test_review_fixes_r11.py (QUALIFY guards, DISTINCT ordering,
-chained ASOF); runnable tour: examples/sql_dialect_tour.py.
+chained ASOF), tests/test_review_fixes_r12.py (DISTINCT ON /
+FROM-first probe classes); runnable tour: examples/sql_dialect_tour.py.
 """
 
 from __future__ import annotations
@@ -997,6 +1008,16 @@ def asof_sql(statement: str) -> str:
     )
 
 
+def canonical_query(statement: str) -> str:
+    """FROM-first → canonical SELECT-first text (no other rewrites).
+    Applied before PERSISTING view / materialized-view definitions so
+    later re-parsers of the stored SQL (the MV delta deriver, SHOW
+    CREATE) always see standard clause order."""
+    return _masked_rewrite(
+        statement, lambda s: _recurse_query_parens(s, _rewrite_from_first_masked)
+    )
+
+
 def dialect_sql(statement: str) -> str:
     """All dialect rewrites (star sugar + ASOF JOIN + QUALIFY, the joins
     at every subquery depth) for plain spark.sql callers — the same chain
@@ -1075,9 +1096,7 @@ class LakehouseSQL:
         # below see the canonical SELECT-first text (idempotent — the
         # rewrite inside _rewrite_query then passes through unchanged).
         if head == "FROM":
-            s = _masked_rewrite(
-                s, lambda t: _recurse_query_parens(t, _rewrite_from_first_masked)
-            )
+            s = canonical_query(s)
             head = s.split(None, 1)[0].upper()
         if head in ("SELECT", "WITH", "VALUES", "TABLE"):
             fast = self._metadata_count(s) if head == "SELECT" else None
@@ -1922,7 +1941,7 @@ class LakehouseSQL:
         query, so a view over a table sees later INSERTs."""
         replace, ine = bool(m.group(1)), bool(m.group(2))
         ns, v = self._resolve_table_name(m.group(3))
-        query = m.group(4)
+        query = canonical_query(m.group(4))
         # validate now: the body must analyze against current tables
         self.spark.sql(self._rewrite_query(query)).schema  # noqa: B018
         self.wh.create_view(ns, v, query, replace=replace, if_not_exists=ine)
@@ -1937,7 +1956,7 @@ class LakehouseSQL:
         """ALTER VIEW ns.v AS <query> — redefine an existing view's body
         (validated against current tables now, like CREATE VIEW)."""
         ns, v = self._resolve_table_name(m.group(1))
-        query = m.group(2)
+        query = canonical_query(m.group(2))
         self.spark.sql(self._rewrite_query(query)).schema  # noqa: B018
         self.wh.alter_view(ns, v, query)
         return self._empty()
@@ -2043,7 +2062,11 @@ class LakehouseSQL:
         changelog from exactly that point (no gap, no double count)."""
         from minio_iceberg_polaris_lakehouse_spark import matview as MV
 
-        ine, name, query = bool(m.group(1)), m.group(2), m.group(3).strip()
+        ine, name, query = (
+            bool(m.group(1)),
+            m.group(2),
+            canonical_query(m.group(3).strip()),
+        )
         ns, v = self._resolve_table_name(name)
         key = f"{ns}.{v}"
         if key in self.wh.matviews():
@@ -3264,12 +3287,12 @@ class LakehouseSQL:
         (rf"DROP\s+NAMESPACE\s+(IF\s+EXISTS\s+)?((?:{_IDENT}\.)?{_IDENT})(\s+CASCADE)?", _drop_namespace),
         (
             rf"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?"
-            rf"((?:{_IDENT}\.)*{_IDENT})\s+AS\s+(SELECT\s+.*|WITH\s+.*)",
+            rf"((?:{_IDENT}\.)*{_IDENT})\s+AS\s+(SELECT\s+.*|WITH\s+.*|FROM\s+.*)",
             _create_view,
         ),
         (rf"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?((?:{_IDENT}\.)*{_IDENT})", _drop_view),
         (
-            rf"ALTER\s+VIEW\s+((?:{_IDENT}\.)*{_IDENT})\s+AS\s+(SELECT\s+.*|WITH\s+.*)",
+            rf"ALTER\s+VIEW\s+((?:{_IDENT}\.)*{_IDENT})\s+AS\s+(SELECT\s+.*|WITH\s+.*|FROM\s+.*)",
             _alter_view_as,
         ),
         (
@@ -3284,7 +3307,7 @@ class LakehouseSQL:
         ),
         (
             rf"CREATE\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?"
-            rf"((?:{_IDENT}\.)*{_IDENT})\s+AS\s+(SELECT\s+.*|WITH\s+.*)",
+            rf"((?:{_IDENT}\.)*{_IDENT})\s+AS\s+(SELECT\s+.*|WITH\s+.*|FROM\s+.*)",
             _create_matview,
         ),
         (
@@ -3302,7 +3325,7 @@ class LakehouseSQL:
             _create_table_like,
         ),
         (
-            rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?((?:{_IDENT}\.)*{_IDENT})\s+AS\s+(SELECT\s+.*|WITH\s+.*)",
+            rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?((?:{_IDENT}\.)*{_IDENT})\s+AS\s+(SELECT\s+.*|WITH\s+.*|FROM\s+.*)",
             _create_table_as_select,
         ),
         (r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(.*)", _create_table),
@@ -3327,7 +3350,7 @@ class LakehouseSQL:
             _insert_overwrite_select,
         ),
         (rf"SHOW\s+CREATE\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})", _show_create_table),
-        (r"EXPLAIN\s+(EXTENDED\s+|FORMATTED\s+|CODEGEN\s+|COST\s+)?(SELECT\s+.*|WITH\s+.*)", _explain),
+        (r"EXPLAIN\s+(EXTENDED\s+|FORMATTED\s+|CODEGEN\s+|COST\s+)?(SELECT\s+.*|WITH\s+.*|FROM\s+.*)", _explain),
         (rf"DELETE\s+FROM\s+((?:{_IDENT}\.)*{_IDENT})\s+WHERE\s+(.*)", _delete_from),
         (
             rf"MERGE\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?"

@@ -623,3 +623,38 @@ def test_from_first_metadata_fastpath(lake):
     lake.sql("CREATE TABLE polaris.db.ffmeta (k STRING) USING ICEBERG")
     lake.sql("INSERT INTO db.ffmeta VALUES ('x'), ('y')")
     assert lake.sql("FROM db.ffmeta SELECT count(*) AS n").collect()[0][0] == 2
+
+
+def test_from_first_in_ddl_bodies(lake):
+    """CTAS, CREATE VIEW, ALTER VIEW, CREATE MATERIALIZED VIEW, and
+    EXPLAIN all accept FROM-first bodies; view definitions persist in
+    canonical SELECT-first form (the MV delta deriver re-parses stored
+    SQL)."""
+    lake.sql("CREATE TABLE polaris.db.ffd (k STRING, v INT) USING ICEBERG")
+    lake.sql("INSERT INTO db.ffd VALUES ('a', 1), ('b', 2), ('b', 3)")
+    lake.sql("CREATE TABLE db.ffd2 AS FROM db.ffd SELECT k, v WHERE v > 1")
+    assert lake.sql("SELECT count(*) AS n FROM db.ffd2").collect()[0][0] == 2
+    lake.sql("CREATE VIEW db.ffv AS FROM db.ffd SELECT k, v")
+    assert lake.sql("FROM db.ffv").count() == 3
+    lake.sql("ALTER VIEW db.ffv AS FROM db.ffd SELECT k WHERE v >= 2")
+    assert lake.sql("FROM db.ffv").count() == 2
+    plan = lake.sql("EXPLAIN FROM db.ffd SELECT k WHERE v = 1").collect()[0][0]
+    assert "Filter" in plan or "filter" in plan
+    lake.sql(
+        "CREATE MATERIALIZED VIEW db.ffmv AS "
+        "FROM db.ffd SELECT k, CAST(SUM(v) AS BIGINT) AS s GROUP BY k"
+    )
+    assert sorted(tuple(r) for r in lake.sql("FROM db.ffmv SELECT k, s").collect()) == [
+        ("a", 1),
+        ("b", 5),
+    ]
+    # stored definitions are canonical (no FROM-first text persisted)
+    views = {r["viewName"]: r for r in lake.sql("SHOW VIEWS IN db").collect()}
+    assert "ffv" in views
+    # incremental refresh still works over the canonicalized definition
+    lake.sql("INSERT INTO db.ffd VALUES ('a', 10)")
+    lake.sql("REFRESH MATERIALIZED VIEW db.ffmv")
+    assert sorted(tuple(r) for r in lake.sql("FROM db.ffmv SELECT k, s").collect()) == [
+        ("a", 11),
+        ("b", 5),
+    ]
