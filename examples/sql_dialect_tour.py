@@ -20,6 +20,8 @@ running the identical clause text natively:
   9. FROM-first syntax       `FROM t SELECT x`; bare `FROM t` = SELECT *
                              (rel_from_first; composes with every other
                              clause above, and as an INSERT source)
+ 10. UNION [ALL] BY NAME     name-aligned set union, NULL-filling absent
+                             columns (rel_union_by_name)
 
 The keywords are contextually reserved exactly as in DuckDB — the full
 contract is in sql_frontend.py's module docstring.
@@ -157,6 +159,14 @@ def main() -> None:
         "ORDER BY region"
     ).show()
     print("   (also as an INSERT source: INSERT INTO t FROM s)")
+
+    print("== 10. UNION ALL BY NAME: branches align by column NAME ==")
+    lake.sql(
+        "SELECT region, rep FROM shop.sales WHERE amt > 250 "
+        "UNION ALL BY NAME "
+        "SELECT rep, region FROM shop.sales WHERE amt < 50 "
+        "ORDER BY region, rep"
+    ).show()
     print("dialect tour complete")
 
 

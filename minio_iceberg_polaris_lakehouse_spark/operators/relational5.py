@@ -508,3 +508,35 @@ def rel_from_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_ff_lineitem")
     return spark.sql(dialect_sql(_FF_TEXT.format(lineitem="_ff_lineitem")))
+
+
+_UBN_TEXT = """
+    SELECT o_orderpriority AS label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM {orders} GROUP BY o_orderpriority
+    UNION ALL BY NAME
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, r_name AS label
+    FROM {region} GROUP BY r_name
+    ORDER BY label, n
+"""
+
+
+@register(
+    "rel_union_by_name",
+    oracle=_UBN_TEXT.format(orders="orders", region="region"),
+)
+def rel_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL BY NAME — the dialect's name-aligned set union: the two
+    branches project (label, n) in OPPOSITE column order, so positional
+    UNION would mangle types/values while BY NAME aligns. Spark only has
+    the semantic as the DataFrame API (`unionByName`), so sql_frontend
+    routes the separator to DataFrame composition (each branch through
+    the normal query path, trailing ORDER BY over the fold). The oracle
+    is the IDENTICAL text DuckDB executes natively. Plan: two partial
+    aggs + one union — no extra exchange beyond each branch's own."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import union_by_name_df
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_ubn_orders")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("_ubn_region")
+    return union_by_name_df(
+        spark, _UBN_TEXT.format(orders="_ubn_orders", region="_ubn_region")
+    )

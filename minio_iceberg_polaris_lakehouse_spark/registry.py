@@ -52,7 +52,7 @@ _PRIORITY: list[str] = [
     # Policy (r10 verdict #7, continued): veterans with >=3 green rounds
     # rest; the freed slots re-seat the STALEST alumni (oldest last driver
     # check first — this round reaches back to the r01 cohort) while every
-    # SS2/SS2.14 family keeps at least one in-window member. 33 of the 50
+    # SS2/SS2.14 family keeps at least one in-window member. 32 of the 50
     # seats are stale re-seats with last driver check r<=9. Every rested
     # veteran stays green in the uncapped local replica
     # (tests/test_oracle_parity.py runs the identical DuckDB comparison).
@@ -82,6 +82,9 @@ _PRIORITY: list[str] = [
     # identical text both engines (takes rel_q7's slot — the sweep keeps
     # nine other members; q7/q8 rotate back next round)
     "rel_from_first",
+    # UNION ALL BY NAME routed to DataFrame composition; identical text
+    # both engines (takes rel_q6's slot — q6/q7/q8 rotate back next round)
+    "rel_union_by_name",
     # --- r11 first-timers, seated for a second green round ---------------
     "rel_star_exclude_replace",
     "rel_qualify_unprojected",
@@ -124,7 +127,6 @@ _PRIORITY: list[str] = [
     "rel_q3_shipping_priority",
     "rel_q4_order_priority",
     "rel_q5_local_supplier_volume",
-    "rel_q6_forecast_revenue",
     "rel_regexp_extract",
     "fn_datediff",
     "fn_array_suite2",

@@ -1018,6 +1018,97 @@ def canonical_query(statement: str) -> str:
     )
 
 
+_UBN_RE = re.compile(r"(?i)(?<![\w.])UNION\s+(?P<all>ALL\s+)?BY\s+NAME(?!\w)")
+_UBN_TAIL_RE = re.compile(r"(?i)(?<![\w.])(?:ORDER\s+BY|LIMIT|OFFSET)(?!\w)")
+
+
+def _same_len_mask(s: str) -> str:
+    """Blank string literals without shifting character positions, so
+    depth-0 scan indices taken on the masked text slice the original."""
+    return re.sub(
+        r"'(?:[^']|'')*'", lambda m: "'" + "_" * (len(m.group(0)) - 2) + "'", s
+    )
+
+
+def has_union_by_name(statement: str) -> bool:
+    """True when a depth-0 ``UNION [ALL] BY NAME`` separator is present
+    (string literals ignored)."""
+    return bool(_depth0_positions(_same_len_mask(statement), _UBN_RE))
+
+
+def union_by_name_df(
+    spark: SparkSession, statement: str, rewrite=None
+) -> DataFrame:
+    """Execute ``q1 UNION [ALL] BY NAME q2 … [ORDER BY …] [LIMIT …]`` —
+    the dialect's name-aligned set union (columns match by NAME, not
+    position; a column absent from one side fills with NULL). Spark
+    exposes this semantic only through the DataFrame API
+    (``unionByName(allowMissingColumns=True)``), so the separator routes
+    to DataFrame composition instead of a SQL→SQL rewrite: each branch
+    runs through the normal query path (``rewrite`` is the per-branch
+    SQL hook, default :func:`dialect_sql`, so FROM-first / QUALIFY /
+    star sugar compose inside branches), branches fold
+    left-associatively with the plain (non-ALL) separator deduplicating
+    the accumulated result — the dialect's set semantics — and a
+    trailing ORDER BY / LIMIT / OFFSET applies over the folded union.
+
+    Loud-failure contract: a WITH prefix (CTEs scope across branches a
+    split cannot preserve), a plain set operator mixed at the same
+    level, and a BY NAME inside a subquery are all rejected with a named
+    error rather than mis-folded."""
+    rewrite = rewrite or dialect_sql
+    masked = _same_len_mask(statement)
+    hits = _depth0_positions(masked, _UBN_RE)
+    if not hits:
+        raise WarehouseError("no depth-0 UNION BY NAME in statement")
+    if _WITH_HEAD_RE.match(statement):
+        raise WarehouseError(
+            "WITH … UNION BY NAME is unsupported — move the CTE into each "
+            "branch or wrap the compound query in a subquery"
+        )
+    plain = [
+        m
+        for m in _depth0_positions(masked, _SETOP_RE)
+        if not any(h.start() <= m.start() < h.end() for h in hits)
+        and masked[: m.start()].rstrip()[-1:] != "*"
+    ]
+    if plain:
+        raise WarehouseError(
+            "mixing UNION BY NAME with a plain set operator at one level "
+            "is ambiguous — parenthesize the plain set operation"
+        )
+    branches, start = [], 0
+    for h in hits:
+        branches.append(statement[start : h.start()])
+        start = h.end()
+    last = statement[start:]
+    tails = _depth0_positions(_same_len_mask(last), _UBN_TAIL_RE)
+    cut = tails[0].start() if tails else len(last)
+    branches.append(last[:cut])
+    tail = last[cut:].strip()
+
+    def run(branch: str) -> DataFrame:
+        b = branch.strip()
+        while b.startswith("("):
+            inside, rest = _balanced_paren_group(b)
+            if rest.strip():
+                break
+            b = inside.strip()
+        if not b:
+            raise WarehouseError("empty UNION BY NAME branch")
+        return spark.sql(rewrite(b))
+
+    df = run(branches[0])
+    for h, btxt in zip(hits, branches[1:]):
+        df = df.unionByName(run(btxt), allowMissingColumns=True)
+        if not h.group("all"):
+            df = df.dropDuplicates()
+    if tail:
+        df.createOrReplaceTempView("_lh_ubn")
+        df = spark.sql(f"SELECT * FROM _lh_ubn {tail}")
+    return df
+
+
 def dialect_sql(statement: str) -> str:
     """All dialect rewrites (star sugar + ASOF JOIN + QUALIFY, the joins
     at every subquery depth) for plain spark.sql callers — the same chain
@@ -1099,6 +1190,8 @@ class LakehouseSQL:
             s = canonical_query(s)
             head = s.split(None, 1)[0].upper()
         if head in ("SELECT", "WITH", "VALUES", "TABLE"):
+            if head != "VALUES" and has_union_by_name(s):
+                return union_by_name_df(self.spark, s, rewrite=self._rewrite_query)
             fast = self._metadata_count(s) if head == "SELECT" else None
             if fast is not None:
                 return fast

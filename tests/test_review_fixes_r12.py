@@ -658,3 +658,45 @@ def test_from_first_in_ddl_bodies(lake):
         ("a", 11),
         ("b", 5),
     ]
+
+
+# -------------------------------------- 11. UNION BY NAME (Q9)
+
+
+def test_union_by_name_alignment_and_null_fill(lake):
+    lake.sql("CREATE TABLE polaris.db.ubna (id INT, nm STRING) USING ICEBERG")
+    lake.sql("INSERT INTO db.ubna VALUES (1, 'x'), (2, 'y')")
+    lake.sql("CREATE TABLE polaris.db.ubnb (nm STRING, id INT) USING ICEBERG")
+    lake.sql("INSERT INTO db.ubnb VALUES ('y', 2), ('z', 3)")
+    # opposite column order aligns by NAME; ALL keeps the duplicate
+    df = lake.sql(
+        "SELECT id, nm FROM db.ubna UNION ALL BY NAME "
+        "SELECT nm, id FROM db.ubnb ORDER BY id, nm"
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        (1, "x"), (2, "y"), (2, "y"), (3, "z"),
+    ]
+    # plain separator dedups; missing column NULL-fills
+    df2 = lake.sql(
+        "SELECT id, nm FROM db.ubna UNION BY NAME "
+        "SELECT id FROM db.ubnb ORDER BY id, nm NULLS FIRST"
+    )
+    assert [tuple(r) for r in df2.collect()] == [
+        (1, "x"), (2, None), (2, "y"), (3, None),
+    ]
+    # FROM-first branches compose
+    assert lake.sql("FROM db.ubna UNION ALL BY NAME FROM db.ubna").count() == 4
+
+
+def test_union_by_name_guards():
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import (
+        has_union_by_name,
+        union_by_name_df,
+    )
+
+    assert not has_union_by_name("SELECT 'UNION BY NAME' AS s FROM a")
+    assert not has_union_by_name("SELECT x FROM (SELECT 1 UNION BY NAME SELECT 2) q")
+    with pytest.raises(WarehouseError, match="WITH"):
+        union_by_name_df(None, "WITH c AS (SELECT 1) SELECT * FROM c UNION BY NAME SELECT 2")
+    with pytest.raises(WarehouseError, match="plain set operator"):
+        union_by_name_df(None, "SELECT 1 UNION BY NAME SELECT 2 UNION SELECT 3")
