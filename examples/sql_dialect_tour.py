@@ -21,7 +21,8 @@ running the identical clause text natively:
                              (rel_from_first; composes with every other
                              clause above, and as an INSERT source)
  10. UNION [ALL] BY NAME     name-aligned set union, NULL-filling absent
-                             columns (rel_union_by_name)
+                             columns (rel_union_by_name); also INSERT
+                             INTO t BY NAME <query> for name-aligned DML
 
 The keywords are contextually reserved exactly as in DuckDB — the full
 contract is in sql_frontend.py's module docstring.

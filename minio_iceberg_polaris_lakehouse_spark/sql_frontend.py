@@ -1904,6 +1904,35 @@ class LakehouseSQL:
         tab.append(named, branch=self._stage_branch(tab))
         return self._empty()
 
+    def _insert_by_name(self, m: re.Match) -> DataFrame:
+        """INSERT INTO t BY NAME <query> — the dialect's name-aligned
+        insert: the source query's OWN output names pick the target
+        columns (any order, any subset); omitted columns fill with their
+        declared DEFAULT (Iceberg v3 write-defaults) or NULL. Sugar over
+        column-list INSERT with the list read from the source schema."""
+        body = m.group(2).strip()
+        if not re.match(r"(?is)^(SELECT|WITH|FROM)\b", body):
+            raise WarehouseError(
+                f"INSERT BY NAME expects a query body, got: {body[:40]!r}"
+            )
+        src = self.spark.sql(self._rewrite_query(body))
+        tab = self._dml_table(m.group(1))
+        schema = tab.schema()
+        unknown = [c for c in src.columns if c not in schema.fieldNames()]
+        if unknown:
+            raise WarehouseError(
+                f"INSERT BY NAME source names unknown columns: {unknown}"
+            )
+        if len(set(src.columns)) != len(src.columns):
+            raise WarehouseError("INSERT BY NAME source repeats a column")
+        from pyspark.sql import functions as F
+
+        named = src.select(
+            *[F.col(c).cast(schema[c].dataType).alias(c) for c in src.columns]
+        )
+        tab.append(named, branch=self._stage_branch(tab))
+        return self._empty()
+
     def _insert_values(self, m: re.Match) -> DataFrame:
         values_sql = m.group(2)
         # Spark's own parser handles the literal rows (CAST literals,
@@ -3432,6 +3461,7 @@ class LakehouseSQL:
             rf"INSERT\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})\s*\(([^)]+)\)\s*(.+)",
             _insert_named,
         ),
+        (rf"INSERT\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})\s+BY\s+NAME\s+(.*)", _insert_by_name),
         (rf"INSERT\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})\s+VALUES\s+(.*)", _insert_values),
         (rf"INSERT\s+INTO\s+((?:{_IDENT}\.)*{_IDENT})\s+(SELECT\s+.*|WITH\s+.*|FROM\s+.*)", _insert_select),
         (

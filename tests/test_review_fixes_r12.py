@@ -700,3 +700,25 @@ def test_union_by_name_guards():
         union_by_name_df(None, "WITH c AS (SELECT 1) SELECT * FROM c UNION BY NAME SELECT 2")
     with pytest.raises(WarehouseError, match="plain set operator"):
         union_by_name_df(None, "SELECT 1 UNION BY NAME SELECT 2 UNION SELECT 3")
+
+
+def test_insert_by_name(lake):
+    """INSERT INTO t BY NAME <query> — source output names pick target
+    columns in any order/subset; omitted columns fill NULL/DEFAULT."""
+    lake.sql(
+        "CREATE TABLE polaris.db.ibn (k STRING, v INT, note STRING) USING ICEBERG"
+    )
+    lake.sql(
+        "INSERT INTO db.ibn BY NAME SELECT 7 AS v, 'a' AS k"
+    )
+    assert [tuple(r) for r in lake.sql("FROM db.ibn").collect()] == [("a", 7, None)]
+    # FROM-first body + reordered subset again
+    lake.sql("CREATE TABLE polaris.db.ibnsrc (note STRING, k STRING) USING ICEBERG")
+    lake.sql("INSERT INTO db.ibnsrc VALUES ('n1', 'b')")
+    lake.sql("INSERT INTO db.ibn BY NAME FROM db.ibnsrc SELECT note, k")
+    rows = sorted(tuple(r) for r in lake.sql("FROM db.ibn").collect())
+    assert rows == [("a", 7, None), ("b", None, "n1")]
+    with pytest.raises(WarehouseError, match="unknown columns"):
+        lake.sql("INSERT INTO db.ibn BY NAME SELECT 1 AS nope")
+    with pytest.raises(WarehouseError, match="query body"):
+        lake.sql("INSERT INTO db.ibn BY NAME VALUES (1)")
