@@ -2599,6 +2599,59 @@ class LakehouseSQL:
         tab.append(src)
         return self._empty()
 
+    def _create_or_replace_table_as_select(self, m: re.Match) -> DataFrame:
+        """CREATE OR REPLACE TABLE t AS <query> (RTAS). When the target
+        exists with the SAME schema (names + types), this is a single
+        atomic overwrite commit — table identity and history survive,
+        like Iceberg's REPLACE TABLE. On a schema CHANGE the result is
+        staged to a scratch parquet dir before the drop+create swap, so
+        a self-referencing replace (`… AS SELECT … FROM t`) never reads
+        files the drop just deleted."""
+        import shutil
+        import tempfile
+
+        if self._wap_branch:
+            raise WarehouseError(
+                "CREATE OR REPLACE TABLE cannot stage on a WAP branch"
+            )
+        name, query = m.group(1), m.group(2)
+        ns, t = self._resolve_table_name(name)
+        src = self.spark.sql(self._rewrite_query(query))
+        tab = self.wh.table(ns, t)
+        if tab.exists():
+            existing = [(f.name, f.dataType) for f in tab.schema().fields]
+            new = [(f.name, f.dataType) for f in src.schema.fields]
+            if existing == new:
+                tab.overwrite(src)
+                return self._empty()
+            stage = tempfile.mkdtemp(prefix="lh_rtas_")
+            try:
+                src.write.mode("overwrite").parquet(stage)
+                staged = self.spark.read.schema(src.schema).parquet(stage)
+                self.wh.drop_table(ns, t)
+                tab = self.wh.create_table(ns, t, src.schema)
+                tab.append(staged)
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+            return self._empty()
+        tab = self.wh.create_table(ns, t, src.schema)
+        tab.append(src)
+        return self._empty()
+
+    def _create_or_replace_table(self, m: re.Match) -> DataFrame:
+        """CREATE OR REPLACE TABLE t (cols …) — drop any existing table,
+        then the plain CREATE path (schema, PARTITIONED BY,
+        TBLPROPERTIES all as in CREATE TABLE)."""
+        rest = m.group(1)
+        name_m = re.match(rf"\s*((?:{_IDENT}\.)*{_IDENT})\s*\(", rest)
+        if not name_m:
+            raise WarehouseError(f"cannot parse CREATE OR REPLACE TABLE: {rest[:80]}")
+        ns, t = self._resolve_table_name(name_m.group(1))
+        if self.wh.table(ns, t).exists():
+            self.wh.drop_table(ns, t)
+        fake = re.match(r"(?s)()(.*)", rest)
+        return self._create_table(fake)
+
     def _merge_into(self, m: re.Match) -> DataFrame:
         """MERGE INTO t [t_alias] USING src [s_alias] ON a.k = b.k
         WHEN MATCHED [AND <cond>] THEN UPDATE SET *
@@ -3450,6 +3503,11 @@ class LakehouseSQL:
             rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?((?:{_IDENT}\.)*{_IDENT})\s+AS\s+(SELECT\s+.*|WITH\s+.*|FROM\s+.*)",
             _create_table_as_select,
         ),
+        (
+            rf"CREATE\s+OR\s+REPLACE\s+TABLE\s+((?:{_IDENT}\.)*{_IDENT})\s+AS\s+(SELECT\s+.*|WITH\s+.*|FROM\s+.*)",
+            _create_or_replace_table_as_select,
+        ),
+        (r"CREATE\s+OR\s+REPLACE\s+TABLE\s+(.*)", _create_or_replace_table),
         (r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(.*)", _create_table),
         (
             rf"UPDATE\s+((?:{_IDENT}\.)*{_IDENT})\s+SET\s+(.*)",

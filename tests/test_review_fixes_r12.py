@@ -722,3 +722,25 @@ def test_insert_by_name(lake):
         lake.sql("INSERT INTO db.ibn BY NAME SELECT 1 AS nope")
     with pytest.raises(WarehouseError, match="query body"):
         lake.sql("INSERT INTO db.ibn BY NAME VALUES (1)")
+
+
+def test_create_or_replace_table(lake):
+    # plain: replace drops + recreates with the new schema
+    lake.sql("CREATE OR REPLACE TABLE polaris.db.cor (k STRING) USING ICEBERG")
+    lake.sql("INSERT INTO db.cor VALUES ('a')")
+    lake.sql("CREATE OR REPLACE TABLE polaris.db.cor (k STRING, v INT) USING ICEBERG")
+    assert lake.sql("FROM db.cor").count() == 0
+    assert lake.sql("FROM db.cor").columns == ["k", "v"]
+    # RTAS same schema: atomic overwrite, history survives
+    lake.sql("INSERT INTO db.cor VALUES ('a', 1), ('b', 2)")
+    lake.sql(
+        "CREATE OR REPLACE TABLE db.cor AS SELECT k, v FROM db.cor WHERE v > 1"
+    )
+    assert [tuple(r) for r in lake.sql("FROM db.cor").collect()] == [("b", 2)]
+    assert lake.sql("SELECT count(*) AS n FROM db.cor.snapshots").collect()[0][0] >= 2
+    # RTAS schema change, self-referencing: staged before the swap
+    lake.sql(
+        "CREATE OR REPLACE TABLE db.cor AS "
+        "FROM db.cor SELECT k, CAST(v AS DOUBLE) AS vd, 'x' AS tag"
+    )
+    assert [tuple(r) for r in lake.sql("FROM db.cor").collect()] == [("b", 2.0, "x")]
