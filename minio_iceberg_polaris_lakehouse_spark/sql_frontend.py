@@ -1911,6 +1911,13 @@ class LakehouseSQL:
         declared DEFAULT (Iceberg v3 write-defaults) or NULL. Sugar over
         column-list INSERT with the list read from the source schema."""
         body = m.group(2).strip()
+        # the dialect's documented form parenthesizes the query:
+        # INSERT INTO t BY NAME (SELECT …)
+        while body.startswith("("):
+            inside, rest = _balanced_paren_group(body)
+            if rest.strip():
+                break
+            body = inside.strip()
         if not re.match(r"(?is)^(SELECT|WITH|FROM)\b", body):
             raise WarehouseError(
                 f"INSERT BY NAME expects a query body, got: {body[:40]!r}"

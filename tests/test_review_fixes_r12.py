@@ -709,8 +709,8 @@ def test_insert_by_name(lake):
         "CREATE TABLE polaris.db.ibn (k STRING, v INT, note STRING) USING ICEBERG"
     )
     lake.sql(
-        "INSERT INTO db.ibn BY NAME SELECT 7 AS v, 'a' AS k"
-    )
+        "INSERT INTO db.ibn BY NAME (SELECT 7 AS v, 'a' AS k)"
+    )  # the dialect's documented parenthesized form
     assert [tuple(r) for r in lake.sql("FROM db.ibn").collect()] == [("a", 7, None)]
     # FROM-first body + reordered subset again
     lake.sql("CREATE TABLE polaris.db.ibnsrc (note STRING, k STRING) USING ICEBERG")
