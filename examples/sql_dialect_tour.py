@@ -23,6 +23,9 @@ running the identical clause text natively:
  10. UNION [ALL] BY NAME     name-aligned set union, NULL-filling absent
                              columns (rel_union_by_name); also INSERT
                              INTO t BY NAME <query> for name-aligned DML
+ 11. PIVOT / UNPIVOT         standalone statement forms with
+                             auto-detected pivot values
+                             (rel_pivot_statement)
 
 The keywords are contextually reserved exactly as in DuckDB — the full
 contract is in sql_frontend.py's module docstring.
@@ -167,6 +170,12 @@ def main() -> None:
         "UNION ALL BY NAME "
         "SELECT rep, region FROM shop.sales WHERE amt < 50 "
         "ORDER BY region, rep"
+    ).show()
+
+    print("== 11. PIVOT: reps-per-region counts spread into columns ==")
+    lake.sql(
+        "PIVOT shop.sales ON region USING COUNT(*) AS reps "
+        "GROUP BY rep ORDER BY rep LIMIT 4"
     ).show()
     print("dialect tour complete")
 

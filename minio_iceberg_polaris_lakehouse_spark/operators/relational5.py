@@ -540,3 +540,30 @@ def rel_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union_by_name_df(
         spark, _UBN_TEXT.format(orders="_ubn_orders", region="_ubn_region")
     )
+
+
+_PVS_TEXT = """
+    PIVOT {orders} ON o_orderpriority USING COUNT(*) AS n
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "rel_pivot_statement",
+    oracle=_PVS_TEXT.format(orders="orders"),
+)
+def rel_pivot_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dialect's standalone PIVOT statement — order-priority counts
+    spread into one column per priority, one row per order status.
+    sql_frontend routes the statement head to groupBy().pivot().agg()
+    DataFrame composition with two empirically-pinned parity shims:
+    COUNT cells with no input read 0 (Spark's pivot yields NULL), and
+    the single aliased aggregate suffixes `_n` onto each value column
+    (Spark drops single-agg aliases). The oracle is the IDENTICAL text
+    DuckDB executes natively. Plan: one partial agg + exchange on the
+    group key — pivot columns are a bounded value domain (5 priorities),
+    so width is fixed regardless of fact size."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import pivot_statement_df
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_pvs_orders")
+    return pivot_statement_df(spark, _PVS_TEXT.format(orders="_pvs_orders"))

@@ -1109,6 +1109,197 @@ def union_by_name_df(
     return df
 
 
+_PIVOT_CLAUSE_RE = re.compile(
+    r"(?i)(?<![\w.])(?:GROUP\s+BY|ORDER\s+BY|LIMIT|OFFSET)(?!\w)"
+)
+_SQL_STR_RE = re.compile(r"^'(?P<s>(?:[^']|'')*)'$")
+
+
+def _pivot_literal(tok: str):
+    """A SQL literal from an IN value list → the Python value Spark's
+    ``pivot(values=…)`` expects."""
+    tok = tok.strip()
+    m = _SQL_STR_RE.match(tok)
+    if m:
+        return m.group("s").replace("''", "'")
+    try:
+        return int(tok)
+    except ValueError:
+        try:
+            return float(tok)
+        except ValueError:
+            raise WarehouseError(f"unsupported PIVOT IN literal: {tok!r}")
+
+
+def _statement_dataset(spark, text: str, rewrite) -> tuple[DataFrame, str]:
+    """The ⟨dataset⟩ head of a PIVOT/UNPIVOT statement: a (possibly
+    qualified) table name or a parenthesized subquery. Returns the
+    DataFrame and the remaining statement text."""
+    text = text.lstrip()
+    if text.startswith("("):
+        inside, rest = _balanced_paren_group(text)
+        inside = inside.strip()
+        ih = inside.split(None, 1)[0].upper() if inside else ""
+        if ih == "PIVOT":  # nested statement forms compose
+            return pivot_statement_df(spark, inside, rewrite), rest
+        if ih == "UNPIVOT":
+            return unpivot_statement_df(spark, inside, rewrite), rest
+        return spark.sql(rewrite(inside)), rest
+    nm = re.match(rf"((?:{_IDENT}\.)*{_IDENT})", text)
+    if not nm:
+        raise WarehouseError(f"cannot parse PIVOT/UNPIVOT dataset: {text[:60]!r}")
+    return spark.sql(rewrite(f"SELECT * FROM {nm.group(1)}")), text[nm.end() :]
+
+
+def _apply_tail(spark, df: DataFrame, tail: str) -> DataFrame:
+    if tail.strip():
+        df.createOrReplaceTempView("_lh_pv")
+        df = spark.sql(f"SELECT * FROM _lh_pv {tail.strip()}")
+    return df
+
+
+def pivot_statement_df(spark: SparkSession, statement: str, rewrite=None) -> DataFrame:
+    """The dialect's standalone PIVOT statement::
+
+        PIVOT ⟨dataset⟩ ON col [IN (v, …)] [USING agg(x) [AS a], …]
+            [GROUP BY rows] [ORDER BY …] [LIMIT …]
+
+    → ``groupBy(rows).pivot(col[, values]).agg(…)``. Dialect parity
+    shims on top of Spark's pivot (both pinned empirically against the
+    oracle engine): COUNT cells with no input rows read 0 (Spark yields
+    NULL — coalesced per count-aggregate column); a SINGLE aliased
+    aggregate still suffixes ``_alias`` onto each value column (Spark
+    drops the alias for single-agg pivots; multi-agg naming
+    ``{value}_{alias}`` already agrees). Omitted USING = COUNT(*)
+    (unaliased); omitted GROUP BY = every remaining source column.
+    Multi-agg without aliases and multiple ON columns are rejected
+    loudly (their default column names are engine-specific)."""
+    from pyspark.sql import functions as F
+
+    rewrite = rewrite or dialect_sql
+    s = _same_len_mask(statement)
+    m = re.match(r"(?is)^\s*PIVOT(?![\w.])", s)
+    if not m:
+        raise WarehouseError("not a PIVOT statement")
+    src, rest = _statement_dataset(spark, statement[m.end() :], rewrite)
+    onm = re.match(r"(?is)^\s*ON\s+", rest)
+    if not onm:
+        raise WarehouseError("PIVOT requires an ON clause")
+    rest = rest[onm.end() :]
+    cm = re.match(rf"({_IDENT})", rest)
+    if not cm:
+        raise WarehouseError(f"cannot parse PIVOT ON column: {rest[:40]!r}")
+    on_col, rest = cm.group(1), rest[cm.end() :]
+    values = None
+    inm = re.match(r"(?is)^\s*IN\s*(?=\()", rest)
+    if inm:
+        vals_text, rest = _balanced_paren_group(rest[inm.end() :])
+        values = [_pivot_literal(v) for v in _split_top_level(vals_text)]
+    if re.match(r"(?is)^\s*,", rest):
+        raise WarehouseError("PIVOT supports a single ON column — pre-concat")
+    cuts = _depth0_positions(_same_len_mask(rest), _PIVOT_CLAUSE_RE)
+    cut = cuts[0].start() if cuts else len(rest)
+    head, tail = rest[:cut], rest[cut:]
+    um = re.match(r"(?is)^\s*USING\s+(?P<aggs>.+)$", head) if head.strip() else None
+    aggs: list[tuple[str, str | None]] = []
+    if um and um.group("aggs").strip():
+        for item in _split_top_level(um.group("aggs")):
+            am = re.match(
+                r"(?is)^(?P<body>.+?)(?:\s+AS\s+(?P<alias>[A-Za-z_]\w*))?\s*$",
+                item.strip(),
+            )
+            aggs.append((am.group("body").strip(), am.group("alias")))
+    elif head.strip():
+        raise WarehouseError(f"unparsed PIVOT clause: {head.strip()[:40]!r}")
+    if not aggs:
+        aggs = [("COUNT(*)", None)]
+    if len(aggs) > 1 and any(a is None for _, a in aggs):
+        raise WarehouseError(
+            "multi-aggregate PIVOT requires AS aliases (default names are "
+            "engine-specific)"
+        )
+    gbm = re.match(r"(?is)^\s*GROUP\s+BY\s+(?P<rows>.+)$", tail)
+    if gbm:
+        inner = gbm.group("rows")
+        cuts2 = _depth0_positions(_same_len_mask(inner), _PIVOT_CLAUSE_RE)
+        cut2 = cuts2[0].start() if cuts2 else len(inner)
+        group = [c.strip() for c in _split_top_level(inner[:cut2])]
+        tail = inner[cut2:]
+    else:
+        used = {
+            t.group(0)
+            for body, _a in aggs
+            for t in re.finditer(rf"{_IDENT}", body)
+        }
+        group = [c for c in src.columns if c != on_col and c not in used]
+    gp = src.groupBy(*group).pivot(on_col, values)
+    if len(aggs) == 1:
+        out = gp.agg(F.expr(aggs[0][0]))
+    else:
+        out = gp.agg(*[F.expr(b).alias(a) for b, a in aggs])
+    pivot_cols = [c for c in out.columns if c not in group]
+    is_count = {a or "": re.match(r"(?is)^count\s*\(", b) is not None for b, a in aggs}
+    sel = [out[c] for c in group]
+    for c in pivot_cols:
+        alias = c
+        count_here = False
+        if len(aggs) == 1:
+            count_here = next(iter(is_count.values()))
+            if aggs[0][1]:  # single aliased agg: dialect suffixes _alias
+                alias = f"{c}_{aggs[0][1]}"
+        else:
+            suffix = c.rsplit("_", 1)[-1]
+            count_here = is_count.get(suffix, False)
+        expr = F.coalesce(out[c], F.lit(0)) if count_here else out[c]
+        sel.append(expr.alias(alias))
+    return _apply_tail(spark, out.select(*sel), tail)
+
+
+def unpivot_statement_df(
+    spark: SparkSession, statement: str, rewrite=None
+) -> DataFrame:
+    """The dialect's standalone UNPIVOT statement::
+
+        UNPIVOT ⟨dataset⟩ ON c1, c2, … | COLUMNS(* EXCLUDE (…))
+            INTO NAME n VALUE v [ORDER BY …] [LIMIT …]
+
+    → ``DataFrame.unpivot(ids, ons, n, v)`` with NULL value rows
+    dropped (the dialect excludes them; Spark keeps them)."""
+    rewrite = rewrite or dialect_sql
+    m = re.match(r"(?is)^\s*UNPIVOT(?![\w.])", statement)
+    if not m:
+        raise WarehouseError("not an UNPIVOT statement")
+    src, rest = _statement_dataset(spark, statement[m.end() :], rewrite)
+    onm = re.match(r"(?is)^\s*ON\s+", rest)
+    if not onm:
+        raise WarehouseError("UNPIVOT requires an ON clause")
+    rest = rest[onm.end() :]
+    intom = re.search(
+        r"(?is)(?<![\w.])INTO\s+NAME\s+(?P<n>[A-Za-z_]\w*)\s+VALUE\s+"
+        r"(?P<v>[A-Za-z_]\w*)",
+        rest,
+    )
+    if not intom:
+        raise WarehouseError("UNPIVOT requires INTO NAME <n> VALUE <v>")
+    cols_text, tail = rest[: intom.start()], rest[intom.end() :]
+    colm = re.match(r"(?is)^\s*COLUMNS\s*\(\s*\*\s*EXCLUDE\s*(?=\()", cols_text)
+    if colm:
+        exc_text, after = _balanced_paren_group(cols_text[colm.end() :])
+        if after.strip().rstrip(")").strip():
+            raise WarehouseError(f"unparsed UNPIVOT ON tail: {after[:40]!r}")
+        excluded = {c.strip() for c in _split_top_level(exc_text)}
+        ons = [c for c in src.columns if c not in excluded]
+    else:
+        ons = [c.strip() for c in _split_top_level(cols_text) if c.strip()]
+        unknown = [c for c in ons if c not in src.columns]
+        if unknown:
+            raise WarehouseError(f"UNPIVOT ON names unknown columns: {unknown}")
+    ids = [c for c in src.columns if c not in ons]
+    name, value = intom.group("n"), intom.group("v")
+    out = src.unpivot(ids, ons, name, value).filter(f"{value} IS NOT NULL")
+    return _apply_tail(spark, out, tail)
+
+
 def dialect_sql(statement: str) -> str:
     """All dialect rewrites (star sugar + ASOF JOIN + QUALIFY, the joins
     at every subquery depth) for plain spark.sql callers — the same chain
@@ -1189,6 +1380,10 @@ class LakehouseSQL:
         if head == "FROM":
             s = canonical_query(s)
             head = s.split(None, 1)[0].upper()
+        if head == "PIVOT":
+            return pivot_statement_df(self.spark, s, rewrite=self._rewrite_query)
+        if head == "UNPIVOT":
+            return unpivot_statement_df(self.spark, s, rewrite=self._rewrite_query)
         if head in ("SELECT", "WITH", "VALUES", "TABLE"):
             if head != "VALUES" and has_union_by_name(s):
                 return union_by_name_df(self.spark, s, rewrite=self._rewrite_query)

@@ -18,9 +18,10 @@ def test_queries_and_oracles_consistent():
     assert len(qs) >= 40
     assert set(oracles).issubset(set(qs))
     for name, sql in oracles.items():
-        # FROM-first is valid DuckDB (rel_from_first's identical-text golden)
+        # FROM-first and the PIVOT statement are valid DuckDB (the
+        # rel_from_first / rel_pivot_statement identical-text goldens)
         assert isinstance(sql, str) and sql.strip().upper().startswith(
-            ("SELECT", "WITH", "FROM")
+            ("SELECT", "WITH", "FROM", "PIVOT")
         ), name
 
 

@@ -744,3 +744,53 @@ def test_create_or_replace_table(lake):
         "FROM db.cor SELECT k, CAST(v AS DOUBLE) AS vd, 'x' AS tag"
     )
     assert [tuple(r) for r in lake.sql("FROM db.cor").collect()] == [("b", 2.0, "x")]
+
+
+# -------------------------------------- 12. PIVOT / UNPIVOT statements
+
+
+def test_pivot_statement_forms(lake):
+    lake.sql("CREATE TABLE polaris.db.pv (st STRING, pri STRING, amt DOUBLE) USING ICEBERG")
+    lake.sql(
+        "INSERT INTO db.pv VALUES ('O','hi',10.5), ('O','lo',4.0), "
+        "('F','hi',2.0), ('F','hi',3.0)"
+    )
+    # aliased count: {value}_n names, empty cells read 0 (not NULL)
+    df = lake.sql("PIVOT db.pv ON pri USING COUNT(*) AS n GROUP BY st ORDER BY st")
+    assert df.columns == ["st", "hi_n", "lo_n"]
+    assert [tuple(r) for r in df.collect()] == [("F", 2, 0), ("O", 1, 1)]
+    # multi-agg: {value}_{alias}; sum cells stay NULL (dialect parity)
+    df2 = lake.sql(
+        "PIVOT db.pv ON pri USING SUM(amt) AS s, COUNT(*) AS n "
+        "GROUP BY st ORDER BY st"
+    )
+    assert df2.columns == ["st", "hi_s", "hi_n", "lo_s", "lo_n"]
+    assert [tuple(r) for r in df2.collect()] == [
+        ("F", 5.0, 2, None, 0), ("O", 10.5, 1, 4.0, 1),
+    ]
+    # IN restriction + implicit GROUP BY (remaining columns)
+    df3 = lake.sql("PIVOT db.pv ON pri IN ('hi') USING SUM(amt) AS s")
+    assert sorted(df3.columns) == ["hi_s", "st"]
+    # no USING defaults to unaliased COUNT(*)
+    df4 = lake.sql("PIVOT db.pv ON pri GROUP BY st ORDER BY st")
+    assert df4.columns == ["st", "hi", "lo"]
+    with pytest.raises(WarehouseError, match="AS aliases"):
+        lake.sql("PIVOT db.pv ON pri USING SUM(amt), COUNT(*) GROUP BY st")
+    with pytest.raises(WarehouseError, match="single ON column"):
+        lake.sql("PIVOT db.pv ON pri, st USING COUNT(*) AS n")
+
+
+def test_unpivot_statement_forms(lake):
+    lake.sql("CREATE TABLE polaris.db.upv (id INT, a INT, b INT) USING ICEBERG")
+    lake.sql("INSERT INTO db.upv VALUES (1, 10, NULL), (2, NULL, 30)")
+    # NULL value rows drop (dialect parity; Spark's unpivot keeps them)
+    df = lake.sql("UNPIVOT db.upv ON a, b INTO NAME k VALUE v ORDER BY id")
+    assert df.columns == ["id", "k", "v"]
+    assert [tuple(r) for r in df.collect()] == [(1, "a", 10), (2, "b", 30)]
+    # COLUMNS(* EXCLUDE (…)) sugar
+    df2 = lake.sql(
+        "UNPIVOT db.upv ON COLUMNS(* EXCLUDE (id)) INTO NAME k VALUE v ORDER BY id"
+    )
+    assert [tuple(r) for r in df2.collect()] == [(1, "a", 10), (2, "b", 30)]
+    with pytest.raises(WarehouseError, match="unknown columns"):
+        lake.sql("UNPIVOT db.upv ON nope INTO NAME k VALUE v")
