@@ -403,3 +403,49 @@ def test_simhash_hamming_plan_shape(spark, sf_dir):
     s = plan_string(df)
     assert "collect_list" not in s, s
     assert_no_cartesian(df)
+
+
+def test_distinct_on_plans_window_group_limit(spark, sf_dir):
+    """DISTINCT ON desugars into QUALIFY row_number() = 1, so Catalyst
+    must still plan WindowGroupLimit (partial per-partition top-1 before
+    the exchange) — the keep-first shape survives the extra desugar
+    hop; helper columns never reach the output."""
+    df = q("rel_distinct_on", spark, sf_dir)
+    s = plan_string(df)
+    assert count_nodes(df, "WindowGroupLimit") >= 1, s
+    assert not [c for c in df.columns if c.startswith("_lh_")]
+    assert_no_cartesian(df)
+
+
+def test_from_first_pushdown_survives_desugar(spark, sf_dir):
+    """FROM-first is a pure clause reordering: the WHERE predicate must
+    still reach the parquet scan as a pushed filter, and only the
+    referenced columns are read."""
+    df = q("rel_from_first", spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf, pf
+    rs = read_schemas(df)[0]
+    assert "l_returnflag" in rs and "l_extendedprice" in rs
+    assert "l_comment" not in rs and "l_partkey" not in rs
+
+
+def test_union_by_name_no_extra_exchange(spark, sf_dir):
+    """UNION BY NAME folds two aggregated branches: each branch carries
+    its own partial-agg exchange and the union itself adds none — and
+    never a cartesian."""
+    df = q("rel_union_by_name", spark, sf_dir)
+    s = plan_string(df)
+    assert "Union" in s, s
+    assert_no_cartesian(df)
+
+
+def test_pivot_statement_single_aggregation(spark, sf_dir):
+    """The PIVOT statement plans as ONE aggregation pipeline over the
+    scan (pivot_first partial before the exchange on the group key) —
+    pivot width is the bounded ON-value domain, so no explode, no
+    cartesian, no per-value rescan of the fact table."""
+    df = q("rel_pivot_statement", spark, sf_dir)
+    s = plan_string(df)
+    assert "Generate" not in s, s
+    assert len(read_schemas(df)) == 1, "fact table scanned more than once"
+    assert_no_cartesian(df)
