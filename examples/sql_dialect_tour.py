@@ -26,6 +26,8 @@ running the identical clause text natively:
  11. PIVOT / UNPIVOT         standalone statement forms with
                              auto-detected pivot values
                              (rel_pivot_statement)
+ 12. COLUMNS('regex')        star expression: apply one expression to
+                             every matching column (rel_columns_regex)
 
 The keywords are contextually reserved exactly as in DuckDB — the full
 contract is in sql_frontend.py's module docstring.
@@ -177,6 +179,9 @@ def main() -> None:
         "PIVOT shop.sales ON region USING COUNT(*) AS reps "
         "GROUP BY rep ORDER BY rep LIMIT 4"
     ).show()
+
+    print("== 12. COLUMNS('regex'): one aggregate over every match ==")
+    lake.sql("SELECT max(COLUMNS('re.*')) FROM shop.sales").show()
     print("dialect tour complete")
 
 

@@ -567,3 +567,34 @@ def rel_pivot_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("_pvs_orders")
     return pivot_statement_df(spark, _PVS_TEXT.format(orders="_pvs_orders"))
+
+
+_COLX_TEXT = """
+    SELECT l_returnflag, min(COLUMNS('l_.*key')) FROM {lineitem}
+    GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register(
+    "rel_columns_regex",
+    oracle=_COLX_TEXT.format(lineitem="lineitem"),
+)
+def rel_columns_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dialect's COLUMNS('regex') star expression under function
+    application: min() of every key column (l_orderkey, l_partkey,
+    l_suppkey — unanchored regex search in schema order), per return
+    flag. sql_frontend expands the containing item once per matched
+    column, aliased to the bare column name — the dialect's naming,
+    pinned empirically. The oracle is the IDENTICAL text DuckDB executes
+    natively. Plan: expansion is pure text → the planned query is the
+    ordinary partial-agg + exchange of its hand-written spelling, and
+    column pruning reads only the 4 referenced columns."""
+    from minio_iceberg_polaris_lakehouse_spark.sql_frontend import expand_columns_sql
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_colx_lineitem")
+    return spark.sql(
+        expand_columns_sql(
+            _COLX_TEXT.format(lineitem="_colx_lineitem"),
+            lambda n: spark.table(n).columns,
+        )
+    )

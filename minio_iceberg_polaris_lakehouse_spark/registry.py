@@ -52,7 +52,7 @@ _PRIORITY: list[str] = [
     # Policy (r10 verdict #7, continued): veterans with >=3 green rounds
     # rest; the freed slots re-seat the STALEST alumni (oldest last driver
     # check first — this round reaches back to the r01 cohort) while every
-    # SS2/SS2.14 family keeps at least one in-window member. 31 of the 50
+    # SS2/SS2.14 family keeps at least one in-window member. 30 of the 50
     # seats are stale re-seats with last driver check r<=9. Every rested
     # veteran stays green in the uncapped local replica
     # (tests/test_oracle_parity.py runs the identical DuckDB comparison).
@@ -88,6 +88,9 @@ _PRIORITY: list[str] = [
     # standalone PIVOT statement with count-0/alias parity shims;
     # identical text both engines (takes rel_q4's slot)
     "rel_pivot_statement",
+    # COLUMNS('regex') star expression expanded against the FROM schema;
+    # identical text both engines (takes rel_q3's slot)
+    "rel_columns_regex",
     # --- r11 first-timers, seated for a second green round ---------------
     "rel_star_exclude_replace",
     "rel_qualify_unprojected",
@@ -127,7 +130,6 @@ _PRIORITY: list[str] = [
     "rel_q18_large_orders",
     "rel_q20_supplier_chain",
     "rel_q2_min_cost_supplier",
-    "rel_q3_shipping_priority",
     "rel_q5_local_supplier_volume",
     "rel_regexp_extract",
     "fn_datediff",

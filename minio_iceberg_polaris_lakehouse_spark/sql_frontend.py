@@ -1109,6 +1109,109 @@ def union_by_name_df(
     return df
 
 
+_COLUMNS_RE = re.compile(r"(?i)(?<![\w.])COLUMNS\s*(?=\()")
+
+
+def expand_columns_sql(statement: str, columns_of) -> str:
+    """The dialect's ``COLUMNS(…)`` star expression in the select list:
+    ``COLUMNS('regex')`` (unanchored search), ``COLUMNS(*)``, and
+    ``COLUMNS(* EXCLUDE (…))`` expand — in schema order — to one copy
+    of the CONTAINING item per matched column, each aliased to the bare
+    column name (the dialect's naming even under function application:
+    ``min(COLUMNS('l_.*'))`` yields columns named l_a, l_b, …).
+
+    Pure text expansion against the schema of the statement's single
+    depth-0 FROM table (``columns_of(name)`` resolves it); statements
+    whose FROM is a join/subquery, items with multiple COLUMNS, and
+    explicit aliases on a COLUMNS item are rejected loudly. No matching
+    column is an error, as in the dialect. Statements without a
+    COLUMNS( token pass through byte-identical."""
+    masked = _same_len_mask(statement)
+    if not _COLUMNS_RE.search(masked):
+        return statement
+    froms = _depth0_positions(masked, _FROM_RE)
+    if not froms:
+        raise WarehouseError("COLUMNS(…) requires a FROM clause")
+    after = statement[froms[0].end() :]
+    nm = re.match(rf"\s*((?:{_IDENT}\.)*{_IDENT})\s*", after)
+    rest_after = after[nm.end() :].lstrip() if nm else ""
+    if not nm or re.match(
+        r"(?i)^(?:JOIN|INNER|LEFT|RIGHT|FULL|CROSS|ASOF|,|LATERAL)", rest_after
+    ):
+        raise WarehouseError(
+            "COLUMNS(…) expands against a single named FROM table — "
+            "materialize joins/subqueries first"
+        )
+    cols = list(columns_of(nm.group(1)))
+    sel = _select_list_span(masked)
+    if sel is None:
+        raise WarehouseError("COLUMNS(…) belongs in a select list")
+    items_text = statement[sel[0] : sel[1]]
+    out_items: list[str] = []
+    expanded_any = False
+    for item in _split_top_level(items_text):
+        m = _COLUMNS_RE.search(_same_len_mask(item))
+        if not m:
+            out_items.append(item.strip())
+            continue
+        depth = item[: m.start()].count("(") - item[: m.start()].count(")")
+        if depth > 0 and re.search(
+            r"(?is)\(\s*SELECT(?![\w.])", _same_len_mask(item[: m.start()])
+        ):
+            raise WarehouseError(
+                "COLUMNS(…) inside a scalar subquery is unsupported"
+            )
+        expanded_any = True
+        arg, rest = _balanced_paren_group(item[m.end() :])
+        if _COLUMNS_RE.search(_same_len_mask(rest)) or _COLUMNS_RE.search(
+            _same_len_mask(item[: m.start()])
+        ):
+            raise WarehouseError("one COLUMNS(…) per select item")
+        if re.search(r"(?is)\s+AS\s+[A-Za-z_\"']", rest) or re.match(
+            r"(?is)^\s*[A-Za-z_]\w*\s*$", rest
+        ):
+            raise WarehouseError(
+                "COLUMNS(…) expands to many columns — an explicit alias "
+                "cannot name them"
+            )
+        arg = arg.strip()
+        if arg == "*":
+            matched = cols
+        else:
+            # EXCLUDE is the dialect spelling; EXCEPT arrives when the
+            # star-sugar rewrite already ran over the statement
+            em = re.match(r"(?is)^\*\s*(?:EXCLUDE|EXCEPT)\s*(?=\()", arg)
+            if em:
+                exc_text, exc_rest = _balanced_paren_group(arg[em.end() :])
+                if exc_rest.strip():
+                    raise WarehouseError(f"unparsed COLUMNS argument: {arg[:40]!r}")
+                excluded = {c.strip() for c in _split_top_level(exc_text)}
+                unknown = excluded - set(cols)
+                if unknown:
+                    raise WarehouseError(
+                        f"COLUMNS EXCLUDE names unknown columns: {sorted(unknown)}"
+                    )
+                matched = [c for c in cols if c not in excluded]
+            else:
+                lm = _SQL_STR_RE.match(arg)
+                if not lm:
+                    raise WarehouseError(
+                        f"unsupported COLUMNS argument: {arg[:40]!r}"
+                    )
+                pat = lm.group("s").replace("''", "'")
+                matched = [c for c in cols if re.search(pat, c)]
+                if not matched:
+                    raise WarehouseError(
+                        f"no columns match COLUMNS regex {pat!r}"
+                    )
+        head_txt = item[: m.start()]
+        for c in matched:
+            out_items.append(f"{head_txt}{c}{rest} AS {c}".strip())
+    if not expanded_any:  # COLUMNS only in subqueries: leave untouched
+        return statement
+    return statement[: sel[0]] + " " + ", ".join(out_items) + " " + statement[sel[1] :]
+
+
 _PIVOT_CLAUSE_RE = re.compile(
     r"(?i)(?<![\w.])(?:GROUP\s+BY|ORDER\s+BY|LIMIT|OFFSET)(?!\w)"
 )
@@ -1845,7 +1948,12 @@ class LakehouseSQL:
             return view
 
         out = pattern.sub(repl, s)
-        return re.sub(r"\x00L(\d+)\x00", lambda m: literals[int(m.group(1))], out)
+        out = re.sub(r"\x00L(\d+)\x00", lambda m: literals[int(m.group(1))], out)
+        # COLUMNS(…) expands AFTER table-name rewriting: the FROM name is
+        # now a registered temp view, so spark.table resolves its schema
+        if _COLUMNS_RE.search(_same_len_mask(out)):
+            out = expand_columns_sql(out, lambda n: self.spark.table(n).columns)
+        return out
 
     # --------------------------------------------------------- DDL handlers
     def _show_catalogs(self, m: re.Match) -> DataFrame:

@@ -794,3 +794,35 @@ def test_unpivot_statement_forms(lake):
     assert [tuple(r) for r in df2.collect()] == [(1, "a", 10), (2, "b", 30)]
     with pytest.raises(WarehouseError, match="unknown columns"):
         lake.sql("UNPIVOT db.upv ON nope INTO NAME k VALUE v")
+
+
+# -------------------------------------- 13. COLUMNS() star expression
+
+
+def test_columns_expansion_forms(lake):
+    lake.sql(
+        "CREATE TABLE polaris.db.cx (l_a INT, l_b DOUBLE, c_a STRING, c_b STRING) "
+        "USING ICEBERG"
+    )
+    lake.sql("INSERT INTO db.cx VALUES (1, 2.5, 'x', 'y'), (4, 0.5, 'p', 'q')")
+    # regex is an unanchored SEARCH, expansion in schema order
+    df = lake.sql("SELECT COLUMNS('a') FROM db.cx ORDER BY l_a")
+    assert df.columns == ["l_a", "c_a"]
+    # function application keeps the bare column names
+    df2 = lake.sql("SELECT min(COLUMNS('l_.*')) FROM db.cx")
+    assert df2.columns == ["l_a", "l_b"]
+    assert [tuple(r) for r in df2.collect()] == [(1, 0.5)]
+    # COLUMNS(* EXCLUDE (…)) and expression application
+    df3 = lake.sql("SELECT COLUMNS(* EXCLUDE (c_a, c_b)) FROM db.cx ORDER BY l_a")
+    assert df3.columns == ["l_a", "l_b"]
+    df4 = lake.sql("SELECT COLUMNS('l_.*') + 1 FROM db.cx ORDER BY l_a")
+    assert [tuple(r) for r in df4.collect()] == [(2, 3.5), (5, 1.5)]
+    # guards
+    with pytest.raises(WarehouseError, match="no columns match"):
+        lake.sql("SELECT COLUMNS('zzz') FROM db.cx")
+    with pytest.raises(WarehouseError, match="explicit alias"):
+        lake.sql("SELECT COLUMNS('a') AS x FROM db.cx")
+    # a column named `columns` keeps the identifier meaning
+    lake.sql("CREATE TABLE polaris.db.cxi (columns INT) USING ICEBERG")
+    lake.sql("INSERT INTO db.cxi VALUES (5)")
+    assert lake.sql("SELECT columns FROM db.cxi").collect()[0][0] == 5
