@@ -1109,6 +1109,21 @@ def union_by_name_df(
     return df
 
 
+_TRAILING_COMMA_RE = re.compile(
+    r",\s*(?=(?:FROM|WHERE|GROUP|HAVING|QUALIFY|WINDOW|ORDER|SORT|DISTRIBUTE"
+    r"|CLUSTER|LIMIT|OFFSET|UNION|INTERSECT|MINUS)(?![\w.])|$)",
+    re.IGNORECASE,
+)
+
+
+def _strip_trailing_commas_masked(s: str) -> str:
+    """The dialect tolerates a trailing comma before the next clause
+    (``SELECT a, b, FROM t``; ``GROUP BY a, b,`` at statement end) —
+    drop it. Safe because every keyword in the set is fully reserved in
+    clause position; string literals are already masked."""
+    return _TRAILING_COMMA_RE.sub(" ", s)
+
+
 _COLUMNS_RE = re.compile(r"(?i)(?<![\w.])COLUMNS\s*(?=\()")
 
 
@@ -1409,6 +1424,7 @@ def dialect_sql(statement: str) -> str:
     LakehouseSQL applies."""
 
     def chain(s: str) -> str:
+        s = _strip_trailing_commas_masked(s)
         s = _recurse_query_parens(s, _rewrite_from_first_masked)
         return _rewrite_dialect_joins_masked(_rewrite_star_sugar_masked(s))
 
@@ -1740,9 +1756,11 @@ class LakehouseSQL:
             return f"\x00L{len(literals) - 1}\x00"
 
         s = re.sub(r"'(?:[^']|'')*'", mask, s)
-        # FROM-first desugars to canonical SELECT-first form, then star
-        # sugar (EXCLUDE/REPLACE appear anywhere, incl. inside
-        # subqueries), then ASOF + QUALIFY at every subquery depth
+        # trailing-comma tolerance, then FROM-first desugars to canonical
+        # SELECT-first form, then star sugar (EXCLUDE/REPLACE appear
+        # anywhere, incl. inside subqueries), then ASOF + QUALIFY at
+        # every subquery depth
+        s = _strip_trailing_commas_masked(s)
         s = _recurse_query_parens(s, _rewrite_from_first_masked)
         s = _rewrite_star_sugar_masked(s)
         s = _rewrite_dialect_joins_masked(s)

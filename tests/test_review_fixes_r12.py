@@ -826,3 +826,21 @@ def test_columns_expansion_forms(lake):
     lake.sql("CREATE TABLE polaris.db.cxi (columns INT) USING ICEBERG")
     lake.sql("INSERT INTO db.cxi VALUES (5)")
     assert lake.sql("SELECT columns FROM db.cxi").collect()[0][0] == 5
+
+
+def test_trailing_comma_tolerance(lake):
+    """Dialect trailing commas: before FROM / any clause keyword / at
+    statement end; never inside function argument lists or strings."""
+    lake.sql("CREATE TABLE polaris.db.tc (a INT, b INT) USING ICEBERG")
+    lake.sql("INSERT INTO db.tc VALUES (1, 2)")
+    assert lake.sql("SELECT a, b, FROM db.tc").collect() == lake.sql(
+        "SELECT a, b FROM db.tc"
+    ).collect()
+    assert lake.sql("SELECT a, FROM db.tc WHERE b > 0").columns == ["a"]
+    assert lake.sql("SELECT a, b FROM db.tc GROUP BY a, b,").count() == 1
+    for s in [
+        "SELECT a, b FROM t",
+        "SELECT 'a, FROM x' AS s FROM t",
+        "SELECT f(a, b) FROM t",
+    ]:
+        assert dialect_sql(s) == s, s
