@@ -546,10 +546,19 @@ def rel_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       NOT EXISTS l3 R (supp <> l1.supp)      ⇔ min(R supp) = max(R supp)
     (l1's supplier is itself in each witnessed set, so the count-1/"some
     other" phrasings collapse to min/max equality). min/max are map-side
-    combinable — the per-order shuffle carries 4 ints per orderkey
+    combinable — the per-order shuffle carries 5 ints per orderkey
     instead of re-shuffling lineitem twice for semi+anti joins. Measured
     at 10× bench data: 1.66 s vs 3.88 s for the self-join form, scaling
-    ~2× per 10× data instead of ~4×; parity hash-verified at both SFs."""
+    ~2× per 10× data instead of ~4×; parity hash-verified at both SFs.
+
+    r12 (guide §2.4, remove shuffles outright): the l1 re-scan + re-join
+    of R-rows is gone. On a qualifying order (rmn = rmx, non-null) EVERY
+    R row belongs to supplier rmn, so the per-supplier wait count is just
+    SUM(n_r) grouped by rmn — the same per-order aggregate that decides
+    qualification also carries the count. One lineitem scan and ONE
+    lineitem-sized exchange total (was: two scans, two exchanges, one
+    extra shuffle join); plan pinned in plans/r12/, parity re-verified
+    (hash match) at sf0.001/0.01/0.1."""
     s = load_table(spark, sf_dir, "supplier")
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
@@ -561,21 +570,20 @@ def rel_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("mx"),
             F.min(rsup).alias("rmn"),
             F.max(rsup).alias("rmx"),
+            F.count(rsup).alias("n_r"),
         )
         .filter(
             (F.col("mn") != F.col("mx"))
             & F.col("rmn").isNotNull()
             & (F.col("rmn") == F.col("rmx"))
         )
-        .select("l_orderkey")
+        .select("l_orderkey", F.col("rmn").alias("l_suppkey"), "n_r")
     )
-    l1 = l.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
     return (
-        l1.join(per_order, "l_orderkey")
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_r").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(25)
     )

@@ -18,6 +18,7 @@ incl. the DuckDB oracle, do with nanosecond parquet).
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,8 +39,30 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Per-session relation cache: (applicationId, sf_dir, name) → DataFrame.
+# Caches ONLY the analyzed relation (file listing + footer schema — pure
+# metadata); every action on the returned frame still scans the parquet
+# bytes, so no result is ever reused across runs. Rationale (guide §1/§6):
+# `spark.read.parquet` costs a JVM round-trip + footer read (~70-90 ms
+# measured) PER CALL, and a 6-table query paid it six times per run —
+# ~45% of rel_q5's steady-state wall time was re-deriving an immutable
+# schema. This is the moral equivalent of registering the corpus once in
+# a catalog and calling `spark.table(name)` — which is exactly what the
+# reference does against its Iceberg catalog. Keyed by applicationId so
+# a restarted session can never see another session's JVM objects; the
+# corpus directories are read-only fixtures, so the cached file listing
+# cannot go stale.
+_RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_RELATION_LOCK = threading.Lock()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one corpus table as a DataFrame."""
+    """Load one corpus table as a DataFrame (relation cached per session)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    with _RELATION_LOCK:
+        cached = _RELATION_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integral `div`, not `/`: ns-since-epoch (~1.7e18) exceeds double's
@@ -47,6 +70,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
         )
+    with _RELATION_LOCK:
+        _RELATION_CACHE[key] = df
     return df
 
 
