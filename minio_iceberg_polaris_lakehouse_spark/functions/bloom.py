@@ -110,6 +110,26 @@ def decontaminate(spark: SparkSession, sf_dir: str, use_bloom: bool = True) -> D
     sh = d.select("doc_id", tokens_expr().alias("toks")).select(
         "doc_id", hashed_shingles("toks").alias("shingles")
     )
+    if use_bloom:
+        # ONE shingle pass for the whole operator (guide §8: compute the
+        # lightweight proxy once, reuse it for every decision). Through
+        # r11 the shingle subtree ran three times — eagerly for the
+        # bitset build, and twice more inside the exec plan (ev broadcast
+        # + tr probe side) — and the repeated subtree was ALSO quietly
+        # quadratic: CollapseProject inlines tokens_expr into the explode
+        # path, re-splitting per shingle reference (the module-header
+        # anti-pattern; measured 0.94 s to shingle the 10% eval slice vs
+        # 0.21 s for the full corpus as arrays). The repartition is an
+        # optimizer barrier AND spreads an unsplittable small scan
+        # (guide §2.5); the localCheckpoint materializes the (doc_id,
+        # shingles) proxy once per invocation — at 100 TB this is the
+        # fingerprint-pass-writes-out shape of guide §8.1-8.4.
+        sh = (
+            d.select("doc_id", tokens_expr().alias("toks"))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select("doc_id", hashed_shingles("toks").alias("shingles"))
+            .localCheckpoint()
+        )
     ev = (
         sh.filter(F.col("doc_id") % 10 == 0)
         .select(F.explode("shingles").alias("s"))
@@ -125,8 +145,23 @@ def decontaminate(spark: SparkSession, sf_dir: str, use_bloom: bool = True) -> D
         # literal: a literal CreateArray inlined into the filter lambda
         # re-materializes per probe (measured ~6× slower end-to-end at
         # sf0.1), while a broadcast attribute is built once per executor.
+        # (An in-plan bitset — map_from_entries folded to a dense array in
+        # a 1-row aggregate — re-hit the same inlining class: 17.9 s at
+        # sf0.1. The driver-materialized literal row stays.)
+        # bit_or is idempotent, so the bitset build skips ev's DISTINCT
+        # (one exchange less); the exact join below keeps it.
         bits_df = spark.createDataFrame(
-            [(build_bloom_bits(ev.select("s")), _POW2)], "bits array<long>, pow2 array<long>"
+            [
+                (
+                    build_bloom_bits(
+                        sh.filter(F.col("doc_id") % 10 == 0).select(
+                            F.explode("shingles").alias("s")
+                        )
+                    ),
+                    _POW2,
+                )
+            ],
+            "bits array<long>, pow2 array<long>",
         )
         # Thin each doc's shingle ARRAY in-scan (codegen, no shuffle);
         # explode_outer keeps all-negative docs alive with a NULL probe so

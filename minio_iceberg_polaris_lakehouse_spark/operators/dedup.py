@@ -16,7 +16,10 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from minio_iceberg_polaris_lakehouse_spark.registry import register
-from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
+from minio_iceberg_polaris_lakehouse_spark.sources.tables import (
+    load_table,
+    spread_for_kernel,
+)
 
 # MinHash configuration: 16 hash "permutations", banded 4×4 for LSH.
 MINHASH_K = 16
@@ -252,7 +255,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh{i}") for i in range(MINHASH_K)
     ]
     g = exploded.groupBy("doc_id").agg(*sig_aggs, F.collect_list("sh").alias("shingles"))
-    sig = g
+    # r12 (guide §8 / §5): materialize the signature+shingle frame ONCE.
+    # Three consumers read g (banding needs mh0..15, each verify side
+    # needs shingles) and column pruning specializes the aggregate per
+    # consumer, so no two subtrees stay byte-identical and runtime
+    # exchange reuse never fires — without the checkpoint the
+    # scan→tokenize→shingle→explode→groupBy pipeline executed up to
+    # three times per run (measured 1.37 s → 1.10 s at sf0.1). This is
+    # the fingerprint-pass-writes-out shape of the 100 TB playbook: one
+    # pass computes the lightweight proxy, every decision reads it.
+    sig = g = g.localCheckpoint()
     bands = F.array(
         *[
             F.struct(
@@ -634,9 +646,12 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     only wins below ~50 GB/node. The per-doc island window never skews:
     its partition is one document."""
     K = 8
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens_expr().alias("t")
-    )
+    # spread the unsplittable small scan before the gram explode — the
+    # K-token concat per gram is the heavy projection here (guide §2.5;
+    # measured 1.09 s → 0.79 s at sf0.1, no-op at scale)
+    d = spread_for_kernel(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", tokens_expr().alias("t"))
     grams = (
         d.filter(F.size("t") >= K)
         .select(
@@ -798,8 +813,17 @@ def _simhashx_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     like dedup_simhash. Shared by the Hamming-0 cluster query and the
     banded Hamming<=3 pair query so the fingerprint definition cannot
     drift between them (or their oracles, which share _SIMHASHX_FP_CTES
-    the same way)."""
-    d = load_table(spark, sf_dir, "documents")
+    the same way).
+
+    The per-character polynomial fold is the costliest projection in the
+    module (O(total chars) with per-char substr+ascii); on a
+    single-row-group local file the whole fold ran on ONE core
+    (guide §2.5, unsplittable input) — spread_for_kernel fans the raw
+    (doc_id, text) rows out first (measured 1.36 s → 0.75 s at sf0.1;
+    no-op once the scan has natural splits)."""
+    d = spread_for_kernel(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     hashes = F.transform(toks, _poly_token_hash)
     masks = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASHX_BITS)])

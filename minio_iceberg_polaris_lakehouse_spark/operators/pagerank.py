@@ -119,7 +119,18 @@ def ml_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pagerank(nodes: DataFrame, edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     """Core PageRank loop over arbitrary ``nodes(node)`` / ``edges(src,
     dst, w)`` DataFrames; returns ``(node, r)``. One lazy plan — the node
-    count is a 1-row broadcast, nothing round-trips through the driver."""
+    count is a 1-row broadcast, nothing round-trips through the driver.
+
+    r12 (guide §5 persist-what-iterations-reuse): the aggregated edge
+    list is materialized ONCE with localCheckpoint. Every iteration's
+    contrib join references `edges`, so the lazy form re-executed the
+    upstream edge derivation (here: the 4-way lineitem fact join) once
+    per iteration per consumer — ~6 fact joins for 3 rounds, 116
+    Exchange nodes in the final plan. The edge list itself is
+    nations²-bounded (≤625 rows at any corpus size) — exactly the
+    "bucket/cache it once" the module docstring promised; measured
+    1.35 s → ~0.6 s at sf0.1 with a bit-identical rank trajectory."""
+    edges = edges.localCheckpoint()
     outw = edges.groupBy("src").agg(F.sum("w").cast("double").alias("ow"))
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
     nodes = nodes.crossJoin(F.broadcast(nn))

@@ -194,11 +194,14 @@ def sim_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # JVM-side projection onto each (centered) component, then the
     # projected variance per component — E[p²] with E[p]=0 by centering
-    mean_arr = F.array(*[F.lit(m) for m in mean])
+    # single array literals (one py4j call each) — F.array of 64 F.lit
+    # columns costs ~0.5 s of driver round-trips per build for the 9
+    # arrays here, for the identical Literal
+    mean_arr = F.lit(mean)
     centered = F.zip_with(F.col("e"), mean_arr, lambda a, b: a - b)
     proj_cols = []
     for ki, c in enumerate(comps):
-        carr = F.array(*[F.lit(x) for x in c])
+        carr = F.lit(c)
         p = F.aggregate(
             F.zip_with(centered, carr, lambda a, b: a * b), F.lit(0.0), lambda acc, y: acc + y
         )
