@@ -107,10 +107,11 @@ def decontaminate(spark: SparkSession, sf_dir: str, use_bloom: bool = True) -> D
     Bloom bitset (identical results — no false negatives); without it the
     naive full join runs (the test twin)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", tokens_expr().alias("toks")).select(
-        "doc_id", hashed_shingles("toks").alias("shingles")
-    )
-    if use_bloom:
+    if not use_bloom:
+        sh = d.select("doc_id", tokens_expr().alias("toks")).select(
+            "doc_id", hashed_shingles("toks").alias("shingles")
+        )
+    else:
         # ONE shingle pass for the whole operator (guide §8: compute the
         # lightweight proxy once, reuse it for every decision). Through
         # r11 the shingle subtree ran three times — eagerly for the

@@ -1110,7 +1110,7 @@ def union_by_name_df(
 
 
 _TRAILING_COMMA_RE = re.compile(
-    r",\s*(?=(?:FROM|WHERE|GROUP|HAVING|QUALIFY|WINDOW|ORDER|SORT|DISTRIBUTE"
+    r",\s*(?=(?:FROM|WHERE|GROUP|HAVING|ORDER|SORT|DISTRIBUTE"
     r"|CLUSTER|LIMIT|OFFSET|UNION|INTERSECT|MINUS)(?![\w.])|$)",
     re.IGNORECASE,
 )
@@ -1120,7 +1120,14 @@ def _strip_trailing_commas_masked(s: str) -> str:
     """The dialect tolerates a trailing comma before the next clause
     (``SELECT a, b, FROM t``; ``GROUP BY a, b,`` at statement end) —
     drop it. Safe because every keyword in the set is fully reserved in
-    clause position; string literals are already masked."""
+    clause position IN BOTH ENGINES; string literals are already masked.
+    QUALIFY and WINDOW are deliberately absent: both are identifier-legal
+    (``SELECT x, qualify FROM t`` is a valid projection in Spark and the
+    dialect — the r10/r11 pass-through contract), so a comma before them
+    is ambiguous and stripping it silently turned the identifier into an
+    alias (wrong columns, found by test_review_fixes_r11 this round). A
+    trailing comma directly before a QUALIFY/WINDOW clause stays a parse
+    error — loud, never wrong rows."""
     return _TRAILING_COMMA_RE.sub(" ", s)
 
 

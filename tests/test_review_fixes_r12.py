@@ -842,5 +842,11 @@ def test_trailing_comma_tolerance(lake):
         "SELECT a, b FROM t",
         "SELECT 'a, FROM x' AS s FROM t",
         "SELECT f(a, b) FROM t",
+        # QUALIFY / WINDOW are identifier-legal, so a comma before them is
+        # a projection comma, not a trailing comma (the original set
+        # included both and corrupted these into aliases — r12 fix)
+        "SELECT x, qualify FROM t",
+        "SELECT x, window FROM t",
+        "SELECT a, b, window FROM t WHERE b > 0",
     ]:
         assert dialect_sql(s) == s, s
