@@ -4,18 +4,19 @@ mixture balancing, and semantic bucketing (the same primitive the IVF/PQ
 coarse quantizers train on a driver-side sample; here the FULL corpus
 iterates distributedly, MLlib-style).
 
-Execution shape per iteration — the classic Spark pattern:
-  1. ASSIGN: the K×d centroid table (tiny) is broadcast against a
-     partitioned corpus scan; squared distance is a JVM-side
-     `aggregate(zip_with(...))` fold and the argmin folds map-side via
-     `MIN(struct(dist, cid))` — partial aggregation means one row per
-     vector crosses the exchange, never K rows.
+Execution shape per iteration (r13, guide §2.4 — one job, ONE exchange):
+  1. ASSIGN: the K×d centroid table is driver state between iterations,
+     so it is injected as LITERALS and the argmin is a scan-local
+     `array_min` over K `aggregate(zip_with(...))` distance structs —
+     no broadcast, no crossJoin, no per-vector exchange (the r12 shape
+     shuffled one row per vector per pass just to run MIN(struct)).
   2. UPDATE: per-dimension means via posexplode + decimal-exact SUM
-     (map-side partials collapse to d×K groups), re-packed to arrays.
-     Only the K×d centroid table (8×64 doubles here) returns to the
-     driver between iterations — the corpus never moves, exactly how
-     MLlib's KMeans iterates at any scale (at 100 TB you would also
-     `persist()` the double-cast corpus across the iteration jobs).
+     (map-side partials collapse to d×K groups); the ≤K×d mean rows
+     return to the driver and are re-packed to arrays in Python.
+     Only the K×d centroid table (8×64 doubles here) moves per
+     iteration — the corpus never does, exactly how MLlib's KMeans
+     iterates at any scale (at 100 TB you would also `persist()` the
+     double-cast corpus across the iteration jobs).
 
 Engine-independent determinism (so a DuckDB oracle can replay the WHOLE
 iteration history and hash-match the result): distances are rounded to
@@ -55,21 +56,49 @@ def _dist6(e, c):
     )
 
 
-def _assign(v: DataFrame, cdf: DataFrame) -> DataFrame:
-    """One broadcast-assignment pass → (vec_id, e, cid, dist) argmin rows."""
-    scored = v.crossJoin(F.broadcast(cdf)).select(
-        "vec_id", "e", "cid", _dist6(F.col("e"), F.col("cent")).alias("dist")
-    )
-    best = scored.groupBy("vec_id").agg(
-        F.min(F.struct("dist", "cid")).alias("b"), F.first("e").alias("e")
-    )
-    return best.select(
-        "vec_id", "e", F.col("b.cid").alias("cid"), F.col("b.dist").alias("dist")
-    )
+def _argmin_struct(cents: list[tuple[int, list[float]]]):
+    """(dist, cid) argmin over LITERAL centroids as one projection
+    expression — the broadcast-assign pass with the exchange removed
+    (guide §2.4): the K×d centroid table is driver state between
+    iterations anyway, so injecting it as literals replaces
+    crossJoin(broadcast)+groupBy(vec_id) (one full corpus shuffle per
+    pass) with a scan-local `array_min` over K distance structs.
+
+    The whole expression is built as ONE SQL string and parsed once.
+    Measured alternatives (A/B'd back-to-back at sf0.1, see
+    OPTIMIZATION_r13.md): building the same tree with pyspark Column
+    lambdas costs ~0.45 s of py4j/analysis PER iteration plan; spelling
+    the distance as a flat 64-term arithmetic chain makes it whole-stage
+    codegen material whose embedded literals CHANGE per iteration, so
+    janino recompiles every pass (~0.9 s each). The SQL-parsed
+    higher-order fold is the sweet spot: ~0.1 s to parse+analyze and
+    ~0.1 s to evaluate interpreted (HOFs have no codegen — and need
+    none here). The fold itself is token-identical to `_dist6`
+    (same aggregate/zip_with, acc from 0.0, left-to-right), `{x!r}D`
+    literals round-trip doubles exactly, and struct comparison is
+    lexicographic on (dist, cid) — exactly the `MIN(struct(dist, cid))`
+    argmin the grouped form computed, so assignments are bit-identical."""
+    structs = []
+    for cid, c in cents:
+        arr = "array(" + ", ".join(f"{x!r}D" for x in c) + ")"
+        dist = (
+            f"round(aggregate(zip_with(e, {arr}, (x, y) -> (x - y) * (x - y)),"
+            f" 0.0D, (acc, x) -> acc + x), 6)"
+        )
+        structs.append(f"named_struct('dist', {dist}, 'cid', {int(cid)})")
+    return F.expr(f"array_min(array({', '.join(structs)}))")
 
 
-def _update(assigned: DataFrame) -> DataFrame:
-    """Per-dimension decimal-exact means, re-packed to centroid arrays."""
+def _update_rows(v: DataFrame, cents: list[tuple[int, list[float]]]) -> list:
+    """One Lloyd's update job: assignment as a literal-argmin projection
+    (no exchange) feeding the posexplode → groupBy(cid, d) decimal-exact
+    per-dimension means — the ONLY exchange in the iteration, carrying
+    map-side-combined (cid, d) partials. The K×d mean rows (≤512 here)
+    come back to the driver and are re-packed to centroid arrays in
+    plain Python (replacing a second, collect_list exchange). Means are
+    rounded to 6 dp in Spark BEFORE collect, so repacking moves exact
+    doubles only."""
+    assigned = v.select(_argmin_struct(cents)["cid"].alias("cid"), "e")
     per_dim = (
         assigned.select("cid", F.posexplode("e").alias("d", "val"))
         .groupBy("cid", "d")
@@ -79,11 +108,7 @@ def _update(assigned: DataFrame) -> DataFrame:
             ).alias("m")
         )
     )
-    return per_dim.groupBy("cid").agg(
-        F.transform(F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]).alias(
-            "cent"
-        )
-    )
+    return per_dim.collect()
 
 
 def kmeans_fit(
@@ -94,17 +119,34 @@ def kmeans_fit(
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e")
     )
+    # No spread / no checkpoint: A/B'd both (OPTIMIZATION_r13.md) — at
+    # this corpus (2000 vectors) the extra materialization job and the
+    # per-job repartition wave each cost MORE than they save, and at
+    # scale the scan has natural splits so the literal-argmin + per-dim
+    # folds parallelize per split anyway (there you would persist() the
+    # double-cast corpus across the iteration jobs, MLlib-style).
     cents = [
         (int(r["cid"]), list(r["cent"]))
         for r in v.filter(F.col("vec_id") < k)
         .select(F.col("vec_id").cast("int").alias("cid"), F.col("e").alias("cent"))
         .collect()
     ]
-    cdf = spark.createDataFrame(cents, "cid int, cent array<double>")
     for _ in range(iters):
-        cents = [(r["cid"], list(r["cent"])) for r in _update(_assign(v, cdf)).collect()]
-        cdf = spark.createDataFrame(cents, "cid int, cent array<double>")
-    return _assign(v, cdf), cdf
+        rows = _update_rows(v, cents)
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(int(r["cid"]), {})[int(r["d"])] = float(r["m"])
+        # identical to array_sort(collect_list(struct(d, m))) → transform:
+        # dimensions re-packed in d order per surviving cluster
+        cents = [
+            (cid, [dims[d] for d in sorted(dims)]) for cid, dims in sorted(by_cid.items())
+        ]
+    b = _argmin_struct(cents)
+    assigned = v.select(
+        "vec_id", "e", b["cid"].alias("cid"), b["dist"].alias("dist")
+    )
+    cdf = spark.createDataFrame(cents, "cid int, cent array<double>")
+    return assigned, cdf
 
 
 def _kmeans_oracle(k: int, iters: int) -> str:

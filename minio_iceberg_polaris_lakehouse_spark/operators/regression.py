@@ -273,6 +273,8 @@ def ml_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange (one row per partition)."""
     l = load_table(spark, sf_dir, "lineitem")
     pts = l.select(
+        "l_orderkey",
+        "l_linenumber",
         (F.col("l_quantity").cast("double") / 50.0).alias("x1"),
         F.col("l_discount").cast("double").alias("x2"),
         F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
@@ -283,11 +285,24 @@ def ml_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quality filter's feature checkpoint). Without the spread, a small
     # single-row-group input leaves each pass's sigmoid + DECIMAL(38,18)
     # folds on ONE core (~1.5 s/pass measured); decimal sums are exact,
-    # so the repartition cannot change any result.
-    pts = spread_for_kernel(pts).localCheckpoint()
-    # COUNT(*) cast to double exactly as the oracle's nn CTE (integer
-    # counts are exact in double far beyond any corpus size here)
-    n_lit = F.lit(float(pts.count()))
+    # so the repartition cannot change any result. r13: the spread
+    # hash-partitions on the (l_orderkey, l_linenumber) row key instead
+    # of round-robin — same even fan-out without sortBeforeRepartition's
+    # local sort (guide §2.5; checkpoint job 0.63 s → 0.35 s measured).
+    # eager=False: the checkpoint materializes as a side effect of the
+    # FIRST gradient job instead of its own stage wave (A/B'd ~0.1 s
+    # faster at sf0.1); iterations 2..N read the cached partitions.
+    pts = spread_for_kernel(pts, "l_orderkey", "l_linenumber").select(
+        "x1", "x2", "y"
+    ).localCheckpoint(eager=False)
+    # r13 (guide §2.4, VERDICT item 4): the count job is gone — the
+    # oracle's `nn` CTE is COUNT(*) over the same frame each gradient
+    # pass aggregates, so the divisor rides the SAME aggregate as a
+    # fourth (cheap) buffer instead of a separate job. COUNT(*) is a
+    # long; long→double widening before the division is exact far
+    # beyond any corpus size here, so each gradient is bit-identical
+    # to the r12 `/ lit(float(n))` form. 3 jobs + the checkpoint, was 4.
+    n_cnt = F.count("*")
     a, b, c = 0.0, 0.0, 0.0
     history: list[tuple[int, float, float, float]] = []
     for it in range(1, _LR_ITERS + 1):
@@ -296,7 +311,7 @@ def ml_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         def gterm(xj):
             return F.sum(
                 F.round((sig - F.col("y")) * xj, _RS).cast("decimal(38,18)")
-            ).cast("double") / n_lit
+            ).cast("double") / n_cnt
 
         # the ROUND(12) update runs IN SPARK on the aggregated gradients
         # (Spark's HALF_UP differs from Python's round on ties), then the

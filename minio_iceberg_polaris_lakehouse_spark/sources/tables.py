@@ -82,13 +82,30 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def spread_for_kernel(df: DataFrame) -> DataFrame:
+def spread_for_kernel(df: DataFrame, *key_cols: str) -> DataFrame:
     """Fan a narrow projection across the cluster before a Python
-    (Arrow-batched) kernel: a small local parquet arrives as ONE split,
-    which would run per-row codec/encode work serially. The repartition
-    moves only the projected columns — negligible next to kernel cost —
-    and at 100 TB the scan already has natural splits, making this a
-    cheap no-op-shaped rebalance rather than a correctness requirement.
-    Shared by the audio codec pipeline and the PQ encoder."""
+    (Arrow-batched) kernel or a heavy per-row fold: a small local
+    parquet arrives as ONE split, which would run the work serially.
+    The repartition moves only the projected columns — negligible next
+    to kernel cost — and at 100 TB the scan already has natural splits,
+    making this a cheap no-op-shaped rebalance rather than a
+    correctness requirement. Shared by the audio codec pipeline, the PQ
+    encoder, and the iterative-ML feature spreads.
+
+    With ``key_cols`` (a unique row key) the spread hash-partitions on
+    ``pmod(xxhash64(keys), 100·target)`` instead of round-robin: every
+    keyless ``repartition(n)`` first pays a LOCAL SORT of its input
+    (sortBeforeRepartition, guide §2.5) so retried tasks reproduce the
+    same assignment — a deterministic synthetic key needs no sort and
+    spreads just as evenly (measured 0.63 s → 0.35 s on the logistic
+    feature checkpoint at sf0.1). Callers must only use it when
+    downstream results are partitioning-independent (exact/decimal
+    aggregates, per-row kernels)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if key_cols:
+        return df.repartition(
+            target, F.pmod(F.xxhash64(*key_cols), F.lit(100 * target))
+        )
+    return df.repartition(target)

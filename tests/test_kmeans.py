@@ -1,6 +1,7 @@
 """Distributed Lloyd's k-means: numpy replay parity, monotone inertia,
-and plan shape (broadcast assignment, partial argmin agg, no cartesian
-of corpus×corpus)."""
+plan shape (literal-centroid argmin — no join, one exchange per
+iteration), and bit-equivalence of the SQL-string argmin against the
+Column-built fold it replaced (r13)."""
 
 from __future__ import annotations
 
@@ -11,7 +12,8 @@ from pyspark.sql import functions as F
 from minio_iceberg_polaris_lakehouse_spark.operators.kmeans import (
     K_CLUSTERS,
     N_ITERS,
-    _assign,
+    _argmin_struct,
+    _dist6,
     kmeans_fit,
 )
 
@@ -66,18 +68,58 @@ def test_kmeans_inertia_monotone(spark, sf_dir):
     assert i2 <= i0 + 1e-6  # Lloyd's never increases the objective
 
 
-def test_kmeans_plan_broadcast_no_cartesian(spark, sf_dir):
+def test_kmeans_iteration_plan_joinless_single_exchange(spark, sf_dir):
+    """r13: the assignment is a literal-centroid argmin PROJECTION, so a
+    Lloyd's update job contains no join of any kind and exactly one
+    exchange — the map-side-combined (cid, d) groupBy."""
     from minio_iceberg_polaris_lakehouse_spark.operators.similarity import as_double
     from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
 
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e")
     )
-    cdf = spark.createDataFrame(
-        [(0, [0.0] * 64), (1, [1.0] * 64)], "cid int, cent array<double>"
+    cents = [(0, [0.0] * 64), (1, [1.0] * 64)]
+    assigned = v.select(_argmin_struct(cents)["cid"].alias("cid"), "e")
+    per_dim = (
+        assigned.select("cid", F.posexplode("e").alias("d", "val"))
+        .groupBy("cid", "d")
+        .agg(F.sum(F.col("val").cast("decimal(28,12)")).alias("s"))
     )
-    plan = _assign(v, cdf)._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan
-    assert "Broadcast" in plan  # centroid side ships to executors
-    # argmin folds map-side: partial aggregation before the exchange
-    assert "partial_min" in plan or "partial" in plan.lower()
+    plan = per_dim._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") == 1
+    # per-dim sums fold map-side: partial aggregation before the exchange
+    assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_argmin_struct_matches_column_fold(spark, sf_dir):
+    """The SQL-string argmin (literal round-trip via {x!r}D) is
+    bit-identical to the Column-built `_dist6` + MIN(struct) form it
+    replaced, on real corpus floats."""
+    from minio_iceberg_polaris_lakehouse_spark.operators.similarity import as_double
+    from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    cents = [
+        (int(r["vec_id"]), list(r["e"]))
+        for r in v.filter(F.col("vec_id") < 3).collect()
+    ]
+    b = _argmin_struct(cents)
+    got = {
+        r["vec_id"]: (r["cid"], r["dist"])
+        for r in v.select("vec_id", b["cid"].alias("cid"), b["dist"].alias("dist")).collect()
+    }
+    cdf = spark.createDataFrame(cents, "cid int, cent array<double>")
+    scored = v.crossJoin(F.broadcast(cdf)).select(
+        "vec_id", "cid", _dist6(F.col("e"), F.col("cent")).alias("dist")
+    )
+    ref_rows = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("b"))
+        .select("vec_id", "b.cid", "b.dist")
+        .collect()
+    )
+    ref = {r["vec_id"]: (r["cid"], r["dist"]) for r in ref_rows}
+    assert got == ref
