@@ -249,34 +249,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # previous shape re-ran tokenize+shingling once per verify side
     # (measured 1.79 s → 1.56 s at sf0.1). Jaccard is order-insensitive,
     # so the nondeterministic collect_list order is harmless.
-    tok = d.select("doc_id", tokens_expr().alias("toks"))
+    # r13 (guide §2.4/§2.5): repartition the RAW TEXT by doc_id BEFORE
+    # tokenizing — the local fixture arrives as 1-3 splits, so the
+    # regexp tokenize + shingle hash (the pipeline's dominant term, 1.6 s
+    # of its 3.3 s at sf1) ran near-serially; hash-partitioning on the
+    # groupBy key moves the exchange from 100-shingle rows-per-doc to one
+    # text row per doc AND lets groupBy(doc_id) reuse the partitioning,
+    # keeping the whole pipeline at ONE exchange (verified in the plan).
+    # Measured sf1 3.3 → 1.1 s, sf0.1 unchanged.
+    tok = d.select("doc_id", "text").repartition(F.col("doc_id")).select(
+        "doc_id", tokens_expr().alias("toks")
+    )
     exploded = tok.select("doc_id", F.explode(hashed_shingles("toks")).alias("sh"))
     sig_aggs = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh{i}") for i in range(MINHASH_K)
     ]
     g = exploded.groupBy("doc_id").agg(*sig_aggs, F.collect_list("sh").alias("shingles"))
     # r12 (guide §8 / §5): materialize the signature+shingle frame ONCE.
-    # Three consumers read g (banding needs mh0..15, each verify side
-    # needs shingles) and column pruning specializes the aggregate per
-    # consumer, so no two subtrees stay byte-identical and runtime
-    # exchange reuse never fires — without the checkpoint the
-    # scan→tokenize→shingle→explode→groupBy pipeline executed up to
-    # three times per run (measured 1.37 s → 1.10 s at sf0.1). This is
-    # the fingerprint-pass-writes-out shape of the 100 TB playbook: one
-    # pass computes the lightweight proxy, every decision reads it.
-    sig = g = g.localCheckpoint()
+    # Multiple consumers read g (banding + verify) and column pruning
+    # specializes the aggregate per consumer, so no two subtrees stay
+    # byte-identical and runtime exchange reuse never fires — without
+    # the checkpoint the scan→tokenize→shingle→explode→groupBy pipeline
+    # executed up to three times per run (measured 1.37 s → 1.10 s at
+    # sf0.1). This is the fingerprint-pass-writes-out shape of the
+    # 100 TB playbook: one pass computes the lightweight proxy, every
+    # decision reads it. r13: the 4 per-band hashes fold BEFORE the
+    # checkpoint (banding is their only consumer), so the materialized
+    # rows carry 4 longs + shingles instead of 16 longs + shingles.
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        ).alias(f"bh{b}")
+        for b in range(LSH_BANDS)
+    ]
+    g = g.select("doc_id", *band_cols, "shingles").localCheckpoint()
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(*[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]).alias(
-                    "band_hash"
-                ),
-            )
+            F.struct(F.lit(b).alias("band_id"), F.col(f"bh{b}").alias("band_hash"))
             for b in range(LSH_BANDS)
         ]
     )
-    banded = sig.select("doc_id", F.explode(bands).alias("band")).select(
+    banded = g.select("doc_id", F.explode(bands).alias("band")).select(
         "doc_id", "band.band_id", "band.band_hash"
     )
     # candidate pairs via ONE groupBy on the bucket key + in-bucket pair
@@ -306,16 +319,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    # verify joins probe the SAME grouped frame (reused exchange) with the
-    # tiny candidate set broadcast — the corpus-sized side never shuffles
-    # again for the verification
-    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
-    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
-    j1 = ga.join(F.broadcast(cand), "doc_a")
+    # r13 verify (guide §2.4): ONE broadcast probe of the checkpoint
+    # instead of two. The candidate pairs explode into (pair, doc_id,
+    # side) rows; a single scan of g attaches each side's shingle array,
+    # and a pair-keyed aggregate reunites them — candidate-pair-sized
+    # rows cross the exchange, never the corpus. The r12 shape scanned
+    # the checkpoint once per verify side AND collected the doc_a join
+    # (with its shingle arrays) back through a second driver broadcast.
+    sides = cand.select(
+        "doc_a",
+        "doc_b",
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("doc_id"), F.lit("a").alias("side")),
+                F.struct(F.col("doc_b").alias("doc_id"), F.lit("b").alias("side")),
+            )
+        ).alias("s"),
+    ).select("doc_a", "doc_b", "s.doc_id", "s.side")
+    probed = g.join(F.broadcast(sides), "doc_id").select(
+        "doc_a", "doc_b", "side", "shingles"
+    )
+    paired = probed.groupBy("doc_a", "doc_b").agg(
+        F.max(F.when(F.col("side") == "a", F.col("shingles"))).alias("sa"),
+        F.max(F.when(F.col("side") == "b", F.col("shingles"))).alias("sb"),
+    )
     jac = F.size(F.array_intersect("sa", "sb")) * 1.0 / F.size(F.array_union("sa", "sb"))
     return (
-        gb.join(F.broadcast(j1), "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        paired.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
     )

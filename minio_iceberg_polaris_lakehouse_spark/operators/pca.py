@@ -206,16 +206,18 @@ def sim_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with(centered, carr, lambda a, b: a * b), F.lit(0.0), lambda acc, y: acc + y
         )
         proj_cols.append((p * p).alias(f"p{ki}"))
+    # n_vectors rides the SAME aggregate (r13): the separate v.count()
+    # subtree re-scanned the corpus inside this job for a value the
+    # projection agg already sees
     proj_var = v.select(*proj_cols).agg(
-        *[F.avg(f"p{ki}").alias(f"v{ki}") for ki in range(PCA_K)]
+        *[F.avg(f"p{ki}").alias(f"v{ki}") for ki in range(PCA_K)],
+        F.count("*").cast("long").alias("n_vectors"),
     )
     pca_var = proj_var.select(
-        sum(F.col(f"v{ki}") for ki in range(PCA_K)).alias("pca_var")
+        "n_vectors", sum(F.col(f"v{ki}") for ki in range(PCA_K)).alias("pca_var")
     )
-    n_vectors = v.agg(F.count("*").cast("long").alias("n_vectors"))
     return (
-        n_vectors.crossJoin(F.broadcast(total))
-        .crossJoin(F.broadcast(pca_var))
+        pca_var.crossJoin(F.broadcast(total))
         .crossJoin(F.broadcast(axes_top))
         .select(
             "n_vectors",

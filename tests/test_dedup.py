@@ -217,3 +217,27 @@ def test_simhash_hamming_suppression_properties(spark, sf_dir):
                 assert doc in sup and (
                     sup[doc][1] == 0 or sup[doc][0] <= min(docs)
                 )
+
+
+def test_minhash_signature_pipeline_single_exchange(spark, sf_dir):
+    """r13: the raw text repartitions by doc_id BEFORE tokenizing, and
+    groupBy(doc_id) reuses that partitioning — the whole
+    scan→tokenize→shingle→explode→16-MIN pipeline holds exactly ONE
+    exchange, with no join anywhere."""
+    from pyspark.sql import functions as F
+
+    from minio_iceberg_polaris_lakehouse_spark.operators.dedup import (
+        MINHASH_K,
+        hashed_shingles,
+        tokens_expr,
+    )
+    from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.repartition(F.col("doc_id")).select("doc_id", tokens_expr().alias("toks"))
+    ex = tok.select("doc_id", F.explode(hashed_shingles("toks")).alias("sh"))
+    aggs = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh{i}") for i in range(MINHASH_K)]
+    g = ex.groupBy("doc_id").agg(*aggs, F.collect_list("sh").alias("shingles"))
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
