@@ -806,16 +806,23 @@ def lsh_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_id",
         F.explode(probes).alias("bucket"),
     )
+    # r13 (guide §2.2): compute the rounded cosine BEFORE the pair dedup.
+    # dropDuplicates on rows still carrying qe/e aggregated first() over
+    # two 64-double arrays (SortAggregate, ~1 KB/row through the
+    # exchange); every duplicate of a (q_id, neighbor_id) pair has the
+    # same qe/e and hence the same cosine, so min(cosine) over the pair
+    # is that value — a partial-aggregating HashAggregate shuffling one
+    # double per pair instead of both vectors.
     cand = (
         idx.join(F.broadcast(q), ["table_id", "bucket"])
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", F.col("vec_id").alias("neighbor_id"), "qe", "e")
-        .dropDuplicates(["q_id", "neighbor_id"])
         .select(
             "q_id",
-            "neighbor_id",
+            F.col("vec_id").alias("neighbor_id"),
             F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
         )
+        .groupBy("q_id", "neighbor_id")
+        .agg(F.min("cosine").alias("cosine"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (

@@ -118,30 +118,96 @@ def _encode_codes(books: np.ndarray):
     return F.pandas_udf(enc, ArrayType(IntegerType()))
 
 
-def _adc_scorer(books: np.ndarray, queries: dict[int, np.ndarray]):
-    """ADC as an Arrow-batched pandas UDF over (q_id, codes): the
+def _adc_scorer_all(books: np.ndarray, queries: dict[int, np.ndarray]):
+    """ADC as an Arrow-batched pandas UDF over codes, scoring EVERY query
+    per code row (one array of N_QUERIES distances, qid-sorted): the
     per-(query, subspace, code) distance tables — N_QUERIES × M_SUB ×
     K_CODES floats, ~4 KB — are precomputed in the closure, so scoring a
-    corpus code row is M_SUB numpy table takes, no vector math."""
+    corpus code row is M_SUB numpy table takes per query, no vector math.
+    r13 (guide §4): returning all queries at once keeps the N_QUERIES-way
+    fan-out OUT of the Arrow boundary — each corpus code row crosses the
+    JVM↔Python boundary once instead of once per query, and the
+    crossJoin duplication happens after, as a cheap in-JVM posexplode."""
     sub = books.shape[2]
-    tables = {}
-    for qid, qv in queries.items():
-        t = np.empty((M_SUB, K_CODES))
+    qids = sorted(queries)
+    tables = np.empty((len(qids), M_SUB, K_CODES))
+    for j, qid in enumerate(qids):
+        qv = queries[qid]
         for m in range(M_SUB):
-            t[m] = (((qv[m * sub : (m + 1) * sub])[None, :] - books[m]) ** 2).sum(axis=1)
-        tables[qid] = t
+            tables[j, m] = (
+                ((qv[m * sub : (m + 1) * sub])[None, :] - books[m]) ** 2
+            ).sum(axis=1)
     sub_idx = np.arange(M_SUB)
 
-    def score(q_id: pd.Series, codes: pd.Series) -> pd.Series:
+    def score(codes: pd.Series) -> pd.Series:
         c = np.array(codes.tolist(), dtype=np.int64)
-        out = np.empty(len(c))
-        qarr = q_id.to_numpy()
-        for qid in np.unique(qarr):
-            mask = qarr == qid
-            out[mask] = tables[int(qid)][sub_idx, c[mask]].sum(axis=1)
-        return pd.Series(out)
+        out = np.empty((len(c), len(qids)))
+        for j in range(len(qids)):
+            out[:, j] = tables[j][sub_idx, c].sum(axis=1)
+        return pd.Series(out.tolist())
 
-    return F.pandas_udf(score, DoubleType())
+    return F.pandas_udf(score, ArrayType(DoubleType()))
+
+
+def _adc_rank(codes: DataFrame, books: np.ndarray, queries: dict[int, np.ndarray]):
+    """Shared ADC candidate ranking over a (vec_id, codes) frame: score
+    all queries in one Arrow pass, posexplode to (q_id, neighbor_id,
+    adist) rows in the JVM, and keep the PQ_CAND_FACTOR·k best per query
+    (same window, same (adist, neighbor_id) tiebreak as the r12 shape —
+    the distance values are numpy-identical, so the candidate set is
+    bit-identical)."""
+    qids = sorted(queries)
+    qid_arr = F.array(*[F.lit(q).cast("long") for q in qids])
+    scored = (
+        codes.select("vec_id", _adc_scorer_all(books, queries)(F.col("codes")).alias("ads"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.posexplode("ads").alias("pos", "adist"),
+        )
+        .select(
+            F.element_at(qid_arr, F.col("pos") + 1).alias("q_id"),
+            "neighbor_id",
+            "adist",
+        )
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+    )
+    w_cand = Window.partitionBy("q_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w_cand).alias("cr"))
+        .filter(F.col("cr") <= PQ_CAND_FACTOR * TOP_K)
+        .select("q_id", "neighbor_id")
+    )
+
+
+def _rescore_topk(
+    cand: DataFrame, v: DataFrame, queries: dict[int, np.ndarray]
+) -> DataFrame:
+    """Exact cosine rescore of the candidate pairs + final top-k. The
+    query vectors are ALREADY collected in the model (driver-side), so
+    the query side is a local relation instead of a third corpus scan
+    (r13, guide §6/§1 — same floats, bit-identical cosine); the neighbor
+    side joins the raw corpus frame (no kernel spread — this join has no
+    Python kernel to parallelize)."""
+    spark = v.sparkSession
+    qv = spark.createDataFrame(
+        [(int(qid), [float(x) for x in queries[qid]]) for qid in sorted(queries)],
+        "q_id bigint, qe array<double>",
+    )
+    rescored = (
+        cand.join(v.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        rescored.select("*", F.row_number().over(w).cast("int").alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .orderBy("q_id", "rn")
+    )
 
 
 # session-level memo for the trained model: the codebook and query
@@ -173,47 +239,15 @@ def _pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e")
     )
-    # spread the single local split so the encode kernel and the 8-way
-    # ADC fan-out parallelize (shared helper — see its docstring)
-    v = spread_for_kernel(v)
     books, queries = _pq_model(spark, sf_dir, v)
-    codes = v.select("vec_id", _encode_codes(books)(F.col("e")).alias("codes"))
-    qids = spark.createDataFrame(
-        [(qid,) for qid in sorted(queries)], "q_id bigint"
+    # spread the single local split so the encode kernel parallelizes
+    # (shared helper — see its docstring); the rescore join below reads
+    # the UNSPREAD frame (no kernel there, so no exchange needed)
+    codes = spread_for_kernel(v).select(
+        "vec_id", _encode_codes(books)(F.col("e")).alias("codes")
     )
-    scored = (
-        codes.crossJoin(F.broadcast(qids))  # K_QUERIES-way fan-out of code rows
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _adc_scorer(books, queries)(F.col("q_id"), F.col("codes")).alias("adist"),
-        )
-    )
-    w_cand = Window.partitionBy("q_id").orderBy("adist", "neighbor_id")
-    cand = (
-        scored.select("*", F.row_number().over(w_cand).alias("cr"))
-        .filter(F.col("cr") <= PQ_CAND_FACTOR * TOP_K)
-        .select("q_id", "neighbor_id")
-    )
-    qv = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
-    )
-    rescored = (
-        cand.join(v.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
-        .join(F.broadcast(qv), "q_id")
-        .select(
-            "q_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        rescored.select("*", F.row_number().over(w).cast("int").alias("rn"))
-        .filter(F.col("rn") <= TOP_K)
-        .orderBy("q_id", "rn")
-    )
+    cand = _adc_rank(codes, books, queries)
+    return _rescore_topk(cand, v, queries)
 
 
 @register(
@@ -324,40 +358,8 @@ def pq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_rows = v.filter(F.col("vec_id") < N_QUERIES).collect()
     queries = {int(r.vec_id): np.array(r.e) for r in q_rows}
     codes = wh.table("ann", "pq_codes").read()
-    qids = spark.createDataFrame([(qid,) for qid in sorted(queries)], "q_id bigint")
-    scored = (
-        codes.crossJoin(F.broadcast(qids))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _adc_scorer(books, queries)(F.col("q_id"), F.col("codes")).alias("adist"),
-        )
-    )
-    w_cand = Window.partitionBy("q_id").orderBy("adist", "neighbor_id")
-    cand = (
-        scored.select("*", F.row_number().over(w_cand).alias("cr"))
-        .filter(F.col("cr") <= PQ_CAND_FACTOR * TOP_K)
-        .select("q_id", "neighbor_id")
-    )
-    qv = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
-    )
-    rescored = (
-        cand.join(v.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
-        .join(F.broadcast(qv), "q_id")
-        .select(
-            "q_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        rescored.select("*", F.row_number().over(w).cast("int").alias("rn"))
-        .filter(F.col("rn") <= TOP_K)
-        .orderBy("q_id", "rn")
-    )
+    cand = _adc_rank(codes, books, queries)
+    return _rescore_topk(cand, v, queries)
 
 
 @register(
