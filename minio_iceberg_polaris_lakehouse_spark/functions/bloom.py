@@ -36,7 +36,10 @@ from pyspark.sql import functions as F
 
 from minio_iceberg_polaris_lakehouse_spark.operators.dedup import hashed_shingles, tokens_expr
 from minio_iceberg_polaris_lakehouse_spark.registry import register
-from minio_iceberg_polaris_lakehouse_spark.sources.tables import load_table
+from minio_iceberg_polaris_lakehouse_spark.sources.tables import (
+    load_table,
+    materialize_once,
+)
 
 M_BITS = 1 << 20  # filter width: 128 KiB — broadcastable at any corpus size
 M_WORDS = M_BITS // 64
@@ -122,14 +125,13 @@ def decontaminate(spark: SparkSession, sf_dir: str, use_bloom: bool = True) -> D
         # anti-pattern; measured 0.94 s to shingle the 10% eval slice vs
         # 0.21 s for the full corpus as arrays). The repartition is an
         # optimizer barrier AND spreads an unsplittable small scan
-        # (guide §2.5); the localCheckpoint materializes the (doc_id,
-        # shingles) proxy once per invocation — at 100 TB this is the
+        # (guide §2.5); materialize_once cuts the plan once per invocation
+        # for the (doc_id, shingles) proxy — at 100 TB this is the
         # fingerprint-pass-writes-out shape of guide §8.1-8.4.
-        sh = (
+        sh = materialize_once(
             d.select("doc_id", tokens_expr().alias("toks"))
             .repartition(spark.sparkContext.defaultParallelism)
             .select("doc_id", hashed_shingles("toks").alias("shingles"))
-            .localCheckpoint()
         )
     ev = (
         sh.filter(F.col("doc_id") % 10 == 0)

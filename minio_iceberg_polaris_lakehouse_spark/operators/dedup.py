@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from minio_iceberg_polaris_lakehouse_spark.registry import register
 from minio_iceberg_polaris_lakehouse_spark.sources.tables import (
     load_table,
+    materialize_once,
     spread_for_kernel,
 )
 
@@ -282,7 +283,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"bh{b}")
         for b in range(LSH_BANDS)
     ]
-    g = g.select("doc_id", *band_cols, "shingles").localCheckpoint()
+    g = materialize_once(g.select("doc_id", *band_cols, "shingles"))
     bands = F.array(
         *[
             F.struct(F.lit(b).alias("band_id"), F.col(f"bh{b}").alias("band_hash"))

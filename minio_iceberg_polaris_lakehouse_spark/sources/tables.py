@@ -109,3 +109,40 @@ def spread_for_kernel(df: DataFrame, *key_cols: str) -> DataFrame:
             target, F.pmod(F.xxhash64(*key_cols), F.lit(100 * target))
         )
     return df.repartition(target)
+
+
+def materialize_once(df: DataFrame) -> DataFrame:
+    """Materialize a multi-consumer proxy frame exactly once (guide §8/§5).
+
+    Column pruning specializes an aggregate per consumer, so two reads of
+    the same lightweight proxy (signatures, per-(doc, term) counts, edge
+    lists) are never byte-identical subtrees and runtime exchange reuse
+    never fires — without a cut, the scan→tokenize→aggregate pipeline
+    executes once PER consumer. This is the fingerprint-pass-writes-out
+    shape of the 100 TB playbook: one pass computes the proxy, every
+    decision reads it.
+
+    Mechanism: LAZY ``localCheckpoint(eager=False)``. Why not the
+    alternatives:
+
+    - ``persist``/``cache`` is DISQUALIFIED: it registers the frame in
+      the session CacheManager, which substitutes the cached relation
+      into any LATER query whose analyzed subplan matches — a second
+      invocation of the same query would silently reuse the first
+      invocation's materialized intermediate. That is result caching
+      across runs, which the bench contract forbids. A localCheckpoint
+      RDD is referenced only by the DataFrame object created in THIS
+      invocation, so every invocation recomputes from parquet.
+    - EAGER localCheckpoint (the r12 shape) runs a separate blocking
+      materialization job before the query's own action; lazy checkpoint
+      materializes during the first consumer's job (usually a broadcast
+      subquery) and every later consumer reads the stored blocks —
+      measured consistently faster at bench scale (see
+      OPTIMIZATION_r13.md).
+
+    Trade-off, documented for the 100 TB story: checkpoint blocks are
+    unreplicated and the lineage is CUT, so an executor loss fails the
+    job instead of recomputing. Proxies passed here must be orders of
+    magnitude smaller than their source (counts, signatures, edge
+    lists), bounding the re-run cost."""
+    return df.localCheckpoint(eager=False)
